@@ -1,0 +1,321 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.catalog.{Q, QueryModule, Tables}
+
+/** Core relational operator surface (SURVEY.md §2.1-§2.7), recast over the
+  * driver testdata tables per FIXTURES.md §3.
+  *
+  * Determinism rules shared with the DuckDB oracle:
+  *  - monetary/quantity sums go through exact DECIMAL(12,2) arithmetic and
+  *    are cast to DOUBLE only at the end (bit-identical across engines);
+  *  - every top-k / row_number ordering carries a unique tiebreak key;
+  *  - list aggregations are sorted (`sort_array` / `ORDER BY` in
+  *    `string_agg`) — SURVEY.md A2 notes MySQL `group_concat` is unordered,
+  *    we canonicalize per SURVEY.md §7.4.
+  */
+object RelationalQueries extends QueryModule {
+
+  private val D = DecimalType(12, 2)
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  def qs: Seq[Q] = Seq(
+
+    // A1/A3 — pricing summary (scalar aggs over a pushed-down filter).
+    // Reference: count probes + loose GROUP BY (authors.js:22, posts.js:24-26).
+    Q("q01_pricing_summary", (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_shipdate" <= lit("2001-09-02").cast(TimestampType))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast(D)).cast(DoubleType).as("sum_qty"),
+          sum($"l_extendedprice".cast(D)).cast(DoubleType).as("sum_base_price"),
+          sum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D)))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+      GROUP BY l_returnflag, l_linestatus""")),
+
+    // P1/P5 — projection + alias + filter, row-level (predicate & column
+    // pruning must reach the parquet scan). Reference: authors.js:23-24.
+    Q("q02_filter_project", (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast(TimestampType) &&
+                $"l_shipdate" <  lit("1997-01-01").cast(TimestampType) &&
+                $"l_discount" >= 0.05 && $"l_quantity" < 24)
+        .select($"l_orderkey", $"l_linenumber",
+          ($"l_extendedprice".cast(D) * $"l_discount".cast(D))
+            .cast(DoubleType).as("disc_amount"))
+    }, Some("""
+      SELECT l_orderkey, l_linenumber,
+        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) AS DOUBLE) AS disc_amount
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.05 AND l_quantity < 24""")),
+
+    // J2 — multi-way inner join with broadcast dims (terms⋈term_taxonomy
+    // analog, categories.js:22-24): revenue per nation within one region.
+    Q("q03_join_agg", (s, d) => {
+      import s.implicits._
+      val orders   = t(s, d, "orders")
+      val customer = t(s, d, "customer")
+      val nation   = broadcast(t(s, d, "nation"))
+      val region   = broadcast(t(s, d, "region"))
+      orders
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+        .join(region, nation("n_regionkey") === region("r_regionkey"))
+        .filter($"r_name" === "ASIA")
+        .groupBy($"n_name")
+        .agg(sum($"o_totalprice".cast(D)).cast(DoubleType).as("revenue"),
+             count(lit(1)).as("n_orders"))
+    }, Some("""
+      SELECT n_name,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        count(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name""")),
+
+    // J3 — left outer join (posts⟕users, posts.js:25-26): customers keep
+    // their row even with zero orders.
+    Q("q04_left_join", (s, d) => {
+      import s.implicits._
+      val customer = t(s, d, "customer")
+      val orders   = t(s, d, "orders")
+      customer
+        .join(orders, customer("c_custkey") === orders("o_custkey"), "left_outer")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(count($"o_orderkey").as("n_orders"),
+             coalesce(sum($"o_totalprice".cast(D)).cast(DoubleType), lit(0.0))
+               .as("total_spent"))
+    }, Some("""
+      SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS total_spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name""")),
+
+    // J6 — semi join (EXISTS; IN-list by-ids entry point, P11): orders
+    // containing at least one near-full-quantity line.
+    Q("q05_semi_join", (s, d) => {
+      import s.implicits._
+      val orders = t(s, d, "orders")
+      val big = t(s, d, "lineitem").filter($"l_quantity" >= 49)
+      orders.join(big, orders("o_orderkey") === big("l_orderkey"), "left_semi")
+        .select($"o_orderkey", $"o_totalprice")
+    }, Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""")),
+
+    // anti join (NOT EXISTS) — complement of J6; customers with no
+    // in-progress ('P') orders.
+    Q("q06_anti_join", (s, d) => {
+      import s.implicits._
+      val customer = t(s, d, "customer")
+      val inProgress = t(s, d, "orders").filter($"o_orderstatus" === "P")
+      customer
+        .join(inProgress, customer("c_custkey") === inProgress("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_name")
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""")),
+
+    // J1 — EAV pivot (usermeta widening, authors.js:22-24): unpivot part
+    // attributes to (key, value) rows, pivot back to wide columns. One
+    // shuffle (groupBy+pivot) instead of the reference's 3 self-joins.
+    Q("q07_eav_pivot", (s, d) => {
+      import s.implicits._
+      val eav = t(s, d, "part").select($"p_partkey",
+          explode(map(
+            lit("brand"), $"p_brand",
+            lit("type"),  $"p_type",
+            lit("size"),  $"p_size".cast(StringType))).as(Seq("meta_key", "meta_value")))
+      EavOps.pivot(eav, "p_partkey", "meta_key", "meta_value",
+        Seq("brand", "type", "size"))
+    }, Some("""
+      WITH eav AS (
+        SELECT p_partkey, 'brand' AS meta_key, p_brand AS meta_value FROM part
+        UNION ALL SELECT p_partkey, 'type', p_type FROM part
+        UNION ALL SELECT p_partkey, 'size', CAST(p_size AS VARCHAR) FROM part)
+      SELECT p_partkey,
+        max(CASE WHEN meta_key = 'brand' THEN meta_value END) AS brand,
+        max(CASE WHEN meta_key = 'type'  THEN meta_value END) AS type,
+        max(CASE WHEN meta_key = 'size'  THEN meta_value END) AS size
+      FROM eav GROUP BY p_partkey""")),
+
+    // J5/A2 — decorrelated scalar-subquery list agg (group_concat of
+    // category slugs per post, posts.js:25-26): sorted part list per order,
+    // left-joined back so empty orders keep a row.
+    Q("q08_group_concat", (s, d) => {
+      import s.implicits._
+      val orders = t(s, d, "orders")
+      val lists = t(s, d, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(array_join(sort_array(collect_list($"l_partkey".cast(StringType))), ",")
+               .as("plist"),
+             count(lit(1)).as("items"))
+      orders.join(lists, orders("o_orderkey") === lists("l_orderkey"), "left_outer")
+        .select($"o_orderkey",
+          coalesce($"plist", lit("")).as("part_list"),
+          coalesce($"items", lit(0L)).as("n_items"))
+    }, Some("""
+      SELECT o_orderkey,
+        coalesce(pl.plist, '') AS part_list,
+        coalesce(pl.items, 0) AS n_items
+      FROM orders LEFT JOIN (
+        SELECT l_orderkey,
+          string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY CAST(l_partkey AS VARCHAR)) AS plist,
+          count(*) AS items
+        FROM lineitem GROUP BY l_orderkey) pl
+      ON o_orderkey = pl.l_orderkey""")),
+
+    // J7 — parent lookup join (category parent slug, categories.js:47-65),
+    // done as a real join (no batch-ordering dependence): nation → region
+    // name, missing parent → ''.
+    Q("q09_parent_lookup", (s, d) => {
+      import s.implicits._
+      val nation = t(s, d, "nation")
+      val region = broadcast(t(s, d, "region"))
+      nation.join(region, nation("n_regionkey") === region("r_regionkey"), "left_outer")
+        .select($"n_name", coalesce($"r_name", lit("")).as("parent_name"))
+    }, Some("""
+      SELECT n_name, coalesce(r_name, '') AS parent_name
+      FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""")),
+
+    // P10 — point lookup of a config scalar, resolved before the DAG is
+    // built (kills the posts.js:39-53 ctor race): region key for 'ASIA'
+    // drives a pushed-down filter over customers.
+    Q("q10_point_lookup", (s, d) => {
+      import s.implicits._
+      val asiaKey: Int = t(s, d, "region").filter($"r_name" === "ASIA")
+        .select($"r_regionkey").head().getInt(0)
+      val nation = broadcast(t(s, d, "nation").filter($"n_regionkey" === asiaKey))
+      t(s, d, "customer")
+        .join(nation, col("c_nationkey") === nation("n_nationkey"), "left_semi")
+        .select($"c_custkey", $"c_name")
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_nationkey IN (
+        SELECT n_nationkey FROM nation
+        WHERE n_regionkey = (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))""")),
+
+    // P11 — literal IN-list filter (by-ids replay entry point,
+    // authors.js:24,67): built as Column expressions, never string-spliced.
+    Q("q11_inlist", (s, d) => {
+      import s.implicits._
+      val ids = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L)
+      t(s, d, "lineitem")
+        .filter($"l_partkey".isin(ids: _*))
+        .groupBy($"l_partkey")
+        .agg(count(lit(1)).as("n_lines"),
+             sum($"l_quantity".cast(D)).cast(DoubleType).as("sum_qty"))
+    }, Some("""
+      SELECT l_partkey, count(*) AS n_lines,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE l_partkey IN (1,2,3,5,8,13,21,34,55,89)
+      GROUP BY l_partkey""")),
+
+    // O2/O3 — ordered top-k with unique tiebreak (replaces the reference's
+    // nondeterministic OFFSET pagination, SURVEY.md O3).
+    Q("q12_topk", (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(100)
+        .select($"o_orderkey", $"o_totalprice")
+    }, Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""")),
+
+    // A4 — keyed last-wins dedup (authordata[login]=…, authors.js:51):
+    // latest event per user via row_number over (ts desc, id desc).
+    Q("q13_dedup_lastwins", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"event_id".desc)
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id", $"event_type", $"value")
+    }, Some("""
+      SELECT user_id, event_id, event_type, value FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""")),
+
+    // §2.7 — set ops (absent from the reference; engine extension):
+    // users who clicked but never purchased.
+    Q("q14_setop_except", (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .filter($"ts" < lit("2024-01-03").cast(TimestampType))
+      ev.filter($"event_type" === "click").select($"user_id").distinct()
+        .except(ev.filter($"event_type" === "purchase").select($"user_id").distinct())
+    }, Some("""
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-03'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03'""")),
+
+    // §2.5 — window functions (engine extension): per-customer running
+    // spend, exact decimal accumulation (same addition order both engines).
+    Q("q15_window_running", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_spend",
+          sum($"o_totalprice".cast(D))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType))
+        .select($"o_custkey", $"o_orderkey", $"rn", $"running_spend")
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        row_number() OVER w AS rn,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""")),
+
+    // S6/S7 — snapshot merge with last-wins semantics (the reference's
+    // read-modify-write file merge, authors.js:46-56): per-user event
+    // counts from an "existing state" half and a "delta" half; delta wins.
+    Q("q16_merge_lastwins", (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val mid = lit("2024-01-15").cast(TimestampType)
+      val state = ev.filter($"ts" < mid)
+        .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      val delta = ev.filter($"ts" >= mid)
+        .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      MergeOps.mergeLastWins(state, delta, Seq("user_id"))
+    }, Some("""
+      WITH state AS (
+        SELECT user_id, count(*) AS cnt FROM events
+        WHERE ts < TIMESTAMP '2024-01-15' GROUP BY user_id),
+      delta AS (
+        SELECT user_id, count(*) AS cnt FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY user_id)
+      SELECT coalesce(d.user_id, s.user_id) AS user_id,
+             coalesce(d.cnt, s.cnt) AS cnt
+      FROM state s FULL OUTER JOIN delta d ON s.user_id = d.user_id"""))
+  )
+}
