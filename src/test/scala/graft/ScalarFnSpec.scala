@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.{GraftFunctions, Permalink, StringFns, UriCodec}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Pins the JS-reference semantics of SURVEY.md §2.8's scalar functions
+  * (expected values recomputed from the reference's transforms). */
+class ScalarFnSpec extends AnyFunSuite {
+
+  /** Minimal ScalaCheck runner (scalatestplus bridge isn't on the
+    * classpath; plain scalacheck is — build.sbt). */
+  private def checkProp(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, input: (String, String)*): String = {
+    val df = input.toSeq.toDF("a", "b")
+    df.select(c.as("r")).head.getString(0)
+  }
+
+  test("F1 slugify matches title.toLowerCase().replace(/[^a-z0-9_-]+/g,'-')") {
+    // authors.js:45: "John Doe" -> "john-doe"; runs of specials collapse
+    assert(one(StringFns.slugify($"a"), ("John  Doe", "")) == "john-doe")
+    assert(one(StringFns.slugify($"a"), ("Tech & Science!", "")) == "tech-science-")
+    assert(one(StringFns.slugify($"a"), ("already_ok-slug", "")) == "already_ok-slug")
+  }
+
+  test("F1 slugify is idempotent (property)") {
+    checkProp(Prop.forAll(Gen.asciiPrintableStr) { s0 =>
+      val once = UriSpecHelpers.slugifyLocal(s0)
+      UriSpecHelpers.slugifyLocal(once) == once
+    })
+  }
+
+  test("F3 entity decode replaces all &amp;") {
+    assert(one(StringFns.entityDecode($"a"), ("A &amp; B &amp; C", "")) == "A & B & C")
+  }
+
+  test("F4 relativize strips scheme+host like posts.js:149") {
+    // JS: "/"+guid.replace(/^(?:\/\/|[^\/]+)*\//, "")
+    assert(one(StringFns.relativize($"a"),
+      ("https://blog.example.com/2018/12/hello-world/", "")) == "/2018/12/hello-world/")
+    assert(one(StringFns.relativize($"a"),
+      ("http://example.com/x.png", "")) == "/x.png")
+  }
+
+  test("F8 lastSegment") {
+    assert(one(StringFns.lastSegment($"a"),
+      ("http://e.com/wp-content/uploads/img.png", "")) == "img.png")
+  }
+
+  test("F5 permalink expands tokens with zero padding and literals") {
+    val df = Seq((java.sql.Timestamp.valueOf("2018-03-07 04:05:06"), 42L, "hello-world"))
+      .toDF("ts", "id", "slug")
+    val c = Permalink.expand("/blog/%year%/%monthnum%/%day%/%postname%/",
+      $"ts", $"id", $"slug")
+    assert(df.select(c).head.getString(0) == "/blog/2018/03/07/hello-world/")
+    val c2 = Permalink.expand("/p/%post_id%", $"ts", $"id", $"slug")
+    assert(df.select(c2).head.getString(0) == "/p/42")
+    // unknown token passes through literally (posts.js:126-129)
+    val c3 = Permalink.expand("/%category%/%postname%", $"ts", $"id", $"slug")
+    assert(df.select(c3).head.getString(0) == "/%category%/hello-world")
+  }
+
+  test("F9 UriCodec matches JS encodeURI on representative inputs") {
+    // Expected values are JS `encodeURI` outputs.
+    assert(UriCodec.encode("http://e.com/a b.png") == "http://e.com/a%20b.png")
+    assert(UriCodec.encode("abc-_.!~*'()") == "abc-_.!~*'()")
+    assert(UriCodec.encode(";,/?:@&=+$#") == ";,/?:@&=+$#")
+    assert(UriCodec.encode("über straße") == "%C3%BCber%20stra%C3%9Fe")
+    assert(UriCodec.encode("100%") == "100%25")
+    assert(UriCodec.encode("\"<>") == "%22%3C%3E")
+  }
+
+  test("F9 EncodeUri expression under codegen equals UriCodec") {
+    GraftFunctions.register(spark)
+    val df = Seq("a b/ü?x=1 2", "plain", "%%").toDF("a")
+    val got = df.select(call_function("encode_uri", $"a")).as[String].collect()
+    val want = Seq("a b/ü?x=1 2", "plain", "%%").map(UriCodec.encode)
+    assert(got.toSeq == want)
+  }
+}
+
+object UriSpecHelpers {
+  /** JS slugify reimplemented locally for the idempotence property. */
+  def slugifyLocal(s: String): String =
+    s.toLowerCase.replaceAll("[^a-z0-9_-]+", "-")
+}
