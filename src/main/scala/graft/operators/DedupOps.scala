@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash
+  * groupBy), SimHash (row-local signature + hamming pairs), MinHash+LSH
+  * (shingle → signature → band bucket join), and brute-force n-gram
+  * Jaccard as the small-N oracle baseline.
+  *
+  * Scale notes (100 TB):
+  *  - signatures are row-local (no shuffle); candidate generation shuffles
+  *    on band hash, whose cardinality ≫ executor count;
+  *  - LSH bucket join caps bucket size ([[lshCandidates]]'s maxBucket) so
+  *    a degenerate key cannot produce an O(n²) bucket;
+  *  - brute-force pair ops are quadratic by design — verification-only.
+  */
+object DedupOps {
+
+  /** Exact dedup: group by a key expression (e.g. [[TextOps.fingerprint]]),
+    * keep the minimum id as canonical. One shuffle with map-side partial
+    * aggregation. */
+  def exactDedup(df: DataFrame, keyCol: Column, idCol: Column): DataFrame =
+    df.groupBy(keyCol.as("dup_key"))
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Engine-independent 32-bit token hash: first 8 hex digits of md5,
+    * parsed positionally — reproducible in any SQL engine (used so the
+    * DuckDB oracle can recompute SimHash exactly). */
+  private[operators] def hv32Sql(tokenVar: String): String =
+    (1 to 8).map { p =>
+      val coef = math.pow(16, 8 - p).toLong
+      s"(instr('0123456789abcdef', substr(md5($tokenVar), $p, 1)) - 1) * ${coef}L"
+    }.mkString(" + ")
+
+  /** 32-bit SimHash over a token-array column, computed entirely row-local
+    * with nested higher-order functions (transform + aggregate): for each
+    * bit, the sign of the ±1 vote over token hashes. No shuffle. */
+  def simhash32FromTokens(df: DataFrame, toksCol: String, out: String): DataFrame =
+    df.withColumn("__hvs", expr(s"transform($toksCol, t -> ${hv32Sql("t")})"))
+      .withColumn(out, expr(
+        """aggregate(sequence(0, 31), 0L, (acc, i) -> acc +
+          |  if(aggregate(__hvs, 0L,
+          |       (a, h) -> a + if((shiftright(h, i) & 1L) = 1L, 1L, -1L)) > 0,
+          |     shiftleft(1L, i), 0L))""".stripMargin))
+      .drop("__hvs")
+
+  /** All pairs within hamming distance `maxHamming` of their SimHash.
+    * Quadratic candidate generation (self-join on a < b) — use the LSH
+    * path for scale; this is the verification baseline. */
+  def simhashPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                   maxHamming: Int): DataFrame = {
+    val a = sigs.select(col(idCol).as("doc_a"), col(sigCol).as("sig_a"))
+    val b = sigs.select(col(idCol).as("doc_b"), col(sigCol).as("sig_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** MinHash signature (k independent hash functions) over a distinct
+    * shingle-set column. Row-local; uses xxhash64 with per-function salt. */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleSet,
+        s => xxhash64(concat(i.cast("string"), lit("#"), s)))))
+
+  /** LSH banding: explode a MinHash signature into (band_id, band_hash)
+    * rows; docs sharing any band bucket are candidates. */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+               bands: Int, rows: Int): DataFrame = {
+    val bandIdx = explode(sequence(lit(0), lit(bands - 1))).as("band_id")
+    df.select(col(idCol), col(sigCol), bandIdx)
+      .withColumn("band_hash",
+        hash(expr(s"slice($sigCol, band_id * $rows + 1, $rows)"), col("band_id")))
+      .select(col(idCol), col("band_id"), col("band_hash"))
+  }
+
+  /** Candidate pairs from band buckets (shuffle on band_hash only).
+    * `maxBucket` guards against degenerate buckets turning quadratic. */
+  def lshCandidates(bandTable: DataFrame, idCol: String,
+                    maxBucket: Int = 1000): DataFrame = {
+    val buckets = bandTable
+      .groupBy("band_id", "band_hash")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(least(x, y) AS a, greatest(x, y) AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+  }
+
+  /** Jaccard similarity of two distinct-element array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{Q, QueryModule, Tables}
+
+/** Deduplication surface: exact, brute-force n-gram Jaccard (oracle
+  * baseline), SimHash (+hamming pairs), MinHash+LSH (the scale path).
+  */
+object DedupQueries extends QueryModule {
+
+  private def t(s: org.apache.spark.sql.SparkSession, d: String, n: String) =
+    Tables.t(s, d, n)
+
+  /** DuckDB flavor of [[DedupOps.hv32Sql]] (no `L` literal suffix). */
+  private def hvDuck: String =
+    (1 to 8).map { p =>
+      val coef = math.pow(16, 8 - p).toLong
+      s"(instr('0123456789abcdef', substr(md5(t), $p, 1)) - 1) * $coef"
+    }.mkString(" + ")
+
+  /** Engine-independent SimHash in DuckDB SQL (explode + group-by form of
+    * the row-local Spark computation). */
+  private def simhashDuckSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id, $hvDuck AS hv FROM tok),
+       |bits AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN 1 ELSE 0 END AS b
+       |  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS i) ii
+       |  GROUP BY doc_id, i)
+       |SELECT doc_id,
+       |  CAST(sum(b * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id""".stripMargin
+
+  def qs: Seq[Q] = Seq(
+
+    // exact dedup by hash key: one shuffle, map-side combine.
+    Q("q32_dedup_exact", (s, d) => {
+      import s.implicits._
+      DedupOps.exactDedup(t(s, d, "documents"),
+        md5(substring($"text", 1, 40)), $"doc_id")
+    }, Some("""
+      SELECT md5(substr(text, 1, 40)) AS dup_key,
+             min(doc_id) AS canonical_id, count(*) AS n_dups
+      FROM documents GROUP BY 1""")),
+
+    // brute-force trigram-shingle Jaccard pairs — quadratic verification
+    // baseline (excluded from bench; q36 is the scale path).
+    Q("q33_jaccard_pairs", (s, d) => {
+      import s.implicits._
+      val sets = t(s, d, "documents")
+        .select($"doc_id", TextOps.shingleSet($"text").as("s"))
+      val a = sets.select($"doc_id".as("doc_a"), $"s".as("sa"))
+      val b = sets.select($"doc_id".as("doc_b"), $"s".as("sb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("j", DedupOps.jaccard($"sa", $"sb"))
+        .filter($"j" >= 0.5)
+        .select($"doc_a", $"doc_b", round($"j", 6).as("jaccard"))
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents))
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        round(len(list_intersect(a.s, b.s)) * 1.0 /
+              len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+            len(list_distinct(list_concat(a.s, b.s))) >= 0.5"""),
+      bench = false),
+
+    // row-local 32-bit SimHash signatures (engine-independent md5-derived
+    // token hashes so the oracle can recompute them exactly).
+    Q("q34_simhash", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .withColumn("toks", TextOps.tokens($"text"))
+      DedupOps.simhash32FromTokens(docs, "toks", "simhash")
+        .select($"doc_id", $"simhash")
+    }, Some(simhashDuckSql)),
+
+    // near-dup pairs by SimHash hamming distance (quadratic verification
+    // baseline; threshold 1 ≈ the planted near-duplicates).
+    Q("q35_simhash_pairs", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .withColumn("toks", TextOps.tokens($"text"))
+      val sigs = DedupOps.simhash32FromTokens(docs, "toks", "simhash")
+        .select($"doc_id", $"simhash")
+      DedupOps.simhashPairs(sigs, "doc_id", "simhash", maxHamming = 1)
+    }, Some(
+      s"""WITH sh AS ($simhashDuckSql)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin),
+      bench = false),
+
+    // MinHash + LSH banding — the linear-ish scale path: signature is
+    // row-local, candidates shuffle only on band hash, buckets capped.
+    // xxhash64-based, so Spark-only (driver records rows-only check);
+    // recall vs the exact q33 baseline is pinned in DedupSpec.
+    Q("q36_minhash_lsh", (s, d) => {
+      import s.implicits._
+      val sets = t(s, d, "documents")
+        .select($"doc_id", TextOps.shingleSet($"text").as("s"))
+      val sigs = sets.withColumn("sig", DedupOps.minhashSignature($"s", k = 16))
+      val bandTable = DedupOps.lshBands(sigs, "doc_id", "sig", bands = 4, rows = 4)
+      val cands = DedupOps.lshCandidates(bandTable, "doc_id")
+      cands
+        .join(sets.select($"doc_id".as("doc_a"), $"s".as("sa")), "doc_a")
+        .join(sets.select($"doc_id".as("doc_b"), $"s".as("sb")), "doc_b")
+        .withColumn("j", DedupOps.jaccard($"sa", $"sb"))
+        .filter($"j" >= 0.5)
+        .select($"doc_a", $"doc_b", round($"j", 6).as("jaccard"))
+    }, None)
+  )
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{Q, QueryModule, Tables}
+
+/** Similarity-search surface over the embeddings table (64-dim unit
+  * vectors): exact brute-force top-k baseline, row-local vector stats,
+  * and hyperplane-LSH ANN as the scale path.
+  */
+object SimilarityQueries extends QueryModule {
+
+  private def t(s: org.apache.spark.sql.SparkSession, d: String, n: String) =
+    Tables.t(s, d, n)
+
+  def qs: Seq[Q] = Seq(
+
+    // exact top-5 cosine neighbors for the first 20 vectors (embeddings
+    // are unit-norm, so dot product == cosine). Broadcast queries; one
+    // corpus pass; window top-k.
+    Q("q37_knn_brute", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+    }, Some("""
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                 FROM embeddings WHERE vec_id < 20),
+      c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings),
+      s AS (SELECT query_id, neighbor_id,
+              list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i])) AS sim
+            FROM q, c WHERE neighbor_id != query_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+             round(sim, 6) AS sim_r
+      FROM (SELECT query_id, neighbor_id, sim,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS rnk
+            FROM s)
+      WHERE rnk <= 5""")),
+
+    // row-local vector statistics (zip_with/aggregate/array ops).
+    Q("q38_vector_stats", (s, d) => {
+      import s.implicits._
+      t(s, d, "embeddings").select(
+        $"vec_id",
+        $"label".cast("long").as("label"),
+        size($"embedding").cast("long").as("dim"),
+        round(array_max($"embedding").cast("double"), 6).as("max_comp"),
+        expr("array_position(embedding, array_max(embedding))")
+          .cast("long").as("argmax"))
+    }, Some("""
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+        CAST(len(embedding) AS BIGINT) AS dim,
+        round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_comp,
+        CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax
+      FROM embeddings""")),
+
+    // hyperplane-LSH ANN: top-3 neighbors from multi-table bucket
+    // candidates. Deterministic seeded hyperplanes; Spark-only plan —
+    // driver records a rows-only check; recall pinned in SimilaritySpec.
+    Q("q39_knn_lsh", (s, d) => {
+      val tables = SimilarityOps.lshTables(planes = 4, tables = 8, dim = 64)
+      SimilarityOps.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        tables, k = 3)
+    }, None)
+  )
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.catalog.{Q, QueryModule, Tables}
+
+/** Text analysis + event-time operators (training-data pipeline surface):
+  * windowed aggregation, sessionization, token counting, quality scoring,
+  * dictionary language-ID, fingerprinting, shingling.
+  */
+object TextQueries extends QueryModule {
+
+  private val D = DecimalType(12, 2)
+  private def t(s: org.apache.spark.sql.SparkSession, d: String, n: String) =
+    Tables.t(s, d, n)
+
+  /** Dictionaries over the synthetic corpus vocabulary — varies per doc. */
+  private val dicts = Seq(
+    "en"     -> Seq("the", "a", "b"),
+    "db"     -> Seq("join", "merge", "hash", "table", "scan", "key"),
+    "stream" -> Seq("stream", "window", "batch", "event"),
+    "perf"   -> Seq("fast", "slow", "small", "vector"))
+
+  def qs: Seq[Q] = Seq(
+
+    // tumbling event-time window aggregation (batch analog of the
+    // streaming pipeline in graft.streaming).
+    Q("q25_hourly_window", (s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy(
+          date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00:00").as("hour"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"),
+             sum($"value".cast(D)).cast(DoubleType).as("total_value"))
+    }, Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2""")),
+
+    // sessionization: 30-min inactivity gap starts a new session.
+    Q("q26_sessionize", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      t(s, d, "events")
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn("is_new",
+          when($"prev_ts".isNull ||
+               (unix_micros($"ts") - unix_micros($"prev_ts")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), sum($"is_new").as("n_sessions"))
+    }, Some("""
+      WITH x AS (
+        SELECT user_id, ts,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        FROM events)
+      SELECT user_id, count(*) AS n_events,
+        CAST(sum(CASE WHEN prev_ts IS NULL
+                       OR (epoch_us(ts) - epoch_us(prev_ts)) > 1800000000
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+      FROM x GROUP BY user_id""")),
+
+    // token counting: whitespace + BPE-ish regex pre-tokenization.
+    Q("q27_token_count", (s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select(
+        $"doc_id",
+        TextOps.tokenCount($"text").cast("long").as("n_ws_tokens"),
+        size(TextOps.bpeTokens($"text")).cast("long").as("n_bpe_tokens"))
+    }, Some("""
+      SELECT doc_id,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+      FROM documents""")),
+
+    // composite quality score (length/alpha-ratio/stopword credits).
+    Q("q28_quality_score", (s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select(
+        $"doc_id", TextOps.qualityScore($"text").as("quality"))
+    }, Some("""
+      SELECT doc_id,
+        round(
+          least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+          (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+          least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2,
+          6) AS quality
+      FROM documents""")),
+
+    // dictionary-hit argmax classification (language-ID shape; topic
+    // dictionaries over this corpus's vocabulary).
+    Q("q29_lang_id", (s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select(
+        $"doc_id", TextOps.langId($"text", dicts).as("pred"))
+    }, Some {
+      val h = dicts.map { case (name, words) =>
+        name -> s"len(regexp_extract_all(text, '\\b(${words.mkString("|")})\\b'))"
+      }
+      val caseChain = h.zipWithIndex.init.foldRight(s"'${h.last._1}'") {
+        case (((name, expr), i), rest) =>
+          val conds = h.drop(i + 1).map(o => s"$expr >= ${o._2}").mkString(" AND ")
+          s"CASE WHEN $conds THEN '$name' ELSE $rest END"
+      }
+      s"SELECT doc_id, $caseChain AS pred FROM documents"
+    }),
+
+    // canonical document fingerprint (rolling-hash family; md5 of
+    // case/whitespace-normalized text).
+    Q("q30_fingerprint", (s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select(
+        $"doc_id", TextOps.fingerprint($"text").as("fp"))
+    }, Some("""
+      SELECT doc_id,
+        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents""")),
+
+    // word-trigram shingling stats (the dedup unit).
+    Q("q31_shingle_stats", (s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select(
+        $"doc_id",
+        size(TextOps.shingles(TextOps.tokens($"text"))).cast("long").as("n_shingles"),
+        size(TextOps.shingleSet($"text")).cast("long").as("n_distinct"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+      SELECT doc_id,
+        CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_shingles,
+        CAST(len(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS BIGINT) AS n_distinct
+      FROM d"""))
+  )
+}

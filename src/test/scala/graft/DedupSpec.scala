@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DedupOps, TextOps}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("exactDedup groups duplicates and keeps min id as canonical") {
+    val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa"))
+      .toDF("id", "k")
+    val got = DedupOps.exactDedup(df, $"k", $"id")
+      .orderBy($"dup_key").collect()
+    val byKey = got.map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(byKey("aa") == (1L, 3L))
+    assert(byKey("bb") == (2L, 1L))
+  }
+
+  test("simhash: identical token lists get identical signatures; distance grows with edits") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely unrelated words about database query optimization plans"))
+      .toDF("doc_id", "text").withColumn("toks", TextOps.tokens($"text"))
+    val sigs = DedupOps.simhash32FromTokens(df, "toks", "simhash")
+      .select($"doc_id", $"simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def hd(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hd(sigs(1L), sigs(3L)) < hd(sigs(1L), sigs(4L)))
+  }
+
+  test("minhash-LSH recovers planted near-dups vs exact jaccard baseline") {
+    val docs = graft.catalog.Tables.t(spark, sf, "documents")
+    val sets = docs.select($"doc_id", TextOps.shingleSet($"text").as("s"))
+
+    // exact baseline: all pairs with trigram jaccard >= 0.5
+    val a = sets.select($"doc_id".as("doc_a"), $"s".as("sa"))
+    val b = sets.select($"doc_id".as("doc_b"), $"s".as("sb"))
+    val exact = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("j", DedupOps.jaccard($"sa", $"sb"))
+      .filter($"j" >= 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+
+    // LSH path
+    val sigs = sets.withColumn("sig", DedupOps.minhashSignature($"s", 16))
+    val cands = DedupOps.lshCandidates(
+      DedupOps.lshBands(sigs, "doc_id", "sig", bands = 4, rows = 4), "doc_id")
+      .join(sets.select($"doc_id".as("doc_a"), $"s".as("sa")), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"s".as("sb")), "doc_b")
+      .withColumn("j", DedupOps.jaccard($"sa", $"sb"))
+      .filter($"j" >= 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+
+    assert(cands.subsetOf(exact), "verified LSH pairs must be true near-dups")
+    val recall = cands.size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall $recall too low (${cands.size}/${exact.size})")
+  }
+
+  test("lshCandidates caps degenerate buckets") {
+    // 50 ids in ONE bucket with maxBucket=10 -> no candidates from it
+    val band = (1L to 50L).map(i => (i, 0, 123)).toDF("doc_id", "band_id", "band_hash")
+    assert(DedupOps.lshCandidates(band, "doc_id", maxBucket = 10).count() == 0)
+    assert(DedupOps.lshCandidates(band, "doc_id", maxBucket = 100).count() == 50L * 49 / 2)
+  }
+}

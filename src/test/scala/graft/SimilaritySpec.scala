@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SimilarityOps
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bruteForceTopK finds the constructed nearest neighbor first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.04f, 0.0f)),  // nearly identical to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.bruteForceTopK(
+      vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", k = 2)
+      .orderBy($"rank").as[(Long, Long, Long, Double)].collect()
+    assert(got.head._3 == 1L) // neighbor_id of rank 1
+    assert(got.map(_._2).toSeq == Seq(1L, 2L))
+  }
+
+  test("multi-table LSH reaches sane recall@1 vs brute force and is deterministic") {
+    val emb = graft.catalog.Tables.t(spark, sf, "embeddings")
+    val tables = SimilarityOps.lshTables(planes = 4, tables = 8, dim = 64)
+    val lsh = SimilarityOps.lshTopK(emb, "vec_id", "embedding", tables, k = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    assert(lsh.nonEmpty)
+
+    val brute = SimilarityOps.bruteForceTopK(
+      emb, emb, "vec_id", "embedding", k = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+
+    val hits = lsh.count { case (q, n) => brute.get(q).contains(n) }
+    val recall = hits.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall@1 $recall too low (${hits}/${brute.size})")
+
+    // determinism: same tables -> same results
+    val again = SimilarityOps.lshTopK(emb, "vec_id", "embedding", tables, k = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    assert(again == lsh)
+  }
+
+  test("hyperplanes are deterministic by seed") {
+    val p1 = SimilarityOps.hyperplanes(4, 8, seed = 7)
+    val p2 = SimilarityOps.hyperplanes(4, 8, seed = 7)
+    assert(p1.flatten.toSeq == p2.flatten.toSeq)
+  }
+}
