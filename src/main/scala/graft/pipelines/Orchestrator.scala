@@ -1,0 +1,75 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{HttpFetchSink, KeyedJsonSink}
+import graft.sources.{IdListSource, WpCatalog}
+
+/** §3 entry-point parity: run all modules, one module, or one module
+  * restricted to an ID list (the reference's retry path, app.js:11-23).
+  *
+  * The reference's implicit ordering dependency — posts reads
+  * _featured.json written by assets (posts.js:147 ← assets.js:57) — is an
+  * explicit dataset dependency here (Pipelines.posts builds the
+  * featured-image frame itself), so module order no longer matters for
+  * correctness; `run` keeps the reference order for output parity.
+  */
+final class Orchestrator(spark: SparkSession, cat: WpCatalog, outDir: String,
+                         fetcher: HttpFetchSink.Fetcher) {
+
+  val modules: Seq[String] = Seq("assets", "authors", "categories", "posts")
+
+  private def entries(module: String): DataFrame = module match {
+    case "authors"    => Pipelines.authors(spark, cat)
+    case "categories" => Pipelines.categories(spark, cat)
+    case "posts"      => Pipelines.posts(spark, cat)
+    case "assets"     => Pipelines.assets(spark, cat)
+    case other => throw new IllegalArgumentException(
+      s"Please provide valid module name ($other not in $modules)") // app.js:21
+  }
+
+  /** Restrict a module's entries to an ID file (entry point 3;
+    * broadcast semi-join, not string splicing). */
+  private def restrict(df: DataFrame, module: String, idFile: Option[String]): DataFrame =
+    idFile.fold(df) { f =>
+      val ids = IdListSource.read(spark, f)
+      val key = if (module == "authors") col("ID").cast("long")
+                else if (module == "categories") col("id").cast("long")
+                else col("uid").cast("long")
+      df.join(broadcast(ids), key === ids("id"), "left_semi")
+    }
+
+  /** Run one module end-to-end: entries → keyed-JSON sink + master
+    * manifest (+ asset fetch & dead-letter for assets). Returns entry
+    * count. */
+  def runModule(module: String, idFile: Option[String] = None): Long = {
+    val df = restrict(entries(module), module, idFile).cache()
+    try {
+      module match {
+        case "assets" =>
+          val results = HttpFetchSink.fetch(df, "uid", "url",
+            s"$outDir/assets", fetcher).cache()
+          val okAssets = df.join(
+            results.filter(col("ok")).select(col("id").cast("string").as("uid")),
+            "uid", "left_semi")
+          val n = KeyedJsonSink.writeSingle(okAssets, "uid",
+            s"$outDir/assets/assets.json")
+          KeyedJsonSink.writeSingle(
+            HttpFetchSink.deadLetter(results).withColumn("uid", col("id")),
+            "uid", s"$outDir/master/wp_failed.json")
+          n
+        case m =>
+          val n = KeyedJsonSink.writeSingle(df, "uid",
+            s"$outDir/entries/$m/en-us.json")
+          KeyedJsonSink.writeMasterManifest(df, "uid",
+            s"$outDir/master/entries/$m.json")
+          n
+      }
+    } finally { df.unpersist(); () }
+  }
+
+  /** Entry point 1: all modules in reference order (app.js:9,39). */
+  def run(): Map[String, Long] =
+    modules.map(m => m -> runModule(m)).toMap
+}

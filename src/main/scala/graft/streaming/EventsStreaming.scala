@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (an engine extension — the reference is
+  * strictly batch, SURVEY.md §2.10; its incremental replay/dead-letter
+  * machinery maps to batch `foreachBatch`-style sinks instead).
+  *
+  * Same transforms as the batch queries (q25/q26) expressed over an
+  * unbounded source: watermarked tumbling-window aggregation, and
+  * per-user sessionization with explicit state.
+  */
+object EventsStreaming {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Watermarked tumbling-window counts per event type — the streaming
+    * form of q25_hourly_window. Late data beyond 1h is dropped. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Stateful sessionization via flatMapGroupsWithState: a 30-minute gap
+    * starts a new session; state is (lastTs, counts) per user. Emits the
+    * running per-user totals on every update (OutputMode.Update). */
+  def sessionize(events: Dataset[Event]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), UserSessions](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (lastTs, nEvents, nSessions) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            if (lastTs == Long.MinValue || t - lastTs > gapMs) nSessions += 1
+            nEvents += 1
+            lastTs = t
+          }
+          state.update((lastTs, nEvents, nSessions))
+          Iterator(UserSessions(userId, nEvents, nSessions))
+      }
+  }
+
+  /** File-source streaming read of the events table (micro-batch replay
+    * of a growing dataset). The testdata's ts is parquet TIMESTAMP(NANOS)
+    * — read as raw nanos and truncate, as in graft.catalog.Tables. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

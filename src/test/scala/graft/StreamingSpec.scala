@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventsStreaming
+import graft.streaming.EventsStreaming.Event
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked hourly window aggregation over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = EventsStreaming.hourlyCounts(input.toDF())
+    val q = agg.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("hourly").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:55:00"), 2, "click", 2.0),
+        Event(3, ts("2024-01-01 11:05:00"), 1, "view", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("hourly")
+        .select($"hour", $"event_type", $"n")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(got == Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L),
+        (ts("2024-01-01 11:00:00"), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization carries state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventsStreaming.sessionize(input.toDS())
+    val q = sessions.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("sessions").start()
+    try {
+      // batch 1: user 1 -> two events 10 min apart = 1 session
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: 2 hours later -> second session for user 1
+      input.addData(Event(3, ts("2024-01-01 12:30:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("sessions")
+        .as[EventsStreaming.UserSessions].collect()
+        .filter(_.user_id == 1).maxBy(_.n_events)
+      assert(last.n_events == 3 && last.n_sessions == 2)
+    } finally q.stop()
+  }
+
+  test("file-source streaming replays the batch events table") {
+    val stream = EventsStreaming.readEventsStream(
+      spark, "/root/testdata/sf0.001")
+    assert(stream.isStreaming)
+    val q = EventsStreaming.hourlyCounts(stream)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("replay").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("replay").count() > 0)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipelines.{Orchestrator, Pipelines}
+import graft.sinks.HttpFetchSink
+import graft.sources.ParquetCatalog
+
+/** End-to-end WordPress pipeline tests over the FIXTURES.md §2 golden
+  * micro-fixture (mirrors the reference's own logged run: assets 5,6,7;
+  * author 1; category 1+child; posts 16,18,20). */
+class WpPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Writes the fixture WP tables as wp_*.parquet under a temp dir. */
+  lazy val fixtureDir: String = {
+    val dir = Files.createTempDirectory("wpfix").toString
+    Seq((1L, "admin", "admin@example.com"))
+      .toDF("ID", "user_login", "user_email")
+      .write.parquet(s"$dir/wp_users.parquet")
+    Seq(
+      (1L, "first_name", "Ada"), (1L, "last_name", "Lovelace"),
+      (1L, "description", "First programmer"), (1L, "nickname", "noise"))
+      .toDF("user_id", "meta_key", "meta_value")
+      .write.parquet(s"$dir/wp_usermeta.parquet")
+    Seq((10L, "News &amp; Media", "news-media"), (11L, "Tech", "tech"),
+        (12L, "Tags &amp; Noise", "tagnoise"))
+      .toDF("term_id", "name", "slug")
+      .write.parquet(s"$dir/wp_terms.parquet")
+    Seq((100L, 10L, "category", "Root cat", 0L),
+        (101L, 11L, "category", "Child &amp; co", 10L),
+        (102L, 12L, "post_tag", "noise", 0L))
+      .toDF("term_taxonomy_id", "term_id", "taxonomy", "description", "parent")
+      .write.parquet(s"$dir/wp_term_taxonomy.parquet")
+    Seq((16L, 100L), (16L, 101L), (18L, 100L), (16L, 102L))
+      .toDF("object_id", "term_taxonomy_id")
+      .write.parquet(s"$dir/wp_term_relationships.parquet")
+    Seq(
+      // published posts 16 (2 cats + tag), 18 (1 cat), 20 (none, orphan author)
+      (16L, 1L, "Hello World", "hello-world", "publish", "post", "<p>hi</p>",
+        ts("2018-12-17 07:00:00"), ts("2018-12-17 07:00:00"),
+        "https://blog.example.com/?p=16"),
+      (18L, 1L, "Second Post", "second-post", "publish", "post", "<p>two</p>",
+        ts("2019-01-05 10:30:00"), ts("2019-01-05 10:30:00"),
+        "https://blog.example.com/?p=18"),
+      (20L, 99L, "Orphan Post", "orphan-post", "publish", "post", "<p>three</p>",
+        ts("2019-03-09 12:00:00"), ts("2019-03-09 12:00:00"),
+        "https://blog.example.com/?p=20"),
+      (21L, 1L, "Draft", "draft", "draft", "post", "draft",
+        ts("2019-04-01 00:00:00"), ts("2019-04-01 00:00:00"),
+        "https://blog.example.com/?p=21"),
+      // attachments 5, 6, 7 (7 has a space to exercise encodeURI)
+      (5L, 1L, "img5", "img5", "inherit", "attachment", "",
+        ts("2018-12-01 00:00:00"), ts("2018-12-01 00:00:00"),
+        "https://blog.example.com/wp-content/uploads/img5.png"),
+      (6L, 1L, "img6", "img6", "inherit", "attachment", "",
+        ts("2018-12-01 00:00:00"), ts("2018-12-01 00:00:00"),
+        "https://blog.example.com/wp-content/uploads/img6.jpg"),
+      (7L, 1L, "img7", "img7", "inherit", "attachment", "",
+        ts("2018-12-01 00:00:00"), ts("2018-12-01 00:00:00"),
+        "https://blog.example.com/wp-content/uploads/my img7.gif"))
+      .toDF("ID", "post_author", "post_title", "post_name", "post_status",
+        "post_type", "post_content", "post_date", "post_date_gmt", "guid")
+      .write.parquet(s"$dir/wp_posts.parquet")
+    Seq((16L, "_thumbnail_id", "5"), (16L, "noise", "x"))
+      .toDF("post_id", "meta_key", "meta_value")
+      .write.parquet(s"$dir/wp_postmeta.parquet")
+    Seq(("permalink_structure", "/%year%/%monthnum%/%day%/%postname%/"),
+        ("siteurl", "https://blog.example.com"))
+      .toDF("option_name", "option_value")
+      .write.parquet(s"$dir/wp_options.parquet")
+    dir
+  }
+
+  lazy val cat = new ParquetCatalog(fixtureDir)
+
+  test("authors pipeline widens EAV and builds slug URLs") {
+    val rows = Pipelines.authors(spark, cat).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("url") == "/author/admin")
+    assert(r.getAs[String]("first_name") == "Ada")
+    assert(r.getAs[String]("biographical_info") == "First programmer")
+    assert(r.getAs[String]("uid") == "admin")
+  }
+
+  test("categories pipeline decodes entities and resolves parent slugs via join") {
+    val byUid = Pipelines.categories(spark, cat).collect()
+      .map(r => r.getAs[String]("uid") -> r).toMap
+    assert(byUid.keySet == Set("news-media", "tech")) // post_tag filtered out
+    assert(byUid("news-media").getAs[String]("title") == "News & Media")
+    assert(byUid("news-media").getAs[scala.collection.Seq[String]]("parent").toSeq == Seq(""))
+    assert(byUid("tech").getAs[scala.collection.Seq[String]]("parent").toSeq == Seq("news-media"))
+    assert(byUid("tech").getAs[String]("description") == "Child & co")
+  }
+
+  test("posts pipeline: categories sorted, permalink expanded, orphan author safe") {
+    val byUid = Pipelines.posts(spark, cat).collect()
+      .map(r => r.getAs[String]("uid") -> r).toMap
+    assert(byUid.keySet == Set("16", "18", "20")) // draft excluded
+    val p16 = byUid("16")
+    assert(p16.getAs[scala.collection.Seq[String]]("category").toSeq == Seq("news-media", "tech"))
+    assert(p16.getAs[String]("url") == "/2018/12/17/hello-world/")
+    assert(p16.getAs[String]("date") == "2018-12-17T07:00:00Z")
+    assert(p16.getAs[String]("featured_image") == "5")
+    assert(p16.getAs[scala.collection.Seq[String]]("author").toSeq == Seq("admin"))
+    val p20 = byUid("20")
+    assert(p20.getAs[scala.collection.Seq[String]]("author").toSeq == Seq.empty) // J3 NPE avoided
+    assert(p20.getAs[scala.collection.Seq[String]]("category").toSeq == Seq.empty)
+    assert(p20.getAs[String]("featured_image") == "")
+  }
+
+  test("assets pipeline encodes URLs; fetch sink retries, skips, dead-letters") {
+    val outDir = Files.createTempDirectory("wpout").toString
+    val assets = Pipelines.assets(spark, cat)
+    val urls = assets.select("url").as[String].collect().toSet
+    assert(urls.contains("https://blog.example.com/wp-content/uploads/my%20img7.gif"))
+
+    // fake fetcher: img6 always fails; others return bytes
+    val fetcher: HttpFetchSink.Fetcher = url =>
+      if (url.contains("img6")) Left("ECONNREFUSED")
+      else Right(url.getBytes("UTF-8"))
+    val res1 = HttpFetchSink.fetch(assets, "uid", "url", s"$outDir/assets", fetcher)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(res1(5L).getAs[Boolean]("ok") && !res1(5L).getAs[Boolean]("skipped"))
+    assert(!res1(6L).getAs[Boolean]("ok") &&
+      res1(6L).getAs[String]("error") == "ECONNREFUSED")
+    assert(Files.exists(Paths.get(s"$outDir/assets/7/my%20img7.gif")))
+
+    // idempotent re-run: previously fetched files are skipped
+    val res2 = HttpFetchSink.fetch(assets, "uid", "url", s"$outDir/assets", fetcher)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(res2(5L).getAs[Boolean]("skipped"))
+    assert(!res2(6L).getAs[Boolean]("ok")) // still failing, still reported
+  }
+
+  test("orchestrator runs all modules, writes keyed JSON, merges last-wins") {
+    val outDir = Files.createTempDirectory("wporch").toString
+    val fetcher: HttpFetchSink.Fetcher = url => Right(Array[Byte](1))
+    val orch = new Orchestrator(spark, cat, outDir, fetcher)
+    val counts = orch.run()
+    assert(counts("authors") == 1 && counts("categories") == 2 &&
+      counts("posts") == 3 && counts("assets") == 3)
+
+    val postsJson = new String(Files.readAllBytes(
+      Paths.get(s"$outDir/entries/posts/en-us.json")), "UTF-8")
+    assert(postsJson.contains("\"16\""))
+    assert(postsJson.contains("hello-world"))
+    val master = new String(Files.readAllBytes(
+      Paths.get(s"$outDir/master/entries/authors.json")), "UTF-8")
+    assert(master.contains("en-us") && master.contains("admin"))
+
+    // re-run: read-modify-write merge keeps counts stable (A4 last-wins)
+    val counts2 = orch.runModule("posts")
+    assert(counts2 == 3)
+  }
+
+  test("orchestrator by-ids entry point restricts via semi-join") {
+    val outDir = Files.createTempDirectory("wpids").toString
+    val idFile = s"$outDir/ids.txt"
+    Files.write(Paths.get(idFile), "16,20".getBytes("UTF-8"))
+    val orch = new Orchestrator(spark, cat, outDir, _ => Right(Array[Byte](1)))
+    assert(orch.runModule("posts", Some(idFile)) == 2)
+    intercept[IllegalArgumentException] { orch.runModule("nope") }
+  }
+}
