@@ -75,13 +75,14 @@ object DedupQueries extends QueryModule {
             len(list_distinct(list_concat(a.s, b.s))) >= 0.5"""),
       bench = false),
 
-    // row-local 32-bit SimHash signatures (engine-independent md5-derived
-    // token hashes so the oracle can recompute them exactly).
+    // 32-bit SimHash signatures (engine-independent md5-derived token
+    // hashes so the oracle can recompute them exactly), explode + 32
+    // codegen'd conditional sums.
     Q("q34_simhash", (s, d) => {
       import s.implicits._
-      val docs = t(s, d, "documents")
-        .withColumn("toks", TextOps.tokens($"text"))
-      DedupOps.simhash32FromTokens(docs, "toks", "simhash")
+      val tokRows = t(s, d, "documents")
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      DedupOps.simhash32FromTokenRows(tokRows, "doc_id", "tok", "simhash")
         .select($"doc_id", $"simhash")
     }, Some(simhashDuckSql)),
 
@@ -89,9 +90,9 @@ object DedupQueries extends QueryModule {
     // baseline; threshold 1 ≈ the planted near-duplicates).
     Q("q35_simhash_pairs", (s, d) => {
       import s.implicits._
-      val docs = t(s, d, "documents")
-        .withColumn("toks", TextOps.tokens($"text"))
-      val sigs = DedupOps.simhash32FromTokens(docs, "toks", "simhash")
+      val tokRows = t(s, d, "documents")
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      val sigs = DedupOps.simhash32FromTokenRows(tokRows, "doc_id", "tok", "simhash")
         .select($"doc_id", $"simhash")
       DedupOps.simhashPairs(sigs, "doc_id", "simhash", maxHamming = 1)
     }, Some(
@@ -108,15 +109,26 @@ object DedupQueries extends QueryModule {
     // recall vs the exact q33 baseline is pinned in DedupSpec.
     Q("q36_minhash_lsh", (s, d) => {
       import s.implicits._
-      val sets = t(s, d, "documents")
-        .select($"doc_id", TextOps.shingleSet($"text").as("s"))
-      val sigs = sets.withColumn("sig", DedupOps.minhashSignature($"s", k = 16))
+      val docs = t(s, d, "documents")
+      // distinct shingle stream -> k min-aggregates -> band bucket join
+      val sr = TextOps.shingleRows(docs, "doc_id", "text")
+        .select($"doc_id", $"shingle").distinct()
+      val sigs = DedupOps.minhashSignatures(sr, "doc_id", "shingle", k = 16)
       val bandTable = DedupOps.lshBands(sigs, "doc_id", "sig", bands = 4, rows = 4)
       val cands = DedupOps.lshCandidates(bandTable, "doc_id")
-      cands
-        .join(sets.select($"doc_id".as("doc_a"), $"s".as("sa")), "doc_a")
-        .join(sets.select($"doc_id".as("doc_b"), $"s".as("sb")), "doc_b")
-        .withColumn("j", DedupOps.jaccard($"sa", $"sb"))
+      // verify candidates with exact jaccard, fully relationally:
+      // |A∩B| via a shingle equi-join restricted to candidate pairs,
+      // |A∪B| = |A|+|B|-|A∩B| from per-doc set sizes.
+      val sizes = sr.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val inter = cands
+        .join(sr.select($"doc_id".as("doc_a"), $"shingle"), "doc_a")
+        .join(sr.select($"doc_id".as("doc_b"), $"shingle"), Seq("doc_b", "shingle"))
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sza")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("szb")), "doc_b")
+        .withColumn("j", $"inter".cast("double") /
+          ($"sza" + $"szb" - $"inter").cast("double"))
         .filter($"j" >= 0.5)
         .select($"doc_a", $"doc_b", round($"j", 6).as("jaccard"))
     }, None)

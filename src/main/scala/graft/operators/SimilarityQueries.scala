@@ -56,12 +56,18 @@ object SimilarityQueries extends QueryModule {
       FROM embeddings""")),
 
     // hyperplane-LSH ANN: top-3 neighbors from multi-table bucket
-    // candidates. Deterministic seeded hyperplanes; Spark-only plan —
-    // driver records a rows-only check; recall pinned in SimilaritySpec.
+    // candidates. Plane count adapts to corpus size (avg bucket ≈ 25
+    // vectors) so candidate volume stays ~n·25·L instead of drifting
+    // quadratic as n grows past the bucket count. Deterministic seeded
+    // hyperplanes; Spark-only plan — driver records a rows-only check;
+    // recall pinned in SimilaritySpec.
     Q("q39_knn_lsh", (s, d) => {
-      val tables = SimilarityOps.lshTables(planes = 4, tables = 8, dim = 64)
-      SimilarityOps.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        tables, k = 3)
+      val emb = t(s, d, "embeddings")
+      val n = emb.count()
+      val planes = math.min(16, math.max(3,
+        math.ceil(math.log(n / 25.0) / math.log(2)).toInt))
+      val tables = SimilarityOps.lshTables(planes, tables = 8, dim = 64)
+      SimilarityOps.lshTopK(emb, "vec_id", "embedding", tables, k = 3)
     }, None)
   )
 }

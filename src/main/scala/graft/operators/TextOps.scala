@@ -56,6 +56,26 @@ object TextOps {
       least(lit(1.0), stopHits / 10.0) * 0.2, 6)
   }
 
+  /** Relational shingle stream: one row per (id, pos, shingle), built with
+    * posexplode + window lead. This is the scale/bench path for
+    * shingle-heavy operators: higher-order array functions are interpreted
+    * per element, while this plan stays in whole-stage codegen (the window
+    * shuffles on the id, with ordered pos within each doc). */
+  def shingleRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val withLeads = (1 until n).foldLeft(toks) { (acc, o) =>
+      acc.withColumn(s"__t$o", lead(col("__tok"), o).over(w))
+    }
+    val parts = col("__tok") +: (1 until n).map(o => col(s"__t$o"))
+    withLeads.filter(parts.last.isNotNull)
+      .select(col(idCol), col("__pos"),
+        concat_ws(" ", parts: _*).as("shingle"))
+  }
+
   /** Dictionary-hit language/topic ID: count word-boundary hits per
     * dictionary, pick the argmax with first-listed-wins tie-breaking
     * (a deterministic CASE chain — no UDF, same plan at any scale). */

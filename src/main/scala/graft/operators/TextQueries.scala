@@ -120,13 +120,19 @@ object TextQueries extends QueryModule {
         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       FROM documents""")),
 
-    // word-trigram shingling stats (the dedup unit).
+    // word-trigram shingling stats (the dedup unit), via the relational
+    // shingle stream (codegen agg; the array-HOF form benched 18 s/5k docs).
     Q("q31_shingle_stats", (s, d) => {
       import s.implicits._
-      t(s, d, "documents").select(
-        $"doc_id",
-        size(TextOps.shingles(TextOps.tokens($"text"))).cast("long").as("n_shingles"),
-        size(TextOps.shingleSet($"text")).cast("long").as("n_distinct"))
+      val docs = t(s, d, "documents")
+      val stats = TextOps.shingleRows(docs, "doc_id", "text")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("ns"), countDistinct($"shingle").as("nd"))
+      docs.select($"doc_id")
+        .join(stats, Seq("doc_id"), "left_outer")
+        .select($"doc_id",
+          coalesce($"ns", lit(0L)).as("n_shingles"),
+          coalesce($"nd", lit(0L)).as("n_distinct"))
     }, Some("""
       WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
       SELECT doc_id,

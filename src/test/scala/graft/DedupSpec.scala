@@ -27,8 +27,9 @@ class DedupSpec extends AnyFunSuite {
       (2L, "the quick brown fox jumps over the lazy dog again and again"),
       (3L, "the quick brown fox jumps over the lazy cat again and again"),
       (4L, "completely unrelated words about database query optimization plans"))
-      .toDF("doc_id", "text").withColumn("toks", TextOps.tokens($"text"))
-    val sigs = DedupOps.simhash32FromTokens(df, "toks", "simhash")
+      .toDF("doc_id", "text")
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+    val sigs = DedupOps.simhash32FromTokenRows(df, "doc_id", "tok", "simhash")
       .select($"doc_id", $"simhash").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(1L) == sigs(2L))
@@ -49,8 +50,10 @@ class DedupSpec extends AnyFunSuite {
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty, "testdata should contain planted near-dups")
 
-    // LSH path
-    val sigs = sets.withColumn("sig", DedupOps.minhashSignature($"s", 16))
+    // LSH path (explode form, mirrors q36)
+    val sr = TextOps.shingleRows(docs, "doc_id", "text")
+      .select($"doc_id", $"shingle").distinct()
+    val sigs = DedupOps.minhashSignatures(sr, "doc_id", "shingle", k = 16)
     val cands = DedupOps.lshCandidates(
       DedupOps.lshBands(sigs, "doc_id", "sig", bands = 4, rows = 4), "doc_id")
       .join(sets.select($"doc_id".as("doc_a"), $"s".as("sa")), "doc_a")
