@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints `explain("formatted")` for selected queries so
+  * pushdown/broadcast/codegen can be inspected (and greps for the
+  * markers). Usage: runMain graft.Explain [sfDir] [queryName...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq
+                else Seq("q01_pricing_summary", "q02_filter_project",
+                         "q03_join_agg", "q08_group_concat", "q36_minhash_lsh")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val simple = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.CodegenMode)
+      println(s"\n===== $name =====")
+      println(plan)
+      val markers = Seq(
+        "PushedFilters" -> plan.contains("PushedFilters: ["),
+        "BroadcastHashJoin" -> plan.contains("BroadcastHashJoin"),
+        "WholeStageCodegen" -> simple.contains("WholeStageCodegen"))
+      println(markers.map { case (m, b) => s"$m=$b" }.mkString("[audit] ", " ", ""))
+    }
+    spark.stop()
+  }
+}

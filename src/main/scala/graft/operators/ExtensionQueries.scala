@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog.{Q, QueryModule, Tables}
+
+/** Engine extensions beyond the reference surface (SURVEY.md §2.4/§4.2
+  * "built-ins exist if we extend"): multi-level aggregation (rollup),
+  * approximate distinct, and skew-safe salted aggregation.
+  */
+object ExtensionQueries extends QueryModule {
+
+  private val D = DecimalType(12, 2)
+  private def t(s: org.apache.spark.sql.SparkSession, d: String, n: String) =
+    Tables.t(s, d, n)
+
+  def qs: Seq[Q] = Seq(
+
+    // rollup: per (status, priority), per status, grand total in one pass.
+    Q("q41_rollup", (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+             sum($"o_totalprice".cast(D)).cast(DoubleType).as("revenue"))
+        .select(
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"n_orders", $"revenue")
+    }, Some("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
+
+    // skew-safe two-stage salted aggregation over a 5-key (maximally
+    // skewed) grouping; result is exactly the plain GROUP BY.
+    Q("q42_salted_agg", (s, d) => {
+      import s.implicits._
+      SkewOps.saltedAgg(
+        t(s, d, "events"), Seq("event_type"), salts = 16,
+        sumExprs = Map("total_value" -> $"value".cast(D)))
+        .select($"event_type",
+          $"total_value".cast(DoubleType).as("total_value"), $"n")
+    }, Some("""
+      SELECT event_type,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        count(*) AS n
+      FROM events GROUP BY event_type""")),
+
+    // approximate distinct (HLL++): deterministic for fixed data but not
+    // DuckDB-matchable -> rows-only check; accuracy pinned in OpsSpec.
+    Q("q43_approx_distinct", (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+             countDistinct($"l_partkey").as("exact_parts"))
+    }, None)
+  )
+}

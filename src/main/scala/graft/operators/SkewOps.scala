@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling aggregation: two-stage salted aggregate.
+  *
+  * A plain `groupBy(key).agg(sum)` on a low-cardinality/skewed key sends
+  * every row for a hot key to one reducer. Salting splits each key into
+  * `salts` subkeys (stage 1, map-side + shuffled on (key, salt)), then
+  * combines the partials (stage 2, tiny shuffle on key). The result is
+  * bit-identical to the unsalted aggregate for decomposable aggregates
+  * (sum/count/min/max) — the DuckDB oracle runs the plain GROUP BY.
+  *
+  * AQE's skew-join handling covers joins; this covers aggregations, where
+  * AQE does not split hot groups.
+  */
+object SkewOps {
+
+  /** Salted sum/count per key. `sumExprs` map output name -> column to
+    * sum (pre-cast as needed, e.g. to DecimalType for exactness). */
+  def saltedAgg(df: DataFrame, keyCols: Seq[String], salts: Int,
+                sumExprs: Map[String, Column],
+                countName: Option[String] = Some("n")): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val stage1Aggs =
+      sumExprs.map { case (name, c) => sum(c).as(s"__s_$name") }.toSeq ++
+        countName.map(_ => count(lit(1)).as("__s_cnt")).toSeq
+    val stage1 = salted
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(stage1Aggs.head, stage1Aggs.tail: _*)
+    val stage2Aggs =
+      sumExprs.keys.map(name => sum(col(s"__s_$name")).as(name)).toSeq ++
+        countName.map(n => sum(col("__s_cnt")).as(n)).toSeq
+    stage1.groupBy(keyCols.map(col): _*)
+      .agg(stage2Aggs.head, stage2Aggs.tail: _*)
+  }
+}
