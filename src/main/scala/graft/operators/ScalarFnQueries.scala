@@ -19,10 +19,9 @@ object ScalarFnQueries extends QueryModule {
     // F1+F2 — slugify + URL prefix (authors.js:45-50).
     Q("q17_slugify", (s, d) => {
       import s.implicits._
-      t(s, d, "part").select(
-        $"p_partkey",
-        StringFns.slugify($"p_name").as("slug"),
-        StringFns.urlPrefix("/category/", StringFns.slugify($"p_name")).as("url"))
+      t(s, d, "part")
+        .select($"p_partkey", StringFns.slugify($"p_name").as("slug"))
+        .withColumn("url", StringFns.urlPrefix("/category/", $"slug"))
     }, Some("""
       SELECT p_partkey,
         regexp_replace(lower(p_name), '[^a-z0-9_-]+', '-', 'g') AS slug,

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{OrderedConcat, Permalink}
+import graft.operators.EavOps
+
+/** Property tests from SURVEY.md §5.2: EAV pivot ≡ the reference's
+  * self-join widening on random meta subsets, permalink formatting vs
+  * java.time, typed ordered-concat aggregator vs canonical built-ins. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def checkProp(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("EAV pivot equals N-way self-join widening on random meta subsets") {
+    val keys = Seq("first_name", "last_name", "description")
+    val gen: Gen[List[(Long, String, String)]] = Gen.listOfN(40,
+      for {
+        uid <- Gen.choose(1L, 8L)
+        key <- Gen.oneOf(keys :+ "noise")
+        v <- Gen.alphaStr.map(_.take(5))
+      } yield (uid, key, v))
+    checkProp(Prop.forAll(gen) { rows =>
+      // dedup (uid,key) pairs — EAV semantics assume one value per key
+      val eavRows = rows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val eav = eavRows.toDF("user_id", "meta_key", "meta_value")
+      val pivoted = EavOps.pivot(eav, "user_id", "meta_key", "meta_value", keys)
+        .collect()
+        .map(r => r.getLong(0) -> keys.indices.map(i =>
+          Option(r.getString(i + 1))).toList).toMap
+      // reference shape: one lookup per key (the 3-self-join result)
+      val byUidKey = eavRows.map(r => (r._1, r._2) -> r._3).toMap
+      val uids = eavRows.map(_._1).distinct
+      uids.forall { uid =>
+        pivoted.get(uid).exists(_ == keys.map(k => byUidKey.get(uid -> k)).toList)
+      }
+    })
+  }
+
+  test("permalink date tokens match java.time formatting on random dates") {
+    val gen = Gen.choose(0L, 4102444800000L) // 1970..2100
+    checkProp(Prop.forAll(gen) { millis =>
+      val ts = new Timestamp(millis - millis % 1000)
+      val df = Seq((ts, 1L, "slug")).toDF("ts", "id", "slug")
+      val got = df.select(Permalink.expand(
+        "/%year%/%monthnum%/%day%/%postname%/", $"ts", $"id", $"slug"))
+        .head.getString(0)
+      val utc = ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+      val want = f"/${utc.getYear}%04d/${utc.getMonthValue}%02d/${utc.getDayOfMonth}%02d/slug/"
+      got == want
+    })
+  }
+
+  test("OrderedConcat aggregator equals sorted collect_list built-ins") {
+    val data = Seq(("a", "x"), ("a", "m"), ("a", "x"), ("b", "z"), ("b", "a"))
+      .toDF("k", "v")
+    val typed = data.as[(String, String)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(OrderedConcat(",", distinct = false).toColumn.name("cs"))
+      .collect().toMap
+    assert(typed == Map("a" -> "m,x,x", "b" -> "a,z"))
+    val distinctTyped = data.as[(String, String)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(OrderedConcat("|", distinct = true).toColumn.name("cs"))
+      .collect().toMap
+    assert(distinctTyped == Map("a" -> "m|x", "b" -> "a|z"))
+  }
+}
