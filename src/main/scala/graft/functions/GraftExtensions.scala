@@ -1,0 +1,21 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension registration of graft's custom Catalyst expressions —
+  * the production path (`spark.sql.extensions=graft.functions.GraftExtensions`
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`), making
+  * `encode_uri` a first-class SQL function at session build time.
+  * [[GraftFunctions.register]] remains as the runtime fallback for sessions
+  * built elsewhere (e.g. the driver's).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("encode_uri"),
+      new ExpressionInfo(classOf[EncodeUri].getName, "encode_uri"),
+      (exprs: Seq[Expression]) => EncodeUri(exprs.head)))
+  }
+}

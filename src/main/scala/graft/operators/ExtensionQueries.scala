@@ -51,6 +51,23 @@ object ExtensionQueries extends QueryModule {
         count(*) AS n
       FROM events GROUP BY event_type""")),
 
+    // cube: all grouping combinations in one pass (rollup's superset).
+    Q("q46_cube", (s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .cube($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce($"event_type", lit("ALL")).as("event_type"),
+          coalesce($"day", lit("ALL")).as("day"),
+          $"n")
+    }, Some("""
+      SELECT coalesce(event_type, 'ALL') AS event_type,
+             coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+             count(*) AS n
+      FROM events
+      GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))""")),
+
     // approximate distinct (HLL++): deterministic for fixed data but not
     // DuckDB-matchable -> rows-only check; accuracy pinned in OpsSpec.
     Q("q43_approx_distinct", (s, d) => {

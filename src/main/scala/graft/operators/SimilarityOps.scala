@@ -44,6 +44,65 @@ object SimilarityOps {
         col("neighbor_id"), round(col("sim"), 6).as("sim_r"))
   }
 
+  /** Brute-force cosine near-duplicate pairs: all (a < b) pairs with
+    * dot ≥ threshold. Quadratic verification baseline — the scale paths
+    * are [[lshTopK]] buckets or [[ivfTopK]] cells with a threshold
+    * filter. */
+  def cosinePairs(corpus: DataFrame, idCol: String, embCol: String,
+                  threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"),
+      col(embCol).cast("array<double>").as("ea"))
+    val b = corpus.select(col(idCol).as("id_b"),
+      col(embCol).cast("array<double>").as("eb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("ea"), col("eb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
+  }
+
+  /** IVF-style ANN: partition the corpus into `nlist` cells around
+    * deterministic "centroids" (the first `nlist` corpus vectors — a
+    * stand-in for a k-means fit, keeping results reproducible), assign
+    * every vector to its nearest centroid, probe the `nprobe` nearest
+    * cells per query, rank candidates exactly. Shuffles on cell id;
+    * candidate volume ≈ n·(n/nlist)·nprobe. */
+  def ivfTopK(corpus: DataFrame, idCol: String, embCol: String,
+              nlist: Int, nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(
+      corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).as("cell_id"),
+          col(embCol).cast("array<double>").as("cvec")))
+    val vecs = corpus.select(col(idCol),
+      col(embCol).cast("array<double>").as("v"))
+    def nearestCells(n: Int, outId: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cdist").desc, col("cell_id").asc)
+      vecs.crossJoin(cents)
+        .withColumn("cdist", dot(col("v"), col("cvec")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .select(col(idCol).as(outId), col("cell_id"))
+    }
+    val assignment = nearestCells(1, "neighbor_id")
+    val probes = nearestCells(nprobe, "query_id")
+    val cands = probes.join(assignment, "cell_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val qe = corpus.select(col(idCol).as("query_id"),
+      col(embCol).cast("array<double>").as("qe"))
+    val ce = corpus.select(col(idCol).as("neighbor_id"),
+      col(embCol).cast("array<double>").as("ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.join(qe, "query_id").join(ce, "neighbor_id")
+      .withColumn("sim", dot(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("sim"), 6).as("sim_r"))
+  }
+
   /** Deterministic Gaussian hyperplanes: `planes × dim`, seeded. */
   def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new Random(seed)

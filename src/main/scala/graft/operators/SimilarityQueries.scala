@@ -68,6 +68,28 @@ object SimilarityQueries extends QueryModule {
         math.ceil(math.log(n / 25.0) / math.log(2)).toInt))
       val tables = SimilarityOps.lshTables(planes, tables = 8, dim = 64)
       SimilarityOps.lshTopK(emb, "vec_id", "embedding", tables, k = 3)
+    }, None),
+
+    // embedding-cosine near-dup pairs — brute-force baseline with an
+    // exact oracle (unit vectors: dot == cosine). Quadratic; excluded
+    // from bench (LSH/IVF are the scale paths).
+    Q("q44_embed_neardup", (s, d) => {
+      SimilarityOps.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4)
+    }, Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])), 6) AS sim_r
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) >= 0.4"""),
+      bench = false),
+
+    // IVF-style ANN: nearest-centroid cells, nprobe-cell search.
+    // Deterministic centroids; Spark-only plan — rows-only check;
+    // recall pinned in SimilaritySpec.
+    Q("q45_knn_ivf", (s, d) => {
+      SimilarityOps.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        nlist = 32, nprobe = 4, k = 3)
     }, None)
   )
 }

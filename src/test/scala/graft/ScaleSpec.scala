@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.Tables
+import graft.functions.GraftExtensions
+
+/** Scale-mechanics evidence: session-extension function injection and
+  * bucketed co-located joins (pre-partitioned storage removes the join
+  * shuffle — the 100 TB technique for repeated joins on the same key). */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("GraftExtensions injects encode_uri at session build time") {
+    val base = spark // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val got = s2.sql("SELECT encode_uri('a b/ü') AS x").head.getString(0)
+      assert(got == "a%20b/%C3%BC")
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("bucketed co-located join plans without a shuffle exchange") {
+    import spark.implicits._
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      Tables.t(spark, sf, "orders")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_orders")
+      Tables.t(spark, sf, "lineitem")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem")
+
+      val j = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), $"o_orderkey" === $"l_orderkey")
+      assert(j.count() > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+
+      // control: the same join over unbucketed parquet DOES shuffle
+      val u = Tables.t(spark, sf, "orders")
+        .join(Tables.t(spark, sf, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      assert(u.count() > 0)
+      assert(u.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}

@@ -45,6 +45,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == lsh)
   }
 
+  test("IVF ANN reaches sane recall@1 vs brute force") {
+    val emb = graft.catalog.Tables.t(spark, sf, "embeddings")
+    val ivf = SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+      nlist = 32, nprobe = 4, k = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    assert(ivf.nonEmpty)
+    val brute = SimilarityOps.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = ivf.count { case (q, n) => brute.get(q).contains(n) }
+    val recall = hits.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall@1 $recall too low ($hits/${brute.size})")
+  }
+
   test("hyperplanes are deterministic by seed") {
     val p1 = SimilarityOps.hyperplanes(4, 8, seed = 7)
     val p2 = SimilarityOps.hyperplanes(4, 8, seed = 7)
