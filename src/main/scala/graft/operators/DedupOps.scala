@@ -54,13 +54,49 @@ object DedupOps {
   }
 
   /** All pairs within hamming distance `maxHamming` of their SimHash.
-    * Quadratic candidate generation (self-join on a < b) — use the LSH
-    * path for scale; this is the verification baseline. */
+    * Quadratic candidate generation (nested-loop self-join on a < b) —
+    * verification baseline only; [[simhashPairsBanded]] is the scale
+    * path with identical results. */
   def simhashPairs(sigs: DataFrame, idCol: String, sigCol: String,
                    maxHamming: Int): DataFrame = {
     val a = sigs.select(col(idCol).as("doc_a"), col(sigCol).as("sig_a"))
     val b = sigs.select(col(idCol).as("doc_b"), col(sigCol).as("sig_b"))
     a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Hamming-threshold self-join via pigeonhole banding — EXACT (not
+    * approximate): split the `bits`-bit signature into `maxHamming + 1`
+    * disjoint bit-bands; a pair within `maxHamming` differs in at most
+    * `maxHamming` bands and therefore matches EXACTLY on ≥ 1 band.
+    * Candidates come from hash equi-joins on (band, band_value) instead
+    * of an O(n²) nested loop; exact hamming verifies them. Shuffles on
+    * the band value — same result set as [[simhashPairs]]. */
+  def simhashPairsBanded(sigs: DataFrame, idCol: String, sigCol: String,
+                         maxHamming: Int, bits: Int = 32): DataFrame = {
+    val nBands = maxHamming + 1
+    val width = bits / nBands
+    val bandCols = (0 until nBands).map { i =>
+      val lo = i * width
+      val len = if (i == nBands - 1) bits - lo else width
+      val mask = (1L << len) - 1
+      struct(lit(i).as("band"),
+        expr(s"shiftright($sigCol, $lo) & ${mask}L").as("bv"))
+    }
+    val banded = sigs.select(col(idCol), col(sigCol),
+      explode(array(bandCols: _*)).as("b"))
+      .select(col(idCol), col(sigCol), col("b.band"), col("b.bv"))
+    val cands = banded
+      .select(col(idCol).as("doc_a"), col(sigCol).as("sig_a"),
+        col("band"), col("bv"))
+      .join(banded.select(col(idCol).as("doc_b"), col(sigCol).as("sig_b"),
+        col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+    cands
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))

@@ -86,22 +86,22 @@ object DedupQueries extends QueryModule {
         .select($"doc_id", $"simhash")
     }, Some(simhashDuckSql)),
 
-    // near-dup pairs by SimHash hamming distance (quadratic verification
-    // baseline; threshold 1 ≈ the planted near-duplicates).
+    // near-dup pairs by SimHash hamming distance via exact pigeonhole
+    // banding (equi-join candidates, no quadratic nested loop; threshold
+    // 1 ≈ the planted near-duplicates). Oracle runs the brute form.
     Q("q35_simhash_pairs", (s, d) => {
       import s.implicits._
       val tokRows = t(s, d, "documents")
         .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
       val sigs = DedupOps.simhash32FromTokenRows(tokRows, "doc_id", "tok", "simhash")
         .select($"doc_id", $"simhash")
-      DedupOps.simhashPairs(sigs, "doc_id", "simhash", maxHamming = 1)
+      DedupOps.simhashPairsBanded(sigs, "doc_id", "simhash", maxHamming = 1)
     }, Some(
       s"""WITH sh AS ($simhashDuckSql)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin),
-      bench = false),
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin)),
 
     // MinHash + LSH banding — the linear-ish scale path: signature is
     // row-local, candidates shuffle only on band hash, buckets capped.

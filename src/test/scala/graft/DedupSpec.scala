@@ -67,6 +67,22 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall $recall too low (${cands.size}/${exact.size})")
   }
 
+  test("banded hamming self-join equals the brute-force pair set") {
+    val docs = graft.catalog.Tables.t(spark, sf, "documents")
+    val tokRows = docs.select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+    val sigs = DedupOps.simhash32FromTokenRows(tokRows, "doc_id", "tok", "simhash")
+      .select($"doc_id", $"simhash").cache()
+    try {
+      for (h <- Seq(1, 2, 3)) {
+        val brute = DedupOps.simhashPairs(sigs, "doc_id", "simhash", h)
+          .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+        val banded = DedupOps.simhashPairsBanded(sigs, "doc_id", "simhash", h)
+          .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+        assert(banded == brute, s"maxHamming=$h: banded must be exact")
+      }
+    } finally { sigs.unpersist(); () }
+  }
+
   test("lshCandidates caps degenerate buckets") {
     // 50 ids in ONE bucket with maxBucket=10 -> no candidates from it
     val band = (1L to 50L).map(i => (i, 0, 123)).toDF("doc_id", "band_id", "band_hash")
