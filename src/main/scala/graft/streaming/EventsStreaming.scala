@@ -56,6 +56,31 @@ object EventsStreaming {
       }
   }
 
+  /** Streaming exact dedup: drop duplicate event ids within the watermark
+    * horizon (makes at-least-once sources effectively-once downstream;
+    * state is bounded by the watermark). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  /** Micro-batch bridge to the keyed-JSON sink contract (SURVEY.md §2.10:
+    * the reference's incremental read-modify-write maps to foreachBatch):
+    * per-user event counts, merged into the uid-keyed file every batch. */
+  def userCountsToKeyedJson(events: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val counts = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    counts.writeStream
+      .outputMode(OutputMode.Complete)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.KeyedJsonSink.writeSingle(
+          batch.withColumn("uid", col("user_id").cast("string"))
+            .drop("user_id"),
+          "uid", path)
+        ()
+      }
+      .start()
+  }
+
   /** File-source streaming read of the events table (micro-batch replay
     * of a growing dataset). The testdata's ts is parquet TIMESTAMP(NANOS)
     * — read as raw nanos and truncate, as in graft.catalog.Tables. */

@@ -59,6 +59,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked streaming dedup drops duplicate event ids across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStreaming.dedupEvents(input.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0)) // in-batch dup
+      q.processAllAvailable()
+      input.addData(Event(1, ts("2024-01-01 10:01:00"), 1, "click", 1.0)) // cross-batch dup
+      input.addData(Event(2, ts("2024-01-01 10:02:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select($"event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("foreachBatch merges streaming aggregates into the keyed-JSON sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("stream-sink")
+      .resolve("counts.json").toString
+    val input = MemoryStream[Event]
+    val q = EventsStreaming.userCountsToKeyedJson(input.toDF(), path)
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:01:00"), 7, "click", 1.0),
+        Event(3, ts("2024-01-01 10:02:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts("2024-01-01 10:03:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      import org.apache.spark.sql.types._
+      val back = graft.sources.JsonStateSource.read(spark, path,
+        StructType(Seq(StructField("n", LongType))))
+        .as[(String, Long)].collect().toMap
+      assert(back == Map("7" -> 3L, "8" -> 1L))
+    } finally q.stop()
+  }
+
   test("file-source streaming replays the batch events table") {
     val stream = EventsStreaming.readEventsStream(
       spark, "/root/testdata/sf0.001")
