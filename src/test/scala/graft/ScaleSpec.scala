@@ -14,6 +14,13 @@ class ScaleSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("driver contract: entry() returns rows and every query has a runner") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    assert(SparkEntry.queries.keySet == SparkEntry.modules.map(_.name).toSet)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.benchQueries.toSet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("GraftExtensions injects encode_uri at session build time") {
     val base = spark // ensure the shared context exists first
     SparkSession.clearActiveSession()
