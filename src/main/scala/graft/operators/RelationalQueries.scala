@@ -316,6 +316,30 @@ object RelationalQueries extends QueryModule {
         WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY user_id)
       SELECT coalesce(d.user_id, s.user_id) AS user_id,
              coalesce(d.cnt, s.cnt) AS cnt
-      FROM state s FULL OUTER JOIN delta d ON s.user_id = d.user_id"""))
+      FROM state s FULL OUTER JOIN delta d ON s.user_id = d.user_id""")),
+
+    // as-of (backward) join — engine extension Spark lacks natively,
+    // composed via union + running last (AsOfOps); DuckDB's native
+    // ASOF JOIN is the oracle. Latest click at-or-before each error.
+    Q("q47_asof_join", (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+      val errors = ev.filter($"event_type" === "error")
+        .select($"user_id", $"ts", $"event_id".as("error_id"))
+      AsOfOps.asofJoinLastBefore(errors, clicks, Seq("user_id"), "ts", "ts", "click_id")
+        .select($"user_id", $"error_id",
+          coalesce($"click_id", lit(-1L)).as("click_id"))
+    }, Some("""
+      WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id FROM events
+        WHERE event_type = 'click' GROUP BY user_id, ts),
+      errors AS (
+        SELECT user_id, ts, event_id AS error_id FROM events
+        WHERE event_type = 'error')
+      SELECT e.user_id, e.error_id, coalesce(c.click_id, -1) AS click_id
+      FROM errors e ASOF LEFT JOIN clicks c
+        ON e.user_id = c.user_id AND e.ts >= c.ts"""))
   )
 }

@@ -63,6 +63,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq(0, 0, 0, 2))
   }
 
+  test("asofJoinLastBefore: inclusive bound, per-key isolation, null when no match") {
+    import graft.operators.AsOfOps
+    val left = Seq( // (user, ts, error_id)
+      (1L, 100L, 10L), (1L, 205L, 11L), (1L, 50L, 12L), (2L, 100L, 20L))
+      .toDF("user_id", "ts", "error_id")
+    val right = Seq( // (user, ts, click_id)
+      (1L, 100L, 1L), (1L, 200L, 2L), (2L, 150L, 3L))
+      .toDF("user_id", "ts", "click_id")
+    val got = AsOfOps
+      .asofJoinLastBefore(left, right, Seq("user_id"), "ts", "ts", "click_id")
+      .collect()
+      .map(r => r.getAs[Long]("error_id") ->
+        Option(r.getAs[Any]("click_id")).map(_.asInstanceOf[Long])).toMap
+    assert(got(10L).contains(1L)) // equal ts is inclusive
+    assert(got(11L).contains(2L)) // latest preceding
+    assert(got(12L).isEmpty)      // nothing before -> null
+    assert(got(20L).isEmpty)      // other user's clicks invisible
+  }
+
   test("langId argmax is deterministic with first-wins ties") {
     val dicts = Seq("x" -> Seq("foo"), "y" -> Seq("bar"))
     val df = Seq("foo bar", "bar bar foo", "baz").toDF("text")
