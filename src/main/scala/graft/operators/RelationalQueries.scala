@@ -340,6 +340,30 @@ object RelationalQueries extends QueryModule {
         WHERE event_type = 'error')
       SELECT e.user_id, e.error_id, coalesce(c.click_id, -1) AS click_id
       FROM errors e ASOF LEFT JOIN clicks c
-        ON e.user_id = c.user_id AND e.ts >= c.ts"""))
+        ON e.user_id = c.user_id AND e.ts >= c.ts""")),
+
+    // range (interval) join — engine extension: clicks in the 30 minutes
+    // up to each error, bucketized into an equi-join (RangeOps; a bare
+    // range predicate would nested-loop). Oracle uses DuckDB's IEJoin.
+    Q("q48_range_join", (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val errors = ev.filter($"event_type" === "error")
+        .select($"event_id".as("error_id"), $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"ts".as("cts"))
+      RangeOps.bucketedRangeCount(errors, clicks, "error_id", "ts", "cts",
+          windowUs = 30L * 60 * 1000000, outCol = "n_recent_clicks")
+        .select($"error_id", $"n_recent_clicks")
+    }, Some("""
+      WITH errors AS (
+        SELECT event_id AS error_id, epoch_us(ts) AS eus FROM events
+        WHERE event_type = 'error'),
+      clicks AS (
+        SELECT epoch_us(ts) AS cus FROM events WHERE event_type = 'click')
+      SELECT e.error_id, count(c.cus) AS n_recent_clicks
+      FROM errors e LEFT JOIN clicks c
+        ON c.cus > e.eus - 1800000000 AND c.cus <= e.eus
+      GROUP BY e.error_id"""))
   )
 }

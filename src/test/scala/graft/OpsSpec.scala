@@ -82,6 +82,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got(20L).isEmpty)      // other user's clicks invisible
   }
 
+  test("bucketedRangeCount: half-open window (t-w, t], cross-bucket hits counted") {
+    import graft.operators.RangeOps
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:30:00")), (2L, ts("2024-01-01 12:00:00")))
+      .toDF("id", "ts")
+    val right = Seq(
+      ts("2024-01-01 10:30:00"), // == t      -> counted (inclusive)
+      ts("2024-01-01 10:00:00"), // == t - w  -> NOT counted (exclusive)
+      ts("2024-01-01 10:00:01"), // just inside, previous bucket
+      ts("2024-01-01 10:31:00")) // after t   -> not counted
+      .toDF("cts")
+    val got = RangeOps.bucketedRangeCount(left, right, "id", "ts", "cts",
+      windowUs = 30L * 60 * 1000000)
+      .select($"id", $"n_in_range").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 0L))
+  }
+
   test("langId argmax is deterministic with first-wins ties") {
     val dicts = Seq("x" -> Seq("foo"), "y" -> Seq("bar"))
     val df = Seq("foo bar", "bar bar foo", "baz").toDF("text")
