@@ -275,6 +275,19 @@ object RelationalQueries extends QueryModule {
       SELECT DISTINCT user_id FROM events
       WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03'""")),
 
+    // §2.7 — INTERSECT: users active on both the first and last day.
+    Q("q49_setop_intersect", (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      ev.filter($"ts" < lit("2024-01-02").cast(TimestampType))
+        .select($"user_id").distinct()
+        .intersect(ev.filter($"ts" >= lit("2024-01-30").cast(TimestampType))
+          .select($"user_id").distinct())
+    }, Some("""
+      SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-02'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-30'""")),
+
     // §2.5 — window functions (engine extension): per-customer running
     // spend, exact decimal accumulation (same addition order both engines).
     Q("q15_window_running", (s, d) => {
