@@ -60,8 +60,19 @@ case class EncodeUri(child: Expression) extends UnaryExpression {
 /** Registration of graft's SQL-callable custom expressions. */
 object GraftFunctions {
   /** Idempotent per-session registration; after this,
-    * `call_function("encode_uri", col)` / SQL `encode_uri(x)` work. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "encode_uri", exprs => EncodeUri(exprs.head), "scala_udf")
+    * `call_function("encode_uri", col)` / SQL `encode_uri(x)` and
+    * `dot_product(a, b)` work. Skips names already present so repeated
+    * calls (every operator entry point registers defensively) don't spam
+    * "replaced a previously registered function" warnings. */
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = spark.sessionState.functionRegistry
+    def add(name: String, b: Seq[Expression] => Expression): Unit =
+      if (reg.lookupFunctionBuilder(FunctionIdentifier(name)).isEmpty)
+        reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    add("encode_uri", exprs => EncodeUri(exprs.head))
+    add("dot_product", exprs => DotProduct(exprs.head, exprs(1)))
+    add("hp_signatures", exprs => HyperplaneSignatures(exprs.head, exprs(1), exprs(2)))
+    add("nearest_cells", exprs => NearestCells(exprs.head, exprs(1), exprs(2)))
+  }
 }

@@ -17,5 +17,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("encode_uri"),
       new ExpressionInfo(classOf[EncodeUri].getName, "encode_uri"),
       (exprs: Seq[Expression]) => EncodeUri(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("hp_signatures"),
+      new ExpressionInfo(classOf[HyperplaneSignatures].getName, "hp_signatures"),
+      (exprs: Seq[Expression]) => HyperplaneSignatures(exprs.head, exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("nearest_cells"),
+      new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
+      (exprs: Seq[Expression]) => NearestCells(exprs.head, exprs(1), exprs(2))))
   }
 }

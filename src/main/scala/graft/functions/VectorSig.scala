@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+
+/** Matrix-form vector expressions for the ANN family.
+  *
+  * Why matrix-form instead of N per-plane/per-centroid `dot_product`
+  * columns: an expression tree with dozens of separate literal-array
+  * dots generates code past the whole-stage-codegen size limit, so the
+  * stage (a `GenerateExec` for the explode) falls back to INTERPRETED
+  * tree evaluation — where every dot re-evaluates its own
+  * `cast(embedding as array<double>)`, allocating a boxed 64-element
+  * array per dot per row (~1 ms/row measured at sf0.1). One expression
+  * holding the whole matrix does all the math in a single primitive
+  * loop: interpreted eval is already tight JVM code, and the generated
+  * code is one static call, so whole-stage codegen never bails.
+  *
+  * Both expressions take the matrix as a FOLDABLE array<array<double>>
+  * literal child (evaluated once per JVM into primitive rows), keeping
+  * them registrable as plain SQL functions.
+  */
+abstract class MatrixVectorExpression extends TernaryExpression {
+  def vec: Expression
+  def matrixExpr: Expression
+
+  override def first: Expression = vec
+  override def second: Expression = matrixExpr
+
+  /** Matrix rows as primitive arrays; computed once per JVM. */
+  @transient protected lazy val matrix: Array[Array[Double]] = {
+    val ad = matrixExpr.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+
+  protected def checkVecAndMatrix(): TypeCheckResult =
+    (vec.dataType, matrixExpr.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _))
+          if matrixExpr.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, foldable array<array<double>>, int)")
+    }
+}
+
+/** `hp_signatures(vec, planes, planesPerTable)` — all LSH hyperplane
+  * bucket signatures in one pass. `planes` holds every table's planes
+  * concatenated (tables × planesPerTable rows); returns one long bucket
+  * per table: bit p of table t's bucket is set iff
+  * dot(vec, planes[t*planesPerTable + p]) > 0.
+  */
+case class HyperplaneSignatures(vec: Expression, matrixExpr: Expression,
+    planesPerTableExpr: Expression) extends MatrixVectorExpression {
+
+  override def third: Expression = planesPerTableExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hp_signatures"
+
+  @transient private lazy val planesPerTable: Int =
+    planesPerTableExpr.eval().asInstanceOf[Int]
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVecAndMatrix() match {
+      case TypeCheckResult.TypeCheckSuccess
+          if planesPerTableExpr.dataType == IntegerType &&
+            planesPerTableExpr.foldable => TypeCheckResult.TypeCheckSuccess
+      case TypeCheckResult.TypeCheckSuccess => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName third argument must be a foldable int")
+      case f => f
+    }
+
+  def computeSigs(input: ArrayData): ArrayData = {
+    val v = input.toDoubleArray()
+    val tables = matrix.length / planesPerTable
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        val plane = matrix(t * planesPerTable + p)
+        val n = math.min(v.length, plane.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += v(i) * plane(i); i += 1 }
+        if (s > 0) sig |= (1L << p)
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any, m: Any, p: Any): Any =
+    computeSigs(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hpSigs", this, classOf[HyperplaneSignatures].getName)
+    nullSafeCodeGen(ctx, ev, (v, _, _) => s"${ev.value} = $ref.computeSigs($v);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): HyperplaneSignatures =
+    copy(vec = newFirst, matrixExpr = newSecond, planesPerTableExpr = newThird)
+}
+
+/** `nearest_cells(vec, centroids, nprobe)` — indices of the `nprobe`
+  * centroids with the highest dot product against `vec`, best first
+  * (ties → smaller index, so with centroids ordered by id the ranking
+  * is deterministic). Index 0..nlist-1 IS the cell id downstream; the
+  * whole scoring is one primitive loop per row — the broadcast-argmax
+  * replacement for a crossJoin + row_number() window (two full shuffles
+  * of n×nlist rows).
+  */
+case class NearestCells(vec: Expression, matrixExpr: Expression,
+    nprobeExpr: Expression) extends MatrixVectorExpression {
+
+  override def third: Expression = nprobeExpr
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  @transient private lazy val nprobe: Int = nprobeExpr.eval().asInstanceOf[Int]
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVecAndMatrix() match {
+      case TypeCheckResult.TypeCheckSuccess
+          if nprobeExpr.dataType == IntegerType && nprobeExpr.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case TypeCheckResult.TypeCheckSuccess => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName third argument must be a foldable int")
+      case f => f
+    }
+
+  def computeCells(input: ArrayData): ArrayData = {
+    val v = input.toDoubleArray()
+    val k = math.min(nprobe, matrix.length)
+    // top-k selection over nlist scores: nprobe is tiny (<=8), so an
+    // insertion pass beats building/sorting the full score array.
+    val bestSim = new Array[Double](k)
+    val bestIdx = new Array[Int](k)
+    var filled = 0
+    var c = 0
+    while (c < matrix.length) {
+      val cent = matrix(c)
+      val n = math.min(v.length, cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v(i) * cent(i); i += 1 }
+      // find insertion point (sim desc, idx asc); idx asc is automatic
+      // because candidates arrive in ascending index order and we only
+      // displace on strictly-greater sim.
+      if (filled < k || s > bestSim(k - 1)) {
+        var pos = math.min(filled, k - 1)
+        while (pos > 0 && s > bestSim(pos - 1)) {
+          bestSim(pos) = bestSim(pos - 1)
+          bestIdx(pos) = bestIdx(pos - 1)
+          pos -= 1
+        }
+        bestSim(pos) = s
+        bestIdx(pos) = c
+        if (filled < k) filled += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bestIdx, filled))
+  }
+
+  override protected def nullSafeEval(v: Any, m: Any, p: Any): Any =
+    computeCells(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
+    nullSafeCodeGen(ctx, ev, (v, _, _) => s"${ev.value} = $ref.computeCells($v);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): NearestCells =
+    copy(vec = newFirst, matrixExpr = newSecond, nprobeExpr = newThird)
+}

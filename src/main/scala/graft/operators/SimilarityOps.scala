@@ -5,23 +5,34 @@ import org.apache.spark.sql.functions._
 
 import scala.util.Random
 
+import graft.functions.{GraftFunctions, VectorFns}
+
 /** Approximate-nearest-neighbor similarity search over an embedding column
   * (`Array[Float]`).
   *
   *  - [[bruteForceTopK]]: exact baseline — broadcast the (small) query set
-  *    against the full corpus, dot-product via zip_with/aggregate, window
-  *    top-k. One pass over the corpus, no corpus shuffle.
-  *  - [[hyperplaneSignature]] + [[lshTopK]]: random-hyperplane LSH — the
+  *    against the full corpus, codegen'd dot product, window top-k. One
+  *    pass over the corpus, no corpus shuffle.
+  *  - [[hyperplaneSignature]] + [[lshTopK]]: random-hyperplane LSH — a
   *    scale path. Signatures are row-local; the join shuffles only on the
   *    small bucket key. Hyperplanes are generated from a fixed seed at
   *    plan time, so results are deterministic.
+  *  - [[ivfTopK]]: IVF-style cells — the other scale path. Cell
+  *    assignment is a row-local argmax against broadcast centroid
+  *    literals (zero shuffles); only the candidate join and the top-k
+  *    window shuffle.
+  *
+  * All exact ranking goes through [[graft.functions.DotProduct]], a
+  * codegen'd Catalyst expression — the interpreted `aggregate(zip_with)`
+  * higher-order form costs ~30× on the candidate sets these produce
+  * (same pathology BASELINE.md documents for shingle/simhash HOFs).
   */
 object SimilarityOps {
 
-  /** Dot product of two array<double> columns (left fold, deterministic
-    * order). For unit-normalized embeddings this IS cosine similarity. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd dot product (sequential left-to-right sum — deterministic,
+    * bit-identical to the DuckDB oracle's `list_sum(list_transform)`).
+    * For unit-normalized embeddings this IS cosine similarity. */
+  def dot(a: Column, b: Column): Column = VectorFns.dot(a, b)
 
   /** Exact top-k neighbors for each query vector.
     * @param corpus  (id, embedding float array)
@@ -30,6 +41,7 @@ object SimilarityOps {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      embCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(embCol).cast("array<double>").as("qe")))
     val c = corpus.select(
@@ -50,6 +62,7 @@ object SimilarityOps {
     * filter. */
   def cosinePairs(corpus: DataFrame, idCol: String, embCol: String,
                   threshold: Double): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val a = corpus.select(col(idCol).as("id_a"),
       col(embCol).cast("array<double>").as("ea"))
     val b = corpus.select(col(idCol).as("id_b"),
@@ -60,43 +73,54 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
   }
 
-  /** IVF-style ANN: partition the corpus into `nlist` cells around
-    * deterministic "centroids" (the first `nlist` corpus vectors — a
-    * stand-in for a k-means fit, keeping results reproducible), assign
-    * every vector to its nearest centroid, probe the `nprobe` nearest
-    * cells per query, rank candidates exactly. Shuffles on cell id;
-    * candidate volume ≈ n·(n/nlist)·nprobe. */
+  /** IVF-style ANN. "Train": the first `nlist` corpus vectors by id act
+    * as deterministic centroids (stand-in for a k-means fit, keeping
+    * results reproducible) — collected once on the driver (`nlist` rows,
+    * the size of any broadcast ANN model). "Search": every vector scores
+    * all centroids ROW-LOCALLY via the matrix-form
+    * [[graft.functions.NearestCells]] expression (one primitive loop per
+    * row against the broadcast centroid matrix) yielding its `nprobe`
+    * nearest cell indices, best first, ties to the smaller centroid id.
+    * The top cell is the assignment. No crossJoin, no per-vector window,
+    * zero shuffles until the candidate join.
+    *
+    * Vectors are carried through the cell join so ranking needs no
+    * further id-joins: shuffles = 1 (cell join) + 1 (top-k window).
+    * A (query, neighbor) pair can match at most once — each neighbor
+    * lives in exactly one cell — so no distinct is needed.
+    *
+    * Candidate volume ≈ n·nprobe·(n/nlist): callers must scale `nlist`
+    * with n (≈ n/targetCellSize) or candidates drift quadratic. A hot
+    * cell skews the join; AQE skew-join splits it at runtime.
+    */
   def ivfTopK(corpus: DataFrame, idCol: String, embCol: String,
               nlist: Int, nprobe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = broadcast(
+    GraftFunctions.register(corpus.sparkSession)
+    // centroids ordered by id, so the matrix row INDEX is a stable,
+    // deterministic cell id (ties in nearest_cells break to the smaller
+    // index == smaller centroid id).
+    val centMatrix: Seq[Seq[Double]] =
       corpus.orderBy(col(idCol)).limit(nlist)
-        .select(col(idCol).as("cell_id"),
-          col(embCol).cast("array<double>").as("cvec")))
+        .select(col(embCol).cast("array<double>"))
+        .collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq
     val vecs = corpus.select(col(idCol),
       col(embCol).cast("array<double>").as("v"))
-    def nearestCells(n: Int, outId: String): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("cdist").desc, col("cell_id").asc)
-      vecs.crossJoin(cents)
-        .withColumn("cdist", dot(col("v"), col("cvec")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-        .select(col(idCol).as(outId), col("cell_id"))
-    }
-    val assignment = nearestCells(1, "neighbor_id")
-    val probes = nearestCells(nprobe, "query_id")
-    val cands = probes.join(assignment, "cell_id")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id")).distinct()
-    val qe = corpus.select(col(idCol).as("query_id"),
-      col(embCol).cast("array<double>").as("qe"))
-    val ce = corpus.select(col(idCol).as("neighbor_id"),
-      col(embCol).cast("array<double>").as("ce"))
+    val base = vecs.withColumn("cells",
+      call_function("nearest_cells",
+        col("v"), typedLit(centMatrix), lit(nprobe)))
+    val assignment = base.select(col(idCol).as("neighbor_id"),
+      col("cells")(0).as("cell_id"), col("v").as("ce"))
+    val probes = base
+      .select(col(idCol).as("query_id"), col("v").as("qe"),
+        explode(col("cells")).as("cell_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cands.join(qe, "query_id").join(ce, "neighbor_id")
-      .withColumn("sim", dot(col("qe"), col("ce")))
+    probes.join(assignment, "cell_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qe"), col("ce")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -110,14 +134,12 @@ object SimilarityOps {
   }
 
   /** Row-local signature: bit p set iff dot(v, plane_p) > 0. Buckets
-    * vectors into 2^planes hash buckets. */
-  def hyperplaneSignature(emb: Column, planes: Array[Array[Double]]): Column = {
-    val de = emb.cast("array<double>")
+    * vectors into 2^planes hash buckets. Each plane test is a codegen'd
+    * dot against a literal plane vector. */
+  def hyperplaneSignature(emb: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      when(dot(de, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+      when(dot(emb, typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** L independent hash tables of `planes` hyperplanes each. More tables →
     * higher recall (collide in ≥1 table); more planes → smaller buckets.
@@ -129,30 +151,36 @@ object SimilarityOps {
   /** ANN via multi-table bucket join: vectors sharing a bucket in ANY
     * table are compared exactly; top-k per query over the candidate set.
     * Shuffles on (table_id, bucket) — candidate count ≈ n·avgBucket·L,
-    * versus n² for brute force. Recall pinned in SimilaritySpec. */
+    * versus n² for brute force. Vectors ride the bucket shuffle so
+    * ranking needs no extra id-joins; similarity is computed before the
+    * multi-table dedup (sim is a pure function of the pair, so
+    * `distinct` on (query, neighbor, sim) ≡ pair dedup, and a codegen'd
+    * dot re-computed per duplicate bucket is far cheaper than two more
+    * shuffle joins). Recall pinned in SimilaritySpec. */
   def lshTopK(corpus: DataFrame, idCol: String, embCol: String,
               tables: Seq[Array[Array[Double]]], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val buckets = tables.zipWithIndex.map { case (pl, t) =>
-      struct(lit(t).as("table_id"), hyperplaneSignature(col(embCol), pl).as("bucket"))
-    }
+    GraftFunctions.register(corpus.sparkSession)
+    // all tables' signatures in ONE matrix expression (single primitive
+    // loop per row), posexplode'd into (table_id, bucket) band rows.
+    val planesPerTable = tables.head.length
+    val planeMatrix: Seq[Seq[Double]] = tables.flatten.map(_.toSeq)
     val bandTable = corpus
-      .select(col(idCol), explode(array(buckets: _*)).as("tb"))
-      .select(col(idCol), col("tb.table_id"), col("tb.bucket"))
-    val cands = bandTable.select(col(idCol).as("query_id"), col("table_id"), col("bucket"))
-      .join(bandTable.select(col(idCol).as("neighbor_id"), col("table_id"), col("bucket")),
-        Seq("table_id", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"))
-      .distinct()
-    val qe = corpus.select(col(idCol).as("query_id"),
-      col(embCol).cast("array<double>").as("qe"))
-    val ce = corpus.select(col(idCol).as("neighbor_id"),
-      col(embCol).cast("array<double>").as("ce"))
+      .select(col(idCol), col(embCol).cast("array<double>").as("v"),
+        posexplode(call_function("hp_signatures",
+          col(embCol).cast("array<double>"),
+          typedLit(planeMatrix), lit(planesPerTable)))
+          .as(Seq("table_id", "bucket")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cands.join(qe, "query_id").join(ce, "neighbor_id")
-      .withColumn("sim", dot(col("qe"), col("ce")))
+    bandTable.select(col(idCol).as("query_id"), col("v").as("qe"),
+        col("table_id"), col("bucket"))
+      .join(bandTable.select(col(idCol).as("neighbor_id"), col("v").as("ce"),
+        col("table_id"), col("bucket")), Seq("table_id", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qe"), col("ce")).as("sim"))
+      .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
-import graft.catalog.{Q, QueryModule, Tables}
+import graft.catalog.{Q, QueryModule, Stats, Tables}
 
 /** Similarity-search surface over the embeddings table (64-dim unit
   * vectors): exact brute-force top-k baseline, row-local vector stats,
@@ -58,16 +58,18 @@ object SimilarityQueries extends QueryModule {
     // hyperplane-LSH ANN: top-3 neighbors from multi-table bucket
     // candidates. Plane count adapts to corpus size (avg bucket ≈ 25
     // vectors) so candidate volume stays ~n·25·L instead of drifting
-    // quadratic as n grows past the bucket count. Deterministic seeded
+    // quadratic as n grows past the bucket count. n comes from parquet
+    // footer metadata (catalog stats), NOT a df.count() — no extra pass
+    // over the corpus before the real job. Deterministic seeded
     // hyperplanes; Spark-only plan — driver records a rows-only check;
     // recall pinned in SimilaritySpec.
     Q("q39_knn_lsh", (s, d) => {
-      val emb = t(s, d, "embeddings")
-      val n = emb.count()
+      val n = Stats.parquetRowCount(s, s"$d/embeddings.parquet")
       val planes = math.min(16, math.max(3,
         math.ceil(math.log(n / 25.0) / math.log(2)).toInt))
       val tables = SimilarityOps.lshTables(planes, tables = 8, dim = 64)
-      SimilarityOps.lshTopK(emb, "vec_id", "embedding", tables, k = 3)
+      SimilarityOps.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        tables, k = 3)
     }, None),
 
     // embedding-cosine near-dup pairs — brute-force baseline with an
@@ -84,12 +86,17 @@ object SimilarityQueries extends QueryModule {
       WHERE list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) >= 0.4"""),
       bench = false),
 
-    // IVF-style ANN: nearest-centroid cells, nprobe-cell search.
-    // Deterministic centroids; Spark-only plan — rows-only check;
-    // recall pinned in SimilaritySpec.
+    // IVF-style ANN: nearest-centroid cells, nprobe-cell search. Cell
+    // count scales with corpus size (target ≈64 vectors/cell, sized from
+    // parquet footer stats) so candidate volume stays ~n·nprobe·64
+    // instead of drifting quadratic at a fixed nlist. Deterministic
+    // centroids; Spark-only plan — rows-only check; recall pinned in
+    // SimilaritySpec.
     Q("q45_knn_ivf", (s, d) => {
+      val n = Stats.parquetRowCount(s, s"$d/embeddings.parquet")
+      val nlist = math.max(16, math.ceil(n / 64.0).toInt)
       SimilarityOps.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        nlist = 32, nprobe = 4, k = 3)
+        nlist = nlist, nprobe = 4, k = 3)
     }, None)
   )
 }
