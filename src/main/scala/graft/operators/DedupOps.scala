@@ -26,12 +26,25 @@ object DedupOps {
 
   /** Engine-independent 32-bit token hash: first 8 hex digits of md5,
     * parsed positionally — reproducible in any SQL engine (used so the
-    * DuckDB oracle can recompute SimHash exactly). */
+    * DuckDB oracle can recompute SimHash and MinHash exactly). */
   private[operators] def hv32Sql(tokenVar: String): String =
     (1 to 8).map { p =>
       val coef = math.pow(16, 8 - p).toLong
       s"(instr('0123456789abcdef', substr(md5($tokenVar), $p, 1)) - 1) * ${coef}L"
     }.mkString(" + ")
+
+  private val hexChars = array("0123456789abcdef".map(c => lit(c.toString)): _*)
+
+  /** Column form of [[hv32Sql]] — usable inside higher-order-function
+    * lambdas where SQL-string expressions can't capture the lambda
+    * variable. */
+  private[operators] def hv32Col(tok: Column): Column = {
+    val m = md5(tok)
+    (1 to 8).map { p =>
+      val coef = lit(math.pow(16, 8 - p).toLong)
+      (array_position(hexChars, substring(m, p, 1)) - 1) * coef
+    }.reduce(_ + _)
+  }
 
   /** 32-bit SimHash from a token-row stream (one row per (id, token),
     * duplicates kept — each occurrence votes): 32 codegen'd conditional
@@ -103,21 +116,24 @@ object DedupOps {
   }
 
   /** MinHash signature (k independent hash functions) over a distinct
-    * shingle-set column. Row-local; uses xxhash64 with per-function salt.
-    * Prefer [[minhashSignatures]] (explode form) for large inputs — HOFs
-    * interpret per element. */
+    * shingle-set column. Row-local; per-function salted positional-md5
+    * hashes (engine-independent, so an external oracle can recompute
+    * signatures exactly). Prefer [[minhashSignatures]] (explode form)
+    * for large inputs — HOFs interpret per element. */
   def minhashSignature(shingleSet: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(shingleSet,
-        s => xxhash64(concat(i.cast("string"), lit("#"), s)))))
+        s => hv32Col(concat(i.cast("string"), lit("#"), s)))))
 
   /** MinHash signatures from a distinct shingle-row stream: k codegen'd
     * min-aggregates (map-side partial min), one shuffle on the id — the
-    * scale path. Output: (id, sig array<long>). */
+    * scale path. Hash = salted positional-md5 ([[hv32Sql]]), identical
+    * to [[minhashSignature]] and recomputable in DuckDB SQL.
+    * Output: (id, sig array<long>). */
   def minhashSignatures(shingleRows: DataFrame, idCol: String,
                         shingleCol: String, k: Int): DataFrame = {
     val aggs = (0 until k).map(i =>
-      min(xxhash64(lit(i), col(shingleCol))).as(s"__h$i"))
+      min(expr(hv32Sql(s"concat('$i#', $shingleCol)"))).as(s"__h$i"))
     shingleRows.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("sig", array((0 until k).map(i => col(s"__h$i")): _*))
@@ -125,13 +141,16 @@ object DedupOps {
   }
 
   /** LSH banding: explode a MinHash signature into (band_id, band_hash)
-    * rows; docs sharing any band bucket are candidates. */
+    * rows; docs sharing any band bucket are candidates. The bucket key
+    * is the band's value string (not an engine hash of it) — same
+    * shuffle cardinality, deterministic across engines; a 4-long band
+    * key is a few dozen bytes, so the wider shuffle key is noise. */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
                bands: Int, rows: Int): DataFrame = {
     val bandIdx = explode(sequence(lit(0), lit(bands - 1))).as("band_id")
     df.select(col(idCol), col(sigCol), bandIdx)
-      .withColumn("band_hash",
-        hash(expr(s"slice($sigCol, band_id * $rows + 1, $rows)"), col("band_id")))
+      .withColumn("band_hash", concat_ws(",", expr(
+        s"transform(slice($sigCol, band_id * $rows + 1, $rows), x -> cast(x AS string))")))
       .select(col(idCol), col("band_id"), col("band_hash"))
   }
 

@@ -13,10 +13,12 @@ object DedupQueries extends QueryModule {
     Tables.t(s, d, n)
 
   /** DuckDB flavor of [[DedupOps.hv32Sql]] (no `L` literal suffix). */
-  private def hvDuck: String =
+  private def hvDuck: String = hvDuckOf("t")
+
+  private def hvDuckOf(v: String): String =
     (1 to 8).map { p =>
       val coef = math.pow(16, 8 - p).toLong
-      s"(instr('0123456789abcdef', substr(md5(t), $p, 1)) - 1) * $coef"
+      s"(instr('0123456789abcdef', substr(md5($v), $p, 1)) - 1) * $coef"
     }.mkString(" + ")
 
   /** Engine-independent SimHash in DuckDB SQL (explode + group-by form of
@@ -104,9 +106,11 @@ object DedupQueries extends QueryModule {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin)),
 
     // MinHash + LSH banding — the linear-ish scale path: signature is
-    // row-local, candidates shuffle only on band hash, buckets capped.
-    // xxhash64-based, so Spark-only (driver records rows-only check);
-    // recall vs the exact q33 baseline is pinned in DedupSpec.
+    // row-local, candidates shuffle only on the band-value key, buckets
+    // capped. Hashes are salted positional-md5, so the DuckDB oracle
+    // recomputes the ENTIRE pipeline (signatures -> bands -> capped
+    // buckets -> jaccard verify) exactly; recall vs the exact q33
+    // baseline is additionally pinned in DedupSpec.
     Q("q36_minhash_lsh", (s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents")
@@ -131,6 +135,44 @@ object DedupQueries extends QueryModule {
           ($"sza" + $"szb" - $"inter").cast("double"))
         .filter($"j" >= 0.5)
         .select($"doc_a", $"doc_b", round($"j", 6).as("jaccard"))
-    }, None)
+    }, Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+         |  FROM toks),
+         |mh AS (
+         |  SELECT doc_id, i,
+         |    min(${hvDuckOf("CAST(i AS VARCHAR) || '#' || shingle")}) AS h
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ii
+         |  GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, CAST(i // 4 AS INT) AS band_id,
+         |         string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bk
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |bsz AS (SELECT band_id, bk, count(*) AS c FROM bands GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x
+         |  JOIN bands y ON x.band_id = y.band_id AND x.bk = y.bk
+         |              AND x.doc_id < y.doc_id
+         |  JOIN bsz s ON s.band_id = x.band_id AND s.bk = x.bk
+         |  WHERE s.c BETWEEN 2 AND 1000),
+         |szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         |  round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+         |FROM inter i
+         |JOIN szs sa ON sa.doc_id = i.doc_a
+         |JOIN szs sb ON sb.doc_id = i.doc_b
+         |WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5""".stripMargin))
   )
 }
