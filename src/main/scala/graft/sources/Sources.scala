@@ -37,10 +37,16 @@ final class JdbcCatalog(url: String, dbProps: java.util.Properties,
     val t = s"$prefix$name"
     val key = partitionKey(name)
     // bounds probe is one tiny aggregate query (replaces S4 count probes)
-    val bounds = spark.read.jdbc(url, s"(SELECT min($key) lo, max($key) hi FROM $t) b", dbProps)
+    val bounds = spark.read.jdbc(url,
+      s"(SELECT min($key) AS lo, max($key) AS hi FROM $t) b", dbProps)
     val row = bounds.head()
+    // JDBC drivers type the PK per dialect (MySQL INT -> Integer,
+    // BIGINT UNSIGNED -> BigDecimal, Derby INT -> Integer): accept any
+    // numeric rather than assuming Long.
     if (row.isNullAt(0)) spark.read.jdbc(url, t, dbProps)
-    else spark.read.jdbc(url, t, key, row.getLong(0), row.getLong(1),
+    else spark.read.jdbc(url, t, key,
+      row.getAs[java.lang.Number](0).longValue(),
+      row.getAs[java.lang.Number](1).longValue(),
       numPartitions, dbProps)
   }
 }
