@@ -55,9 +55,15 @@ final class Orchestrator(spark: SparkSession, cat: WpCatalog, outDir: String,
             "uid", "left_semi")
           val n = KeyedJsonSink.writeSingle(okAssets, "uid",
             s"$outDir/assets/assets.json")
+          // remove-on-success (reference assets.js:135-137): an id that
+          // fetched OK this run — fresh or idempotent-skip — must drop
+          // out of any stale wp_failed state before the new failures
+          // merge in.
+          val succeeded = results.filter(col("ok"))
+            .select(col("id").cast("string")).collect().map(_.getString(0)).toSet
           KeyedJsonSink.writeSingle(
             HttpFetchSink.deadLetter(results).withColumn("uid", col("id")),
-            "uid", s"$outDir/master/wp_failed.json")
+            "uid", s"$outDir/master/wp_failed.json", removeKeys = succeeded)
           n
         case m =>
           val n = KeyedJsonSink.writeSingle(df, "uid",

@@ -1,12 +1,12 @@
 package graft.sinks
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{AtomicMoveNotSupportedException, Files, Path, Paths, StandardCopyOption}
+
+import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
-
-import graft.operators.MergeOps
 
 /** S7/S8 — keyed-JSON entry sink: a single JSON object keyed by uid, not
   * an array (reference: authordata[login]={...} then JSON.stringify(x,
@@ -17,7 +17,10 @@ import graft.operators.MergeOps
   *  - [[writeSingle]]: the reference-compatible single pretty-printed
   *    file. Bounded driver-side materialization — correct for entry
   *    counts that fit one import file (the reference's contract), wrong
-  *    for 100 TB.
+  *    for 100 TB. Entries NOT in the delta round-trip as raw JSON text
+  *    (no schema inference, no null-field dropping, no cross-entry type
+  *    coercion), and the file is replaced with an atomic temp-file move
+  *    so a crash mid-write cannot corrupt existing state.
   *  - [[writeSharded]]: the scale path — entries stay distributed, hashed
   *    into N shard files of JSON-lines (uid TAB json), mergeable by
   *    re-sharding on uid. Compaction = groupBy shard with last-wins.
@@ -34,7 +37,7 @@ object KeyedJsonSink {
 
   /** Pretty-print a JSON object string with 4-space indent, matching the
     * reference's JSON.stringify(x, null, 4). Minimal, deterministic. */
-  private[sinks] def pretty(json: String): String = {
+  private[graft] def pretty(json: String): String = {
     val sb = new StringBuilder
     var depth = 0
     var inStr = false
@@ -56,38 +59,156 @@ object KeyedJsonSink {
     sb.toString
   }
 
-  /** Merge `entries` into the keyed-JSON file at `path` (new rows win),
-    * write pretty-printed, return the merged row count. Driver-side by
-    * design — see class doc. */
-  def writeSingle(entries: DataFrame, uidCol: String, path: String,
-                  prettyPrint: Boolean = true): Long = {
-    val spark = entries.sparkSession
-    val fresh = keyed(entries, uidCol)
-    val merged =
-      if (Files.exists(Paths.get(path)) && Files.size(Paths.get(path)) > 2) {
-        // existing file is one JSON object keyed by uid; melt its fields
-        // back to (uid, json) rows before the last-wins merge
-        val df = spark.read.option("multiLine", true).json(path)
-        val fields = df.schema.fieldNames.toSeq
-        if (fields.isEmpty) fresh
-        else {
-          val kvs = fields.map(f =>
-            struct(lit(f).as("uid"), to_json(col(s"`$f`")).as("json")))
-          val existing = df
-            .select(explode(array(kvs: _*)).as("kv"))
-            .select(col("kv.uid"), col("kv.json"))
-          MergeOps.mergeLastWins(existing, fresh, Seq("uid"))
+  /** Strip inter-token whitespace (pretty -> compact) without touching
+    * string contents — the inverse of [[pretty]] for re-merging. */
+  private[graft] def minify(json: String): String = {
+    val sb = new StringBuilder(json.length)
+    var inStr = false
+    var esc = false
+    json.foreach { c =>
+      if (inStr) {
+        sb.append(c)
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else if (c == '"') { sb.append(c); inStr = true }
+      else if (!c.isWhitespace) sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def unescapeKey(raw: String): String = {
+    // raw includes the surrounding quotes
+    val s = raw.substring(1, raw.length - 1)
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '/' => sb.append('/'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case 'u' if i + 5 < s.length + 1 =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => sb.append(other); i += 2
         }
-      } else fresh
-    val rows = merged.orderBy("uid").collect()
-    val body = rows.map { r =>
-      "\"" + r.getString(0).replace("\\", "\\\\").replace("\"", "\\\"") +
-        "\": " + r.getString(1)
-    }.mkString("{", ", ", "}")
-    val out = if (prettyPrint) pretty(body) else body
-    Files.createDirectories(Paths.get(path).getParent)
-    Files.write(Paths.get(path), out.getBytes(StandardCharsets.UTF_8))
-    rows.length.toLong
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Top-level (key, rawValueText) pairs of a JSON object — a structural
+    * scan, not a schema-inferring parse, so each entry's exact text
+    * (null fields, number formatting, field order) survives the
+    * round-trip untouched. */
+  private[graft] def topLevelEntries(json: String): Seq[(String, String)] = {
+    val out = ArrayBuffer.empty[(String, String)]
+    val s = json
+    var i = 0
+    def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    skipWs()
+    if (i >= s.length || s(i) != '{') return out.toSeq
+    i += 1
+    skipWs()
+    if (i < s.length && s(i) == '}') return out.toSeq
+    while (i < s.length) {
+      skipWs()
+      if (i >= s.length || s(i) != '"') return out.toSeq
+      val kStart = i
+      i += 1
+      var esc = false
+      while (i < s.length && (esc || s(i) != '"')) {
+        esc = !esc && s(i) == '\\'
+        i += 1
+      }
+      i += 1 // closing quote
+      val key = unescapeKey(s.substring(kStart, i))
+      skipWs()
+      if (i >= s.length || s(i) != ':') return out.toSeq
+      i += 1
+      skipWs()
+      val vStart = i
+      var depth = 0
+      var inStr = false
+      esc = false
+      var done = false
+      while (!done && i < s.length) {
+        val c = s(i)
+        if (inStr) {
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == '"') inStr = false
+        } else c match {
+          case '"' => inStr = true
+          case '{' | '[' => depth += 1
+          case '}' | ']' if depth > 0 => depth -= 1
+          case '}' => done = true // outer object closes; don't consume
+          case ',' if depth == 0 => done = true
+          case _ =>
+        }
+        if (!done) i += 1
+      }
+      out += key -> s.substring(vStart, i).trim
+      skipWs()
+      if (i >= s.length || s(i) != ',') return out.toSeq
+      i += 1 // consume ',' and continue with the next key
+    }
+    out.toSeq
+  }
+
+  private def escapeKey(k: String): String =
+    "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Temp-file + atomic rename so readers never observe a half-written
+    * state file and a crash can't destroy the previous one. */
+  private def atomicWrite(path: Path, content: String): Unit = {
+    Files.createDirectories(path.getParent)
+    val tmp = Files.createTempFile(path.getParent,
+      "." + path.getFileName.toString, ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, path,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: AtomicMoveNotSupportedException =>
+        Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Merge `entries` into the keyed-JSON file at `path` (new rows win;
+    * `removeKeys` are dropped — the dead-letter remove-on-success path,
+    * reference assets.js:135-137), write pretty-printed atomically,
+    * return the merged row count. Driver-side by design — see class
+    * doc. Entries absent from the delta keep their raw JSON text. */
+  def writeSingle(entries: DataFrame, uidCol: String, path: String,
+                  prettyPrint: Boolean = true,
+                  removeKeys: Set[String] = Set.empty): Long = {
+    val fresh: Seq[(String, String)] =
+      keyed(entries, uidCol).collect().map(r => r.getString(0) -> r.getString(1))
+        .toMap.toSeq // dedup within the delta: last collected row wins
+    val freshKeys = fresh.map(_._1).toSet
+    val p = Paths.get(path)
+    val existing: Seq[(String, String)] =
+      if (Files.exists(p) && Files.size(p) > 2)
+        topLevelEntries(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+          .map { case (k, v) => k -> minify(v) }
+      else Seq.empty
+    // last-wins: fresh replaces existing per key; removeKeys dropped
+    val merged = (existing.filterNot { case (k, _) =>
+      freshKeys(k) || removeKeys(k)
+    } ++ fresh.filterNot { case (k, _) => removeKeys(k) })
+      .sortBy(_._1)
+    val body = merged
+      .map { case (k, v) => escapeKey(k) + ": " + v }
+      .mkString("{", ", ", "}")
+    atomicWrite(p, if (prettyPrint) pretty(body) else body)
+    merged.length.toLong
   }
 
   /** Scale path: distributed JSON-lines shards keyed by uid hash. Merging
@@ -106,12 +227,9 @@ object KeyedJsonSink {
                           locale: String = "en-us"): Long = {
     val uids = entries.select(col(uidCol).cast("string").as("uid"))
       .orderBy("uid").collect().map(_.getString(0))
-    val inner = uids.map(u =>
-      "\"" + u.replace("\\", "\\\\").replace("\"", "\\\"") + "\": \"\"")
-      .mkString("{", ", ", "}")
+    val inner = uids.map(u => escapeKey(u) + ": \"\"").mkString("{", ", ", "}")
     val out = pretty(s"""{"$locale": $inner}""")
-    Files.createDirectories(Paths.get(path).getParent)
-    Files.write(Paths.get(path), out.getBytes(StandardCharsets.UTF_8))
+    atomicWrite(Paths.get(path), out)
     uids.length.toLong
   }
 }

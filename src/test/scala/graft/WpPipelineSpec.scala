@@ -10,6 +10,15 @@ import graft.pipelines.{Orchestrator, Pipelines}
 import graft.sinks.HttpFetchSink
 import graft.sources.ParquetCatalog
 
+/** Stateful fake fetcher shared with executor closures (local mode =
+  * same JVM): img6 fails while `failing` is set, then recovers. */
+object FlakyImg6 {
+  @volatile var failing = true
+  val fetcher: HttpFetchSink.Fetcher = url =>
+    if (failing && url.contains("img6")) Left("ECONNREFUSED")
+    else Right(url.getBytes("UTF-8"))
+}
+
 /** End-to-end WordPress pipeline tests over the FIXTURES.md §2 golden
   * micro-fixture (mirrors the reference's own logged run: assets 5,6,7;
   * author 1; category 1+child; posts 16,18,20). */
@@ -160,6 +169,23 @@ class WpPipelineSpec extends AnyFunSuite {
     // re-run: read-modify-write merge keeps counts stable (A4 last-wins)
     val counts2 = orch.runModule("posts")
     assert(counts2 == 3)
+  }
+
+  test("dead-letter remove-on-success: healed asset leaves wp_failed") {
+    val outDir = Files.createTempDirectory("wpheal").toString
+    FlakyImg6.failing = true
+    val orch = new Orchestrator(spark, cat, outDir, FlakyImg6.fetcher)
+    orch.runModule("assets")
+    val failedPath = Paths.get(s"$outDir/master/wp_failed.json")
+    val failed1 = new String(Files.readAllBytes(failedPath), "UTF-8")
+    assert(failed1.contains("\"6\""), s"expected id 6 dead-lettered in: $failed1")
+
+    // img6's host recovers; the re-run fetches it and the stale failure
+    // key must disappear (reference assets.js:135-137).
+    FlakyImg6.failing = false
+    orch.runModule("assets")
+    val failed2 = new String(Files.readAllBytes(failedPath), "UTF-8")
+    assert(!failed2.contains("\"6\""), s"expected id 6 removed from: $failed2")
   }
 
   test("orchestrator by-ids entry point restricts via semi-join") {
