@@ -25,12 +25,14 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
 
     val names = SparkEntry.benchQueries
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
@@ -38,7 +40,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query's near-zero elapsed time must not read as a speedup:
+    // failures are listed explicitly and the process exits nonzero.
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -18,12 +18,21 @@ import org.apache.spark.sql.functions._
 object SkewOps {
 
   /** Salted sum/count per key. `sumExprs` map output name -> column to
-    * sum (pre-cast as needed, e.g. to DecimalType for exactness). */
+    * sum (pre-cast as needed, e.g. to DecimalType for exactness).
+    *
+    * The salt derives from the ROW CONTENT (hash of every input column),
+    * never from a nondeterministic expression like
+    * monotonically_increasing_id(): when a map task is recomputed after
+    * a shuffle-fetch failure (routine at 100 TB), every re-executed row
+    * must land on the same (key, salt) reducer as the partials already
+    * fetched, or stage-1 sums double-count/drop rows. Identical rows
+    * sharing a salt skews the split slightly; correctness under retry
+    * wins. */
   def saltedAgg(df: DataFrame, keyCols: Seq[String], salts: Int,
                 sumExprs: Map[String, Column],
                 countName: Option[String] = Some("n")): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+      pmod(hash(df.columns.map(col): _*), lit(salts)))
     val stage1Aggs =
       sumExprs.map { case (name, c) => sum(c).as(s"__s_$name") }.toSeq ++
         countName.map(_ => count(lit(1)).as("__s_cnt")).toSeq
