@@ -248,8 +248,12 @@ object RelationalQueries extends QueryModule {
 
     // A4 — keyed last-wins dedup (authordata[login]=…, authors.js:51):
     // latest event per user via row_number over (ts desc, id desc).
+    // Executes via the custom TopKPerKeyExec operator (rank=1 shape,
+    // graft.plans.WindowTopKRule) — one pass, no per-partition sort;
+    // the oracle hash-checks the custom plan against DuckDB QUALIFY.
     Q("q13_dedup_lastwins", (s, d) => {
       import s.implicits._
+      graft.plans.GraftPlanner.install(s)
       val w = Window.partitionBy($"user_id")
         .orderBy($"ts".desc, $"event_id".desc)
       t(s, d, "events")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import scala.util.Random
 
 import graft.functions.{GraftFunctions, VectorFns}
+import graft.plans.GraftPlanner
 
 /** Approximate-nearest-neighbor similarity search over an embedding column
   * (`Array[Float]`).
@@ -42,6 +43,7 @@ object SimilarityOps {
                      embCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(corpus.sparkSession)
+    GraftPlanner.install(corpus.sparkSession)
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(embCol).cast("array<double>").as("qe")))
     val c = corpus.select(
@@ -63,6 +65,7 @@ object SimilarityOps {
   def cosinePairs(corpus: DataFrame, idCol: String, embCol: String,
                   threshold: Double): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
+    GraftPlanner.install(corpus.sparkSession)
     val a = corpus.select(col(idCol).as("id_a"),
       col(embCol).cast("array<double>").as("ea"))
     val b = corpus.select(col(idCol).as("id_b"),
@@ -97,6 +100,7 @@ object SimilarityOps {
               nlist: Int, nprobe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(corpus.sparkSession)
+    GraftPlanner.install(corpus.sparkSession)
     // centroids ordered by id, so the matrix row INDEX is a stable,
     // deterministic cell id (ties in nearest_cells break to the smaller
     // index == smaller centroid id).
@@ -161,6 +165,7 @@ object SimilarityOps {
               tables: Seq[Array[Array[Double]]], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(corpus.sparkSession)
+    GraftPlanner.install(corpus.sparkSession)
     // all tables' signatures in ONE matrix expression (single primitive
     // loop per row), posexplode'd into (table_id, bucket) band rows.
     val planesPerTable = tables.head.length

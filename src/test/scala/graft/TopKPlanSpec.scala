@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GraftPlanner
+
+/** Plan-level and result-level coverage of the custom grouped-top-k
+  * ladder (logical node + rule + strategy + physical operator). The
+  * rule installs into an isolated `newSession()` so assertions about
+  * when it fires don't leak into other suites.
+  */
+class TopKPlanSpec extends AnyFunSuite {
+  lazy val base = SparkTestSession.spark
+
+  private def installed = {
+    val s = base.newSession()
+    GraftPlanner.install(s)
+    s
+  }
+
+  test("window row_number + rank filter plans as TopKPerKeyExec with exact results") {
+    val s = installed
+    import s.implicits._
+    val df = Seq((1, "a", 3.0), (1, "b", 5.0), (1, "c", 4.0),
+      (2, "d", 1.0), (2, "e", 2.0)).toDF("k", "id", "v")
+    val w = Window.partitionBy($"k").orderBy($"v".desc, $"id".asc)
+    val q = df.withColumn("rank", row_number().over(w)).filter($"rank" <= 2)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      q.queryExecution.executedPlan.toString)
+    val got = q.select($"k", $"id", $"rank").as[(Int, String, Int)]
+      .collect().toSet
+    assert(got == Set((1, "b", 1), (1, "c", 2), (2, "e", 1), (2, "d", 2)))
+  }
+
+  test("k larger than any group emits every row, ranked") {
+    val s = installed
+    import s.implicits._
+    val df = Seq((1, 10.0), (1, 20.0), (2, 5.0)).toDF("k", "v")
+    val w = Window.partitionBy($"k").orderBy($"v".asc)
+    val q = df.withColumn("rank", row_number().over(w)).filter($"rank" < 100)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(q.count() == 3)
+  }
+
+  test("rank = 1 (dedup shape) fires and keeps one row per key") {
+    val s = installed
+    import s.implicits._
+    val df = Seq((1, "x", 2L), (1, "y", 9L), (2, "z", 1L)).toDF("k", "id", "ver")
+    val w = Window.partitionBy($"k").orderBy($"ver".desc)
+    val q = df.withColumn("rank", row_number().over(w)).filter($"rank" === 1)
+      .select($"k", $"id")
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(q.as[(Int, String)].collect().toSet == Set((1, "y"), (2, "z")))
+  }
+
+  test("non-rank-bounding predicates do not fire the rewrite") {
+    val s = installed
+    import s.implicits._
+    val df = Seq((1, 1.0), (1, 2.0)).toDF("k", "v")
+    val w = Window.partitionBy($"k").orderBy($"v".asc)
+    val q = df.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 1 || $"v" > 100) // disjunction: not a pure bound
+    assert(!q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(q.count() == 1) // only rank-1 row satisfies the disjunction
+  }
+
+  test("matches the WindowExec plan bit-for-bit on real embeddings top-k") {
+    val s = installed
+    def knn(sess: org.apache.spark.sql.SparkSession) = {
+      val emb = graft.catalog.Tables.t(sess, "/root/testdata/sf0.001", "embeddings")
+      graft.operators.SimilarityOps
+        .bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 4)
+    }
+    val withRule = knn(s)
+    assert(withRule.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val got = withRule.collect().map(_.toSeq).toSet
+    val expected = knn(base).collect().map(_.toSeq).toSet
+    assert(got == expected && got.size == 40)
+  }
+}
