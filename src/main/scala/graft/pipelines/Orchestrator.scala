@@ -3,8 +3,8 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sinks.{HttpFetchSink, KeyedJsonSink}
-import graft.sources.{IdListSource, WpCatalog}
+import graft.sinks.{HttpFetchSink, JsonLogger, KeyedJsonSink}
+import graft.sources.{ContentTypeCatalog, IdListSource, WpCatalog}
 
 /** §3 entry-point parity: run all modules, one module, or one module
   * restricted to an ID list (the reference's retry path, app.js:11-23).
@@ -14,11 +14,28 @@ import graft.sources.{IdListSource, WpCatalog}
   * explicit dataset dependency here (Pipelines.posts builds the
   * featured-image frame itself), so module order no longer matters for
   * correctness; `run` keeps the reference order for output parity.
+  *
+  * When `contentTypesDir` points at a contenttypes config directory
+  * (reference: contenttypes/), module order comes from __priority.json
+  * and each module's entry columns are conformed to its contenttype's
+  * field order; without it the reference order is hardcoded. Every
+  * module writes winston-parity JSON-lines progress/error logs (S11)
+  * under `outDir`/logs.
   */
 final class Orchestrator(spark: SparkSession, cat: WpCatalog, outDir: String,
-                         fetcher: HttpFetchSink.Fetcher) {
+                         fetcher: HttpFetchSink.Fetcher,
+                         contentTypesDir: Option[String] = None) {
 
-  val modules: Seq[String] = Seq("assets", "authors", "categories", "posts")
+  private val contentTypes = contentTypesDir
+    .map(d => ContentTypeCatalog.load(spark, d)).getOrElse(Map.empty)
+
+  val modules: Seq[String] = contentTypesDir match {
+    case Some(d) => "assets" +: ContentTypeCatalog.priority(d)
+    case None => Seq("assets", "authors", "categories", "posts")
+  }
+
+  private def conform(df: DataFrame, module: String): DataFrame =
+    contentTypes.get(module).fold(df)(ContentTypeCatalog.conform(df, _))
 
   private def entries(module: String): DataFrame = module match {
     case "authors"    => Pipelines.authors(spark, cat)
@@ -44,7 +61,8 @@ final class Orchestrator(spark: SparkSession, cat: WpCatalog, outDir: String,
     * manifest (+ asset fetch & dead-letter for assets). Returns entry
     * count. */
   def runModule(module: String, idFile: Option[String] = None): Long = {
-    val df = restrict(entries(module), module, idFile).cache()
+    val logger = new JsonLogger(s"$outDir/logs", module)
+    val df = restrict(conform(entries(module), module), module, idFile).cache()
     try {
       module match {
         case "assets" =>
@@ -61,15 +79,23 @@ final class Orchestrator(spark: SparkSession, cat: WpCatalog, outDir: String,
           // merge in.
           val succeeded = results.filter(col("ok"))
             .select(col("id").cast("string")).collect().map(_.getString(0)).toSet
+          val failures = HttpFetchSink.deadLetter(results)
+            .select(col("id"), col("url"), col("error")).collect()
+          failures.foreach(r => logger.error("Failed to download asset",
+            Map("id" -> r.getLong(0), "url" -> r.getString(1),
+              "error" -> r.getString(2))))
           KeyedJsonSink.writeSingle(
             HttpFetchSink.deadLetter(results).withColumn("uid", col("id")),
             "uid", s"$outDir/master/wp_failed.json", removeKeys = succeeded)
+          logger.log(s"Exported assets", Map("entries" -> n,
+            "failed" -> failures.length))
           n
         case m =>
           val n = KeyedJsonSink.writeSingle(df, "uid",
             s"$outDir/entries/$m/en-us.json")
           KeyedJsonSink.writeMasterManifest(df, "uid",
             s"$outDir/master/entries/$m.json")
+          logger.log(s"Exported $m", Map("entries" -> n))
           n
       }
     } finally { df.unpersist(); () }

@@ -1,0 +1,67 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.time.Instant
+
+/** S11 — log-sink parity with the reference's winston setup
+  * (libs/utils/logger.js:46-100): one JSON-lines file per named logger
+  * under a logs directory, each line `{"level":..,"message":..,
+  * "timestamp":..}`, levels error/warn/info/debug, and arguments
+  * joined by two spaces with non-strings JSON-stringified
+  * (logger.js:15-29 returnString). Driver-side by design — these are
+  * orchestration logs (module progress, per-asset failures), not a
+  * data-plane output; executors keep using log4j2.
+  */
+final class JsonLogger(logsDir: String, logfileName: String) {
+  private val path = Paths.get(logsDir, logfileName + ".log")
+  Files.createDirectories(Paths.get(logsDir))
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Minimal JSON.stringify analog for the argument types the reference
+    * logs (strings pass through un-quoted in the message, like winston's
+    * string join; maps/seqs/numbers stringify). */
+  private def stringify(v: Any): String = v match {
+    case s: String => jsonStr(s)
+    case n: Int => n.toString
+    case n: Long => n.toString
+    case n: Double => n.toString
+    case b: Boolean => b.toString
+    case null => "null"
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => jsonStr(String.valueOf(k)) + ":" + stringify(x) }
+        .mkString("{", ",", "}")
+    case xs: Iterable[_] => xs.map(stringify).mkString("[", ",", "]")
+    case other => jsonStr(String.valueOf(other))
+  }
+
+  private def write(level: String, parts: Seq[Any]): Unit = {
+    val message = parts.map {
+      case s: String => s
+      case other => stringify(other)
+    }.mkString("  ").trim
+    if (message.nonEmpty) {
+      val line = s"""{"level":${jsonStr(level)},"message":${jsonStr(message)},""" +
+        s""""timestamp":${jsonStr(Instant.now.toString)}}""" + "\n"
+      synchronized {
+        Files.write(path, line.getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      }
+    }
+  }
+
+  def log(parts: Any*): Unit = write("info", parts) // reference log() => info
+  def warn(parts: Any*): Unit = write("warn", parts)
+  def error(parts: Any*): Unit = write("error", parts)
+  def debug(parts: Any*): Unit = write("debug", parts)
+}

@@ -188,6 +188,45 @@ class WpPipelineSpec extends AnyFunSuite {
     assert(!failed2.contains("\"6\""), s"expected id 6 removed from: $failed2")
   }
 
+  test("contenttypes config drives module order, column order, and S11 logs") {
+    val outDir = Files.createTempDirectory("wpcts").toString
+    val orch = new Orchestrator(spark, cat, outDir, _ => Right(Array[Byte](1)),
+      contentTypesDir = Some(ContentTypeFixture.dir))
+    assert(orch.modules == Seq("assets", "categories", "authors", "posts"))
+    val counts = orch.run()
+    assert(counts("authors") == 1 && counts("posts") == 3)
+
+    // entry columns follow the contenttype's field order (fixture puts
+    // first_name/last_name BEFORE email/url, unlike the pipeline output)
+    val authorsJson = new String(Files.readAllBytes(
+      Paths.get(s"$outDir/entries/authors/en-us.json")), "UTF-8")
+    val order = Seq("\"first_name\"", "\"last_name\"", "\"email\"", "\"url\"")
+      .map(authorsJson.indexOf)
+    assert(order.forall(_ >= 0) && order == order.sorted,
+      s"expected contenttype field order in: $authorsJson")
+
+    // S11: winston-parity JSON-lines progress logs per module
+    val logLines = Files.readAllLines(
+      Paths.get(s"$outDir/logs/authors.log")).toArray.map(_.toString)
+    assert(logLines.nonEmpty)
+    val entries = logLines.map(l =>
+      graft.sinks.KeyedJsonSink.topLevelEntries(l).toMap)
+    assert(entries.forall(e =>
+      e.contains("level") && e.contains("message") && e.contains("timestamp")))
+    assert(entries.exists(e => e("level") == "\"info\"" &&
+      e("message").contains("Exported authors")))
+  }
+
+  test("asset failures produce S11 error log lines") {
+    val outDir = Files.createTempDirectory("wplogs").toString
+    FlakyImg6.failing = true
+    new Orchestrator(spark, cat, outDir, FlakyImg6.fetcher).runModule("assets")
+    val lines = Files.readAllLines(
+      Paths.get(s"$outDir/logs/assets.log")).toArray.map(_.toString)
+    val errs = lines.filter(_.contains("\"level\":\"error\""))
+    assert(errs.exists(l => l.contains("img6") && l.contains("ECONNREFUSED")))
+  }
+
   test("orchestrator by-ids entry point restricts via semi-join") {
     val outDir = Files.createTempDirectory("wpids").toString
     val idFile = s"$outDir/ids.txt"
