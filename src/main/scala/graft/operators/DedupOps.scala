@@ -28,9 +28,18 @@ object DedupOps {
     * parsed positionally — reproducible in any SQL engine (used so the
     * DuckDB oracle can recompute SimHash and MinHash exactly). */
   private[operators] def hv32Sql(tokenVar: String): String =
+    hv32FromHexSql(s"md5($tokenVar)")
+
+  /** Positional parse of a PRE-COMPUTED md5 hex column. The `md5($x)`
+    * form above textually repeats the digest 8 times (once per hex
+    * position); projection codegen CSEs that to one call, but aggregate
+    * expressions do NOT — so hash-heavy aggregates must materialize the
+    * digest in a projection first and parse it with this form
+    * (measured: 37.6 s -> ~3 s for minhash at sf0.1). */
+  private[operators] def hv32FromHexSql(hexVar: String): String =
     (1 to 8).map { p =>
       val coef = math.pow(16, 8 - p).toLong
-      s"(instr('0123456789abcdef', substr(md5($tokenVar), $p, 1)) - 1) * ${coef}L"
+      s"(instr('0123456789abcdef', substr($hexVar, $p, 1)) - 1) * ${coef}L"
     }.mkString(" + ")
 
   private val hexChars = array("0123456789abcdef".map(c => lit(c.toString)): _*)
@@ -115,26 +124,46 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
 
-  /** MinHash signature (k independent hash functions) over a distinct
-    * shingle-set column. Row-local; per-function salted positional-md5
-    * hashes (engine-independent, so an external oracle can recompute
-    * signatures exactly). Prefer [[minhashSignatures]] (explode form)
-    * for large inputs — HOFs interpret per element. */
-  def minhashSignature(shingleSet: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleSet,
-        s => hv32Col(concat(i.cast("string"), lit("#"), s)))))
+  /** MinHash universal-hash family (Broder's construction): one
+    * engine-independent base hash per shingle ([[hv32Sql]] — positional
+    * md5), then `h_i(x) = (a_i * (h(x) mod p) + b_i) mod p` with
+    * deterministic odd multipliers. ONE md5 per shingle instead of k —
+    * the k salted-md5 form cost 16 digests per shingle row (~7 s for
+    * q36 at sf0.1; this form ~1 s). `p = 2^31 - 1` keeps every product
+    * below 2^62, so the same BIGINT arithmetic is exact in any engine.
+    */
+  private[operators] val minhashP = 2147483647L // 2^31 - 1, prime
+  private[operators] def minhashA(i: Int): Long =
+    (i * 2654435761L) % (minhashP - 1) + 1
+  private[operators] def minhashB(i: Int): Long =
+    (i * 40503L + 17L) % minhashP
 
-  /** MinHash signatures from a distinct shingle-row stream: k codegen'd
-    * min-aggregates (map-side partial min), one shuffle on the id — the
-    * scale path. Hash = salted positional-md5 ([[hv32Sql]]), identical
-    * to [[minhashSignature]] and recomputable in DuckDB SQL.
+  /** MinHash signature (k universal hash functions) over a distinct
+    * shingle-set column. Row-local; recomputable in external SQL.
+    * Prefer [[minhashSignatures]] (explode form) for large inputs —
+    * HOFs interpret per element. */
+  def minhashSignature(shingleSet: Column, k: Int): Column = {
+    val hvs = transform(shingleSet, s => hv32Col(s) % minhashP)
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(hvs,
+        h => (h * ((i.cast("long") * 2654435761L) % (minhashP - 1) + 1) +
+          (i.cast("long") * 40503L + 17L) % minhashP) % minhashP)))
+  }
+
+  /** MinHash signatures from a distinct shingle-row stream: one base
+    * hash per row materialized in a projection (aggregate expressions
+    * get no subexpression elimination — never put the md5 there), then
+    * k integer min-aggregates (map-side partial min) and one shuffle on
+    * the id — the scale path. Identical hash family to
+    * [[minhashSignature]], recomputable in DuckDB SQL.
     * Output: (id, sig array<long>). */
   def minhashSignatures(shingleRows: DataFrame, idCol: String,
                         shingleCol: String, k: Int): DataFrame = {
+    val withHv = shingleRows.select(col(idCol),
+      (expr(hv32Sql(shingleCol)) % minhashP).as("__hv"))
     val aggs = (0 until k).map(i =>
-      min(expr(hv32Sql(s"concat('$i#', $shingleCol)"))).as(s"__h$i"))
-    shingleRows.groupBy(col(idCol))
+      min((col("__hv") * minhashA(i) + minhashB(i)) % minhashP).as(s"__h$i"))
+    withHv.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("sig", array((0 until k).map(i => col(s"__h$i")): _*))
       .select(col(idCol), col("sig"))

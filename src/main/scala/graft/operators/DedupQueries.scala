@@ -144,10 +144,13 @@ object DedupQueries extends QueryModule {
          |    unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
          |  FROM toks),
+         |hv AS (SELECT doc_id, (${hvDuckOf("shingle")}) % 2147483647 AS hv
+         |       FROM sh),
          |mh AS (
          |  SELECT doc_id, i,
-         |    min(${hvDuckOf("CAST(i AS VARCHAR) || '#' || shingle")}) AS h
-         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ii
+         |    min((hv * ((i * 2654435761) % 2147483646 + 1)
+         |         + (i * 40503 + 17) % 2147483647) % 2147483647) AS h
+         |  FROM hv CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ii
          |  GROUP BY doc_id, i),
          |bands AS (
          |  SELECT doc_id, CAST(i // 4 AS INT) AS band_id,
