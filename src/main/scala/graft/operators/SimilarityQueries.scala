@@ -13,6 +13,18 @@ object SimilarityQueries extends QueryModule {
   private def t(s: org.apache.spark.sql.SparkSession, d: String, n: String) =
     Tables.t(s, d, n)
 
+  /** Seeded hyperplanes as a DuckDB VALUES table — `%.17e` round-trips
+    * every double exactly and scientific notation parses as DOUBLE (a
+    * plain decimal literal would go through DECIMAL), so the oracle's
+    * sign tests see bit-identical dot products. */
+  private def planeValuesSql(tables: Seq[Array[Array[Double]]]): String =
+    tables.zipWithIndex.flatMap { case (tbl, tid) =>
+      tbl.zipWithIndex.map { case (pl, pi) =>
+        val vals = pl.map(d => f"$d%.17e").mkString(", ")
+        s"($tid, $pi, CAST([$vals] AS DOUBLE[]))"
+      }
+    }.mkString(",\n")
+
   def qs: Seq[Q] = Seq(
 
     // exact top-5 cosine neighbors for the first 20 vectors (embeddings
@@ -60,9 +72,12 @@ object SimilarityQueries extends QueryModule {
     // vectors) so candidate volume stays ~n·25·L instead of drifting
     // quadratic as n grows past the bucket count. n comes from parquet
     // footer metadata (catalog stats), NOT a df.count() — no extra pass
-    // over the corpus before the real job. Deterministic seeded
-    // hyperplanes; Spark-only plan — driver records a rows-only check;
-    // recall pinned in SimilaritySpec.
+    // over the corpus before the real job. The seeded hyperplanes are
+    // interpolated into the oracle SQL as exact double literals, so the
+    // FULL pipeline (signatures -> buckets -> candidates -> exact
+    // ranking) is hash-checked vs DuckDB; the oracle bakes the sf0.01
+    // plane count (n=500 -> 5 planes), matching the dir the driver
+    // verifies. Recall additionally pinned in SimilaritySpec.
     Q("q39_knn_lsh", (s, d) => {
       val n = Stats.parquetRowCount(s, s"$d/embeddings.parquet")
       val planes = math.min(16, math.max(3,
@@ -70,7 +85,36 @@ object SimilarityQueries extends QueryModule {
       val tables = SimilarityOps.lshTables(planes, tables = 8, dim = 64)
       SimilarityOps.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         tables, k = 3)
-    }, None),
+    }, Some {
+      val tables = SimilarityOps.lshTables(planes = 5, tables = 8, dim = 64)
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings),
+         |planes(table_id, plane_idx, pv) AS (VALUES
+         |${planeValuesSql(tables)}),
+         |sig AS (
+         |  SELECT v.vec_id, p.table_id,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+         |                    i -> v.e[i] * p.pv[i])) > 0
+         |             THEN CAST(1 AS BIGINT) << p.plane_idx ELSE 0 END)
+         |         AS BIGINT) AS bucket
+         |  FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.table_id),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM sig a JOIN sig b ON a.table_id = b.table_id
+         |         AND a.bucket = b.bucket AND a.vec_id != b.vec_id),
+         |sims AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_sum(list_transform(range(1, 65), i -> q.e[i] * n.e[i])) AS sim
+         |  FROM cand c JOIN v q ON q.vec_id = c.query_id
+         |              JOIN v n ON n.vec_id = c.neighbor_id)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+         |       round(sim, 6) AS sim_r
+         |FROM (SELECT query_id, neighbor_id, sim,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY sim DESC, neighbor_id ASC) AS rnk
+         |      FROM sims)
+         |WHERE rnk <= 3""".stripMargin
+    }),
 
     // embedding-cosine near-dup pairs — brute-force baseline with an
     // exact oracle (unit vectors: dot == cosine). Quadratic; excluded
@@ -89,14 +133,46 @@ object SimilarityQueries extends QueryModule {
     // IVF-style ANN: nearest-centroid cells, nprobe-cell search. Cell
     // count scales with corpus size (target ≈64 vectors/cell, sized from
     // parquet footer stats) so candidate volume stays ~n·nprobe·64
-    // instead of drifting quadratic at a fixed nlist. Deterministic
-    // centroids; Spark-only plan — rows-only check; recall pinned in
-    // SimilaritySpec.
+    // instead of drifting quadratic at a fixed nlist. The whole plan is
+    // deterministic (first-nlist centroids, argmax cells with ties to
+    // the smaller index), so the oracle replays it exactly in SQL — the
+    // nlist=16 literal matches sf0.01's n=500 (the dir the driver
+    // verifies). Recall additionally pinned in SimilaritySpec.
     Q("q45_knn_ivf", (s, d) => {
       val n = Stats.parquetRowCount(s, s"$d/embeddings.parquet")
       val nlist = math.max(16, math.ceil(n / 64.0).toInt)
       SimilarityOps.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         nlist = nlist, nprobe = 4, k = 3)
-    }, None)
+    }, Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+        FROM v ORDER BY vec_id LIMIT 16),
+      scored AS (
+        SELECT a.vec_id, c.cell,
+          list_sum(list_transform(range(1, 65), i -> a.e[i] * c.ce[i])) AS sim
+        FROM v a CROSS JOIN cents c),
+      ranked AS (
+        SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS r
+        FROM scored),
+      assign AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE r = 1),
+      probes AS (SELECT vec_id AS query_id, cell FROM ranked WHERE r <= 4),
+      cand AS (
+        SELECT p.query_id, a.neighbor_id
+        FROM probes p JOIN assign a ON a.cell = p.cell
+                     AND p.query_id != a.neighbor_id),
+      sims AS (
+        SELECT c.query_id, c.neighbor_id,
+          list_sum(list_transform(range(1, 65), i -> q.e[i] * n.e[i])) AS sim
+        FROM cand c JOIN v q ON q.vec_id = c.query_id
+                    JOIN v n ON n.vec_id = c.neighbor_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+             round(sim, 6) AS sim_r
+      FROM (SELECT query_id, neighbor_id, sim,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS rnk
+            FROM sims)
+      WHERE rnk <= 3"""))
   )
 }
