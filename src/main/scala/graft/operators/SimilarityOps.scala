@@ -152,6 +152,37 @@ object SimilarityOps {
                 seed: Long = 42L): Seq[Array[Array[Double]]] =
     (0 until tables).map(t => hyperplanes(planes, dim, seed + t))
 
+  /** Embedding-cosine near-duplicate pairs AT SCALE: candidates from
+    * multi-table LSH buckets (vs [[cosinePairs]]' quadratic nested
+    * loop), verified exactly against the threshold. Output is each
+    * (a < b) pair that shares ≥1 bucket AND has dot ≥ threshold —
+    * deterministic given the seeded planes, so an external oracle can
+    * replay it; recall vs the exact pair set is pinned in
+    * SimilaritySpec. Same shuffle shape as [[lshTopK]] minus the
+    * ranking window. */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+                      tables: Seq[Array[Array[Double]]],
+                      threshold: Double): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val planesPerTable = tables.head.length
+    val planeMatrix: Seq[Seq[Double]] = tables.flatten.map(_.toSeq)
+    val bandTable = corpus
+      .select(col(idCol), col(embCol).cast("array<double>").as("v"),
+        posexplode(call_function("hp_signatures",
+          col(embCol).cast("array<double>"),
+          typedLit(planeMatrix), lit(planesPerTable)))
+          .as(Seq("table_id", "bucket")))
+    bandTable.select(col(idCol).as("id_a"), col("v").as("ea"),
+        col("table_id"), col("bucket"))
+      .join(bandTable.select(col(idCol).as("id_b"), col("v").as("eb"),
+        col("table_id"), col("bucket")), Seq("table_id", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), dot(col("ea"), col("eb")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct()
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
+  }
+
   /** ANN via multi-table bucket join: vectors sharing a bucket in ANY
     * table are compared exactly; top-k per query over the candidate set.
     * Shuffles on (table_id, bucket) — candidate count ≈ n·avgBucket·L,

@@ -130,6 +130,44 @@ object SimilarityQueries extends QueryModule {
       WHERE list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) >= 0.4"""),
       bench = false),
 
+    // embedding near-dup AT SCALE: LSH-bucket candidates + exact
+    // threshold verify — the linear-ish path whose quadratic baseline
+    // is q44. Deterministic seeded planes interpolated into the oracle
+    // (sf0.01 sizing: 5 planes), so the full pipeline hash-checks;
+    // recall vs q44's exact pair set pinned in SimilaritySpec.
+    Q("q50_neardup_lsh", (s, d) => {
+      val n = Stats.parquetRowCount(s, s"$d/embeddings.parquet")
+      val planes = math.min(16, math.max(3,
+        math.ceil(math.log(n / 25.0) / math.log(2)).toInt))
+      val tables = SimilarityOps.lshTables(planes, tables = 8, dim = 64)
+      SimilarityOps.lshNearDupPairs(t(s, d, "embeddings"), "vec_id",
+        "embedding", tables, threshold = 0.4)
+    }, Some {
+      val tables = SimilarityOps.lshTables(planes = 5, tables = 8, dim = 64)
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings),
+         |planes(table_id, plane_idx, pv) AS (VALUES
+         |${planeValuesSql(tables)}),
+         |sig AS (
+         |  SELECT v.vec_id, p.table_id,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+         |                    i -> v.e[i] * p.pv[i])) > 0
+         |             THEN CAST(1 AS BIGINT) << p.plane_idx ELSE 0 END)
+         |         AS BIGINT) AS bucket
+         |  FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.table_id),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sig a JOIN sig b ON a.table_id = b.table_id
+         |         AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT c.id_a, c.id_b,
+         |  round(list_sum(list_transform(range(1, 65),
+         |          i -> x.e[i] * y.e[i])), 6) AS sim_r
+         |FROM cand c JOIN v x ON x.vec_id = c.id_a
+         |            JOIN v y ON y.vec_id = c.id_b
+         |WHERE list_sum(list_transform(range(1, 65),
+         |        i -> x.e[i] * y.e[i])) >= 0.4""".stripMargin
+    }),
+
     // IVF-style ANN: nearest-centroid cells, nprobe-cell search. Cell
     // count scales with corpus size (target ≈64 vectors/cell, sized from
     // parquet footer stats) so candidate volume stays ~n·nprobe·64

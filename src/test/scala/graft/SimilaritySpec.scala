@@ -58,6 +58,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall@1 $recall too low ($hits/${brute.size})")
   }
 
+  test("LSH near-dup pairs are a subset of the exact pair set with sane recall") {
+    val emb = graft.catalog.Tables.t(spark, sf, "embeddings")
+    val tables = SimilarityOps.lshTables(planes = 4, tables = 8, dim = 64)
+    val lsh = SimilarityOps
+      .lshNearDupPairs(emb, "vec_id", "embedding", tables, threshold = 0.35)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val exact = SimilarityOps
+      .cosinePairs(emb, "vec_id", "embedding", threshold = 0.35)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // LSH candidates are exactly verified
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.5,
+        s"recall ${lsh.size}/${exact.size} too low")
+  }
+
   test("hyperplanes are deterministic by seed") {
     val p1 = SimilarityOps.hyperplanes(4, 8, seed = 7)
     val p2 = SimilarityOps.hyperplanes(4, 8, seed = 7)
