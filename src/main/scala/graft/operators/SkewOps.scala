@@ -32,7 +32,7 @@ object SkewOps {
                 sumExprs: Map[String, Column],
                 countName: Option[String] = Some("n")): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(salts)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val stage1Aggs =
       sumExprs.map { case (name, c) => sum(c).as(s"__s_$name") }.toSeq ++
         countName.map(_ => count(lit(1)).as("__s_cnt")).toSeq

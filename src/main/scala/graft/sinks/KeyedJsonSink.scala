@@ -32,7 +32,7 @@ object KeyedJsonSink {
   private def keyed(df: DataFrame, uidCol: String): DataFrame = {
     val valueCols = df.columns.filterNot(_ == uidCol).map(col)
     df.select(col(uidCol).cast("string").as("uid"),
-      to_json(struct(valueCols: _*)).as("json"))
+      to_json(struct(valueCols.toIndexedSeq: _*)).as("json"))
   }
 
   /** Pretty-print a JSON object string with 4-space indent, matching the

@@ -94,6 +94,6 @@ object ContentTypeCatalog {
       s"entries for '${ct.uid}' missing mandatory fields: " +
         missingMandatory.mkString(", "))
     val keys = df.columns.filterNot(present.contains)
-    df.select((keys ++ present).map(col): _*)
+    df.select((keys.toIndexedSeq ++ present).map(col): _*)
   }
 }

@@ -35,7 +35,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("EAV toMap builds a MapType meta column") {
     val eav = Seq((1L, "a", "1"), (1L, "b", "2")).toDF("id", "k", "v")
-    val m = EavOps.toMap(eav, "id", "k", "v").head.getMap[String, String](1)
+    val m = EavOps.toMap(eav, "id", "k", "v").head().getMap[String, String](1)
     assert(m == Map("a" -> "1", "b" -> "2"))
   }
 

@@ -53,7 +53,7 @@ class PropertySpec extends AnyFunSuite {
       val df = Seq((ts, 1L, "slug")).toDF("ts", "id", "slug")
       val got = df.select(Permalink.expand(
         "/%year%/%monthnum%/%day%/%postname%/", $"ts", $"id", $"slug"))
-        .head.getString(0)
+        .head().getString(0)
       val utc = ts.toInstant.atZone(java.time.ZoneOffset.UTC)
       val want = f"/${utc.getYear}%04d/${utc.getMonthValue}%02d/${utc.getDayOfMonth}%02d/slug/"
       got == want

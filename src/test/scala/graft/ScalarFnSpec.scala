@@ -37,7 +37,7 @@ class ScalarFnSpec extends AnyFunSuite {
 
   private def one(c: org.apache.spark.sql.Column, input: (String, String)*): String = {
     val df = input.toSeq.toDF("a", "b")
-    df.select(c.as("r")).head.getString(0)
+    df.select(c.as("r")).head().getString(0)
   }
 
   test("F1 slugify matches title.toLowerCase().replace(/[^a-z0-9_-]+/g,'-')") {
@@ -76,12 +76,12 @@ class ScalarFnSpec extends AnyFunSuite {
       .toDF("ts", "id", "slug")
     val c = Permalink.expand("/blog/%year%/%monthnum%/%day%/%postname%/",
       $"ts", $"id", $"slug")
-    assert(df.select(c).head.getString(0) == "/blog/2018/03/07/hello-world/")
+    assert(df.select(c).head().getString(0) == "/blog/2018/03/07/hello-world/")
     val c2 = Permalink.expand("/p/%post_id%", $"ts", $"id", $"slug")
-    assert(df.select(c2).head.getString(0) == "/p/42")
+    assert(df.select(c2).head().getString(0) == "/p/42")
     // unknown token passes through literally (posts.js:126-129)
     val c3 = Permalink.expand("/%category%/%postname%", $"ts", $"id", $"slug")
-    assert(df.select(c3).head.getString(0) == "/%category%/hello-world")
+    assert(df.select(c3).head().getString(0) == "/%category%/hello-world")
   }
 
   test("F9 UriCodec matches JS encodeURI on representative inputs") {

@@ -30,7 +30,7 @@ class ScaleSpec extends AnyFunSuite {
         .master("local[2]")
         .withExtensions(new GraftExtensions)
         .getOrCreate()
-      val got = s2.sql("SELECT encode_uri('a b/ü') AS x").head.getString(0)
+      val got = s2.sql("SELECT encode_uri('a b/ü') AS x").head().getString(0)
       assert(got == "a%20b/%C3%BC")
     } finally {
       SparkSession.setDefaultSession(base)

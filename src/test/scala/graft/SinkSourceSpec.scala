@@ -43,7 +43,7 @@ class SinkSourceSpec extends AnyFunSuite {
       .select(split($"value", "\t").getItem(0).as("uid"),
         get_json_object(split($"value", "\t").getItem(1), "$.v").cast("int").as("v"))
     assert(back.count() == 100)
-    assert(back.agg(sum($"v")).head.getLong(0) == 5050)
+    assert(back.agg(sum($"v")).head().getLong(0) == 5050)
   }
 
   test("IdListSource parses comma lists with blanks and whitespace") {
