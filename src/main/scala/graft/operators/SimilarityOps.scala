@@ -76,19 +76,60 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
   }
 
-  /** IVF-style ANN. "Train": the first `nlist` corpus vectors by id act
-    * as deterministic centroids (stand-in for a k-means fit, keeping
-    * results reproducible) — collected once on the driver (`nlist` rows,
-    * the size of any broadcast ANN model). "Search": every vector scores
+  /** Deterministic seed centroids: the first `nlist` corpus vectors by
+    * id. The matrix row INDEX is a stable cell id (ties in
+    * nearest_cells break to the smaller index == smaller centroid id). */
+  def seedCentroids(corpus: DataFrame, idCol: String, embCol: String,
+                    nlist: Int): Seq[Seq[Double]] =
+    corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(embCol).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+
+  /** Lloyd's k-means refinement of [[seedCentroids]]: each iteration
+    * assigns every vector to its nearest centroid ROW-LOCALLY
+    * ([[graft.functions.NearestCells]] against the broadcast matrix)
+    * and recomputes per-cell elementwise means with ONE
+    * posexplode + groupBy (map-side partial avg; nlist×dim result rows
+    * collected — centroids are a small model by definition). Init is
+    * deterministic, but double partial-aggregation order is not, so
+    * refined centroids can differ in low-order bits across runs —
+    * callers needing bit-reproducibility (the q45 oracle) use the raw
+    * seeds; callers wanting recall use a few iterations. Empty cells
+    * keep their previous centroid. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, embCol: String,
+                      nlist: Int, iters: Int): Seq[Seq[Double]] = {
+    GraftFunctions.register(corpus.sparkSession)
+    var cents = seedCentroids(corpus, idCol, embCol, nlist)
+    val vecs = corpus.select(col(embCol).cast("array<double>").as("v"))
+    for (_ <- 1 to iters) {
+      val means = vecs
+        .withColumn("cell", call_function("nearest_cells",
+          col("v"), typedLit(cents), lit(1))(0))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.indices.map(c => means.getOrElse(c, cents(c)))
+    }
+    cents
+  }
+
+  /** IVF-style ANN search against an explicit centroid matrix
+    * ([[seedCentroids]] or [[kmeansCentroids]] — collected once on the
+    * driver, the size of any broadcast ANN model). Every vector scores
     * all centroids ROW-LOCALLY via the matrix-form
     * [[graft.functions.NearestCells]] expression (one primitive loop per
-    * row against the broadcast centroid matrix) yielding its `nprobe`
-    * nearest cell indices, best first, ties to the smaller centroid id.
-    * The top cell is the assignment. No crossJoin, no per-vector window,
-    * zero shuffles until the candidate join.
+    * row against the broadcast matrix) yielding its `nprobe` nearest
+    * cell indices, best first, ties to the smaller centroid id. The top
+    * cell is the assignment. No crossJoin, no per-vector window, zero
+    * shuffles until the candidate join.
     *
     * Vectors are carried through the cell join so ranking needs no
-    * further id-joins: shuffles = 1 (cell join) + 1 (top-k window).
+    * further id-joins: shuffles = 1 (cell join) + 1 (top-k ranking).
     * A (query, neighbor) pair can match at most once — each neighbor
     * lives in exactly one cell — so no distinct is needed.
     *
@@ -97,18 +138,10 @@ object SimilarityOps {
     * cell skews the join; AQE skew-join splits it at runtime.
     */
   def ivfTopK(corpus: DataFrame, idCol: String, embCol: String,
-              nlist: Int, nprobe: Int, k: Int): DataFrame = {
+              centMatrix: Seq[Seq[Double]], nprobe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(corpus.sparkSession)
     GraftPlanner.install(corpus.sparkSession)
-    // centroids ordered by id, so the matrix row INDEX is a stable,
-    // deterministic cell id (ties in nearest_cells break to the smaller
-    // index == smaller centroid id).
-    val centMatrix: Seq[Seq[Double]] =
-      corpus.orderBy(col(idCol)).limit(nlist)
-        .select(col(embCol).cast("array<double>"))
-        .collect()
-        .map(_.getSeq[Double](0).toSeq).toSeq
     val vecs = corpus.select(col(idCol),
       col(embCol).cast("array<double>").as("v"))
     val base = vecs.withColumn("cells",
@@ -130,6 +163,13 @@ object SimilarityOps {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("sim"), 6).as("sim_r"))
   }
+
+  /** IVF search with deterministic first-`nlist` seed centroids — the
+    * bit-reproducible configuration the q45 oracle replays. */
+  def ivfTopK(corpus: DataFrame, idCol: String, embCol: String,
+              nlist: Int, nprobe: Int, k: Int): DataFrame =
+    ivfTopK(corpus, idCol, embCol,
+      seedCentroids(corpus, idCol, embCol, nlist), nprobe, k)
 
   /** Deterministic Gaussian hyperplanes: `planes × dim`, seeded. */
   def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {

@@ -58,6 +58,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall@1 $recall too low ($hits/${brute.size})")
   }
 
+  test("k-means-refined IVF centroids keep or improve recall@1 over seeds") {
+    val emb = graft.catalog.Tables.t(spark, sf, "embeddings")
+    val seed = SimilarityOps.seedCentroids(emb, "vec_id", "embedding", 16)
+    val km = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding", 16, iters = 3)
+    assert(km.length == 16 && km.forall(_.length == seed.head.length))
+    assert(km != seed) // the refinement actually moved the centroids
+    val brute = SimilarityOps.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    def recall(cents: Seq[Seq[Double]]): Double = {
+      val ivf = SimilarityOps
+        .ivfTopK(emb, "vec_id", "embedding", cents, nprobe = 4, k = 1)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+      ivf.count { case (q, n) => brute.get(q).contains(n) }.toDouble / brute.size
+    }
+    val rSeed = recall(seed)
+    val rKm = recall(km)
+    assert(rKm >= 0.2, s"k-means recall $rKm below floor")
+    assert(rKm >= rSeed - 0.05,
+      s"k-means recall $rKm materially worse than seed recall $rSeed")
+  }
+
   test("LSH near-dup pairs are a subset of the exact pair set with sane recall") {
     val emb = graft.catalog.Tables.t(spark, sf, "embeddings")
     val tables = SimilarityOps.lshTables(planes = 4, tables = 8, dim = 64)
