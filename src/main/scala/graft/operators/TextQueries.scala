@@ -23,6 +23,26 @@ object TextQueries extends QueryModule {
     "stream" -> Seq("stream", "window", "batch", "event"),
     "perf"   -> Seq("fast", "slow", "small", "vector"))
 
+  /** DuckDB twin of [[TextOps.qualityScore]] (q28's oracle expression). */
+  private val qualitySql =
+    """round(
+      |  least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+      |  (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+      |  least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2,
+      |  6)""".stripMargin
+
+  /** DuckDB twin of [[TextOps.langId]]'s first-wins argmax CASE chain. */
+  private def langCaseSql: String = {
+    val h = dicts.map { case (name, words) =>
+      name -> s"len(regexp_extract_all(text, '\\b(${words.mkString("|")})\\b'))"
+    }
+    h.zipWithIndex.init.foldRight(s"'${h.last._1}'") {
+      case (((name, expr), i), rest) =>
+        val conds = h.drop(i + 1).map(o => s"$expr >= ${o._2}").mkString(" AND ")
+        s"CASE WHEN $conds THEN '$name' ELSE $rest END"
+    }
+  }
+
   def qs: Seq[Q] = Seq(
 
     // tumbling event-time window aggregation (batch analog of the
@@ -97,17 +117,7 @@ object TextQueries extends QueryModule {
       import s.implicits._
       t(s, d, "documents").select(
         $"doc_id", TextOps.langId($"text", dicts).as("pred"))
-    }, Some {
-      val h = dicts.map { case (name, words) =>
-        name -> s"len(regexp_extract_all(text, '\\b(${words.mkString("|")})\\b'))"
-      }
-      val caseChain = h.zipWithIndex.init.foldRight(s"'${h.last._1}'") {
-        case (((name, expr), i), rest) =>
-          val conds = h.drop(i + 1).map(o => s"$expr >= ${o._2}").mkString(" AND ")
-          s"CASE WHEN $conds THEN '$name' ELSE $rest END"
-      }
-      s"SELECT doc_id, $caseChain AS pred FROM documents"
-    }),
+    }, Some(s"SELECT doc_id, $langCaseSql AS pred FROM documents")),
 
     // canonical document fingerprint (rolling-hash family; md5 of
     // case/whitespace-normalized text).
@@ -139,6 +149,34 @@ object TextQueries extends QueryModule {
         CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_shingles,
         CAST(len(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS BIGINT) AS n_distinct
-      FROM d"""))
+      FROM d""")),
+
+    // the composed curation pass a training-data pipeline actually runs:
+    // score quality + classify + fingerprint in ONE scan, drop
+    // low-quality docs, keep the canonical (min doc_id) doc per
+    // fingerprint. The dedup is the rank=1 window shape, so it executes
+    // through the custom TopKPerKeyExec operator — one shuffle on fp,
+    // no per-partition sort.
+    Q("q51_curation", (s, d) => {
+      import s.implicits._
+      graft.plans.GraftPlanner.install(s)
+      val w = Window.partitionBy($"fp").orderBy($"doc_id".asc)
+      t(s, d, "documents")
+        .select($"doc_id",
+          TextOps.qualityScore($"text").as("quality"),
+          TextOps.langId($"text", dicts).as("pred"),
+          TextOps.fingerprint($"text").as("fp"))
+        .filter($"quality" >= 0.5)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"pred", $"quality")
+    }, Some(
+      s"""WITH scored AS (
+         |  SELECT doc_id, $qualitySql AS quality, $langCaseSql AS pred,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents)
+         |SELECT doc_id, pred, quality FROM scored
+         |WHERE quality >= 0.5
+         |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1""".stripMargin))
   )
 }
