@@ -12,6 +12,13 @@ import org.apache.spark.sql.SparkSession
   * (BASELINE.md documents the same plan measuring 0.2 s and 18 s), and a
   * single-shot bench lets one stall masquerade as a plan regression.
   * The median also absorbs first-run codegen compilation.
+  *
+  * A fixed CALIBRATION PROBE (a constant `spark.range` aggregation whose
+  * plan never changes across rounds) runs between every 5 queries; its
+  * per-run times are reported under "probe" in the JSON. A stalled host
+  * window is then machine-detectable — probe spread >> probe median says
+  * the wall clock, not the plans, moved — instead of being argued from
+  * priors when a round-over-round query time jumps on an untouched plan.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,9 +38,20 @@ object Bench {
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
 
+    // fixed-cost calibration plan: 64M-row range sum, identical every
+    // round. ~0.1 s on an idle host; a 10x outlier marks a stall window.
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 64L << 20, 1, 32).agg(org.apache.spark.sql.functions.sum("id"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probeOnce() // warm the probe's own codegen before recording
+
     val names = SparkEntry.benchQueries
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = names.map { name =>
+    val probes = scala.collection.mutable.ListBuffer[Double](probeOnce())
+    val results = names.zipWithIndex.map { case (name, i) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir)
@@ -45,15 +63,24 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      if ((i + 1) % 5 == 0) probes += probeOnce()
       name -> times(times.length / 2)
     }
+    probes += probeOnce()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
+    val pSorted = probes.toSeq.sorted
+    val probeJson = {
+      val ts = probes.map(t => f"$t%.3f").mkString("[", ",", "]")
+      val med = f"${pSorted(pSorted.length / 2)}%.3f"
+      val max = f"${pSorted.last}%.3f"
+      s"""{"times":$ts,"median":$med,"max":$max}"""
+    }
     // a failed query's near-zero elapsed time must not read as a speedup:
     // failures are listed explicitly and the process exits nonzero.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"probe":$probeJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

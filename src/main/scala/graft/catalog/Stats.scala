@@ -16,23 +16,42 @@ import org.apache.spark.sql.SparkSession
   * catalog's ANALYZE-backed stats would pay. Memoized per path.
   */
 object Stats {
-  private val cache = TrieMap.empty[String, Long]
+  // keyed by (path, fingerprint-of-listing) so a rewritten dataset is
+  // re-counted instead of served a stale total.
+  private val cache = TrieMap.empty[(String, Long), Long]
 
   /** Exact row count of a parquet file or directory of parquet files,
-    * summed from footer metadata. */
-  def parquetRowCount(spark: SparkSession, path: String): Long =
-    cache.getOrElseUpdate(path, {
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new Path(path)
-      val fs = p.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).map(_.getPath)
-            .filter(f => f.getName.endsWith(".parquet"))
-        else Array(p)
+    * summed from footer metadata. Directories are listed RECURSIVELY so
+    * partitioned layouts (`.../date=2020-01-01/part-*.parquet`) count
+    * every leaf file; the memo key folds in each file's (path, length,
+    * modification time), so a path rewritten within the same JVM gets a
+    * fresh count while repeated sizing calls on stable data stay free. */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+    var fingerprint = 0L
+    if (fs.getFileStatus(p).isDirectory) {
+      val it = fs.listFiles(p, true) // recursive: partitioned dirs count
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) {
+          files += st.getPath
+          fingerprint = fingerprint * 31 + st.getPath.toString.hashCode
+          fingerprint = fingerprint * 31 + st.getLen
+          fingerprint = fingerprint * 31 + st.getModificationTime
+        }
+      }
+    } else {
+      val st = fs.getFileStatus(p)
+      files += p
+      fingerprint = st.getLen * 31 + st.getModificationTime
+    }
+    cache.getOrElseUpdate((path, fingerprint),
       files.map { f =>
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
         try r.getRecordCount finally r.close()
-      }.sum
-    })
+      }.sum)
+  }
 }

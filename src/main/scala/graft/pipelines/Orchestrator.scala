@@ -1,5 +1,7 @@
 package graft.pipelines
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,10 +23,17 @@ import graft.sources.{ContentTypeCatalog, IdListSource, WpCatalog}
   * field order; without it the reference order is hardcoded. Every
   * module writes winston-parity JSON-lines progress/error logs (S11)
   * under `outDir`/logs.
+  *
+  * `maxDriverManifest` bounds driver-side failure handling: at most that
+  * many failed fetches go through the reference-contract collect +
+  * single-file wp_failed.json; past it the dead-letter manifest is merged
+  * distributed ([[KeyedJsonSink.mergeSharded]]) with remove-on-success as
+  * an anti-join — no driver materialization at lake scale.
   */
 final class Orchestrator(spark: SparkSession, cat: WpCatalog, outDir: String,
                          fetcher: HttpFetchSink.Fetcher,
-                         contentTypesDir: Option[String] = None) {
+                         contentTypesDir: Option[String] = None,
+                         maxDriverManifest: Long = 10000L) {
 
   private val contentTypes = contentTypesDir
     .map(d => ContentTypeCatalog.load(spark, d)).getOrElse(Map.empty)
@@ -66,30 +75,65 @@ final class Orchestrator(spark: SparkSession, cat: WpCatalog, outDir: String,
     try {
       module match {
         case "assets" =>
+          // localCheckpoint (eager) materializes the fetch results ONCE
+          // and truncates lineage: the downstream actions (ok-join,
+          // succeeded set, failure log, dead-letter merge) can never
+          // re-execute the side-effecting fetcher — a cache() could, if
+          // partitions were evicted, re-hitting every failed URL per
+          // action and desyncing the success/failure views.
           val results = HttpFetchSink.fetch(df, "uid", "url",
-            s"$outDir/assets", fetcher).cache()
-          val okAssets = df.join(
-            results.filter(col("ok")).select(col("id").cast("string").as("uid")),
-            "uid", "left_semi")
-          val n = KeyedJsonSink.writeSingle(okAssets, "uid",
-            s"$outDir/assets/assets.json")
-          // remove-on-success (reference assets.js:135-137): an id that
-          // fetched OK this run — fresh or idempotent-skip — must drop
-          // out of any stale wp_failed state before the new failures
-          // merge in.
-          val succeeded = results.filter(col("ok"))
-            .select(col("id").cast("string")).collect().map(_.getString(0)).toSet
-          val failures = HttpFetchSink.deadLetter(results)
-            .select(col("id"), col("url"), col("error")).collect()
-          failures.foreach(r => logger.error("Failed to download asset",
-            Map("id" -> r.getLong(0), "url" -> r.getString(1),
-              "error" -> r.getString(2))))
-          KeyedJsonSink.writeSingle(
-            HttpFetchSink.deadLetter(results).withColumn("uid", col("id")),
-            "uid", s"$outDir/master/wp_failed.json", removeKeys = succeeded)
-          logger.log(s"Exported assets", Map("entries" -> n,
-            "failed" -> failures.length))
-          n
+            s"$outDir/assets", fetcher).localCheckpoint(true)
+          try {
+            val okAssets = df.join(
+              results.filter(col("ok")).select(col("id").cast("string").as("uid")),
+              "uid", "left_semi")
+            val n = KeyedJsonSink.writeSingle(okAssets, "uid",
+              s"$outDir/assets/assets.json")
+            val failed = results.filter(!col("ok")).count()
+            val shardedDir = s"$outDir/master/wp_failed"
+            val shardedState = Files.exists(Paths.get(shardedDir))
+            // remove-on-success (reference assets.js:135-137): an id that
+            // fetched OK this run — fresh or idempotent-skip — must drop
+            // out of any stale wp_failed state before the new failures
+            // merge in. Once the manifest has gone sharded it stays
+            // sharded (healed ids must anti-join out of the shard state
+            // even on a run with few fresh failures).
+            if (failed <= maxDriverManifest && !shardedState) {
+              // reference-contract path: small failure sets collect to the
+              // driver for the single pretty-printed wp_failed.json and a
+              // per-asset error log line.
+              val succeeded = results.filter(col("ok"))
+                .select(col("id").cast("string")).collect().map(_.getString(0)).toSet
+              val failures = HttpFetchSink.deadLetter(results)
+                .select(col("id"), col("url"), col("error")).collect()
+              failures.foreach(r => logger.error("Failed to download asset",
+                Map("id" -> r.getLong(0), "url" -> r.getString(1),
+                  "error" -> r.getString(2))))
+              KeyedJsonSink.writeSingle(
+                HttpFetchSink.deadLetter(results).withColumn("uid", col("id")),
+                "uid", s"$outDir/master/wp_failed.json", removeKeys = succeeded)
+            } else {
+              // lake path: NOTHING materializes on the driver. The failure
+              // manifest lives as sharded keyed JSON; remove-on-success is
+              // an anti-join against the succeeded ids inside the same
+              // distributed merge. The error log carries the aggregate
+              // count — a per-row log line at this scale IS a driver
+              // materialization in disguise.
+              val succeededIds = results.filter(col("ok"))
+                .select(col("id").cast("string").as("uid"))
+              KeyedJsonSink.mergeSharded(
+                HttpFetchSink.deadLetter(results).withColumn("uid", col("id")),
+                "uid", shardedDir,
+                removeKeys = Some(succeededIds),
+                legacyFile = Some(s"$outDir/master/wp_failed.json"))
+              if (failed > 0)
+                logger.error("Failed to download assets",
+                  Map("failed" -> failed, "manifest" -> shardedDir))
+            }
+            logger.log(s"Exported assets", Map("entries" -> n,
+              "failed" -> failed))
+            n
+          } finally { results.unpersist(); () }
         case m =>
           val n = KeyedJsonSink.writeSingle(df, "uid",
             s"$outDir/entries/$m/en-us.json")

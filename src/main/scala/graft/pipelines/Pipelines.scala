@@ -111,7 +111,26 @@ object Pipelines {
     val url: Column =
       if (structure.nonEmpty)
         Permalink.expand(structure, col("post_date_gmt"), col("ID"), col("post_name"))
-      else StringFns.relativize(col("guid")) // empty structure → guid path
+      else {
+        // empty structure → derive the path from the guid by splitting at
+        // the blog-name segment of siteurl (posts.js:62-77: blogname =
+        // last non-empty segment of siteurl.split("/"), then
+        // url.split(blogname)[1]). JS split-by-string [1] is the text
+        // between the 1st and 2nd occurrence — Spark's get(split(..), 1)
+        // with a regex-quoted literal reproduces it exactly. For a WP
+        // install at example.com/blog this keeps "/?p=7", where bare
+        // relativize would keep "/blog/?p=7". Guids not containing the
+        // blog segment fall back to relativize (the reference returns
+        // undefined there — an NPE-class bug SURVEY §7.4 says not to
+        // replicate).
+        val siteurl = opts.getOrElse("siteurl", "")
+        val blogname = siteurl.split("/").reverse.find(_.nonEmpty).getOrElse("")
+        if (blogname.isEmpty) StringFns.relativize(col("guid"))
+        else coalesce(
+          get(split(col("guid"),
+            java.util.regex.Pattern.quote(blogname)), lit(1)),
+          StringFns.relativize(col("guid")))
+      }
 
     p.join(users, p("post_author") === users("ID"), "left_outer")
       .join(postCats, p("ID") === postCats("object_id"), "left_outer")

@@ -94,7 +94,9 @@ object KeyedJsonSink {
           case 'r' => sb.append('\r'); i += 2
           case 'b' => sb.append('\b'); i += 2
           case 'f' => sb.append('\f'); i += 2
-          case 'u' if i + 5 < s.length + 1 =>
+          case 'u' if i + 6 <= s.length &&
+              s.substring(i + 2, i + 6).forall(h =>
+                Character.digit(h, 16) >= 0) =>
             sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
             i += 6
           case other => sb.append(other); i += 2
@@ -213,13 +215,82 @@ object KeyedJsonSink {
 
   /** Scale path: distributed JSON-lines shards keyed by uid hash. Merging
     * a delta = union previous shards + delta, last-wins on uid, rewrite
-    * (one shuffle, no driver materialization). */
+    * (one shuffle, no driver materialization) — see [[mergeSharded]]. */
   def writeSharded(entries: DataFrame, uidCol: String, dir: String,
                    shards: Int = 64): Unit =
-    keyed(entries, uidCol)
+    writeShardFiles(keyed(entries, uidCol), dir, shards)
+
+  private def writeShardFiles(keyedDf: DataFrame, dir: String,
+                              shards: Int): Unit =
+    keyedDf
       .repartition(shards, col("uid"))
       .select(concat_ws("\t", col("uid"), col("json")).as("value"))
       .write.mode(SaveMode.Overwrite).text(dir)
+
+  /** Read a sharded dir back as (uid, json) rows. `to_json` escapes tabs
+    * and newlines inside values, so the FIRST tab of each line is the
+    * separator (uids themselves must not contain tabs — they are ids,
+    * logins and slugs in every pipeline). */
+  def readSharded(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): DataFrame =
+    spark.read.text(dir).select(
+      substring_index(col("value"), "\t", 1).as("uid"),
+      expr("substring(value, instr(value, '\t') + 1)").as("json"))
+
+  /** The distributed analog of [[writeSingle]]'s read-modify-write:
+    * merge `delta` into the shards at `dir` with last-wins per uid
+    * (delta beats existing; within the delta, ties resolve to the
+    * lexicographically-greatest rendered json — deterministic, where
+    * [[writeSingle]] keeps an arbitrary collected row), drop
+    * `removeKeys` (the remove-on-success contract, as an anti-join
+    * instead of a driver-side Set), and rewrite compacted shards.
+    * One shuffle over existing ∪ delta; nothing materializes on the
+    * driver. The swap is write-to-temp + directory rename — not atomic
+    * like [[atomicWrite]]'s file move (no Hadoop FS offers an atomic
+    * directory swap), so concurrent readers must tolerate a brief
+    * absence; the temp dir survives a crash for manual recovery. */
+  def mergeSharded(delta: DataFrame, uidCol: String, dir: String,
+                   shards: Int = 64,
+                   removeKeys: Option[DataFrame] = None,
+                   legacyFile: Option[String] = None): Unit = {
+    val spark = delta.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fresh = keyed(delta, uidCol).withColumn("src", lit(1))
+    // a [[writeSingle]]-format file from earlier small-scale runs is
+    // absorbed once (its size is bounded by the small-mode contract that
+    // wrote it) and deleted after a successful merge, so crossing the
+    // scale threshold loses no state.
+    val legacyPath = legacyFile.map(Paths.get(_)).filter(Files.exists(_))
+    val legacy = legacyPath.toSeq.flatMap { p =>
+      topLevelEntries(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+        .map { case (k, v) => (k, minify(v)) }
+    }
+    val legacyDf =
+      if (legacy.isEmpty) None
+      else {
+        import spark.implicits._
+        Some(legacy.toDF("uid", "json").withColumn("src", lit(0)))
+      }
+    val unioned = (legacyDf.toSeq ++
+      (if (fs.exists(hPath))
+        Seq(readSharded(spark, dir).withColumn("src", lit(0))) else Nil))
+      .foldLeft(fresh)(_ unionByName _)
+    val merged = unioned
+      .groupBy(col("uid"))
+      .agg(max(struct(col("src"), col("json"))).as("w"))
+      .select(col("uid"), col("w.json").as("json"))
+    val kept = removeKeys.fold(merged) { rm =>
+      merged.join(rm.select(col(rm.columns.head).cast("string").as("uid")),
+        Seq("uid"), "left_anti")
+    }
+    val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    writeShardFiles(kept, tmp, shards)
+    fs.delete(hPath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath))
+      throw new java.io.IOException(s"rename $tmp -> $dir failed")
+    legacyPath.foreach(Files.delete(_))
+  }
 
   /** Master-manifest sink (S8): {"en-us": {uid: ""}} locale map
     * (reference: authors.js:34,52). */

@@ -97,6 +97,58 @@ class SinkHardeningSpec extends AnyFunSuite {
     assert(entries.keySet == Set("22"))
   }
 
+  test("sharded merge + compaction round-trips ≡ writeSingle on same data") {
+    val dir = Files.createTempDirectory("shardrt")
+    val shardDir = dir.resolve("state").toString
+    val singlePath = dir.resolve("state.json").toString
+    val base = (1 to 40).map(i => (s"k$i", s"v$i", i)).toDF("uid", "field", "n")
+    // delta: update 5 existing keys, add 3 new; remove 2 (one updated-
+    // and-removed, one untouched-and-removed)
+    val delta = ((3 to 7).map(i => (s"k$i", s"V$i", i * 100)) ++
+      Seq(("x1", "nx1", -1), ("x2", "nx2", -2), ("x3", "nx3", -3)))
+      .toDF("uid", "field", "n")
+    val rm = Seq("k3", "k20").toDF("uid")
+
+    KeyedJsonSink.writeSharded(base, "uid", shardDir, shards = 4)
+    KeyedJsonSink.mergeSharded(delta, "uid", shardDir, shards = 4,
+      removeKeys = Some(rm))
+
+    KeyedJsonSink.writeSingle(base, "uid", singlePath)
+    KeyedJsonSink.writeSingle(delta, "uid", singlePath,
+      removeKeys = Set("k3", "k20"))
+
+    val sharded = KeyedJsonSink.readSharded(spark, shardDir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val single = KeyedJsonSink.topLevelEntries(
+      new String(Files.readAllBytes(Paths.get(singlePath)), StandardCharsets.UTF_8))
+      .map { case (k, v) => k -> KeyedJsonSink.minify(v) }.toMap
+    assert(sharded.keySet == single.keySet)
+    assert(sharded.keySet.size == 41) // 40 - 2 removed + 3 added
+    sharded.keySet.foreach(k => assert(sharded(k) == single(k), s"key $k"))
+
+    // compaction: exactly one line per key across the shard files — the
+    // merge rewrote state, not appended a log.
+    val lines = spark.read.text(shardDir).count()
+    assert(lines == 41)
+  }
+
+  test("mergeSharded absorbs a legacy writeSingle file once") {
+    val dir = Files.createTempDirectory("shardlegacy")
+    val shardDir = dir.resolve("state").toString
+    val legacy = dir.resolve("legacy.json").toString
+    Files.write(Paths.get(legacy),
+      """{"old1": {"url": "http://x/a"}, "old2": {"url": "http://x/b"}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    val delta = Seq(("new1", "http://x/c")).toDF("uid", "url")
+    KeyedJsonSink.mergeSharded(delta, "uid", shardDir, shards = 2,
+      removeKeys = Some(Seq("old2").toDF("uid")), legacyFile = Some(legacy))
+    val got = KeyedJsonSink.readSharded(spark, shardDir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set("old1", "new1"))
+    assert(KeyedJsonSink.minify(got("old1")) == """{"url":"http://x/a"}""")
+    assert(!Files.exists(Paths.get(legacy))) // absorbed, deleted
+  }
+
   test("topLevelEntries handles escapes, nesting and empty objects") {
     assert(KeyedJsonSink.topLevelEntries("{}").isEmpty)
     assert(KeyedJsonSink.topLevelEntries("""  { } """).isEmpty)

@@ -188,6 +188,74 @@ class WpPipelineSpec extends AnyFunSuite {
     assert(!failed2.contains("\"6\""), s"expected id 6 removed from: $failed2")
   }
 
+  /** Fixture variant: empty permalink_structure + subdirectory siteurl
+    * (a WP install at example.com/blog) — exercises the guid-split
+    * fallback of posts.js:62-77. */
+  lazy val subdirFixtureDir: String = {
+    val dir = Files.createTempDirectory("wpsubdir").toString
+    for (t <- Seq("wp_users", "wp_usermeta", "wp_terms", "wp_term_taxonomy",
+        "wp_term_relationships", "wp_postmeta"))
+      spark.read.parquet(s"$fixtureDir/$t.parquet")
+        .write.parquet(s"$dir/$t.parquet")
+    spark.read.parquet(s"$fixtureDir/wp_posts.parquet")
+      .withColumn("guid", when(col("ID") === 16L,
+          lit("https://example.com/blog/?p=16"))
+        .when(col("ID") === 18L,
+          // the blog segment reappearing later in the guid: JS
+          // url.split(blogname)[1] keeps only the text BETWEEN the 1st
+          // and 2nd occurrence — parity pinned below
+          lit("https://example.com/blog/blog-post"))
+        .when(col("ID") === 20L, // no "blog" substring anywhere → fallback
+          lit("https://other.example.com/?p=20"))
+        .otherwise(col("guid")))
+      .write.parquet(s"$dir/wp_posts.parquet")
+    Seq(("permalink_structure", ""), ("siteurl", "https://example.com/blog"))
+      .toDF("option_name", "option_value")
+      .write.parquet(s"$dir/wp_options.parquet")
+    dir
+  }
+
+  test("posts empty-structure fallback splits guid at the siteurl blog segment") {
+    val byUid = Pipelines.posts(spark, new ParquetCatalog(subdirFixtureDir))
+      .collect().map(r => r.getAs[String]("uid") -> r).toMap
+    // blogname = "blog"; guid "https://example.com/blog/?p=16" → "/?p=16"
+    // (bare relativize would keep "/blog/?p=16")
+    assert(byUid("16").getAs[String]("url") == "/?p=16")
+    // JS split-by-string [1] quirk parity: ".../blog/blog-post" → "/"
+    assert(byUid("18").getAs[String]("url") == "/")
+    // guid without the blog segment falls back to relativize (the
+    // reference returns undefined here — bug not replicated)
+    assert(byUid("20").getAs[String]("url") == "/?p=20")
+  }
+
+  test("lake-scale failure manifest: sharded wp_failed, anti-join heal, no collect") {
+    val outDir = Files.createTempDirectory("wplake").toString
+    FlakyImg6.failing = true
+    val orch = new Orchestrator(spark, cat, outDir, FlakyImg6.fetcher,
+      maxDriverManifest = 0)
+    orch.runModule("assets")
+    val shardDir = s"$outDir/master/wp_failed"
+    assert(Files.exists(Paths.get(shardDir)))
+    assert(!Files.exists(Paths.get(s"$outDir/master/wp_failed.json")))
+    val m1 = graft.sinks.KeyedJsonSink.readSharded(spark, shardDir)
+      .collect().map(_.getString(0)).toSet
+    assert(m1 == Set("6"))
+    // aggregate-count error log, not per-row lines
+    val log1 = Files.readAllLines(Paths.get(s"$outDir/logs/assets.log"))
+      .toArray.map(_.toString).filter(_.contains("\"level\":\"error\""))
+    assert(log1.exists(_.contains("""\"failed\":1""")),
+      s"expected aggregate failed-count log line in: ${log1.mkString("\n")}")
+
+    // img6 heals: the re-run has ZERO fresh failures but the sharded
+    // state must still anti-join the healed id out (sharded mode is
+    // sticky once entered).
+    FlakyImg6.failing = false
+    orch.runModule("assets")
+    val m2 = graft.sinks.KeyedJsonSink.readSharded(spark, shardDir)
+      .collect().map(_.getString(0)).toSet
+    assert(m2.isEmpty, s"expected healed id removed, got $m2")
+  }
+
   test("contenttypes config drives module order, column order, and S11 logs") {
     val outDir = Files.createTempDirectory("wpcts").toString
     val orch = new Orchestrator(spark, cat, outDir, _ => Right(Array[Byte](1)),
