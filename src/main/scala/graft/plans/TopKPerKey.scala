@@ -2,6 +2,7 @@ package graft.plans
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.{SparkEnv, TaskContext}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -10,8 +11,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeKVExternalSorter}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** Grouped top-k as a first-class operator — the full Spark-extension
   * ladder: a custom logical node ([[TopKPerKey]]), an optimizer rule
@@ -99,6 +101,22 @@ object TopKStrategy extends SparkStrategy {
   * inserts the hash exchange), then per partition keeps an ordered
   * k-bounded buffer per key — insertion instead of a full sort. Emits
   * each key's rows with their 1-based rank appended.
+  *
+  * SPILL SAFETY: the hash path's memory is ∝ distinct-keys-per-partition
+  * × k, which is fine for genuine top-k shapes but unbounded for dedup
+  * shapes where keys ≈ rows (q51's fingerprint rank=1 at 100 TB would
+  * hold most of the partition in heap, where WindowExec would have
+  * spilled its sort). Past `spark.graft.topk.maxKeysInMemory` distinct
+  * keys the partition falls back to sort-based emission through Spark's
+  * spillable [[org.apache.spark.sql.execution.UnsafeKVExternalSorter]]
+  * (the same machinery hash aggregation falls back to): buffered rows
+  * and the rest of the input go to the key-sorter, whose memory is
+  * task-managed and spills to disk under pressure; each key run is then
+  * streamed with a k-bounded selection (memory O(k)). Tie semantics are
+  * unchanged for total orders (every catalog query uses a unique
+  * tiebreak); under ties the fallback emits sorter order instead of
+  * first-seen order — both within the documented nondeterministic-tie
+  * contract of row_number.
   */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
                           rankAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
@@ -109,6 +127,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
   override def requiredChildDistribution: Seq[Distribution] =
     if (keys.isEmpty) AllTuples :: Nil else ClusteredDistribution(keys) :: Nil
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "sortFallbacks" -> SQLMetrics.createMetric(sparkContext,
+      "partitions falling back to sort-based emission"),
+    "spillSize" -> SQLMetrics.createSizeMetric(sparkContext, "spill size"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val keyExprs = keys
@@ -116,46 +139,119 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val childOutput = child.output
     val rankA = rankAttr
     val outAttrs = output
+    val maxKeys = conf.getConfString("spark.graft.topk.maxKeysInMemory",
+      (1 << 22).toString).toLong
+    val fallbackMetric = longMetric("sortFallbacks")
+    val spillMetric = longMetric("spillSize")
+    val keySchema = StructType(keyExprs.zipWithIndex.map { case (e, i) =>
+      StructField(s"k$i", e.dataType, e.nullable)
+    })
+    val valueSchema =
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(childOutput)
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowProj = UnsafeProjection.create(childOutput, childOutput)
       val ordering = new LazilyGeneratedOrdering(orderExprs, childOutput)
-      val groups = new java.util.LinkedHashMap[UnsafeRow, java.util.ArrayList[UnsafeRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var buf = groups.get(key)
-        if (buf == null) {
-          buf = new java.util.ArrayList[UnsafeRow](kLocal)
-          groups.put(key.copy(), buf)
-        }
-        // belongs to the current top-k iff the buffer has room or it
-        // sorts strictly before the current k-th row (first-seen wins
-        // ties, matching row_number over a stable scan)
-        if (buf.size < kLocal ||
-            ordering.compare(row, buf.get(buf.size - 1)) < 0) {
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      val outProj = UnsafeProjection.create(outAttrs, childOutput :+ rankA)
+
+      /** k-bounded ordered insertion; first-seen wins ties. */
+      def insertBounded(buf: java.util.ArrayList[UnsafeRow], row: InternalRow): Unit =
+        if (buf.size < kLocal || ordering.compare(row, buf.get(buf.size - 1)) < 0) {
           val copied = rowProj(row).copy()
           var pos = buf.size
           while (pos > 0 && ordering.compare(copied, buf.get(pos - 1)) < 0) pos -= 1
           buf.add(pos, copied)
           if (buf.size > kLocal) buf.remove(kLocal)
         }
-      }
-      val joined = new JoinedRow
-      val rankRow = new GenericInternalRow(1)
-      val outProj = UnsafeProjection.create(outAttrs, childOutput :+ rankA)
-      groups.entrySet().iterator().asScala.flatMap { e =>
-        val rows = e.getValue
+
+      def emit(rows: java.util.ArrayList[UnsafeRow]): Iterator[InternalRow] =
         (0 until rows.size()).iterator.map { i =>
           rankRow.update(0, i + 1)
           outProj(joined(rows.get(i), rankRow))
         }
+
+      val groups = new java.util.LinkedHashMap[UnsafeRow, java.util.ArrayList[UnsafeRow]]()
+      var sorter: UnsafeKVExternalSorter = null
+      while (iter.hasNext && sorter == null) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var buf = groups.get(key)
+        if (buf == null) {
+          if (groups.size() >= maxKeys) {
+            // hash buffers exceeded the key budget: hand everything to
+            // the spillable key-sorter and stream the rest of the input
+            // straight into it.
+            fallbackMetric.add(1)
+            TopKPerKeyExec.fallbackCount.increment()
+            val env = SparkEnv.get
+            // TaskMemoryManager.pageSizeBytes is private[spark]; the
+            // conf key (same default heuristic's upper band) is public.
+            val pageSize = env.conf.getSizeAsBytes("spark.buffer.pageSize", "4m")
+            sorter = new UnsafeKVExternalSorter(keySchema, valueSchema,
+              env.blockManager, env.serializerManager, pageSize,
+              Int.MaxValue, Long.MaxValue)
+            val it = groups.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              val rows = e.getValue
+              var i = 0
+              while (i < rows.size()) { sorter.insertKV(e.getKey, rows.get(i)); i += 1 }
+            }
+            groups.clear()
+            sorter.insertKV(key, rowProj(row))
+          } else {
+            buf = new java.util.ArrayList[UnsafeRow](kLocal)
+            groups.put(key.copy(), buf)
+            insertBounded(buf, row)
+          }
+        } else insertBounded(buf, row)
+      }
+
+      if (sorter == null) {
+        groups.entrySet().iterator().asScala.flatMap(e => emit(e.getValue))
+      } else {
+        val s = sorter
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          spillMetric.add(s.getSpillSize)
+          s.cleanupResources()
+        })
+        while (iter.hasNext) {
+          val row = iter.next()
+          s.insertKV(keyProj(row), rowProj(row))
+        }
+        val kvIter = s.sortedIterator()
+        var hasMore = kvIter.next()
+        new Iterator[Iterator[InternalRow]] {
+          override def hasNext: Boolean = hasMore
+          override def next(): Iterator[InternalRow] = {
+            // one key run: k-bounded selection over contiguous equal keys
+            val runKey = kvIter.getKey.copy()
+            val buf = new java.util.ArrayList[UnsafeRow](kLocal)
+            var inRun = true
+            while (inRun) {
+              insertBounded(buf, kvIter.getValue)
+              hasMore = kvIter.next()
+              inRun = hasMore && kvIter.getKey == runKey
+            }
+            emit(buf)
+          }
+        }.flatten
       }
     }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** JVM-local diagnostic counter of hash→sort fallbacks, alongside the
+    * SQLMetric (whose accumulator AQE's plan-cloning can detach from the
+    * instance a test collects). Executor-side in a cluster — meaningful
+    * to read only in local mode (tests). */
+  private[graft] val fallbackCount = new java.util.concurrent.atomic.LongAdder
 }
 
 /** Installs the rule + strategy into a session's experimental hooks —
