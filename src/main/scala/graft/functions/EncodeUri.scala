@@ -73,6 +73,8 @@ object GraftFunctions {
     add("encode_uri", exprs => EncodeUri(exprs.head))
     add("dot_product", exprs => DotProduct(exprs.head, exprs(1)))
     add("hp_signatures", exprs => HyperplaneSignatures(exprs.head, exprs(1), exprs(2)))
+    add("hp_probes", exprs =>
+      HyperplaneProbes(exprs.head, exprs(1), exprs(2), exprs(3)))
     add("nearest_cells", exprs => NearestCells(exprs.head, exprs(1), exprs(2)))
   }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
@@ -106,6 +106,113 @@ case class HyperplaneSignatures(vec: Expression, matrixExpr: Expression,
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): HyperplaneSignatures =
     copy(vec = newFirst, matrixExpr = newSecond, planesPerTableExpr = newThird)
+}
+
+/** `hp_probes(vec, planes, planesPerTable, nprobes)` — multi-probe LSH
+  * bucket candidates: for each table, the base signature plus the
+  * `nprobes - 1` signatures with the lowest-|margin| single bit flipped
+  * (the planes the vector sits closest to — the buckets a true neighbor
+  * most likely fell into; Lv et al.'s multi-probe LSH, single-bit
+  * perturbations). Output length = tables × nprobes, ordered
+  * [t0 base, t0 flip1, …, t1 base, …]: `pos div nprobes` is the table
+  * id. With `nprobes = 1` this is exactly [[HyperplaneSignatures]].
+  *
+  * Why: at lake scale the plane count must grow with n to keep buckets
+  * small (≈ log2(n/bucket)), which drives per-table collision
+  * probability p^planes toward zero. Probing q buckets per table buys
+  * back ≈ q tables' worth of recall at one table's signature cost —
+  * the table count stops growing unboundedly with n.
+  */
+case class HyperplaneProbes(vec: Expression, matrixExpr: Expression,
+    planesPerTableExpr: Expression, nprobesExpr: Expression)
+    extends QuaternaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = matrixExpr
+  override def third: Expression = planesPerTableExpr
+  override def fourth: Expression = nprobesExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hp_probes"
+
+  @transient private lazy val matrix: Array[Array[Double]] = {
+    val ad = matrixExpr.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+  @transient private lazy val planesPerTable: Int =
+    planesPerTableExpr.eval().asInstanceOf[Int]
+  @transient private lazy val nprobes: Int =
+    nprobesExpr.eval().asInstanceOf[Int]
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, matrixExpr.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _))
+          if matrixExpr.foldable &&
+            planesPerTableExpr.dataType == IntegerType &&
+            planesPerTableExpr.foldable &&
+            nprobesExpr.dataType == IntegerType && nprobesExpr.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, foldable array<array<double>>, " +
+          "foldable int, foldable int)")
+    }
+
+  def computeProbes(input: ArrayData): ArrayData = {
+    val v = input.toDoubleArray()
+    val tables = matrix.length / planesPerTable
+    // base bucket + at most one flip per plane
+    val q = math.max(1, math.min(nprobes, planesPerTable + 1))
+    val out = new Array[Long](tables * q)
+    val dots = new Array[Double](planesPerTable)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        val plane = matrix(t * planesPerTable + p)
+        val n = math.min(v.length, plane.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += v(i) * plane(i); i += 1 }
+        dots(p) = s
+        if (s > 0) sig |= (1L << p)
+        p += 1
+      }
+      out(t * q) = sig
+      // q-1 smallest-|dot| planes by repeated scan (q is tiny)
+      val used = new Array[Boolean](planesPerTable)
+      var j = 1
+      while (j < q) {
+        var best = -1
+        var bestAbs = Double.MaxValue
+        var p2 = 0
+        while (p2 < planesPerTable) {
+          if (!used(p2) && math.abs(dots(p2)) < bestAbs) {
+            bestAbs = math.abs(dots(p2)); best = p2
+          }
+          p2 += 1
+        }
+        used(best) = true
+        out(t * q + j) = sig ^ (1L << best)
+        j += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    computeProbes(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hpProbes", this, classOf[HyperplaneProbes].getName)
+    nullSafeCodeGen(ctx, ev, (v, _, _, _) => s"${ev.value} = $ref.computeProbes($v);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): HyperplaneProbes =
+    copy(vec = newFirst, matrixExpr = newSecond,
+      planesPerTableExpr = newThird, nprobesExpr = newFourth)
 }
 
 /** `nearest_cells(vec, centroids, nprobe)` — indices of the `nprobe`

@@ -177,6 +177,42 @@ object SimilarityOps {
     Array.fill(planes, dim)(rnd.nextGaussian())
   }
 
+  /** LSH shape for a corpus of `n` vectors. */
+  final case class LshConfig(planes: Int, tables: Int, probes: Int)
+
+  /** Recall-governed LSH sizing, UNCAPPED in the plane count.
+    *
+    * `planes = ceil(log2(n / targetBucket))` keeps the expected bucket
+    * size in (targetBucket/2, targetBucket] at EVERY n — a fixed cap
+    * (the old `min(16, …)`) re-opens quadratic candidate drift past
+    * n ≈ targetBucket·2^16. Bucket keys are single longs, so up to 63
+    * planes ≈ 2·10^20 vectors at bucket 25.
+    *
+    * More planes shrink per-table collision probability p^planes
+    * (p = 1 − θ/π at the target similarity), so coverage must grow to
+    * hold recall: tablesNeeded = ln(1/missProb)/p^planes independent
+    * OR-trials. Tables are capped (each is a full signature pass +
+    * band-join rows); the shortfall routes through MULTI-PROBE — the
+    * query side also probes its `probes − 1` lowest-margin single-bit
+    * flips per table ([[graft.functions.HyperplaneProbes]]), ≈ extra
+    * tables at one table's memory cost. Defaults: near-dup regime
+    * (sim 0.9), ≤10% miss; sf0.01/sf0.1 corpora resolve to the same
+    * (planes, 8 tables, 1 probe) shapes the oracles bake.
+    */
+  def lshSizing(n: Long, targetBucket: Int = 25, simTarget: Double = 0.9,
+                missProb: Double = 0.1, minTables: Int = 8,
+                maxTables: Int = 16): LshConfig = {
+    val planes = math.min(63, math.max(3,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt))
+    val p = 1.0 - math.acos(simTarget) / math.Pi
+    val tablesNeeded = math.ceil(
+      math.log(1.0 / missProb) / math.pow(p, planes)).toLong.max(1L)
+    val tables = math.max(minTables, math.min(maxTables.toLong, tablesNeeded).toInt)
+    val probes = math.min(planes + 1,
+      math.max(1L, (tablesNeeded + tables - 1) / tables).toInt)
+    LshConfig(planes, tables, probes)
+  }
+
   /** Row-local signature: bit p set iff dot(v, plane_p) > 0. Buckets
     * vectors into 2^planes hash buckets. Each plane test is a codegen'd
     * dot against a literal plane vector. */
@@ -200,27 +236,59 @@ object SimilarityOps {
     * replay it; recall vs the exact pair set is pinned in
     * SimilaritySpec. Same shuffle shape as [[lshTopK]] minus the
     * ranking window. */
+  /** Band rows (id, vector, table_id, bucket) — base signatures. */
+  private def bandRows(corpus: DataFrame, idCol: String, embCol: String,
+                       planeMatrix: Seq[Seq[Double]], planesPerTable: Int): DataFrame =
+    corpus.select(col(idCol), col(embCol).cast("array<double>").as("v"),
+      posexplode(call_function("hp_signatures",
+        col(embCol).cast("array<double>"),
+        typedLit(planeMatrix), lit(planesPerTable)))
+        .as(Seq("table_id", "bucket")))
+
+  /** Probe rows — base signature plus `probes-1` lowest-margin bit flips
+    * per table ([[graft.functions.HyperplaneProbes]]); `pos div probes`
+    * recovers the table id. */
+  private def probeRows(corpus: DataFrame, idCol: String, embCol: String,
+                        planeMatrix: Seq[Seq[Double]], planesPerTable: Int,
+                        probes: Int): DataFrame =
+    corpus.select(col(idCol), col(embCol).cast("array<double>").as("v"),
+      posexplode(call_function("hp_probes",
+        col(embCol).cast("array<double>"),
+        typedLit(planeMatrix), lit(planesPerTable), lit(probes)))
+        .as(Seq("pos", "bucket")))
+      .select(col(idCol), col("v"),
+        expr(s"CAST(pos div $probes AS INT)").as("table_id"), col("bucket"))
+
   def lshNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
                       tables: Seq[Array[Array[Double]]],
-                      threshold: Double): DataFrame = {
+                      threshold: Double, probes: Int = 1): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val planesPerTable = tables.head.length
     val planeMatrix: Seq[Seq[Double]] = tables.flatten.map(_.toSeq)
-    val bandTable = corpus
-      .select(col(idCol), col(embCol).cast("array<double>").as("v"),
-        posexplode(call_function("hp_signatures",
-          col(embCol).cast("array<double>"),
-          typedLit(planeMatrix), lit(planesPerTable)))
-          .as(Seq("table_id", "bucket")))
-    bandTable.select(col(idCol).as("id_a"), col("v").as("ea"),
+    val q = math.max(1, math.min(planesPerTable + 1, probes))
+    val bandTable = bandRows(corpus, idCol, embCol, planeMatrix, planesPerTable)
+    // probe side only when multi-probing: with q == 1 both sides share
+    // one signature pass (the historical, oracle-replayed plan); pairs
+    // collide in either probe direction, so least/greatest-normalized
+    // dedup keeps (a ∈ probes(b)) ∨ (b ∈ probes(a)).
+    val left =
+      if (q == 1) bandTable
+      else probeRows(corpus, idCol, embCol, planeMatrix, planesPerTable, q)
+    left.select(col(idCol).as("id_a"), col("v").as("ea"),
         col("table_id"), col("bucket"))
       .join(bandTable.select(col(idCol).as("id_b"), col("v").as("eb"),
         col("table_id"), col("bucket")), Seq("table_id", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), dot(col("ea"), col("eb")).as("sim"))
+      .filter(col("id_a") =!= col("id_b"))
+      // dot is orientation-independent bit-for-bit (per-term products
+      // commute; summation index order is identical), so the normalized
+      // pair dedups to a single exact sim value.
+      .select(least(col("id_a"), col("id_b")).as("pid_a"),
+        greatest(col("id_a"), col("id_b")).as("pid_b"),
+        dot(col("ea"), col("eb")).as("sim"))
       .filter(col("sim") >= threshold)
       .distinct()
-      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
+      .select(col("pid_a").as("id_a"), col("pid_b").as("id_b"),
+        round(col("sim"), 6).as("sim_r"))
   }
 
   /** ANN via multi-table bucket join: vectors sharing a bucket in ANY
@@ -233,23 +301,25 @@ object SimilarityOps {
     * dot re-computed per duplicate bucket is far cheaper than two more
     * shuffle joins). Recall pinned in SimilaritySpec. */
   def lshTopK(corpus: DataFrame, idCol: String, embCol: String,
-              tables: Seq[Array[Array[Double]]], k: Int): DataFrame = {
+              tables: Seq[Array[Array[Double]]], k: Int,
+              probes: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(corpus.sparkSession)
     GraftPlanner.install(corpus.sparkSession)
     // all tables' signatures in ONE matrix expression (single primitive
     // loop per row), posexplode'd into (table_id, bucket) band rows.
+    // Multi-probe: the query side additionally probes its lowest-margin
+    // bit-flip buckets; the index side stays one bucket per table.
     val planesPerTable = tables.head.length
     val planeMatrix: Seq[Seq[Double]] = tables.flatten.map(_.toSeq)
-    val bandTable = corpus
-      .select(col(idCol), col(embCol).cast("array<double>").as("v"),
-        posexplode(call_function("hp_signatures",
-          col(embCol).cast("array<double>"),
-          typedLit(planeMatrix), lit(planesPerTable)))
-          .as(Seq("table_id", "bucket")))
+    val q = math.max(1, math.min(planesPerTable + 1, probes))
+    val bandTable = bandRows(corpus, idCol, embCol, planeMatrix, planesPerTable)
+    val querySide =
+      if (q == 1) bandTable
+      else probeRows(corpus, idCol, embCol, planeMatrix, planesPerTable, q)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    bandTable.select(col(idCol).as("query_id"), col("v").as("qe"),
+    querySide.select(col(idCol).as("query_id"), col("v").as("qe"),
         col("table_id"), col("bucket"))
       .join(bandTable.select(col(idCol).as("neighbor_id"), col("v").as("ce"),
         col("table_id"), col("bucket")), Seq("table_id", "bucket"))

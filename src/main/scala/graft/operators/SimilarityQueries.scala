@@ -80,11 +80,15 @@ object SimilarityQueries extends QueryModule {
     // verifies. Recall additionally pinned in SimilaritySpec.
     Q("q39_knn_lsh", (s, d) => {
       val n = Stats.parquetRowCount(s, s"$d/embeddings.parquet")
-      val planes = math.min(16, math.max(3,
-        math.ceil(math.log(n / 25.0) / math.log(2)).toInt))
-      val tables = SimilarityOps.lshTables(planes, tables = 8, dim = 64)
+      // recall-governed UNCAPPED sizing (SimilarityOps.lshSizing):
+      // planes grow with log2(n) so buckets stay ≈25 at every n, table
+      // count and multi-probe depth grow to hold recall as p^planes
+      // shrinks. At sf0.01 this resolves to (5 planes, 8 tables,
+      // 1 probe) — exactly the shape the oracle bakes.
+      val cfg = SimilarityOps.lshSizing(n)
+      val tables = SimilarityOps.lshTables(cfg.planes, cfg.tables, dim = 64)
       SimilarityOps.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        tables, k = 3)
+        tables, k = 3, probes = cfg.probes)
     }, Some {
       val tables = SimilarityOps.lshTables(planes = 5, tables = 8, dim = 64)
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -137,11 +141,10 @@ object SimilarityQueries extends QueryModule {
     // recall vs q44's exact pair set pinned in SimilaritySpec.
     Q("q50_neardup_lsh", (s, d) => {
       val n = Stats.parquetRowCount(s, s"$d/embeddings.parquet")
-      val planes = math.min(16, math.max(3,
-        math.ceil(math.log(n / 25.0) / math.log(2)).toInt))
-      val tables = SimilarityOps.lshTables(planes, tables = 8, dim = 64)
+      val cfg = SimilarityOps.lshSizing(n) // uncapped; see q39
+      val tables = SimilarityOps.lshTables(cfg.planes, cfg.tables, dim = 64)
       SimilarityOps.lshNearDupPairs(t(s, d, "embeddings"), "vec_id",
-        "embedding", tables, threshold = 0.4)
+        "embedding", tables, threshold = 0.4, probes = cfg.probes)
     }, Some {
       val tables = SimilarityOps.lshTables(planes = 5, tables = 8, dim = 64)
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

@@ -99,4 +99,91 @@ class SimilaritySpec extends AnyFunSuite {
     val p2 = SimilarityOps.hyperplanes(4, 8, seed = 7)
     assert(p1.flatten.toSeq == p2.flatten.toSeq)
   }
+
+  test("lshSizing: uncapped planes keep expected bucket size bounded at every n") {
+    // the bound the old min(16, …) cap broke: expected bucket size
+    // n / 2^planes must stay in (targetBucket/2, targetBucket] as n
+    // sweeps far past targetBucket·2^16 ≈ 1.6M
+    for (exp <- 4 to 11) {
+      val n = math.pow(10, exp).toLong
+      val cfg = SimilarityOps.lshSizing(n)
+      val bucket = n.toDouble / math.pow(2, cfg.planes)
+      assert(bucket <= 25.0 && bucket > 12.5,
+        s"n=$n planes=${cfg.planes} bucket=$bucket out of bound")
+      assert(cfg.planes <= 63 && cfg.tables <= 16 && cfg.probes <= cfg.planes + 1)
+    }
+    // past the old cap the plane count actually keeps growing…
+    assert(SimilarityOps.lshSizing(100000000L).planes > 16)
+    // …and coverage grows with it (tables saturate, then multi-probe)
+    val big = SimilarityOps.lshSizing(1000000000L)
+    assert(big.tables == 16 && big.probes > 1)
+    // sf0.01 / sf0.1 resolve to the historical oracle-baked shapes
+    assert(SimilarityOps.lshSizing(500) == SimilarityOps.LshConfig(5, 8, 1))
+    assert(SimilarityOps.lshSizing(5000) == SimilarityOps.LshConfig(8, 8, 1))
+  }
+
+  test("empirical avg bucket size stays ~constant as n crosses the old plane cap") {
+    // synthetic vectors via seeded rand columns; dim 16 so 17 planes
+    // still carve ~2^17 sign regions (dim 8 would geometry-cap the
+    // bucket count below the plane count's reach). planes(250k)=14
+    // (under the old 16 cap), planes(2.5M)=17 (past it) — with the cap,
+    // the larger corpus's avg bucket would grow ~10x; uncapped it stays.
+    def avgBucket(n: Long): Double = {
+      val cfg = SimilarityOps.lshSizing(n)
+      val tables = SimilarityOps.lshTables(cfg.planes, tables = 2, dim = 16)
+      val planeMatrix: Seq[Seq[Double]] = tables.flatten.map(_.toSeq)
+      graft.functions.GraftFunctions.register(spark)
+      val vecs = spark.range(n).select(
+        array((0 until 16).map(i => rand(seed = 100 + i) - 0.5): _*)
+          .cast("array<double>").as("v"))
+      val bands = vecs.select(posexplode(call_function("hp_signatures",
+        $"v", typedLit(planeMatrix), lit(cfg.planes)))
+        .as(Seq("table_id", "bucket")))
+      val agg = bands.groupBy($"table_id", $"bucket").count()
+        .agg(avg($"count")).as[Double].head()
+      agg
+    }
+    val small = avgBucket(250000L)
+    val large = avgBucket(2500000L)
+    assert(SimilarityOps.lshSizing(250000L).planes <= 16)
+    assert(SimilarityOps.lshSizing(2500000L).planes > 16)
+    assert(large < small * 3 + 10,
+      s"avg bucket grew from $small to $large across the old cap")
+    assert(large < 100, s"avg bucket $large far above the 25-row target")
+  }
+
+  test("multi-probe recall >= single-probe recall on identical tables") {
+    val emb = graft.catalog.Tables.t(spark, sf, "embeddings")
+    // deliberately over-long codes for this corpus so single-probe
+    // recall has room to lose neighbors; probes buy them back
+    val tables = SimilarityOps.lshTables(planes = 7, tables = 2, dim = 64)
+    val brute = SimilarityOps.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    def recallAt(probes: Int): Double = {
+      val got = SimilarityOps
+        .lshTopK(emb, "vec_id", "embedding", tables, k = 1, probes = probes)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+      got.count { case (q, n) => brute.get(q).contains(n) }.toDouble / brute.size
+    }
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    assert(r4 >= r1, s"multi-probe recall $r4 below single-probe $r1")
+    assert(r4 > 0.0)
+  }
+
+  test("multi-probe near-dup pairs: superset of single-probe, subset of exact") {
+    val emb = graft.catalog.Tables.t(spark, sf, "embeddings")
+    val tables = SimilarityOps.lshTables(planes = 7, tables = 2, dim = 64)
+    def pairs(probes: Int) = SimilarityOps
+      .lshNearDupPairs(emb, "vec_id", "embedding", tables,
+        threshold = 0.35, probes = probes)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val p1 = pairs(1)
+    val p4 = pairs(4)
+    val exact = SimilarityOps.cosinePairs(emb, "vec_id", "embedding",
+      threshold = 0.35)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(p1.subsetOf(p4), "multi-probe must not lose single-probe pairs")
+    assert(p4.subsetOf(exact), "probed candidates must stay exactly verified")
+  }
 }
