@@ -76,5 +76,7 @@ object GraftFunctions {
     add("hp_probes", exprs =>
       HyperplaneProbes(exprs.head, exprs(1), exprs(2), exprs(3)))
     add("nearest_cells", exprs => NearestCells(exprs.head, exprs(1), exprs(2)))
+    add("nearest_cells_col", exprs =>
+      NearestCellsCol(exprs.head, exprs(1), exprs(2)))
   }
 }

@@ -288,3 +288,77 @@ case class NearestCells(vec: Expression, matrixExpr: Expression,
       newFirst: Expression, newSecond: Expression, newThird: Expression): NearestCells =
     copy(vec = newFirst, matrixExpr = newSecond, nprobeExpr = newThird)
 }
+
+/** `nearest_cells_col(vec, matrixCol, nprobe)` — [[NearestCells]] against
+  * a PER-ROW matrix column instead of a foldable plan literal.
+  *
+  * This is the level-2 scorer of hierarchical IVF: the full sub-centroid
+  * model is Θ(n/targetCell) rows — too big to broadcast as a literal at
+  * lake scale — so it stays a distributed table keyed by coarse cell and
+  * JOINS to the vectors; each row then scores only its own coarse cell's
+  * sub-matrix. Scoring reads the matrix through ArrayData accessors (no
+  * per-row primitive materialization); cost per row is the same
+  * O(cells × dim) loop as the foldable form.
+  */
+case class NearestCellsCol(vec: Expression, matrixExpr: Expression,
+    nprobeExpr: Expression) extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = matrixExpr
+  override def third: Expression = nprobeExpr
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells_col"
+
+  @transient private lazy val nprobe: Int = nprobeExpr.eval().asInstanceOf[Int]
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, matrixExpr.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _))
+          if nprobeExpr.dataType == IntegerType && nprobeExpr.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<array<double>>, foldable int)")
+    }
+
+  def computeCells(input: ArrayData, m: ArrayData): ArrayData = {
+    val v = input.toDoubleArray()
+    val ncells = m.numElements()
+    val k = math.min(nprobe, ncells)
+    val bestSim = new Array[Double](k)
+    val bestIdx = new Array[Int](k)
+    var filled = 0
+    var c = 0
+    while (c < ncells) {
+      val cent = m.getArray(c)
+      val n = math.min(v.length, cent.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v(i) * cent.getDouble(i); i += 1 }
+      if (filled < k || s > bestSim(k - 1)) {
+        var pos = math.min(filled, k - 1)
+        while (pos > 0 && s > bestSim(pos - 1)) {
+          bestSim(pos) = bestSim(pos - 1)
+          bestIdx(pos) = bestIdx(pos - 1)
+          pos -= 1
+        }
+        bestSim(pos) = s
+        bestIdx(pos) = c
+        if (filled < k) filled += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bestIdx, filled))
+  }
+
+  override protected def nullSafeEval(v: Any, m: Any, p: Any): Any =
+    computeCells(v.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCellsCol", this, classOf[NearestCellsCol].getName)
+    nullSafeCodeGen(ctx, ev, (v, m, _) => s"${ev.value} = $ref.computeCells($v, $m);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): NearestCellsCol =
+    copy(vec = newFirst, matrixExpr = newSecond, nprobeExpr = newThird)
+}

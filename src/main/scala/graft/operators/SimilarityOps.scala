@@ -171,6 +171,94 @@ object SimilarityOps {
     ivfTopK(corpus, idCol, embCol,
       seedCentroids(corpus, idCol, embCol, nlist), nprobe, k)
 
+  /** Two-level sizing for [[ivfHierTopK]]: ≈ n/targetCell leaf cells,
+    * split √-ways so BOTH the broadcast coarse model (nlist1 rows) and
+    * the per-row assignment work (nlist1 + nlist2 centroid scores) grow
+    * as √n — where flat IVF's nlist = n/targetCell made assignment
+    * O(n²/targetCell) total work and the model a linearly-growing plan
+    * literal. At 100× the rows, nlist1 grows ~10×. */
+  def ivfHierSizing(n: Long, targetCell: Int = 64): (Int, Int) = {
+    val cells = math.max(4L, math.ceil(n.toDouble / targetCell).toLong)
+    val nlist1 = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    val nlist2 = math.max(1, math.ceil(cells.toDouble / nlist1).toInt)
+    (nlist1, nlist2)
+  }
+
+  /** HIERARCHICAL (two-level) IVF ANN — the lake-scale replacement for
+    * flat [[ivfTopK]] sizing.
+    *
+    * Level 1: `nlist1` coarse centroids (deterministic first-by-id
+    * seeds) as a broadcast literal; every vector picks its coarse cell
+    * ROW-LOCALLY via [[graft.functions.NearestCells]] — √-sized model,
+    * √-sized per-row work. Level 2: each coarse cell's `nlist2`
+    * sub-centroids are its first `nlist2` member vectors by id — ranked
+    * by the grouped-top-k operator (one clustered pass, no sort) and
+    * assembled into a per-cell matrix column. The sub-model is
+    * Θ(n/targetCell) rows TOTAL but is never collected or broadcast: it
+    * JOINS on the coarse cell and each row scores only its own cell's
+    * matrix ([[graft.functions.NearestCellsCol]]).
+    *
+    * Queries probe `nprobe1` coarse × `nprobe2` sub cells. A (query,
+    * neighbor) pair meets at most once — probed (c1,c2) keys are
+    * distinct and a neighbor owns exactly one — so no dedup pass.
+    * Everything is deterministic (seed order, argmax ties to the lower
+    * index), so an external oracle can replay the whole pipeline.
+    *
+    * Trade: more (linear-sized) shuffles than flat IVF's two — the sub
+    * model rides (c1)-keyed joins, which AQE broadcasts while it is
+    * small. What it buys at 100×: assignment work O(n·√(n/c)) instead
+    * of O(n²/c), and no O(n)-sized broadcast anywhere.
+    */
+  def ivfHierTopK(corpus: DataFrame, idCol: String, embCol: String,
+                  nlist1: Int, nlist2: Int, nprobe1: Int, nprobe2: Int,
+                  k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(corpus.sparkSession)
+    GraftPlanner.install(corpus.sparkSession)
+    val vecs = corpus.select(col(idCol).as("vid"),
+      col(embCol).cast("array<double>").as("v"))
+    val coarse = seedCentroids(corpus, idCol, embCol, nlist1)
+    val withCells = vecs.withColumn("cells",
+      call_function("nearest_cells", col("v"), typedLit(coarse), lit(nprobe1)))
+    val assignedCoarse = withCells
+      .select(col("vid"), col("v"), col("cells")(0).as("c1"))
+
+    // per-coarse-cell sub-matrix: first nlist2 members by id, in rank
+    // order (runs on TopKPerKeyExec; the groupBy reuses its clustering)
+    val wSeed = Window.partitionBy(col("c1")).orderBy(col("vid").asc)
+    val subSeeds = assignedCoarse
+      .withColumn("rk", row_number().over(wSeed))
+      .filter(col("rk") <= nlist2)
+      .groupBy(col("c1"))
+      .agg(sort_array(collect_list(struct(col("rk"), col("v")))).as("sm"))
+      .select(col("c1"), expr("transform(sm, x -> x.v)").as("subm"))
+
+    val assignment = assignedCoarse.join(subSeeds, "c1")
+      .select(col("vid").as("neighbor_id"), col("c1").as("n_c1"),
+        call_function("nearest_cells_col", col("v"), col("subm"), lit(1))(0)
+          .as("n_c2"),
+        col("v").as("ce"))
+    val probes = withCells
+      .select(col("vid").as("query_id"), col("v").as("qe"),
+        explode(col("cells")).as("c1"))
+      .join(subSeeds, "c1")
+      .select(col("query_id"), col("qe"), col("c1"),
+        explode(call_function("nearest_cells_col", col("qe"), col("subm"),
+          lit(nprobe2))).as("c2"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(assignment,
+        col("c1") === col("n_c1") && col("c2") === col("n_c2"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qe"), col("ce")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("sim"), 6).as("sim_r"))
+  }
+
   /** Deterministic Gaussian hyperplanes: `planes × dim`, seeded. */
   def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new Random(seed)

@@ -171,37 +171,70 @@ object SimilarityQueries extends QueryModule {
          |        i -> x.e[i] * y.e[i])) >= 0.4""".stripMargin
     }),
 
-    // IVF-style ANN: nearest-centroid cells, nprobe-cell search. Cell
-    // count scales with corpus size (target ≈64 vectors/cell, sized from
-    // parquet footer stats) so candidate volume stays ~n·nprobe·64
-    // instead of drifting quadratic at a fixed nlist. The whole plan is
-    // deterministic (first-nlist centroids, argmax cells with ties to
-    // the smaller index), so the oracle replays it exactly in SQL — the
-    // nlist=16 literal matches sf0.01's n=500 (the dir the driver
-    // verifies). Recall additionally pinned in SimilaritySpec.
+    // HIERARCHICAL IVF ANN (the 100×-safe shape): √-sized coarse level
+    // broadcast + row-local argmax, distributed per-cell sub-centroid
+    // matrices joined on the coarse cell — total cells still ≈ n/64 but
+    // per-row assignment work and the broadcast model both grow as √n
+    // instead of n (flat nlist=n/64 was O(n²/64) total work). Fully
+    // deterministic (first-by-id seeds at both levels, argmax ties to
+    // the lower index), so the oracle replays the ENTIRE two-level
+    // pipeline in SQL; the (3, 3, 2, 2) literals match sf0.01's n=500
+    // via ivfHierSizing (the dir the driver verifies). Recall pinned
+    // vs flat IVF in SimilaritySpec; sizing growth pinned in its own
+    // test.
     Q("q45_knn_ivf", (s, d) => {
       val n = Stats.parquetRowCount(s, s"$d/embeddings.parquet")
-      val nlist = math.max(16, math.ceil(n / 64.0).toInt)
-      SimilarityOps.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        nlist = nlist, nprobe = 4, k = 3)
+      val (nlist1, nlist2) = SimilarityOps.ivfHierSizing(n)
+      SimilarityOps.ivfHierTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        nlist1 = nlist1, nlist2 = nlist2, nprobe1 = 2, nprobe2 = 2, k = 3)
     }, Some("""
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      cents AS (
+      c1 AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
-        FROM v ORDER BY vec_id LIMIT 16),
-      scored AS (
+        FROM v ORDER BY vec_id LIMIT 3),
+      s1 AS (
         SELECT a.vec_id, c.cell,
           list_sum(list_transform(range(1, 65), i -> a.e[i] * c.ce[i])) AS sim
-        FROM v a CROSS JOIN cents c),
-      ranked AS (
+        FROM v a CROSS JOIN c1 c),
+      r1 AS (
         SELECT vec_id, cell,
           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS r
-        FROM scored),
-      assign AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE r = 1),
-      probes AS (SELECT vec_id AS query_id, cell FROM ranked WHERE r <= 4),
+        FROM s1),
+      assign1 AS (SELECT vec_id, cell AS c1 FROM r1 WHERE r = 1),
+      probe1 AS (SELECT vec_id, cell AS c1 FROM r1 WHERE r <= 2),
+      sub AS (
+        SELECT c1, rn - 1 AS c2, e AS ce
+        FROM (SELECT a.c1, v.e,
+                row_number() OVER (PARTITION BY a.c1 ORDER BY a.vec_id) AS rn
+              FROM assign1 a JOIN v ON v.vec_id = a.vec_id)
+        WHERE rn <= 3),
+      s2 AS (
+        SELECT a.vec_id, a.c1, s.c2,
+          list_sum(list_transform(range(1, 65), i -> v.e[i] * s.ce[i])) AS sim
+        FROM assign1 a JOIN v ON v.vec_id = a.vec_id
+                       JOIN sub s ON s.c1 = a.c1),
+      assign2 AS (
+        SELECT vec_id AS neighbor_id, c1, c2
+        FROM (SELECT vec_id, c1, c2,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, c2 ASC) AS r
+              FROM s2)
+        WHERE r = 1),
+      ps AS (
+        SELECT p.vec_id, p.c1, s.c2,
+          list_sum(list_transform(range(1, 65), i -> v.e[i] * s.ce[i])) AS sim
+        FROM probe1 p JOIN v ON v.vec_id = p.vec_id
+                      JOIN sub s ON s.c1 = p.c1),
+      probe2 AS (
+        SELECT vec_id AS query_id, c1, c2
+        FROM (SELECT vec_id, c1, c2,
+                row_number() OVER (PARTITION BY vec_id, c1
+                                   ORDER BY sim DESC, c2 ASC) AS r
+              FROM ps)
+        WHERE r <= 2),
       cand AS (
         SELECT p.query_id, a.neighbor_id
-        FROM probes p JOIN assign a ON a.cell = p.cell
+        FROM probe2 p JOIN assign2 a ON a.c1 = p.c1 AND a.c2 = p.c2
                      AND p.query_id != a.neighbor_id),
       sims AS (
         SELECT c.query_id, c.neighbor_id,

@@ -152,6 +152,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(large < 100, s"avg bucket $large far above the 25-row target")
   }
 
+  test("ivfHierSizing: model and per-row work grow ~sqrt(n), not n") {
+    // flat IVF's nlist = n/64 grows 100x when data grows 100x; the
+    // two-level split must grow ~10x (that is the whole point)
+    val (c1a, c2a) = SimilarityOps.ivfHierSizing(1000000L)
+    val (c1b, c2b) = SimilarityOps.ivfHierSizing(100000000L)
+    assert(c1b.toDouble / c1a >= 5 && c1b.toDouble / c1a <= 20,
+      s"coarse model grew ${c1a} -> ${c1b}; expected ~10x at 100x rows")
+    assert(c2b.toDouble / c2a <= 20)
+    // per-row assignment cost (nlist1 + nlist2 scores) also ~sqrt
+    assert((c1b + c2b).toDouble / (c1a + c2a) <= 20)
+    // leaf-cell size target holds: nlist1*nlist2 ≈ n/64
+    for (n <- Seq(100000L, 10000000L, 1000000000L)) {
+      val (a, b) = SimilarityOps.ivfHierSizing(n)
+      val cells = a.toLong * b
+      assert(cells >= n / 64 && cells <= (n / 64) * 3 + 64,
+        s"n=$n cells=$cells vs target ${n / 64}")
+    }
+    // the sf0.01 shape the q45 oracle bakes
+    assert(SimilarityOps.ivfHierSizing(500) == (3, 3))
+  }
+
+  test("hierarchical IVF recall matches flat IVF at the same cell budget") {
+    val emb = graft.catalog.Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
+    val brute = SimilarityOps.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.filter($"rank" === 1)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+      got.count { case (q, n) => brute.get(q).contains(n) }.toDouble / brute.size
+    }
+    // flat: 9 cells probed 4-at-a-time ≈ hier: 3x3 cells probed 2x2
+    val flat = recall(SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+      nlist = 9, nprobe = 4, k = 1))
+    val hier = recall(SimilarityOps.ivfHierTopK(emb, "vec_id", "embedding",
+      nlist1 = 3, nlist2 = 3, nprobe1 = 2, nprobe2 = 2, k = 1))
+    assert(hier >= 0.15, s"hier recall $hier below floor")
+    assert(hier >= flat - 0.15,
+      s"hier recall $hier materially below flat $flat at matched budget")
+    // determinism: replay equals
+    val again = recall(SimilarityOps.ivfHierTopK(emb, "vec_id", "embedding",
+      nlist1 = 3, nlist2 = 3, nprobe1 = 2, nprobe2 = 2, k = 1))
+    assert(again == hier)
+  }
+
   test("multi-probe recall >= single-probe recall on identical tables") {
     val emb = graft.catalog.Tables.t(spark, sf, "embeddings")
     // deliberately over-long codes for this corpus so single-probe
