@@ -171,6 +171,59 @@ object SimilarityQueries extends QueryModule {
          |        i -> x.e[i] * y.e[i])) >= 0.4""".stripMargin
     }),
 
+    // MULTI-PROBE LSH near-dup — the recall-compensation path that lets
+    // the plane count grow uncapped at lake scale, exercised through the
+    // correctness gate with a deliberately long code (6 planes) and few
+    // tables (2) so probing does real work at sf0.01. The oracle replays
+    // hp_probes exactly: per (vector, table), the base bucket plus the
+    // probes-1 lowest-|dot| single-bit flips (ties to the lower plane
+    // index, matching the expression's strict-< scan), pairs colliding
+    // in either probe direction, least/greatest-normalized.
+    Q("q52_neardup_multiprobe", (s, d) => {
+      val tables = SimilarityOps.lshTables(planes = 6, tables = 2, dim = 64)
+      SimilarityOps.lshNearDupPairs(t(s, d, "embeddings"), "vec_id",
+        "embedding", tables, threshold = 0.4, probes = 3)
+    }, Some {
+      val tables = SimilarityOps.lshTables(planes = 6, tables = 2, dim = 64)
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings),
+         |planes(table_id, plane_idx, pv) AS (VALUES
+         |${planeValuesSql(tables)}),
+         |dots AS (
+         |  SELECT v.vec_id, p.table_id, p.plane_idx,
+         |    list_sum(list_transform(range(1, 65), i -> v.e[i] * p.pv[i])) AS d
+         |  FROM v CROSS JOIN planes p),
+         |sig AS (
+         |  SELECT vec_id, table_id,
+         |    CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << plane_idx
+         |             ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots GROUP BY vec_id, table_id),
+         |flips AS (
+         |  SELECT vec_id, table_id, plane_idx,
+         |    row_number() OVER (PARTITION BY vec_id, table_id
+         |                       ORDER BY abs(d) ASC, plane_idx ASC) AS fr
+         |  FROM dots),
+         |probes AS (
+         |  SELECT vec_id, table_id, bucket FROM sig
+         |  UNION ALL
+         |  SELECT f.vec_id, f.table_id,
+         |    xor(s.bucket, CAST(1 AS BIGINT) << f.plane_idx) AS bucket
+         |  FROM flips f JOIN sig s USING (vec_id, table_id)
+         |  WHERE f.fr <= 2),
+         |cand AS (
+         |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+         |                  greatest(a.vec_id, b.vec_id) AS id_b
+         |  FROM probes a JOIN sig b ON a.table_id = b.table_id
+         |         AND a.bucket = b.bucket AND a.vec_id != b.vec_id)
+         |SELECT c.id_a, c.id_b,
+         |  round(list_sum(list_transform(range(1, 65),
+         |          i -> x.e[i] * y.e[i])), 6) AS sim_r
+         |FROM cand c JOIN v x ON x.vec_id = c.id_a
+         |            JOIN v y ON y.vec_id = c.id_b
+         |WHERE list_sum(list_transform(range(1, 65),
+         |        i -> x.e[i] * y.e[i])) >= 0.4""".stripMargin
+    }),
+
     // HIERARCHICAL IVF ANN (the 100×-safe shape): √-sized coarse level
     // broadcast + row-local argmax, distributed per-cell sub-centroid
     // matrices joined on the coarse cell — total cells still ≈ n/64 but

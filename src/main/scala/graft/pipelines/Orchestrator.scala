@@ -135,10 +135,31 @@ final class Orchestrator(spark: SparkSession, cat: WpCatalog, outDir: String,
             n
           } finally { results.unpersist(); () }
         case m =>
-          val n = KeyedJsonSink.writeSingle(df, "uid",
-            s"$outDir/entries/$m/en-us.json")
-          KeyedJsonSink.writeMasterManifest(df, "uid",
-            s"$outDir/master/entries/$m.json")
+          // same scale split as the failure manifest: the single
+          // pretty-printed import file (reference contract) is a driver
+          // materialization, bounded by maxDriverManifest; past it (or
+          // once sharded state exists) entries and the locale manifest
+          // merge distributed as sharded keyed JSON.
+          val entryCount = df.count()
+          val shardedDir = s"$outDir/entries/$m/sharded"
+          val n =
+            if (entryCount <= maxDriverManifest &&
+                !Files.exists(Paths.get(shardedDir))) {
+              val merged = KeyedJsonSink.writeSingle(df, "uid",
+                s"$outDir/entries/$m/en-us.json")
+              KeyedJsonSink.writeMasterManifest(df, "uid",
+                s"$outDir/master/entries/$m.json")
+              merged
+            } else {
+              KeyedJsonSink.mergeSharded(df, "uid", shardedDir,
+                legacyFile = Some(s"$outDir/entries/$m/en-us.json"))
+              KeyedJsonSink.mergeSharded(
+                df.select(col("uid"), lit("en-us").as("locale")),
+                "uid", s"$outDir/master/entries/$m-sharded")
+              // parity with writeSingle's return contract: the MERGED
+              // entry count (one shard line per key after compaction)
+              KeyedJsonSink.readSharded(spark, shardedDir).count()
+            }
           logger.log(s"Exported $m", Map("entries" -> n))
           n
       }

@@ -256,6 +256,26 @@ class WpPipelineSpec extends AnyFunSuite {
     assert(m2.isEmpty, s"expected healed id removed, got $m2")
   }
 
+  test("lake-scale entries sink: sharded entries + manifest, merged counts stable") {
+    val outDir = Files.createTempDirectory("wplakeent").toString
+    val orch = new Orchestrator(spark, cat, outDir, _ => Right(Array[Byte](1)),
+      maxDriverManifest = 0)
+    assert(orch.runModule("posts") == 3)
+    assert(Files.exists(Paths.get(s"$outDir/entries/posts/sharded")))
+    assert(!Files.exists(Paths.get(s"$outDir/entries/posts/en-us.json")))
+    // re-run: distributed last-wins merge keeps the merged count stable
+    assert(orch.runModule("posts") == 3)
+    val entries = graft.sinks.KeyedJsonSink
+      .readSharded(spark, s"$outDir/entries/posts/sharded")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(entries.keySet == Set("16", "18", "20"))
+    assert(entries("16").contains("hello-world"))
+    val manifest = graft.sinks.KeyedJsonSink
+      .readSharded(spark, s"$outDir/master/entries/posts-sharded")
+      .collect().map(_.getString(0)).toSet
+    assert(manifest == Set("16", "18", "20"))
+  }
+
   test("contenttypes config drives module order, column order, and S11 logs") {
     val outDir = Files.createTempDirectory("wpcts").toString
     val orch = new Orchestrator(spark, cat, outDir, _ => Right(Array[Byte](1)),
