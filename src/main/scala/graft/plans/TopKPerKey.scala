@@ -141,6 +141,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val outAttrs = output
     val maxKeys = conf.getConfString("spark.graft.topk.maxKeysInMemory",
       (1 << 22).toString).toLong
+    // rows per in-memory batch inside the fallback sorter before a
+    // forced spill; default defers to memory-pressure-driven spilling.
+    // Tests set it low to exercise the disk path deterministically.
+    val forceSpillRows = conf.getConfString(
+      "spark.graft.topk.forceSpillThreshold", Int.MaxValue.toString).toInt
     val fallbackMetric = longMetric("sortFallbacks")
     val spillMetric = longMetric("spillSize")
     val keySchema = StructType(keyExprs.zipWithIndex.map { case (e, i) =>
@@ -172,8 +177,36 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
           outProj(joined(rows.get(i), rankRow))
         }
 
+      def newSorter(): UnsafeKVExternalSorter = {
+        val env = SparkEnv.get
+        // TaskMemoryManager.pageSizeBytes is private[spark]; the
+        // conf key (same default heuristic's upper band) is public.
+        val pageSize = env.conf.getSizeAsBytes("spark.buffer.pageSize", "4m")
+        new UnsafeKVExternalSorter(keySchema, valueSchema,
+          env.blockManager, env.serializerManager, pageSize,
+          Int.MaxValue, Long.MaxValue)
+      }
+
       val groups = new java.util.LinkedHashMap[UnsafeRow, java.util.ArrayList[UnsafeRow]]()
       var sorter: UnsafeKVExternalSorter = null
+      var sinceRotate = 0L
+      // insertKVRecord skips UnsafeExternalSorter's element-count force
+      // spill, so row-count bounding is done by ROTATION: a fresh sorter
+      // merge()s the full one, which force-spills it to disk and absorbs
+      // its spill files (the same batch pattern object-hash aggregation
+      // uses). Memory-pressure spills still happen on their own inside
+      // the task memory manager.
+      def insertSorted(key: UnsafeRow, value: UnsafeRow): Unit = {
+        if (sinceRotate >= forceSpillRows) {
+          val fresh = newSorter()
+          fresh.merge(sorter)
+          sorter = fresh
+          sinceRotate = 0L
+        }
+        sorter.insertKV(key, value)
+        sinceRotate += 1
+      }
+
       while (iter.hasNext && sorter == null) {
         val row = iter.next()
         val key = keyProj(row)
@@ -185,22 +218,20 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
             // straight into it.
             fallbackMetric.add(1)
             TopKPerKeyExec.fallbackCount.increment()
-            val env = SparkEnv.get
-            // TaskMemoryManager.pageSizeBytes is private[spark]; the
-            // conf key (same default heuristic's upper band) is public.
-            val pageSize = env.conf.getSizeAsBytes("spark.buffer.pageSize", "4m")
-            sorter = new UnsafeKVExternalSorter(keySchema, valueSchema,
-              env.blockManager, env.serializerManager, pageSize,
-              Int.MaxValue, Long.MaxValue)
+            sorter = newSorter()
+            Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+              spillMetric.add(sorter.getSpillSize)
+              sorter.cleanupResources()
+            })
             val it = groups.entrySet().iterator()
             while (it.hasNext) {
               val e = it.next()
               val rows = e.getValue
               var i = 0
-              while (i < rows.size()) { sorter.insertKV(e.getKey, rows.get(i)); i += 1 }
+              while (i < rows.size()) { insertSorted(e.getKey, rows.get(i)); i += 1 }
             }
             groups.clear()
-            sorter.insertKV(key, rowProj(row))
+            insertSorted(key, rowProj(row))
           } else {
             buf = new java.util.ArrayList[UnsafeRow](kLocal)
             groups.put(key.copy(), buf)
@@ -212,16 +243,14 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       if (sorter == null) {
         groups.entrySet().iterator().asScala.flatMap(e => emit(e.getValue))
       } else {
-        val s = sorter
-        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
-          spillMetric.add(s.getSpillSize)
-          s.cleanupResources()
-        })
         while (iter.hasNext) {
           val row = iter.next()
-          s.insertKV(keyProj(row), rowProj(row))
+          insertSorted(keyProj(row), rowProj(row))
         }
-        val kvIter = s.sortedIterator()
+        val kvIter = sorter.sortedIterator()
+        // insert-phase spills are final here; recorded mid-task so local
+        // tests don't race the completion listener against the action
+        TopKPerKeyExec.spillBytes.add(sorter.getSpillSize)
         var hasMore = kvIter.next()
         new Iterator[Iterator[InternalRow]] {
           override def hasNext: Boolean = hasMore
@@ -252,6 +281,8 @@ object TopKPerKeyExec {
     * instance a test collects). Executor-side in a cluster — meaningful
     * to read only in local mode (tests). */
   private[graft] val fallbackCount = new java.util.concurrent.atomic.LongAdder
+  /** Bytes spilled to disk by fallback sorters (same caveat as above). */
+  private[graft] val spillBytes = new java.util.concurrent.atomic.LongAdder
 }
 
 /** Installs the rule + strategy into a session's experimental hooks —

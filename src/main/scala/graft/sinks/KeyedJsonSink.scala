@@ -245,10 +245,11 @@ object KeyedJsonSink {
     * `removeKeys` (the remove-on-success contract, as an anti-join
     * instead of a driver-side Set), and rewrite compacted shards.
     * One shuffle over existing ∪ delta; nothing materializes on the
-    * driver. The swap is write-to-temp + directory rename — not atomic
+    * driver. The swap is write-to-temp + backup-rename — not atomic
     * like [[atomicWrite]]'s file move (no Hadoop FS offers an atomic
     * directory swap), so concurrent readers must tolerate a brief
-    * absence; the temp dir survives a crash for manual recovery. */
+    * absence; every crash window leaves a recoverable copy (`.old` or
+    * `.tmp-*`), never zero. */
   def mergeSharded(delta: DataFrame, uidCol: String, dir: String,
                    shards: Int = 64,
                    removeKeys: Option[DataFrame] = None,
@@ -284,11 +285,21 @@ object KeyedJsonSink {
       merged.join(rm.select(col(rm.columns.head).cast("string").as("uid")),
         Seq("uid"), "left_anti")
     }
-    val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-    writeShardFiles(kept, tmp, shards)
-    fs.delete(hPath, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath))
+    // backup-rename swap: the previous state is parked at .old until the
+    // new state is in place, so no crash window loses BOTH copies (a
+    // crash can leave .old or a .tmp-* behind — recoverable, never
+    // empty). Hadoop FS has no atomic directory swap to do better.
+    val tmp = new org.apache.hadoop.fs.Path(
+      dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    writeShardFiles(kept, tmp.toString, shards)
+    fs.delete(old, true)
+    val hadPrev = fs.exists(hPath)
+    if (hadPrev && !fs.rename(hPath, old))
+      throw new java.io.IOException(s"rename $dir -> $old failed")
+    if (!fs.rename(tmp, hPath))
       throw new java.io.IOException(s"rename $tmp -> $dir failed")
+    if (hadPrev) fs.delete(old, true)
     legacyPath.foreach(Files.delete(_))
   }
 

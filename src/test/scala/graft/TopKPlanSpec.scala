@@ -100,6 +100,36 @@ class TopKPlanSpec extends AnyFunSuite {
     } finally s.conf.unset("spark.graft.topk.maxKeysInMemory")
   }
 
+  test("fallback sorter spills to disk and still produces exact results") {
+    val s = installed
+    s.conf.set("spark.graft.topk.maxKeysInMemory", "16")
+    s.conf.set("spark.graft.topk.forceSpillThreshold", "500") // rows/batch
+    try {
+      import s.implicits._
+      val df = s.range(40000).select(
+        (col("id") % 8000).as("k"), col("id").as("id"),
+        (col("id") * 13 % 997).as("v"))
+      val w = Window.partitionBy($"k").orderBy($"v".desc, $"id".asc)
+      val q = df.withColumn("rank", row_number().over(w)).filter($"rank" <= 2)
+        .select($"k", $"id", $"rank")
+      val spillBefore = graft.plans.TopKPerKeyExec.spillBytes.sum()
+      val got = q.as[(Long, Long, Int)].collect().toSet
+      assert(graft.plans.TopKPerKeyExec.spillBytes.sum() > spillBefore,
+        "expected the fallback sorter to spill to disk")
+      val refW = Window.partitionBy(col("k")).orderBy(col("v").desc, col("id").asc)
+      val expected = base.range(40000).select(
+          (col("id") % 8000).as("k"), col("id").as("id"),
+          (col("id") * 13 % 997).as("v"))
+        .withColumn("rank", row_number().over(refW)).filter(col("rank") <= 2)
+        .select(col("k"), col("id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected && got.size == 16000)
+    } finally {
+      s.conf.unset("spark.graft.topk.maxKeysInMemory")
+      s.conf.unset("spark.graft.topk.forceSpillThreshold")
+    }
+  }
+
   test("matches the WindowExec plan bit-for-bit on real embeddings top-k") {
     val s = installed
     def knn(sess: org.apache.spark.sql.SparkSession) = {
