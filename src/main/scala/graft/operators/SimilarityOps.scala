@@ -211,13 +211,25 @@ object SimilarityOps {
     */
   def ivfHierTopK(corpus: DataFrame, idCol: String, embCol: String,
                   nlist1: Int, nlist2: Int, nprobe1: Int, nprobe2: Int,
-                  k: Int): DataFrame = {
+                  k: Int): DataFrame =
+    ivfHierTopK(corpus, idCol, embCol,
+      seedCentroids(corpus, idCol, embCol, nlist1), nlist2, nprobe1,
+      nprobe2, k)
+
+  /** [[ivfHierTopK]] with an EXPLICIT coarse matrix — the opt-in hook
+    * for [[kmeansCentroids]]-refined coarse cells (the coarse model is
+    * √-sized, so Lloyd's refinement of it costs the same as flat IVF's
+    * far smaller models; sub-seeds stay deterministic first-by-id within
+    * each coarse cell). Bit-reproducible callers (the q45 oracle) use
+    * raw seeds via the other overload. */
+  def ivfHierTopK(corpus: DataFrame, idCol: String, embCol: String,
+                  coarse: Seq[Seq[Double]], nlist2: Int, nprobe1: Int,
+                  nprobe2: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(corpus.sparkSession)
     GraftPlanner.install(corpus.sparkSession)
     val vecs = corpus.select(col(idCol).as("vid"),
       col(embCol).cast("array<double>").as("v"))
-    val coarse = seedCentroids(corpus, idCol, embCol, nlist1)
     val withCells = vecs.withColumn("cells",
       call_function("nearest_cells", col("v"), typedLit(coarse), lit(nprobe1)))
     val assignedCoarse = withCells

@@ -212,7 +212,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
         val key = keyProj(row)
         var buf = groups.get(key)
         if (buf == null) {
-          if (groups.size() >= maxKeys) {
+          // keyless (AllTuples) grouping has exactly one k-bounded
+          // buffer — nothing to spill, and an empty key schema has no
+          // sort order; never fall back there.
+          if (keyExprs.nonEmpty && groups.size() >= maxKeys) {
             // hash buffers exceeded the key budget: hand everything to
             // the spillable key-sorter and stream the rest of the input
             // straight into it.

@@ -194,6 +194,13 @@ class SimilaritySpec extends AnyFunSuite {
     val again = recall(SimilarityOps.ivfHierTopK(emb, "vec_id", "embedding",
       nlist1 = 3, nlist2 = 3, nprobe1 = 2, nprobe2 = 2, k = 1))
     assert(again == hier)
+    // opt-in k-means-refined coarse level keeps recall in the same band
+    val km = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding",
+      nlist = 3, iters = 2)
+    val hierKm = recall(SimilarityOps.ivfHierTopK(emb, "vec_id", "embedding",
+      km, nlist2 = 3, nprobe1 = 2, nprobe2 = 2, k = 1))
+    assert(hierKm >= hier - 0.15,
+      s"k-means coarse recall $hierKm materially below seed coarse $hier")
   }
 
   test("multi-probe recall >= single-probe recall on identical tables") {
