@@ -11,7 +11,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
                 else Seq("q01_pricing_summary", "q02_filter_project",
-                         "q03_join_agg", "q08_group_concat", "q36_minhash_lsh")
+                         "q03_join_agg", "q08_group_concat", "q36_minhash_lsh",
+                         "q45_knn_ivf", "q52_neardup_multiprobe")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -144,8 +144,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     // rows per in-memory batch inside the fallback sorter before a
     // forced spill; default defers to memory-pressure-driven spilling.
     // Tests set it low to exercise the disk path deterministically.
-    val forceSpillRows = conf.getConfString(
-      "spark.graft.topk.forceSpillThreshold", Int.MaxValue.toString).toInt
+    val forceSpillRows = math.max(1, conf.getConfString(
+      "spark.graft.topk.forceSpillThreshold", Int.MaxValue.toString).toInt)
     val fallbackMetric = longMetric("sortFallbacks")
     val spillMetric = longMetric("spillSize")
     val keySchema = StructType(keyExprs.zipWithIndex.map { case (e, i) =>

@@ -34,20 +34,29 @@ object ProfileAnn {
 
     val emb = Tables.t(spark, sfDir, "embeddings")
     val n = Stats.parquetRowCount(spark, s"$sfDir/embeddings.parquet")
-    val planes = math.min(16, math.max(3,
-      math.ceil(math.log(n / 25.0) / math.log(2)).toInt))
-    val tables = SimilarityOps.lshTables(planes, tables = 8, dim = 64)
-    val nlist = math.max(16, math.ceil(n / 64.0).toInt)
+    val cfg = SimilarityOps.lshSizing(n)
+    val tables = SimilarityOps.lshTables(cfg.planes, cfg.tables, dim = 64)
+    val nlistFlat = math.max(16, math.ceil(n / 64.0).toInt)
+    val (nlist1, nlist2) = SimilarityOps.ivfHierSizing(n)
 
     emb.write.format("noop").mode("overwrite").save() // warm the session
 
     for (round <- 1 to 2) {
       time(s"q39 lshTopK (run $round)")(
-        SimilarityOps.lshTopK(emb, "vec_id", "embedding", tables, k = 3)
+        SimilarityOps.lshTopK(emb, "vec_id", "embedding", tables, k = 3,
+          probes = cfg.probes)
           .write.format("noop").mode("overwrite").save())
-      time(s"q45 ivfTopK (run $round)")(
+      time(s"lshTopK probes=3 (run $round)")(
+        SimilarityOps.lshTopK(emb, "vec_id", "embedding", tables, k = 3,
+          probes = 3)
+          .write.format("noop").mode("overwrite").save())
+      time(s"ivfTopK flat (run $round)")(
         SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
-          nlist = nlist, nprobe = 4, k = 3)
+          nlist = nlistFlat, nprobe = 4, k = 3)
+          .write.format("noop").mode("overwrite").save())
+      time(s"q45 ivfHierTopK (run $round)")(
+        SimilarityOps.ivfHierTopK(emb, "vec_id", "embedding",
+          nlist1 = nlist1, nlist2 = nlist2, nprobe1 = 2, nprobe2 = 2, k = 3)
           .write.format("noop").mode("overwrite").save())
       time(s"q37 brute    (run $round)")(
         SimilarityOps.bruteForceTopK(emb,
