@@ -16,9 +16,11 @@ import org.apache.spark.sql.SparkSession
   * catalog's ANALYZE-backed stats would pay. Memoized per path.
   */
 object Stats {
-  // keyed by (path, fingerprint-of-listing) so a rewritten dataset is
-  // re-counted instead of served a stale total.
-  private val cache = TrieMap.empty[(String, Long), Long]
+  // one entry per path: (fingerprint-of-listing, count). A rewritten
+  // dataset gets a fresh count AND replaces (not leaks) the stale entry.
+  // Every call re-lists the directory — driver-side metadata only, the
+  // price of freshness; footer reads are skipped on fingerprint hits.
+  private val cache = TrieMap.empty[String, (Long, Long)]
 
   /** Exact row count of a parquet file or directory of parquet files,
     * summed from footer metadata. Directories are listed RECURSIVELY so
@@ -48,10 +50,15 @@ object Stats {
       files += p
       fingerprint = st.getLen * 31 + st.getModificationTime
     }
-    cache.getOrElseUpdate((path, fingerprint),
-      files.map { f =>
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
-        try r.getRecordCount finally r.close()
-      }.sum)
+    cache.get(path) match {
+      case Some((fp, count)) if fp == fingerprint => count
+      case _ =>
+        val count = files.map { f =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+          try r.getRecordCount finally r.close()
+        }.sum
+        cache.put(path, (fingerprint, count))
+        count
+    }
   }
 }

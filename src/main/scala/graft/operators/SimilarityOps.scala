@@ -367,28 +367,39 @@ object SimilarityOps {
     val planeMatrix: Seq[Seq[Double]] = tables.flatten.map(_.toSeq)
     val q = math.max(1, math.min(planesPerTable + 1, probes))
     val bandTable = bandRows(corpus, idCol, embCol, planeMatrix, planesPerTable)
-    // probe side only when multi-probing: with q == 1 both sides share
-    // one signature pass (the historical, oracle-replayed plan); pairs
-    // collide in either probe direction, so least/greatest-normalized
-    // dedup keeps (a ∈ probes(b)) ∨ (b ∈ probes(a)).
-    val left =
-      if (q == 1) bandTable
-      else probeRows(corpus, idCol, embCol, planeMatrix, planesPerTable, q)
-    left.select(col(idCol).as("id_a"), col("v").as("ea"),
-        col("table_id"), col("bucket"))
-      .join(bandTable.select(col(idCol).as("id_b"), col("v").as("eb"),
-        col("table_id"), col("bucket")), Seq("table_id", "bucket"))
-      .filter(col("id_a") =!= col("id_b"))
-      // dot is orientation-independent bit-for-bit (per-term products
-      // commute; summation index order is identical), so the normalized
-      // pair dedups to a single exact sim value.
-      .select(least(col("id_a"), col("id_b")).as("pid_a"),
-        greatest(col("id_a"), col("id_b")).as("pid_b"),
-        dot(col("ea"), col("eb")).as("sim"))
-      .filter(col("sim") >= threshold)
-      .distinct()
-      .select(col("pid_a").as("id_a"), col("pid_b").as("id_b"),
-        round(col("sim"), 6).as("sim_r"))
+    if (q == 1) {
+      // symmetric sides share one signature pass, and `<` halves the
+      // candidate pairs BEFORE the dot products — the historical,
+      // oracle-replayed plan shape.
+      bandTable.select(col(idCol).as("id_a"), col("v").as("ea"),
+          col("table_id"), col("bucket"))
+        .join(bandTable.select(col(idCol).as("id_b"), col("v").as("eb"),
+          col("table_id"), col("bucket")), Seq("table_id", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), dot(col("ea"), col("eb")).as("sim"))
+        .filter(col("sim") >= threshold)
+        .distinct()
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
+    } else {
+      // multi-probe is asymmetric (probes vs base), so pairs collide in
+      // either direction: (a ∈ probes(b)) ∨ (b ∈ probes(a)). Normalize
+      // with least/greatest — dot is orientation-independent
+      // bit-for-bit (per-term products commute; summation index order
+      // is identical), so the normalized pair dedups to one exact sim.
+      probeRows(corpus, idCol, embCol, planeMatrix, planesPerTable, q)
+        .select(col(idCol).as("id_a"), col("v").as("ea"),
+          col("table_id"), col("bucket"))
+        .join(bandTable.select(col(idCol).as("id_b"), col("v").as("eb"),
+          col("table_id"), col("bucket")), Seq("table_id", "bucket"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as("pid_a"),
+          greatest(col("id_a"), col("id_b")).as("pid_b"),
+          dot(col("ea"), col("eb")).as("sim"))
+        .filter(col("sim") >= threshold)
+        .distinct()
+        .select(col("pid_a").as("id_a"), col("pid_b").as("id_b"),
+          round(col("sim"), 6).as("sim_r"))
+    }
   }
 
   /** ANN via multi-table bucket join: vectors sharing a bucket in ANY

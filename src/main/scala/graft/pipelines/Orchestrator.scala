@@ -66,6 +66,16 @@ final class Orchestrator(spark: SparkSession, cat: WpCatalog, outDir: String,
       df.join(broadcast(ids), key === ids("id"), "left_semi")
     }
 
+  /** Sharded state lives on whatever filesystem `outDir` names — check
+    * through Hadoop FS, not java.nio (an `hdfs://`/`s3a://` outDir would
+    * otherwise always read as absent and break sharded-mode stickiness).
+    * Single-file state (writeSingle, logs) is driver-local by contract
+    * and stays on java.nio. */
+  private def shardedExists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** Run one module end-to-end: entries → keyed-JSON sink + master
     * manifest (+ asset fetch & dead-letter for assets). Returns entry
     * count. */
@@ -87,11 +97,22 @@ final class Orchestrator(spark: SparkSession, cat: WpCatalog, outDir: String,
             val okAssets = df.join(
               results.filter(col("ok")).select(col("id").cast("string").as("uid")),
               "uid", "left_semi")
-            val n = KeyedJsonSink.writeSingle(okAssets, "uid",
-              s"$outDir/assets/assets.json")
+            val okCount = results.filter(col("ok")).count()
             val failed = results.filter(!col("ok")).count()
+            // the ok-asset entries file is a driver materialization too:
+            // same scale split as every other entries sink.
+            val assetsShardedDir = s"$outDir/assets/sharded"
+            val n =
+              if (okCount <= maxDriverManifest && !shardedExists(assetsShardedDir))
+                KeyedJsonSink.writeSingle(okAssets, "uid",
+                  s"$outDir/assets/assets.json")
+              else {
+                KeyedJsonSink.mergeSharded(okAssets, "uid", assetsShardedDir,
+                  legacyFile = Some(s"$outDir/assets/assets.json"))
+                KeyedJsonSink.readSharded(spark, assetsShardedDir).count()
+              }
             val shardedDir = s"$outDir/master/wp_failed"
-            val shardedState = Files.exists(Paths.get(shardedDir))
+            val shardedState = shardedExists(shardedDir)
             // remove-on-success (reference assets.js:135-137): an id that
             // fetched OK this run — fresh or idempotent-skip — must drop
             // out of any stale wp_failed state before the new failures
@@ -99,11 +120,25 @@ final class Orchestrator(spark: SparkSession, cat: WpCatalog, outDir: String,
             // sharded (healed ids must anti-join out of the shard state
             // even on a run with few fresh failures).
             if (failed <= maxDriverManifest && !shardedState) {
-              // reference-contract path: small failure sets collect to the
-              // driver for the single pretty-printed wp_failed.json and a
-              // per-asset error log line.
-              val succeeded = results.filter(col("ok"))
-                .select(col("id").cast("string")).collect().map(_.getString(0)).toSet
+              // reference-contract path: the single pretty-printed
+              // wp_failed.json and a per-asset error log line. Only ids
+              // ALREADY IN the prior manifest need the remove-on-success
+              // set — collecting every succeeded id would materialize
+              // the whole (possibly huge) corpus on the driver to heal a
+              // manifest bounded at maxDriverManifest keys.
+              val failedFile = s"$outDir/master/wp_failed.json"
+              val priorFailed: Set[String] =
+                if (Files.exists(Paths.get(failedFile)))
+                  KeyedJsonSink.topLevelEntries(new String(
+                    Files.readAllBytes(Paths.get(failedFile)), "UTF-8"))
+                    .map(_._1).toSet
+                else Set.empty
+              val healed: Set[String] =
+                if (priorFailed.isEmpty) Set.empty
+                else results.filter(col("ok") &&
+                    col("id").cast("string").isin(priorFailed.toSeq: _*))
+                  .select(col("id").cast("string"))
+                  .collect().map(_.getString(0)).toSet
               val failures = HttpFetchSink.deadLetter(results)
                 .select(col("id"), col("url"), col("error")).collect()
               failures.foreach(r => logger.error("Failed to download asset",
@@ -111,7 +146,7 @@ final class Orchestrator(spark: SparkSession, cat: WpCatalog, outDir: String,
                   "error" -> r.getString(2))))
               KeyedJsonSink.writeSingle(
                 HttpFetchSink.deadLetter(results).withColumn("uid", col("id")),
-                "uid", s"$outDir/master/wp_failed.json", removeKeys = succeeded)
+                "uid", failedFile, removeKeys = healed)
             } else {
               // lake path: NOTHING materializes on the driver. The failure
               // manifest lives as sharded keyed JSON; remove-on-success is
@@ -143,8 +178,7 @@ final class Orchestrator(spark: SparkSession, cat: WpCatalog, outDir: String,
           val entryCount = df.count()
           val shardedDir = s"$outDir/entries/$m/sharded"
           val n =
-            if (entryCount <= maxDriverManifest &&
-                !Files.exists(Paths.get(shardedDir))) {
+            if (entryCount <= maxDriverManifest && !shardedExists(shardedDir)) {
               val merged = KeyedJsonSink.writeSingle(df, "uid",
                 s"$outDir/entries/$m/en-us.json")
               KeyedJsonSink.writeMasterManifest(df, "uid",
@@ -153,9 +187,19 @@ final class Orchestrator(spark: SparkSession, cat: WpCatalog, outDir: String,
             } else {
               KeyedJsonSink.mergeSharded(df, "uid", shardedDir,
                 legacyFile = Some(s"$outDir/entries/$m/en-us.json"))
+              // the sharded master manifest derives from the MERGED
+              // entry state, so uids written by earlier small-mode runs
+              // (absorbed via legacyFile) are never lost across the
+              // mode transition; the superseded single master file is
+              // removed. (Single-mode master stays a current-run
+              // snapshot — reference parity; sharded master tracks the
+              // merged entry set, which is what a lake-scale consumer
+              // needs.)
+              val mergedEntries = KeyedJsonSink.readSharded(spark, shardedDir)
               KeyedJsonSink.mergeSharded(
-                df.select(col("uid"), lit("en-us").as("locale")),
+                mergedEntries.select(col("uid"), lit("en-us").as("locale")),
                 "uid", s"$outDir/master/entries/$m-sharded")
+              Files.deleteIfExists(Paths.get(s"$outDir/master/entries/$m.json"))
               // parity with writeSingle's return contract: the MERGED
               // entry count (one shard line per key after compaction)
               KeyedJsonSink.readSharded(spark, shardedDir).count()

@@ -257,6 +257,13 @@ object KeyedJsonSink {
     val spark = delta.sparkSession
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val oldPath = new org.apache.hadoop.fs.Path(dir + ".old")
+    // self-heal a crash that landed between the two swap renames below:
+    // the previous state is parked at .old — restore it BEFORE reading,
+    // or this merge would silently rebuild from the delta alone and the
+    // later .old cleanup would destroy the only backup.
+    if (!fs.exists(hPath) && fs.exists(oldPath) && !fs.rename(oldPath, hPath))
+      throw new java.io.IOException(s"recovering $oldPath -> $dir failed")
     val fresh = keyed(delta, uidCol).withColumn("src", lit(1))
     // a [[writeSingle]]-format file from earlier small-scale runs is
     // absorbed once (its size is bounded by the small-mode contract that
@@ -291,15 +298,14 @@ object KeyedJsonSink {
     // empty). Hadoop FS has no atomic directory swap to do better.
     val tmp = new org.apache.hadoop.fs.Path(
       dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-    val old = new org.apache.hadoop.fs.Path(dir + ".old")
     writeShardFiles(kept, tmp.toString, shards)
-    fs.delete(old, true)
+    fs.delete(oldPath, true)
     val hadPrev = fs.exists(hPath)
-    if (hadPrev && !fs.rename(hPath, old))
-      throw new java.io.IOException(s"rename $dir -> $old failed")
+    if (hadPrev && !fs.rename(hPath, oldPath))
+      throw new java.io.IOException(s"rename $dir -> $oldPath failed")
     if (!fs.rename(tmp, hPath))
       throw new java.io.IOException(s"rename $tmp -> $dir failed")
-    if (hadPrev) fs.delete(old, true)
+    if (hadPrev) fs.delete(oldPath, true)
     legacyPath.foreach(Files.delete(_))
   }
 

@@ -149,6 +149,23 @@ class SinkHardeningSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(legacy))) // absorbed, deleted
   }
 
+  test("mergeSharded self-heals an interrupted swap from the .old backup") {
+    val dir = Files.createTempDirectory("shardheal")
+    val shardDir = dir.resolve("state").toString
+    KeyedJsonSink.writeSharded(
+      Seq(("a", "1"), ("b", "2")).toDF("uid", "x"), "uid", shardDir, shards = 2)
+    // simulate a crash that landed between rename(dir -> .old) and
+    // rename(tmp -> dir): live dir missing, backup present
+    Files.move(Paths.get(shardDir), Paths.get(shardDir + ".old"))
+    KeyedJsonSink.mergeSharded(
+      Seq(("c", "3")).toDF("uid", "x"), "uid", shardDir, shards = 2)
+    val got = KeyedJsonSink.readSharded(spark, shardDir).collect()
+      .map(_.getString(0)).toSet
+    assert(got == Set("a", "b", "c"),
+      s"expected pre-crash state recovered from .old, got $got")
+    assert(!Files.exists(Paths.get(shardDir + ".old")))
+  }
+
   test("topLevelEntries handles escapes, nesting and empty objects") {
     assert(KeyedJsonSink.topLevelEntries("{}").isEmpty)
     assert(KeyedJsonSink.topLevelEntries("""  { } """).isEmpty)

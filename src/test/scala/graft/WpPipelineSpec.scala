@@ -240,6 +240,13 @@ class WpPipelineSpec extends AnyFunSuite {
     val m1 = graft.sinks.KeyedJsonSink.readSharded(spark, shardDir)
       .collect().map(_.getString(0)).toSet
     assert(m1 == Set("6"))
+    // ok-asset ENTRIES also went sharded (they are a driver
+    // materialization too) — no single assets.json at lake scale
+    val okShards = graft.sinks.KeyedJsonSink
+      .readSharded(spark, s"$outDir/assets/sharded")
+      .collect().map(_.getString(0)).toSet
+    assert(okShards == Set("5", "7"))
+    assert(!Files.exists(Paths.get(s"$outDir/assets/assets.json")))
     // aggregate-count error log, not per-row lines
     val log1 = Files.readAllLines(Paths.get(s"$outDir/logs/assets.log"))
       .toArray.map(_.toString).filter(_.contains("\"level\":\"error\""))
