@@ -15,8 +15,8 @@ object SparkEntry {
   /** All registered query modules, in SURVEY.md §2 order. */
   def modules: Seq[Q] =
     RelationalQueries.qs ++ ScalarFnQueries.qs ++ TextQueries.qs ++
-      DedupQueries.qs ++ SimilarityQueries.qs ++ MultimodalQueries.qs ++
-      ExtensionQueries.qs
+      DedupQueries.qs ++ CorpusQueries.qs ++ SimilarityQueries.qs ++
+      MultimodalQueries.qs ++ ExtensionQueries.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

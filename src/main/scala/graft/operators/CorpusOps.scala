@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * downstream of dedup/scoring: duplicate-cluster resolution (connected
+  * components), benchmark decontamination, PII redaction, deterministic
+  * stratified sampling, and sequence packing.
+  *
+  * Scale notes (100 TB):
+  *  - [[connectedComponents]] is the alternating large-star/small-star
+  *    algorithm (Kiveris et al., "Connected Components in MapReduce and
+  *    Beyond"): O(log n) rounds regardless of component diameter, each
+  *    round two shuffles on node id with `min` aggregates only — no
+  *    per-node adjacency lists are ever collected;
+  *  - decontamination broadcasts the benchmark shingle set (benchmark
+  *    suites are fixed and small relative to the corpus);
+  *  - sampling and packing are window/filter plans: one shuffle on the
+  *    stratum/stream key, codegen'd end to end.
+  */
+object CorpusOps {
+
+  /** Connected components over an undirected edge list (`a`, `b` long
+    * ids). Returns ("node", "comp") for every node that appears in an
+    * edge, where comp is the component's minimum node id.
+    *
+    * Alternating large-star/small-star with an edge-set fixpoint test.
+    * Each iteration's frontier is `localCheckpoint`ed: iterative
+    * DataFrame plans otherwise grow a lineage that re-executes every
+    * prior round per action (on a production cluster with executor loss
+    * concerns, substitute a reliable `checkpoint` dir — same plan shape).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    var e = edges
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .filter($"a" =!= $"b")
+      .distinct()
+      .localCheckpoint(true)
+    // (count, xor-of-hash ×2 seeds): a cheap order-independent edge-set
+    // digest — one action per round instead of two except() scans, and
+    // xor (unlike sum) cannot overflow under ANSI arithmetic.
+    def digest(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(
+        count(lit(1)).cast("long"),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)),
+        coalesce(expr("bit_xor(xxhash64(b, a, 7L))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+
+    var prev = digest(e)
+    var iter = 0
+    var converged = e.isEmpty
+    while (!converged && iter < maxIter) {
+      // large-star: per node u over symmetrized neighbors, m = min(u, N(u));
+      // re-link every larger neighbor v > u to m.
+      val sym = e.select($"a".as("u"), $"b".as("v"))
+        .union(e.select($"b".as("u"), $"a".as("v")))
+      val mins = sym.groupBy($"u")
+        .agg(least($"u", min($"v")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter($"v" > $"u")
+        .select($"v".as("a"), $"m".as("b"))
+        .filter($"a" =!= $"b")
+        .distinct()
+      // small-star: orient u > v, m = min over smaller neighbors; re-link
+      // every smaller neighbor and u itself to m.
+      val oriented = large.select(
+        greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
+      val mins2 = oriented.groupBy($"u").agg(min($"v").as("m"))
+      val small = oriented.join(mins2, "u")
+        .select($"v".as("a"), $"m".as("b"))
+        .union(mins2.select($"u".as("a"), $"m".as("b")))
+        .filter($"a" =!= $"b")
+        .distinct()
+        .localCheckpoint(true)
+
+      val cur = digest(small)
+      converged = cur == prev
+      prev = cur
+      e = small
+      iter += 1
+    }
+    // fixpoint edges form stars (node -> component-min root)
+    e.select(greatest($"a", $"b").as("node"), least($"a", $"b").as("comp"))
+      .distinct()
+  }
+
+  /** Assign every row of `df` its component id: edge nodes get the
+    * component minimum, isolated rows are their own singleton component. */
+  def componentLabels(df: DataFrame, idCol: String, edges: DataFrame): DataFrame = {
+    val labels = connectedComponents(edges)
+      .withColumnRenamed("node", idCol)
+    df.join(labels, Seq(idCol), "left_outer")
+      .withColumn("cluster_id", coalesce(col("comp"), col(idCol)).cast("long"))
+      .drop("comp")
+  }
+
+  /** Email-address pattern shared by the Spark plan and the DuckDB oracle
+    * (kept to syntax with identical semantics in Java regex and RE2). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** North-American 555 test-exchange phone pattern. */
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** Count of PII matches in `text` (emails + phones), pre-redaction. */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0)))).cast("long")
+
+  /** Redact emails and phone numbers with typed placeholder tokens.
+    * Row-local, codegen'd — scales linearly with input splits. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "[EMAIL]"),
+      PhoneRe, "[PHONE]")
+
+  /** Deterministic per-stratum hash sampling: keep a row iff
+    * `(id * 2654435761 + 40503) mod 1000 < permille(stratum)`.
+    * Unlike `df.sample`/`sampleBy` (partition-order-dependent RNG), the
+    * decision is a pure function of the row — reproducible across runs,
+    * engines, and repartitionings, which is what makes ablation
+    * experiments on a 100 TB corpus comparable. Filter is row-local
+    * (no shuffle) and pushes the stratum column read down to the scan. */
+  def stratifiedHashSample(df: DataFrame, idCol: Column, stratumCol: Column,
+                           permille: Map[String, Int],
+                           defaultPermille: Int = 1000): DataFrame = {
+    val rate = permille.foldLeft(lit(defaultPermille)) {
+      case (acc, (k, v)) => when(stratumCol === k, lit(v)).otherwise(acc)
+    }
+    df.filter((idCol * 2654435761L + 40503L) % 1000L < rate)
+  }
+
+  /** GPT-style sequence packing: concatenate each stream's documents in
+    * id order and split at `budget`-token boundaries. Emits per document
+    * the sequence it starts in and how many boundaries it straddles
+    * (straddling docs get truncated or split by the tokenizer stage).
+    * One shuffle on the stream key; cumulative sum is a codegen'd
+    * running-window — no driver-side state. Streams (e.g. source shards)
+    * pack independently, so parallelism = #streams at any corpus size. */
+  def packSequences(df: DataFrame, idCol: String, streamCol: String,
+                    tokCol: Column, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(streamCol), tokCol.cast("long").as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(
+        col(idCol), col(streamCol), col("n_tokens"),
+        expr(s"(__cum - n_tokens) div $budget").as("seq_id"),
+        expr(s"(__cum - 1) div $budget - (__cum - n_tokens) div $budget")
+          .as("n_boundary_crossings"))
+  }
+}

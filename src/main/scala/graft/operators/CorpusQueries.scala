@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.catalog.{Q, QueryModule, Stats, Tables}
+
+/** Corpus-curation surface: the operations a training-data pipeline runs
+  * AFTER candidate generation — duplicate-cluster resolution, benchmark
+  * decontamination, PII redaction, stratified source mixing, sequence
+  * packing, and per-document distinctive-term extraction (tf-idf family).
+  */
+object CorpusQueries extends QueryModule {
+
+  private def t(s: org.apache.spark.sql.SparkSession, d: String, n: String) =
+    Tables.t(s, d, n)
+
+  /** Per-language sampling rates (permille) for the mixing demo. */
+  private val mixPermille =
+    Map("en" -> 300, "de" -> 600, "fr" -> 600, "es" -> 600, "zh" -> 900)
+
+  def qs: Seq[Q] = Seq(
+
+    // duplicate-CLUSTER resolution: near-dup pair detection emits edges
+    // (q35); a real pipeline must then keep ONE doc per connected
+    // component, not per pair (A~B, B~C must collapse A,B,C together).
+    // Large-star/small-star connected components: O(log n) rounds, min
+    // aggregates only — then every doc gets its component id (singletons
+    // are their own cluster). Oracle recomputes the same edges and takes
+    // the transitive closure with a recursive CTE.
+    Q("q53_dedup_clusters", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val tokRows = docs.select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      val sigs = DedupOps.simhash32FromTokenRows(tokRows, "doc_id", "tok", "simhash")
+        .select($"doc_id", $"simhash")
+      val edges = DedupOps.simhashPairsBanded(sigs, "doc_id", "simhash", maxHamming = 1)
+        .select($"doc_a".as("a"), $"doc_b".as("b"))
+      CorpusOps.componentLabels(docs.select($"doc_id"), "doc_id", edges)
+        .select($"doc_id", $"cluster_id")
+    }, Some(
+      s"""WITH RECURSIVE sh AS (${DedupQueries.simhashDuckSql}),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |r(id, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.m FROM r JOIN e ON e.a = r.id)
+         |SELECT id AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
+         |FROM r GROUP BY id""".stripMargin)),
+
+    // benchmark decontamination: flag training docs sharing >= 5 distinct
+    // trigram shingles with any single benchmark doc (benchmark = the
+    // deterministic doc_id % 20 == 0 slice here; in production the eval
+    // suites). The benchmark shingle set is broadcast — eval suites are
+    // tiny next to a 100 TB corpus, so the corpus-side scan never shuffles.
+    Q("q54_decontam", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val sh = TextOps.shingleRows(docs, "doc_id", "text")
+        .select($"doc_id", $"shingle").distinct()
+      val trainSh = sh.filter($"doc_id" % 20 =!= 0)
+      val benchSh = sh.filter($"doc_id" % 20 === 0)
+        .withColumnRenamed("doc_id", "bench_id")
+      val mx = trainSh.join(broadcast(benchSh), "shingle")
+        .groupBy($"doc_id", $"bench_id").agg(count(lit(1)).as("shared"))
+        .groupBy($"doc_id").agg(max($"shared").as("mo"))
+      docs.select($"doc_id").filter($"doc_id" % 20 =!= 0)
+        .join(mx, Seq("doc_id"), "left_outer")
+        .select($"doc_id",
+          coalesce($"mo", lit(0L)).cast("long").as("max_overlap"),
+          (coalesce($"mo", lit(0L)) >= 5).as("contaminated"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks)-1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+             FROM d),
+      ov AS (
+        SELECT t.doc_id, b.doc_id AS bench_id, count(*) AS shared
+        FROM sh t JOIN sh b ON t.shingle = b.shingle
+        WHERE t.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+        GROUP BY 1, 2),
+      mx AS (SELECT doc_id, max(shared) AS mo FROM ov GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(m.mo, 0) AS BIGINT) AS max_overlap,
+             coalesce(m.mo, 0) >= 5 AS contaminated
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+      LEFT JOIN mx m ON m.doc_id = d.doc_id""")),
+
+    // PII redaction: the corpus has no natural PII, so the query first
+    // plants deterministic contact lines (pure function of doc_id), then
+    // counts and redacts them — both sides of the oracle run the same
+    // construction. Row-local regexp chain, codegen'd, zero shuffles.
+    Q("q55_pii_redact", (s, d) => {
+      import s.implicits._
+      val raw = concat(
+        $"text", lit(" Contact user"), $"doc_id", lit("@mail.example.com or tel 555-0"),
+        lpad(($"doc_id" * 7 % 1000).cast("string"), 3, "0"), lit("."))
+      t(s, d, "documents")
+        .select($"doc_id", raw.as("raw"))
+        .select($"doc_id",
+          CorpusOps.piiCount($"raw").as("n_pii"),
+          CorpusOps.piiRedact($"raw").as("redacted"))
+    }, Some(s"""
+      WITH raw AS (
+        SELECT doc_id,
+          text || ' Contact user' || doc_id || '@mail.example.com or tel 555-0' ||
+            lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '.' AS raw
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(raw, '${CorpusOps.EmailRe}')) +
+             len(regexp_extract_all(raw, '${CorpusOps.PhoneRe}')) AS BIGINT) AS n_pii,
+        regexp_replace(regexp_replace(raw, '${CorpusOps.EmailRe}', '[EMAIL]', 'g'),
+                       '${CorpusOps.PhoneRe}', '[PHONE]', 'g') AS redacted
+      FROM raw""")),
+
+    // deterministic stratified sampling for source/language mixing:
+    // keep-decision is a pure hash of the row id, so the sample is
+    // reproducible across runs/engines/partitionings (unlike RNG-based
+    // df.sample). Row-local filter — no shuffle at any scale.
+    Q("q56_stratified_sample", (s, d) => {
+      import s.implicits._
+      CorpusOps.stratifiedHashSample(
+          t(s, d, "documents"), $"doc_id", $"lang", mixPermille)
+        .select($"doc_id", $"lang", $"source")
+    }, Some {
+      val cases = mixPermille.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE (doc_id * 2654435761 + 40503) % 1000 <
+         |  CASE lang $cases ELSE 1000 END""".stripMargin
+    }),
+
+    // GPT-style sequence packing: concatenate each source stream in doc
+    // order, split at 512-token boundaries; per doc -> its sequence id and
+    // boundary-straddle count. One shuffle on the stream key.
+    Q("q57_seq_pack", (s, d) => {
+      import s.implicits._
+      CorpusOps.packSequences(
+        t(s, d, "documents"), "doc_id", "source",
+        TextOps.tokenCount($"text"), budget = 512)
+    }, Some("""
+      WITH tc AS (
+        SELECT doc_id, source,
+               len(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, tok,
+          sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM tc)
+      SELECT doc_id, source, CAST(tok AS BIGINT) AS n_tokens,
+        CAST((cum - tok) // 512 AS BIGINT) AS seq_id,
+        CAST((cum - 1) // 512 - (cum - tok) // 512 AS BIGINT) AS n_boundary_crossings
+      FROM c""")),
+
+    // per-document distinctive terms (tf-idf family): top-3 terms by
+    // (tf desc, df asc, term asc) — an integer-exact ranking, with the
+    // double tf*ln(N/df) score carried for consumers. N comes from
+    // parquet footer stats (no extra scan); the vocabulary-sized df table
+    // broadcasts; the per-doc top-k executes through TopKPerKeyExec.
+    Q("q58_distinctive_terms", (s, d) => {
+      import s.implicits._
+      graft.plans.GraftPlanner.install(s)
+      val n = Stats.parquetRowCount(s, s"$d/documents.parquet")
+      val toks = t(s, d, "documents")
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"tf".desc, $"df".asc, $"term".asc)
+      tf.join(broadcast(dfT), "term")
+        .withColumn("tfidf", round($"tf" * log(lit(n.toDouble) / $"df"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"doc_id", $"term", $"tf".cast("long").as("tf"),
+          $"df".cast("long").as("df"), $"tfidf")
+    }, Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+                   FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents)
+      SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        round(tf * ln(n.n * 1.0 / df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) <= 3"""))
+  )
+}

@@ -22,8 +22,9 @@ object DedupQueries extends QueryModule {
     }.mkString(" + ")
 
   /** Engine-independent SimHash in DuckDB SQL (explode + group-by form of
-    * the row-local Spark computation). */
-  private def simhashDuckSql: String =
+    * the row-local Spark computation). Shared with [[CorpusQueries]]'s
+    * cluster-resolution oracle so both replay the identical signature. */
+  private[operators] def simhashDuckSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
        |  FROM documents),

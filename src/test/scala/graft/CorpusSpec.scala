@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CorpusOps, TextOps}
+
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Reference union-find for cross-checking the distributed algorithm. */
+  private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents matches union-find on a multi-cluster graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 1L), (5L, 6L), (8L, 7L))
+    val got = CorpusOps.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = bruteComponents(edges).filter { case (k, v) => k != v }
+    assert(got == want)
+  }
+
+  test("connectedComponents converges on a long chain (diameter >> rounds)") {
+    // a 64-node path: min-label propagation would need ~64 rounds; the
+    // star algorithm's O(log n) rounds must still land every node on 0.
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val got = CorpusOps.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 63 && got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents matches union-find on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val got = CorpusOps.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = bruteComponents(edges).filter { case (k, v) => k != v }
+    assert(got == want)
+  }
+
+  test("componentLabels keeps singletons as their own cluster") {
+    val docs = (1L to 8L).toDF("doc_id")
+    val edges = Seq((2L, 4L), (4L, 6L)).toDF("a", "b")
+    val got = CorpusOps.componentLabels(docs, "doc_id", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L,
+      5L -> 5L, 6L -> 2L, 7L -> 7L, 8L -> 8L))
+  }
+
+  test("connectedComponents of an empty edge set is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(CorpusOps.connectedComponents(empty).isEmpty)
+  }
+
+  test("piiRedact masks emails and phones; piiCount counts them") {
+    val df = Seq(
+      (1L, "write to a.user+tag@sub.example.co.uk or call 555-0134 now"),
+      (2L, "no pii here, 555-01 is not a phone and a@b is not an email"),
+      (3L, "two mails x@y.org z@w.io and 555-9999"))
+      .toDF("id", "t")
+      .select($"id", CorpusOps.piiCount($"t").as("n"),
+        CorpusOps.piiRedact($"t").as("r"))
+    val rows = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows(1L) == ((2L, "write to [EMAIL] or call [PHONE] now")))
+    assert(rows(2L) == ((0L, "no pii here, 555-01 is not a phone and a@b is not an email")))
+    assert(rows(3L) == ((3L, "two mails [EMAIL] [EMAIL] and [PHONE]")))
+  }
+
+  test("stratifiedHashSample is deterministic and partitioning-invariant") {
+    val df = (0L until 2000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val rates = Map("en" -> 200, "de" -> 700)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      CorpusOps.stratifiedHashSample(d, $"id", $"lang", rates)
+        .select($"id").collect().map(_.getLong(0)).toSet
+    val a = ids(df)
+    val b = ids(df.repartition(13, $"lang"))
+    assert(a == b)
+    // rates land near the target permille (hash uniformity)
+    val en = a.count(_ % 3 == 0).toDouble / (2000 / 3 + 1)
+    val de = a.count(_ % 3 != 0).toDouble / (2000 * 2 / 3)
+    assert(math.abs(en - 0.2) < 0.05, s"en rate $en")
+    assert(math.abs(de - 0.7) < 0.05, s"de rate $de")
+  }
+
+  test("packSequences matches a sequential greedy concat-and-split") {
+    val docs = (0L until 100L).map(i => (i, s"s${i % 3}", 1 + (i * 37 % 90).toInt))
+    val df = docs.map { case (id, src, n) => (id, src, ("x " * n).trim) }
+      .toDF("doc_id", "source", "text")
+    val got = CorpusOps.packSequences(df, "doc_id", "source",
+        TextOps.tokenCount($"text"), budget = 64)
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // sequential reference: per stream, running offset over id order
+    val want = docs.groupBy(_._2).flatMap { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).map { case (id, src, n) =>
+        val off = cum; cum += n
+        id -> ((src, n.toLong, off / 64, (cum - 1) / 64 - off / 64))
+      }
+    }.toMap
+    assert(got == want)
+  }
+
+  test("packSequences: every sequence holds at most budget tokens of wholly-contained docs") {
+    val df = (0L until 200L).map(i => (i, "s", 1 + (i * 13 % 50).toInt))
+      .toDF("doc_id", "source", "n")
+    val packed = CorpusOps.packSequences(df, "doc_id", "source", $"n", budget = 128)
+    val bySeq = packed.filter($"n_boundary_crossings" === 0)
+      .groupBy($"seq_id").agg(sum($"n_tokens").as("tot"))
+      .collect().map(_.getLong(1))
+    assert(bySeq.forall(_ <= 128))
+  }
+}
