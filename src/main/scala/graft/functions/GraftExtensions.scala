@@ -29,5 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nearest_cells"),
       new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
       (exprs: Seq[Expression]) => NearestCells(exprs.head, exprs(1), exprs(2))))
+    // EAV self-join-chain -> single-shuffle pivot (opt-in via
+    // spark.graft.eav.pivotJoinChains; see the rule's scaladoc)
+    e.injectOptimizerRule(_ => graft.plans.EavPivotRule)
   }
 }

@@ -296,6 +296,8 @@ object GraftPlanner {
     val exp = spark.experimental
     if (!exp.extraOptimizations.contains(WindowTopKRule))
       exp.extraOptimizations = exp.extraOptimizations :+ WindowTopKRule
+    if (!exp.extraOptimizations.contains(EavPivotRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ EavPivotRule
     if (!exp.extraStrategies.contains(TopKStrategy))
       exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
   }
