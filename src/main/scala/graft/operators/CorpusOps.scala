@@ -40,6 +40,30 @@ object CorpusOps {
       .filter($"a" =!= $"b")
       .distinct()
       .localCheckpoint(true)
+
+    // Small-N fast path (the writeSingle/writeSharded precedent): a near-dup
+    // edge set far smaller than the corpus is the common case, and the
+    // iterative loop's fixed cost (2 jobs x O(log n) rounds) dominates it.
+    // The edge set is already materialized, so the count is free; below the
+    // bounded threshold, union-find on the driver replaces ~10 scheduler
+    // round-trips with one collect. Above it (billions of edges at 100 TB),
+    // the distributed star loop below runs unchanged.
+    val maxDriver = spark.conf
+      .getOption("spark.graft.cc.maxDriverEdges").map(_.toLong)
+      .getOrElse(1000000L)
+    if (e.count() <= maxDriver) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      e.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.toArray.map(k => (k, find(k))).filter(t => t._1 != t._2)
+      return spark.createDataFrame(labels.toIndexedSeq).toDF("node", "comp")
+    }
     // (count, xor-of-hash ×2 seeds): a cheap order-independent edge-set
     // digest — one action per round instead of two except() scans, and
     // xor (unlike sum) cannot overflow under ANSI arithmetic.

@@ -189,6 +189,25 @@ object CorpusQueries extends QueryModule {
       SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         round(tf * ln(n.n * 1.0 / df), 6) AS tfidf
       FROM tf JOIN df USING (term) CROSS JOIN n
-      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) <= 3"""))
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) <= 3""")),
+
+    // corpus length distribution per language: exact interpolated
+    // percentiles (the curation dashboard numbers a filtering pass is
+    // tuned against). Exact `percentile` holds a value->count map per
+    // group — fine for bounded-cardinality metrics like lengths; the
+    // unbounded-cardinality analog is approx_percentile (q43's sketch
+    // family). One shuffle on the group key.
+    Q("q60_length_percentiles", (s, d) => {
+      import s.implicits._
+      t(s, d, "documents").groupBy($"lang").agg(
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n_chars, 0.95)"), 6).as("p95"),
+        count(lit(1)).as("n"))
+    }, Some("""
+      SELECT lang,
+        round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        round(quantile_cont(n_chars, 0.95), 6) AS p95,
+        CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang"""))
   )
 }

@@ -443,4 +443,57 @@ object SimilarityOps {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("sim"), 6).as("sim_r"))
   }
+
+  /** Per-dimension (min, max) ranges for scalar quantization — one
+    * explode+agg pass, model-sized result (dim rows) collected to the
+    * driver. This is the stats pass a quantizing lake writer runs once;
+    * at 100 TB it is a single scan with map-side combine on a dim-count
+    * keyed aggregate. Values are aggregated as doubles so the oracle's
+    * arithmetic starts from identical numbers. */
+  def dimRanges(corpus: DataFrame, embCol: String): Array[(Double, Double)] = {
+    corpus
+      .select(posexplode(col(embCol)).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg(min(col("v").cast("double")).as("mn"),
+           max(col("v").cast("double")).as("mx"))
+      .orderBy(col("i"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+  }
+
+  /** Row-local int8 scalar quantization against fixed per-dimension
+    * ranges: `code_i = clamp(floor((v_i - mn_i) * 256 / range_i), 0, 255)`
+    * with midpoint dequantization. `floor` (not `round`) keeps the
+    * arithmetic identical across engines (round-half modes differ).
+    * Returns (code-sum checksum, clipped-dimension count, mse): the
+    * integer outputs are order-independent, the mse is a left-to-right
+    * fold like [[dot]]. 4x smaller vectors is the difference between an
+    * embedding corpus that fits executor memory for bucket joins and one
+    * that doesn't — the decode cost is one multiply-add per dimension. */
+  def int8QuantStats(emb: Column, ranges: Array[(Double, Double)]): (Column, Column, Column) = {
+    val dim = ranges.length
+    val mnA = array(ranges.map(r => lit(r._1)): _*)
+    val mxA = array(ranges.map(r => lit(r._2)): _*)
+    def code(i: Column): Column = {
+      val v = element_at(emb, i).cast("double")
+      val mn = element_at(mnA, i)
+      val mx = element_at(mxA, i)
+      least(lit(255.0), greatest(lit(0.0),
+        floor((v - mn) * lit(256.0) / (mx - mn + lit(1e-12)))))
+    }
+    val idx = sequence(lit(1), lit(dim))
+    val codeSum = aggregate(transform(idx, code(_)), lit(0L),
+      (acc, x) => acc + x.cast("long"))
+    val nClipped = aggregate(
+      transform(idx, i => code(i).isin(0.0, 255.0).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val errs = transform(idx, i => {
+      val v = element_at(emb, i).cast("double")
+      val mn = element_at(mnA, i)
+      val mx = element_at(mxA, i)
+      val vhat = mn + (code(i) + lit(0.5)) * (mx - mn + lit(1e-12)) / lit(256.0)
+      (v - vhat) * (v - vhat)
+    })
+    val mse = round(aggregate(errs, lit(0.0), (acc, x) => acc + x) / lit(dim.toDouble), 9)
+    (codeSum, nClipped, mse)
+  }
 }

@@ -300,6 +300,54 @@ object SimilarityQueries extends QueryModule {
               row_number() OVER (PARTITION BY query_id
                                  ORDER BY sim DESC, neighbor_id ASC) AS rnk
             FROM sims)
-      WHERE rnk <= 3"""))
+      WHERE rnk <= 3""")),
+
+    // int8 scalar quantization of the embedding corpus — the compression
+    // path for lake-scale vector storage (4x smaller than float32, decode
+    // is one multiply-add per dim). Per-dim ranges from one stats pass
+    // (model-sized collect); encode + reconstruction error are row-local.
+    // Outputs are engine-exact: integer code checksum + clipped count,
+    // and an ordered-fold mse (floor-based codes, no round-half modes).
+    Q("q59_vector_quantize", (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val ranges = SimilarityOps.dimRanges(emb, "embedding")
+      val (codeSum, nClipped, mse) =
+        SimilarityOps.int8QuantStats($"embedding", ranges)
+      emb.select($"vec_id", codeSum.as("code_sum"),
+        nClipped.as("n_clipped"), mse.as("mse"))
+    }, Some("""
+      WITH dims AS (
+        SELECT i, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+        FROM (SELECT unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+        GROUP BY i),
+      da AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+             FROM dims)
+      SELECT e.vec_id,
+        CAST(list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+          CAST(least(255.0, greatest(0.0,
+            floor((CAST(e.embedding[i] AS DOUBLE) - da.mns[i]) * 256.0
+                  / (da.mxs[i] - da.mns[i] + 1e-12)))) AS BIGINT)))
+          AS BIGINT) AS code_sum,
+        CAST(list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+          CASE WHEN least(255.0, greatest(0.0,
+              floor((CAST(e.embedding[i] AS DOUBLE) - da.mns[i]) * 256.0
+                    / (da.mxs[i] - da.mns[i] + 1e-12)))) IN (0.0, 255.0)
+            THEN 1 ELSE 0 END)) AS BIGINT) AS n_clipped,
+        round(list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+          (CAST(e.embedding[i] AS DOUBLE)
+            - (da.mns[i] + (least(255.0, greatest(0.0,
+                 floor((CAST(e.embedding[i] AS DOUBLE) - da.mns[i]) * 256.0
+                       / (da.mxs[i] - da.mns[i] + 1e-12)))) + 0.5)
+               * (da.mxs[i] - da.mns[i] + 1e-12) / 256.0))
+          * (CAST(e.embedding[i] AS DOUBLE)
+            - (da.mns[i] + (least(255.0, greatest(0.0,
+                 floor((CAST(e.embedding[i] AS DOUBLE) - da.mns[i]) * 256.0
+                       / (da.mxs[i] - da.mns[i] + 1e-12)))) + 0.5)
+               * (da.mxs[i] - da.mns[i] + 1e-12) / 256.0))))
+          / len(e.embedding), 9) AS mse
+      FROM embeddings e CROSS JOIN da"""))
   )
 }

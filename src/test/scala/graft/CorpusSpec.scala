@@ -23,31 +23,47 @@ class CorpusSpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  test("connectedComponents matches union-find on a multi-cluster graph") {
+  /** Run f with the driver-edge threshold forced, restoring after. */
+  private def withMaxDriverEdges[T](n: Long)(f: => T): T = {
+    val key = "spark.graft.cc.maxDriverEdges"
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.unset(key)
+  }
+
+  /** Both code paths — driver union-find (small-N) and the distributed
+    * star loop (threshold 0) — must produce identical labelings. */
+  private def ccBothPaths(edges: Seq[(Long, Long)]): Seq[Map[Long, Long]] = {
+    val df = edges.toDF("a", "b")
+    Seq(
+      CorpusOps.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      withMaxDriverEdges(0) {
+        CorpusOps.connectedComponents(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      })
+  }
+
+  test("connectedComponents matches union-find on a multi-cluster graph (both paths)") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 1L), (5L, 6L), (8L, 7L))
-    val got = CorpusOps.connectedComponents(edges.toDF("a", "b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = bruteComponents(edges).filter { case (k, v) => k != v }
-    assert(got == want)
+    ccBothPaths(edges).foreach(got => assert(got == want))
   }
 
   test("connectedComponents converges on a long chain (diameter >> rounds)") {
     // a 64-node path: min-label propagation would need ~64 rounds; the
     // star algorithm's O(log n) rounds must still land every node on 0.
     val edges = (0L until 63L).map(i => (i, i + 1))
-    val got = CorpusOps.connectedComponents(edges.toDF("a", "b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.size == 63 && got.values.forall(_ == 0L))
+    ccBothPaths(edges).foreach { got =>
+      assert(got.size == 63 && got.values.forall(_ == 0L))
+    }
   }
 
-  test("connectedComponents matches union-find on a random graph") {
+  test("connectedComponents matches union-find on a random graph (both paths)") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
       .filter { case (a, b) => a != b }
-    val got = CorpusOps.connectedComponents(edges.toDF("a", "b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = bruteComponents(edges).filter { case (k, v) => k != v }
-    assert(got == want)
+    ccBothPaths(edges).foreach(got => assert(got == want))
   }
 
   test("componentLabels keeps singletons as their own cluster") {
@@ -113,6 +129,30 @@ class CorpusSpec extends AnyFunSuite {
       }
     }.toMap
     assert(got == want)
+  }
+
+  test("int8 quantization: codes reconstruct within the per-dim step bound") {
+    import graft.operators.SimilarityOps
+    val df = Seq(
+      (1L, Array(0.0f, 10.0f, -5.0f)),
+      (2L, Array(1.0f, 20.0f, 5.0f)),
+      (3L, Array(0.5f, 15.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val ranges = SimilarityOps.dimRanges(df, "embedding")
+    assert(ranges.toSeq == Seq((0.0, 1.0), (10.0, 20.0), (-5.0, 5.0)))
+    val (codeSum, nClipped, mse) = SimilarityOps.int8QuantStats($"embedding", ranges)
+    val rows = df.select($"vec_id", codeSum.as("cs"), nClipped.as("nc"), mse.as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // max error per dim is (range/256)^2; mse bound = max range 10 -> (10/256)^2
+    val bound = math.pow(10.0 / 256.0, 2)
+    rows.foreach { case (_, cs, nc, m) =>
+      assert(m >= 0 && m <= bound)
+      assert(cs >= 0 && cs <= 3L * 255)
+      assert(nc >= 0 && nc <= 3)
+    }
+    // extreme rows quantize to the ends: vec 1 hits code 0 on every dim
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == 0L && byId(1L)._3 == 3L)
   }
 
   test("packSequences: every sequence holds at most budget tokens of wholly-contained docs") {
