@@ -348,6 +348,58 @@ object SimilarityQueries extends QueryModule {
                        / (da.mxs[i] - da.mns[i] + 1e-12)))) + 0.5)
                * (da.mxs[i] - da.mns[i] + 1e-12) / 256.0))))
           / len(e.embedding), 9) AS mse
-      FROM embeddings e CROSS JOIN da"""))
+      FROM embeddings e CROSS JOIN da""")),
+
+    // memory-bounded ANN: int8-code shortlist (integer dot, exact) +
+    // float rerank of the shortlist only — the SQ8+rerank pattern for
+    // corpora whose float vectors don't fit scoring memory at 100 TB.
+    Q("q61_knn_sq8", (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val ranges = SimilarityOps.dimRanges(emb, "embedding")
+      SimilarityOps.sqTopK(emb, emb.filter($"vec_id" < 20), "vec_id",
+        "embedding", ranges, candidates = 20, k = 5)
+    }, Some("""
+      WITH dims AS (
+        SELECT i, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+        FROM (SELECT unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+        GROUP BY i),
+      da AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+             FROM dims),
+      cv AS (
+        SELECT vec_id,
+          list_transform(range(1, len(embedding) + 1), i ->
+            CAST(least(255.0, greatest(0.0,
+              floor((CAST(embedding[i] AS DOUBLE) - da.mns[i]) * 256.0
+                    / (da.mxs[i] - da.mns[i] + 1e-12)))) AS BIGINT)) AS codes,
+          CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings CROSS JOIN da),
+      s AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, 65), i -> q.codes[i] * c.codes[i])) AS qscore
+        FROM cv q JOIN cv c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 20),
+      short AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY qscore DESC, neighbor_id ASC) AS cr
+          FROM s)
+        WHERE cr <= 20),
+      r AS (
+        SELECT sh.query_id, sh.neighbor_id,
+          list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i])) AS sim
+        FROM short sh
+        JOIN cv q ON q.vec_id = sh.query_id
+        JOIN cv c ON c.vec_id = sh.neighbor_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+             round(sim, 6) AS sim_r
+      FROM (SELECT query_id, neighbor_id, sim,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS rnk
+            FROM r)
+      WHERE rnk <= 5"""))
   )
 }
