@@ -30,7 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
       (exprs: Seq[Expression]) => NearestCells(exprs.head, exprs(1), exprs(2))))
     // EAV self-join-chain -> single-shuffle pivot (opt-in via
-    // spark.graft.eav.pivotJoinChains; see the rule's scaladoc)
+    // spark.graft.eav.pivotJoinChains AND spark.graft.eav.entityColumn
+    // naming the declared-unique link column; see the rule's scaladoc)
     e.injectOptimizerRule(_ => graft.plans.EavPivotRule)
   }
 }

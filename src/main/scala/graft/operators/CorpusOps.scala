@@ -23,7 +23,8 @@ object CorpusOps {
 
   /** Connected components over an undirected edge list (`a`, `b` long
     * ids). Returns ("node", "comp") for every node that appears in an
-    * edge, where comp is the component's minimum node id.
+    * edge — including each component's root, which labels itself
+    * (node == comp) — where comp is the component's minimum node id.
     *
     * Alternating large-star/small-star with an edge-set fixpoint test.
     * Each iteration's frontier is `localCheckpoint`ed: iterative
@@ -53,15 +54,24 @@ object CorpusOps {
       .getOrElse(1000000L)
     if (e.count() <= maxDriver) {
       val parent = scala.collection.mutable.LongMap.empty[Long]
+      // iterative find (walk to root, then compress): recursion here can
+      // exceed JVM stack depth on path-shaped components whose edges
+      // arrive in descending order — edge order is not ours to control.
       def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
       }
+      val nodes = scala.collection.mutable.LongMap.empty[Unit]
       e.collect().foreach { row =>
-        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        nodes(a) = (); nodes(b) = ()
+        val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val labels = parent.keys.toArray.map(k => (k, find(k))).filter(t => t._1 != t._2)
+      val labels = nodes.keys.toArray.map(k => (k, find(k)))
       return spark.createDataFrame(labels.toIndexedSeq).toDF("node", "comp")
     }
     // (count, xor-of-hash ×2 seeds): a cheap order-independent edge-set
@@ -108,8 +118,11 @@ object CorpusOps {
       e = small
       iter += 1
     }
-    // fixpoint edges form stars (node -> component-min root)
-    e.select(greatest($"a", $"b").as("node"), least($"a", $"b").as("comp"))
+    // fixpoint edges form stars (node -> component-min root); roots label
+    // themselves so the documented "every node in an edge" contract holds
+    val stars = e.select(
+      greatest($"a", $"b").as("node"), least($"a", $"b").as("comp"))
+    stars.union(stars.select($"comp".as("node"), $"comp".as("comp")))
       .distinct()
   }
 
@@ -155,7 +168,16 @@ object CorpusOps {
     val rate = permille.foldLeft(lit(defaultPermille)) {
       case (acc, (k, v)) => when(stratumCol === k, lit(v)).otherwise(acc)
     }
-    df.filter((idCol * 2654435761L + 40503L) % 1000L < rate)
+    // reduce the id mod a prime BEFORE the Knuth multiply: 1000002 *
+    // 2654435761 + 40503 < 2^63, so the mix never overflows signed 64-bit
+    // (ids >= ~3.5e9 — routine at corpus scale — would otherwise wrap
+    // negative, and `%` on a negative dividend is always < rate, silently
+    // keeping those rows); pmod keeps the bucket non-negative for any
+    // caller-supplied id sign.
+    val bucket =
+      pmod(pmod(idCol.cast("long"), lit(1000003L)) * 2654435761L + 40503L,
+        lit(1000L))
+    df.filter(bucket < rate)
   }
 
   /** GPT-style sequence packing: concatenate each stream's documents in
@@ -175,7 +197,10 @@ object CorpusOps {
       .select(
         col(idCol), col(streamCol), col("n_tokens"),
         expr(s"(__cum - n_tokens) div $budget").as("seq_id"),
-        expr(s"(__cum - 1) div $budget - (__cum - n_tokens) div $budget")
+        // clamp: a zero-token doc landing exactly on a budget boundary
+        // yields (cum-1) div b - cum div b = -1; crossings are >= 0
+        greatest(lit(0L),
+          expr(s"(__cum - 1) div $budget - (__cum - n_tokens) div $budget"))
           .as("n_boundary_crossings"))
   }
 }

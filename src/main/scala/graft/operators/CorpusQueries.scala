@@ -131,8 +131,11 @@ object CorpusQueries extends QueryModule {
     }, Some {
       val cases = mixPermille.toSeq.sortBy(_._1)
         .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+      // pmod replay: ((x % m) + m) % m on both reductions, mirroring the
+      // overflow-safe Spark mix (id reduced mod 1000003 pre-multiply)
       s"""SELECT doc_id, lang, source FROM documents
-         |WHERE (doc_id * 2654435761 + 40503) % 1000 <
+         |WHERE ((((doc_id % 1000003) + 1000003) % 1000003 * 2654435761 + 40503)
+         |         % 1000 + 1000) % 1000 <
          |  CASE lang $cases ELSE 1000 END""".stripMargin
     }),
 
@@ -156,7 +159,8 @@ object CorpusQueries extends QueryModule {
         FROM tc)
       SELECT doc_id, source, CAST(tok AS BIGINT) AS n_tokens,
         CAST((cum - tok) // 512 AS BIGINT) AS seq_id,
-        CAST((cum - 1) // 512 - (cum - tok) // 512 AS BIGINT) AS n_boundary_crossings
+        CAST(greatest(0, (cum - 1) // 512 - (cum - tok) // 512) AS BIGINT)
+          AS n_boundary_crossings
       FROM c""")),
 
     // per-document distinctive terms (tf-idf family): top-3 terms by

@@ -34,11 +34,19 @@ import org.apache.spark.sql.types.StringType
   *
   * Equivalence requires each (entity, key) pair to be unique in the EAV
   * table — WordPress's meta-table contract, but not a property Spark can
-  * verify from the data — so the rule only fires when
-  * `spark.graft.eav.pivotJoinChains=true` opts in. Inner-join "drop
-  * entities missing any key" semantics are preserved by the presence
-  * filter; output attribute ids are preserved (aliases reuse the join's
-  * exprIds), so downstream operators resolve unchanged.
+  * verify from the data — so the rewrite is doubly opted into:
+  * `spark.graft.eav.pivotJoinChains=true` enables the rule, and
+  * `spark.graft.eav.entityColumn` must NAME the entity column (e.g.
+  * `user_id`). The chain's link column is inferred structurally from the
+  * join condition, and structure alone cannot distinguish the entity id
+  * from any other column: a chain joined on `m1.meta_value =
+  * m2.meta_value` matches the same pattern, but that join is
+  * many-to-many (entities share values) while the pivot would collapse
+  * to one arbitrary row per value. Requiring the name makes the opt-in
+  * assert uniqueness of the column the user actually means. Inner-join
+  * "drop entities missing any key" semantics are preserved by the
+  * presence filter; output attribute ids are preserved (aliases reuse
+  * the join's exprIds), so downstream operators resolve unchanged.
   */
 object EavPivotRule extends Rule[LogicalPlan] {
 
@@ -57,12 +65,16 @@ object EavPivotRule extends Rule[LogicalPlan] {
       baseOrd: Seq[Int])
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!conf.getConfString("spark.graft.eav.pivotJoinChains", "false").toBoolean) {
+    val enabled =
+      conf.getConfString("spark.graft.eav.pivotJoinChains", "false").toBoolean
+    val entityName =
+      conf.getConfString("spark.graft.eav.entityColumn", "").trim
+    if (!enabled || entityName.isEmpty) {
       plan
     } else {
       plan.transform {
         case j @ Join(_, _, Inner, Some(_), _) =>
-          rewrite(j).getOrElse(j)
+          rewrite(j, entityName).getOrElse(j)
       }
     }
   }
@@ -182,11 +194,16 @@ object EavPivotRule extends Rule[LogicalPlan] {
     }
   }
 
-  private def rewrite(j: Join): Option[LogicalPlan] = {
+  private def rewrite(j: Join, entityName: String): Option[LogicalPlan] = {
     collectChain(j).flatMap { case (arms, entOrd) =>
       val keyOrds = arms.map(_.keyOrd).distinct
       if (arms.size < 2 || entOrd < 0 || keyOrds.size != 1 ||
-          keyOrds.head == entOrd) None
+          keyOrds.head == entOrd ||
+          // the structurally-inferred link column must be the column the
+          // user DECLARED unique — a chain joined on any other column
+          // (e.g. meta_value) is many-to-many and must not pivot
+          !conf.resolver(arms.head.relation.output(entOrd).name, entityName))
+        None
       else {
         val keyOrd = keyOrds.head
         // fresh-id copy of the base so pivot aliases can reuse the join's

@@ -45,7 +45,8 @@ class CorpusSpec extends AnyFunSuite {
 
   test("connectedComponents matches union-find on a multi-cluster graph (both paths)") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 1L), (5L, 6L), (8L, 7L))
-    val want = bruteComponents(edges).filter { case (k, v) => k != v }
+    // contract: EVERY node in an edge is labeled, roots label themselves
+    val want = bruteComponents(edges)
     ccBothPaths(edges).foreach(got => assert(got == want))
   }
 
@@ -54,7 +55,7 @@ class CorpusSpec extends AnyFunSuite {
     // star algorithm's O(log n) rounds must still land every node on 0.
     val edges = (0L until 63L).map(i => (i, i + 1))
     ccBothPaths(edges).foreach { got =>
-      assert(got.size == 63 && got.values.forall(_ == 0L))
+      assert(got.size == 64 && got.values.forall(_ == 0L))
     }
   }
 
@@ -62,8 +63,20 @@ class CorpusSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
       .filter { case (a, b) => a != b }
-    val want = bruteComponents(edges).filter { case (k, v) => k != v }
+    val want = bruteComponents(edges)
     ccBothPaths(edges).foreach(got => assert(got == want))
+  }
+
+  test("driver union-find survives a descending path (deep-chain recursion hazard)") {
+    // edges arrive worst-case: (n,n-1),(n-1,n-2),... builds the longest
+    // possible parent chains; the iterative find must not blow the stack.
+    val n = 30000L
+    val edges = (n to 1L by -1).map(i => (i, i - 1))
+    val got = withMaxDriverEdges(1000000) {
+      CorpusOps.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(got.size == n + 1 && got.values.forall(_ == 0L))
   }
 
   test("componentLabels keeps singletons as their own cluster") {

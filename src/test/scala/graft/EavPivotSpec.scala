@@ -21,6 +21,7 @@ class EavPivotSpec extends AnyFunSuite {
   import spark.implicits._
 
   private val conf = "spark.graft.eav.pivotJoinChains"
+  private val entConf = "spark.graft.eav.entityColumn"
 
   // wp_usermeta shape: user 3 is missing last_name, user 4 missing both
   private lazy val eavDir: String = {
@@ -46,10 +47,14 @@ class EavPivotSpec extends AnyFunSuite {
       .select($"user_id", $"first_name", $"last_name")
   }
 
-  private def withRule[T](on: Boolean)(f: => T): T = {
+  private def withRule[T](on: Boolean, entity: String = "user_id")(f: => T): T = {
     GraftPlanner.install(spark)
     spark.conf.set(conf, on.toString)
-    try f finally spark.conf.set(conf, "false")
+    spark.conf.set(entConf, entity)
+    try f finally {
+      spark.conf.set(conf, "false")
+      spark.conf.unset(entConf)
+    }
   }
 
   private def scanCount(df: DataFrame): Int =
@@ -99,6 +104,28 @@ class EavPivotSpec extends AnyFunSuite {
     GraftPlanner.install(spark)
     assert(spark.conf.getOption(conf).forall(_ == "false"))
     assert(joinCount(chain(eav)) == 1)
+  }
+
+  test("does not fire on a chain joined on a non-entity column (meta_value)") {
+    withRule(on = true) {
+      // structurally identical to the entity chain, but linked on the
+      // VALUE column — many-to-many, a pivot would be wrong
+      val m1 = eav.filter($"meta_key" === "first_name")
+        .select($"meta_value", $"user_id".as("uid1"))
+      val m2 = eav.filter($"meta_key" === "last_name")
+        .select($"meta_value".as("v2"), $"user_id".as("uid2"))
+      val df = m1.join(m2, $"meta_value" === $"v2")
+      assert(joinCount(df) == 1, df.queryExecution.optimizedPlan.toString)
+    }
+  }
+
+  test("does not fire when entityColumn conf is unset") {
+    GraftPlanner.install(spark)
+    spark.conf.set(conf, "true")
+    try {
+      spark.conf.unset(entConf)
+      assert(joinCount(chain(eav)) == 1)
+    } finally spark.conf.set(conf, "false")
   }
 
   test("does not fire on arms with extra non-key predicates") {
