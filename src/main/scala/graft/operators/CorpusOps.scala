@@ -180,6 +180,26 @@ object CorpusOps {
     df.filter(bucket < rate)
   }
 
+  /** Deterministic fixed-SIZE per-stratum sample — the complement of
+    * [[stratifiedHashSample]] (fixed RATE): exactly `k` rows per stratum,
+    * chosen by ranking on a pure hash of the row id. Where an RNG
+    * reservoir depends on encounter order, this is a function of the
+    * data alone — reproducible across runs/engines/partitionings. One
+    * shuffle on the stratum key; with the rank=1..k window shape it
+    * executes through TopKPerKeyExec (bounded k-row buffer per stratum,
+    * no full sort). Same overflow-safe mix as [[stratifiedHashSample]],
+    * with a 1000003 output modulus so priority ties are rare. */
+  def reservoirSample(df: DataFrame, idCol: Column, stratumCol: Column,
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prio =
+      pmod(pmod(idCol.cast("long"), lit(1000003L)) * 2654435761L + 40503L,
+        lit(1000003L))
+    val w = Window.partitionBy(stratumCol).orderBy(prio.asc, idCol.asc)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** GPT-style sequence packing: concatenate each stream's documents in
     * id order and split at `budget`-token boundaries. Emits per document
     * the sequence it starts in and how many boundaries it straddles

@@ -139,6 +139,24 @@ object CorpusQueries extends QueryModule {
          |  CASE lang $cases ELSE 1000 END""".stripMargin
     }),
 
+    // fixed-size per-stratum sample: exactly 25 docs per language, chosen
+    // by hash-priority rank — the deterministic "reservoir" an ablation
+    // pipeline uses when it needs N examples per stratum, not a rate.
+    // Executes through TopKPerKeyExec (k-row buffer per stratum).
+    Q("q62_reservoir_sample", (s, d) => {
+      import s.implicits._
+      graft.plans.GraftPlanner.install(s)
+      CorpusOps.reservoirSample(t(s, d, "documents"), $"doc_id", $"lang", k = 25)
+        .select($"doc_id", $"lang", $"rk")
+    }, Some("""
+      SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang ORDER BY
+            ((((doc_id % 1000003) + 1000003) % 1000003 * 2654435761 + 40503)
+               % 1000003 + 1000003) % 1000003 ASC, doc_id ASC) AS rk
+        FROM documents)
+      WHERE rk <= 25""")),
+
     // GPT-style sequence packing: concatenate each source stream in doc
     // order, split at 512-token boundaries; per doc -> its sequence id and
     // boundary-straddle count. One shuffle on the stream key.

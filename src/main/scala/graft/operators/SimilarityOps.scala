@@ -552,4 +552,104 @@ object SimilarityOps {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("sim"), 6).as("sim_r"))
   }
+
+  /** Product-quantization codebook from deterministic stride anchors:
+    * centroid c of subspace mi is the mi-th slice of the vector whose id
+    * is `c * (n/k)` — a data-derived, order-independent selection both
+    * engines reproduce exactly (no averaged floats whose summation order
+    * could differ). A Lloyd-refined codebook drops in without changing
+    * [[pqTopK]]; anchors keep the oracled path bit-replayable. Returns
+    * `[m][k]` (centroid, |centroid|² as a left-to-right sum) pairs —
+    * the norm is precomputed once here so the Spark plan and the oracle
+    * SQL consume the SAME double literal. Model-sized collect (k rows). */
+  def pqAnchorCodebook(corpus: DataFrame, idCol: String, embCol: String,
+                       n: Long, m: Int, k: Int): Array[Array[(Array[Double], Double)]] = {
+    val stride = math.max(1L, n / k)
+    val rows = corpus
+      .filter(col(idCol) % stride === 0 && col(idCol) < stride * k)
+      .orderBy(col(idCol))
+      .select(col(embCol).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "pqAnchorCodebook: no anchor rows matched")
+    val dim = rows.head.length
+    require(dim % m == 0, s"pqAnchorCodebook: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { mi =>
+      rows.map { v =>
+        val c = v.slice(mi * sub, (mi + 1) * sub)
+        var norm = 0.0
+        var i = 0
+        while (i < c.length) { norm += c(i) * c(i); i += 1 }
+        (c, norm)
+      }
+    }
+  }
+
+  /** PQ code for subspace `mi`: argmin over centroids of the L2 proxy
+    * `|c|² - 2·(x·c)` (the `|x|²` term is constant per row and dropped).
+    * Ties break to the lowest centroid index (`array_position` returns
+    * the first match). Unrolled literal arithmetic — codegen'd, and
+    * bit-identical to the oracle's replay of the same expression. */
+  private def pqCode(e: Column, cents: Array[(Array[Double], Double)],
+                     mi: Int, sub: Int): Column = {
+    val scores = array(cents.map { case (c, norm) =>
+      val d = (0 until sub)
+        .map(i => element_at(e, mi * sub + i + 1) * lit(c(i)))
+        .reduceLeft[Column](_ + _)
+      lit(norm) - lit(2.0) * d
+    }: _*)
+    (array_position(scores, array_min(scores)) - 1).cast("int")
+  }
+
+  /** Memory-bounded ANN via product quantization with asymmetric distance
+    * (ADC): the corpus is stored as `m` small codes per vector (m bytes
+    * at k≤256 — a 32× compression of a 64-dim float corpus, vs 4× for
+    * [[sqTopK]]'s int8); scoring reconstructs each vector from the
+    * broadcast codebook literals ON THE FLY (row-local `element_at`
+    * lookups — the float corpus is never resident) and takes the exact
+    * dot of the query against the reconstruction, which equals the
+    * classic per-query LUT formulation `Σ_m lut[m][code_m]`. The float
+    * vectors are fetched by join for the `candidates`-row shortlist
+    * only. Queries broadcast; one corpus pass; shuffles only on the
+    * per-query top-k windows. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             embCol: String, codebook: Array[Array[(Array[Double], Double)]],
+             candidates: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(corpus.sparkSession)
+    val m = codebook.length
+    val sub = codebook(0)(0)._1.length
+    val e = col(embCol).cast("array<double>")
+    val codeCols = (0 until m).map(mi =>
+      pqCode(e, codebook(mi), mi, sub).as(s"__c$mi"))
+    val cbLits = codebook.map(cb =>
+      typedlit(cb.map(_._1.toSeq).toSeq))
+    val recon = flatten(array((0 until m).map(mi =>
+      element_at(cbLits(mi), col(s"__c$mi") + 1)): _*))
+    val coded = corpus
+      .select(col(idCol).as("neighbor_id") +: codeCols: _*)
+      .withColumn("recon", recon)
+    val q = queries.select(col(idCol).as("query_id"), e.as("qe"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val shortlist = coded
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", dot(col("qe"), col("recon")))
+      .withColumn("crank", row_number().over(wC))
+      .filter(col("crank") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val qe = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
+    val ce = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    shortlist
+      .join(broadcast(qe), "query_id")
+      .join(ce, "neighbor_id")
+      .withColumn("sim", dot(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("sim"), 6).as("sim_r"))
+  }
 }

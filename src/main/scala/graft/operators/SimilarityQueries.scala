@@ -400,6 +400,77 @@ object SimilarityQueries extends QueryModule {
               row_number() OVER (PARTITION BY query_id
                                  ORDER BY sim DESC, neighbor_id ASC) AS rnk
             FROM r)
+      WHERE rnk <= 5""")),
+
+    // product-quantization ANN with asymmetric distance: the corpus lives
+    // as 4 codes/vector (one per 16-dim subspace, 16 centroids each — 4
+    // bytes vs 256 for float32, 32x), vectors are reconstructed on the
+    // fly from the broadcast codebook for ADC scoring, and only the
+    // 20-row shortlist fetches float vectors for the exact rerank. The
+    // codebook is derived from deterministic stride anchors (vec_id
+    // multiples of n/16) so the oracle re-derives it IN SQL from the
+    // same parquet — no averaged floats whose summation order could
+    // diverge between engines. Oracle bakes the sf0.01 sizing (n=500 →
+    // stride 31), as q39 does for planes.
+    Q("q64_knn_pq", (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val n = Stats.parquetRowCount(s, s"$d/embeddings.parquet")
+      val cb = SimilarityOps.pqAnchorCodebook(
+        emb, "vec_id", "embedding", n, m = 4, k = 16)
+      SimilarityOps.pqTopK(emb, emb.filter($"vec_id" < 10),
+        "vec_id", "embedding", cb, candidates = 20, k = 5)
+    }, Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      anch AS (SELECT vec_id, e FROM v
+               WHERE vec_id % 31 = 0 AND vec_id < 496),
+      cb AS (
+        SELECT CAST(a.vec_id // 31 AS INT) AS c, s.mi,
+          list_transform(range(1, 17), i -> a.e[s.mi * 16 + i]) AS cv
+        FROM anch a CROSS JOIN (SELECT unnest(range(0, 4)) AS mi) s),
+      cbn AS (
+        SELECT c, mi, cv,
+          list_sum(list_transform(range(1, 17), i -> cv[i] * cv[i])) AS cn
+        FROM cb),
+      scored AS (
+        SELECT v.vec_id, b.mi, b.c,
+          b.cn - 2.0 * list_sum(list_transform(range(1, 17),
+                         i -> v.e[b.mi * 16 + i] * b.cv[i])) AS s
+        FROM v CROSS JOIN cbn b),
+      codes AS (
+        SELECT vec_id, mi, c FROM (
+          SELECT vec_id, mi, c,
+            row_number() OVER (PARTITION BY vec_id, mi
+                               ORDER BY s ASC, c ASC) AS rn
+          FROM scored) WHERE rn = 1),
+      recon AS (
+        SELECT codes.vec_id, flatten(list(b.cv ORDER BY codes.mi)) AS r
+        FROM codes JOIN cbn b ON b.mi = codes.mi AND b.c = codes.c
+        GROUP BY codes.vec_id),
+      adc AS (
+        SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, 65), i -> q.e[i] * r.r[i])) AS adc
+        FROM v q JOIN recon r ON r.vec_id != q.vec_id
+        WHERE q.vec_id < 10),
+      short AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc DESC, neighbor_id ASC) AS cr
+          FROM adc) WHERE cr <= 20),
+      rr AS (
+        SELECT sh.query_id, sh.neighbor_id,
+          list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i])) AS sim
+        FROM short sh
+        JOIN v q ON q.vec_id = sh.query_id
+        JOIN v c ON c.vec_id = sh.neighbor_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+             round(sim, 6) AS sim_r
+      FROM (SELECT query_id, neighbor_id, sim,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS rnk
+            FROM rr)
       WHERE rnk <= 5"""))
   )
 }

@@ -177,6 +177,55 @@ object TextQueries extends QueryModule {
          |  FROM documents)
          |SELECT doc_id, pred, quality FROM scored
          |WHERE quality >= 0.5
-         |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1""".stripMargin))
+         |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1""".stripMargin)),
+
+    // within-document repetition signals (the Gopher-rules family): a doc
+    // whose tokens or n-grams repeat heavily is boilerplate/spam and gets
+    // filtered before training. dup_token_frac = 1 - distinct/total,
+    // top_token_frac = mode count/total, dup_2gram_frac likewise over
+    // bigrams. The bigram fraction is row-local (transform +
+    // array_distinct — no explode); token mode needs exact per-token
+    // counts, so ONE scan explodes tokens and aggregates twice on
+    // (doc_id, tok) then doc_id — both shuffles map-side combined. The
+    // row-local bigram stat rides the explode (8 bytes/token) rather
+    // than re-scanning the corpus: at 100 TB a second parquet pass costs
+    // more than the carried column.
+    Q("q63_repetition", (s, d) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      val g2 = TextOps.shingles(toks, 2)
+      val dup2 = when(size(g2) > 0,
+        lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2))
+        .otherwise(lit(0.0))
+      t(s, d, "documents")
+        .select($"doc_id", dup2.as("d2"), explode(toks).as("tok"))
+        .groupBy($"doc_id", $"tok")
+        .agg(count(lit(1)).as("c"), first($"d2").as("d2"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n"), count(lit(1)).as("nd"),
+          max($"c").as("topc"), first($"d2").as("d2"))
+        .select($"doc_id",
+          $"n".cast("long").as("n_tokens"),
+          round(lit(1.0) - $"nd".cast("double") / $"n", 6).as("dup_token_frac"),
+          round($"topc".cast("double") / $"n", 6).as("top_token_frac"),
+          round($"d2", 6).as("dup_2gram_frac"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents),
+      g AS (SELECT doc_id,
+              CASE WHEN len(toks) < 2 THEN 0.0
+                   ELSE 1.0 - len(list_distinct(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1]))) * 1.0
+                        / (len(toks) - 1) END AS d2
+            FROM d),
+      tf AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+      cnt AS (SELECT doc_id, tok, count(*) AS c FROM tf GROUP BY 1, 2),
+      agg AS (SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS topc
+              FROM cnt GROUP BY 1)
+      SELECT a.doc_id, CAST(a.n AS BIGINT) AS n_tokens,
+        round(1.0 - a.nd * 1.0 / a.n, 6) AS dup_token_frac,
+        round(a.topc * 1.0 / a.n, 6) AS top_token_frac,
+        round(g.d2, 6) AS dup_2gram_frac
+      FROM agg a JOIN g ON g.doc_id = a.doc_id"""))
   )
 }

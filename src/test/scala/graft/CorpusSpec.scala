@@ -124,6 +124,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(de - 0.7) < 0.05, s"de rate $de")
   }
 
+  test("reservoirSample: exactly k per stratum, partitioning-invariant, id-overflow-safe") {
+    // include ids past 2^32 where the old unreduced multiply would wrap
+    val df = ((0L until 500L) ++ (5000000000L until 5000000300L))
+      .map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      CorpusOps.reservoirSample(d, $"id", $"lang", k = 40)
+        .select($"id", $"lang", $"rk")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val a = sample(df)
+    val b = sample(df.repartition(11, $"id"))
+    assert(a == b)
+    assert(a.count(_._2 == "en") == 40 && a.count(_._2 == "de") == 40)
+    assert(a.groupBy(_._2).forall(_._2.map(_._3).toSeq.sorted == (1L to 40L)))
+    // strata smaller than k yield the whole stratum
+    val tiny = (0L until 5L).map(i => (i, "xx")).toDF("id", "lang")
+    assert(CorpusOps.reservoirSample(tiny, $"id", $"lang", k = 40).count() == 5)
+  }
+
   test("packSequences matches a sequential greedy concat-and-split") {
     val docs = (0L until 100L).map(i => (i, s"s${i % 3}", 1 + (i * 37 % 90).toInt))
     val df = docs.map { case (id, src, n) => (id, src, ("x " * n).trim) }

@@ -237,4 +237,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p1.subsetOf(p4), "multi-probe must not lose single-probe pairs")
     assert(p4.subsetOf(exact), "probed candidates must stay exactly verified")
   }
+
+  test("PQ codebook shape and deterministic codes") {
+    val emb = graft.catalog.Tables.t(spark, sf, "embeddings")
+    val cb = SimilarityOps.pqAnchorCodebook(
+      emb, "vec_id", "embedding", n = 500L, m = 4, k = 16)
+    assert(cb.length == 4)
+    assert(cb.forall(_.length == 16))
+    assert(cb.forall(_.forall(_._1.length == 16)))
+    // |c|^2 of a (near) unit vector's quarter-slice is in (0, 1]
+    assert(cb.forall(_.forall { case (_, n2) => n2 > 0.0 && n2 <= 1.001 }))
+    val a = SimilarityOps.pqTopK(emb, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", cb, candidates = 20, k = 3).collect().toSeq
+    val b = SimilarityOps.pqTopK(emb.repartition(7), emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", cb, candidates = 20, k = 3).collect().toSeq
+    assert(a.toSet == b.toSet, "PQ results must be partitioning-invariant")
+  }
+
+  test("PQ ADC recall@1 vs brute force is sane and improves with candidates") {
+    val emb = graft.catalog.Tables.t(spark, sf, "embeddings")
+    val cb = SimilarityOps.pqAnchorCodebook(
+      emb, "vec_id", "embedding", n = 500L, m = 4, k = 16)
+    val brute = SimilarityOps.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    def recallAt(c: Int): Double = {
+      val pq = SimilarityOps.pqTopK(emb, emb, "vec_id", "embedding", cb,
+        candidates = c, k = 1)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+      pq.count { case (q, n) => brute.get(q).contains(n) }.toDouble / brute.size
+    }
+    val r16 = recallAt(16)
+    val r64 = recallAt(64)
+    assert(r16 >= 0.2, s"PQ recall@1 with 16 candidates too low: $r16")
+    assert(r64 >= r16, s"recall must not degrade with a larger shortlist: $r64 < $r16")
+    assert(r64 >= 0.5, s"PQ recall@1 with 64 candidates too low: $r64")
+  }
 }
