@@ -64,6 +64,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       if ((i + 1) % 5 == 0) probes += probeOnce()
+      // stderr progress (the driver parses only the final stdout JSON):
+      // makes a pathological query attributable while the run is live
+      System.err.println(
+        f"[bench] $name ${times(times.length / 2)}%.3f s (${times.mkString(", ")})")
       name -> times(times.length / 2)
     }
     probes += probeOnce()
