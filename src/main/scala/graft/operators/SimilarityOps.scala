@@ -586,20 +586,23 @@ object SimilarityOps {
     }
   }
 
-  /** PQ code for subspace `mi`: argmin over centroids of the L2 proxy
-    * `|c|² - 2·(x·c)` (the `|x|²` term is constant per row and dropped).
-    * Ties break to the lowest centroid index (`array_position` returns
-    * the first match). Unrolled literal arithmetic — codegen'd, and
-    * bit-identical to the oracle's replay of the same expression. */
+  /** PQ code for subspace `mi`: argmin over centroids of L2 distance via
+    * the augmented-vector trick — `argmin_c |x-c|² = argmax_c (x·c -
+    * |c|²/2)`, and appending 1.0 to the subvector / `-|c|²/2` to each
+    * centroid turns that into a plain max-dot, which the existing
+    * codegen'd [[graft.functions.NearestCells]] matrix expression
+    * computes in one compact plan node (ties to the smaller centroid
+    * index). The naive alternative — k unrolled score trees +
+    * array_position(array_min) — costs ~2 s of single-threaded driver
+    * planning PER RUN on a 4×16×16 codebook; this is one reference
+    * object. */
   private def pqCode(e: Column, cents: Array[(Array[Double], Double)],
                      mi: Int, sub: Int): Column = {
-    val scores = array(cents.map { case (c, norm) =>
-      val d = (0 until sub)
-        .map(i => element_at(e, mi * sub + i + 1) * lit(c(i)))
-        .reduceLeft[Column](_ + _)
-      lit(norm) - lit(2.0) * d
-    }: _*)
-    (array_position(scores, array_min(scores)) - 1).cast("int")
+    val aug = concat(slice(e, mi * sub + 1, sub), array(lit(1.0)))
+    val matrix = typedlit(cents.map { case (c, norm) =>
+      (c :+ -(norm / 2.0)).toSeq
+    }.toSeq)
+    element_at(call_function("nearest_cells", aug, matrix, lit(1)), 1)
   }
 
   /** Memory-bounded ANN via product quantization with asymmetric distance

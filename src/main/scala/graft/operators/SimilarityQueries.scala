@@ -431,18 +431,19 @@ object SimilarityQueries extends QueryModule {
         FROM anch a CROSS JOIN (SELECT unnest(range(0, 4)) AS mi) s),
       cbn AS (
         SELECT c, mi, cv,
-          list_sum(list_transform(range(1, 17), i -> cv[i] * cv[i])) AS cn
+          list_append(cv, -(list_sum(list_transform(range(1, 17),
+            i -> cv[i] * cv[i])) / 2.0)) AS cva
         FROM cb),
       scored AS (
         SELECT v.vec_id, b.mi, b.c,
-          b.cn - 2.0 * list_sum(list_transform(range(1, 17),
-                         i -> v.e[b.mi * 16 + i] * b.cv[i])) AS s
+          list_sum(list_transform(range(1, 17),
+            i -> v.e[b.mi * 16 + i] * b.cva[i])) + 1.0 * b.cva[17] AS s
         FROM v CROSS JOIN cbn b),
       codes AS (
         SELECT vec_id, mi, c FROM (
           SELECT vec_id, mi, c,
             row_number() OVER (PARTITION BY vec_id, mi
-                               ORDER BY s ASC, c ASC) AS rn
+                               ORDER BY s DESC, c ASC) AS rn
           FROM scored) WHERE rn = 1),
       recon AS (
         SELECT codes.vec_id, flatten(list(b.cv ORDER BY codes.mi)) AS r
