@@ -605,6 +605,71 @@ object SimilarityOps {
     element_at(call_function("nearest_cells", aug, matrix, lit(1)), 1)
   }
 
+  /** Attach PQ codes and the codebook reconstruction to every corpus
+    * row: `__c<mi>` int code per subspace plus `recon` (the
+    * concatenated centroid lookup — array<double>, built row-locally
+    * from the broadcast codebook literals; the float corpus never needs
+    * to be resident to score). The stored form a quantizing lake writer
+    * persists is just the code columns — m bytes per vector at k ≤ 256. */
+  def pqEncode(corpus: DataFrame, embCol: String,
+               codebook: Array[Array[(Array[Double], Double)]]): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val m = codebook.length
+    val sub = codebook(0)(0)._1.length
+    val e = col(embCol).cast("array<double>")
+    val coded = (0 until m).foldLeft(corpus) { (acc, mi) =>
+      acc.withColumn(s"__c$mi", pqCode(e, codebook(mi), mi, sub))
+    }
+    val cbLits = codebook.map(cb => typedlit(cb.map(_._1.toSeq).toSeq))
+    coded.withColumn("recon", flatten(array((0 until m).map(mi =>
+      element_at(cbLits(mi), col(s"__c$mi") + 1)): _*)))
+  }
+
+  /** Lloyd refinement of a PQ codebook ([[pqAnchorCodebook]] output):
+    * each iteration assigns every SUBVECTOR to its nearest centroid with
+    * the same augmented max-dot expression the encoder uses, then
+    * recomputes per-(subspace, code) elementwise means in ONE
+    * inline + posexplode + groupBy pass over all subspaces (map-side
+    * partial avg; m×k×sub result rows — model-sized by definition).
+    * Empty cells keep their previous centroid. Same determinism caveat
+    * as [[kmeansCentroids]]: double partial-aggregation order makes
+    * low-order bits run-dependent, so the oracled q64 path keeps raw
+    * anchors while recall/distortion-hungry callers refine. */
+  def pqRefine(corpus: DataFrame, embCol: String,
+               codebook: Array[Array[(Array[Double], Double)]],
+               iters: Int): Array[Array[(Array[Double], Double)]] = {
+    GraftFunctions.register(corpus.sparkSession)
+    val m = codebook.length
+    val sub = codebook(0)(0)._1.length
+    var cb = codebook
+    for (_ <- 1 to iters) {
+      val e = col(embCol).cast("array<double>")
+      val subStructs = array((0 until m).map(mi => struct(
+        lit(mi).as("mi"),
+        pqCode(e, cb(mi), mi, sub).as("code"),
+        slice(e, mi * sub + 1, sub).as("sv"))): _*)
+      val means = corpus.select(inline(subStructs))
+        .select(col("mi"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("mi", "code", "pos").agg(avg("x").as("mn"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+      cb = Array.tabulate(m) { mi =>
+        Array.tabulate(cb(mi).length) { c =>
+          means.get((mi, c)) match {
+            case Some(rows) =>
+              val v = rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+              var n = 0.0
+              var i = 0
+              while (i < v.length) { n += v(i) * v(i); i += 1 }
+              (v, n)
+            case None => cb(mi)(c)
+          }
+        }
+      }
+    }
+    cb
+  }
+
   /** Memory-bounded ANN via product quantization with asymmetric distance
     * (ADC): the corpus is stored as `m` small codes per vector (m bytes
     * at k≤256 — a 32× compression of a 64-dim float corpus, vs 4× for
@@ -621,18 +686,9 @@ object SimilarityOps {
              candidates: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(corpus.sparkSession)
-    val m = codebook.length
-    val sub = codebook(0)(0)._1.length
     val e = col(embCol).cast("array<double>")
-    val codeCols = (0 until m).map(mi =>
-      pqCode(e, codebook(mi), mi, sub).as(s"__c$mi"))
-    val cbLits = codebook.map(cb =>
-      typedlit(cb.map(_._1.toSeq).toSeq))
-    val recon = flatten(array((0 until m).map(mi =>
-      element_at(cbLits(mi), col(s"__c$mi") + 1)): _*))
-    val coded = corpus
-      .select(col(idCol).as("neighbor_id") +: codeCols: _*)
-      .withColumn("recon", recon)
+    val coded = pqEncode(corpus.select(col(idCol), col(embCol)), embCol, codebook)
+      .select(col(idCol).as("neighbor_id"), col("recon"))
     val q = queries.select(col(idCol).as("query_id"), e.as("qe"))
     val wC = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id").asc)

@@ -254,6 +254,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.toSet == b.toSet, "PQ results must be partitioning-invariant")
   }
 
+  test("pqRefine: Lloyd iterations never increase quantization distortion") {
+    import graft.functions.VectorFns.dot
+    val emb = graft.catalog.Tables.t(spark, sf, "embeddings")
+    val cb0 = SimilarityOps.pqAnchorCodebook(
+      emb, "vec_id", "embedding", n = 500L, m = 4, k = 16)
+    def distortion(cb: Array[Array[(Array[Double], Double)]]): Double = {
+      val e = $"embedding".cast("array<double>")
+      SimilarityOps.pqEncode(emb, "embedding", cb)
+        .select((dot(e, e) - lit(2.0) * dot(e, $"recon")
+          + dot($"recon", $"recon")).as("d2"))
+        .agg(avg($"d2")).head().getDouble(0)
+    }
+    val d0 = distortion(cb0)
+    val cb1 = SimilarityOps.pqRefine(emb, "embedding", cb0, iters = 1)
+    val d1 = distortion(cb1)
+    val cb2 = SimilarityOps.pqRefine(emb, "embedding", cb1, iters = 1)
+    val d2 = distortion(cb2)
+    assert(d0 > 0.0)
+    assert(d1 <= d0 + 1e-9, s"one Lloyd step must not raise distortion: $d1 > $d0")
+    assert(d2 <= d1 + 1e-9, s"second Lloyd step must not raise distortion: $d2 > $d1")
+  }
+
   test("PQ ADC recall@1 vs brute force is sane and improves with candidates") {
     val emb = graft.catalog.Tables.t(spark, sf, "embeddings")
     val cb = SimilarityOps.pqAnchorCodebook(
