@@ -213,6 +213,34 @@ object CorpusQueries extends QueryModule {
       FROM tf JOIN df USING (term) CROSS JOIN n
       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) <= 3""")),
 
+    // the mixture report a training run is configured against: per
+    // (source, lang) document and token counts plus each cell's share
+    // of the corpus. One shuffle for the agg; the grand total is a
+    // single-row broadcast join (no second scan, no window over the
+    // whole table in one partition).
+    Q("q66_mixture_report", (s, d) => {
+      import s.implicits._
+      val cells = t(s, d, "documents")
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount($"text").cast("long")).as("n_tokens"))
+      val total = cells.agg(sum($"n_docs").as("total")).select($"total")
+      cells.join(broadcast(total))
+        .select($"source", $"lang",
+          $"n_docs".cast("long").as("n_docs"),
+          $"n_tokens".cast("long").as("n_tokens"),
+          round($"n_docs".cast("double") / $"total", 6).as("doc_share"))
+    }, Some("""
+      WITH cells AS (
+        SELECT source, lang, count(*) AS n_docs,
+          sum(len(string_split_regex(trim(text), '\s+'))) AS n_tokens
+        FROM documents GROUP BY 1, 2),
+      tot AS (SELECT sum(n_docs) AS total FROM cells)
+      SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        round(n_docs * 1.0 / total, 6) AS doc_share
+      FROM cells CROSS JOIN tot""")),
+
     // corpus length distribution per language: exact interpolated
     // percentiles (the curation dashboard numbers a filtering pass is
     // tuned against). Exact `percentile` holds a value->count map per

@@ -227,6 +227,37 @@ object TextQueries extends QueryModule {
         round(1.0 - a.nd * 1.0 / a.n, 6) AS dup_token_frac,
         round(a.topc * 1.0 / a.n, 6) AS top_token_frac,
         round(g.d2, 6) AS dup_2gram_frac
-      FROM agg a JOIN g ON g.doc_id = a.doc_id"""))
+      FROM agg a JOIN g ON g.doc_id = a.doc_id""")),
+
+    // fixed-budget document chunking (the pretraining/RAG splitter):
+    // re-segment every document into 64-token chunks, reassembling each
+    // chunk's text in token order. One explode + one shuffle on
+    // (doc_id, chunk_id) with partial collect_list; the in-group sort is
+    // an array_sort of at most 64 (pos, tok) structs — bounded per
+    // group, so no partition-wide sort and no skew from long documents
+    // (a 1M-token doc becomes ~16k independent groups).
+    Q("q65_chunk", (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id",
+          posexplode(TextOps.tokens($"text")).as(Seq("pos", "tok")))
+        .groupBy($"doc_id", expr("pos div 64").cast("long").as("chunk_id"))
+        .agg(count(lit(1)).as("n"),
+          array_sort(collect_list(struct($"pos", $"tok"))).as("ts"))
+        .select($"doc_id", $"chunk_id",
+          $"n".cast("long").as("n_tokens"),
+          array_join(transform($"ts", x => x.getField("tok")), " ")
+            .as("chunk_text"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents),
+      t AS (SELECT doc_id,
+              unnest(toks) AS tok,
+              generate_subscripts(toks, 1) - 1 AS pos
+            FROM d)
+      SELECT doc_id, CAST(pos // 64 AS BIGINT) AS chunk_id,
+        CAST(count(*) AS BIGINT) AS n_tokens,
+        string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+      FROM t GROUP BY doc_id, pos // 64"""))
   )
 }
