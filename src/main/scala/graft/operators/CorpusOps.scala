@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
 object CorpusOps {
 
   /** Connected components over an undirected edge list (`a`, `b` long
-    * ids). Returns ("node", "comp") for every node that appears in an
-    * edge — including each component's root, which labels itself
-    * (node == comp) — where comp is the component's minimum node id.
+    * ids). Returns ("node", "comp") for every node that appears in a
+    * non-degenerate edge (self-loops `a == b` are dropped up front and
+    * contribute no label) — including each component's root, which
+    * labels itself (node == comp) — where comp is the component's
+    * minimum node id. Callers labeling a full table use
+    * [[componentLabels]], whose coalesce also covers isolated and
+    * self-loop-only nodes.
     *
     * Alternating large-star/small-star with an edge-set fixpoint test.
     * Each iteration's frontier is `localCheckpoint`ed: iterative
@@ -155,29 +159,35 @@ object CorpusOps {
       regexp_replace(text, EmailRe, "[EMAIL]"),
       PhoneRe, "[PHONE]")
 
+  /** The shared overflow-safe hash mix behind [[stratifiedHashSample]]
+    * and [[reservoirSample]]:
+    * `pmod(pmod(id, 1000003) * 2654435761 + 40503, outMod)`.
+    * The id is reduced mod a prime BEFORE the Knuth multiply: 1000002 *
+    * 2654435761 + 40503 < 2^63, so the mix never overflows signed
+    * 64-bit (ids >= ~3.5e9 — routine at corpus scale — would otherwise
+    * wrap negative, and `%` on a negative dividend is always < rate,
+    * silently keeping those rows); pmod keeps the result non-negative
+    * for any caller-supplied id sign. Every engine replaying the sample
+    * (the DuckDB oracles do) must replay this exact expression. */
+  def hashMix(id: Column, outMod: Long): Column =
+    pmod(pmod(id.cast("long"), lit(1000003L)) * 2654435761L + 40503L,
+      lit(outMod))
+
   /** Deterministic per-stratum hash sampling: keep a row iff
-    * `(id * 2654435761 + 40503) mod 1000 < permille(stratum)`.
-    * Unlike `df.sample`/`sampleBy` (partition-order-dependent RNG), the
-    * decision is a pure function of the row — reproducible across runs,
-    * engines, and repartitionings, which is what makes ablation
-    * experiments on a 100 TB corpus comparable. Filter is row-local
-    * (no shuffle) and pushes the stratum column read down to the scan. */
+    * `hashMix(id, 1000) < permille(stratum)` (see [[hashMix]] for the
+    * exact overflow-safe formula). Unlike `df.sample`/`sampleBy`
+    * (partition-order-dependent RNG), the decision is a pure function
+    * of the row — reproducible across runs, engines, and
+    * repartitionings, which is what makes ablation experiments on a
+    * 100 TB corpus comparable. Filter is row-local (no shuffle) and
+    * pushes the stratum column read down to the scan. */
   def stratifiedHashSample(df: DataFrame, idCol: Column, stratumCol: Column,
                            permille: Map[String, Int],
                            defaultPermille: Int = 1000): DataFrame = {
     val rate = permille.foldLeft(lit(defaultPermille)) {
       case (acc, (k, v)) => when(stratumCol === k, lit(v)).otherwise(acc)
     }
-    // reduce the id mod a prime BEFORE the Knuth multiply: 1000002 *
-    // 2654435761 + 40503 < 2^63, so the mix never overflows signed 64-bit
-    // (ids >= ~3.5e9 — routine at corpus scale — would otherwise wrap
-    // negative, and `%` on a negative dividend is always < rate, silently
-    // keeping those rows); pmod keeps the bucket non-negative for any
-    // caller-supplied id sign.
-    val bucket =
-      pmod(pmod(idCol.cast("long"), lit(1000003L)) * 2654435761L + 40503L,
-        lit(1000L))
-    df.filter(bucket < rate)
+    df.filter(hashMix(idCol, 1000L) < rate)
   }
 
   /** Deterministic fixed-SIZE per-stratum sample — the complement of
@@ -187,17 +197,22 @@ object CorpusOps {
     * data alone — reproducible across runs/engines/partitionings. One
     * shuffle on the stratum key; with the rank=1..k window shape it
     * executes through TopKPerKeyExec (bounded k-row buffer per stratum,
-    * no full sort). Same overflow-safe mix as [[stratifiedHashSample]],
-    * with a 1000003 output modulus so priority ties are rare. */
+    * no full sort). Same overflow-safe [[hashMix]] as
+    * [[stratifiedHashSample]], with a 1000003 output modulus so
+    * priority ties are rare. */
   def reservoirSample(df: DataFrame, idCol: Column, stratumCol: Column,
                       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val prio =
-      pmod(pmod(idCol.cast("long"), lit(1000003L)) * 2654435761L + 40503L,
-        lit(1000003L))
-    val w = Window.partitionBy(stratumCol).orderBy(prio.asc, idCol.asc)
-    df.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(hashMix(idCol, 1000003L).asc, idCol.asc)
+    // filter on the RAW int rank, cast afterwards: WindowTopKRule matches
+    // `Filter(rank <= int-literal, ... Window)` — a cast wrapped around
+    // the rank attribute (or a long literal) hides the pattern and the
+    // query would silently fall back to a full per-stratum WindowExec sort
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .withColumn("rk", col("__rk").cast("long"))
+      .drop("__rk")
   }
 
   /** GPT-style sequence packing: concatenate each stream's documents in

@@ -143,6 +143,16 @@ class CorpusSpec extends AnyFunSuite {
     assert(CorpusOps.reservoirSample(tiny, $"id", $"lang", k = 40).count() == 5)
   }
 
+  test("reservoirSample executes through TopKPerKeyExec, not a full window sort") {
+    graft.plans.GraftPlanner.install(spark)
+    val df = (0L until 500L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val q = CorpusOps.reservoirSample(df, $"id", $"lang", k = 10)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.count() == 20)
+  }
+
   test("packSequences matches a sequential greedy concat-and-split") {
     val docs = (0L until 100L).map(i => (i, s"s${i % 3}", 1 + (i * 37 % 90).toInt))
     val df = docs.map { case (id, src, n) => (id, src, ("x " * n).trim) }
