@@ -241,6 +241,41 @@ object CorpusQueries extends QueryModule {
         round(n_docs * 1.0 / total, 6) AS doc_share
       FROM cells CROSS JOIN tot""")),
 
+    // incremental-ingest dedup: the pattern a continuously-fed corpus
+    // runs on every batch — admit a new document only if its canonical
+    // fingerprint is unseen in the existing corpus AND it is the
+    // canonical (min doc_id) copy within its own batch. Corpus side is a
+    // left-anti join on the fingerprint (one shuffle, no corpus
+    // materialization on the driver); in-batch dedup is the rank=1
+    // TopKPerKeyExec shape. Batch = doc_id % 10 == 7 here; in production
+    // the daily ingest slice.
+    Q("q67_ingest_dedup", (s, d) => {
+      import s.implicits._
+      graft.plans.GraftPlanner.install(s)
+      val docs = t(s, d, "documents")
+        .select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+      val batch = docs.filter($"doc_id" % 10 === 7)
+      val corpus = docs.filter($"doc_id" % 10 =!= 7)
+      val w = Window.partitionBy($"fp").orderBy($"doc_id".asc)
+      batch
+        .join(corpus.select($"fp"), Seq("fp"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"fp")
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents)
+      SELECT doc_id, fp FROM (
+        SELECT b.doc_id, b.fp,
+          row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id ASC) AS rn
+        FROM f b
+        WHERE b.doc_id % 10 = 7
+          AND NOT EXISTS (SELECT 1 FROM f c
+                          WHERE c.doc_id % 10 <> 7 AND c.fp = b.fp))
+      WHERE rn = 1""")),
+
     // corpus length distribution per language: exact interpolated
     // percentiles (the curation dashboard numbers a filtering pass is
     // tuned against). Exact `percentile` holds a value->count map per

@@ -62,6 +62,24 @@ object EventsStreaming {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  final case class Doc(doc_id: Long, ingest_ts: Timestamp, text: String)
+
+  /** Streaming curation pass — the composed batch pass (q51) over an
+    * unbounded ingest: row-local quality score + filter, canonical
+    * fingerprint, then first-copy-wins dedup on the fingerprint with
+    * `dropDuplicatesWithinWatermark` (fingerprints are unbounded-
+    * cardinality, so dedup state MUST be watermark-evicted — the plain
+    * `dropDuplicates` variant would grow state forever on a 100 TB/day
+    * ingest; cross-horizon dups are the batch q67 anti-join's job). */
+  def curateDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("quality",
+        graft.operators.TextOps.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+      .withColumn("fp", graft.operators.TextOps.fingerprint(col("text")))
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Micro-batch bridge to the keyed-JSON sink contract (SURVEY.md §2.10:
     * the reference's incremental read-modify-write maps to foreachBatch):
     * per-user event counts, merged into the uid-keyed file every batch. */

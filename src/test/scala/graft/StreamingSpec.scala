@@ -79,6 +79,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation: quality filter + watermarked fingerprint dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog and runs to the " +
+      "river bank where a crowd of small animals gathers to watch the show"
+    val junk = "#### %%%% !!!! 1234 @@@@"
+    val input = MemoryStream[EventsStreaming.Doc]
+    val q = EventsStreaming.curateDocs(input.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("curate").start()
+    try {
+      input.addData(
+        EventsStreaming.Doc(1, ts("2024-01-01 10:00:00"), good),
+        EventsStreaming.Doc(2, ts("2024-01-01 10:00:01"), junk),
+        EventsStreaming.Doc(3, ts("2024-01-01 10:00:02"), "  " + good + " "))
+      q.processAllAvailable()
+      // cross-batch duplicate inside the watermark horizon (re-spaced, so
+      // it still passes quality but fingerprints identically)
+      input.addData(
+        EventsStreaming.Doc(4, ts("2024-01-01 10:05:00"), good.replace(" ", "  ")))
+      input.addData(
+        EventsStreaming.Doc(5, ts("2024-01-01 10:06:00"),
+          good + " with a genuinely different ending about the weather today"))
+      q.processAllAvailable()
+      val ids = spark.table("curate").select($"doc_id").as[Long].collect().toSeq
+      // doc 1 admitted; junk 2 fails quality; 3 and 4 are fingerprint
+      // duplicates of 1 (whitespace/case-canonicalized); 5 is new content
+      assert(ids.sorted == Seq(1L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("foreachBatch merges streaming aggregates into the keyed-JSON sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
