@@ -670,6 +670,55 @@ object SimilarityOps {
     cb
   }
 
+  /** IVF-PQ: the composition a lake-scale ANN service actually runs —
+    * coarse cells bound the candidate set (≈ nprobe/nlist of the corpus
+    * considered per query), PQ-ADC scores those candidates from codes +
+    * broadcast codebook alone (m bytes resident per vector), and the
+    * float vectors are fetched by join only for the `candidates`-row
+    * shortlist rerank. Cell assignment and probing reuse the codegen'd
+    * [[graft.functions.NearestCells]] argmax; encoding/scoring reuse
+    * [[pqEncode]]. One corpus pass; shuffles only on the cell join and
+    * the per-query top-k windows. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                embCol: String, nlist: Int, nprobe: Int,
+                codebook: Array[Array[(Array[Double], Double)]],
+                candidates: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(corpus.sparkSession)
+    val seeds = seedCentroids(corpus, idCol, embCol, nlist)
+    val e = col(embCol).cast("array<double>")
+    val coded = pqEncode(corpus.select(col(idCol), col(embCol)), embCol, codebook)
+      .withColumn("cell",
+        call_function("nearest_cells", e, typedlit(seeds), lit(1))(0))
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("recon"))
+    val q = queries
+      .select(col(idCol).as("query_id"), e.as("qe"))
+      .withColumn("cell",
+        explode(call_function("nearest_cells", col("qe"), typedlit(seeds),
+          lit(nprobe))))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val shortlist = coded
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", dot(col("qe"), col("recon")))
+      .withColumn("crank", row_number().over(wC))
+      .filter(col("crank") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val qe = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
+    val ce = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    shortlist
+      .join(broadcast(qe), "query_id")
+      .join(ce, "neighbor_id")
+      .withColumn("sim", dot(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("sim"), 6).as("sim_r"))
+  }
+
   /** Memory-bounded ANN via product quantization with asymmetric distance
     * (ADC): the corpus is stored as `m` small codes per vector (m bytes
     * at k≤256 — a 32× compression of a 64-dim float corpus, vs 4× for

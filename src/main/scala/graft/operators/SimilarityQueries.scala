@@ -472,6 +472,94 @@ object SimilarityQueries extends QueryModule {
               row_number() OVER (PARTITION BY query_id
                                  ORDER BY sim DESC, neighbor_id ASC) AS rnk
             FROM rr)
+      WHERE rnk <= 5""")),
+
+    // IVF-PQ — the composition a production vector service runs at lake
+    // scale: coarse cells cut the scanned fraction to ~nprobe/nlist, PQ
+    // codes cut resident bytes 32x (ADC from the broadcast codebook),
+    // floats touched only for the shortlist rerank. Coarse seeds are the
+    // first-nlist vectors and the codebook the stride anchors, so the
+    // oracle re-derives BOTH models in SQL and replays the identical
+    // assignment/probe/score arithmetic (nlist = ceil(sqrt(n/8)) -> 8
+    // and stride 31 baked for sf0.01, as q39/q45/q64 bake theirs).
+    Q("q68_knn_ivfpq", (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val n = Stats.parquetRowCount(s, s"$d/embeddings.parquet")
+      val nlist = math.max(4, math.ceil(math.sqrt(n / 8.0)).toInt)
+      val cb = SimilarityOps.pqAnchorCodebook(
+        emb, "vec_id", "embedding", n, m = 4, k = 16)
+      SimilarityOps.ivfPqTopK(emb, emb.filter($"vec_id" < 10),
+        "vec_id", "embedding", nlist = nlist, nprobe = 2, cb,
+        candidates = 20, k = 5)
+    }, Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      anch AS (SELECT vec_id, e FROM v
+               WHERE vec_id % 31 = 0 AND vec_id < 496),
+      cb AS (
+        SELECT CAST(a.vec_id // 31 AS INT) AS c, s.mi,
+          list_transform(range(1, 17), i -> a.e[s.mi * 16 + i]) AS cv
+        FROM anch a CROSS JOIN (SELECT unnest(range(0, 4)) AS mi) s),
+      cbn AS (
+        SELECT c, mi, cv,
+          list_append(cv, -(list_sum(list_transform(range(1, 17),
+            i -> cv[i] * cv[i])) / 2.0)) AS cva
+        FROM cb),
+      scored AS (
+        SELECT v.vec_id, b.mi, b.c,
+          list_sum(list_transform(range(1, 17),
+            i -> v.e[b.mi * 16 + i] * b.cva[i])) + 1.0 * b.cva[17] AS s
+        FROM v CROSS JOIN cbn b),
+      codes AS (
+        SELECT vec_id, mi, c FROM (
+          SELECT vec_id, mi, c,
+            row_number() OVER (PARTITION BY vec_id, mi
+                               ORDER BY s DESC, c ASC) AS rn
+          FROM scored) WHERE rn = 1),
+      recon AS (
+        SELECT codes.vec_id, flatten(list(b.cv ORDER BY codes.mi)) AS r
+        FROM codes JOIN cbn b ON b.mi = codes.mi AND b.c = codes.c
+        GROUP BY codes.vec_id),
+      c1 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+        FROM v ORDER BY vec_id LIMIT 8),
+      sc AS (
+        SELECT a.vec_id, c.cell,
+          list_sum(list_transform(range(1, 65), i -> a.e[i] * c.ce[i])) AS sim
+        FROM v a CROSS JOIN c1 c),
+      rc AS (
+        SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cell ASC) AS r
+        FROM sc),
+      assign AS (SELECT vec_id, cell FROM rc WHERE r = 1),
+      probes AS (SELECT vec_id, cell FROM rc WHERE r <= 2 AND vec_id < 10),
+      adc AS (
+        SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, 65), i -> q.e[i] * r.r[i])) AS adc
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id != p.vec_id
+        JOIN recon r ON r.vec_id = a.vec_id
+        JOIN v q ON q.vec_id = p.vec_id),
+      short AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc DESC, neighbor_id ASC) AS cr
+          FROM adc) WHERE cr <= 20),
+      rr AS (
+        SELECT sh.query_id, sh.neighbor_id,
+          list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i])) AS sim
+        FROM short sh
+        JOIN v q ON q.vec_id = sh.query_id
+        JOIN v c ON c.vec_id = sh.neighbor_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+             round(sim, 6) AS sim_r
+      FROM (SELECT query_id, neighbor_id, sim,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS rnk
+            FROM rr)
       WHERE rnk <= 5"""))
   )
 }

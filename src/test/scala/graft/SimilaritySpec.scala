@@ -254,6 +254,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.toSet == b.toSet, "PQ results must be partitioning-invariant")
   }
 
+  test("IVF-PQ: sane recall@1, improves with nprobe, partitioning-invariant") {
+    val emb = graft.catalog.Tables.t(spark, sf, "embeddings")
+    val cb = SimilarityOps.pqAnchorCodebook(
+      emb, "vec_id", "embedding", n = 500L, m = 4, k = 16)
+    val brute = SimilarityOps.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    def recallAt(nprobe: Int): Double = {
+      val got = SimilarityOps.ivfPqTopK(emb, emb, "vec_id", "embedding",
+        nlist = 8, nprobe = nprobe, cb, candidates = 64, k = 1)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+      got.count { case (q, n) => brute.get(q).contains(n) }.toDouble / brute.size
+    }
+    val r2 = recallAt(2)
+    val r8 = recallAt(8) // probing every cell ≈ plain PQ
+    assert(r2 >= 0.2, s"IVF-PQ recall@1 with nprobe=2 too low: $r2")
+    assert(r8 >= r2, s"more probes must not lose recall: $r8 < $r2")
+    val a = SimilarityOps.ivfPqTopK(emb, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", 8, 2, cb, 20, 3).collect().toSet
+    val b = SimilarityOps.ivfPqTopK(emb.repartition(7), emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", 8, 2, cb, 20, 3).collect().toSet
+    assert(a == b, "IVF-PQ results must be partitioning-invariant")
+  }
+
   test("pqRefine: Lloyd iterations never increase quantization distortion") {
     import graft.functions.VectorFns.dot
     val emb = graft.catalog.Tables.t(spark, sf, "embeddings")
