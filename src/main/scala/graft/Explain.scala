@@ -12,7 +12,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
                 else Seq("q01_pricing_summary", "q02_filter_project",
                          "q03_join_agg", "q08_group_concat", "q36_minhash_lsh",
-                         "q45_knn_ivf", "q52_neardup_multiprobe")
+                         "q45_knn_ivf", "q52_neardup_multiprobe",
+                         "q62_reservoir_sample", "q63_repetition",
+                         "q64_knn_pq", "q67_ingest_dedup", "q68_knn_ivfpq")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

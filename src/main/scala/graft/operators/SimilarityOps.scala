@@ -682,10 +682,22 @@ object SimilarityOps {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 embCol: String, nlist: Int, nprobe: Int,
                 codebook: Array[Array[(Array[Double], Double)]],
+                candidates: Int, k: Int): DataFrame =
+    ivfPqTopK(corpus, queries, idCol, embCol,
+      seedCentroids(corpus, idCol, embCol, nlist), nprobe, codebook,
+      candidates, k)
+
+  /** Explicit-coarse-model overload: production callers pass a
+    * [[kmeansCentroids]]-refined (or externally trained) cell model;
+    * the q68 oracle path uses raw first-nlist seeds, which this
+    * delegates from, so the replayable arithmetic is identical. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                embCol: String, centroids: Seq[Seq[Double]], nprobe: Int,
+                codebook: Array[Array[(Array[Double], Double)]],
                 candidates: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(corpus.sparkSession)
-    val seeds = seedCentroids(corpus, idCol, embCol, nlist)
+    val seeds = centroids
     val e = col(embCol).cast("array<double>")
     val coded = pqEncode(corpus.select(col(idCol), col(embCol)), embCol, codebook)
       .withColumn("cell",

@@ -275,6 +275,14 @@ class SimilaritySpec extends AnyFunSuite {
     val b = SimilarityOps.ivfPqTopK(emb.repartition(7), emb.filter($"vec_id" < 5),
       "vec_id", "embedding", 8, 2, cb, 20, 3).collect().toSet
     assert(a == b, "IVF-PQ results must be partitioning-invariant")
+    // explicit-coarse-model overload: kmeans-refined cells keep recall
+    val refined = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    val gotR = SimilarityOps.ivfPqTopK(emb, emb, "vec_id", "embedding",
+      refined, 2, cb, 64, 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val rR = gotR.count { case (q, n) => brute.get(q).contains(n) }.toDouble / brute.size
+    assert(rR >= r2 - 0.1, s"refined coarse model lost recall: $rR vs seed $r2")
   }
 
   test("pqRefine: Lloyd iterations never increase quantization distortion") {
