@@ -213,6 +213,73 @@ object CorpusQueries extends QueryModule {
       FROM tf JOIN df USING (term) CROSS JOIN n
       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) <= 3""")),
 
+    // multi-signal near-dup ensemble: the candidate pool a curation pass
+    // actually dedups against — pairs flagged by the TEXT signal
+    // (simhash banding, q35's pipeline) or the SEMANTIC signal
+    // (embedding LSH, q50's pipeline), with per-signal flags so policy
+    // can differ (both-agree → auto-drop high precision; either →
+    // review/cluster). Each arm keeps its own linear-candidate scale
+    // shape; the ensemble is one full-outer join on the pair key.
+    Q("q69_neardup_ensemble", (s, d) => {
+      import s.implicits._
+      val tokRows = t(s, d, "documents")
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      val sigs = DedupOps
+        .simhash32FromTokenRows(tokRows, "doc_id", "tok", "simhash")
+        .select($"doc_id", $"simhash")
+      val textPairs = DedupOps
+        .simhashPairsBanded(sigs, "doc_id", "simhash", maxHamming = 1)
+        .select($"doc_a".as("id_a"), $"doc_b".as("id_b"), lit(true).as("bt"))
+      val n = Stats.parquetRowCount(s, s"$d/embeddings.parquet")
+      val cfg = SimilarityOps.lshSizing(n)
+      val tables = SimilarityOps.lshTables(cfg.planes, cfg.tables, dim = 64)
+      val embPairs = SimilarityOps
+        .lshNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          tables, threshold = 0.4, probes = cfg.probes)
+        .select($"id_a", $"id_b", lit(true).as("be"))
+      textPairs.join(embPairs, Seq("id_a", "id_b"), "full_outer")
+        .select($"id_a", $"id_b",
+          coalesce($"bt", lit(false)).as("by_text"),
+          coalesce($"be", lit(false)).as("by_embedding"),
+          (coalesce($"bt", lit(false)) && coalesce($"be", lit(false)))
+            .as("by_both"))
+    }, Some {
+      val tables = SimilarityOps.lshTables(planes = 5, tables = 8, dim = 64)
+      s"""WITH sh AS (${DedupQueries.simhashDuckSql}),
+         |tp AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM embeddings),
+         |planes(table_id, plane_idx, pv) AS (VALUES
+         |${SimilarityQueries.planeValuesSql(tables)}),
+         |sig AS (
+         |  SELECT v.vec_id, p.table_id,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+         |                    i -> v.e[i] * p.pv[i])) > 0
+         |             THEN CAST(1 AS BIGINT) << p.plane_idx ELSE 0 END)
+         |         AS BIGINT) AS bucket
+         |  FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.table_id),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sig a JOIN sig b ON a.table_id = b.table_id
+         |         AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |ep AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c JOIN v x ON x.vec_id = c.id_a
+         |              JOIN v y ON y.vec_id = c.id_b
+         |  WHERE list_sum(list_transform(range(1, 65),
+         |          i -> x.e[i] * y.e[i])) >= 0.4)
+         |SELECT coalesce(t.id_a, e.id_a) AS id_a,
+         |       coalesce(t.id_b, e.id_b) AS id_b,
+         |       t.id_a IS NOT NULL AS by_text,
+         |       e.id_a IS NOT NULL AS by_embedding,
+         |       (t.id_a IS NOT NULL AND e.id_a IS NOT NULL) AS by_both
+         |FROM tp t FULL OUTER JOIN ep e
+         |  ON e.id_a = t.id_a AND e.id_b = t.id_b""".stripMargin
+    }),
+
     // the mixture report a training run is configured against: per
     // (source, lang) document and token counts plus each cell's share
     // of the corpus. One shuffle for the agg; the grand total is a

@@ -17,7 +17,7 @@ object SimilarityQueries extends QueryModule {
     * every double exactly and scientific notation parses as DOUBLE (a
     * plain decimal literal would go through DECIMAL), so the oracle's
     * sign tests see bit-identical dot products. */
-  private def planeValuesSql(tables: Seq[Array[Array[Double]]]): String =
+  private[operators] def planeValuesSql(tables: Seq[Array[Array[Double]]]): String =
     tables.zipWithIndex.flatMap { case (tbl, tid) =>
       tbl.zipWithIndex.map { case (pl, pi) =>
         val vals = pl.map(d => f"$d%.17e").mkString(", ")
