@@ -153,6 +153,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(q.count() == 20)
   }
 
+  test("q65 chunks reassemble to the exact token stream of every document") {
+    val sf = "/root/testdata/sf0.001"
+    val chunks = graft.SparkEntry.queries("q65_chunk")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(_.getString(3)).mkString(" ")
+      }
+    val docs = graft.catalog.Tables.t(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").mkString(" "))
+      .toMap
+    assert(chunks.keySet == docs.keySet)
+    chunks.foreach { case (id, s) =>
+      assert(s == docs(id), s"doc $id chunk reassembly diverged")
+    }
+  }
+
   test("packSequences matches a sequential greedy concat-and-split") {
     val docs = (0L until 100L).map(i => (i, s"s${i % 3}", 1 + (i * 37 % 90).toInt))
     val df = docs.map { case (id, src, n) => (id, src, ("x " * n).trim) }
