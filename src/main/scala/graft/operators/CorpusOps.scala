@@ -215,6 +215,49 @@ object CorpusOps {
       .drop("__rk")
   }
 
+  /** Corpus-level boilerplate removal (the CCNet/RefinedWeb line-dedup
+    * family, adapted to token segments because this corpus has no line
+    * structure): re-segment every document into fixed `segTokens`-token
+    * windows, count each segment's document frequency across the WHOLE
+    * corpus, drop segments appearing in >= `dfThreshold` distinct
+    * documents (navigation chrome, subscribe prompts, licence headers),
+    * and reassemble what survives in token order.
+    *
+    * Returns (idCol, n_segs, n_kept, clean_text).
+    *
+    * Scale shape: one explode + one (doc, seg_id) agg with bounded
+    * (<= segTokens) in-group sorts, one segment-frequency agg, one
+    * shuffled equi-join back (the frequency table is corpus-vocabulary
+    * sized — NOT broadcastable at 100 TB), one per-doc reassembly agg
+    * whose collect_list is bounded by document length. No step holds
+    * more than a document per group; skew from long documents is
+    * bounded because segmentation splits them into independent groups
+    * before the wide agg. */
+  def stripBoilerplateSegments(df: DataFrame, idCol: String, textCol: Column,
+                               segTokens: Int, dfThreshold: Int): DataFrame = {
+    val id = col(idCol)
+    val segs = df
+      .select(id, posexplode(TextOps.tokens(textCol)).as(Seq("pos", "tok")))
+      .groupBy(id, expr(s"pos div $segTokens").cast("long").as("seg_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("seg"))
+    val freq = segs.groupBy(col("seg"))
+      .agg(countDistinct(id).as("df"))
+    segs.join(freq, "seg")
+      .groupBy(id)
+      .agg(
+        count(lit(1)).cast("long").as("n_segs"),
+        sum(when(col("df") < dfThreshold, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the null'd-out dropped segments; the sort
+        // key is the bounded per-doc seg_id, so order is rebuilt exactly
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("df") < dfThreshold, struct(col("seg_id"), col("seg"))))),
+            x => x.getField("seg")), " ").as("clean_text"))
+  }
+
   /** GPT-style sequence packing: concatenate each stream's documents in
     * id order and split at `budget`-token boundaries. Emits per document
     * the sequence it starts in and how many boundaries it straddles

@@ -343,6 +343,50 @@ object CorpusQueries extends QueryModule {
                           WHERE c.doc_id % 10 <> 7 AND c.fp = b.fp))
       WHERE rn = 1""")),
 
+    // corpus-level boilerplate removal (CCNet/RefinedWeb line dedup,
+    // token-segment flavored): segments shared by >= 3 documents are
+    // chrome/boilerplate and get stripped; each doc is reassembled from
+    // its surviving segments. The corpus has no natural boilerplate, so
+    // the query first plants deterministic 8-token prefixes on 2/3 of
+    // the docs (the q55 planting precedent) — those segments are exactly
+    // what the frequency filter must remove, while a handful of natural
+    // short-tail segments also cross the threshold. clean_text is
+    // md5'd so the oracle compares full reassembled content without
+    // hauling it through the hash gate.
+    Q("q70_boilerplate_strip", (s, d) => {
+      import s.implicits._
+      val planted = t(s, d, "documents").select($"doc_id",
+        when($"doc_id" % 3 === 0,
+          concat(lit("subscribe to our newsletter for daily updates now "), $"text"))
+        .when($"doc_id" % 3 === 1,
+          concat(lit("click here to read the full story online "), $"text"))
+        .otherwise($"text").as("text"))
+      CorpusOps.stripBoilerplateSegments(
+          planted, "doc_id", $"text", segTokens = 8, dfThreshold = 3)
+        .select($"doc_id", $"n_segs", $"n_kept".cast("long").as("n_kept"),
+          md5($"clean_text").as("clean_fp"))
+    }, Some("""
+      WITH raw AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0
+                 THEN 'subscribe to our newsletter for daily updates now ' || text
+               WHEN doc_id % 3 = 1
+                 THEN 'click here to read the full story online ' || text
+               ELSE text END AS text
+        FROM documents),
+      d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM raw),
+      t AS (SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) - 1 AS pos FROM d),
+      s AS (SELECT doc_id, pos // 8 AS seg_id, string_agg(tok, ' ' ORDER BY pos) AS seg
+            FROM t GROUP BY 1, 2),
+      f AS (SELECT seg, count(DISTINCT doc_id) AS df FROM s GROUP BY 1)
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        CAST(sum(CASE WHEN f.df < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        md5(coalesce(string_agg(CASE WHEN f.df < 3 THEN s.seg END,
+                                ' ' ORDER BY s.seg_id), '')) AS clean_fp
+      FROM s JOIN f ON f.seg = s.seg
+      GROUP BY s.doc_id""")),
+
     // corpus length distribution per language: exact interpolated
     // percentiles (the curation dashboard numbers a filtering pass is
     // tuned against). Exact `percentile` holds a value->count map per

@@ -214,6 +214,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(byId(1L)._2 == 0L && byId(1L)._3 == 3L)
   }
 
+  test("stripBoilerplateSegments drops corpus-frequent segments, keeps unique text in order") {
+    // 4-token segments; "nav home about contact" planted on 3 docs crosses
+    // the df>=3 threshold, each doc's own tail stays unique
+    val df = Seq(
+      (1L, "nav home about contact alpha beta gamma delta"),
+      (2L, "nav home about contact epsilon zeta eta theta"),
+      (3L, "nav home about contact iota kappa lambda mu"),
+      (4L, "nu xi omicron pi rho sigma tau upsilon"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.stripBoilerplateSegments(df, "doc_id", $"text",
+        segTokens = 4, dfThreshold = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((2L, 1L, "alpha beta gamma delta")))
+    assert(got(2L) == ((2L, 1L, "epsilon zeta eta theta")))
+    assert(got(3L) == ((2L, 1L, "iota kappa lambda mu")))
+    // untouched doc keeps both segments, reassembled in token order
+    assert(got(4L) == ((2L, 2L, "nu xi omicron pi rho sigma tau upsilon")))
+  }
+
+  test("stripBoilerplateSegments: doc of ONLY boilerplate reassembles to empty") {
+    val df = Seq(
+      (1L, "nav home"), (2L, "nav home"), (3L, "nav home"),
+      (4L, "nav home unique tail"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.stripBoilerplateSegments(df, "doc_id", $"text",
+        segTokens = 2, dfThreshold = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((1L, 0L, "")))
+    assert(got(4L) == ((2L, 1L, "unique tail")))
+  }
+
   test("packSequences: every sequence holds at most budget tokens of wholly-contained docs") {
     val df = (0L until 200L).map(i => (i, "s", 1 + (i * 13 % 50).toInt))
       .toDF("doc_id", "source", "n")
