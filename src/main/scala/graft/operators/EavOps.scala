@@ -32,6 +32,29 @@ object EavOps {
       .agg(map_from_entries(collect_list(struct(col(keyCol), col(valueCol))))
         .as(asCol))
 
+  /** The naive N-arm self-join chain exactly as a user ports the
+    * reference's SQL (authors.js:22-24): one filtered arm per key,
+    * inner-joined on the entity id. Output: (entityCol, keys...), with
+    * each key's column holding that arm's value. Entities missing any
+    * key are dropped (inner semantics). This is the shape
+    * [[graft.plans.EavPivotRule]] rewrites to a one-scan pivot when
+    * `spark.graft.eav.pivotJoinChains` + `spark.graft.eav.entityColumn`
+    * opt in — kept here so catalog queries and specs exercise the REAL
+    * user-written plan, not a hand-tuned one. */
+  def selfJoinChain(eav: DataFrame, entityCol: String, keyCol: String,
+                    valueCol: String, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty)
+    val head = eav.filter(col(keyCol) === keys.head)
+      .select(col(entityCol), col(valueCol).as(keys.head))
+    val joined = keys.zipWithIndex.drop(1).foldLeft(head) {
+      case (acc, (k, i)) =>
+        val arm = eav.filter(col(keyCol) === k)
+          .select(col(entityCol).as(s"__e$i"), col(valueCol).as(k))
+        acc.join(arm, col(entityCol) === col(s"__e$i"))
+    }
+    joined.select(col(entityCol) +: keys.map(col): _*)
+  }
+
   /** Unpivot wide columns into EAV rows (inverse of [[pivot]]); values are
     * cast to string. Generates rows via a map literal + explode (narrow,
     * no shuffle). */

@@ -68,6 +68,47 @@ object ExtensionQueries extends QueryModule {
       FROM events
       GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))""")),
 
+    // EAV self-join-chain -> pivot rule, end-to-end on the correctness
+    // gate: materialize an EAV projection of supplier to parquet (the
+    // arm pattern needs a real scan; 'acct_band' is withheld for
+    // suppkey%3==0 so the inner chain's drop semantics bite), run the
+    // NAIVE 3-arm chain a user ports from the reference SQL, and let
+    // EavPivotRule rewrite it to ONE scan + pivot aggregate. The result
+    // is materialized (localCheckpoint) while the opt-in confs are set,
+    // so the rewritten plan is what actually executes — then the confs
+    // are restored so no other catalog query sees them (a production
+    // pipeline would just leave them set session-wide). Excluded from
+    // bench: the query writes its own input artifact each run.
+    Q("q71_eav_chain_pivot", (s, d) => {
+      import s.implicits._
+      val eavDir = s"${System.getProperty("java.io.tmpdir")}/graft_eav_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      t(s, d, "supplier")
+        .select($"s_suppkey", explode(map(
+          lit("name"), $"s_name",
+          lit("nation"), $"s_nationkey".cast(StringType),
+          lit("acct_band"), floor($"s_acctbal" / 1000).cast(LongType).cast(StringType)))
+          .as(Seq("meta_key", "meta_value")))
+        .filter(!($"meta_key" === "acct_band" && $"s_suppkey" % 3 === 0))
+        .write.mode("overwrite").parquet(eavDir)
+      val eav = s.read.parquet(eavDir)
+      graft.plans.GraftPlanner.install(s)
+      s.conf.set("spark.graft.eav.pivotJoinChains", "true")
+      s.conf.set("spark.graft.eav.entityColumn", "s_suppkey")
+      try {
+        EavOps.selfJoinChain(eav, "s_suppkey", "meta_key", "meta_value",
+            Seq("name", "nation", "acct_band"))
+          .localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.graft.eav.pivotJoinChains", "false")
+        s.conf.unset("spark.graft.eav.entityColumn")
+      }
+    }, Some("""
+      SELECT s_suppkey, s_name AS name,
+        CAST(s_nationkey AS VARCHAR) AS nation,
+        CAST(CAST(floor(s_acctbal / 1000) AS BIGINT) AS VARCHAR) AS acct_band
+      FROM supplier WHERE s_suppkey % 3 <> 0"""), bench = false),
+
     // approximate distinct (HLL++): deterministic for fixed data but not
     // DuckDB-matchable -> rows-only check; accuracy pinned in OpsSpec.
     Q("q43_approx_distinct", (s, d) => {

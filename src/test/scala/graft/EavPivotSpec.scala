@@ -100,6 +100,21 @@ class EavPivotSpec extends AnyFunSuite {
     }
   }
 
+  test("EavOps.selfJoinChain (q71's shape) rewrites to one scan and matches rule-off") {
+    import graft.operators.EavOps
+    def chain(): DataFrame = EavOps.selfJoinChain(
+      eav, "user_id", "meta_key", "meta_value",
+      Seq("first_name", "last_name", "nickname"))
+    val want = withRule(on = false)(chain().collect().map(_.toString).toSet)
+    withRule(on = true) {
+      val df = chain()
+      assert(joinCount(df) == 0, df.queryExecution.optimizedPlan.toString)
+      assert(scanCount(df) == 1)
+      assert(df.collect().map(_.toString).toSet == want)
+      assert(want.map(_.split(",")(0).drop(1)) == Set("1")) // only user 1 has all 3
+    }
+  }
+
   test("rule is off by default and leaves the join intact") {
     GraftPlanner.install(spark)
     assert(spark.conf.getOption(conf).forall(_ == "false"))
