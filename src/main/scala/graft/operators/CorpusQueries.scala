@@ -308,6 +308,44 @@ object CorpusQueries extends QueryModule {
         round(n_docs * 1.0 / total, 6) AS doc_share
       FROM cells CROSS JOIN tot""")),
 
+    // temperature-scaled mixture weights (the multilingual-training
+    // upsampling rule: sample source i with p_i ∝ tokens_i^alpha,
+    // alpha=0.7): per-source token counts -> normalized sampling weight
+    // -> expected epochs of each source at a fixed training budget.
+    // The per-source pow() is rounded then summed as DECIMAL so the
+    // normalizer is independent of partition/summation order — a raw
+    // double sum would make the hash gate engine-order-dependent. One
+    // agg shuffle + a single-row broadcast normalizer join.
+    Q("q72_mixture_weights", (s, d) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.types.DecimalType(28, 6)
+      val cells = t(s, d, "documents").groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount($"text").cast("long")).as("n_tokens"))
+        .withColumn("raw", round(pow($"n_tokens".cast("double"), 0.7), 6).cast(W))
+      val tot = cells.agg(sum($"raw").as("total"))
+      cells.join(broadcast(tot))
+        .select($"source", $"n_docs".cast("long").as("n_docs"),
+          $"n_tokens".cast("long").as("n_tokens"),
+          round($"raw".cast("double") / $"total".cast("double"), 6).as("weight"),
+          round($"raw".cast("double") / $"total".cast("double") * 1000000d
+            / $"n_tokens", 6).as("epochs_at_1m"))
+    }, Some("""
+      WITH cells AS (
+        SELECT source, count(*) AS n_docs,
+          sum(len(string_split_regex(trim(text), '\s+'))) AS n_tokens
+        FROM documents GROUP BY 1),
+      p AS (SELECT source, n_docs, n_tokens,
+              CAST(round(pow(n_tokens, 0.7), 6) AS DECIMAL(28,6)) AS raw
+            FROM cells),
+      tot AS (SELECT sum(raw) AS total FROM p)
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        round(CAST(raw AS DOUBLE) / CAST(total AS DOUBLE), 6) AS weight,
+        round(CAST(raw AS DOUBLE) / CAST(total AS DOUBLE) * 1000000
+          / n_tokens, 6) AS epochs_at_1m
+      FROM p CROSS JOIN tot""")),
+
     // incremental-ingest dedup: the pattern a continuously-fed corpus
     // runs on every batch — admit a new document only if its canonical
     // fingerprint is unseen in the existing corpus AND it is the
