@@ -731,6 +731,86 @@ object SimilarityOps {
         col("neighbor_id"), round(col("sim"), 6).as("sim_r"))
   }
 
+  /** HIERARCHICAL IVF-PQ — [[ivfPqTopK]] with the flat coarse quantizer
+    * replaced by the two-level scheme of [[ivfHierTopK]], so the LAST
+    * linearly-growing piece of the IVF-PQ path scales like √n too:
+    * flat IVF-PQ keeps ~√n leaf cells broadcast as one literal and
+    * scores every corpus row against ALL of them (O(n·√n·dim) assign
+    * work, √n-row plan literal); here level 1 is a √(cells)-row
+    * broadcast literal and level 2 rides a (c1)-keyed join of per-cell
+    * sub-matrices — per-row assignment work and every resident model
+    * are Θ(⁴√(n)·…) ≈ √cells.
+    *
+    * Leaf = (c1, c2): corpus rows are PQ-encoded ([[pqEncode]] — m
+    * bytes resident per vector + row-local reconstruction), queries
+    * probe nprobe1 × nprobe2 leaves, ADC ranks the probed candidates
+    * from codes alone, and floats are joined in for the
+    * `candidates`-row shortlist rerank only. Fully deterministic
+    * (first-by-id seeds at both levels, argmax ties to the lower
+    * index), so the q68 oracle replays every stage in SQL. */
+  def ivfHierPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    embCol: String, nlist1: Int, nlist2: Int,
+                    nprobe1: Int, nprobe2: Int,
+                    codebook: Array[Array[(Array[Double], Double)]],
+                    candidates: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(corpus.sparkSession)
+    GraftPlanner.install(corpus.sparkSession)
+    val e = col(embCol).cast("array<double>")
+    val coarseLit = typedlit(seedCentroids(corpus, idCol, embCol, nlist1))
+    val coded = pqEncode(corpus.select(col(idCol), col(embCol)), embCol, codebook)
+      .withColumn("c1",
+        call_function("nearest_cells", e, coarseLit, lit(1))(0))
+
+    // per-coarse-cell sub-matrix: first nlist2 members by id (grouped
+    // top-k runs on TopKPerKeyExec; the groupBy reuses its clustering)
+    val wSeed = Window.partitionBy(col("c1")).orderBy(col(idCol).asc)
+    val subSeeds = coded.select(col(idCol), e.as("v"), col("c1"))
+      .withColumn("rk", row_number().over(wSeed))
+      .filter(col("rk") <= nlist2)
+      .groupBy(col("c1"))
+      .agg(sort_array(collect_list(struct(col("rk"), col("v")))).as("sm"))
+      .select(col("c1"), expr("transform(sm, x -> x.v)").as("subm"))
+
+    val assignment = coded.join(subSeeds, "c1")
+      .select(col(idCol).as("neighbor_id"), col("c1").as("n_c1"),
+        call_function("nearest_cells_col", e, col("subm"), lit(1))(0)
+          .as("n_c2"),
+        col("recon"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), e.as("qe"))
+      .withColumn("c1",
+        explode(call_function("nearest_cells", col("qe"), coarseLit,
+          lit(nprobe1))))
+      .join(subSeeds, "c1")
+      .select(col("query_id"), col("qe"), col("c1"),
+        explode(call_function("nearest_cells_col", col("qe"), col("subm"),
+          lit(nprobe2))).as("c2"))
+
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val shortlist = assignment
+      .join(broadcast(probes),
+        col("n_c1") === col("c1") && col("n_c2") === col("c2"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", dot(col("qe"), col("recon")))
+      .withColumn("crank", row_number().over(wC))
+      .filter(col("crank") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val qe = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
+    val ce = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    shortlist
+      .join(broadcast(qe), "query_id")
+      .join(ce, "neighbor_id")
+      .withColumn("sim", dot(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("sim"), 6).as("sim_r"))
+  }
+
   /** Memory-bounded ANN via product quantization with asymmetric distance
     * (ADC): the corpus is stored as `m` small codes per vector (m bytes
     * at k≤256 — a 32× compression of a 64-dim float corpus, vs 4× for

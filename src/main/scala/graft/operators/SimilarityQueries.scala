@@ -474,24 +474,27 @@ object SimilarityQueries extends QueryModule {
             FROM rr)
       WHERE rnk <= 5""")),
 
-    // IVF-PQ — the composition a production vector service runs at lake
-    // scale: coarse cells cut the scanned fraction to ~nprobe/nlist, PQ
-    // codes cut resident bytes 32x (ADC from the broadcast codebook),
-    // floats touched only for the shortlist rerank. Coarse seeds are the
-    // first-nlist vectors and the codebook the stride anchors, so the
-    // oracle re-derives BOTH models in SQL and replays the identical
-    // assignment/probe/score arithmetic (nlist = ceil(sqrt(n/8)) -> 8
-    // and stride 31 baked for sf0.01, as q39/q45/q64 bake theirs).
+    // HIERARCHICAL IVF-PQ — the composition a production vector service
+    // runs at lake scale: a TWO-LEVEL coarse quantizer (q45's scheme —
+    // √cells-row broadcast level-1 literal, level-2 sub-matrices riding
+    // a (c1)-keyed join) bounds the scanned fraction, PQ codes cut
+    // resident bytes 32x (ADC from the broadcast codebook), floats
+    // touched only for the shortlist rerank. Every model is derived
+    // deterministically (first-by-id seeds both levels, stride-anchor
+    // codebook), so the oracle re-derives ALL of them in SQL and
+    // replays the identical assignment/probe/score arithmetic
+    // (nlist1 = nlist2 = 8 from ivfHierSizing(500, 8) and stride 31
+    // baked for sf0.01, as q39/q45/q64 bake theirs).
     Q("q68_knn_ivfpq", (s, d) => {
       import s.implicits._
       val emb = t(s, d, "embeddings")
       val n = Stats.parquetRowCount(s, s"$d/embeddings.parquet")
-      val nlist = math.max(4, math.ceil(math.sqrt(n / 8.0)).toInt)
+      val (nlist1, nlist2) = SimilarityOps.ivfHierSizing(n, targetCell = 8)
       val cb = SimilarityOps.pqAnchorCodebook(
         emb, "vec_id", "embedding", n, m = 4, k = 16)
-      SimilarityOps.ivfPqTopK(emb, emb.filter($"vec_id" < 10),
-        "vec_id", "embedding", nlist = nlist, nprobe = 2, cb,
-        candidates = 20, k = 5)
+      SimilarityOps.ivfHierPqTopK(emb, emb.filter($"vec_id" < 10),
+        "vec_id", "embedding", nlist1 = nlist1, nlist2 = nlist2,
+        nprobe1 = 2, nprobe2 = 2, cb, candidates = 20, k = 5)
     }, Some("""
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                  FROM embeddings),
@@ -524,24 +527,55 @@ object SimilarityQueries extends QueryModule {
       c1 AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
         FROM v ORDER BY vec_id LIMIT 8),
-      sc AS (
+      s1 AS (
         SELECT a.vec_id, c.cell,
           list_sum(list_transform(range(1, 65), i -> a.e[i] * c.ce[i])) AS sim
         FROM v a CROSS JOIN c1 c),
-      rc AS (
+      r1 AS (
         SELECT vec_id, cell,
           row_number() OVER (PARTITION BY vec_id
                              ORDER BY sim DESC, cell ASC) AS r
-        FROM sc),
-      assign AS (SELECT vec_id, cell FROM rc WHERE r = 1),
-      probes AS (SELECT vec_id, cell FROM rc WHERE r <= 2 AND vec_id < 10),
+        FROM s1),
+      assign1 AS (SELECT vec_id, cell AS c1 FROM r1 WHERE r = 1),
+      probe1 AS (SELECT vec_id, cell AS c1 FROM r1 WHERE r <= 2 AND vec_id < 10),
+      sub AS (
+        SELECT c1, rn - 1 AS c2, e AS ce
+        FROM (SELECT a.c1, v.e,
+                row_number() OVER (PARTITION BY a.c1 ORDER BY a.vec_id) AS rn
+              FROM assign1 a JOIN v ON v.vec_id = a.vec_id)
+        WHERE rn <= 8),
+      s2 AS (
+        SELECT a.vec_id, a.c1, s.c2,
+          list_sum(list_transform(range(1, 65), i -> v.e[i] * s.ce[i])) AS sim
+        FROM assign1 a JOIN v ON v.vec_id = a.vec_id
+                       JOIN sub s ON s.c1 = a.c1),
+      assign2 AS (
+        SELECT vec_id AS neighbor_id, c1, c2
+        FROM (SELECT vec_id, c1, c2,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, c2 ASC) AS r
+              FROM s2)
+        WHERE r = 1),
+      ps AS (
+        SELECT p.vec_id, p.c1, s.c2,
+          list_sum(list_transform(range(1, 65), i -> v.e[i] * s.ce[i])) AS sim
+        FROM probe1 p JOIN v ON v.vec_id = p.vec_id
+                      JOIN sub s ON s.c1 = p.c1),
+      probe2 AS (
+        SELECT vec_id AS query_id, c1, c2
+        FROM (SELECT vec_id, c1, c2,
+                row_number() OVER (PARTITION BY vec_id, c1
+                                   ORDER BY sim DESC, c2 ASC) AS r
+              FROM ps)
+        WHERE r <= 2),
       adc AS (
-        SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+        SELECT p.query_id, a.neighbor_id,
           list_sum(list_transform(range(1, 65), i -> q.e[i] * r.r[i])) AS adc
-        FROM probes p
-        JOIN assign a ON a.cell = p.cell AND a.vec_id != p.vec_id
-        JOIN recon r ON r.vec_id = a.vec_id
-        JOIN v q ON q.vec_id = p.vec_id),
+        FROM probe2 p
+        JOIN assign2 a ON a.c1 = p.c1 AND a.c2 = p.c2
+                      AND a.neighbor_id != p.query_id
+        JOIN recon r ON r.vec_id = a.neighbor_id
+        JOIN v q ON q.vec_id = p.query_id),
       short AS (
         SELECT query_id, neighbor_id FROM (
           SELECT query_id, neighbor_id,

@@ -285,6 +285,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rR >= r2 - 0.1, s"refined coarse model lost recall: $rR vs seed $r2")
   }
 
+  test("hierarchical IVF-PQ: sane recall@1, more probes never lose recall, partitioning-invariant") {
+    val emb = graft.catalog.Tables.t(spark, sf, "embeddings")
+    val cb = SimilarityOps.pqAnchorCodebook(
+      emb, "vec_id", "embedding", n = 500L, m = 4, k = 16)
+    val (nl1, nl2) = SimilarityOps.ivfHierSizing(500L, targetCell = 8)
+    val brute = SimilarityOps.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    def recallAt(p1: Int, p2: Int): Double = {
+      val got = SimilarityOps.ivfHierPqTopK(emb, emb, "vec_id", "embedding",
+        nl1, nl2, p1, p2, cb, candidates = 64, k = 1)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+      got.count { case (q, n) => brute.get(q).contains(n) }.toDouble / brute.size
+    }
+    val r22 = recallAt(2, 2)
+    val rAll = recallAt(nl1, nl2) // probing everything ≈ plain PQ
+    assert(r22 >= 0.15, s"hier IVF-PQ recall@1 with 2x2 probes too low: $r22")
+    assert(rAll >= r22, s"probing all cells must not lose recall: $rAll < $r22")
+    val a = SimilarityOps.ivfHierPqTopK(emb, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", nl1, nl2, 2, 2, cb, 20, 3).collect().toSet
+    val b = SimilarityOps.ivfHierPqTopK(emb.repartition(7), emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", nl1, nl2, 2, 2, cb, 20, 3).collect().toSet
+    assert(a == b, "hier IVF-PQ results must be partitioning-invariant")
+  }
+
   test("pqRefine: Lloyd iterations never increase quantization distortion") {
     import graft.functions.VectorFns.dot
     val emb = graft.catalog.Tables.t(spark, sf, "embeddings")
