@@ -425,6 +425,50 @@ object CorpusQueries extends QueryModule {
       FROM s JOIN f ON f.seg = s.seg
       GROUP BY s.doc_id""")),
 
+    // unigram-LM cross-entropy per document (the perplexity-filter
+    // family): p(tok) from corpus-wide counts, each doc scored by
+    // avg -ln p over its token occurrences — low = templated/common,
+    // high = rare-heavy. Each token's -ln p is quantized ONCE to
+    // integer nano-nats via floor (floor of the same double is
+    // engine-identical, where round()'s half-tie semantics on doubles
+    // are not — Spark rounds the exact binary expansion, DuckDB the
+    // scaled double), and everything after is exact integer
+    // arithmetic: order-independent sums, floor-division average. tf
+    // rides the (doc,tok) agg so the vocab join is vocabulary-sized,
+    // not occurrence-sized. Two shuffles (doc-tok agg, vocab agg) +
+    // one vocab-keyed join — every stage linear in corpus size.
+    Q("q73_unigram_logprob", (s, d) => {
+      import s.implicits._
+      val tf = t(s, d, "documents")
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val vocab = tf.groupBy($"tok").agg(sum($"tf").as("cnt"))
+      val total = vocab.agg(sum($"cnt").as("total"))
+      val scored = tf.join(vocab, "tok").join(broadcast(total))
+        .withColumn("nlp_n",
+          floor(-log($"cnt".cast("double") / $"total") * 1000000000d)
+            .cast("long"))
+      scored.groupBy($"doc_id")
+        .agg(sum($"tf").cast("long").as("n_tokens"),
+          sum($"nlp_n" * $"tf").as("nlp_sum"))
+        .select($"doc_id", $"n_tokens",
+          expr("(nlp_sum * 1000000) div (n_tokens * 1000000000)")
+            .as("xent_micro"))
+    }, Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                   FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+      vocab AS (SELECT tok, sum(tf) AS cnt FROM tf GROUP BY 1),
+      tot AS (SELECT sum(cnt) AS total FROM vocab),
+      scored AS (
+        SELECT tf.doc_id, tf.tf,
+          CAST(floor(-ln(vocab.cnt * 1.0 / tot.total) * 1000000000) AS BIGINT) AS nlp_n
+        FROM tf JOIN vocab USING (tok) CROSS JOIN tot)
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        CAST((sum(nlp_n * tf) * 1000000) // (sum(tf) * 1000000000) AS BIGINT)
+          AS xent_micro
+      FROM scored GROUP BY doc_id""")),
+
     // corpus length distribution per language: exact interpolated
     // percentiles (the curation dashboard numbers a filtering pass is
     // tuned against). Exact `percentile` holds a value->count map per
