@@ -811,6 +811,42 @@ object SimilarityOps {
         col("neighbor_id"), round(col("sim"), 6).as("sim_r"))
   }
 
+  /** SemDeDup-style semantic deduplication: cluster-based blocking
+    * (each vector scores only its own coarse cell's members) + a
+    * within-cell cosine threshold + connected components, labeling
+    * every vector with its duplicate-cluster canonical (min id).
+    *
+    * This is the embedding analog of fingerprint dedup: LSH near-dup
+    * (q50/q52) answers "which PAIRS are near", this answers "which
+    * ROWS do we drop" — cells bound the pair search the way LSH
+    * buckets do, but with a density-adaptive partition of the space
+    * rather than random planes. Returns (idCol, cluster_id, is_dup).
+    *
+    * Scale: the within-cell self-join is the bounded-candidate step —
+    * size nlist ∝ n/targetCell so cells stay ~constant-sized and pair
+    * work stays linear (the coarse-assignment scan is then the q68
+    * hierarchical scheme's job; the flat seed assignment here is the
+    * oracle-replayable configuration). Components run the O(log n)
+    * star algorithm; nothing collects more than the model. */
+  def semanticDedupLabels(corpus: DataFrame, idCol: String, embCol: String,
+                          nlist: Int, threshold: Double): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val seeds = seedCentroids(corpus, idCol, embCol, nlist)
+    val assigned = corpus
+      .select(col(idCol), col(embCol).cast("array<double>").as("e"))
+      .withColumn("cell",
+        call_function("nearest_cells", col("e"), typedlit(seeds), lit(1))(0))
+    val left = assigned.select(col("cell"), col(idCol).as("ida"), col("e").as("ea"))
+    val right = assigned.select(col("cell"), col(idCol).as("idb"), col("e").as("eb"))
+    val edges = left.join(right, Seq("cell"))
+      .filter(col("ida") < col("idb"))
+      .filter(dot(col("ea"), col("eb")) >= threshold)
+      .select(col("ida").as("a"), col("idb").as("b"))
+    CorpusOps.componentLabels(corpus.select(col(idCol)), idCol, edges)
+      .select(col(idCol), col("cluster_id"),
+        (col("cluster_id") =!= col(idCol)).as("is_dup"))
+  }
+
   /** Memory-bounded ANN via product quantization with asymmetric distance
     * (ADC): the corpus is stored as `m` small codes per vector (m bytes
     * at k≤256 — a 32× compression of a 64-dim float corpus, vs 4× for

@@ -27,6 +27,53 @@ object SimilarityQueries extends QueryModule {
 
   def qs: Seq[Q] = Seq(
 
+    // SemDeDup-style semantic dedup: coarse cells block the pair
+    // search (density-adaptive, vs q50/q52's random hyperplanes),
+    // within-cell cosine >= 0.4 pairs become edges, connected
+    // components label every vector with its duplicate cluster and
+    // is_dup marks the rows a curation pass drops (canonical = min
+    // id). Oracle re-derives the first-8-seed cells and takes the
+    // transitive closure with a recursive CTE (q53's pattern).
+    Q("q74_semantic_dedup", (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val n = Stats.parquetRowCount(s, s"$d/embeddings.parquet")
+      val nlist = math.max(4, math.ceil(math.sqrt(n / 8.0)).toInt)
+      SimilarityOps.semanticDedupLabels(emb, "vec_id", "embedding",
+        nlist = nlist, threshold = 0.4)
+    }, Some("""
+      WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                           FROM embeddings),
+      c1 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+        FROM v ORDER BY vec_id LIMIT 8),
+      s1 AS (
+        SELECT a.vec_id, c.cell,
+          list_sum(list_transform(range(1, 65), i -> a.e[i] * c.ce[i])) AS sim
+        FROM v a CROSS JOIN c1 c),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cell ASC) AS r
+          FROM s1) WHERE r = 1),
+      pairs AS (
+        SELECT ax.vec_id AS a, ay.vec_id AS b
+        FROM assign ax JOIN assign ay
+          ON ax.cell = ay.cell AND ax.vec_id < ay.vec_id
+        JOIN v x ON x.vec_id = ax.vec_id
+        JOIN v y ON y.vec_id = ay.vec_id
+        WHERE list_sum(list_transform(range(1, 65),
+                i -> x.e[i] * y.e[i])) >= 0.4),
+      e AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+      r(id, m) AS (
+        SELECT vec_id, vec_id FROM v
+        UNION
+        SELECT e.b, r.m FROM r JOIN e ON e.a = r.id)
+      SELECT id AS vec_id, CAST(min(m) AS BIGINT) AS cluster_id,
+             min(m) <> id AS is_dup
+      FROM r GROUP BY id""")),
+
     // exact top-5 cosine neighbors for the first 20 vectors (embeddings
     // are unit-norm, so dot product == cosine). Broadcast queries; one
     // corpus pass; window top-k.

@@ -309,6 +309,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b, "hier IVF-PQ results must be partitioning-invariant")
   }
 
+  test("semanticDedupLabels: planted near-identical vectors collapse to one cluster") {
+    val emb = graft.catalog.Tables.t(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    // plant 3 copies of vector 7 under fresh ids: identical vectors get
+    // identical cell assignments, so blocking can never separate them
+    val planted = emb.union(
+      emb.filter($"vec_id" === 7)
+        .select(explode(typedlit(Seq(9001L, 9002L, 9003L))).as("vec_id"),
+          $"embedding"))
+    val labels = SimilarityOps.semanticDedupLabels(
+        planted, "vec_id", "embedding", nlist = 8, threshold = 0.95)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(labels(9001L) == ((7L, true)))
+    assert(labels(9002L) == ((7L, true)))
+    assert(labels(9003L) == ((7L, true)))
+    assert(labels(7L)._1 == 7L && !labels(7L)._2) // canonical keeps itself
+    // 500 corpus rows + 3 plants, one label row each
+    assert(labels.size == 503)
+  }
+
   test("pqRefine: Lloyd iterations never increase quantization distortion") {
     import graft.functions.VectorFns.dot
     val emb = graft.catalog.Tables.t(spark, sf, "embeddings")
