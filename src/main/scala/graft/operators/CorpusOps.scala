@@ -258,6 +258,42 @@ object CorpusOps {
             x => x.getField("seg")), " ").as("clean_text"))
   }
 
+  /** Token-budget corpus selection WITHOUT a global sort: flag the
+    * highest-quality documents whose running token total fits `budget`,
+    * greedy by quality bucket descending then id ascending.
+    *
+    * The naive form — `ORDER BY quality DESC` + running sum — funnels
+    * the whole corpus through one partition. Instead: (1) aggregate
+    * token totals per quality BUCKET (one shuffle; bucket count is
+    * bounded by the score's quantization, here ≤ 1001, regardless of
+    * corpus size); (2) run the cumulative budget over the bucket table
+    * only (the single-partition window touches ≤ bucket-count rows —
+    * model-sized by construction); (3) join the per-bucket prior back
+    * and finish with a per-bucket doc-ordered running sum (windows
+    * partitioned by bucket — parallel, skew bounded by bucket content).
+    * A doc is selected iff tokens-before-it (better buckets + earlier
+    * docs in its own bucket) + its own tokens still fit. All integer
+    * arithmetic — engine-exact. */
+  def selectWithinTokenBudget(df: DataFrame, idCol: String, tokCol: Column,
+                              bucketCol: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col(idCol)
+    val docs = df.select(id, tokCol.cast("long").as("n_tokens"),
+      bucketCol.cast("long").as("qb"))
+    val buckets = docs.groupBy(col("qb")).agg(sum(col("n_tokens")).as("btok"))
+    val wB = Window.orderBy(col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val priors = buckets
+      .withColumn("prior", sum(col("btok")).over(wB) - col("btok"))
+      .select(col("qb"), col("prior"))
+    val wD = Window.partitionBy(col("qb")).orderBy(id.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(priors), "qb")
+      .withColumn("dcum", sum(col("n_tokens")).over(wD))
+      .select(id, col("qb"), col("n_tokens"),
+        (col("prior") + col("dcum") <= budget).as("selected"))
+  }
+
   /** GPT-style sequence packing: concatenate each stream's documents in
     * id order and split at `budget`-token boundaries. Emits per document
     * the sequence it starts in and how many boundaries it straddles

@@ -469,6 +469,44 @@ object CorpusQueries extends QueryModule {
           AS xent_micro
       FROM scored GROUP BY doc_id""")),
 
+    // token-budget corpus selection: keep the best docs that fit a
+    // 10k-token training budget, greedy by quality bucket desc then
+    // doc_id asc — WITHOUT a global sort (the bucket histogram bounds
+    // the only unpartitioned window at <= 1001 rows at any corpus
+    // size; see CorpusOps.selectWithinTokenBudget). Quality is
+    // floor-quantized to milli-units (floor is engine-portable;
+    // round(double, N) is not — BASELINE.md).
+    Q("q75_budget_select", (s, d) => {
+      import s.implicits._
+      graft.plans.GraftPlanner.install(s)
+      val docs = t(s, d, "documents")
+        .select($"doc_id", TextOps.tokenCount($"text").as("tok"),
+          floor(TextOps.qualityRaw($"text") * 1000).as("qb"))
+      CorpusOps.selectWithinTokenBudget(docs, "doc_id", $"tok", $"qb",
+        budget = 10000L)
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id,
+          len(string_split_regex(trim(text), '\s+')) AS tok,
+          CAST(floor((least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2)
+            * 1000) AS BIGINT) AS qb
+        FROM documents),
+      b AS (SELECT qb, sum(tok) AS btok FROM d GROUP BY 1),
+      bc AS (SELECT qb,
+               sum(btok) OVER (ORDER BY qb DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - btok AS prior
+             FROM b),
+      j AS (SELECT d.doc_id, d.qb, d.tok, bc.prior,
+              sum(d.tok) OVER (PARTITION BY d.qb ORDER BY d.doc_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dcum
+            FROM d JOIN bc USING (qb))
+      SELECT doc_id, CAST(qb AS BIGINT) AS qb, CAST(tok AS BIGINT) AS n_tokens,
+             (prior + dcum) <= 10000 AS selected
+      FROM j""")),
+
     // corpus length distribution per language: exact interpolated
     // percentiles (the curation dashboard numbers a filtering pass is
     // tuned against). Exact `percentile` holds a value->count map per

@@ -41,20 +41,27 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Composite quality score in [0,1]: length credit (tokens/50 capped),
-    * alphabetic ratio, stopword-presence credit. Rounded to 6 dp. */
-  def qualityScore(text: Column,
-                   stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")): Column = {
+  /** Un-rounded composite quality in [0,1]: length credit (tokens/50
+    * capped), alphabetic ratio, stopword-presence credit. Callers that
+    * compare or bucket this value should quantize with floor (portable
+    * across engines), not round (see BASELINE.md's round(double,N)
+    * note). */
+  def qualityRaw(text: Column,
+                 stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")): Column = {
     val ntok = tokenCount(text).cast("double")
     val len = length(text).cast("double")
     val alpha = length(regexp_replace(text, "[^a-z]", "")).cast("double")
     val stopHits = size(regexp_extract_all(text,
       lit("\\b(" + stopwords.mkString("|") + ")\\b"), lit(0))).cast("double")
-    round(
-      least(lit(1.0), ntok / 50.0) * 0.5 +
+    least(lit(1.0), ntok / 50.0) * 0.5 +
       (alpha / len) * 0.3 +
-      least(lit(1.0), stopHits / 10.0) * 0.2, 6)
+      least(lit(1.0), stopHits / 10.0) * 0.2
   }
+
+  /** [[qualityRaw]] rounded to 6 dp — the reporting form (q28). */
+  def qualityScore(text: Column,
+                   stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")): Column =
+    round(qualityRaw(text, stopwords), 6)
 
   /** Relational shingle stream: one row per (id, pos, shingle), built with
     * posexplode + window lead. This is the scale/bench path for

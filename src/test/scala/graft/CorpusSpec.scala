@@ -249,6 +249,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(4L) == ((2L, 1L, "unique tail")))
   }
 
+  test("selectWithinTokenBudget matches a sequential greedy take-while") {
+    val docs = (0L until 200L).map(i =>
+      (i, 1 + (i * 37 % 90), (i * 13 % 20))) // (id, tokens, quality bucket)
+    val df = docs.toDF("doc_id", "tok", "qb")
+    val got = CorpusOps.selectWithinTokenBudget(df, "doc_id", $"tok", $"qb",
+        budget = 3000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // reference: sort by (qb desc, id asc), take while cum <= budget
+    var cum = 0L
+    val want = docs.sortBy { case (id, _, qb) => (-qb, id) }.map {
+      case (id, tok, _) =>
+        cum += tok
+        id -> (cum <= 3000L)
+    }.toMap
+    assert(got == want)
+    // sanity: something selected, something rejected
+    assert(got.valuesIterator.exists(identity) && got.valuesIterator.exists(!_))
+  }
+
   test("packSequences: every sequence holds at most budget tokens of wholly-contained docs") {
     val df = (0L until 200L).map(i => (i, "s", 1 + (i * 13 % 50).toInt))
       .toDF("doc_id", "source", "n")
