@@ -14,7 +14,9 @@ object Explain {
                          "q03_join_agg", "q08_group_concat", "q36_minhash_lsh",
                          "q45_knn_ivf", "q52_neardup_multiprobe",
                          "q62_reservoir_sample", "q63_repetition",
-                         "q64_knn_pq", "q67_ingest_dedup", "q68_knn_ivfpq")
+                         "q64_knn_pq", "q67_ingest_dedup", "q68_knn_ivfpq",
+                         "q70_boilerplate_strip", "q73_unigram_logprob",
+                         "q74_semantic_dedup", "q75_budget_select")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
