@@ -47,4 +47,24 @@ object MultimodalOps {
         rows.map { case (id, payload) => StubDecoder.decode(id, payload) }
       }
   }
+
+  /** Frame sampling over an opaque video/audio payload: every `stride`-th
+    * fixed-`frameLen` byte window becomes a row (doc, frame_idx,
+    * byte_offset, digest, n_bytes). The byte-slice digest stands in for
+    * the per-frame decode (same stub contract as [[StubDecoder]]); the
+    * explode/slice plumbing — one generated row per SAMPLED frame, never
+    * per frame — is what a real frame extractor rides. Row-local and
+    * codegen'd: work ∝ sampled frames, no shuffle, long payloads shard
+    * into independent output rows rather than skewing a group. */
+  def sampleFrames(df: DataFrame, idCol: String,
+                   frameLen: Int, stride: Int): DataFrame = {
+    val slice = expr(s"substring(payload, frame_idx * $frameLen + 1, $frameLen)")
+    df.select(col(idCol), col("payload"))
+      .withColumn("frame_idx", explode(sequence(
+        lit(0), expr(s"(length(payload) - 1) div $frameLen"), lit(stride))))
+      .select(col(idCol), col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * frameLen).cast("long").as("byte_offset"),
+        md5(slice).as("frame_digest"),
+        length(slice).cast("long").as("n_bytes"))
+  }
 }
