@@ -507,6 +507,146 @@ object CorpusQueries extends QueryModule {
              (prior + dcum) <= 10000 AS selected
       FROM j""")),
 
+    // vocabulary construction + OOV scoring: the top-K corpus tokens by
+    // frequency become the vocabulary (deterministic count-desc,
+    // token-asc tie-break); every document is then scored by its
+    // out-of-vocabulary token rate in integer ppm. The only
+    // unpartitioned step is the top-K window over the VOCABULARY table —
+    // already shrunk to one row per distinct token by a map-side-combined
+    // agg, orders of magnitude smaller than the corpus (and bounded by
+    // K·#partitions if fronted by a per-partition top-K; at this K the
+    // single window is the simpler exact plan). The chosen vocab is
+    // broadcast back — corpus side stays one tf shuffle.
+    Q("q79_vocab_oov", (s, d) => {
+      import s.implicits._
+      val tf = t(s, d, "documents")
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val vocabAll = tf.groupBy($"tok").agg(sum($"tf").as("cnt"))
+      val wV = Window.orderBy($"cnt".desc, $"tok".asc)
+      val vocab = vocabAll
+        .withColumn("rk", row_number().over(wV))
+        .filter($"rk" <= 50)
+        .select($"tok", lit(true).as("in_vocab"))
+      tf.join(broadcast(vocab), Seq("tok"), "left_outer")
+        .groupBy($"doc_id")
+        .agg(sum($"tf").cast("long").as("n_tokens"),
+          sum(when($"in_vocab".isNull, $"tf").otherwise(0L)).cast("long")
+            .as("n_oov"))
+        .select($"doc_id", $"n_tokens", $"n_oov",
+          expr("(n_oov * 1000000) div n_tokens").as("oov_ppm"))
+    }, Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                   FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+      vc AS (SELECT tok, sum(tf) AS cnt FROM tf GROUP BY 1),
+      vocab AS (SELECT tok FROM vc
+                QUALIFY row_number() OVER (ORDER BY cnt DESC, tok ASC) <= 50),
+      j AS (SELECT tf.doc_id, tf.tf, v.tok IS NOT NULL AS iv
+            FROM tf LEFT JOIN vocab v USING (tok))
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN iv THEN 0 ELSE tf END) AS BIGINT) AS n_oov,
+        CAST(sum(CASE WHEN iv THEN 0 ELSE tf END) * 1000000 // sum(tf) AS BIGINT)
+          AS oov_ppm
+      FROM j GROUP BY doc_id""")),
+
+    // adaptive per-group threshold filter: each language's own exact
+    // median length is its cutoff — the data-dependent analog of q78's
+    // fixed rules (curation passes tune thresholds per subcorpus because
+    // a fixed global cutoff over/under-filters minority languages). The
+    // group-stat table is group-cardinality-sized, so it broadcasts; the
+    // corpus side is a row-local filter against its group's scalar — no
+    // corpus-sized shuffle at any scale. Median interpolation on integer
+    // lengths is (a+b)/2 — exact in doubles, so the >= gate is
+    // engine-identical.
+    Q("q80_adaptive_threshold", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val cuts = docs.groupBy($"lang")
+        .agg(expr("percentile(n_chars, 0.5)").as("p50"))
+      docs.join(broadcast(cuts), "lang")
+        .filter($"n_chars".cast("double") >= $"p50")
+        .select($"doc_id", $"lang", $"n_chars",
+          round($"p50", 6).as("cutoff"))
+    }, Some("""
+      WITH c AS (SELECT lang, quantile_cont(n_chars, 0.5) AS p50
+                 FROM documents GROUP BY 1)
+      SELECT doc_id, d.lang, n_chars, round(c.p50, 6) AS cutoff
+      FROM documents d JOIN c ON c.lang = d.lang
+      WHERE d.n_chars >= c.p50""")),
+
+    // Bloom-filter membership decontamination: the benchmark fingerprint
+    // set compressed to a 1024-bit / 3-hash Bloom filter (32 words of 32
+    // bits — shifts stay below the sign bit so the BIGINT bit math is
+    // engine-identical), probed by every corpus document. The filter
+    // table is bit-size/64 rows REGARDLESS of benchmark cardinality —
+    // where q54's exact-set broadcast grows with the benchmark, the
+    // Bloom broadcast is constant-size, the 100 TB play for membership
+    // prefilters (no false negatives; false positives re-checked by the
+    // exact is_match column here, by q54's shingle overlap in the full
+    // pipeline). Probe side is 3 broadcast left joins + row-local bit
+    // tests: zero corpus-side shuffles. Hash positions come from the
+    // same positional-md5 family as MinHash (DedupOps.hv32), so the
+    // oracle replays bits exactly.
+    Q("q81_bloom_decontam", (s, d) => {
+      import s.implicits._
+      val fps = t(s, d, "documents")
+        .select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+      def withPos(df: org.apache.spark.sql.DataFrame) =
+        (0 until 3).foldLeft(df) { (acc, j) =>
+          acc.withColumn(s"__h$j", md5(concat($"fp", lit(s":$j"))))
+            .withColumn(s"p$j",
+              expr(s"(${DedupOps.hv32FromHexSql(s"__h$j")}) % 1024"))
+            .drop(s"__h$j")
+        }
+      val bench = withPos(fps.filter($"doc_id" % 20 === 0))
+      val bloom = bench
+        .select(explode(array($"p0", $"p1", $"p2")).as("p"))
+        .groupBy(expr("p div 32").as("word"))
+        .agg(expr("bit_or(shiftleft(1L, cast(p % 32 as int)))").as("bits"))
+      val corpus = withPos(fps.filter($"doc_id" % 20 =!= 0))
+      val probed = (0 until 3).foldLeft(corpus) { (acc, j) =>
+        acc.join(
+          broadcast(bloom.select(col("word").as(s"w$j"), col("bits").as(s"bits$j"))),
+          expr(s"p$j div 32") === col(s"w$j"), "left_outer")
+      }
+      def hit(j: Int) = coalesce(
+        expr(s"(shiftright(bits$j, cast(p$j % 32 as int)) & 1L) = 1L"),
+        lit(false))
+      val exact = fps.filter($"doc_id" % 20 === 0)
+        .select($"fp").distinct().withColumn("__im", lit(true))
+      probed.join(broadcast(exact), Seq("fp"), "left_outer")
+        .select($"doc_id",
+          (hit(0) && hit(1) && hit(2)).as("might_match"),
+          coalesce($"__im", lit(false)).as("is_match"))
+    }, Some {
+      val hv = (j: Int) => DedupQueries.hvDuckOf(s"(fp || ':$j')")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, fp, j,
+         |    CASE j WHEN 0 THEN (${hv(0)}) % 1024
+         |           WHEN 1 THEN (${hv(1)}) % 1024
+         |           ELSE (${hv(2)}) % 1024 END AS p
+         |  FROM f CROSS JOIN (SELECT unnest(range(0, 3)) AS j) js),
+         |bloom AS (
+         |  SELECT p // 32 AS word,
+         |         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+         |  FROM pos WHERE doc_id % 20 = 0 GROUP BY 1),
+         |m AS (
+         |  SELECT pr.doc_id, pr.fp,
+         |    bool_and(coalesce((b.bits >> CAST(pr.p % 32 AS INT)) & 1, 0) = 1)
+         |      AS might_match
+         |  FROM (SELECT * FROM pos WHERE doc_id % 20 <> 0) pr
+         |  LEFT JOIN bloom b ON b.word = pr.p // 32
+         |  GROUP BY 1, 2),
+         |bf AS (SELECT DISTINCT fp FROM f WHERE doc_id % 20 = 0)
+         |SELECT m.doc_id, m.might_match, bf.fp IS NOT NULL AS is_match
+         |FROM m LEFT JOIN bf ON bf.fp = m.fp""".stripMargin
+    }),
+
     // corpus length distribution per language: exact interpolated
     // percentiles (the curation dashboard numbers a filtering pass is
     // tuned against). Exact `percentile` holds a value->count map per

@@ -15,7 +15,7 @@ object DedupQueries extends QueryModule {
   /** DuckDB flavor of [[DedupOps.hv32Sql]] (no `L` literal suffix). */
   private def hvDuck: String = hvDuckOf("t")
 
-  private def hvDuckOf(v: String): String =
+  private[operators] def hvDuckOf(v: String): String =
     (1 to 8).map { p =>
       val coef = math.pow(16, 8 - p).toLong
       s"(instr('0123456789abcdef', substr(md5($v), $p, 1)) - 1) * $coef"
@@ -105,6 +105,64 @@ object DedupQueries extends QueryModule {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin)),
+
+    // exact substring-duplication profile (the Lee et al. 2022 "dedup
+    // training data" family, window-hash approximated): every 8-token
+    // rolling window is hashed; a window seen in >1 document marks its
+    // span as duplicated text, and each document reports its duplicated-
+    // window fraction (the signal that decides trim-vs-drop). The corpus
+    // has no natural long shared spans, so the query plants a fixed
+    // 12-token tail on doc_id % 7 == 3 (q55/q70 planting precedent) —
+    // those docs must surface dup_frac > 0. Scale shape: the window
+    // stream is the codegen'd posexplode+lead plan (no per-row HOF), the
+    // frequency table is window-vocabulary sized and joins back on the
+    // window key (NOT broadcast — it grows with the corpus), and the
+    // per-doc agg is one more shuffle on doc_id: every stage linear.
+    Q("q77_window_dedup", (s, d) => {
+      import s.implicits._
+      val planted = t(s, d, "documents").select($"doc_id",
+        when($"doc_id" % 7 === 3,
+          concat($"text",
+            lit(" the quick brown fox jumps over the lazy dog again and again")))
+        .otherwise($"text").as("text"))
+      val wins = TextOps.shingleRows(planted, "doc_id", "text", n = 8)
+        .select($"doc_id", $"shingle").distinct()
+      val freq = wins.groupBy($"shingle").agg(countDistinct($"doc_id").as("wdf"))
+      val per = wins.join(freq, "shingle")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("nw"),
+          sum(when($"wdf" > 1, 1L).otherwise(0L)).as("nd"))
+      planted.select($"doc_id")
+        .join(per, Seq("doc_id"), "left_outer")
+        .select($"doc_id",
+          coalesce($"nw", lit(0L)).cast("long").as("n_windows"),
+          coalesce($"nd", lit(0L)).cast("long").as("n_dup_windows"),
+          round(when($"nw".isNull, lit(0.0))
+            .otherwise($"nd".cast("double") / $"nw"), 6).as("dup_frac"))
+    }, Some("""
+      WITH raw AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 3
+            THEN text || ' the quick brown fox jumps over the lazy dog again and again'
+            ELSE text END AS text
+        FROM documents),
+      d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM raw),
+      w AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, greatest(len(toks) - 6, 1)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                     toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                     toks[i+6] || ' ' || toks[i+7])) AS win
+            FROM d),
+      fq AS (SELECT win, count(DISTINCT doc_id) AS wdf FROM w GROUP BY 1),
+      per AS (SELECT w.doc_id, count(*) AS nw,
+                     sum(CASE WHEN fq.wdf > 1 THEN 1 ELSE 0 END) AS nd
+              FROM w JOIN fq USING (win) GROUP BY 1)
+      SELECT r.doc_id,
+        CAST(coalesce(per.nw, 0) AS BIGINT) AS n_windows,
+        CAST(coalesce(per.nd, 0) AS BIGINT) AS n_dup_windows,
+        round(CASE WHEN per.nw IS NULL THEN 0.0
+                   ELSE per.nd * 1.0 / per.nw END, 6) AS dup_frac
+      FROM documents r LEFT JOIN per ON per.doc_id = r.doc_id""")),
 
     // MinHash + LSH banding — the linear-ish scale path: signature is
     // row-local, candidates shuffle only on the band-value key, buckets

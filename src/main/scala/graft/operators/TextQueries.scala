@@ -229,6 +229,49 @@ object TextQueries extends QueryModule {
         round(g.d2, 6) AS dup_2gram_frac
       FROM agg a JOIN g ON g.doc_id = a.doc_id""")),
 
+    // Gopher-style composite rule filter (Rae et al. 2021 §A1.1 family):
+    // per-document boolean gates — word-count bounds, mean-word-length
+    // bounds, symbol-to-char ratio, minimum stopword evidence — plus the
+    // conjunctive pass flag a curation pipeline filters on. Every rule is
+    // integer arithmetic (mean word length in [3,10] is checked as
+    // 3*n <= chars <= 10*n, symbol ratio <= 10% as 10*sym <= len), so
+    // the gate is engine-exact with no float rounding anywhere.
+    // Row-local, codegen'd, zero shuffles at any corpus size.
+    Q("q78_gopher_filter", (s, d) => {
+      import s.implicits._
+      val nWords = TextOps.tokenCount($"text").cast("long")
+      val wordChars = length(regexp_replace($"text", "\\s", "")).cast("long")
+      val syms = length(regexp_replace($"text", "[A-Za-z0-9\\s]", "")).cast("long")
+      val stopHits = size(regexp_extract_all($"text",
+        lit("\\b(the|a|of|and|to)\\b"), lit(0))).cast("long")
+      t(s, d, "documents").select(
+        $"doc_id",
+        nWords.as("n_words"),
+        nWords.between(50L, 100000L).as("ok_nwords"),
+        (nWords * 3 <= wordChars && wordChars <= nWords * 10).as("ok_wordlen"),
+        (syms * 10 <= length($"text").cast("long")).as("ok_symbols"),
+        (stopHits >= 2).as("ok_stopwords"))
+        .withColumn("pass",
+          $"ok_nwords" && $"ok_wordlen" && $"ok_symbols" && $"ok_stopwords")
+    }, Some("""
+      WITH m AS (
+        SELECT doc_id,
+          len(string_split_regex(trim(text), '\s+')) AS n_words,
+          length(regexp_replace(text, '\s', '', 'g')) AS wc,
+          length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS syms,
+          len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS stop_hits,
+          length(text) AS n_chars
+        FROM documents)
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        n_words BETWEEN 50 AND 100000 AS ok_nwords,
+        (n_words * 3 <= wc AND wc <= n_words * 10) AS ok_wordlen,
+        syms * 10 <= n_chars AS ok_symbols,
+        stop_hits >= 2 AS ok_stopwords,
+        (n_words BETWEEN 50 AND 100000) AND
+          (n_words * 3 <= wc AND wc <= n_words * 10) AND
+          (syms * 10 <= n_chars) AND (stop_hits >= 2) AS pass
+      FROM m""")),
+
     // fixed-budget document chunking (the pretraining/RAG splitter):
     // re-segment every document into 64-token chunks, reassembling each
     // chunk's text in token order. One explode + one shuffle on

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic tests for the round-5 curation additions (q77-q81): each
+  * query's result is cross-checked against an independent Scala
+  * recomputation from the raw sf0.001 corpus (the oracle equivalence is
+  * separately enforced by the driver's DuckDB gate; these tests pin the
+  * SEMANTICS so a same-wrong-both-sides oracle bug can't hide).
+  */
+class CurationQuerySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  /** (doc_id, whitespace tokens) for the whole sf0.001 corpus. */
+  private lazy val rawDocs: Map[Long, String] =
+    graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def toks(text: String): Array[String] = text.trim.split("\\s+")
+
+  test("q78 gopher flags match a direct recomputation; pass is the conjunction") {
+    val got = run("q78_gopher_filter").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(got.keySet == rawDocs.keySet)
+    rawDocs.foreach { case (id, text) =>
+      val t = toks(text)
+      val n = t.length.toLong
+      val wc = text.replaceAll("\\s", "").length.toLong
+      val syms = text.replaceAll("[A-Za-z0-9\\s]", "").length.toLong
+      val stop = "\\b(the|a|of|and|to)\\b".r.findAllIn(text).size
+      val okN = n >= 50 && n <= 100000
+      val okW = n * 3 <= wc && wc <= n * 10
+      val okS = syms * 10 <= text.length
+      val okT = stop >= 2
+      assert(got(id) == ((n, okN, okW, okS, okT, okN && okW && okS && okT)),
+        s"doc $id")
+    }
+  }
+
+  test("q79 OOV rates match a direct top-50 vocabulary recomputation") {
+    val tf = rawDocs.toSeq.flatMap { case (id, text) =>
+      toks(text).map(tok => (id, tok))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocabCnt = tf.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val vocab = vocabCnt.toSeq.sortBy { case (tok, c) => (-c, tok) }
+      .take(50).map(_._1).toSet
+    val got = run("q79_vocab_oov").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == rawDocs.keySet)
+    rawDocs.foreach { case (id, text) =>
+      val t = toks(text)
+      val nOov = t.count(!vocab.contains(_)).toLong
+      assert(got(id) == ((t.length.toLong, nOov, nOov * 1000000L / t.length)),
+        s"doc $id")
+    }
+  }
+
+  test("q80 cutoffs are the exact per-lang interpolated median; kept set matches") {
+    val docs = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val medians = docs.groupBy(_._2).view.mapValues { rows =>
+      val v = rows.map(_._3.toDouble).sorted
+      val h = (v.length - 1) * 0.5
+      val lo = v(h.toInt)
+      lo + (h - h.toInt) * (v(math.ceil(h).toInt) - lo)
+    }.toMap
+    val want = docs.filter { case (_, lang, nc) => nc >= medians(lang) }
+      .map(_._1).toSet
+    val got = run("q80_adaptive_threshold").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    assert(got.map(_._1).toSet == want)
+    got.foreach { case (id, lang, cutoff) =>
+      assert(math.abs(cutoff - medians(lang)) < 1e-6, s"doc $id lang $lang")
+    }
+  }
+
+  test("q81 bloom has NO false negatives and only boolean-consistent rows") {
+    val rows = run("q81_bloom_decontam").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    // every exact match must be flagged by the filter — the Bloom guarantee
+    rows.filter(_._3).foreach { case (id, might, _) =>
+      assert(might, s"false negative on doc $id")
+    }
+    // the probe side excludes the benchmark slice itself
+    rows.foreach { case (id, _, _) => assert(id % 20 != 0) }
+  }
+
+  test("q77 planted docs report the shared tail as duplicated windows") {
+    val got = run("q77_window_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == rawDocs.keySet)
+    got.foreach { case (id, nw, nd, frac) =>
+      assert(nd <= nw)
+      if (nw > 0)
+        assert(math.abs(frac - nd.toDouble / nw) < 1e-6, s"doc $id")
+      // the 12-token planted tail contributes >= 5 wholly-planted windows,
+      // shared across all ~1/7 of the corpus — those must be flagged
+      if (id % 7 == 3 && nw >= 5)
+        assert(nd >= 5, s"planted doc $id reported only $nd dup windows")
+    }
+    // and some non-planted doc must remain clean (no global false positives)
+    assert(got.exists { case (id, _, nd, _) => id % 7 != 3 && nd == 0 })
+  }
+}
