@@ -16,7 +16,9 @@ object Explain {
                          "q62_reservoir_sample", "q63_repetition",
                          "q64_knn_pq", "q67_ingest_dedup", "q68_knn_ivfpq",
                          "q70_boilerplate_strip", "q73_unigram_logprob",
-                         "q74_semantic_dedup", "q75_budget_select")
+                         "q74_semantic_dedup", "q75_budget_select",
+                         "q77_window_dedup", "q79_vocab_oov",
+                         "q80_adaptive_threshold", "q81_bloom_decontam")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
