@@ -294,6 +294,51 @@ object CorpusOps {
         (col("prior") + col("dcum") <= budget).as("selected"))
   }
 
+  /** Per-stratum top-p (nucleus) mass selection: within each stratum,
+    * keep documents in hash-priority order until `permille`/1000 of the
+    * stratum's token mass is covered (a doc is kept iff the mass
+    * strictly before it is under the cutoff — so the crossing doc is
+    * included and the kept mass is >= the target).
+    *
+    * The naive form sorts each stratum end-to-end. Instead the q75
+    * histogram trick, applied per group: priorities are uniform in
+    * [0, 1000003), so `prio div 1001` buckets each stratum into <= 1000
+    * priority ranges; per-(stratum, bucket) token totals give a
+    * histogram whose per-stratum running sum (a window over <= 1000
+    * rows per stratum — model-sized) yields each bucket's prior mass;
+    * docs then only need a running sum WITHIN their own bucket. Global
+    * order (bucket, prio, id) == (prio, id) because the bucket is a
+    * monotone function of the priority, so the decomposed cumulative sum
+    * equals the stratum-wide one exactly — integer arithmetic end to
+    * end. Shuffles: one agg + one (stratum, bucket)-partitioned window;
+    * the histogram and totals broadcast. */
+  def selectTopMassPerStratum(df: DataFrame, idCol: String, stratumCol: Column,
+                              tokCol: Column, permille: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col(idCol)
+    val docs = df.select(id, stratumCol.as("stratum"),
+        tokCol.cast("long").as("n_tokens"))
+      .withColumn("prio", hashMix(id, 1000003L))
+      .withColumn("pb", expr("prio div 1001"))
+    val buckets = docs.groupBy(col("stratum"), col("pb"))
+      .agg(sum(col("n_tokens")).as("btok"))
+    val wB = Window.partitionBy(col("stratum")).orderBy(col("pb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val priors = buckets
+      .withColumn("prior", sum(col("btok")).over(wB) - col("btok"))
+      .select(col("stratum"), col("pb"), col("prior"))
+    val totals = buckets.groupBy(col("stratum")).agg(sum(col("btok")).as("total"))
+    val wD = Window.partitionBy(col("stratum"), col("pb"))
+      .orderBy(col("prio").asc, id.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(priors), Seq("stratum", "pb"))
+      .join(broadcast(totals), Seq("stratum"))
+      .withColumn("dcum", sum(col("n_tokens")).over(wD))
+      .filter((col("prior") + col("dcum") - col("n_tokens")) * 1000 <
+        col("total") * permille)
+      .select(id, col("stratum"), col("n_tokens"))
+  }
+
   /** GPT-style sequence packing: concatenate each stream's documents in
     * id order and split at `budget`-token boundaries. Emits per document
     * the sequence it starts in and how many boundaries it straddles

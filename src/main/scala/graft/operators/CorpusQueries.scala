@@ -600,10 +600,14 @@ object CorpusQueries extends QueryModule {
             .drop(s"__h$j")
         }
       val bench = withPos(fps.filter($"doc_id" % 20 === 0))
+      // localCheckpoint: the <= 32-row filter table is referenced by all
+      // three probe joins; materializing it once scans the benchmark
+      // slice once instead of once per probe (q71 precedent)
       val bloom = bench
         .select(explode(array($"p0", $"p1", $"p2")).as("p"))
         .groupBy(expr("p div 32").as("word"))
         .agg(expr("bit_or(shiftleft(1L, cast(p % 32 as int)))").as("bits"))
+        .localCheckpoint(true)
       val corpus = withPos(fps.filter($"doc_id" % 20 =!= 0))
       val probed = (0 until 3).foldLeft(corpus) { (acc, j) =>
         acc.join(
@@ -646,6 +650,36 @@ object CorpusQueries extends QueryModule {
          |SELECT m.doc_id, m.might_match, bf.fp IS NOT NULL AS is_match
          |FROM m LEFT JOIN bf ON bf.fp = m.fp""".stripMargin
     }),
+
+    // per-stratum top-p (nucleus) mass selection: keep each language's
+    // hash-priority-ordered documents until 90% of that language's token
+    // mass is covered — the "drop the long tail, keep the mass" mixing
+    // rule. No stratum-wide sort: the q75 histogram trick per group (see
+    // CorpusOps.selectTopMassPerStratum) bounds every unbucketed window
+    // at <= 1000 rows per stratum. Oracle computes the same cutoff with
+    // a direct stratum-wide running sum — equal by the monotone-bucket
+    // argument.
+    Q("q83_topp_select", (s, d) => {
+      import s.implicits._
+      CorpusOps.selectTopMassPerStratum(
+          t(s, d, "documents"), "doc_id", $"lang",
+          TextOps.tokenCount($"text"), permille = 900)
+        .select($"doc_id", $"stratum".as("lang"), $"n_tokens")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+          len(string_split_regex(trim(text), '\s+')) AS tok,
+          ((((doc_id % 1000003) + 1000003) % 1000003 * 2654435761 + 40503)
+             % 1000003 + 1000003) % 1000003 AS prio
+        FROM documents),
+      t AS (SELECT lang, sum(tok) AS total FROM d GROUP BY 1),
+      c AS (SELECT doc_id, lang, tok, prio,
+              sum(tok) OVER (PARTITION BY lang ORDER BY prio ASC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d)
+      SELECT c.doc_id, c.lang, CAST(c.tok AS BIGINT) AS n_tokens
+      FROM c JOIN t USING (lang)
+      WHERE (c.cum - c.tok) * 1000 < t.total * 900""")),
 
     // corpus length distribution per language: exact interpolated
     // percentiles (the curation dashboard numbers a filtering pass is

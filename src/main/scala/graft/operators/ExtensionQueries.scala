@@ -51,6 +51,28 @@ object ExtensionQueries extends QueryModule {
         count(*) AS n
       FROM events GROUP BY event_type""")),
 
+    // skew-safe salted equi-join: lineitem's join key salted by row
+    // content, orders replicated once per salt, join on (key, salt) —
+    // a hot orderkey spreads over 8 reducers instead of stalling one.
+    // Result is row-identical to the plain join (oracle runs it), here
+    // aggregated per priority to keep the gate output bounded. The
+    // manual form of AQE's skew-join split, for the cases AQE doesn't
+    // cover (no runtime stats yet, non-splittable stages).
+    Q("q82_salted_join", (s, d) => {
+      import s.implicits._
+      val joined = SkewOps.saltedJoin(
+        t(s, d, "lineitem").select($"l_orderkey", $"l_quantity"),
+        t(s, d, "orders").select($"o_orderkey".as("l_orderkey"), $"o_orderpriority"),
+        "l_orderkey", salts = 8)
+      joined.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast(D)).cast(DoubleType).as("sum_qty"))
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority""")),
+
     // cube: all grouping combinations in one pass (rollup's superset).
     Q("q46_cube", (s, d) => {
       import s.implicits._

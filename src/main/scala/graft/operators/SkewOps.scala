@@ -28,6 +28,33 @@ object SkewOps {
     * fetched, or stage-1 sums double-count/drop rows. Identical rows
     * sharing a salt skews the split slightly; correctness under retry
     * wins. */
+  /** Salted equi-join for a skewed join key: the big (skewed) side gets a
+    * content-hash salt in [0, salts), the small side is replicated once
+    * per salt value, and the join runs on (key, salt) — so a hot key's
+    * rows spread over `salts` reducers instead of stalling one. Result is
+    * row-identical to the plain equi-join (each big row matches exactly
+    * the replica carrying its salt).
+    *
+    * This is the manual form of what AQE's skew-join split does for
+    * sort-merge joins at runtime; it exists for the cases AQE doesn't
+    * cover (first execution before stats, skew landing in a
+    * non-splittable stage, deterministic plan requirements). Same
+    * retry-safety rationale as [[saltedAgg]]: the salt is a pure function
+    * of row content, so shuffle-fetch-failure recomputation lands every
+    * row back on the reducer its partials already reached.
+    *
+    * The small side grows `salts`×: size it so replicated-small still
+    * beats hot-key-on-one-reducer (salts 8-32 covers most skew; past
+    * that, isolate the hot keys and broadcast just them). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    val bs = big.withColumn("__salt",
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(salts)))
+    val ss = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    bs.join(ss, Seq(key, "__salt")).drop("__salt")
+  }
+
   def saltedAgg(df: DataFrame, keyCols: Seq[String], salts: Int,
                 sumExprs: Map[String, Column],
                 countName: Option[String] = Some("n")): DataFrame = {

@@ -93,6 +93,28 @@ class CurationQuerySpec extends AnyFunSuite {
     rows.foreach { case (id, _, _) => assert(id % 20 != 0) }
   }
 
+  test("q83 top-p selection matches a sequential greedy per-stratum take") {
+    // reference: per lang, order docs by (hashMix prio, id), take while
+    // mass-before < 90% of the stratum total
+    def prio(id: Long): Long = {
+      val r = (((id % 1000003L) + 1000003L) % 1000003L * 2654435761L + 40503L)
+      ((r % 1000003L) + 1000003L) % 1000003L
+    }
+    val docs = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), toks(r.getString(2)).length.toLong))
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val total = rows.map(_._3).sum
+      val ordered = rows.sortBy { case (id, _, _) => (prio(id), id) }
+      var cum = 0L
+      ordered.filter { case (_, _, tok) =>
+        val before = cum; cum += tok; before * 1000 < total * 900
+      }.map(_._1).toSeq
+    }.toSet
+    val got = run("q83_topp_select").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
   test("q77 planted docs report the shared tail as duplicated windows") {
     val got = run("q77_window_dedup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -71,4 +71,49 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("saltedJoin equals the plain join and shuffles on (key, salt)") {
+    import spark.implicits._
+    import graft.operators.SkewOps
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = Tables.t(spark, sf, "lineitem")
+        .select($"l_orderkey", $"l_quantity")
+      val small = Tables.t(spark, sf, "orders")
+        .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+      val salted = SkewOps.saltedJoin(big, small, "l_orderkey", salts = 8)
+      val plain = big.join(small, "l_orderkey")
+      // row-identical result (multiset compare via sorted collect)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select($"l_orderkey", $"l_quantity", $"o_orderpriority")
+          .collect().map(_.toString).sorted.toSeq
+      assert(rows(salted) == rows(plain))
+      // the join key includes the salt, so a hot key spans 8 reducers
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"),
+        s"salted join should partition on (key, __salt):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  test("q80/q81 probe sides have no corpus-wide shuffle (broadcast-only plans)") {
+    // q80: the only Exchange feeds the tiny per-lang stats agg; the
+    // corpus branch must reach the join through broadcast, not shuffle.
+    val p80 = SparkEntry.queries("q80_adaptive_threshold")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p80.contains("BroadcastHashJoin") || p80.contains("BroadcastNestedLoopJoin"))
+    // q81: all four joins are broadcasts — no hashpartitioning Exchange
+    // may appear on the probe (corpus) side at all.
+    val p81 = SparkEntry.queries("q81_bloom_decontam")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p81.contains("BroadcastHashJoin"))
+    val corpusShuffles = "Exchange hashpartitioning".r
+      .findAllIn(p81).size
+    // benchmark-side build aggs may shuffle (tiny); the probe pipeline
+    // itself is join-only. Bound the total so a regression to a
+    // corpus-side shuffle (which would add one per probe) is caught.
+    assert(corpusShuffles <= 2, s"unexpected shuffles in q81 plan:\n$p81")
+  }
 }
