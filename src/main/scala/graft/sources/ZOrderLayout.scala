@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustered file layout for multi-dimensional
+  * data skipping.
+  *
+  * A 100 TB table sorted by ONE key prunes parquet row groups only for
+  * predicates on that key; filters on any other column scan everything.
+  * Interleaving the bits of two (quantized) key columns and range-
+  * partitioning + sorting by that z-value gives every written file a
+  * tight min/max envelope in BOTH dimensions — so footer-stats pruning
+  * (Spark's parquet filter pushdown, or any lakehouse file-skipping
+  * index) cuts scans for predicates on either column. This is the same
+  * layout Delta/Iceberg expose as `OPTIMIZE ... ZORDER BY`; here it is
+  * plain Spark: an expression + repartitionByRange + sortWithinPartitions
+  * — nothing engine-private.
+  *
+  * The z-value is a pure codegen'd bit-interleave (32 shift/mask terms —
+  * the SimHash precedent), so clustering a corpus costs exactly one
+  * range shuffle. ZOrderSpec proves the payoff from parquet footers:
+  * after a z-ordered write, single-dimension bands on EITHER column
+  * overlap a strict subset of files, while the linear layout prunes one
+  * dimension and reads everything for the other.
+  */
+object ZOrderLayout {
+
+  /** Affine quantization of a long column from [lo, hi] onto
+    * [0, 2^bits). Callers supply lo/hi from catalog stats (parquet
+    * footers — the graft.catalog.Stats pattern), NOT from an extra scan.
+    * (v - lo) * 2^bits must stay under 2^63: fine for bits <= 16 and
+    * ranges under 2^46; re-scale wider domains before quantizing. */
+  def minMaxQuantize(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+    require(hi >= lo && bits > 0 && bits <= 16)
+    ((c.cast("long") - lo) * (1L << bits) / (hi - lo + 1L)).cast("long")
+  }
+
+  /** Morton interleave of two pre-quantized non-negative columns:
+    * x occupies even bit positions, y odd. Codegen'd shift/mask sum —
+    * no UDF, stays inside whole-stage codegen. */
+  def zvalue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits > 0 && bits <= 31)
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` as `files` parquet files clustered on the z-curve:
+    * one range shuffle on the z-value (sampled boundaries — Spark's
+    * RangePartitioner), in-partition sort so row groups inside each
+    * file are tight too. */
+  def writeZOrdered(df: DataFrame, path: String, z: Column,
+                    files: Int): Unit =
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.Tables
+import graft.sources.ZOrderLayout
+
+/** Evidence that the z-order layout actually skips: parquet footer
+  * min/max stats per written file, checked against band predicates on
+  * each dimension — the exact mechanism a 100 TB engine's file-pruning
+  * index uses, measured without running a query.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("zvalue matches a reference bit-interleave") {
+    import spark.implicits._
+    val ref = (x: Long, y: Long) =>
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).sum
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 1L))
+    val got = pairs.toDF("x", "y")
+      .select(ZOrderLayout.zvalue(org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == pairs.map { case (x, y) => ref(x, y) })
+  }
+
+  /** Per-file [min,max] of an INT64 column from parquet footers. */
+  private def fileRanges(dir: String, column: String): Seq[(Long, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    val files = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val blocks = r.getFooter.getBlocks
+        import scala.jdk.CollectionConverters._
+        val stats = blocks.asScala.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == column).map(_.getStatistics)
+        }
+        val mins = stats.map(_.genericGetMin.asInstanceOf[Long])
+        val maxs = stats.map(_.genericGetMax.asInstanceOf[Long])
+        (mins.min, maxs.max)
+      } finally r.close()
+    }
+  }
+
+  private def overlapping(ranges: Seq[(Long, Long)], lo: Long, hi: Long): Int =
+    ranges.count { case (mn, mx) => lo <= mx && mn <= hi }
+
+  test("z-ordered layout skips on BOTH dimensions; linear layout only on one") {
+    import spark.implicits._
+    val li = Tables.t(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    val (okLo, okHi, pkLo, pkHi) = {
+      val r = li.agg(
+        org.apache.spark.sql.functions.min($"l_orderkey"),
+        org.apache.spark.sql.functions.max($"l_orderkey"),
+        org.apache.spark.sql.functions.min($"l_partkey"),
+        org.apache.spark.sql.functions.max($"l_partkey")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val z = ZOrderLayout.zvalue(
+      ZOrderLayout.minMaxQuantize($"l_orderkey", okLo, okHi, 16),
+      ZOrderLayout.minMaxQuantize($"l_partkey", pkLo, pkHi, 16))
+    val zDir = "/tmp/zorder_li"
+    val linDir = "/tmp/linear_li"
+    ZOrderLayout.writeZOrdered(li, zDir, z, files = 8)
+    li.repartitionByRange(8, $"l_orderkey")
+      .sortWithinPartitions($"l_orderkey")
+      .write.mode("overwrite").parquet(linDir)
+
+    // middle 1/8 band on each dimension
+    def band(lo: Long, hi: Long): (Long, Long) = {
+      val w = hi - lo + 1
+      (lo + w * 3 / 8, lo + w * 4 / 8 - 1)
+    }
+    val (obLo, obHi) = band(okLo, okHi)
+    val (pbLo, pbHi) = band(pkLo, pkHi)
+
+    val zOk = overlapping(fileRanges(zDir, "l_orderkey"), obLo, obHi)
+    val zPk = overlapping(fileRanges(zDir, "l_partkey"), pbLo, pbHi)
+    val linOk = overlapping(fileRanges(linDir, "l_orderkey"), obLo, obHi)
+    val linPk = overlapping(fileRanges(linDir, "l_partkey"), pbLo, pbHi)
+
+    // linear layout: razor-sharp on its sort key, blind on the other
+    assert(linOk <= 2, s"linear orderkey band should hit <=2 of 8 files, got $linOk")
+    assert(linPk >= 7, s"linear partkey band should hit ~all files, got $linPk")
+    // z-order: BOTH dimensions prune (the balanced-skipping claim);
+    // theory for a 1/8 band with 8 files is ~4 hits (3 fixed bits split
+    // the curve into 4 runs) — assert strictly-better-than-blind with
+    // margin for range-sample boundary jitter
+    assert(zOk >= 1 && zOk <= 6, s"z-order orderkey band hit $zOk of 8 files")
+    assert(zPk >= 1 && zPk <= 6, s"z-order partkey band hit $zPk of 8 files")
+    // and the balanced layout beats the linear one on the non-sort dim
+    assert(zPk < linPk)
+  }
+}
