@@ -681,6 +681,62 @@ object CorpusQueries extends QueryModule {
       FROM c JOIN t USING (lang)
       WHERE (c.cum - c.tok) * 1000 < t.total * 900""")),
 
+    // deterministic train/val/test split assignment: 98/1/1 by the same
+    // overflow-safe hashMix as the samplers — a pure function of the row
+    // id, so the split survives reruns, repartitioning, and engine
+    // changes (an RNG split would leak val docs into train on every
+    // recompute). Row-local, zero shuffles.
+    Q("q84_split_assign", (s, d) => {
+      import s.implicits._
+      val h = CorpusOps.hashMix($"doc_id", 1000L)
+      t(s, d, "documents").select($"doc_id", $"lang",
+        when(h < 980, "train").when(h < 990, "val").otherwise("test")
+          .as("split"))
+    }, Some("""
+      WITH h AS (
+        SELECT doc_id, lang,
+          ((((doc_id % 1000003) + 1000003) % 1000003 * 2654435761 + 40503)
+             % 1000 + 1000) % 1000 AS hm
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN hm < 980 THEN 'train'
+             WHEN hm < 990 THEN 'val'
+             ELSE 'test' END AS split
+      FROM h""")),
+
+    // per-source quality calibration: each document's quality expressed
+    // as its percentile WITHIN its source (heterogeneous sources score
+    // on incomparable scales; mixing on raw scores over-drops whole
+    // sources — RefinedWeb/FineWeb calibrate per source before global
+    // thresholds). Quality is floor-quantized to milli-units (portable),
+    // the rank order is made total with the doc id, and the percentile
+    // is floor-quantized ppm of percent_rank — identical doubles into
+    // identical floors on both engines. One window per source: windows
+    // are parallel across sources, skew bounded by the largest source
+    // (the rank analog of the q75/q83 histogram trick applies if one
+    // source dominates).
+    Q("q85_quality_calibrate", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source")
+        .orderBy($"qmilli".asc, $"doc_id".asc)
+      t(s, d, "documents")
+        .select($"doc_id", $"source",
+          floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("qmilli"))
+        .withColumn("pr_ppm",
+          floor(percent_rank().over(w) * 1000000).cast("long"))
+    }, Some("""
+      WITH q AS (
+        SELECT doc_id, source,
+          CAST(floor((least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2)
+            * 1000) AS BIGINT) AS qmilli
+        FROM documents)
+      SELECT doc_id, source, qmilli,
+        CAST(floor(percent_rank() OVER (PARTITION BY source
+               ORDER BY qmilli ASC, doc_id ASC) * 1000000) AS BIGINT) AS pr_ppm
+      FROM q""")),
+
     // corpus length distribution per language: exact interpolated
     // percentiles (the curation dashboard numbers a filtering pass is
     // tuned against). Exact `percentile` holds a value->count map per

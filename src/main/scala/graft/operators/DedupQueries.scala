@@ -127,7 +127,10 @@ object DedupQueries extends QueryModule {
         .otherwise($"text").as("text"))
       val wins = TextOps.shingleRows(planted, "doc_id", "text", n = 8)
         .select($"doc_id", $"shingle").distinct()
-      val freq = wins.groupBy($"shingle").agg(countDistinct($"doc_id").as("wdf"))
+      // wins is already distinct (doc, window) pairs, so the document
+      // frequency is a plain count — countDistinct here would pay a
+      // second dedup expansion for nothing
+      val freq = wins.groupBy($"shingle").agg(count(lit(1)).as("wdf"))
       val per = wins.join(freq, "shingle")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("nw"),
@@ -153,7 +156,7 @@ object DedupQueries extends QueryModule {
                      toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
                      toks[i+6] || ' ' || toks[i+7])) AS win
             FROM d),
-      fq AS (SELECT win, count(DISTINCT doc_id) AS wdf FROM w GROUP BY 1),
+      fq AS (SELECT win, count(*) AS wdf FROM w GROUP BY 1),
       per AS (SELECT w.doc_id, count(*) AS nw,
                      sum(CASE WHEN fq.wdf > 1 THEN 1 ELSE 0 END) AS nd
               FROM w JOIN fq USING (win) GROUP BY 1)

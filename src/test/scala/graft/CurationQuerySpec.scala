@@ -115,6 +115,34 @@ class CurationQuerySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q84 split assignment is the hashMix partition and covers every doc") {
+    def hm(id: Long): Long = {
+      val r = (((id % 1000003L) + 1000003L) % 1000003L * 2654435761L + 40503L)
+      ((r % 1000L) + 1000L) % 1000L
+    }
+    val got = run("q84_split_assign").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.keySet == rawDocs.keySet)
+    got.foreach { case (id, split) =>
+      val want = if (hm(id) < 980) "train" else if (hm(id) < 990) "val" else "test"
+      assert(split == want, s"doc $id")
+    }
+  }
+
+  test("q85 calibration: pr_ppm is monotone in (qmilli, id) within each source") {
+    val rows = run("q85_quality_calibrate").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(0), r.getLong(3)))
+    assert(rows.map(_._3).toSet == rawDocs.keySet)
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val ordered = g.sortBy { case (_, q, id, _) => (q, id) }
+      val prs = ordered.map(_._4)
+      assert(prs.head == 0L, s"source $src lowest doc must rank 0")
+      assert(prs.zip(prs.tail).forall { case (a, b) => a <= b }, s"source $src")
+      if (g.length > 1)
+        assert(prs.last == 1000000L, s"source $src top rank ${prs.last}")
+    }
+  }
+
   test("q77 planted docs report the shared tail as duplicated windows") {
     val got = run("q77_window_dedup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
