@@ -80,6 +80,16 @@ object EventsStreaming {
       .withWatermark("ingest_ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-static enrichment join: the unbounded stream joins a bounded
+    * dimension table, broadcast per micro-batch (dimensions are tiny
+    * next to a 100 TB/day stream, and broadcasting keeps the stream side
+    * shuffle-free — the streaming analog of the batch dim-join rule).
+    * Spark re-resolves the static side every micro-batch, so a slowly-
+    * refreshed dimension (a reloaded view/table) is picked up on the
+    * next batch without restarting the query. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
+
   /** Micro-batch bridge to the keyed-JSON sink contract (SURVEY.md §2.10:
     * the reference's incremental read-modify-write maps to foreachBatch):
     * per-user event counts, merged into the uid-keyed file every batch. */

@@ -98,6 +98,43 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, when}
+    val keep = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // one pathological key holding ~95% of the left side
+      val big = spark.range(0, 200000)
+        .select(when($"id" < 190000, 0L).otherwise($"id").as("k"), $"id".as("v"))
+      val small = spark.range(0, 1000).select($"id".as("k"), lit("x").as("tag"))
+      val j = big.join(small, "k")
+      // execute THIS dataframe's plan (count() would plan a different
+      // query); toRdd keeps the rows on the executors
+      j.queryExecution.toRdd.count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should mark the skewed join (isFinalPlan plan):\n$plan")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q80/q81 probe sides have no corpus-wide shuffle (broadcast-only plans)") {
     // q80: the only Exchange feeds the tiny per-lang stats agg; the
     // corpus branch must reach the join through broadcast, not shuffle.

@@ -145,4 +145,26 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("replay").count() > 0)
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins the dim broadcast per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", "engagement"), ("view", "impression"))
+      .toDF("event_type", "category")
+    val input = MemoryStream[Event]
+    val q = EventsStreaming.enrich(input.toDF(), dim, "event_type")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enriched").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:06:00"), 2, "purchase", 2.0))
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select($"event_id", $"category").as[(Long, Option[String])]
+        .collect().toMap
+      // matched dim row enriched; unmatched kept with null (left join)
+      assert(got == Map(1L -> Some("engagement"), 2L -> None))
+    } finally q.stop()
+  }
 }
