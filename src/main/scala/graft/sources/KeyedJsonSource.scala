@@ -1,0 +1,197 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util
+
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal => CatalystLiteral, Murmur3Hash, Pmod}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for the engine's own sharded keyed-JSON sink
+  * format ([[graft.sinks.KeyedJsonSink.writeSharded]]: text shards of
+  * `uid TAB json`, hash-partitioned on uid by Spark's Murmur3). Closes
+  * the loop on the custom sink: state written at scale is a TABLE —
+  * `spark.read.format("graft.sources.KeyedJsonSource")
+  * .option("path", dir).option("shards", n).load()` — instead of a
+  * hand-rolled text parse.
+  *
+  * Scale behaviors a naive `spark.read.text` wrapper does not give:
+  *  - **one input partition per shard file** — reads parallelize to the
+  *    shard count with no post-read repartition;
+  *  - **shard pruning for point lookups**: `uid = 'x'` / `uid IN (...)`
+  *    predicates are pushed down, and because the writer hash-partitioned
+  *    on uid, the reader recomputes the same `pmod(murmur3(uid), shards)`
+  *    and opens ONLY the shard files those uids can live in — a
+  *    1/shards-cost point lookup at any state size (the `shards` option
+  *    must match the writer's; omit it to scan all files);
+  *  - **column pruning**: `select(uid)` never materializes the json
+  *    payload column.
+  *
+  * The pushed uid filters are fully applied at the reader (exact string
+  * compare per line), so Spark does not re-evaluate them.
+  */
+class KeyedJsonSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KeyedJsonSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new KeyedJsonTable(
+      Option(properties.get("path")).getOrElse(
+        throw new IllegalArgumentException("path option is required")),
+      Option(properties.get("shards")).map(_.toInt))
+}
+
+object KeyedJsonSource {
+  val schema: StructType = StructType(Seq(
+    StructField("uid", StringType, nullable = false),
+    StructField("json", StringType, nullable = false)))
+
+  /** The writer-side partition id of a uid: must replay EXACTLY what
+    * `DataFrame.repartition(shards, col("uid"))` computed — Catalyst's
+    * HashPartitioning, i.e. pmod(Murmur3Hash(seed=42), shards) — so we
+    * evaluate that expression itself rather than re-implementing it. */
+  def shardOf(uid: String, shards: Int): Int =
+    Pmod(
+      new Murmur3Hash(Seq(CatalystLiteral(UTF8String.fromString(uid), StringType))),
+      CatalystLiteral(shards, IntegerType))
+      .eval(InternalRow.empty).asInstanceOf[Int]
+}
+
+private[sources] class KeyedJsonTable(path: String, shards: Option[Int])
+    extends Table with SupportsRead {
+  override def name(): String = s"keyedjson:$path"
+  override def schema(): StructType = KeyedJsonSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KeyedJsonScanBuilder(path, shards)
+}
+
+private[sources] class KeyedJsonScanBuilder(path: String, shards: Option[Int])
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = KeyedJsonSource.schema
+  private var pushed: Array[Filter] = Array.empty
+  private var uidSet: Option[Set[String]] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rest) = filters.partition {
+      case EqualTo("uid", _: String) => true
+      case In("uid", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    pushed = supported
+    val sets = supported.map {
+      case EqualTo("uid", v: String) => Set(v)
+      case In("uid", vs) => vs.map(_.asInstanceOf[String]).toSet
+      case f => throw new IllegalStateException(s"unreachable: $f")
+    }
+    if (sets.nonEmpty) uidSet = Some(sets.reduce(_ intersect _))
+    rest // Spark re-evaluates only these
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new KeyedJsonScan(path, shards, required, uidSet)
+}
+
+private[sources] case class ShardFilePartition(
+    file: String, uids: Option[Set[String]]) extends InputPartition
+
+private[sources] class KeyedJsonScan(
+    path: String, shards: Option[Int], required: StructType,
+    uids: Option[Set[String]]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** List shard files; with pushed uid filters AND a declared shard
+    * count, keep only the files those uids hash into. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val files = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val selected = (uids, shards) match {
+      case (Some(vs), Some(n)) =>
+        val wanted = vs.map(KeyedJsonSource.shardOf(_, n))
+        // part-00007-<uuid>.txt -> writer partition 7
+        files.filter(f => wanted.contains(f.getName.split("-")(1).toInt))
+      case _ => files
+    }
+    selected.map(f => ShardFilePartition(f.toString, uids): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KeyedJsonReaderFactory(required)
+
+  override def description(): String = {
+    val pruned = (uids, shards) match {
+      case (Some(vs), Some(n)) => s" shardPruned(uids=${vs.size}, shards=$n)"
+      case _ => ""
+    }
+    s"KeyedJsonScan path=$path$pruned"
+  }
+}
+
+private[sources] class KeyedJsonReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val sp = partition.asInstanceOf[ShardFilePartition]
+    new KeyedJsonPartitionReader(sp.file, sp.uids, required)
+  }
+}
+
+/** Streams one shard file line by line: split at the FIRST tab (to_json
+  * escapes tabs inside values — KeyedJsonSink.readSharded's contract),
+  * apply the pushed uid filter, emit only the pruned columns. */
+private[sources] class KeyedJsonPartitionReader(
+    file: String, uids: Option[Set[String]], required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val p = new Path(file)
+  private val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+  private val reader = new BufferedReader(
+    new InputStreamReader(in, StandardCharsets.UTF_8))
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null) {
+      val tab = line.indexOf('\t')
+      if (tab > 0) {
+        val uid = line.substring(0, tab)
+        if (uids.forall(_.contains(uid))) {
+          // emit in the PRUNED schema's field order, whatever it is
+          val vals: Array[Any] = required.fieldNames.map {
+            case "uid" => UTF8String.fromString(uid): Any
+            case "json" => UTF8String.fromString(line.substring(tab + 1)): Any
+            case other =>
+              throw new IllegalStateException(s"unknown column $other")
+          }
+          row = new GenericInternalRow(vals)
+          return true
+        }
+      }
+      line = reader.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}

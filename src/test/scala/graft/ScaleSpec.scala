@@ -98,6 +98,32 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("date-partitioned writes prune partitions at the scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.date_format
+    val dir = "/tmp/events_bydate"
+    val ev = Tables.t(spark, sf, "events")
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+    ev.write.partitionBy("day").mode("overwrite").parquet(dir)
+    val days = ev.select("day").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(days.length > 1, "need multiple partitions for the test to mean anything")
+    val one = spark.read.parquet(dir).filter($"day" === days.head)
+    val expected = ev.filter($"day" === days.head).count()
+    assert(one.count() == expected)
+    // the filter must land in PartitionFilters (directory-level skip),
+    // not in PushedFilters/post-scan (row-level)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("\\s", "").contains(s"(day#"),
+      s"partition filter missing from scan:\n$scan")
+    val partsRead = one.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(partsRead.contains(1),
+      s"scan should read exactly 1 of ${days.length} partitions, got $partsRead")
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{lit, when}
