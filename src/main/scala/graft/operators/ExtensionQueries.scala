@@ -139,6 +139,145 @@ object ExtensionQueries extends QueryModule {
         .groupBy($"l_returnflag")
         .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
              countDistinct($"l_partkey").as("exact_parts"))
-    }, None)
+    }, None),
+
+    // relational count-min sketch: token frequencies compressed into a
+    // 3x256 counter table (768 rows at ANY corpus size — the sketch,
+    // unlike the exact vocab table, has constant footprint and merges
+    // by addition across shards/days). Estimates are min over the 3
+    // rows, always >= the true count (biased up, never down). Built and
+    // probed fully relationally from the same positional-md5 hash
+    // family as MinHash/Bloom, so DuckDB replays every counter exactly.
+    // The probe set (top-20 tokens, deterministic tie-break) carries the
+    // true count alongside the estimate — the error is part of the
+    // result contract.
+    Q("q86_countmin_freq", (s, d) => {
+      import s.implicits._
+      val vocab = t(s, d, "documents")
+        .select(explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // shared by build + probe (q81 precedent)
+      val positioned = (0 until 3).foldLeft(vocab) { (acc, j) =>
+        acc.withColumn(s"__h$j", md5(concat($"tok", lit(s":$j"))))
+          .withColumn(s"b$j",
+            expr(s"(${DedupOps.hv32FromHexSql(s"__h$j")}) % 256"))
+          .drop(s"__h$j")
+      }
+      val sketch = positioned
+        .select($"cnt", explode(array(
+          struct(lit(0L).as("j"), $"b0".as("b")),
+          struct(lit(1L).as("j"), $"b1".as("b")),
+          struct(lit(2L).as("j"), $"b2".as("b")))).as("p"))
+        .groupBy($"p.j".as("j"), $"p.b".as("b"))
+        .agg(sum($"cnt").as("c"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .orderBy($"cnt".desc, $"tok".asc)
+      val probes = positioned
+        .withColumn("rk", row_number().over(wTop)).filter($"rk" <= 20)
+        .select($"tok", $"cnt", explode(array(
+          struct(lit(0L).as("j"), $"b0".as("b")),
+          struct(lit(1L).as("j"), $"b1".as("b")),
+          struct(lit(2L).as("j"), $"b2".as("b")))).as("p"))
+      probes.join(broadcast(sketch),
+          probes("p.j") === sketch("j") && probes("p.b") === sketch("b"))
+        .groupBy($"tok")
+        .agg(max($"cnt").as("true_cnt"), min($"c").as("cm_est"))
+        .select($"tok", $"true_cnt".cast("long").as("true_cnt"),
+          $"cm_est".cast("long").as("cm_est"))
+    }, Some {
+      def hv(j: Int) = DedupQueries.hvDuckOf(s"(tok || ':$j')")
+      s"""WITH vocab AS (
+         |  SELECT tok, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |    FROM documents) GROUP BY 1),
+         |pos AS (
+         |  SELECT tok, cnt,
+         |    (${hv(0)}) % 256 AS b0, (${hv(1)}) % 256 AS b1,
+         |    (${hv(2)}) % 256 AS b2
+         |  FROM vocab),
+         |cells AS (
+         |  SELECT 0 AS j, b0 AS b, cnt FROM pos
+         |  UNION ALL SELECT 1, b1, cnt FROM pos
+         |  UNION ALL SELECT 2, b2, cnt FROM pos),
+         |sketch AS (SELECT j, b, sum(cnt) AS c FROM cells GROUP BY 1, 2),
+         |top AS (SELECT tok, cnt, b0, b1, b2 FROM pos
+         |        QUALIFY row_number() OVER (ORDER BY cnt DESC, tok ASC) <= 20),
+         |probe AS (
+         |  SELECT tok, cnt, 0 AS j, b0 AS b FROM top
+         |  UNION ALL SELECT tok, cnt, 1, b1 FROM top
+         |  UNION ALL SELECT tok, cnt, 2, b2 FROM top)
+         |SELECT p.tok, CAST(max(p.cnt) AS BIGINT) AS true_cnt,
+         |       CAST(min(s.c) AS BIGINT) AS cm_est
+         |FROM probe p JOIN sketch s ON s.j = p.j AND s.b = p.b
+         |GROUP BY p.tok""".stripMargin
+    }),
+
+    // relational HyperLogLog — the oracle-ABLE counterpart to q43's
+    // engine-private sketch: 256 registers built with group-by max over
+    // the positional-md5 hash (bucket = h % 256, rho = leading-zero
+    // rank of the remaining 24 bits via an integer CASE chain), register
+    // mass summed as DECIMAL(38,30) (every 2^-rho is a binary fraction
+    // with <= 25 fractional bits, so the decimal sum is EXACT and
+    // order-independent — the raw double sum would be partition-order
+    // dependent), and the final alpha*m^2/mass division floor-quantized.
+    // The sketch is 256 rows at any corpus size and merges by max.
+    // True distinct count rides along: the estimate's error is part of
+    // the result contract (~6.5% rse at m=256).
+    Q("q87_hll_relational", (s, d) => {
+      import s.implicits._
+      val alphaM2 = 0.7213 / (1 + 1.079 / 256) * 256 * 256
+      val aLit = f"$alphaM2%.17g"
+      val bitlenSql = (24 to 1 by -1)
+        .map(k => s"WHEN rest >= ${1L << (k - 1)} THEN $k")
+        .mkString("CASE ", " ", " ELSE 0 END")
+      val toks = t(s, d, "documents")
+        .select(explode(TextOps.tokens($"text")).as("tok")).distinct()
+        .localCheckpoint(true) // shared by the sketch and the exact count
+      val hashed = toks
+        .withColumn("__h", md5($"tok"))
+        .withColumn("hv", expr(s"(${DedupOps.hv32FromHexSql("__h")})"))
+        .select(($"hv" % 256).as("b"), expr("hv div 256").as("rest"))
+      val regs = hashed.groupBy($"b")
+        .agg(max(expr(s"25 - ($bitlenSql)")).as("m"))
+      val sums = regs.agg(
+        sum(expr("cast(power(0.5, m) as decimal(38,30))")).as("sp"),
+        count(lit(1)).as("np"))
+      // small-range correction (Flajolet et al. 2007): below 2.5m with
+      // empty registers, linear counting m*ln(m/V) replaces the raw
+      // estimate — identical single ln() call on identical doubles in
+      // both engines, then floor
+      val estSql =
+        s"""CASE WHEN ($aLit / (cast(sp as double) + (256 - np))) <= 640.0
+           |       AND np < 256
+           |     THEN floor(256.0 * ln(256.0 / (256 - np)))
+           |     ELSE floor($aLit / (cast(sp as double) + (256 - np))) END""".stripMargin
+      toks.agg(count(lit(1)).as("n_exact")).join(sums)
+        .select($"n_exact".cast("long").as("n_exact"),
+          (lit(256L) - $"np").cast("long").as("zero_regs"),
+          expr(s"cast(($estSql) as bigint)").as("hll_est"))
+    }, Some {
+      val aLit = f"${0.7213 / (1 + 1.079 / 256) * 256 * 256}%.17g"
+      val bitlenSql = (24 to 1 by -1)
+        .map(k => s"WHEN rest >= ${1L << (k - 1)} THEN $k")
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""WITH toks AS (
+         |  SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |h AS (SELECT (${DedupQueries.hvDuckOf("tok")}) AS hv FROM toks),
+         |r AS (SELECT hv % 256 AS b, hv // 256 AS rest FROM h),
+         |regs AS (SELECT b, max(25 - ($bitlenSql)) AS m FROM r GROUP BY 1),
+         |sums AS (SELECT sum(CAST(power(0.5, m) AS DECIMAL(38,30))) AS sp,
+         |                count(*) AS np
+         |         FROM regs),
+         |e AS (SELECT count(*) AS n_exact FROM toks)
+         |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(256 - np AS BIGINT) AS zero_regs,
+         |  CAST(CASE WHEN ($aLit / (CAST(sp AS DOUBLE) + (256 - np))) <= 640.0
+         |                 AND np < 256
+         |            THEN floor(256.0 * ln(256.0 / (256 - np)))
+         |            ELSE floor($aLit / (CAST(sp AS DOUBLE) + (256 - np))) END
+         |       AS BIGINT) AS hll_est
+         |FROM e CROSS JOIN sums""".stripMargin
+    })
   )
 }

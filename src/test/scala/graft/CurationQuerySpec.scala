@@ -143,6 +143,30 @@ class CurationQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("q86 count-min estimates never underestimate; exact for heavy hitters") {
+    val rows = run("q86_countmin_freq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    rows.foreach { case (tok, truth, est) =>
+      assert(est >= truth, s"count-min UNDERestimated $tok: $est < $truth")
+    }
+    // with 768 cells over this vocab, the top tokens should be near-exact
+    val relErr = rows.map { case (_, truth, est) =>
+      (est - truth).toDouble / truth }
+    assert(relErr.max < 1.0, s"heavy-hitter estimates off by ${relErr.max}")
+  }
+
+  test("q87 relational HLL lands within the m=256 error envelope") {
+    val Array(row) = run("q87_hll_relational").collect()
+    val (nExact, zeroRegs, est) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nExact > 0 && est > 0)
+    // raw-regime rse at m=256 is ~6.5% (3 sigma ~20%); the linear-
+    // counting branch this tiny vocab lands in is tighter still
+    val rel = math.abs(est - nExact).toDouble / nExact
+    assert(rel < 0.25, s"HLL estimate $est vs exact $nExact (rel err $rel)")
+    assert(zeroRegs >= 0 && zeroRegs < 256)
+  }
+
   test("q77 planted docs report the shared tail as duplicated windows") {
     val got = run("q77_window_dedup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -146,6 +146,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed aggregation recovers state across a query restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = "/tmp/graft_ckpt_restart"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val input = MemoryStream[Event]
+    def start() = EventsStreaming.hourlyCounts(input.toDF())
+      .writeStream.outputMode(OutputMode.Complete)
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("ckpt_counts").start()
+
+    val q1 = start()
+    try {
+      input.addData(Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart from the checkpoint: prior state must survive, new data
+    // must ACCUMULATE onto it (2 clicks total), not start from zero
+    val q2 = start()
+    try {
+      input.addData(Event(2, ts("2024-01-01 10:25:00"), 2, "click", 2.0))
+      q2.processAllAvailable()
+      val got = spark.table("ckpt_counts")
+        .select($"hour", $"event_type", $"n")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(got == Set((ts("2024-01-01 10:00:00"), "click", 2L)),
+        s"state lost or duplicated across restart: $got")
+    } finally q2.stop()
+  }
+
   test("stream-static enrichment joins the dim broadcast per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
