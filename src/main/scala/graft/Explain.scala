@@ -18,7 +18,9 @@ object Explain {
                          "q70_boilerplate_strip", "q73_unigram_logprob",
                          "q74_semantic_dedup", "q75_budget_select",
                          "q77_window_dedup", "q79_vocab_oov",
-                         "q80_adaptive_threshold", "q81_bloom_decontam")
+                         "q80_adaptive_threshold", "q81_bloom_decontam",
+                         "q82_salted_join", "q83_topp_select",
+                         "q86_countmin_freq", "q87_hll_relational")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
