@@ -737,6 +737,36 @@ object CorpusQueries extends QueryModule {
                ORDER BY qmilli ASC, doc_id ASC) * 1000000) AS BIGINT) AS pr_ppm
       FROM q""")),
 
+    // incremental aggregate maintenance: the daily-stats pattern — a
+    // stored per-source partial-aggregate table merges with the new
+    // batch's partials WITHOUT rescanning the corpus (counts and sums
+    // are algebraic: merge = re-sum; the average is derived from the
+    // merged sums, never averaged-of-averages). The oracle recomputes
+    // from scratch over the full table — equality IS the merge-
+    // correctness proof. At 100 TB the stored side is a source-count
+    // sized table; only the delta is scanned.
+    Q("q88_incremental_agg", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select($"source", $"doc_id",
+        TextOps.tokenCount($"text").cast("long").as("tok"))
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"source")
+          .agg(count(lit(1)).as("n"), sum($"tok").as("tk"))
+      val stored = partials(docs.filter($"doc_id" % 10 =!= 7))
+      val delta = partials(docs.filter($"doc_id" % 10 === 7))
+      stored.unionByName(delta).groupBy($"source")
+        .agg(sum($"n").as("nd"), sum($"tk").as("nt"))
+        .select($"source", $"nd".cast("long").as("n_docs"),
+          $"nt".cast("long").as("n_tokens"),
+          expr("(nt * 1000000) div nd").as("avg_tokens_micro"))
+    }, Some("""
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+          AS n_tokens,
+        CAST(sum(len(string_split_regex(trim(text), '\s+'))) * 1000000
+               // count(*) AS BIGINT) AS avg_tokens_micro
+      FROM documents GROUP BY source""")),
+
     // corpus length distribution per language: exact interpolated
     // percentiles (the curation dashboard numbers a filtering pass is
     // tuned against). Exact `percentile` holds a value->count map per

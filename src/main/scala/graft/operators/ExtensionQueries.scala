@@ -212,6 +212,66 @@ object ExtensionQueries extends QueryModule {
          |GROUP BY p.tok""".stripMargin
     }),
 
+    // funnel analysis (earliest-event-per-stage form): per user, the
+    // minimum timestamp of each stage; a stage counts as reached iff it
+    // happened strictly AFTER the previous stage's earliest event.
+    // One shuffle (per-user conditional mins with map-side partials),
+    // then a single-row reduce — no per-user sequence materialization,
+    // so the plan is two aggs at any event volume.
+    Q("q89_funnel", (s, d) => {
+      import s.implicits._
+      val stages = t(s, d, "events").groupBy($"user_id").agg(
+        min(when($"event_type" === "view", $"ts")).as("tv"),
+        min(when($"event_type" === "click", $"ts")).as("tc"),
+        min(when($"event_type" === "purchase", $"ts")).as("tp"))
+      stages.agg(
+        count(lit(1)).as("n_users"),
+        sum(when($"tv".isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when($"tv".isNotNull && $"tc" > $"tv", 1L).otherwise(0L))
+          .as("n_view_click"),
+        sum(when($"tv".isNotNull && $"tc" > $"tv" && $"tp" > $"tc", 1L)
+          .otherwise(0L)).as("n_full_funnel"))
+    }, Some("""
+      WITH s AS (
+        SELECT user_id,
+          min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+          min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+          min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        FROM events GROUP BY 1)
+      SELECT count(*) AS n_users,
+        CAST(sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_view,
+        CAST(sum(CASE WHEN tv IS NOT NULL AND tc > tv THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_view_click,
+        CAST(sum(CASE WHEN tv IS NOT NULL AND tc > tv AND tp > tc
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+      FROM s""")),
+
+    // retention cohorts: users grouped by first-seen day, activity
+    // counted per (cohort, day-offset) cell — the training-data analog
+    // is source-ingest freshness tracking. The cohort table is one row
+    // per user (NOT broadcastable at 1B users): the activity join
+    // shuffles both sides on user_id and stays co-partitioned into the
+    // distinct-count agg.
+    Q("q90_retention", (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events").select($"user_id", to_date($"ts").as("day"))
+      val cohorts = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      ev.join(cohorts, "user_id")
+        .groupBy($"cohort_day", datediff($"day", $"cohort_day").as("day_offset"))
+        .agg(countDistinct($"user_id").as("nu"))
+        .select(date_format($"cohort_day", "yyyy-MM-dd").as("cohort_day"),
+          $"day_offset".cast("long").as("day_offset"),
+          $"nu".cast("long").as("n_users"))
+    }, Some("""
+      WITH a AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+      SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+        count(DISTINCT a.user_id) AS n_users
+      FROM a JOIN c USING (user_id)
+      GROUP BY 1, 2""")),
+
     // relational HyperLogLog — the oracle-ABLE counterpart to q43's
     // engine-private sketch: 256 registers built with group-by max over
     // the positional-md5 hash (bucket = h % 256, rho = leading-zero

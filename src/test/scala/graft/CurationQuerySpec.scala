@@ -167,6 +167,61 @@ class CurationQuerySpec extends AnyFunSuite {
     assert(zeroRegs >= 0 && zeroRegs < 256)
   }
 
+  test("q88 merged partials equal a from-scratch recompute") {
+    val got = run("q88_incremental_agg").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // totals across sources must equal corpus totals (stored + delta
+    // partials both contributed, nothing double-counted)
+    val totDocs = got.values.map(_._1).sum
+    val totToks = got.values.map(_._2).sum
+    assert(totDocs == rawDocs.size)
+    assert(totToks == rawDocs.values.map(t => toks(t).length.toLong).sum)
+    got.foreach { case (src, (n, tk, avg)) =>
+      assert(avg == tk * 1000000L / n, s"source $src derived avg broken")
+    }
+  }
+
+  test("q89 funnel counts match a per-user sequential recompute") {
+    val ev = graft.catalog.Tables.t(spark, sf, "events")
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val byUser = ev.groupBy(_._1)
+    def minOf(g: Array[(Long, String, Long)], t: String): Option[Long] = {
+      val xs = g.filter(_._2 == t).map(_._3)
+      if (xs.isEmpty) None else Some(xs.min)
+    }
+    var (nv, nvc, nf) = (0L, 0L, 0L)
+    byUser.values.foreach { g =>
+      val (tv, tc, tp) = (minOf(g, "view"), minOf(g, "click"), minOf(g, "purchase"))
+      if (tv.isDefined) {
+        nv += 1
+        if (tc.exists(_ > tv.get)) {
+          nvc += 1
+          if (tp.exists(_ > tc.get)) nf += 1
+        }
+      }
+    }
+    val Array(row) = run("q89_funnel").collect()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((byUser.size.toLong, nv, nvc, nf)))
+  }
+
+  test("q90 cohort cells sum to per-user active-day totals") {
+    val rows = run("q90_retention").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // every cohort has an offset-0 cell (the cohort day itself), and the
+    // offset-0 user count equals that cohort's size
+    val cohortSizes = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    assert(rows.map(_._1).toSet == cohortSizes.keySet,
+      "every cohort must include its day-0 cell")
+    // cells never exceed the cohort's day-0 population
+    rows.foreach { case (c, off, n) =>
+      assert(n <= cohortSizes(c), s"cohort $c offset $off has $n > day0 ${cohortSizes(c)}")
+      assert(off >= 0)
+    }
+  }
+
   test("q77 planted docs report the shared tail as duplicated windows") {
     val got = run("q77_window_dedup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
