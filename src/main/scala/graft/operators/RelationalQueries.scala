@@ -381,6 +381,85 @@ object RelationalQueries extends QueryModule {
       SELECT e.error_id, count(c.cus) AS n_recent_clicks
       FROM errors e LEFT JOIN clicks c
         ON c.cus > e.eus - 1800000000 AND c.cus <= e.eus
-      GROUP BY e.error_id"""))
+      GROUP BY e.error_id""")),
+
+    // 6-way analytic join (the TPC-H Q5 shape): regional revenue per
+    // nation, customer and supplier constrained to the SAME nation.
+    // This is the optimizer-evidence query: the declarative plan lets
+    // Catalyst order the joins, broadcast the two dim tables
+    // (nation/region annotated, and AQE upgrades more when sizes
+    // allow), and push the date/region filters below the joins. Money
+    // math rides DECIMAL into an order-independent sum (q01 precedent).
+    Q("q91_regional_revenue", (s, d) => {
+      import s.implicits._
+      val rev = $"l_extendedprice".cast(D) *
+        (lit(1).cast(D) - $"l_discount".cast(D))
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey")
+        .filter($"o_orderdate" >= lit("1996-01-01").cast(TimestampType) &&
+                $"o_orderdate" < lit("1998-01-01").cast(TimestampType))
+        .join(t(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .join(t(s, d, "supplier"),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(t(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA")
+        .groupBy($"n_name")
+        .agg(sum(rev).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+    }, Some("""
+      SELECT n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+             AS DOUBLE) AS revenue,
+        count(*) AS n_lineitems
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY n_name""")),
+
+    // scalar subquery + anti join (the TPC-H Q22 shape): CHURNED rich
+    // customers — above-average balance, no orders since 2000-01-01 —
+    // rolled up per nation. The corpus-wide average is a single-row
+    // broadcast (DECIMAL sum -> exact double -> one division, so the
+    // threshold is engine-identical); the churn test is a left-anti
+    // join against the filtered orders table — shuffled on the customer
+    // key, never collected (the date filter pushes to the orders scan).
+    Q("q92_idle_rich_customers", (s, d) => {
+      import s.implicits._
+      val cust = t(s, d, "customer")
+      val avgBal = cust.filter($"c_acctbal" > 0)
+        .agg((sum($"c_acctbal".cast(D)).cast(DoubleType) / count(lit(1)))
+          .as("ab"))
+      val recent = t(s, d, "orders")
+        .filter($"o_orderdate" >= lit("2000-01-01").cast(TimestampType))
+        .select($"o_custkey")
+      cust.join(broadcast(avgBal))
+        .filter($"c_acctbal" > $"ab")
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .join(broadcast(t(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_custs"),
+          sum($"c_acctbal".cast(D)).cast(DoubleType).as("total_bal"))
+    }, Some("""
+      WITH ab AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*) AS ab
+        FROM customer WHERE c_acctbal > 0)
+      SELECT n_name, count(*) AS n_custs,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      FROM customer CROSS JOIN ab
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_acctbal > ab
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY n_name"""))
   )
 }
