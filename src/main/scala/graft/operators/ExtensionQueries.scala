@@ -15,6 +15,21 @@ object ExtensionQueries extends QueryModule {
   private def t(s: org.apache.spark.sql.SparkSession, d: String, n: String) =
     Tables.t(s, d, n)
 
+  /** ONE SQL text for q93, executed verbatim by BOTH engines (Spark via
+    * `spark.sql` over temp views, DuckDB as the oracle): ANSI-only
+    * constructs — derived table, window with total-order tie-break,
+    * DECIMAL-routed money cast. The hash gate then proves dialect-level
+    * agreement, not just plan-level equivalence. */
+  private val SharedSql93 = """
+    SELECT o_orderpriority, o_orderkey, total_d FROM (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_d,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC)
+               AS rk
+      FROM orders) t
+    WHERE rk <= 3"""
+
   def qs: Seq[Q] = Seq(
 
     // rollup: per (status, priority), per status, grand total in one pass.
@@ -271,6 +286,43 @@ object ExtensionQueries extends QueryModule {
         count(DISTINCT a.user_id) AS n_users
       FROM a JOIN c USING (user_id)
       GROUP BY 1, 2""")),
+
+    // the SQL front door: the exact same ANSI text runs through
+    // spark.sql over registered views AND through the DuckDB oracle —
+    // engine-portable SQL is part of the API surface, and the hash gate
+    // proves the two dialects agree on it.
+    Q("q93_sql_text", (s, d) => {
+      Tables.names.foreach { n =>
+        Tables.t(s, d, n).createOrReplaceTempView(n)
+      }
+      s.sql(SharedSql93)
+    }, Some(SharedSql93)),
+
+    // unpivot/melt: wide measure columns restructured to (key, measure,
+    // value) rows — the normalization step feeding generic metric
+    // pipelines. Row-local expansion (3 rows out per row in, no
+    // shuffle); values pass through UNCAST so the hash gate certifies
+    // bit-identical doubles.
+    Q("q94_unpivot", (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_orderkey" < 1000)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity", $"l_extendedprice", $"l_discount")
+        .unpivot(
+          Array($"l_orderkey", $"l_linenumber"),
+          Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+          "measure", "value")
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+             l_quantity AS value
+      FROM lineitem WHERE l_orderkey < 1000
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem WHERE l_orderkey < 1000
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      FROM lineitem WHERE l_orderkey < 1000""")),
 
     // relational HyperLogLog — the oracle-ABLE counterpart to q43's
     // engine-private sketch: 256 registers built with group-by max over
