@@ -767,6 +767,28 @@ object CorpusQueries extends QueryModule {
                // count(*) AS BIGINT) AS avg_tokens_micro
       FROM documents GROUP BY source""")),
 
+    // equi-width histogram of document lengths per language (the other
+    // dashboard shape next to q60's percentiles): 10 bins over the
+    // corpus-global [min, max], all-integer bin assignment — row-local
+    // after a single-row bounds broadcast, one agg shuffle.
+    Q("q95_histogram", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val bounds = docs.agg(min($"n_chars").as("mn"), max($"n_chars").as("mx"))
+      docs.join(broadcast(bounds))
+        .groupBy($"lang",
+          expr("least(9L, (n_chars - mn) * 10 div (mx - mn + 1))").as("bin"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select($"lang", $"bin".cast("long").as("bin"),
+          $"n_docs".cast("long").as("n_docs"))
+    }, Some("""
+      WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents)
+      SELECT lang,
+        CAST(least(9, (n_chars - mn) * 10 // (mx - mn + 1)) AS BIGINT) AS bin,
+        count(*) AS n_docs
+      FROM documents CROSS JOIN b
+      GROUP BY 1, 2""")),
+
     // corpus length distribution per language: exact interpolated
     // percentiles (the curation dashboard numbers a filtering pass is
     // tuned against). Exact `percentile` holds a value->count map per

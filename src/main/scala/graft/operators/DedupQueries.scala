@@ -128,10 +128,13 @@ object DedupQueries extends QueryModule {
       val wins = TextOps.shingleRows(planted, "doc_id", "text", n = 8)
         .select($"doc_id", $"shingle").distinct()
       // wins is already distinct (doc, window) pairs, so the document
-      // frequency is a plain count — countDistinct here would pay a
-      // second dedup expansion for nothing
-      val freq = wins.groupBy($"shingle").agg(count(lit(1)).as("wdf"))
-      val per = wins.join(freq, "shingle")
+      // frequency is count(*) over a window partitioned by the window
+      // text: ONE shuffle on the window key yields the frequency AND
+      // keeps the doc rows (the groupBy+join-back form costs an extra
+      // shuffle and a join)
+      val wWin = org.apache.spark.sql.expressions.Window.partitionBy($"shingle")
+      val per = wins
+        .withColumn("wdf", count(lit(1)).over(wWin))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("nw"),
           sum(when($"wdf" > 1, 1L).otherwise(0L)).as("nd"))

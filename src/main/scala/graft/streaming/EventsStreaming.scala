@@ -90,6 +90,25 @@ object EventsStreaming {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left_outer")
 
+  /** Stream-stream interval join: clicks matched to views by the same
+    * user within 30 minutes AFTER the view. Both sides are watermarked
+    * so the join state is EVICTABLE — without watermarks + a bounded
+    * time condition, a stream-stream join buffers forever; with them,
+    * each side holds only the watermark horizon (the state-size contract
+    * that makes the join runnable on an unbounded 100 TB/day feed). */
+  def clicksAfterViews(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    c.join(v,
+      expr("""c_user = v_user AND
+              c_ts > v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTES"""))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("v_ts"), col("c_ts"))
+  }
+
   /** Micro-batch bridge to the keyed-JSON sink contract (SURVEY.md §2.10:
     * the reference's incremental read-modify-write maps to foreachBatch):
     * per-user event counts, merged into the uid-keyed file every batch. */

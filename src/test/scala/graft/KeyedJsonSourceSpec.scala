@@ -71,6 +71,18 @@ class KeyedJsonSourceSpec extends AnyFunSuite {
       s"scan should read only uid: $scanLine")
   }
 
+  test("malformed lines (no tab, empty uid) are skipped, not fatal") {
+    import java.nio.file.{Files, Paths}
+    val dir = "/tmp/kjsource_corrupt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, "part-00000-x.txt"),
+      "a\t{\"k\":1}\nno-tab-line\n\tempty-uid\nb\t{\"k\":2}\n")
+    val got = spark.read.format(fmt).option("path", dir).load()
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("a", "b"))
+  }
+
   test("shardOf replays the writer's hash partitioning exactly") {
     import spark.implicits._
     // the writer's own assignment: pmod(hash(uid), 8) computed by Spark

@@ -177,6 +177,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("stream-stream interval join matches clicks to recent views only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventsStreaming.clicksAfterViews(views.toDF(), clicks.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("vc_join").start()
+    try {
+      views.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+        Event(2, ts("2024-01-01 10:00:00"), 2, "view", 0.0))
+      clicks.addData(
+        Event(10, ts("2024-01-01 10:10:00"), 1, "click", 0.0), // within 30m
+        Event(11, ts("2024-01-01 11:10:00"), 2, "click", 0.0), // too late
+        Event(12, ts("2024-01-01 10:05:00"), 3, "click", 0.0)) // no view
+      q.processAllAvailable()
+      val got = spark.table("vc_join")
+        .select($"user_id", $"click_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L)),
+        s"only the within-window same-user click may join: $got")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the dim broadcast per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
