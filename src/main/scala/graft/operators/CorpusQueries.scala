@@ -592,33 +592,32 @@ object CorpusQueries extends QueryModule {
       import s.implicits._
       val fps = t(s, d, "documents")
         .select($"doc_id", TextOps.fingerprint($"text").as("fp"))
-      def withPos(df: org.apache.spark.sql.DataFrame) =
-        (0 until 3).foldLeft(df) { (acc, j) =>
-          acc.withColumn(s"__h$j", md5(concat($"fp", lit(s":$j"))))
-            .withColumn(s"p$j",
-              expr(s"(${DedupOps.hv32FromHexSql(s"__h$j")}) % 1024"))
-            .drop(s"__h$j")
-        }
-      val bench = withPos(fps.filter($"doc_id" % 20 === 0))
-      // localCheckpoint: the <= 32-row filter table is referenced by all
-      // three probe joins; materializing it once scans the benchmark
-      // slice once instead of once per probe (q71 precedent)
+      // localCheckpoint the benchmark slice ONCE (fingerprints + hash
+      // positions); the bloom build, all three probe joins, and the
+      // exact-match set derive from it — without this the documents
+      // scan + md5 pass would rerun per consumer (q71 precedent)
+      val bench = DedupOps
+        .md5Buckets(fps.filter($"doc_id" % 20 === 0), $"fp", k = 3, mod = 1024)
+        .localCheckpoint(true)
+      // the <= 32-row filter table is itself checkpointed so the three
+      // probe joins broadcast ONE materialization instead of replaying
+      // the build agg each
       val bloom = bench
-        .select(explode(array($"p0", $"p1", $"p2")).as("p"))
+        .select(explode(array($"b0", $"b1", $"b2")).as("p"))
         .groupBy(expr("p div 32").as("word"))
         .agg(expr("bit_or(shiftleft(1L, cast(p % 32 as int)))").as("bits"))
         .localCheckpoint(true)
-      val corpus = withPos(fps.filter($"doc_id" % 20 =!= 0))
+      val corpus = DedupOps
+        .md5Buckets(fps.filter($"doc_id" % 20 =!= 0), $"fp", k = 3, mod = 1024)
       val probed = (0 until 3).foldLeft(corpus) { (acc, j) =>
         acc.join(
           broadcast(bloom.select(col("word").as(s"w$j"), col("bits").as(s"bits$j"))),
-          expr(s"p$j div 32") === col(s"w$j"), "left_outer")
+          expr(s"b$j div 32") === col(s"w$j"), "left_outer")
       }
       def hit(j: Int) = coalesce(
-        expr(s"(shiftright(bits$j, cast(p$j % 32 as int)) & 1L) = 1L"),
+        expr(s"(shiftright(bits$j, cast(b$j % 32 as int)) & 1L) = 1L"),
         lit(false))
-      val exact = fps.filter($"doc_id" % 20 === 0)
-        .select($"fp").distinct().withColumn("__im", lit(true))
+      val exact = bench.select($"fp").distinct().withColumn("__im", lit(true))
       probed.join(broadcast(exact), Seq("fp"), "left_outer")
         .select($"doc_id",
           (hit(0) && hit(1) && hit(2)).as("might_match"),

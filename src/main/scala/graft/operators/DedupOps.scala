@@ -42,6 +42,19 @@ object DedupOps {
       s"(instr('0123456789abcdef', substr($hexVar, $p, 1)) - 1) * ${coef}L"
     }.mkString(" + ")
 
+  /** Append k salted positional-md5 bucket columns `b0..b{k-1}` =
+    * `hv32(md5(col || ':' || j)) % mod` — the ONE definition of the
+    * hash-position family shared by the Bloom filter (q81) and
+    * count-min sketch (q86) builds, so the family (and its DuckDB
+    * replay, [[DedupQueries.hvDuckOf]]) cannot drift per query. */
+  private[operators] def md5Buckets(df: DataFrame, c: Column, k: Int,
+                                    mod: Int): DataFrame =
+    (0 until k).foldLeft(df) { (acc, j) =>
+      acc.withColumn(s"__h$j", md5(concat(c, lit(s":$j"))))
+        .withColumn(s"b$j", expr(s"(${hv32FromHexSql(s"__h$j")}) % $mod"))
+        .drop(s"__h$j")
+    }
+
   private val hexChars = array("0123456789abcdef".map(c => lit(c.toString)): _*)
 
   /** Column form of [[hv32Sql]] — usable inside higher-order-function

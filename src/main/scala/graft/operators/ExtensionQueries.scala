@@ -172,27 +172,21 @@ object ExtensionQueries extends QueryModule {
         .select(explode(TextOps.tokens($"text")).as("tok"))
         .groupBy($"tok").agg(count(lit(1)).as("cnt"))
         .localCheckpoint(true) // shared by build + probe (q81 precedent)
-      val positioned = (0 until 3).foldLeft(vocab) { (acc, j) =>
-        acc.withColumn(s"__h$j", md5(concat($"tok", lit(s":$j"))))
-          .withColumn(s"b$j",
-            expr(s"(${DedupOps.hv32FromHexSql(s"__h$j")}) % 256"))
-          .drop(s"__h$j")
-      }
+      // same positional-md5 family as Bloom/MinHash — ONE definition
+      val positioned = DedupOps.md5Buckets(vocab, $"tok", k = 3, mod = 256)
+      val posCells = explode(array(
+        struct(lit(0L).as("j"), $"b0".as("b")),
+        struct(lit(1L).as("j"), $"b1".as("b")),
+        struct(lit(2L).as("j"), $"b2".as("b")))).as("p")
       val sketch = positioned
-        .select($"cnt", explode(array(
-          struct(lit(0L).as("j"), $"b0".as("b")),
-          struct(lit(1L).as("j"), $"b1".as("b")),
-          struct(lit(2L).as("j"), $"b2".as("b")))).as("p"))
+        .select($"cnt", posCells)
         .groupBy($"p.j".as("j"), $"p.b".as("b"))
         .agg(sum($"cnt").as("c"))
       val wTop = org.apache.spark.sql.expressions.Window
         .orderBy($"cnt".desc, $"tok".asc)
       val probes = positioned
         .withColumn("rk", row_number().over(wTop)).filter($"rk" <= 20)
-        .select($"tok", $"cnt", explode(array(
-          struct(lit(0L).as("j"), $"b0".as("b")),
-          struct(lit(1L).as("j"), $"b1".as("b")),
-          struct(lit(2L).as("j"), $"b2".as("b")))).as("p"))
+        .select($"tok", $"cnt", posCells)
       probes.join(broadcast(sketch),
           probes("p.j") === sketch("j") && probes("p.b") === sketch("b"))
         .groupBy($"tok")

@@ -17,17 +17,6 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
-  /** Salted sum/count per key. `sumExprs` map output name -> column to
-    * sum (pre-cast as needed, e.g. to DecimalType for exactness).
-    *
-    * The salt derives from the ROW CONTENT (hash of every input column),
-    * never from a nondeterministic expression like
-    * monotonically_increasing_id(): when a map task is recomputed after
-    * a shuffle-fetch failure (routine at 100 TB), every re-executed row
-    * must land on the same (key, salt) reducer as the partials already
-    * fetched, or stage-1 sums double-count/drop rows. Identical rows
-    * sharing a salt skews the split slightly; correctness under retry
-    * wins. */
   /** Salted equi-join for a skewed join key: the big (skewed) side gets a
     * content-hash salt in [0, salts), the small side is replicated once
     * per salt value, and the join runs on (key, salt) — so a hot key's
@@ -55,6 +44,17 @@ object SkewOps {
     bs.join(ss, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Salted sum/count per key. `sumExprs` map output name -> column to
+    * sum (pre-cast as needed, e.g. to DecimalType for exactness).
+    *
+    * The salt derives from the ROW CONTENT (hash of every input column),
+    * never from a nondeterministic expression like
+    * monotonically_increasing_id(): when a map task is recomputed after
+    * a shuffle-fetch failure (routine at 100 TB), every re-executed row
+    * must land on the same (key, salt) reducer as the partials already
+    * fetched, or stage-1 sums double-count/drop rows. Identical rows
+    * sharing a salt skews the split slightly; correctness under retry
+    * wins. */
   def saltedAgg(df: DataFrame, keyCols: Seq[String], salts: Int,
                 sumExprs: Map[String, Column],
                 countName: Option[String] = Some("n")): DataFrame = {

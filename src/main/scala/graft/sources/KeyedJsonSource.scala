@@ -77,6 +77,25 @@ private[sources] class KeyedJsonTable(path: String, shards: Option[Int])
     new KeyedJsonScanBuilder(path, shards)
 }
 
+private[sources] object HadoopConfs {
+  /** The session's Hadoop configuration as a serializable map, captured
+    * on the driver at scan-build time and rebuilt wherever the files
+    * are listed/opened — a bare `new Configuration()` would drop every
+    * spark.hadoop and fs setting (credentials, fs.defaultFS), breaking
+    * exactly the non-local filesystems the at-scale state lives on. */
+  def capture(): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+      .asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+
+  def rebuild(m: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+}
+
 private[sources] class KeyedJsonScanBuilder(path: String, shards: Option[Int])
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -116,28 +135,37 @@ private[sources] class KeyedJsonScan(
     path: String, shards: Option[Int], required: StructType,
     uids: Option[Set[String]]) extends Scan with Batch {
 
+  // captured on the driver while the session is in scope; the reader
+  // factory ships it to executors as a plain map
+  private val hadoopConf = HadoopConfs.capture()
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** List shard files; with pushed uid filters AND a declared shard
-    * count, keep only the files those uids hash into. */
+  /** Writer partition id from a shard file name (part-00007-<uuid>.txt
+    * -> 7); None for any other part-* naming, which then conservatively
+    * escapes pruning instead of failing the scan. */
+  private val PartIdx = "part-(\\d+)".r
+
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(HadoopConfs.rebuild(hadoopConf))
     val files = fs.listStatus(p).map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     val selected = (uids, shards) match {
       case (Some(vs), Some(n)) =>
         val wanted = vs.map(KeyedJsonSource.shardOf(_, n))
-        // part-00007-<uuid>.txt -> writer partition 7
-        files.filter(f => wanted.contains(f.getName.split("-")(1).toInt))
+        files.filter { f =>
+          PartIdx.findPrefixMatchOf(f.getName)
+            .forall(m => wanted.contains(m.group(1).toInt))
+        }
       case _ => files
     }
     selected.map(f => ShardFilePartition(f.toString, uids): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KeyedJsonReaderFactory(required)
+    new KeyedJsonReaderFactory(required, hadoopConf)
 
   override def description(): String = {
     val pruned = (uids, shards) match {
@@ -148,11 +176,12 @@ private[sources] class KeyedJsonScan(
   }
 }
 
-private[sources] class KeyedJsonReaderFactory(required: StructType)
+private[sources] class KeyedJsonReaderFactory(
+    required: StructType, hadoopConf: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val sp = partition.asInstanceOf[ShardFilePartition]
-    new KeyedJsonPartitionReader(sp.file, sp.uids, required)
+    new KeyedJsonPartitionReader(sp.file, sp.uids, required, hadoopConf)
   }
 }
 
@@ -160,11 +189,12 @@ private[sources] class KeyedJsonReaderFactory(required: StructType)
   * escapes tabs inside values — KeyedJsonSink.readSharded's contract),
   * apply the pushed uid filter, emit only the pruned columns. */
 private[sources] class KeyedJsonPartitionReader(
-    file: String, uids: Option[Set[String]], required: StructType)
+    file: String, uids: Option[Set[String]], required: StructType,
+    hadoopConf: Map[String, String])
     extends PartitionReader[InternalRow] {
 
   private val p = new Path(file)
-  private val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+  private val in = p.getFileSystem(HadoopConfs.rebuild(hadoopConf)).open(p)
   private val reader = new BufferedReader(
     new InputStreamReader(in, StandardCharsets.UTF_8))
   private var row: InternalRow = _

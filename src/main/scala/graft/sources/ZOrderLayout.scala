@@ -33,7 +33,11 @@ object ZOrderLayout {
     * ranges under 2^46; re-scale wider domains before quantizing. */
   def minMaxQuantize(c: Column, lo: Long, hi: Long, bits: Int): Column = {
     require(hi >= lo && bits > 0 && bits <= 16)
-    ((c.cast("long") - lo) * (1L << bits) / (hi - lo + 1L)).cast("long")
+    // integral `div`, NOT Column./ (which is double division and loses
+    // exactness once the scaled numerator passes 2^53 — the documented
+    // 2^46-range envelope would silently misbucket boundary rows)
+    call_function("div",
+      (c.cast("long") - lo) * (1L << bits), lit(hi - lo + 1L))
   }
 
   /** Morton interleave of two pre-quantized non-negative columns:
