@@ -30,6 +30,18 @@ object ExtensionQueries extends QueryModule {
       FROM orders) t
     WHERE rk <= 3"""
 
+  /** Shared ANSI text for q96 (the q93 pattern): GROUPING SETS with an
+    * explicit grouping-id column — the generalization of rollup/cube
+    * (q41/q46) to arbitrary grouping combinations, one pass. */
+  private val SharedSql96 = """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           CAST(CAST(grouping(o_orderstatus) AS INT) * 2 +
+                CAST(grouping(o_orderpriority) AS INT) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+
   def qs: Seq[Q] = Seq(
 
     // rollup: per (status, priority), per status, grand total in one pass.
@@ -291,6 +303,45 @@ object ExtensionQueries extends QueryModule {
       }
       s.sql(SharedSql93)
     }, Some(SharedSql93)),
+
+    // GROUPING SETS — arbitrary grouping combinations in one pass (the
+    // generalization rollup/cube specialize), with grouping() flags
+    // disambiguating "ALL because grouped-out" from a literal value.
+    // Same shared-ANSI-text discipline as q93.
+    Q("q96_grouping_sets", (s, d) => {
+      Tables.names.foreach { n =>
+        Tables.t(s, d, n).createOrReplaceTempView(n)
+      }
+      s.sql(SharedSql96)
+    }, Some(SharedSql96)),
+
+    // event sequence-pattern detection (the MATCH_RECOGNIZE shape on a
+    // lag chain): CONSECUTIVE view -> click -> purchase runs per user —
+    // adjacency, where q89's funnel only tests existence-with-ordering.
+    // One window shuffle on the user key; the lag chain is a single
+    // WindowExec pass.
+    Q("q97_sequence_pattern", (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      t(s, d, "events")
+        .withColumn("p1", lag($"event_type", 1).over(w))
+        .withColumn("p2", lag($"event_type", 2).over(w))
+        .filter($"event_type" === "purchase" &&
+                $"p1" === "click" && $"p2" === "view")
+        .groupBy($"user_id").agg(count(lit(1)).as("n_matches"))
+    }, Some("""
+      WITH x AS (
+        SELECT user_id, event_type,
+          lag(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS p1,
+          lag(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS p2
+        FROM events)
+      SELECT user_id, count(*) AS n_matches
+      FROM x
+      WHERE event_type = 'purchase' AND p1 = 'click' AND p2 = 'view'
+      GROUP BY user_id""")),
 
     // unpivot/melt: wide measure columns restructured to (key, measure,
     // value) rows — the normalization step feeding generic metric
