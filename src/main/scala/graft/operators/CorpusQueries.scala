@@ -766,6 +766,44 @@ object CorpusQueries extends QueryModule {
                // count(*) AS BIGINT) AS avg_tokens_micro
       FROM documents GROUP BY source""")),
 
+    // cross-source vocabulary overlap: Jaccard similarity between every
+    // pair of sources' token sets — the corpus-diversity diagnostic a
+    // mixture design reads before setting weights (near-identical
+    // sources add mass, not coverage). Pair work is quadratic in the
+    // SOURCE count (bounded, ~dozens) and linear in vocabulary: the
+    // (source, token) table self-joins on the token key only.
+    Q("q99_source_overlap", (s, d) => {
+      import s.implicits._
+      val sv = t(s, d, "documents")
+        .select($"source", explode(TextOps.tokens($"text")).as("tok"))
+        .distinct()
+      val sizes = sv.groupBy($"source").agg(count(lit(1)).as("sz"))
+      val inter = sv.select($"source".as("src_a"), $"tok")
+        .join(sv.select($"source".as("src_b"), $"tok"), "tok")
+        .filter($"src_a" < $"src_b")
+        .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select($"source".as("src_a"), $"sz".as("sza"))), "src_a")
+        .join(broadcast(sizes.select($"source".as("src_b"), $"sz".as("szb"))), "src_b")
+        .select($"src_a", $"src_b", $"inter".cast("long").as("inter"),
+          round($"inter".cast("double") / ($"sza" + $"szb" - $"inter"), 6)
+            .as("jaccard"))
+    }, Some("""
+      WITH sv AS (
+        SELECT DISTINCT source,
+          unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents),
+      sz AS (SELECT source, count(*) AS sz FROM sv GROUP BY 1),
+      i AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+        FROM sv a JOIN sv b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+        round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+      FROM i
+      JOIN sz sa ON sa.source = i.src_a
+      JOIN sz sb ON sb.source = i.src_b""")),
+
     // equi-width histogram of document lengths per language (the other
     // dashboard shape next to q60's percentiles): 10 bins over the
     // corpus-global [min, max], all-integer bin assignment — row-local
@@ -787,6 +825,83 @@ object CorpusQueries extends QueryModule {
         count(*) AS n_docs
       FROM documents CROSS JOIN b
       GROUP BY 1, 2""")),
+
+    // the composed curation pipeline v2 — this round's operators chained
+    // the way a production pass runs them: quality gate (q28's score) →
+    // duplicated-span gate (q77's window fraction, natural windows only)
+    // → canonical dedup (q51's rank-1-per-fingerprint, on
+    // TopKPerKeyExec) → train-split filter (q84's hashMix) → sequence
+    // packing (q57). One oracle replays the whole chain, so the stages'
+    // COMPOSITION is gated, not just each stage alone. Shuffle budget:
+    // window stream + window-frequency (shingle key), per-doc agg,
+    // fingerprint window, pack window — each linear, no stage
+    // materializes the corpus on the driver.
+    Q("q100_pipeline_v2", (s, d) => {
+      import s.implicits._
+      graft.plans.GraftPlanner.install(s)
+      val docs = t(s, d, "documents")
+      val wins = TextOps.shingleRows(docs, "doc_id", "text", n = 8)
+        .select($"doc_id", $"shingle").distinct()
+      val wWin = Window.partitionBy($"shingle")
+      val dupFrac = wins
+        .withColumn("wdf", count(lit(1)).over(wWin))
+        .groupBy($"doc_id")
+        .agg((sum(when($"wdf" > 1, 1L).otherwise(0L)).cast("double") /
+              count(lit(1))).as("dfrac"))
+      val scored = docs.select($"doc_id", $"source",
+          TextOps.tokenCount($"text").cast("long").as("tok"),
+          TextOps.qualityScore($"text").as("q"),
+          TextOps.fingerprint($"text").as("fp"))
+        .join(dupFrac, Seq("doc_id"), "left_outer")
+        .filter($"q" >= 0.5 && coalesce($"dfrac", lit(0.0)) < 0.5)
+      val wFp = Window.partitionBy($"fp").orderBy($"doc_id".asc)
+      val train = scored
+        .withColumn("rn", row_number().over(wFp)).filter($"rn" === 1)
+        .filter(CorpusOps.hashMix($"doc_id", 1000L) < 980)
+      val wPack = Window.partitionBy($"source").orderBy($"doc_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      train.withColumn("cum", sum($"tok").over(wPack))
+        .select($"doc_id", $"source", $"tok".as("n_tokens"),
+          expr("(cum - tok) div 512").as("seq_id"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents),
+      w AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, greatest(len(toks) - 6, 1)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                     toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                     toks[i+6] || ' ' || toks[i+7])) AS win
+            FROM d),
+      fq AS (SELECT win, count(*) AS wdf FROM w GROUP BY 1),
+      dfr AS (SELECT w.doc_id,
+                sum(CASE WHEN fq.wdf > 1 THEN 1 ELSE 0 END) * 1.0 / count(*)
+                  AS dfrac
+              FROM w JOIN fq USING (win) GROUP BY 1),
+      scored AS (
+        SELECT doc_id, source,
+          len(string_split_regex(trim(text), '\s+')) AS tok,
+          round(
+            least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2,
+            6) AS q,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+      pass AS (
+        SELECT s.* FROM scored s LEFT JOIN dfr ON dfr.doc_id = s.doc_id
+        WHERE s.q >= 0.5 AND coalesce(dfr.dfrac, 0.0) < 0.5),
+      dedup AS (
+        SELECT * FROM pass
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1),
+      train AS (
+        SELECT * FROM dedup
+        WHERE ((((doc_id % 1000003) + 1000003) % 1000003 * 2654435761 + 40503)
+                 % 1000 + 1000) % 1000 < 980)
+      SELECT doc_id, source, CAST(tok AS BIGINT) AS n_tokens,
+        CAST((sum(tok) OVER (PARTITION BY source ORDER BY doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - tok) // 512 AS BIGINT) AS seq_id
+      FROM train""")),
 
     // corpus length distribution per language: exact interpolated
     // percentiles (the curation dashboard numbers a filtering pass is

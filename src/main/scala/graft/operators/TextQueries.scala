@@ -272,6 +272,40 @@ object TextQueries extends QueryModule {
           (syms * 10 <= n_chars) AND (stop_hits >= 2) AS pass
       FROM m""")),
 
+    // markup stripping — the raw-web cleaning step before any text
+    // analysis: drop tags, collapse the whitespace they leave, count
+    // what was removed. The corpus has no natural markup, so tags are
+    // planted on doc_id % 4 == 1 (q55/q70/q77 precedent); clean text
+    // rides the gate as an md5 so full content is compared without
+    // hauling it. Row-local regexp chain, zero shuffles.
+    Q("q98_strip_markup", (s, d) => {
+      import s.implicits._
+      val raw = when($"doc_id" % 4 === 1,
+        concat(lit("<div class=\"post\"><p>"), $"text",
+          lit("</p><a href=\"http://x\">read more</a></div>")))
+        .otherwise($"text")
+      t(s, d, "documents")
+        .select($"doc_id", raw.as("raw"))
+        .select($"doc_id",
+          size(regexp_extract_all($"raw", lit("<[^>]+>"), lit(0)))
+            .cast("long").as("n_tags"),
+          md5(trim(regexp_replace(
+            regexp_replace($"raw", "<[^>]+>", " "), "\\s+", " ")))
+            .as("clean_fp"))
+    }, Some("""
+      WITH raw AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 4 = 1
+            THEN '<div class="post"><p>' || text ||
+                 '</p><a href="http://x">read more</a></div>'
+            ELSE text END AS raw
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(raw, '<[^>]+>')) AS BIGINT) AS n_tags,
+        md5(trim(regexp_replace(regexp_replace(raw, '<[^>]+>', ' ', 'g'),
+                                '\s+', ' ', 'g'))) AS clean_fp
+      FROM raw""")),
+
     // fixed-budget document chunking (the pretraining/RAG splitter):
     // re-segment every document into 64-token chunks, reassembling each
     // chunk's text in token order. One explode + one shuffle on
