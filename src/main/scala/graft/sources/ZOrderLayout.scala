@@ -35,9 +35,14 @@ object ZOrderLayout {
     require(hi >= lo && bits > 0 && bits <= 16)
     // integral `div`, NOT Column./ (which is double division and loses
     // exactness once the scaled numerator passes 2^53 — the documented
-    // 2^46-range envelope would silently misbucket boundary rows)
-    call_function("div",
+    // 2^46-range envelope would silently misbucket boundary rows).
+    // Clamped into [0, 2^bits): catalog stats can be stale (a file
+    // landed after ANALYZE), and an out-of-range value would otherwise
+    // produce a negative quantile whose sign bits corrupt the
+    // interleave — clamping degrades it to the edge bucket instead.
+    val q = call_function("div",
       (c.cast("long") - lo) * (1L << bits), lit(hi - lo + 1L))
+    greatest(lit(0L), least(lit((1L << bits) - 1), q))
   }
 
   /** Morton interleave of two pre-quantized non-negative columns:

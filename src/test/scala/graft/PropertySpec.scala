@@ -60,6 +60,36 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("hashMix stays in range and matches a BigInt reference for any id") {
+    import graft.operators.CorpusOps
+    val gen = Gen.listOfN(60, Gen.choose(Long.MinValue, Long.MaxValue))
+    checkProp(Prop.forAll(gen) { ids =>
+      def pmodB(x: BigInt, m: Long): Long = (((x % m) + m) % m).toLong
+      val want = ids.map { id =>
+        pmodB(BigInt(pmodB(BigInt(id), 1000003L)) * 2654435761L + 40503L, 1000L)
+      }
+      val got = ids.toDF("id")
+        .select(CorpusOps.hashMix(col("id"), 1000L)).collect()
+        .map(_.getLong(0)).toList
+      got == want && got.forall(h => h >= 0 && h < 1000)
+    })
+  }
+
+  test("zvalue interleave matches the bit-twiddling reference on random pairs") {
+    import graft.sources.ZOrderLayout
+    val gen = Gen.listOfN(40, Gen.zip(
+      Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)))
+    checkProp(Prop.forAll(gen) { pairs =>
+      def ref(x: Long, y: Long): Long =
+        (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) |
+          (((y >> i) & 1L) << (2 * i + 1))).sum
+      val got = pairs.toDF("x", "y")
+        .select(ZOrderLayout.zvalue(col("x"), col("y")).as("z"))
+        .collect().map(_.getLong(0)).toList
+      got == pairs.map { case (x, y) => ref(x, y) }
+    })
+  }
+
   test("OrderedConcat aggregator equals sorted collect_list built-ins") {
     val data = Seq(("a", "x"), ("a", "m"), ("a", "x"), ("b", "z"), ("b", "a"))
       .toDF("k", "v")

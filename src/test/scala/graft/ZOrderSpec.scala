@@ -32,6 +32,26 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got == pairs.map { case (x, y) => ref(x, y) })
   }
 
+  test("minMaxQuantize is exact past 2^53 and clamps stale-stat outliers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val lo = 0L
+    val hi = (1L << 46) - 1 // documented envelope: scaled numerator ~2^62
+    // boundary values whose double-division quantile would be off by ulps
+    val vals = Seq(0L, hi, hi / 2, hi / 2 + 1,
+      // stale-stats outliers: below lo and above hi must clamp to edges
+      -5L, hi + 12345L)
+    val got = vals.toDF("v")
+      .select(ZOrderLayout.minMaxQuantize(col("v"), lo, hi, 16).as("q"))
+      .collect().map(_.getLong(0)).toSeq
+    def ref(v: Long): Long = {
+      val q = BigInt(v - lo) * 65536 / BigInt(hi - lo + 1)
+      q.max(0).min(65535).toLong
+    }
+    assert(got == vals.map(ref))
+    assert(got.forall(q => q >= 0 && q <= 65535))
+  }
+
   /** Per-file [min,max] of an INT64 column from parquet footers. */
   private def fileRanges(dir: String, column: String): Seq[(Long, Long)] = {
     val conf = spark.sessionState.newHadoopConf()
