@@ -774,9 +774,13 @@ object CorpusQueries extends QueryModule {
     // (source, token) table self-joins on the token key only.
     Q("q99_source_overlap", (s, d) => {
       import s.implicits._
+      // materialized once: both self-join sides AND the size agg consume
+      // this frame (q81/q86 precedent — Spark self-joins don't share the
+      // subplan, so the scan+tokenize+distinct would otherwise run 3x)
       val sv = t(s, d, "documents")
         .select($"source", explode(TextOps.tokens($"text")).as("tok"))
         .distinct()
+        .localCheckpoint(true)
       val sizes = sv.groupBy($"source").agg(count(lit(1)).as("sz"))
       val inter = sv.select($"source".as("src_a"), $"tok")
         .join(sv.select($"source".as("src_b"), $"tok"), "tok")
@@ -785,9 +789,11 @@ object CorpusQueries extends QueryModule {
       inter
         .join(broadcast(sizes.select($"source".as("src_a"), $"sz".as("sza"))), "src_a")
         .join(broadcast(sizes.select($"source".as("src_b"), $"sz".as("szb"))), "src_b")
+        // floor-quantized ppm, not round(double, 6): floor of the same
+        // double is engine-identical (BASELINE.md's round() half-tie note)
         .select($"src_a", $"src_b", $"inter".cast("long").as("inter"),
-          round($"inter".cast("double") / ($"sza" + $"szb" - $"inter"), 6)
-            .as("jaccard"))
+          floor($"inter".cast("double") / ($"sza" + $"szb" - $"inter")
+            * 1000000d).cast("long").as("jaccard_ppm"))
     }, Some("""
       WITH sv AS (
         SELECT DISTINCT source,
@@ -799,7 +805,8 @@ object CorpusQueries extends QueryModule {
         FROM sv a JOIN sv b ON a.tok = b.tok AND a.source < b.source
         GROUP BY 1, 2)
       SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
-        round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+        CAST(floor(inter * 1.0 / (sa.sz + sb.sz - inter) * 1000000)
+             AS BIGINT) AS jaccard_ppm
       FROM i
       JOIN sz sa ON sa.source = i.src_a
       JOIN sz sb ON sb.source = i.src_b""")),
@@ -848,12 +855,15 @@ object CorpusQueries extends QueryModule {
         .groupBy($"doc_id")
         .agg((sum(when($"wdf" > 1, 1L).otherwise(0L)).cast("double") /
               count(lit(1))).as("dfrac"))
+      // quality gate on the FLOOR-quantized milli score (qualityRaw's
+      // documented comparison form — round(double, N) half-ties are not
+      // engine-portable; q75/q85 precedent)
       val scored = docs.select($"doc_id", $"source",
           TextOps.tokenCount($"text").cast("long").as("tok"),
-          TextOps.qualityScore($"text").as("q"),
+          floor(TextOps.qualityRaw($"text") * 1000).as("qm"),
           TextOps.fingerprint($"text").as("fp"))
         .join(dupFrac, Seq("doc_id"), "left_outer")
-        .filter($"q" >= 0.5 && coalesce($"dfrac", lit(0.0)) < 0.5)
+        .filter($"qm" >= 500 && coalesce($"dfrac", lit(0.0)) < 0.5)
       val wFp = Window.partitionBy($"fp").orderBy($"doc_id".asc)
       val train = scored
         .withColumn("rn", row_number().over(wFp)).filter($"rn" === 1)
@@ -880,16 +890,16 @@ object CorpusQueries extends QueryModule {
       scored AS (
         SELECT doc_id, source,
           len(string_split_regex(trim(text), '\s+')) AS tok,
-          round(
+          floor((
             least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
             (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
-            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2,
-            6) AS q,
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2)
+            * 1000) AS qm,
           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         FROM documents),
       pass AS (
         SELECT s.* FROM scored s LEFT JOIN dfr ON dfr.doc_id = s.doc_id
-        WHERE s.q >= 0.5 AND coalesce(dfr.dfrac, 0.0) < 0.5),
+        WHERE s.qm >= 500 AND coalesce(dfr.dfrac, 0.0) < 0.5),
       dedup AS (
         SELECT * FROM pass
         QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1),

@@ -15,6 +15,12 @@ object ExtensionQueries extends QueryModule {
   private def t(s: org.apache.spark.sql.SparkSession, d: String, n: String) =
     Tables.t(s, d, n)
 
+  /** Register every testdata table as a temp view — the shared-ANSI-text
+    * queries (q93, q96) run their SQL against these. */
+  private def registerViews(s: org.apache.spark.sql.SparkSession,
+                            d: String): Unit =
+    Tables.names.foreach(n => Tables.t(s, d, n).createOrReplaceTempView(n))
+
   /** ONE SQL text for q93, executed verbatim by BOTH engines (Spark via
     * `spark.sql` over temp views, DuckDB as the oracle): ANSI-only
     * constructs — derived table, window with total-order tie-break,
@@ -298,9 +304,7 @@ object ExtensionQueries extends QueryModule {
     // engine-portable SQL is part of the API surface, and the hash gate
     // proves the two dialects agree on it.
     Q("q93_sql_text", (s, d) => {
-      Tables.names.foreach { n =>
-        Tables.t(s, d, n).createOrReplaceTempView(n)
-      }
+      registerViews(s, d)
       s.sql(SharedSql93)
     }, Some(SharedSql93)),
 
@@ -309,9 +313,7 @@ object ExtensionQueries extends QueryModule {
     // disambiguating "ALL because grouped-out" from a literal value.
     // Same shared-ANSI-text discipline as q93.
     Q("q96_grouping_sets", (s, d) => {
-      Tables.names.foreach { n =>
-        Tables.t(s, d, n).createOrReplaceTempView(n)
-      }
+      registerViews(s, d)
       s.sql(SharedSql96)
     }, Some(SharedSql96)),
 

@@ -157,7 +157,10 @@ private[sources] class KeyedJsonScan(
         val wanted = vs.map(KeyedJsonSource.shardOf(_, n))
         files.filter { f =>
           PartIdx.findPrefixMatchOf(f.getName)
-            .forall(m => wanted.contains(m.group(1).toInt))
+            // toIntOption: an over-long digit run (part-9999999999-...)
+            // escapes pruning like any other unparseable name
+            .flatMap(m => m.group(1).toIntOption)
+            .forall(wanted.contains)
         }
       case _ => files
     }

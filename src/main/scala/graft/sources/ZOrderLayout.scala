@@ -36,13 +36,14 @@ object ZOrderLayout {
     // integral `div`, NOT Column./ (which is double division and loses
     // exactness once the scaled numerator passes 2^53 — the documented
     // 2^46-range envelope would silently misbucket boundary rows).
-    // Clamped into [0, 2^bits): catalog stats can be stale (a file
-    // landed after ANALYZE), and an out-of-range value would otherwise
-    // produce a negative quantile whose sign bits corrupt the
-    // interleave — clamping degrades it to the edge bucket instead.
-    val q = call_function("div",
-      (c.cast("long") - lo) * (1L << bits), lit(hi - lo + 1L))
-    greatest(lit(0L), least(lit((1L << bits) - 1), q))
+    // The INPUT is clamped into [lo, hi] BEFORE the multiply: catalog
+    // stats can be stale (a file landed after ANALYZE), and an
+    // out-of-range value scaled by 2^bits could overflow 2^63 (ANSI
+    // abort, or a wrapped mid-range bucket) before any output clamp
+    // ran. Clamped input keeps the numerator inside the documented
+    // envelope and lands outliers on the edge buckets.
+    val cl = greatest(lit(lo), least(lit(hi), c.cast("long")))
+    call_function("div", (cl - lo) * (1L << bits), lit(hi - lo + 1L))
   }
 
   /** Morton interleave of two pre-quantized non-negative columns:

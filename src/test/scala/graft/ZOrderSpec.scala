@@ -39,14 +39,16 @@ class ZOrderSpec extends AnyFunSuite {
     val hi = (1L << 46) - 1 // documented envelope: scaled numerator ~2^62
     // boundary values whose double-division quantile would be off by ulps
     val vals = Seq(0L, hi, hi / 2, hi / 2 + 1,
-      // stale-stats outliers: below lo and above hi must clamp to edges
-      -5L, hi + 12345L)
+      // stale-stats outliers: below lo and FAR above hi (2^48 — scaled
+      // by 2^16 this would overflow 2^63 without input clamping) must
+      // land on the edge buckets, not abort or wrap
+      -5L, hi + 12345L, 1L << 48, Long.MaxValue, Long.MinValue)
     val got = vals.toDF("v")
       .select(ZOrderLayout.minMaxQuantize(col("v"), lo, hi, 16).as("q"))
       .collect().map(_.getLong(0)).toSeq
     def ref(v: Long): Long = {
-      val q = BigInt(v - lo) * 65536 / BigInt(hi - lo + 1)
-      q.max(0).min(65535).toLong
+      val cl = v.max(lo).min(hi)
+      (BigInt(cl - lo) * 65536 / BigInt(hi - lo + 1)).toLong
     }
     assert(got == vals.map(ref))
     assert(got.forall(q => q >= 0 && q <= 65535))
