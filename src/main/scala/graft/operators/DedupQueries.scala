@@ -170,6 +170,74 @@ object DedupQueries extends QueryModule {
                    ELSE per.nd * 1.0 / per.nw END, 6) AS dup_frac
       FROM documents r LEFT JOIN per ON per.doc_id = r.doc_id""")),
 
+    // sorted-neighborhood entity resolution (the Hernández/Stolfo merge/
+    // purge family): near-duplicate TITLES found by prefix-blocking +
+    // in-block sorted adjacency + edit-distance verify — the classic ER
+    // blocking technique, complementary to hash/LSH blocking (q35/q36):
+    // it catches single-character typos that change every shingle and
+    // hash. Titles are the first 5 tokens; docs with doc_id % 9 == 2
+    // plant a 2-char corruption of the PREVIOUS doc's title (planting
+    // precedent), so real cross-doc near-pairs exist. Scale shape:
+    // windows partition on the 6-char block prefix — parallel across
+    // blocks, no global sort; lag-1/lag-2 adjacency bounds comparisons
+    // to 2 per row; levenshtein is row-local (identical algorithm in
+    // both engines).
+    Q("q101_sorted_neighborhood", (s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents").select($"doc_id",
+        array_join(slice(TextOps.tokens($"text"), 1, 5), " ").as("t0"))
+      val prev = base.select(($"doc_id" + 1).as("doc_id"), $"t0".as("pt"))
+      val titles = base.join(prev, Seq("doc_id"), "left_outer")
+        .select($"doc_id",
+          when($"doc_id" % 9 === 2 && $"pt".isNotNull,
+            concat(substring($"pt", 1, 10), lit("zq"),
+              substring($"pt", 13, 10000)))
+          .otherwise($"t0").as("title"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(substring($"title", 1, 6))
+        .orderBy($"title".asc, $"doc_id".asc)
+      val lagged = titles
+        .withColumn("t1", lag($"title", 1).over(w))
+        .withColumn("i1", lag($"doc_id", 1).over(w))
+        .withColumn("t2", lag($"title", 2).over(w))
+        .withColumn("i2", lag($"doc_id", 2).over(w))
+      def pairs(tc: String, ic: String) = lagged
+        .filter(col(tc).isNotNull && levenshtein($"title", col(tc)) <= 3)
+        .select(least($"doc_id", col(ic)).as("doc_a"),
+          greatest($"doc_id", col(ic)).as("doc_b"),
+          levenshtein($"title", col(tc)).cast("long").as("dist"))
+      pairs("t1", "i1").unionByName(pairs("t2", "i2"))
+        .groupBy($"doc_a", $"doc_b").agg(min($"dist").as("dist"))
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id,
+          array_to_string((string_split_regex(trim(text), '\s+'))[1:5], ' ')
+            AS t0
+        FROM documents),
+      titles AS (
+        SELECT b.doc_id,
+          CASE WHEN b.doc_id % 9 = 2 AND p.t0 IS NOT NULL
+            THEN substr(p.t0, 1, 10) || 'zq' || substr(p.t0, 13, 10000)
+            ELSE b.t0 END AS title
+        FROM base b LEFT JOIN base p ON p.doc_id = b.doc_id - 1),
+      lagged AS (
+        SELECT doc_id, title,
+          lag(title, 1) OVER w AS t1, lag(doc_id, 1) OVER w AS i1,
+          lag(title, 2) OVER w AS t2, lag(doc_id, 2) OVER w AS i2
+        FROM titles
+        WINDOW w AS (PARTITION BY substr(title, 1, 6)
+                     ORDER BY title ASC, doc_id ASC)),
+      p AS (
+        SELECT least(doc_id, i1) AS doc_a, greatest(doc_id, i1) AS doc_b,
+               levenshtein(title, t1) AS dist
+        FROM lagged WHERE t1 IS NOT NULL AND levenshtein(title, t1) <= 3
+        UNION ALL
+        SELECT least(doc_id, i2), greatest(doc_id, i2),
+               levenshtein(title, t2)
+        FROM lagged WHERE t2 IS NOT NULL AND levenshtein(title, t2) <= 3)
+      SELECT doc_a, doc_b, CAST(min(dist) AS BIGINT) AS dist
+      FROM p GROUP BY doc_a, doc_b""")),
+
     // MinHash + LSH banding — the linear-ish scale path: signature is
     // row-local, candidates shuffle only on the band-value key, buckets
     // capped. Hashes are salted positional-md5, so the DuckDB oracle
