@@ -469,6 +469,61 @@ object CorpusQueries extends QueryModule {
           AS xent_micro
       FROM scored GROUP BY doc_id""")),
 
+    // bigram conditional cross-entropy (q73's unigram model upgraded to
+    // order-2 with add-one smoothing): p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V),
+    // each doc scored by avg -ln p over its bigram occurrences. The same
+    // engine-exactness scheme as q73 — ONE floor-quantization to integer
+    // nano-nats per distinct bigram, integer sums after. Model joins are
+    // bigram-vocabulary keyed (never broadcast; the vocab-size V and the
+    // unigram table are model-sized). Docs with < 2 tokens have no
+    // bigrams and drop out — identical in both engines.
+    Q("q102_bigram_logprob", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val tf = TextOps.shingleRows(docs, "doc_id", "text", n = 2)
+        .select($"doc_id", $"shingle".as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("tf"))
+      val c2 = tf.groupBy($"bg").agg(sum($"tf").as("c2"))
+      val c1 = docs
+        .select(explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("c1"))
+      val vRow = c1.agg(count(lit(1)).as("v"))
+      val model = c2
+        .withColumn("w1", substring_index($"bg", " ", 1))
+        .join(c1.withColumnRenamed("tok", "w1"), "w1")
+        .join(broadcast(vRow))
+        .select($"bg",
+          floor(-log(($"c2" + 1).cast("double") / ($"c1" + $"v"))
+            * 1000000000d).cast("long").as("nlp_n"))
+      tf.join(model, "bg")
+        .groupBy($"doc_id")
+        .agg(sum($"tf").cast("long").as("n_bigrams"),
+          sum($"nlp_n" * $"tf").as("nlp_sum"))
+        .select($"doc_id", $"n_bigrams",
+          expr("(nlp_sum * 1000000) div (n_bigrams * 1000000000)")
+            .as("xent_micro"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents),
+      bgr AS (SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(toks), 1)),
+                  i -> toks[i] || ' ' || toks[i+1])) AS bg
+              FROM d),
+      tf AS (SELECT doc_id, bg, count(*) AS tf FROM bgr GROUP BY 1, 2),
+      c2 AS (SELECT bg, sum(tf) AS c2 FROM tf GROUP BY 1),
+      uni AS (SELECT unnest(toks) AS tok FROM d),
+      c1 AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY 1),
+      v AS (SELECT count(*) AS v FROM c1),
+      model AS (
+        SELECT bg,
+          CAST(floor(-ln((c2 + 1) * 1.0 / (c1.c1 + v.v)) * 1000000000)
+               AS BIGINT) AS nlp_n
+        FROM c2 JOIN c1 ON c1.tok = split_part(bg, ' ', 1) CROSS JOIN v)
+      SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+        CAST((sum(model.nlp_n * tf.tf) * 1000000)
+               // (sum(tf.tf) * 1000000000) AS BIGINT) AS xent_micro
+      FROM tf JOIN model USING (bg) GROUP BY tf.doc_id""")),
+
     // token-budget corpus selection: keep the best docs that fit a
     // 10k-token training budget, greedy by quality bucket desc then
     // doc_id asc — WITHOUT a global sort (the bucket histogram bounds

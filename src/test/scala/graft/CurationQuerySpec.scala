@@ -222,6 +222,24 @@ class CurationQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("q101 recovers most planted title corruptions as near-dup pairs") {
+    val pairs = run("q101_sorted_neighborhood").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, dist) =>
+      assert(a < b && dist >= 0 && dist <= 3)
+    }
+    // planted: doc_id % 9 == 2 corrupts doc_id-1's title by 2 chars.
+    // In-block adjacency can miss a pair when an unrelated title sorts
+    // between them, so require >= 70% recall rather than all.
+    val planted = rawDocs.keySet.filter(id => id % 9 == 2 && rawDocs.contains(id - 1))
+    val found = planted.count(id => pairs.exists {
+      case (a, b, _) => a == id - 1 && b == id
+    })
+    assert(found >= planted.size * 7 / 10,
+      s"only $found of ${planted.size} planted pairs recovered")
+  }
+
   test("q77 planted docs report the shared tail as duplicated windows") {
     val got = run("q77_window_dedup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
