@@ -170,6 +170,75 @@ object DedupQueries extends QueryModule {
                    ELSE per.nd * 1.0 / per.nw END, 6) AS dup_frac
       FROM documents r LEFT JOIN per ON per.doc_id = r.doc_id""")),
 
+    // excerpt/containment detection — the asymmetric complement of
+    // Jaccard near-dup (q33/q36): find doc pairs sharing a CONTIGUOUS
+    // span (quotes, syndicated excerpts, copy-pasted passages) that may
+    // be a tiny fraction of either doc. Rolling 8-token windows again
+    // (q77's stream); pairs form ONLY through windows rarer than the
+    // boilerplate cap (wdf <= 20 — frequent windows are chrome, q70's
+    // territory, and capping them bounds the per-window pair fan-out at
+    // 20^2 at any corpus size); a pair is reported when >= 5 distinct
+    // windows co-occur, with per-side coverage fractions so policy can
+    // distinguish "B quotes A" from "A and B share boilerplate".
+    // Planted: doc pairs (50k+3, 50k+4) share a 16-token span seeded by
+    // their group — 9 windows, each wdf=2.
+    Q("q103_excerpt_pairs", (s, d) => {
+      import s.implicits._
+      val planted = t(s, d, "documents").select($"doc_id",
+        when($"doc_id" % 50 === 3 || $"doc_id" % 50 === 4,
+          concat($"text", lit(" shared excerpt span"),
+            expr("doc_id div 50"),
+            lit(" alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")))
+        .otherwise($"text").as("text"))
+      val wins = TextOps.shingleRows(planted, "doc_id", "text", n = 8)
+        .select($"doc_id", $"shingle").distinct()
+      val wWin = org.apache.spark.sql.expressions.Window.partitionBy($"shingle")
+      val rare = wins
+        .withColumn("wdf", count(lit(1)).over(wWin))
+        .filter($"wdf" <= 20)
+      val sizes = wins.groupBy($"doc_id").agg(count(lit(1)).as("nw"))
+      val shared = rare.select($"doc_id".as("doc_a"), $"shingle")
+        .join(rare.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+        .filter($"shared" >= 5)
+      shared
+        .join(sizes.select($"doc_id".as("doc_a"), $"nw".as("nwa")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"nw".as("nwb")), "doc_b")
+        .select($"doc_a", $"doc_b", $"shared".cast("long").as("shared"),
+          expr("(shared * 1000000) div nwa").as("cov_a_ppm"),
+          expr("(shared * 1000000) div nwb").as("cov_b_ppm"))
+    }, Some("""
+      WITH raw AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 50 IN (3, 4)
+            THEN text || ' shared excerpt span' || (doc_id // 50) ||
+                 ' alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu'
+            ELSE text END AS text
+        FROM documents),
+      d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM raw),
+      w AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, greatest(len(toks) - 6, 1)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                     toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                     toks[i+6] || ' ' || toks[i+7])) AS win
+            FROM d),
+      fq AS (SELECT win, count(*) AS wdf FROM w GROUP BY 1),
+      rare AS (SELECT w.doc_id, w.win FROM w JOIN fq USING (win)
+               WHERE fq.wdf <= 20),
+      sz AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY 1),
+      sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+             FROM rare a JOIN rare b
+               ON a.win = b.win AND a.doc_id < b.doc_id
+             GROUP BY 1, 2
+             HAVING count(*) >= 5)
+      SELECT sh.doc_a, sh.doc_b, CAST(sh.shared AS BIGINT) AS shared,
+        CAST(sh.shared * 1000000 // sa.nw AS BIGINT) AS cov_a_ppm,
+        CAST(sh.shared * 1000000 // sb.nw AS BIGINT) AS cov_b_ppm
+      FROM sh
+      JOIN sz sa ON sa.doc_id = sh.doc_a
+      JOIN sz sb ON sb.doc_id = sh.doc_b""")),
+
     // sorted-neighborhood entity resolution (the Hernández/Stolfo merge/
     // purge family): near-duplicate TITLES found by prefix-blocking +
     // in-block sorted adjacency + edit-distance verify — the classic ER
