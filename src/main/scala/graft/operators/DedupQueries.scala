@@ -190,8 +190,11 @@ object DedupQueries extends QueryModule {
             expr("doc_id div 50"),
             lit(" alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")))
         .otherwise($"text").as("text"))
+      // materialized once: the rare-window branch AND the per-doc size
+      // agg both consume the window stream (q81/q99 precedent)
       val wins = TextOps.shingleRows(planted, "doc_id", "text", n = 8)
         .select($"doc_id", $"shingle").distinct()
+        .localCheckpoint(true)
       val wWin = org.apache.spark.sql.expressions.Window.partitionBy($"shingle")
       val rare = wins
         .withColumn("wdf", count(lit(1)).over(wWin))

@@ -93,10 +93,12 @@ object ExtensionQueries extends QueryModule {
     // cover (no runtime stats yet, non-splittable stages).
     Q("q82_salted_join", (s, d) => {
       import s.implicits._
+      // salts=4 demos the split at half the replication cost of 8 —
+      // production sizes salts to the observed hot-key share
       val joined = SkewOps.saltedJoin(
         t(s, d, "lineitem").select($"l_orderkey", $"l_quantity"),
         t(s, d, "orders").select($"o_orderkey".as("l_orderkey"), $"o_orderpriority"),
-        "l_orderkey", salts = 8)
+        "l_orderkey", salts = 4)
       joined.groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n"),
           sum($"l_quantity".cast(D)).cast(DoubleType).as("sum_qty"))

@@ -240,6 +240,53 @@ class CurationQuerySpec extends AnyFunSuite {
       s"only $found of ${planted.size} planted pairs recovered")
   }
 
+  test("q95 histogram bins match an exact Scala recompute") {
+    val docs = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    val mn = docs.map(_._2).min
+    val mx = docs.map(_._2).max
+    val want = docs.groupBy { case (lang, nc) =>
+      (lang, math.min(9L, (nc - mn) * 10 / (mx - mn + 1)))
+    }.view.mapValues(_.length.toLong).toMap
+    val got = run("q95_histogram").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("q99 source-overlap matches an exact Scala set recompute") {
+    val docs = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vocab = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(d => toks(d._2)).toSet).toMap
+    val srcs = vocab.keys.toSeq.sorted
+    val want = (for {
+      a <- srcs; b <- srcs if a < b
+      inter = (vocab(a) & vocab(b)).size
+      if inter > 0
+    } yield (a, b) -> (inter.toLong,
+      math.floor(inter.toDouble / (vocab(a).size + vocab(b).size - inter)
+        * 1000000).toLong)).toMap
+    val got = run("q99_source_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+  }
+
+  test("q103 reports every planted cross-doc excerpt pair") {
+    val rows = run("q103_excerpt_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val plantedPairs = rawDocs.keySet
+      .filter(id => id % 50 == 3 && rawDocs.contains(id + 1))
+      .map(id => (id, id + 1))
+    plantedPairs.foreach { case (a, b) =>
+      val hit = rows.find(r => r._1 == a && r._2 == b)
+      assert(hit.exists(_._3 >= 5),
+        s"planted excerpt pair ($a, $b) missing or under-counted: $hit")
+    }
+  }
+
   test("q77 planted docs report the shared tail as duplicated windows") {
     val got = run("q77_window_dedup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
