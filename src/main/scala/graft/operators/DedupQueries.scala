@@ -51,6 +51,31 @@ object DedupQueries extends QueryModule {
              min(doc_id) AS canonical_id, count(*) AS n_dups
       FROM documents GROUP BY 1""")),
 
+    // dedup observability: the per-source duplication report a curation
+    // dashboard tracks (a source whose dup rate spikes is re-crawling
+    // itself). One agg over (source, fingerprint) then one over source —
+    // both map-side combined; integer ppm rate.
+    Q("q104_dedup_report", (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"source", TextOps.fingerprint($"text").as("fp"))
+        .groupBy($"source", $"fp").agg(count(lit(1)).as("c"))
+        .groupBy($"source")
+        .agg(sum($"c").cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_unique"))
+        .select($"source", $"n_docs", $"n_unique",
+          expr("((n_docs - n_unique) * 1000000) div n_docs").as("dup_ppm"))
+    }, Some("""
+      WITH f AS (
+        SELECT source,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+      g AS (SELECT source, fp, count(*) AS c FROM f GROUP BY 1, 2)
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        CAST(count(*) AS BIGINT) AS n_unique,
+        CAST((sum(c) - count(*)) * 1000000 // sum(c) AS BIGINT) AS dup_ppm
+      FROM g GROUP BY source""")),
+
     // brute-force trigram-shingle Jaccard pairs — quadratic verification
     // baseline (excluded from bench; q36 is the scale path).
     Q("q33_jaccard_pairs", (s, d) => {
