@@ -902,11 +902,8 @@ object CorpusQueries extends QueryModule {
       import s.implicits._
       graft.plans.GraftPlanner.install(s)
       val docs = t(s, d, "documents")
-      val wins = TextOps.shingleRows(docs, "doc_id", "text", n = 8)
-        .select($"doc_id", $"shingle").distinct()
-      val wWin = Window.partitionBy($"shingle")
-      val dupFrac = wins
-        .withColumn("wdf", count(lit(1)).over(wWin))
+      val dupFrac = TextOps
+        .withWindowFreq(TextOps.distinctWindows(docs, "doc_id", "text"))
         .groupBy($"doc_id")
         .agg((sum(when($"wdf" > 1, 1L).otherwise(0L)).cast("double") /
               count(lit(1))).as("dfrac"))
@@ -928,29 +925,22 @@ object CorpusQueries extends QueryModule {
       train.withColumn("cum", sum($"tok").over(wPack))
         .select($"doc_id", $"source", $"tok".as("n_tokens"),
           expr("(cum - tok) div 512").as("seq_id"))
-    }, Some("""
-      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-                 FROM documents),
-      w AS (SELECT DISTINCT doc_id,
-              unnest(list_transform(range(1, greatest(len(toks) - 6, 1)),
-                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-                     toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
-                     toks[i+6] || ' ' || toks[i+7])) AS win
-            FROM d),
-      fq AS (SELECT win, count(*) AS wdf FROM w GROUP BY 1),
-      dfr AS (SELECT w.doc_id,
+    }, Some(s"""
+      WITH ${DedupQueries.winCteSql("documents")},
+      fq AS (SELECT win, count(*) AS wdf FROM wins GROUP BY 1),
+      dfr AS (SELECT wins.doc_id,
                 sum(CASE WHEN fq.wdf > 1 THEN 1 ELSE 0 END) * 1.0 / count(*)
                   AS dfrac
-              FROM w JOIN fq USING (win) GROUP BY 1),
+              FROM wins JOIN fq USING (win) GROUP BY 1),
       scored AS (
         SELECT doc_id, source,
-          len(string_split_regex(trim(text), '\s+')) AS tok,
+          len(string_split_regex(trim(text), '\\s+')) AS tok,
           floor((
-            least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+            least(1.0, len(string_split_regex(trim(text), '\\s+')) / 50.0) * 0.5 +
             (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
-            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2)
+            least(1.0, len(regexp_extract_all(text, '\\b(the|a|of|and|to)\\b')) / 10.0) * 0.2)
             * 1000) AS qm,
-          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
         FROM documents),
       pass AS (
         SELECT s.* FROM scored s LEFT JOIN dfr ON dfr.doc_id = s.doc_id

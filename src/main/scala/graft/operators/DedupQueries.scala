@@ -12,6 +12,20 @@ object DedupQueries extends QueryModule {
   private def t(s: org.apache.spark.sql.SparkSession, d: String, n: String) =
     Tables.t(s, d, n)
 
+  /** DuckDB twin of [[TextOps.distinctWindows]] (n=8): emits the CTE
+    * pair `dtoks, wins` (distinct (doc_id, win) rows) over source CTE
+    * `src` — ONE definition for the q77/q100/q103 oracles so the window
+    * shape cannot drift from the Spark side's shared helper. */
+  private[operators] def winCteSql(src: String): String = {
+    val terms = (0 until 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""dtoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM $src),
+       |wins AS (SELECT DISTINCT doc_id,
+       |           unnest(list_transform(range(1, greatest(len(toks) - 6, 1)),
+       |             i -> $terms)) AS win
+       |         FROM dtoks)""".stripMargin
+  }
+
   /** DuckDB flavor of [[DedupOps.hv32Sql]] (no `L` literal suffix). */
   private def hvDuck: String = hvDuckOf("t")
 
@@ -150,16 +164,8 @@ object DedupQueries extends QueryModule {
           concat($"text",
             lit(" the quick brown fox jumps over the lazy dog again and again")))
         .otherwise($"text").as("text"))
-      val wins = TextOps.shingleRows(planted, "doc_id", "text", n = 8)
-        .select($"doc_id", $"shingle").distinct()
-      // wins is already distinct (doc, window) pairs, so the document
-      // frequency is count(*) over a window partitioned by the window
-      // text: ONE shuffle on the window key yields the frequency AND
-      // keeps the doc rows (the groupBy+join-back form costs an extra
-      // shuffle and a join)
-      val wWin = org.apache.spark.sql.expressions.Window.partitionBy($"shingle")
-      val per = wins
-        .withColumn("wdf", count(lit(1)).over(wWin))
+      val per = TextOps
+        .withWindowFreq(TextOps.distinctWindows(planted, "doc_id", "text"))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("nw"),
           sum(when($"wdf" > 1, 1L).otherwise(0L)).as("nd"))
@@ -170,24 +176,18 @@ object DedupQueries extends QueryModule {
           coalesce($"nd", lit(0L)).cast("long").as("n_dup_windows"),
           round(when($"nw".isNull, lit(0.0))
             .otherwise($"nd".cast("double") / $"nw"), 6).as("dup_frac"))
-    }, Some("""
+    }, Some(s"""
       WITH raw AS (
         SELECT doc_id,
           CASE WHEN doc_id % 7 = 3
             THEN text || ' the quick brown fox jumps over the lazy dog again and again'
             ELSE text END AS text
         FROM documents),
-      d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM raw),
-      w AS (SELECT DISTINCT doc_id,
-              unnest(list_transform(range(1, greatest(len(toks) - 6, 1)),
-                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-                     toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
-                     toks[i+6] || ' ' || toks[i+7])) AS win
-            FROM d),
-      fq AS (SELECT win, count(*) AS wdf FROM w GROUP BY 1),
-      per AS (SELECT w.doc_id, count(*) AS nw,
+      ${winCteSql("raw")},
+      fq AS (SELECT win, count(*) AS wdf FROM wins GROUP BY 1),
+      per AS (SELECT wins.doc_id, count(*) AS nw,
                      sum(CASE WHEN fq.wdf > 1 THEN 1 ELSE 0 END) AS nd
-              FROM w JOIN fq USING (win) GROUP BY 1)
+              FROM wins JOIN fq USING (win) GROUP BY 1)
       SELECT r.doc_id,
         CAST(coalesce(per.nw, 0) AS BIGINT) AS n_windows,
         CAST(coalesce(per.nd, 0) AS BIGINT) AS n_dup_windows,
@@ -198,32 +198,34 @@ object DedupQueries extends QueryModule {
     // excerpt/containment detection — the asymmetric complement of
     // Jaccard near-dup (q33/q36): find doc pairs sharing a CONTIGUOUS
     // span (quotes, syndicated excerpts, copy-pasted passages) that may
-    // be a tiny fraction of either doc. Rolling 8-token windows again
-    // (q77's stream); pairs form ONLY through windows rarer than the
-    // boilerplate cap (wdf <= 20 — frequent windows are chrome, q70's
-    // territory, and capping them bounds the per-window pair fan-out at
-    // 20^2 at any corpus size); a pair is reported when >= 5 distinct
-    // windows co-occur, with per-side coverage fractions so policy can
-    // distinguish "B quotes A" from "A and B share boilerplate".
-    // Planted: doc pairs (50k+3, 50k+4) share a 16-token span seeded by
-    // their group — 9 windows, each wdf=2.
+    // be a tiny fraction of either doc. Rolling 8-token windows (the
+    // shared TextOps.distinctWindows frame); pairs form ONLY through
+    // windows rarer than the boilerplate cap (wdf <= 20 — frequent
+    // windows are chrome, q70's territory, and capping them bounds the
+    // per-window pair fan-out at 20^2 at any corpus size); a pair is
+    // reported when >= 5 distinct windows co-occur, with per-side
+    // coverage fractions so policy can distinguish "B quotes A" from
+    // "A and B share boilerplate". Planted: pairs (50k+3, 50k+4) share
+    // a 15-token span whose EVERY token carries the group id — all 8
+    // fully-in-span windows are group-specific with wdf = 2 at ANY
+    // corpus size (a group-agnostic tail would cross the wdf cap as
+    // soon as the planted population exceeds it).
     Q("q103_excerpt_pairs", (s, d) => {
       import s.implicits._
+      val g = expr("doc_id div 50").cast("string")
+      val tailWords = Seq("shared", "excerpt", "span", "alpha", "beta",
+        "gamma", "delta", "epsilon", "zeta", "eta", "theta", "iota",
+        "kappa", "lambda", "mu")
+      val tail = concat(tailWords.map(w => concat(lit(s" $w"), g)): _*)
       val planted = t(s, d, "documents").select($"doc_id",
         when($"doc_id" % 50 === 3 || $"doc_id" % 50 === 4,
-          concat($"text", lit(" shared excerpt span"),
-            expr("doc_id div 50"),
-            lit(" alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")))
+          concat($"text", tail))
         .otherwise($"text").as("text"))
       // materialized once: the rare-window branch AND the per-doc size
       // agg both consume the window stream (q81/q99 precedent)
-      val wins = TextOps.shingleRows(planted, "doc_id", "text", n = 8)
-        .select($"doc_id", $"shingle").distinct()
+      val wins = TextOps.distinctWindows(planted, "doc_id", "text")
         .localCheckpoint(true)
-      val wWin = org.apache.spark.sql.expressions.Window.partitionBy($"shingle")
-      val rare = wins
-        .withColumn("wdf", count(lit(1)).over(wWin))
-        .filter($"wdf" <= 20)
+      val rare = TextOps.withWindowFreq(wins).filter($"wdf" <= 20)
       val sizes = wins.groupBy($"doc_id").agg(count(lit(1)).as("nw"))
       val shared = rare.select($"doc_id".as("doc_a"), $"shingle")
         .join(rare.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
@@ -236,36 +238,34 @@ object DedupQueries extends QueryModule {
         .select($"doc_a", $"doc_b", $"shared".cast("long").as("shared"),
           expr("(shared * 1000000) div nwa").as("cov_a_ppm"),
           expr("(shared * 1000000) div nwb").as("cov_b_ppm"))
-    }, Some("""
-      WITH raw AS (
-        SELECT doc_id,
-          CASE WHEN doc_id % 50 IN (3, 4)
-            THEN text || ' shared excerpt span' || (doc_id // 50) ||
-                 ' alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu'
-            ELSE text END AS text
-        FROM documents),
-      d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM raw),
-      w AS (SELECT DISTINCT doc_id,
-              unnest(list_transform(range(1, greatest(len(toks) - 6, 1)),
-                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-                     toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
-                     toks[i+6] || ' ' || toks[i+7])) AS win
-            FROM d),
-      fq AS (SELECT win, count(*) AS wdf FROM w GROUP BY 1),
-      rare AS (SELECT w.doc_id, w.win FROM w JOIN fq USING (win)
-               WHERE fq.wdf <= 20),
-      sz AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY 1),
-      sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-             FROM rare a JOIN rare b
-               ON a.win = b.win AND a.doc_id < b.doc_id
-             GROUP BY 1, 2
-             HAVING count(*) >= 5)
-      SELECT sh.doc_a, sh.doc_b, CAST(sh.shared AS BIGINT) AS shared,
-        CAST(sh.shared * 1000000 // sa.nw AS BIGINT) AS cov_a_ppm,
-        CAST(sh.shared * 1000000 // sb.nw AS BIGINT) AS cov_b_ppm
-      FROM sh
-      JOIN sz sa ON sa.doc_id = sh.doc_a
-      JOIN sz sb ON sb.doc_id = sh.doc_b""")),
+    }, Some {
+      val tailSql = Seq("shared", "excerpt", "span", "alpha", "beta",
+        "gamma", "delta", "epsilon", "zeta", "eta", "theta", "iota",
+        "kappa", "lambda", "mu")
+        .map(w => s"' $w' || (doc_id // 50)").mkString(" || ")
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 50 IN (3, 4)
+         |      THEN text || $tailSql
+         |      ELSE text END AS text
+         |  FROM documents),
+         |${winCteSql("raw")},
+         |fq AS (SELECT win, count(*) AS wdf FROM wins GROUP BY 1),
+         |rare AS (SELECT wins.doc_id, wins.win FROM wins JOIN fq USING (win)
+         |         WHERE fq.wdf <= 20),
+         |sz AS (SELECT doc_id, count(*) AS nw FROM wins GROUP BY 1),
+         |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |       FROM rare a JOIN rare b
+         |         ON a.win = b.win AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2
+         |       HAVING count(*) >= 5)
+         |SELECT sh.doc_a, sh.doc_b, CAST(sh.shared AS BIGINT) AS shared,
+         |  CAST(sh.shared * 1000000 // sa.nw AS BIGINT) AS cov_a_ppm,
+         |  CAST(sh.shared * 1000000 // sb.nw AS BIGINT) AS cov_b_ppm
+         |FROM sh
+         |JOIN sz sa ON sa.doc_id = sh.doc_a
+         |JOIN sz sb ON sb.doc_id = sh.doc_b""".stripMargin
+    }),
 
     // sorted-neighborhood entity resolution (the Hernández/Stolfo merge/
     // purge family): near-duplicate TITLES found by prefix-blocking +

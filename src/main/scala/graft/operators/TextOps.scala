@@ -83,6 +83,25 @@ object TextOps {
         concat_ws(" ", parts: _*).as("shingle"))
   }
 
+  /** Distinct rolling n-token windows per document — the shared frame
+    * behind the substring-dedup family (q77 profile, q100's gate,
+    * q103 excerpt pairs). One definition so the window shape cannot
+    * drift between the three. */
+  def distinctWindows(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, n: Int = 8): org.apache.spark.sql.DataFrame =
+    shingleRows(df, idCol, textCol, n)
+      .select(col(idCol), col("shingle")).distinct()
+
+  /** Corpus frequency of each window, attached to the window rows via
+    * count() over a window-key partition: ONE shuffle yields the
+    * frequency AND keeps the doc rows (measured 1.6× the groupBy +
+    * join-back form). */
+  def withWindowFreq(wins: org.apache.spark.sql.DataFrame,
+                     out: String = "wdf"): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    wins.withColumn(out, count(lit(1)).over(w))
+  }
+
   /** Dictionary-hit language/topic ID: count word-boundary hits per
     * dictionary, pick the argmax with first-listed-wins tie-breaking
     * (a deterministic CASE chain — no UDF, same plan at any scale). */

@@ -274,16 +274,29 @@ class CurationQuerySpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("q103 reports every planted cross-doc excerpt pair") {
+  test("q103 reports every planted cross-doc excerpt pair, group-specifically") {
     val rows = run("q103_excerpt_pairs").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val plantedIds = rawDocs.keySet.filter(id => id % 50 == 3 || id % 50 == 4)
     val plantedPairs = rawDocs.keySet
       .filter(id => id % 50 == 3 && rawDocs.contains(id + 1))
       .map(id => (id, id + 1))
     plantedPairs.foreach { case (a, b) =>
       val hit = rows.find(r => r._1 == a && r._2 == b)
-      assert(hit.exists(_._3 >= 5),
+      // the 15-token group-suffixed span contributes all 8 in-span
+      // windows at wdf=2 (any corpus size), so same-group pairs carry
+      // at least 8 shared windows
+      assert(hit.exists(_._3 >= 8),
         s"planted excerpt pair ($a, $b) missing or under-counted: $hit")
+    }
+    // group-specificity: planted docs from DIFFERENT groups share no
+    // planted windows — a broken group seed would surface here as
+    // cross-group pairs at the full span count
+    rows.foreach { case (a, b, shared) =>
+      val crossGroupPlanted = plantedIds.contains(a) && plantedIds.contains(b) &&
+        a / 50 != b / 50
+      if (crossGroupPlanted)
+        assert(shared < 8, s"cross-group planted pair ($a, $b) shares $shared")
     }
   }
 
