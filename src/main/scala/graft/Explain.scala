@@ -20,7 +20,9 @@ object Explain {
                          "q77_window_dedup", "q79_vocab_oov",
                          "q80_adaptive_threshold", "q81_bloom_decontam",
                          "q82_salted_join", "q83_topp_select",
-                         "q86_countmin_freq", "q87_hll_relational")
+                         "q86_countmin_freq", "q87_hll_relational",
+                         "q91_regional_revenue", "q100_pipeline_v2",
+                         "q103_excerpt_pairs")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

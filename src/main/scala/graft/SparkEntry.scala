@@ -18,9 +18,12 @@ object SparkEntry {
       DedupQueries.qs ++ CorpusQueries.qs ++ SimilarityQueries.qs ++
       MultimodalQueries.qs ++ ExtensionQueries.qs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * q100 composes five curation stages (quality gate, duplicated-span
+    * gate, fingerprint dedup on TopKPerKeyExec, split filter, sequence
+    * packing) in one plan — the most representative single entry point. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q03_join_agg")(spark, "/root/testdata/sf0.001")
+    queries("q100_pipeline_v2")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
