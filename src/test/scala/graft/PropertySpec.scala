@@ -90,6 +90,40 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("minify(pretty(x)) round-trips any generated JSON object") {
+    import graft.sinks.KeyedJsonSink
+    // strings exercising quotes, escapes, braces-in-strings, unicode
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.const("""a"b"""), Gen.const("""back\slash"""),
+      Gen.const("{not json}"), Gen.const("tab\tchar"), Gen.const("ü ñ"))
+    val jsonGen: Gen[String] = Gen.listOfN(4,
+      Gen.zip(Gen.alphaLowerStr.map(_.take(5) + "k"), strGen)).map { kvs =>
+      kvs.map { case (k, v) =>
+        val esc = v.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\t", "\\t")
+        s""""$k":["$esc",1,{"n":"$esc"}]"""
+      }.mkString("{", ",", "}")
+    }
+    checkProp(Prop.forAll(jsonGen) { j =>
+      KeyedJsonSink.minify(KeyedJsonSink.pretty(j)) == j
+    })
+  }
+
+  test("md5Buckets stays in range and is repartition-invariant") {
+    import graft.operators.DedupOpsTestAccess
+    val gen = Gen.listOfN(30, Gen.alphaNumStr.map(_.take(10)))
+    checkProp(Prop.forAll(gen) { keys =>
+      val df = keys.toDF("fp")
+      val a = DedupOpsTestAccess.md5Buckets(df, col("fp"), 3, 64)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val b = DedupOpsTestAccess.md5Buckets(df.repartition(7), col("fp"), 3, 64)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq &&
+        a.forall(r => Seq(r._2, r._3, r._4).forall(x => x >= 0 && x < 64))
+    })
+  }
+
   test("OrderedConcat aggregator equals sorted collect_list built-ins") {
     val data = Seq(("a", "x"), ("a", "m"), ("a", "x"), ("b", "z"), ("b", "a"))
       .toDF("k", "v")
