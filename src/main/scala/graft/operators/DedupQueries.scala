@@ -221,10 +221,14 @@ object DedupQueries extends QueryModule {
         when($"doc_id" % 50 === 3 || $"doc_id" % 50 === 4,
           concat($"text", tail))
         .otherwise($"text").as("text"))
-      // materialized once: the rare-window branch AND the per-doc size
-      // agg both consume the window stream (q81/q99 precedent)
+      // shared by the rare-window branch AND the per-doc size agg.
+      // persist(), not localCheckpoint: lineage is kept, so the blocks
+      // are reclaimable (clearCache / unpersist) without losing the
+      // frame — an eager localCheckpoint here once leaked its blocks
+      // across a 101-query bench run and made THIS query 9x slower
+      // under block-manager pressure (round-5 verdict finding #1)
       val wins = TextOps.distinctWindows(planted, "doc_id", "text")
-        .localCheckpoint(true)
+        .persist()
       val rare = TextOps.withWindowFreq(wins).filter($"wdf" <= 20)
       val sizes = wins.groupBy($"doc_id").agg(count(lit(1)).as("nw"))
       val shared = rare.select($"doc_id".as("doc_a"), $"shingle")
