@@ -63,6 +63,10 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      // release any frame the query persist()'d (shared multi-consumer
+      // subplans cache themselves); without this, blocks accumulate across
+      // the 101-query run and later medians become order-dependent.
+      spark.catalog.clearCache()
       if ((i + 1) % 5 == 0) probes += probeOnce()
       // stderr progress (the driver parses only the final stdout JSON):
       // makes a pathological query attributable while the run is live

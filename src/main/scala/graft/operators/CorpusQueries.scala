@@ -647,21 +647,23 @@ object CorpusQueries extends QueryModule {
       import s.implicits._
       val fps = t(s, d, "documents")
         .select($"doc_id", TextOps.fingerprint($"text").as("fp"))
-      // localCheckpoint the benchmark slice ONCE (fingerprints + hash
+      // persist the benchmark slice ONCE (fingerprints + hash
       // positions); the bloom build, all three probe joins, and the
       // exact-match set derive from it — without this the documents
-      // scan + md5 pass would rerun per consumer (q71 precedent)
+      // scan + md5 pass would rerun per consumer (q71 precedent).
+      // persist(), not localCheckpoint: blocks stay evictable and are
+      // released by the harness's clearCache (q103 precedent).
       val bench = DedupOps
         .md5Buckets(fps.filter($"doc_id" % 20 === 0), $"fp", k = 3, mod = 1024)
-        .localCheckpoint(true)
-      // the <= 32-row filter table is itself checkpointed so the three
+        .persist()
+      // the <= 32-row filter table is itself persisted so the three
       // probe joins broadcast ONE materialization instead of replaying
       // the build agg each
       val bloom = bench
         .select(explode(array($"b0", $"b1", $"b2")).as("p"))
         .groupBy(expr("p div 32").as("word"))
         .agg(expr("bit_or(shiftleft(1L, cast(p % 32 as int)))").as("bits"))
-        .localCheckpoint(true)
+        .persist()
       val corpus = DedupOps
         .md5Buckets(fps.filter($"doc_id" % 20 =!= 0), $"fp", k = 3, mod = 1024)
       val probed = (0 until 3).foldLeft(corpus) { (acc, j) =>
@@ -831,11 +833,12 @@ object CorpusQueries extends QueryModule {
       import s.implicits._
       // materialized once: both self-join sides AND the size agg consume
       // this frame (q81/q86 precedent — Spark self-joins don't share the
-      // subplan, so the scan+tokenize+distinct would otherwise run 3x)
+      // subplan, so the scan+tokenize+distinct would otherwise run 3x).
+      // persist(): evictable + clearCache-reclaimable (q103 precedent)
       val sv = t(s, d, "documents")
         .select($"source", explode(TextOps.tokens($"text")).as("tok"))
         .distinct()
-        .localCheckpoint(true)
+        .persist()
       val sizes = sv.groupBy($"source").agg(count(lit(1)).as("sz"))
       val inter = sv.select($"source".as("src_a"), $"tok")
         .join(sv.select($"source".as("src_b"), $"tok"), "tok")

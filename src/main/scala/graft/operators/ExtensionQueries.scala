@@ -153,9 +153,14 @@ object ExtensionQueries extends QueryModule {
       s.conf.set("spark.graft.eav.pivotJoinChains", "true")
       s.conf.set("spark.graft.eav.entityColumn", "s_suppkey")
       try {
-        EavOps.selfJoinChain(eav, "s_suppkey", "meta_key", "meta_value",
-            Seq("name", "nation", "acct_band"))
-          .localCheckpoint(true)
+        // persist() captures the physical plan NOW (confs still set), so
+        // the pivot rewrite survives even a later cache eviction; count()
+        // materializes it eagerly like the old localCheckpoint but keeps
+        // lineage so the blocks stay evictable / clearCache-reclaimable.
+        val out = EavOps.selfJoinChain(eav, "s_suppkey", "meta_key",
+            "meta_value", Seq("name", "nation", "acct_band")).persist()
+        out.count()
+        out
       } finally {
         s.conf.set("spark.graft.eav.pivotJoinChains", "false")
         s.conf.unset("spark.graft.eav.entityColumn")
@@ -191,7 +196,7 @@ object ExtensionQueries extends QueryModule {
       val vocab = t(s, d, "documents")
         .select(explode(TextOps.tokens($"text")).as("tok"))
         .groupBy($"tok").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true) // shared by build + probe (q81 precedent)
+        .persist() // shared by build + probe; evictable, lineage kept
       // same positional-md5 family as Bloom/MinHash — ONE definition
       val positioned = DedupOps.md5Buckets(vocab, $"tok", k = 3, mod = 256)
       val posCells = explode(array(
@@ -393,7 +398,7 @@ object ExtensionQueries extends QueryModule {
         .mkString("CASE ", " ", " ELSE 0 END")
       val toks = t(s, d, "documents")
         .select(explode(TextOps.tokens($"text")).as("tok")).distinct()
-        .localCheckpoint(true) // shared by the sketch and the exact count
+        .persist() // shared by the sketch and the exact count
       val hashed = toks
         .withColumn("__h", md5($"tok"))
         .withColumn("hv", expr(s"(${DedupOps.hv32FromHexSql("__h")})"))
