@@ -220,12 +220,27 @@ object KeyedJsonSink {
                    shards: Int = 64): Unit =
     writeShardFiles(keyed(entries, uidCol), dir, shards)
 
+  /** Sidecar file recording the writer's shard count, so readers
+    * ([[graft.sources.KeyedJsonSource]]) can prune shards without
+    * trusting a caller-supplied `shards` option — a wrong option would
+    * otherwise open the wrong files and silently return incomplete
+    * results for point lookups. Underscore prefix keeps it invisible to
+    * Spark's file listing (and to [[readSharded]]). */
+  private[graft] val ShardSidecar = "_graft_shards"
+
   private def writeShardFiles(keyedDf: DataFrame, dir: String,
-                              shards: Int): Unit =
+                              shards: Int): Unit = {
     keyedDf
       .repartition(shards, col("uid"))
       .select(concat_ws("\t", col("uid"), col("json")).as("value"))
       .write.mode(SaveMode.Overwrite).text(dir)
+    val hPath = new org.apache.hadoop.fs.Path(dir, ShardSidecar)
+    val fs = hPath.getFileSystem(
+      keyedDf.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(hPath, true)
+    try out.write(shards.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Read a sharded dir back as (uid, json) rows. `to_json` escapes tabs
     * and newlines inside values, so the FIRST tab of each line is the

@@ -31,8 +31,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    predicates are pushed down, and because the writer hash-partitioned
   *    on uid, the reader recomputes the same `pmod(murmur3(uid), shards)`
   *    and opens ONLY the shard files those uids can live in — a
-  *    1/shards-cost point lookup at any state size (the `shards` option
-  *    must match the writer's; omit it to scan all files);
+  *    1/shards-cost point lookup at any state size. The shard count is
+  *    taken from the writer's `_graft_shards` sidecar when present; a
+  *    caller-supplied `shards` option is VALIDATED against the on-disk
+  *    part indices and ignored (full scan + warn) on mismatch, so a
+  *    stale option can cost speed but never correctness;
   *  - **column pruning**: `select(uid)` never materializes the json
   *    payload column.
   *
@@ -147,12 +150,54 @@ private[sources] class KeyedJsonScan(
     * escapes pruning instead of failing the scan. */
   private val PartIdx = "part-(\\d+)".r
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[KeyedJsonScan])
+
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(HadoopConfs.rebuild(hadoopConf))
     val files = fs.listStatus(p).map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val selected = (uids, shards) match {
+    // The shard count used for pruning must MATCH the writer's, or a
+    // point lookup silently opens the wrong files and returns empty /
+    // incomplete results while claiming the filter fully pushed. Trust
+    // order: writer-persisted sidecar > caller option validated against
+    // the on-disk part indices > no pruning (full scan, always correct).
+    val sidecar: Option[Int] = {
+      val sc = new Path(p, graft.sinks.KeyedJsonSink.ShardSidecar)
+      if (fs.exists(sc)) {
+        val in = fs.open(sc)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+        txt.trim.toIntOption.filter(_ > 0)
+      } else None
+    }
+    // all part names parseable -> the writer's shard count is maxIdx+1
+    // (the writer emits a file per shard; only trailing EMPTY shards can
+    // under-count, which at worst disables pruning — never mis-prunes)
+    val onDisk: Option[Int] = {
+      val idx = files.flatMap(f => PartIdx.findPrefixMatchOf(f.getName)
+        .flatMap(m => m.group(1).toIntOption))
+      if (files.nonEmpty && idx.length == files.length) Some(idx.max + 1)
+      else None
+    }
+    val effectiveShards: Option[Int] = (sidecar, shards) match {
+      case (Some(sc), opt) =>
+        if (opt.exists(_ != sc)) log.warn(
+          s"keyedjson $path: shards option ${opt.get} contradicts writer " +
+            s"sidecar $sc; using the sidecar")
+        Some(sc)
+      case (None, Some(n)) =>
+        if (onDisk.contains(n)) Some(n)
+        else {
+          log.warn(s"keyedjson $path: shards option $n does not match " +
+            s"on-disk part layout (${onDisk.fold("unparseable")(_.toString)} " +
+            "shards inferred); falling back to a FULL scan to avoid " +
+            "silently incomplete point lookups")
+          None
+        }
+      case (None, None) => None
+    }
+    val selected = (uids, effectiveShards) match {
       case (Some(vs), Some(n)) =>
         val wanted = vs.map(KeyedJsonSource.shardOf(_, n))
         files.filter { f =>

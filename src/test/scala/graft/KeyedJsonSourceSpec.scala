@@ -48,12 +48,47 @@ class KeyedJsonSourceSpec extends AnyFunSuite {
     assert(two.rdd.getNumPartitions <= 2)
     assert(two.collect().map(_.getString(0)).toSet == Set("7", "999"))
 
-    // without the shards option the reader cannot prune files, but the
-    // pushed row filter still applies
+    // without the shards option the writer sidecar still enables pruning
     val noOpt = spark.read.format(fmt).option("path", dir).load()
       .filter($"uid" === "42")
-    assert(noOpt.rdd.getNumPartitions == 8)
+    assert(noOpt.rdd.getNumPartitions == 1)
     assert(noOpt.collect().map(_.getString(0)).toSeq == Seq("42"))
+  }
+
+  test("wrong shards option never mis-prunes: sidecar wins, legacy dirs full-scan") {
+    writeState()
+    import spark.implicits._
+    // sidecar present: a stale shards=4 option is overridden (warn) and
+    // the lookup still prunes to the ONE correct file
+    val staleWithSidecar = spark.read.format(fmt)
+      .option("path", dir).option("shards", 4).load()
+      .filter($"uid" === "42")
+    assert(staleWithSidecar.rdd.getNumPartitions == 1)
+    assert(staleWithSidecar.collect().map(_.getString(0)).toSeq == Seq("42"))
+
+    // legacy dir (no sidecar): a wrong option contradicts the on-disk
+    // part indices -> FULL scan, never silent wrong answers
+    val sc = new java.io.File(dir, graft.sinks.KeyedJsonSink.ShardSidecar)
+    assert(sc.delete(), "sidecar should exist before this sub-case")
+    val staleLegacy = spark.read.format(fmt)
+      .option("path", dir).option("shards", 4).load()
+      .filter($"uid" === "42")
+    assert(staleLegacy.rdd.getNumPartitions == 8,
+      "mismatched option must disable pruning, not mis-prune")
+    assert(staleLegacy.collect().map(_.getString(0)).toSeq == Seq("42"))
+
+    // legacy dir + CORRECT option: validated against maxIdx+1, prunes
+    val okLegacy = spark.read.format(fmt)
+      .option("path", dir).option("shards", 8).load()
+      .filter($"uid" === "42")
+    assert(okLegacy.rdd.getNumPartitions == 1)
+    assert(okLegacy.collect().map(_.getString(0)).toSeq == Seq("42"))
+
+    // legacy dir + no option: no pruning basis -> full scan
+    val noneLegacy = spark.read.format(fmt).option("path", dir).load()
+      .filter($"uid" === "42")
+    assert(noneLegacy.rdd.getNumPartitions == 8)
+    assert(noneLegacy.collect().map(_.getString(0)).toSeq == Seq("42"))
   }
 
   test("column pruning drops the json payload from the scan schema") {
