@@ -171,15 +171,27 @@ object ExtensionQueries extends QueryModule {
         CAST(CAST(floor(s_acctbal / 1000) AS BIGINT) AS VARCHAR) AS acct_band
       FROM supplier WHERE s_suppkey % 3 <> 0"""), bench = false),
 
-    // approximate distinct (HLL++): deterministic for fixed data but not
-    // DuckDB-matchable -> rows-only check; accuracy pinned in OpsSpec.
+    // approximate distinct (HLL++): the estimate's raw value is
+    // engine-private (DuckDB's HLL differs bit-for-bit), so the HARD
+    // oracle gates it instead: the plan emits the exact count plus a
+    // within_bound flag asserting relative error <= 3x the requested
+    // rsd (0.05 default -> 15%, a >=3-sigma envelope); the oracle
+    // recomputes the exact count and claims the flag TRUE. A drifting
+    // estimate now hash-mismatches instead of hiding behind rows-only.
     Q("q43_approx_distinct", (s, d) => {
       import s.implicits._
       t(s, d, "lineitem")
         .groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+        .agg(approx_count_distinct($"l_partkey").as("approx"),
              countDistinct($"l_partkey").as("exact_parts"))
-    }, None),
+        .select($"l_returnflag", $"exact_parts",
+          (abs($"approx" - $"exact_parts").cast("double")
+            / $"exact_parts" <= lit(0.15)).as("within_bound"))
+    }, Some("""
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS exact_parts,
+        TRUE AS within_bound
+      FROM lineitem GROUP BY l_returnflag""")),
 
     // relational count-min sketch: token frequencies compressed into a
     // 3x256 counter table (768 rows at ANY corpus size — the sketch,
