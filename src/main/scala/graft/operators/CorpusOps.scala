@@ -21,6 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** Exact global top-K with a PARALLEL prefilter. A bare
+    * `Window.orderBy(...)` (no partition) funnels the whole input
+    * through one task — fine for 1k rows, a scale-killer when the input
+    * is a vocabulary/frequency table that grows with the corpus. This
+    * first takes the top-K within each of `buckets` hash-buckets of
+    * `bucketKey` (parallel, bounded window state), then sorts only the
+    * ≤ K×buckets survivors globally. Exact: every global top-K row is
+    * by definition in its own bucket's top-K, so the prefilter can
+    * never drop a winner. `order` must embed a unique tiebreak for a
+    * deterministic result (repo-wide rule).
+    */
+  def globalTopK(df: DataFrame, bucketKey: Column, k: Int,
+                 order: Seq[Column], buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wB = Window.partitionBy(pmod(hash(bucketKey), lit(buckets)))
+      .orderBy(order: _*)
+    val wG = Window.orderBy(order: _*)
+    df.withColumn("__brk", row_number().over(wB)).filter(col("__brk") <= k)
+      .withColumn("__rk", row_number().over(wG)).filter(col("__rk") <= k)
+      .drop("__brk", "__rk")
+  }
+
   /** Connected components over an undirected edge list (`a`, `b` long
     * ids). Returns ("node", "comp") for every node that appears in a
     * non-degenerate edge (self-loops `a == b` are dropped up front and

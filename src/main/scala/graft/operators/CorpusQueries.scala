@@ -578,10 +578,10 @@ object CorpusQueries extends QueryModule {
         .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
         .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
       val vocabAll = tf.groupBy($"tok").agg(sum($"tf").as("cnt"))
-      val wV = Window.orderBy($"cnt".desc, $"tok".asc)
-      val vocab = vocabAll
-        .withColumn("rk", row_number().over(wV))
-        .filter($"rk" <= 50)
+      // exact top-50 via bucketed prefilter: the global sort sees at
+      // most 50 x 64 survivors, not the whole (corpus-growing) vocab
+      val vocab = CorpusOps.globalTopK(vocabAll, $"tok", k = 50,
+          order = Seq($"cnt".desc, $"tok".asc))
         .select($"tok", lit(true).as("in_vocab"))
       tf.join(broadcast(vocab), Seq("tok"), "left_outer")
         .groupBy($"doc_id")

@@ -215,6 +215,55 @@ object DedupOps {
   }
 
   /** Jaccard similarity of two distinct-element array columns. */
+  /** Sorted-neighborhood entity-resolution pairs with a HOT-BLOCK CAP.
+    *
+    * Classic SNM: block on a key prefix, sort within the block, compare
+    * each row to its lag-1/lag-2 neighbors (≤2 comparisons per row).
+    * Spark's window executor serializes each partition key into ONE
+    * task, so an unbounded hot prefix (every title starting "the best
+    * ...") would funnel millions of rows through a single thread.
+    *
+    * The cap: block sizes are counted first (map-side-combined agg, one
+    * row per prefix); prefixes above `blockCap` rows — at most n/blockCap
+    * of them exist, so the hot set is broadcastable by construction —
+    * re-block on a LONGER prefix (`prefixLen + extLen` chars). Rows that
+    * stay near-identical share the longer prefix and remain comparable;
+    * the pairs lost are those differing inside the extension window,
+    * the standard recall/cost trade of capped blocking (documented in
+    * the sorted-neighborhood literature as multi-pass/adaptive SNM).
+    * Fully relational, so a SQL oracle replays the same blocks.
+    */
+  def sortedNeighborhoodPairs(titles: DataFrame, idCol: String,
+      titleCol: String, maxDist: Int = 3, prefixLen: Int = 6,
+      extLen: Int = 6, blockCap: Int = 10000): DataFrame = {
+    val id = col(idCol)
+    val title = col(titleCol)
+    val pfx = substring(title, 1, prefixLen)
+    val hot = titles.groupBy(pfx.as("__pfx"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > blockCap)
+      .select(col("__pfx"), lit(true).as("__hot"))
+    val blocked = titles
+      .join(broadcast(hot), pfx === col("__pfx"), "left_outer")
+      .withColumn("__block",
+        when(col("__hot"), substring(title, 1, prefixLen + extLen))
+          .otherwise(pfx))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__block")).orderBy(title.asc, id.asc)
+    val lagged = blocked
+      .withColumn("__t1", lag(title, 1).over(w))
+      .withColumn("__i1", lag(id, 1).over(w))
+      .withColumn("__t2", lag(title, 2).over(w))
+      .withColumn("__i2", lag(id, 2).over(w))
+    def pairs(tc: String, ic: String) = lagged
+      .filter(col(tc).isNotNull && levenshtein(title, col(tc)) <= maxDist)
+      .select(least(id, col(ic)).as("doc_a"),
+        greatest(id, col(ic)).as("doc_b"),
+        levenshtein(title, col(tc)).cast("long").as("dist"))
+    pairs("__t1", "__i1").unionByName(pairs("__t2", "__i2"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(min(col("dist")).as("dist"))
+  }
+
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")

@@ -174,8 +174,12 @@ object DedupQueries extends QueryModule {
         .select($"doc_id",
           coalesce($"nw", lit(0L)).cast("long").as("n_windows"),
           coalesce($"nd", lit(0L)).cast("long").as("n_dup_windows"),
-          round(when($"nw".isNull, lit(0.0))
-            .otherwise($"nd".cast("double") / $"nw"), 6).as("dup_frac"))
+          // floor-quantized ppm, not round(double, 6): round's half-tie
+          // behavior is engine-specific (BASELINE.md), floor of the same
+          // IEEE double is not (q99 convention)
+          floor(when($"nw".isNull, lit(0.0))
+            .otherwise($"nd".cast("double") / $"nw" * 1000000d))
+            .cast("long").as("dup_ppm"))
     }, Some(s"""
       WITH raw AS (
         SELECT doc_id,
@@ -191,8 +195,9 @@ object DedupQueries extends QueryModule {
       SELECT r.doc_id,
         CAST(coalesce(per.nw, 0) AS BIGINT) AS n_windows,
         CAST(coalesce(per.nd, 0) AS BIGINT) AS n_dup_windows,
-        round(CASE WHEN per.nw IS NULL THEN 0.0
-                   ELSE per.nd * 1.0 / per.nw END, 6) AS dup_frac
+        CAST(floor(CASE WHEN per.nw IS NULL THEN 0.0
+                   ELSE per.nd * 1.0 / per.nw * 1000000 END) AS BIGINT)
+          AS dup_ppm
       FROM documents r LEFT JOIN per ON per.doc_id = r.doc_id""")),
 
     // excerpt/containment detection — the asymmetric complement of
@@ -294,21 +299,11 @@ object DedupQueries extends QueryModule {
             concat(substring($"pt", 1, 10), lit("zq"),
               substring($"pt", 13, 10000)))
           .otherwise($"t0").as("title"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(substring($"title", 1, 6))
-        .orderBy($"title".asc, $"doc_id".asc)
-      val lagged = titles
-        .withColumn("t1", lag($"title", 1).over(w))
-        .withColumn("i1", lag($"doc_id", 1).over(w))
-        .withColumn("t2", lag($"title", 2).over(w))
-        .withColumn("i2", lag($"doc_id", 2).over(w))
-      def pairs(tc: String, ic: String) = lagged
-        .filter(col(tc).isNotNull && levenshtein($"title", col(tc)) <= 3)
-        .select(least($"doc_id", col(ic)).as("doc_a"),
-          greatest($"doc_id", col(ic)).as("doc_b"),
-          levenshtein($"title", col(tc)).cast("long").as("dist"))
-      pairs("t1", "i1").unionByName(pairs("t2", "i2"))
-        .groupBy($"doc_a", $"doc_b").agg(min($"dist").as("dist"))
+      // hot-prefix capped SNM (DedupOps.sortedNeighborhoodPairs): blocks
+      // above 10k rows re-block on a 12-char prefix, so no single window
+      // task can exceed the cap by more than the extended-prefix ties
+      DedupOps.sortedNeighborhoodPairs(titles, "doc_id", "title",
+        maxDist = 3, prefixLen = 6, extLen = 6, blockCap = 10000)
     }, Some("""
       WITH base AS (
         SELECT doc_id,
@@ -321,12 +316,20 @@ object DedupQueries extends QueryModule {
             THEN substr(p.t0, 1, 10) || 'zq' || substr(p.t0, 13, 10000)
             ELSE b.t0 END AS title
         FROM base b LEFT JOIN base p ON p.doc_id = b.doc_id - 1),
+      hot AS (
+        SELECT substr(title, 1, 6) AS pfx FROM titles
+        GROUP BY 1 HAVING count(*) > 10000),
+      blocked AS (
+        SELECT t.doc_id, t.title,
+          CASE WHEN h.pfx IS NOT NULL THEN substr(t.title, 1, 12)
+               ELSE substr(t.title, 1, 6) END AS blk
+        FROM titles t LEFT JOIN hot h ON substr(t.title, 1, 6) = h.pfx),
       lagged AS (
         SELECT doc_id, title,
           lag(title, 1) OVER w AS t1, lag(doc_id, 1) OVER w AS i1,
           lag(title, 2) OVER w AS t2, lag(doc_id, 2) OVER w AS i2
-        FROM titles
-        WINDOW w AS (PARTITION BY substr(title, 1, 6)
+        FROM blocked
+        WINDOW w AS (PARTITION BY blk
                      ORDER BY title ASC, doc_id ASC)),
       p AS (
         SELECT least(doc_id, i1) AS doc_a, greatest(doc_id, i1) AS doc_b,

@@ -219,10 +219,10 @@ object ExtensionQueries extends QueryModule {
         .select($"cnt", posCells)
         .groupBy($"p.j".as("j"), $"p.b".as("b"))
         .agg(sum($"cnt").as("c"))
-      val wTop = org.apache.spark.sql.expressions.Window
-        .orderBy($"cnt".desc, $"tok".asc)
-      val probes = positioned
-        .withColumn("rk", row_number().over(wTop)).filter($"rk" <= 20)
+      // exact top-20 probes via bucketed prefilter (CorpusOps.globalTopK)
+      // so the global sort never sees the whole vocabulary
+      val probes = CorpusOps.globalTopK(positioned, $"tok", k = 20,
+          order = Seq($"cnt".desc, $"tok".asc))
         .select($"tok", $"cnt", posCells)
       probes.join(broadcast(sketch),
           probes("p.j") === sketch("j") && probes("p.b") === sketch("b"))

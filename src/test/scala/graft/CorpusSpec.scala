@@ -277,4 +277,32 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(_.getLong(1))
     assert(bySeq.forall(_ <= 128))
   }
+
+  test("globalTopK matches the single-window top-K and plans the bucketed prefilter") {
+    // ties on cnt exercise the tok tiebreak across bucket boundaries;
+    // spark.range (not a local Seq) so the optimizer cannot constant-fold
+    // the bucket expression out of the plan we assert on below
+    val df = spark.range(1, 1001).select(
+      format_string("t%04d", $"id").as("tok"),
+      ($"id" * 37 % 101).cast("long").as("cnt"))
+    val order = Seq($"cnt".desc, $"tok".asc)
+    val got = CorpusOps.globalTopK(df, $"tok", k = 25, order = order)
+    val wG = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    val want = df.withColumn("rk", row_number().over(wG))
+      .filter($"rk" <= 25).drop("rk")
+    assert(got.collect().map(_.getString(0)).toSet ==
+      want.collect().map(_.getString(0)).toSet)
+    // the parallel prefilter is structural: a hash-bucketed rank runs
+    // before the global sort (the physical plan rewrites both ranks to
+    // spill-safe TopKPerKey, with the bucket visible in the logical plan)
+    val logical = got.queryExecution.optimizedPlan.toString
+    assert(logical.contains("pmod(hash("),
+      s"missing bucketed prefilter:\n$logical")
+    // the rank itself executes as a bounded top-k (the repo's TopKPerKey
+    // rewrite or Spark's WindowGroupLimit), never an unbounded window
+    val physical = got.queryExecution.executedPlan.toString
+    assert(physical.contains("TopKPerKey") ||
+      physical.contains("WindowGroupLimit"),
+      s"rank should execute as bounded top-k:\n$physical")
+  }
 }

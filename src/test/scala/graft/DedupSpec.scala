@@ -89,4 +89,33 @@ class DedupSpec extends AnyFunSuite {
     assert(DedupOps.lshCandidates(band, "doc_id", maxBucket = 10).count() == 0)
     assert(DedupOps.lshCandidates(band, "doc_id", maxBucket = 100).count() == 50L * 49 / 2)
   }
+
+  test("sorted-neighborhood hot-prefix cap re-blocks without losing local pairs") {
+    // 120 titles all share the 6-char prefix "AAAAAA" (a planted hot
+    // block), diverging at chars 7-12 into 12 groups of 10; within a
+    // group titles differ only in the last character (levenshtein 1-2).
+    val rows = (0 until 120).map { i =>
+      val g = ('a' + i / 10).toChar.toString * 6
+      (i.toLong, s"AAAAAA$g tail${i % 10}")
+    }
+    val df = rows.toDF("doc_id", "title")
+    def run(cap: Int) = DedupOps.sortedNeighborhoodPairs(
+        df, "doc_id", "title", maxDist = 3, prefixLen = 6, extLen = 6,
+        blockCap = cap)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val capped = run(50)      // hot: 120 > 50 -> re-block on 12 chars
+    val uncapped = run(1000000)
+    // cross-group neighbors differ in >=6 chars (dist > maxDist), so the
+    // re-blocking loses NOTHING here: capped must equal uncapped, and
+    // every within-group lag-1 adjacency must be present
+    assert(capped == uncapped)
+    val lag1 = (0 until 120).filter(i => i % 10 != 9)
+      .map(i => (i.toLong, i.toLong + 1)).toSet
+    assert(lag1.subsetOf(capped), "within-group adjacent pairs must survive the cap")
+    // and the effective blocks really are capped: no 12-char block
+    // exceeds the group size
+    val maxBlock = df.groupBy(substring($"title", 1, 12)).count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxBlock <= 50)
+  }
 }
