@@ -43,6 +43,33 @@ object CorpusOps {
       .drop("__brk", "__rk")
   }
 
+  /** Materialize an iteration frontier, truncating its lineage.
+    *
+    * Default: eager `localCheckpoint` — blocks live in executor storage,
+    * no extra infrastructure, fast. The trade: those blocks are NOT
+    * recomputable (lineage is truncated) and die with their executor,
+    * so an executor loss mid-loop fails the whole job. Acceptable for
+    * interactive/short runs; NOT for an hours-long 1000-executor run
+    * where churn is routine.
+    *
+    * Set `spark.graft.checkpointDir` to a shared-filesystem path
+    * (HDFS/S3) to switch every iterative plan to RELIABLE
+    * `DataFrame.checkpoint`: each round's frontier is written to the
+    * checkpoint dir, survives any executor loss, and costs one
+    * distributed write per round — the standard durability/latency
+    * trade for iterative algorithms. Same plan shape either way.
+    */
+  private[graft] def materializeFrontier(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) if dir.nonEmpty =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case _ => df.localCheckpoint(true)
+    }
+  }
+
   /** Connected components over an undirected edge list (`a`, `b` long
     * ids). Returns ("node", "comp") for every node that appears in a
     * non-degenerate edge (self-loops `a == b` are dropped up front and
@@ -53,20 +80,20 @@ object CorpusOps {
     * self-loop-only nodes.
     *
     * Alternating large-star/small-star with an edge-set fixpoint test.
-    * Each iteration's frontier is `localCheckpoint`ed: iterative
-    * DataFrame plans otherwise grow a lineage that re-executes every
-    * prior round per action (on a production cluster with executor loss
-    * concerns, substitute a reliable `checkpoint` dir — same plan shape).
+    * Each iteration's frontier is materialized ([[materializeFrontier]]):
+    * iterative DataFrame plans otherwise grow a lineage that re-executes
+    * every prior round per action. Set `spark.graft.checkpointDir` for
+    * reliable checkpoints on long cluster runs (executor-loss semantics
+    * documented on [[materializeFrontier]]).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    var e = edges
+    var e = materializeFrontier(edges
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .filter($"a" =!= $"b")
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     // Small-N fast path (the writeSingle/writeSharded precedent): a near-dup
     // edge set far smaller than the corpus is the common case, and the
@@ -131,12 +158,11 @@ object CorpusOps {
       val oriented = large.select(
         greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
       val mins2 = oriented.groupBy($"u").agg(min($"v").as("m"))
-      val small = oriented.join(mins2, "u")
+      val small = materializeFrontier(oriented.join(mins2, "u")
         .select($"v".as("a"), $"m".as("b"))
         .union(mins2.select($"u".as("a"), $"m".as("b")))
         .filter($"a" =!= $"b")
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
 
       val cur = digest(small)
       converged = cur == prev

@@ -50,6 +50,25 @@ class CorpusSpec extends AnyFunSuite {
     ccBothPaths(edges).foreach(got => assert(got == want))
   }
 
+  test("connectedComponents with a reliable checkpoint dir (executor-loss-safe mode)") {
+    // spark.graft.checkpointDir switches frontier materialization from
+    // localCheckpoint (executor-local, dies with the executor) to
+    // reliable DataFrame.checkpoint (shared filesystem, survives loss)
+    val dir = "/tmp/graft_cc_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try withMaxDriverEdges(0) {
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 1L), (5L, 6L), (8L, 7L))
+      val got = CorpusOps.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteComponents(edges))
+      // the rounds really did checkpoint to the reliable dir
+      val files = org.apache.commons.io.FileUtils
+        .listFiles(new java.io.File(dir), null, true)
+      assert(!files.isEmpty, "reliable checkpoint dir should be populated")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("connectedComponents converges on a long chain (diameter >> rounds)") {
     // a 64-node path: min-label propagation would need ~64 rounds; the
     // star algorithm's O(log n) rounds must still land every node on 0.
