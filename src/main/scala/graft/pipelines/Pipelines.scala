@@ -19,6 +19,26 @@ object Pipelines {
   private def slugUrl(prefix: String, c: Column): Column =
     StringFns.urlPrefix(prefix, StringFns.slugify(c))
 
+  /** The reference's MySQL discriminator columns (`meta_key`,
+    * `post_type`, `post_status`, `taxonomy`, `option_name`) compare
+    * under `utf8_general_ci` (libs/export/authors.js:22-24,
+    * posts.js:24): `meta_key = 'first_name'` MATCHES a row stored as
+    * 'First_Name'. Spark string equality is binary, so a real WP dump
+    * with mixed-case keys would silently drop rows the reference keeps.
+    * `spark.graft.wp.ciCollation=true` opts in to reference parity:
+    * discriminators are lowercased before every compare/pivot (the
+    * ASCII-exact core of utf8_general_ci; Spark 4's UTF8_LCASE collation
+    * is the native equivalent for plain filters, but pivot column names
+    * need the canonical lowercase value anyway, so one mechanism serves
+    * both). Default stays case-sensitive Spark semantics. */
+  private def ciMode(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.wp.ciCollation").exists(_.toBoolean)
+
+  /** Discriminator column under the session's collation mode. Literals
+    * compared against it must already be lowercase (they all are). */
+  private def disc(spark: SparkSession, c: Column): Column =
+    if (ciMode(spark)) lower(c) else c
+
   /** Authors (reference: libs/export/authors.js:22-58): EAV widening via
     * one pivot instead of 3 self-joins (J1), slugified author URL (F1/F2).
     * `dropIncomplete=true` reproduces the reference's INNER-join drop of
@@ -26,7 +46,12 @@ object Pipelines {
   def authors(spark: SparkSession, cat: WpCatalog,
               dropIncomplete: Boolean = false): DataFrame = {
     val users = cat.table(spark, "users")
+    // ci mode rewrites meta_key itself (not just the compare): the pivot
+    // below names its output columns from the VALUES, so 'First_Name'
+    // must canonicalize to the 'first_name' column, like MySQL's
+    // ci-collated GROUP BY folds both spellings into one group
     val meta = cat.table(spark, "usermeta")
+      .withColumn("meta_key", disc(spark, col("meta_key")))
       .filter(col("meta_key").isin("first_name", "last_name", "description"))
     val wide = EavOps.pivot(meta, "user_id", "meta_key", "meta_value",
       Seq("first_name", "last_name", "description"))
@@ -52,7 +77,8 @@ object Pipelines {
     * proper self-join (J7 done right — no batch-ordering dependence). */
   def categories(spark: SparkSession, cat: WpCatalog): DataFrame = {
     val terms = cat.table(spark, "terms")
-    val tt = cat.table(spark, "term_taxonomy").filter(col("taxonomy") === "category")
+    val tt = cat.table(spark, "term_taxonomy")
+      .filter(disc(spark, col("taxonomy")) === "category")
     val cats = terms.join(tt, "term_id")
       .select(col("term_id").as("ID"), col("name"), col("slug"),
         col("description"), col("parent"))
@@ -73,9 +99,10 @@ object Pipelines {
     * _featured.json and joined by posts): post ID → thumbnail meta. */
   def featuredImages(spark: SparkSession, cat: WpCatalog): DataFrame = {
     val posts = cat.table(spark, "posts")
-      .filter(col("post_type") === "post" && col("post_status") === "publish")
+      .filter(disc(spark, col("post_type")) === "post" &&
+        disc(spark, col("post_status")) === "publish")
     val thumb = cat.table(spark, "postmeta")
-      .filter(col("meta_key") === "_thumbnail_id")
+      .filter(disc(spark, col("meta_key")) === "_thumbnail_id")
     posts.join(thumb, posts("ID") === thumb("post_id"))
       .select(col("ID").as("post_id"),
         col("meta_value").cast("long").as("thumbnail_id"))
@@ -88,19 +115,24 @@ object Pipelines {
     * ISO date (F6), guid fallback (F4), featured image join (J8). */
   def posts(spark: SparkSession, cat: WpCatalog): DataFrame = {
     val p = cat.table(spark, "posts")
-      .filter(col("post_type") === "post" && col("post_status") === "publish")
+      .filter(disc(spark, col("post_type")) === "post" &&
+        disc(spark, col("post_status")) === "publish")
     val users = cat.table(spark, "users")
 
     // config scalars resolved before plan construction (§3.4)
     val opts = cat.table(spark, "options")
-      .filter(col("option_name").isin("permalink_structure", "siteurl"))
-      .collect().map(r => r.getString(0) -> Option(r.getString(1)).getOrElse(""))
-      .toMap
+      .filter(disc(spark, col("option_name"))
+        .isin("permalink_structure", "siteurl"))
+      .collect().map { r =>
+        val k = if (ciMode(spark)) r.getString(0).toLowerCase else r.getString(0)
+        k -> Option(r.getString(1)).getOrElse("")
+      }.toMap
     val structure = opts.getOrElse("permalink_structure", "")
 
     // J5 decorrelated: per-post sorted category slug list
     val rel = cat.table(spark, "term_relationships")
-    val tt = cat.table(spark, "term_taxonomy").filter(col("taxonomy") === "category")
+    val tt = cat.table(spark, "term_taxonomy")
+      .filter(disc(spark, col("taxonomy")) === "category")
     val terms = cat.table(spark, "terms")
     val postCats = rel.join(tt, "term_taxonomy_id").join(terms, "term_id")
       .groupBy(col("object_id"))
@@ -155,7 +187,7 @@ object Pipelines {
   def assets(spark: SparkSession, cat: WpCatalog): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     cat.table(spark, "posts")
-      .filter(col("post_type") === "attachment")
+      .filter(disc(spark, col("post_type")) === "attachment")
       .select(
         col("ID").cast("string").as("uid"),
         StringFns.lastSegment(col("guid")).as("filename"),

@@ -100,6 +100,44 @@ class WpPipelineSpec extends AnyFunSuite {
     assert(r.getAs[String]("uid") == "admin")
   }
 
+  test("ci-collation mode: mixed-case discriminators match like utf8_general_ci") {
+    // a real WP dump can store 'First_Name' where the reference's
+    // utf8_general_ci '=' still matches 'first_name' (authors.js:22-24);
+    // Spark's binary equality drops those rows — this test PINS the
+    // divergence in default mode and the parity in opt-in ci mode
+    val dir = Files.createTempDirectory("wpfix_ci").toString
+    Seq((1L, "admin", "a@x.com")).toDF("ID", "user_login", "user_email")
+      .write.parquet(s"$dir/wp_users.parquet")
+    Seq((1L, "First_Name", "Ada"), (1L, "last_name", "Lovelace"),
+        (1L, "DESCRIPTION", "First programmer"))
+      .toDF("user_id", "meta_key", "meta_value")
+      .write.parquet(s"$dir/wp_usermeta.parquet")
+    Seq((16L, "Publish", "Post"), (17L, "publish", "post"))
+      .toDF("ID", "post_status", "post_type")
+      .write.parquet(s"$dir/wp_posts.parquet")
+    Seq((16L, "_Thumbnail_Id", "5"), (17L, "_thumbnail_id", "7"))
+      .toDF("post_id", "meta_key", "meta_value")
+      .write.parquet(s"$dir/wp_postmeta.parquet")
+    val ciCat = new ParquetCatalog(dir)
+
+    // default (binary collation): mixed-case rows silently miss
+    val plain = Pipelines.authors(spark, ciCat).collect().head
+    assert(plain.getAs[String]("first_name") == "")
+    assert(plain.getAs[String]("last_name") == "Lovelace")
+    assert(Pipelines.featuredImages(spark, ciCat).collect()
+      .map(_.getLong(0)).toSet == Set(17L))
+
+    // opt-in ci mode: reference row counts/content restored
+    spark.conf.set("spark.graft.wp.ciCollation", "true")
+    try {
+      val ci = Pipelines.authors(spark, ciCat).collect().head
+      assert(ci.getAs[String]("first_name") == "Ada")
+      assert(ci.getAs[String]("biographical_info") == "First programmer")
+      assert(Pipelines.featuredImages(spark, ciCat).collect()
+        .map(_.getLong(0)).toSet == Set(16L, 17L))
+    } finally spark.conf.unset("spark.graft.wp.ciCollation")
+  }
+
   test("categories pipeline decodes entities and resolves parent slugs via join") {
     val byUid = Pipelines.categories(spark, cat).collect()
       .map(r => r.getAs[String]("uid") -> r).toMap
