@@ -86,4 +86,35 @@ class JdbcSourceSpec extends AnyFunSuite {
     val cat = new JdbcCatalog(url, props)
     assert(cat.table(spark, "options").count() == 0)
   }
+
+  test("MySQL dialect contracts: unsigned-PK mapping and backtick quoting") {
+    // The reference speaks to MySQL (libs/utils/helper.js:43-51); no
+    // MySQL/MariaDB engine exists in this zero-egress sandbox, so this
+    // pins the SPARK DIALECT contracts the catalog's live paths assume,
+    // and the Derby tests above exercise those paths end-to-end:
+    //  - wp PKs declared BIGINT UNSIGNED surface as DECIMAL(20,0) —
+    //    exactly the BigDecimal-shaped bounds the probe's Number
+    //    tolerance handles (live-tested on the DECIMAL(20,0) PK above);
+    //  - identifier quoting is backticks, so Spark-generated partition
+    //    predicates/column lists stay valid MySQL.
+    // A Spark upgrade that changes either mapping fails here loudly
+    // instead of at a customer's database.
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types.{IntegerType, MetadataBuilder}
+    val mysql = JdbcDialects.get("jdbc:mysql://db.example:3306/wordpress")
+    // sanity: the URL really selected the MySQL dialect, not the default
+    assert(mysql.getClass.getName.toLowerCase.contains("mysql"))
+    assert(mysql.quoteIdentifier("meta_key") == "`meta_key`")
+    // unsigned handling, dialect level: MEDIUMINT UNSIGNED (max 2^24-1,
+    // fits Int) maps to INTEGER — the dialect recognizes MySQL's
+    // unsigned type names at all. (BIGINT UNSIGNED -> DECIMAL(20,0)
+    // happens in Spark's generic JDBC mapping off ResultSetMetaData
+    // .isSigned, unreachable without a live MySQL — the BigDecimal
+    // bounds it produces are what the DECIMAL(20,0) Derby test above
+    // feeds through the probe end-to-end.)
+    val unsignedMedium = mysql.getCatalystType(
+      java.sql.Types.INTEGER, "MEDIUMINT UNSIGNED", 4, new MetadataBuilder())
+    assert(unsignedMedium.contains(IntegerType),
+      s"MEDIUMINT UNSIGNED should map to INTEGER, got $unsignedMedium")
+  }
 }
