@@ -12,10 +12,35 @@ import java.time.Instant
   * (logger.js:15-29 returnString). Driver-side by design — these are
   * orchestration logs (module progress, per-asset failures), not a
   * data-plane output; executors keep using log4j2.
+  *
+  * Rotation parity (logger.js:55-57: winston maxsize/maxFiles): when an
+  * append would push the current file past `maxBytes`, it rolls to
+  * `name.1.log` (older files shift to `.2`, `.3`, ...; the oldest
+  * beyond `maxFiles` total is deleted) and a fresh `name.log` starts —
+  * winston's tailable layout: the live file keeps its name. Total disk
+  * is bounded by maxFiles x maxBytes on a run of ANY length; defaults
+  * match the reference's 20 x 1 GB. A single line larger than maxBytes
+  * still writes (one oversized file) rather than being dropped.
   */
-final class JsonLogger(logsDir: String, logfileName: String) {
+final class JsonLogger(logsDir: String, logfileName: String,
+                       maxBytes: Long = 1L << 30, maxFiles: Int = 20) {
   private val path = Paths.get(logsDir, logfileName + ".log")
   Files.createDirectories(Paths.get(logsDir))
+
+  private def rolled(i: Int) = Paths.get(logsDir, s"$logfileName.$i.log")
+
+  /** Shift name.log -> name.1.log -> ... under the instance lock. */
+  private def rotate(): Unit = {
+    if (maxFiles <= 1) { Files.deleteIfExists(path); return }
+    Files.deleteIfExists(rolled(maxFiles - 1))
+    ((maxFiles - 2) to 1 by -1).foreach { i =>
+      if (Files.exists(rolled(i)))
+        Files.move(rolled(i), rolled(i + 1),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    Files.move(path, rolled(1),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
@@ -54,7 +79,10 @@ final class JsonLogger(logsDir: String, logfileName: String) {
       val line = s"""{"level":${jsonStr(level)},"message":${jsonStr(message)},""" +
         s""""timestamp":${jsonStr(Instant.now.toString)}}""" + "\n"
       synchronized {
-        Files.write(path, line.getBytes(StandardCharsets.UTF_8),
+        val bytes = line.getBytes(StandardCharsets.UTF_8)
+        val size = if (Files.exists(path)) Files.size(path) else 0L
+        if (size > 0 && size + bytes.length > maxBytes) rotate()
+        Files.write(path, bytes,
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       }
     }

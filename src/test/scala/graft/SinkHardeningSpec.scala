@@ -166,6 +166,30 @@ class SinkHardeningSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(shardDir + ".old")))
   }
 
+  test("JsonLogger rotates at maxBytes and caps total files (winston parity)") {
+    val dir = Files.createTempDirectory("jlrot").toString
+    // ~90-byte lines, 300-byte cap, keep at most 3 files
+    val lg = new graft.sinks.JsonLogger(dir, "export",
+      maxBytes = 300, maxFiles = 3)
+    (1 to 50).foreach(i => lg.log(f"line $i%03d padding-padding-padding"))
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    // live file keeps its name (tailable layout); history capped at .1/.2
+    assert(files.toSet == Set("export.log", "export.1.log", "export.2.log"),
+      s"unexpected rotation layout: ${files.mkString(", ")}")
+    files.foreach { f =>
+      val p = Paths.get(dir, f)
+      // every retained file respects the cap and holds only complete
+      // JSON lines (rotation never splits a line)
+      assert(Files.size(p) <= 300, s"$f exceeds maxBytes")
+      Files.readAllLines(p).forEach { l =>
+        assert(l.startsWith("{\"level\":\"info\"") && l.endsWith("}"), l)
+      }
+    }
+    // rotation keeps the NEWEST lines: the final message must be live
+    val live = Files.readString(Paths.get(dir, "export.log"))
+    assert(live.contains("line 050"))
+  }
+
   test("topLevelEntries handles escapes, nesting and empty objects") {
     assert(KeyedJsonSink.topLevelEntries("{}").isEmpty)
     assert(KeyedJsonSink.topLevelEntries("""  { } """).isEmpty)
