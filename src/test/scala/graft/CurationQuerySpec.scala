@@ -302,12 +302,12 @@ class CurationQuerySpec extends AnyFunSuite {
 
   test("q77 planted docs report the shared tail as duplicated windows") {
     val got = run("q77_window_dedup").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.map(_._1).toSet == rawDocs.keySet)
-    got.foreach { case (id, nw, nd, frac) =>
+    got.foreach { case (id, nw, nd, ppm) =>
       assert(nd <= nw)
       if (nw > 0)
-        assert(math.abs(frac - nd.toDouble / nw) < 1e-6, s"doc $id")
+        assert(ppm == math.floor(nd.toDouble / nw * 1000000).toLong, s"doc $id")
       // the 12-token planted tail contributes >= 5 wholly-planted windows,
       // shared across all ~1/7 of the corpus — those must be flagged
       if (id % 7 == 3 && nw >= 5)
