@@ -24,6 +24,42 @@ object HttpFetchSink {
     * serializable (executed on executors). */
   type Fetcher = String => Either[String, Array[Byte]]
 
+  /** Production HTTP fetcher with the reference's 60 s timeout contract
+    * (assets.js:82-90: axios timeout 60000, arraybuffer). A plain
+    * `Function1` object so the closure serializes to executors; the
+    * HttpClient is built lazily PER JVM (executor), not shipped. Non-2xx
+    * statuses and transport errors return Left (the sink's retry /
+    * dead-letter machinery decides what happens next); redirects follow
+    * like axios' default. `timeoutMillis` covers connect AND the full
+    * body read — a stalled stream must not hang an executor thread
+    * longer than the reference would wait. */
+  final class HttpFetcher(timeoutMillis: Long = 60000L)
+      extends (String => Either[String, Array[Byte]]) with Serializable {
+    @transient private lazy val client: java.net.http.HttpClient =
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMillis))
+        .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+        .build()
+    def apply(url: String): Either[String, Array[Byte]] =
+      try {
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofMillis(timeoutMillis))
+          .GET().build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        if (resp.statusCode() / 100 == 2) Right(resp.body())
+        else Left(s"HTTP ${resp.statusCode()}")
+      } catch {
+        case e: java.net.http.HttpTimeoutException =>
+          Left(s"timeout after ${timeoutMillis}ms: ${e.getMessage}")
+        case scala.util.control.NonFatal(e) =>
+          Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+  }
+
+  /** Default production fetcher (the 60 s reference contract). */
+  def defaultFetcher: Fetcher = new HttpFetcher()
+
   final case class FetchResult(id: Long, url: String, path: String,
                                ok: Boolean, skipped: Boolean, error: String)
 

@@ -166,6 +166,58 @@ class SinkHardeningSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(shardDir + ".old")))
   }
 
+  test("HttpFetcher honors the 60s-contract against a live local server") {
+    // zero-egress sandbox: a loopback HttpServer stands in for the
+    // remote host; the production fetcher's contract (2xx body, non-2xx
+    // Left, timeout actually cutting a stalled read) runs for real
+    import com.sun.net.httpserver.HttpServer
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/ok", ex => {
+      val b = "payload-bytes".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.createContext("/missing", ex => {
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    server.createContext("/stall", ex => {
+      Thread.sleep(1500); ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val f = new HttpFetchSink.HttpFetcher(timeoutMillis = 400)
+      val ok = f(s"$base/ok")
+      assert(ok.isRight &&
+        new String(ok.toOption.get, "UTF-8") == "payload-bytes")
+      assert(f(s"$base/missing") == Left("HTTP 404"))
+      val t0 = System.nanoTime()
+      val stalled = f(s"$base/stall")
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(stalled.isLeft && stalled.swap.toOption.get.startsWith("timeout"),
+        s"expected timeout Left, got $stalled")
+      assert(elapsedMs < 1400, s"timeout must cut the wait, took $elapsedMs ms")
+
+      // and end-to-end through the distributed sink (serializability +
+      // retry/dead-letter integration with a REAL http client)
+      val spark = SparkTestSession.spark
+      import spark.implicits._
+      val dest = Files.createTempDirectory("httpfetch").toString
+      val assets = Seq((1L, s"$base/ok"), (2L, s"$base/missing"))
+        .toDF("id", "url")
+      val results = HttpFetchSink.fetch(assets, "id", "url", dest,
+        new HttpFetchSink.HttpFetcher(timeoutMillis = 400)).cache()
+      assert(results.filter("ok").count() == 1)
+      assert(HttpFetchSink.deadLetter(results).collect()
+        .map(_.getLong(0)).toSeq == Seq(2L))
+      assert(Files.readString(Paths.get(dest, "1", "ok")) == "payload-bytes")
+      results.unpersist()
+    } finally server.stop(0)
+  }
+
   test("JsonLogger rotates at maxBytes and caps total files (winston parity)") {
     val dir = Files.createTempDirectory("jlrot").toString
     // ~90-byte lines, 300-byte cap, keep at most 3 files
