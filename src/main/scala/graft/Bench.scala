@@ -25,10 +25,19 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // inter-query quiesce (ms) — absorbs async cache/shuffle cleanup so
+    // it lands between measurements, not inside them. 0 disables.
+    val settleMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "200").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // the compiled-codegen cache holds 100 classes by default — far
+      // fewer than a 101-query catalog generates. Evictions make later
+      // runs of an UNCHANGED plan (incl. the calibration probe) re-pay
+      // Janino compilation (~0.1-0.4 s), which reads as position-pinned
+      // noise. Static conf, so it must be set before session creation.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -67,6 +76,14 @@ object Bench {
       // subplans cache themselves); without this, blocks accumulate across
       // the 101-query run and later medians become order-dependent.
       spark.catalog.clearCache()
+      // clearCache's block removal and ContextCleaner's shuffle-file
+      // deletion are ASYNC: without a quiesce they contend with the next
+      // measurement (observed as a probe elevation pinned to the
+      // heavy-shuffle stretch across 4 runs at two heap sizes on an idle
+      // host). JMH-style settle — force the deferred cleanup to run NOW,
+      // inside the unmeasured gap, not under the next query's reps.
+      System.gc()
+      Thread.sleep(settleMs)
       if ((i + 1) % 5 == 0) probes += probeOnce()
       // stderr progress (the driver parses only the final stdout JSON):
       // makes a pathological query attributable while the run is live
