@@ -978,6 +978,37 @@ object CorpusQueries extends QueryModule {
         round(quantile_cont(n_chars, 0.5), 6) AS p50,
         round(quantile_cont(n_chars, 0.95), 6) AS p95,
         CAST(count(*) AS BIGINT) AS n
-      FROM documents GROUP BY lang"""))
+      FROM documents GROUP BY lang""")),
+
+    // per-source document caps — the "domain cap" curation step (no
+    // source may contribute more than K documents; preference to the
+    // highest-quality ones, floor-quantized score + doc_id as the total
+    // order). Written in the declarative row_number-over-window form;
+    // WindowTopKRule swaps in TopKPerKeyExec, so at corpus scale this is
+    // ONE shuffle on source with a bounded k-row buffer per key — no
+    // per-source sort, no spill proportional to the hottest domain.
+    Q("q105_source_cap", (s, d) => {
+      import s.implicits._
+      graft.plans.GraftPlanner.install(s)
+      val w = Window.partitionBy($"source").orderBy($"qb".desc, $"doc_id".asc)
+      t(s, d, "documents")
+        .select($"doc_id", $"source",
+          floor(TextOps.qualityRaw($"text") * 1000).as("qb"))
+        .withColumn("cap_rank", row_number().over(w))
+        .filter($"cap_rank" <= 10)
+        .select($"doc_id", $"source", $"qb", $"cap_rank".cast("long").as("cap_rank"))
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+          CAST(floor((least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2)
+            * 1000) AS BIGINT) AS qb
+        FROM documents)
+      SELECT doc_id, source, qb, cap_rank FROM (
+        SELECT doc_id, source, qb,
+          row_number() OVER (PARTITION BY source ORDER BY qb DESC, doc_id ASC) AS cap_rank
+        FROM d)
+      WHERE cap_rank <= 10"""))
   )
 }

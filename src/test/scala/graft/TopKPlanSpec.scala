@@ -143,4 +143,17 @@ class TopKPlanSpec extends AnyFunSuite {
     val expected = knn(base).collect().map(_.toSeq).toSet
     assert(got == expected && got.size == 40)
   }
+
+  test("q105 per-source cap executes via TopKPerKeyExec and caps every source at K") {
+    val q = SparkEntry.queries("q105_source_cap")(base, "/root/testdata/sf0.001")
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      q.queryExecution.executedPlan.toString)
+    val perSource = q.groupBy("source").count().collect()
+    assert(perSource.nonEmpty && perSource.forall(_.getLong(1) <= 10))
+    // ranks within a source are dense 1..n
+    val ranks = q.select("source", "cap_rank").collect()
+      .groupBy(_.getString(0)).values
+    assert(ranks.forall(rs =>
+      rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length)))
+  }
 }
