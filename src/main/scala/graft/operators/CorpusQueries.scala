@@ -1009,6 +1009,35 @@ object CorpusQueries extends QueryModule {
         SELECT doc_id, source, qb,
           row_number() OVER (PARTITION BY source ORDER BY qb DESC, doc_id ASC) AS cap_rank
         FROM d)
-      WHERE cap_rank <= 10"""))
+      WHERE cap_rank <= 10""")),
+
+    // deterministic training-order shuffle: the step between packing and
+    // split in a real pipeline — every document gets a seeded
+    // pseudo-random (shard, position) so training reads a reproducible
+    // random order. Same overflow-safe hashMix as the samplers: a pure
+    // function of the row, so the order survives repartitioning and
+    // replays identically in any engine. Shard count is a parameter
+    // chosen so a shard stays bounded (~1M docs at scale; 8 here):
+    // the per-shard window sorts ONLY within a bounded shard, and
+    // shards proceed data-parallel — no global sort, no single-task
+    // bottleneck at any corpus size.
+    Q("q106_training_order", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"shard").orderBy($"prio".asc, $"doc_id".asc)
+      t(s, d, "documents")
+        .select($"doc_id", CorpusOps.hashMix($"doc_id", 1000003L).as("prio"))
+        .withColumn("shard", pmod($"prio", lit(8L)))
+        .withColumn("pos", row_number().over(w).cast("long") - 1)
+        .select($"doc_id", $"shard", $"pos")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id,
+          ((((doc_id % 1000003) + 1000003) % 1000003 * 2654435761 + 40503)
+             % 1000003 + 1000003) % 1000003 AS prio
+        FROM documents)
+      SELECT doc_id, prio % 8 AS shard,
+        CAST(row_number() OVER (PARTITION BY prio % 8
+                                ORDER BY prio ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+      FROM d"""))
   )
 }

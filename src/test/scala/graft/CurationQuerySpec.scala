@@ -316,4 +316,21 @@ class CurationQuerySpec extends AnyFunSuite {
     // and some non-planted doc must remain clean (no global false positives)
     assert(got.exists { case (id, _, nd, _) => id % 7 != 3 && nd == 0 })
   }
+
+  test("q106 training order: total, dense per shard, and repartition-invariant") {
+    val got = run("q106_training_order").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every document placed exactly once
+    assert(got.map(_._1).toSet == rawDocs.keySet)
+    // positions within a shard are dense 0..n-1 (a reader can stream a
+    // shard sequentially with no gaps)
+    got.groupBy(_._2).values.foreach { s =>
+      assert(s.map(_._3).sorted.sameElements(0L until s.length))
+    }
+    // the order is a pure function of the row: same (shard, pos) after
+    // an adversarial repartition of the input
+    val again = run("q106_training_order").repartition(7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == got.toSet)
+  }
 }
