@@ -1038,6 +1038,56 @@ object CorpusQueries extends QueryModule {
       SELECT doc_id, prio % 8 AS shard,
         CAST(row_number() OVER (PARTITION BY prio % 8
                                 ORDER BY prio ASC, doc_id ASC) - 1 AS BIGINT) AS pos
-      FROM d"""))
+      FROM d""")),
+
+    // cluster-canonical selection: the survivor-picking step that
+    // completes the near-dup story — q35's banded simhash pairs become
+    // q53's connected components, and THIS picks the one document to
+    // keep per cluster (highest floor-quantized quality, doc_id
+    // tie-break) while emitting the full per-document mask a curation
+    // pipeline logs. Clusters are near-dup groups — small by
+    // construction — so the per-cluster window never sees more than a
+    // cluster's worth of rows; CC is O(log n) large-star/small-star
+    // rounds; quality is row-local.
+    Q("q107_cluster_canonical", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val tokRows = docs.select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      val sigs = DedupOps.simhash32FromTokenRows(tokRows, "doc_id", "tok", "simhash")
+        .select($"doc_id", $"simhash")
+      val edges = DedupOps.simhashPairsBanded(sigs, "doc_id", "simhash", maxHamming = 1)
+        .select($"doc_a".as("a"), $"doc_b".as("b"))
+      val labeled = CorpusOps.componentLabels(docs.select($"doc_id"), "doc_id", edges)
+      val scored = docs.select($"doc_id",
+        floor(TextOps.qualityRaw($"text") * 1000).as("qb"))
+      val w = Window.partitionBy($"cluster_id").orderBy($"qb".desc, $"doc_id".asc)
+      labeled.join(scored, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .select($"doc_id", $"cluster_id", $"qb", ($"rn" === 1).as("kept"))
+    }, Some(
+      s"""WITH RECURSIVE sh AS (${DedupQueries.simhashDuckSql}),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |r(id, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.m FROM r JOIN e ON e.a = r.id),
+         |lab AS (SELECT id AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
+         |        FROM r GROUP BY id),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(floor((least(1.0, len(string_split_regex(trim(text), '\\s+')) / 50.0) * 0.5 +
+         |      (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+         |      least(1.0, len(regexp_extract_all(text, '\\b(the|a|of|and|to)\\b')) / 10.0) * 0.2)
+         |      * 1000) AS BIGINT) AS qb
+         |  FROM documents)
+         |SELECT l.doc_id, l.cluster_id, q.qb,
+         |  row_number() OVER (PARTITION BY l.cluster_id
+         |                     ORDER BY q.qb DESC, l.doc_id ASC) = 1 AS kept
+         |FROM lab l JOIN q USING (doc_id)""".stripMargin))
   )
 }

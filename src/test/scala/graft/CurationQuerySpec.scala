@@ -333,4 +333,17 @@ class CurationQuerySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(again == got.toSet)
   }
+
+  test("q107 keeps exactly one doc per cluster and it is the best-quality one") {
+    val got = run("q107_cluster_canonical").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.map(_._1).toSet == rawDocs.keySet)
+    got.groupBy(_._2).values.foreach { cluster =>
+      val kept = cluster.filter(_._4)
+      assert(kept.length == 1, s"cluster ${cluster.head._2}")
+      // survivor has the cluster's max quality (doc_id breaks ties)
+      val best = cluster.maxBy(c => (c._3, -c._1))
+      assert(kept.head._1 == best._1)
+    }
+  }
 }
