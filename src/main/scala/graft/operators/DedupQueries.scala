@@ -413,6 +413,72 @@ object DedupQueries extends QueryModule {
          |FROM inter i
          |JOIN szs sa ON sa.doc_id = i.doc_a
          |JOIN szs sb ON sb.doc_id = i.doc_b
-         |WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5""".stripMargin))
+         |WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5""".stripMargin)),
+
+    // URL canonicalization + canonical-URL dedup: the crawl-frontier
+    // step that collapses tracking-param / case / default-port /
+    // trailing-slash / fragment variants of the same page before any
+    // content fetch. URLs are planted deterministically from doc_id
+    // (groups of 4 ids share a page, each id a different variant) so
+    // both engines replay the identical input. The canonicalizer is a
+    // row-local regexp chain with NO capture-group replacements
+    // ($1 vs \1 is not engine-portable), all inside whole-stage
+    // codegen; dedup is one agg shuffle on the canonical key with
+    // map-side combine (count(distinct url) adds the standard two-phase
+    // expand — still linear, no skew beyond the hottest page).
+    Q("q109_url_canonical", (s, d) => {
+      import s.implicits._
+      val pid = expr("CAST(doc_id div 4 AS STRING)")
+      val url = when($"doc_id" % 4 === 0,
+          concat(lit("https://cdn.example.com/p/"), pid))
+        .when($"doc_id" % 4 === 1,
+          concat(lit("https://CDN.Example.COM/p/"), pid,
+            lit("?utm_source=feed&utm_campaign=x")))
+        .when($"doc_id" % 4 === 2,
+          concat(lit("https://cdn.example.com:443/p/"), pid, lit("/")))
+        .otherwise(
+          concat(lit("https://cdn.example.com/p/"), pid, lit("#frag")))
+      val nofrag = regexp_replace($"url", "#.*$", "")
+      val sh = regexp_replace(
+        lower(regexp_extract(nofrag, "^(https?://[^/]+)", 1)), ":443$", "")
+      val rest = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_extract(nofrag, "^https?://[^/]+(.*)$", 1),
+          "(utm_[a-z]+|fbclid|ref)=[^&]*", ""),
+          "\\?&+", "?"), "&&+", "&"), "[?&]+$", "")
+      t(s, d, "documents")
+        .select($"doc_id", url.as("url"))
+        .select($"doc_id", $"url",
+          concat(sh, regexp_replace(rest, "/$", "")).as("canonical_url"))
+        .groupBy($"canonical_url")
+        .agg(min($"doc_id").as("canonical_id"),
+          count(lit(1)).as("n_variants"),
+          countDistinct($"url").as("n_raw"))
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id,
+          CASE doc_id % 4
+            WHEN 0 THEN 'https://cdn.example.com/p/' || CAST(doc_id // 4 AS VARCHAR)
+            WHEN 1 THEN 'https://CDN.Example.COM/p/' || CAST(doc_id // 4 AS VARCHAR)
+                        || '?utm_source=feed&utm_campaign=x'
+            WHEN 2 THEN 'https://cdn.example.com:443/p/' || CAST(doc_id // 4 AS VARCHAR)
+                        || '/'
+            ELSE 'https://cdn.example.com/p/' || CAST(doc_id // 4 AS VARCHAR)
+                 || '#frag' END AS url
+        FROM documents),
+      c AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+      p AS (
+        SELECT doc_id, url,
+          regexp_replace(lower(regexp_extract(nofrag, '^(https?://[^/]+)', 1)),
+                         ':443$', '') AS sh,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_extract(nofrag, '^https?://[^/]+(.*)$', 1),
+            '(utm_[a-z]+|fbclid|ref)=[^&]*', '', 'g'),
+            '\?&+', '?'), '&&+', '&', 'g'), '[?&]+$', '') AS rest
+        FROM c)
+      SELECT sh || regexp_replace(rest, '/$', '') AS canonical_url,
+        min(doc_id) AS canonical_id,
+        CAST(count(*) AS BIGINT) AS n_variants,
+        CAST(count(DISTINCT url) AS BIGINT) AS n_raw
+      FROM p GROUP BY 1"""))
   )
 }

@@ -335,6 +335,53 @@ object TextQueries extends QueryModule {
       SELECT doc_id, CAST(pos // 64 AS BIGINT) AS chunk_id,
         CAST(count(*) AS BIGINT) AS n_tokens,
         string_agg(tok, ' ' ORDER BY pos) AS chunk_text
-      FROM t GROUP BY doc_id, pos // 64"""))
+      FROM t GROUP BY doc_id, pos // 64""")),
+
+    // TF-IDF keyword extraction: the per-document topical signal a
+    // curation/index pipeline logs (top-5 highest tf·idf terms per doc).
+    // idf is floor-quantized to integer nano-nats ONCE per distinct
+    // token (the q73 engine-exactness scheme) so the score tf·nidf is
+    // pure integer arithmetic after the single quantization; total order
+    // by (score desc, tok asc). Scale: the df model joins
+    // vocabulary-keyed (never broadcast — vocabulary grows with the
+    // corpus), the doc count is a single-row broadcast, and the per-doc
+    // top-5 window is swapped to TopKPerKeyExec by WindowTopKRule — one
+    // shuffle on doc_id with a bounded 5-row buffer per key, no per-doc
+    // sort materialization.
+    Q("q108_tfidf_keywords", (s, d) => {
+      import s.implicits._
+      graft.plans.GraftPlanner.install(s)
+      val docs = t(s, d, "documents")
+      val tf = docs
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score_n".desc, $"tok".asc)
+      tf.join(df, "tok").join(broadcast(nRow))
+        .withColumn("score_n",
+          $"tf" * floor(log($"n".cast("double") / $"df") * 1000000000d)
+            .cast("long"))
+        .withColumn("kw_rank", row_number().over(w))
+        .filter($"kw_rank" <= 5)
+        .select($"doc_id", $"tok", $"tf".cast("long").as("tf"), $"score_n",
+          $"kw_rank".cast("long").as("kw_rank"))
+    }, Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                   FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.tok, tf.tf,
+          tf.tf * CAST(floor(ln(n.n * 1.0 / df.df) * 1000000000) AS BIGINT)
+            AS score_n
+        FROM tf JOIN df USING (tok) CROSS JOIN n)
+      SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, score_n,
+        CAST(kw_rank AS BIGINT) AS kw_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score_n DESC, tok ASC) AS kw_rank
+        FROM scored)
+      WHERE kw_rank <= 5"""))
   )
 }

@@ -334,6 +334,33 @@ class CurationQuerySpec extends AnyFunSuite {
     assert(again == got.toSet)
   }
 
+  test("q108 tf-idf top-5 matches a direct recomputation") {
+    val tf = rawDocs.toSeq.flatMap { case (id, text) =>
+      toks(text).map(tok => ((id, tok), 1L))
+    }.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val dfm = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = rawDocs.size.toLong
+    val expect = tf.toSeq.map { case ((id, tok), c) =>
+      (id, tok, c, c * math.floor(math.log(n.toDouble / dfm(tok)) * 1e9).toLong)
+    }.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._4, r._2)).take(5).zipWithIndex
+        .map { case ((id, tok, c, sc), i) => (id, tok, c, sc, i + 1L) }
+    }.toSet
+    val got = run("q108_tfidf_keywords").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expect)
+  }
+
+  test("q109 collapses the four planted URL variants of each page") {
+    val expect = rawDocs.keySet.groupBy(_ / 4).map { case (pid, ids) =>
+      (s"https://cdn.example.com/p/$pid", ids.min, ids.size.toLong, ids.size.toLong)
+    }.toSet
+    val got = run("q109_url_canonical").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+  }
+
   test("q107 keeps exactly one doc per cluster and it is the best-quality one") {
     val got = run("q107_cluster_canonical").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
