@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.catalog.{Q, QueryModule, Tables}
@@ -479,6 +480,48 @@ object DedupQueries extends QueryModule {
         min(doc_id) AS canonical_id,
         CAST(count(*) AS BIGINT) AS n_variants,
         CAST(count(DISTINCT url) AS BIGINT) AS n_raw
-      FROM p GROUP BY 1"""))
+      FROM p GROUP BY 1""")),
+
+    // incremental ingest dedup: admit a new crawl batch against an
+    // EXISTING corpus index without recomputing the corpus — the
+    // cross-run curation step (every real pipeline runs dedup
+    // batch-vs-index daily, not corpus-vs-corpus). Batch = doc_id%5==0,
+    // index = the rest; fingerprint = md5 of the
+    // whitespace/case-normalized text. Plan: the index collapses to
+    // DISTINCT fingerprints (one map-side-combined agg — in production
+    // this frame is the persisted index, e.g. the keyed-JSON sink read
+    // back), then ONE shuffled left join on the fingerprint key marks
+    // batch docs already known; first-in-batch is a window over the
+    // fingerprint (bounded by the batch's per-fp dup group). Everything
+    // linear in batch + index size; nothing broadcast (both sides grow
+    // with the corpus).
+    Q("q111_incremental_dedup", (s, d) => {
+      import s.implicits._
+      val fpCol = md5(regexp_replace(lower(trim($"text")), "\\s+", " "))
+      val docs = t(s, d, "documents").select($"doc_id", fpCol.as("fp"))
+      val batch = docs.filter($"doc_id" % 5 === 0)
+      val index = docs.filter($"doc_id" % 5 =!= 0)
+        .select($"fp").distinct().withColumn("in_index", lit(true))
+      batch.join(index, Seq("fp"), "left")
+        .withColumn("dup_of_index", coalesce($"in_index", lit(false)))
+        .withColumn("first_in_batch",
+          $"doc_id" === min($"doc_id").over(Window.partitionBy($"fp")))
+        .select($"doc_id", $"fp", $"dup_of_index", $"first_in_batch",
+          (!$"dup_of_index" && $"first_in_batch").as("admitted"))
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+      b AS (SELECT * FROM f WHERE doc_id % 5 = 0),
+      i AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 <> 0),
+      m AS (
+        SELECT b.doc_id, b.fp,
+          b.fp IN (SELECT fp FROM i) AS dup_of_index,
+          b.doc_id = min(b.doc_id) OVER (PARTITION BY b.fp) AS first_in_batch
+        FROM b)
+      SELECT doc_id, fp, dup_of_index, first_in_batch,
+        (NOT dup_of_index) AND first_in_batch AS admitted
+      FROM m"""))
   )
 }

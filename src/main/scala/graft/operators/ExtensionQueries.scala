@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -456,6 +457,63 @@ object ExtensionQueries extends QueryModule {
          |            ELSE floor($aLit / (CAST(sp AS DOUBLE) + (256 - np))) END
          |       AS BIGINT) AS hll_est
          |FROM e CROSS JOIN sums""".stripMargin
-    })
+    }),
+
+    // quantile-sketch observability with an in-plan error gate (the q43
+    // scheme for order statistics): percentile_approx is the mergeable
+    // constant-memory GK/KLL-style sketch that still works at corpus
+    // scale where q60's exact percentile cannot (exact needs the full
+    // sorted group). A static oracle cannot replay sketch internals, so
+    // the plan emits the EXACT discrete quantile (min v whose cumulative
+    // count reaches ceil(q*n/100), all-integer target math) plus a
+    // within_bound flag asserting the approx value's exact rank is
+    // inside the published 1/accuracy rank-error envelope (+1 slack);
+    // the oracle recomputes the exact side and claims the flag TRUE.
+    // Scale: the cum table is one agg + a per-lang window over DISTINCT
+    // lengths (bounded by max doc length, not corpus size); targets and
+    // approx results are langs x 4 rows — broadcast; nothing quadratic.
+    Q("q110_quantile_sketch", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select($"lang", $"n_chars")
+      val cum = docs.groupBy($"lang", $"n_chars".as("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum",
+          sum($"c").over(Window.partitionBy($"lang").orderBy($"v")))
+      val nPer = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+      val qdf = Seq(25L, 50L, 75L, 90L).toDF("q_pct")
+      val targets = nPer.crossJoin(broadcast(qdf))
+        .withColumn("target", expr("(q_pct * n + 99) div 100"))
+      val exact = broadcast(targets).join(cum, "lang")
+        .filter($"cum" >= $"target")
+        .groupBy($"lang", $"q_pct", $"n").agg(min($"v").as("exact_q"))
+      val approx = docs.groupBy($"lang")
+        .agg(percentile_approx($"n_chars",
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)), lit(1000)).as("avs"))
+        .select($"lang", posexplode($"avs").as(Seq("i", "av")))
+        .withColumn("q_pct",
+          element_at(array(lit(25L), lit(50L), lit(75L), lit(90L)), $"i" + 1))
+      val avRank = broadcast(approx).join(cum, "lang")
+        .filter($"v" <= $"av")
+        .groupBy($"lang", $"q_pct").agg(max($"cum").as("av_rank"))
+      exact.join(avRank, Seq("lang", "q_pct"))
+        .select($"lang", $"q_pct", $"n", $"exact_q",
+          (abs($"av_rank" - expr("(q_pct * n + 99) div 100"))
+            <= expr("(n + 999) div 1000 + 1")).as("within_bound"))
+    }, Some("""
+      WITH d AS (SELECT lang, n_chars AS v FROM documents),
+      n AS (SELECT lang, count(*) AS n FROM d GROUP BY 1),
+      cum AS (
+        SELECT lang, v,
+          sum(count(*)) OVER (PARTITION BY lang ORDER BY v) AS cum
+        FROM d GROUP BY lang, v),
+      q AS (SELECT unnest([25, 50, 75, 90]) AS q_pct),
+      t AS (SELECT n.lang, q.q_pct, n.n, (q.q_pct * n.n + 99) // 100 AS target
+            FROM n CROSS JOIN q),
+      e AS (SELECT t.lang, t.q_pct, t.n, min(cum.v) AS exact_q
+            FROM t JOIN cum ON cum.lang = t.lang AND cum.cum >= t.target
+            GROUP BY 1, 2, 3)
+      SELECT lang, CAST(q_pct AS BIGINT) AS q_pct, CAST(n AS BIGINT) AS n,
+        exact_q, TRUE AS within_bound
+      FROM e"""))
   )
 }

@@ -361,6 +361,45 @@ class CurationQuerySpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q110 exact quantiles match a direct recomputation and the sketch stays in bound") {
+    val langs = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expect = langs.groupBy(_._1).flatMap { case (lang, rows) =>
+      val vs = rows.map(_._2).sorted
+      val n = vs.length.toLong
+      Seq(25L, 50L, 75L, 90L).map { q =>
+        val target = ((q * n + 99) / 100).toInt
+        (lang, q, n, vs(target - 1), true)
+      }
+    }.toSet
+    val got = run("q110_quantile_sketch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(got == expect)
+  }
+
+  test("q111 admits exactly the batch docs unseen in the index and first in batch") {
+    def fp(text: String) = {
+      val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      java.security.MessageDigest.getInstance("MD5").digest(norm.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val fps = rawDocs.map { case (id, text) => id -> fp(text) }
+    val batch = fps.filter(_._1 % 5 == 0)
+    val indexFps = fps.filter(_._1 % 5 != 0).values.toSet
+    val firstByFp = batch.groupBy(_._2).map { case (f, m) => f -> m.keys.min }
+    val expect = batch.map { case (id, f) =>
+      val dup = indexFps.contains(f)
+      val first = firstByFp(f) == id
+      (id, f, dup, first, !dup && first)
+    }.toSet
+    val got = run("q111_incremental_dedup").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4))).toSet
+    assert(got == expect)
+  }
+
   test("q107 keeps exactly one doc per cluster and it is the best-quality one") {
     val got = run("q107_cluster_canonical").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
