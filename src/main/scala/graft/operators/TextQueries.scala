@@ -382,6 +382,80 @@ object TextQueries extends QueryModule {
         SELECT *, row_number() OVER (PARTITION BY doc_id
                                      ORDER BY score_n DESC, tok ASC) AS kw_rank
         FROM scored)
-      WHERE kw_rank <= 5"""))
+      WHERE kw_rank <= 5""")),
+
+    // BM25 top-k retrieval (Lucene k1=1.2 / b=0.75 variant): the lexical
+    // retrieval primitive behind RAG indexing and dedup-by-retrieval —
+    // each seed doc (doc_id < 3) is a query; score every doc containing
+    // at least one query term and keep the top-10 per query. Engine
+    // exactness: idf is floor-quantized to integer nano-nats ONCE per
+    // distinct token (q73/q108 scheme), each per-term score is
+    // floor-quantized BEFORE the per-doc sum so the aggregate is pure
+    // integer addition (order-independent across engines/partitionings);
+    // the inner double expression tree is written identically on both
+    // sides, so IEEE evaluation matches bit-for-bit. Scale: query terms
+    // broadcast (bounded by query length x #queries, corpus-invariant);
+    // df/idf joins vocabulary-keyed, dl doc-keyed (both grow with the
+    // corpus — never broadcast); corpus stats are a 1-row broadcast; the
+    // per-query top-10 is two-stage (64-bucket prefilter then a final
+    // window over <= 640 survivors per query), so a hot query matching
+    // the whole corpus never serializes into one task.
+    Q("q112_bm25_retrieval", (s, d) => {
+      import s.implicits._
+      val tf = t(s, d, "documents")
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"),
+        (sum($"dl") * lit(1.0) / count(lit(1))).as("avgdl"))
+      val idf = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+        .join(broadcast(stats))
+        .select($"tok",
+          floor(log(lit(1) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+            * 1000000000d).cast("long").as("idf_n"))
+      val qt = tf.filter($"doc_id" < 3)
+        .select($"doc_id".as("q_id"), $"tok").distinct()
+      val scored = tf.join(broadcast(qt), "tok")
+        .join(idf, "tok").join(dl, "doc_id").join(broadcast(stats))
+        .withColumn("term_n",
+          floor($"idf_n" * (($"tf" * lit(2.2))
+            / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / $"avgdl")))))
+            .cast("long"))
+        .groupBy($"q_id", $"doc_id").agg(sum($"term_n").as("bm25_n"))
+      val ord = Seq($"bm25_n".desc, $"doc_id".asc)
+      val wB = Window.partitionBy($"q_id", pmod(hash($"doc_id"), lit(64)))
+        .orderBy(ord: _*)
+      val wG = Window.partitionBy($"q_id").orderBy(ord: _*)
+      scored
+        .withColumn("brk", row_number().over(wB)).filter($"brk" <= 10)
+        .withColumn("rk", row_number().over(wG)).filter($"rk" <= 10)
+        .select($"q_id", $"doc_id", $"bm25_n", $"rk".cast("long").as("rk"))
+    }, Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                   FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+      idf AS (SELECT tok,
+                CAST(floor(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1000000000)
+                     AS BIGINT) AS idf_n
+              FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+              CROSS JOIN stats),
+      qt AS (SELECT DISTINCT doc_id AS q_id, tok FROM tf WHERE doc_id < 3),
+      sc AS (SELECT qt.q_id, tf.doc_id,
+               CAST(sum(CAST(floor(idf.idf_n * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / stats.avgdl)))))
+                 AS BIGINT)) AS BIGINT) AS bm25_n
+             FROM qt
+             JOIN tf ON tf.tok = qt.tok
+             JOIN idf ON idf.tok = tf.tok
+             JOIN dl ON dl.doc_id = tf.doc_id
+             CROSS JOIN stats
+             GROUP BY 1, 2)
+      SELECT q_id, doc_id, bm25_n, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY bm25_n DESC, doc_id ASC) AS rk
+        FROM sc)
+      WHERE rk <= 10"""))
   )
 }

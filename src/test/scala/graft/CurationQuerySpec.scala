@@ -352,6 +352,34 @@ class CurationQuerySpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q112 bm25 top-10 matches a direct recomputation") {
+    val tf = rawDocs.toSeq.flatMap { case (id, text) =>
+      toks(text).map(tok => ((id, tok), 1L))
+    }.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val dl = tf.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val n = rawDocs.size.toLong
+    val avgdl = dl.values.sum * 1.0 / n
+    val dfm = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val idfN = dfm.map { case (tok, df) =>
+      tok -> math.floor(math.log(1 + (n - df + 0.5) / (df + 0.5)) * 1e9).toLong
+    }
+    val expect = rawDocs.filter(_._1 < 3).flatMap { case (qid, qtext) =>
+      val qtoks = toks(qtext).toSet
+      val scores = rawDocs.keys.toSeq.flatMap { did =>
+        val terms = qtoks.toSeq.flatMap(tok => tf.get((did, tok)).map { c =>
+          math.floor(idfN(tok) *
+            ((c * 2.2) / (c + 1.2 * (0.25 + 0.75 * (dl(did) / avgdl))))).toLong
+        })
+        if (terms.nonEmpty) Some((did, terms.sum)) else None
+      }
+      scores.sortBy(r => (-r._2, r._1)).take(10).zipWithIndex
+        .map { case ((did, s), i) => (qid, did, s, i + 1L) }
+    }.toSet
+    val got = run("q112_bm25_retrieval").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+  }
+
   test("q109 collapses the four planted URL variants of each page") {
     val expect = rawDocs.keySet.groupBy(_ / 4).map { case (pid, ids) =>
       (s"https://cdn.example.com/p/$pid", ids.min, ids.size.toLong, ids.size.toLong)
