@@ -1040,6 +1040,55 @@ object CorpusQueries extends QueryModule {
                                 ORDER BY prio ASC, doc_id ASC) - 1 AS BIGINT) AS pos
       FROM d""")),
 
+    // length-bucketed batching (padding-efficiency report): group docs
+    // into fixed-size inference/training batches of 32 within each
+    // hash shard, longest-first, and report per-batch padding waste
+    // (every batch pads to its max length). Longest-first batching is
+    // the standard padding minimizer; the report is what an inference
+    // pipeline logs to size its batch budget. Shard assignment is the
+    // q106 seeded hashMix — a pure row function, so batches replay
+    // across engines and repartitionings; the per-shard window sorts
+    // only within a bounded shard (shard count is the scale knob, 8
+    // here), shards proceed data-parallel. All derived metrics are
+    // integer arithmetic (waste, floor-div ppm) — order-independent.
+    Q("q114_length_batching", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"shard").orderBy($"n_toks".desc, $"doc_id".asc)
+      t(s, d, "documents")
+        .select($"doc_id", TextOps.tokenCount($"text").cast("long").as("n_toks"),
+          CorpusOps.hashMix($"doc_id", 1000003L).as("prio"))
+        .withColumn("shard", pmod($"prio", lit(8L)))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("batch_id", expr("(rn - 1) div 32").cast("long"))
+        .groupBy($"shard", $"batch_id")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          max($"n_toks").as("max_toks"),
+          sum($"n_toks").cast("long").as("sum_toks"))
+        .withColumn("waste", $"n_docs" * $"max_toks" - $"sum_toks")
+        .withColumn("pad_ppm",
+          expr("waste * 1000000 div (n_docs * max_toks)"))
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
+          ((((doc_id % 1000003) + 1000003) % 1000003 * 2654435761 + 40503)
+             % 1000003 + 1000003) % 1000003 % 8 AS shard
+        FROM documents),
+      b AS (
+        SELECT shard, doc_id, n_toks,
+          (row_number() OVER (PARTITION BY shard
+                              ORDER BY n_toks DESC, doc_id ASC) - 1) // 32
+            AS batch_id
+        FROM d)
+      SELECT shard, CAST(batch_id AS BIGINT) AS batch_id,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(max(n_toks) AS BIGINT) AS max_toks,
+        CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+        CAST(count(*) * max(n_toks) - sum(n_toks) AS BIGINT) AS waste,
+        CAST((count(*) * max(n_toks) - sum(n_toks)) * 1000000
+               // (count(*) * max(n_toks)) AS BIGINT) AS pad_ppm
+      FROM b GROUP BY 1, 2""")),
+
     // cluster-canonical selection: the survivor-picking step that
     // completes the near-dup story — q35's banded simhash pairs become
     // q53's connected components, and THIS picks the one document to

@@ -456,6 +456,47 @@ object TextQueries extends QueryModule {
         SELECT *, row_number() OVER (PARTITION BY q_id
                                      ORDER BY bm25_n DESC, doc_id ASC) AS rk
         FROM sc)
-      WHERE rk <= 10"""))
+      WHERE rk <= 10""")),
+
+    // BPE merge-candidate statistics: the first step of tokenizer
+    // training — adjacent character-pair frequencies across the corpus,
+    // top-20 by count. The 100 TB move is computing pairs over the
+    // VOCABULARY, not the token stream: token counts collapse the
+    // corpus to one row per distinct token first (map-side-combined
+    // agg), then each vocab entry explodes into its len-1 pairs
+    // weighted by the token's corpus frequency — pair extraction cost
+    // grows with vocabulary size, not corpus size. Counts are integer
+    // sums (order-independent); top-20 is the bucketed-prefilter rank
+    // (WindowTopKRule lowers both rank windows to TopKPerKeyExec, and
+    // the final one sees <= 20 x 64 survivors).
+    Q("q113_bpe_pair_stats", (s, d) => {
+      import s.implicits._
+      graft.plans.GraftPlanner.install(s)
+      val tc = t(s, d, "documents")
+        .select(explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("c"))
+      val pairs = tc.filter(length($"tok") >= 2)
+        .select($"tok", $"c",
+          explode(sequence(lit(1), length($"tok") - 1)).as("i"))
+        .select(expr("substring(tok, i, 2)").as("pair"), $"c")
+        .groupBy($"pair").agg(sum($"c").cast("long").as("cnt"))
+      val ord = Seq($"cnt".desc, $"pair".asc)
+      val wB = Window.partitionBy(pmod(hash($"pair"), lit(64))).orderBy(ord: _*)
+      val wG = Window.orderBy(ord: _*)
+      pairs
+        .withColumn("brk", row_number().over(wB)).filter($"brk" <= 20)
+        .withColumn("rk", row_number().over(wG)).filter($"rk" <= 20)
+        .select($"pair", $"cnt", $"rk".cast("long").as("rk"))
+    }, Some("""
+      WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                   FROM documents),
+      tc AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+      ex AS (SELECT tok, c, unnest(generate_series(1, len(tok) - 1)) AS i
+             FROM tc WHERE len(tok) >= 2),
+      p AS (SELECT substring(tok, i, 2) AS pair, CAST(sum(c) AS BIGINT) AS cnt
+            FROM ex GROUP BY 1)
+      SELECT pair, cnt, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT *, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rk FROM p)
+      WHERE rk <= 20"""))
   )
 }

@@ -380,6 +380,45 @@ class CurationQuerySpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q113 bpe pair top-20 matches a direct per-occurrence recomputation") {
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    rawDocs.values.foreach { text =>
+      toks(text).foreach { tok =>
+        if (tok.length >= 2) (0 until tok.length - 1).foreach { i =>
+          val p = tok.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + 1L
+        }
+      }
+    }
+    val expect = counts.toSeq.sortBy(r => (-r._2, r._1)).take(20).zipWithIndex
+      .map { case ((p, c), i) => (p, c, i + 1L) }.toSet
+    val got = run("q113_bpe_pair_stats").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
+  test("q114 batches are longest-first per shard and stats cover every doc") {
+    def mix(id: Long) = ((id % 1000003) * 2654435761L + 40503L) % 1000003
+    val docs = rawDocs.toSeq.map { case (id, text) =>
+      (id, toks(text).length.toLong, mix(id) % 8)
+    }
+    val expect = docs.groupBy(_._3).flatMap { case (shard, rows) =>
+      rows.sortBy(r => (-r._2, r._1)).grouped(32).zipWithIndex.map {
+        case (batch, bi) =>
+          val maxT = batch.map(_._2).max
+          val sumT = batch.map(_._2).sum
+          val n = batch.size.toLong
+          val waste = n * maxT - sumT
+          (shard, bi.toLong, n, maxT, sumT, waste, waste * 1000000L / (n * maxT))
+      }
+    }.toSet
+    val got = run("q114_length_batching").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expect)
+    assert(got.toSeq.map(_._3).sum == rawDocs.size)
+  }
+
   test("q109 collapses the four planted URL variants of each page") {
     val expect = rawDocs.keySet.groupBy(_ / 4).map { case (pid, ids) =>
       (s"https://cdn.example.com/p/$pid", ids.min, ids.size.toLong, ids.size.toLong)
