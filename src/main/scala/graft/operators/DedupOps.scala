@@ -109,8 +109,14 @@ object DedupOps {
     * Candidates come from hash equi-joins on (band, band_value) instead
     * of an O(n²) nested loop; exact hamming verifies them. Shuffles on
     * the band value — same result set as [[simhashPairs]]. */
-  def simhashPairsBanded(sigs: DataFrame, idCol: String, sigCol: String,
-                         maxHamming: Int, bits: Int = 32): DataFrame = {
+  /** Pigeonhole band table for a simhash column: `maxHamming + 1`
+    * contiguous bit-bands per signature, so any pair within the Hamming
+    * budget MUST agree exactly on at least one band — candidate
+    * generation becomes an equi-join on `(band, bv)`, never a
+    * quadratic scan. Shared by the self-pair form below and the
+    * cross-set (benchmark-vs-corpus) decontamination join. */
+  def simhashBanded(sigs: DataFrame, idCol: String, sigCol: String,
+                    maxHamming: Int, bits: Int = 32): DataFrame = {
     val nBands = maxHamming + 1
     val width = bits / nBands
     val bandCols = (0 until nBands).map { i =>
@@ -120,9 +126,14 @@ object DedupOps {
       struct(lit(i).as("band"),
         expr(s"shiftright($sigCol, $lo) & ${mask}L").as("bv"))
     }
-    val banded = sigs.select(col(idCol), col(sigCol),
+    sigs.select(col(idCol), col(sigCol),
       explode(array(bandCols: _*)).as("b"))
       .select(col(idCol), col(sigCol), col("b.band"), col("b.bv"))
+  }
+
+  def simhashPairsBanded(sigs: DataFrame, idCol: String, sigCol: String,
+                         maxHamming: Int, bits: Int = 32): DataFrame = {
+    val banded = simhashBanded(sigs, idCol, sigCol, maxHamming, bits)
     val cands = banded
       .select(col(idCol).as("doc_a"), col(sigCol).as("sig_a"),
         col("band"), col("bv"))

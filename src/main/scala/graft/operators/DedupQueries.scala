@@ -522,6 +522,122 @@ object DedupQueries extends QueryModule {
         FROM b)
       SELECT doc_id, fp, dup_of_index, first_in_batch,
         (NOT dup_of_index) AND first_in_batch AS admitted
-      FROM m"""))
+      FROM m""")),
+
+    // fuzzy (near-dup) benchmark decontamination: the leakage q54's
+    // exact-shingle gate misses — a training doc that is a lightly
+    // edited copy of an eval doc. Corpus docs within SimHash Hamming
+    // distance <= 2 of ANY benchmark doc (benchmark = doc_id % 20 == 0,
+    // the q54 convention) are flagged with their hit count and closest
+    // distance. Candidates come from a CROSS-SET pigeonhole band join
+    // (3 bands for h<=2): each side is banded row-locally and the match
+    // is an equi-join on (band, bv) — linear in corpus size, no
+    // benchmark broadcast required (though Catalyst may choose one when
+    // the eval suite is small), no quadratic scan anywhere. The oracle
+    // replays the signature bit-for-bit (positional-md5 hash family)
+    // and brute-forces the tiny benchmark side.
+    Q("q115_fuzzy_decontam", (s, d) => {
+      import s.implicits._
+      val tokRows = t(s, d, "documents")
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      val sigs = DedupOps
+        .simhash32FromTokenRows(tokRows, "doc_id", "tok", "simhash")
+      val bench = DedupOps.simhashBanded(
+          sigs.filter($"doc_id" % 20 === 0), "doc_id", "simhash", maxHamming = 2)
+        .select($"doc_id".as("bench_id"), $"simhash".as("sig_b"), $"band", $"bv")
+      val corpus = DedupOps.simhashBanded(
+          sigs.filter($"doc_id" % 20 =!= 0), "doc_id", "simhash", maxHamming = 2)
+        .select($"doc_id", $"simhash".as("sig_c"), $"band", $"bv")
+      corpus.join(bench, Seq("band", "bv"))
+        .select($"doc_id", $"bench_id",
+          expr("bit_count(sig_c ^ sig_b)").as("h"))
+        .filter($"h" <= 2)
+        .distinct()
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bench_hits"),
+          min($"h").cast("long").as("min_hamming"))
+    }, Some(
+      s"""WITH sh AS ($simhashDuckSql),
+         |b AS (SELECT doc_id, simhash FROM sh WHERE doc_id % 20 = 0),
+         |c AS (SELECT doc_id, simhash FROM sh WHERE doc_id % 20 <> 0),
+         |m AS (
+         |  SELECT c.doc_id, b.doc_id AS bid,
+         |    bit_count(xor(c.simhash, b.simhash)) AS h
+         |  FROM c JOIN b ON bit_count(xor(c.simhash, b.simhash)) <= 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+         |  CAST(min(h) AS BIGINT) AS min_hamming
+         |FROM m GROUP BY 1""".stripMargin)),
+
+    // asymmetric containment (quote/subset) detection: the near-dup
+    // case symmetric Jaccard misses — a short doc quoted wholesale
+    // inside a much longer one has tiny Jaccard but containment ~1.
+    // Planted wholesale quotes (docs with id % 10 == 0 append their
+    // successor's full text — pair-specific content, so plant frequency
+    // is scale-invariant) are recovered via the inverted shingle index:
+    // candidate pairs share >= 5 distinct shingles whose document
+    // frequency is df-capped (2..20, the q103 hot-key convention —
+    // boilerplate shingles can't explode pair fan-out; under-counting
+    // hot shingles only makes the gate conservative). Containment is
+    // integer ppm against each side's FULL distinct-shingle size; the
+    // >= 0.8 gate fires in either direction. One shingle self-join on a
+    // df-bounded index + two size joins — linear at any corpus size.
+    Q("q116_quote_containment", (s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents").select($"doc_id", $"text")
+      val donors = base.select(($"doc_id" - 1).as("doc_id"),
+        $"text".as("donor"))
+      val planted = base.join(donors, Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"doc_id" % 10 === 0 && $"donor".isNotNull,
+            concat($"text", lit(" "), $"donor")).otherwise($"text").as("text"))
+      val sr = TextOps.shingleRows(planted, "doc_id", "text")
+        .select($"doc_id", $"shingle").distinct()
+      val sizes = sr.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val dfs = sr.groupBy($"shingle").agg(count(lit(1)).as("sdf"))
+      val rare = sr.join(dfs.filter($"sdf" >= 2 && $"sdf" <= 20), "shingle")
+      val inter = rare.select($"doc_id".as("doc_a"), $"shingle")
+        .join(rare.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+        .filter($"inter" >= 5)
+      inter
+        .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sza")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("szb")), "doc_b")
+        .withColumn("cont_ab_ppm", expr("inter * 1000000 div sza"))
+        .withColumn("cont_ba_ppm", expr("inter * 1000000 div szb"))
+        .filter($"cont_ab_ppm" >= 800000 || $"cont_ba_ppm" >= 800000)
+        .select($"doc_a", $"doc_b", $"inter".cast("long").as("inter"),
+          $"cont_ab_ppm", $"cont_ba_ppm")
+    }, Some("""
+      WITH base AS (SELECT doc_id, text FROM documents),
+      pl AS (
+        SELECT b.doc_id,
+          CASE WHEN b.doc_id % 10 = 0 AND d.donor IS NOT NULL
+               THEN b.text || ' ' || d.donor ELSE b.text END AS text
+        FROM base b
+        LEFT JOIN (SELECT doc_id - 1 AS doc_id, text AS donor FROM base) d
+          USING (doc_id)),
+      toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+               FROM pl),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+             FROM toks),
+      szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      dfs AS (SELECT shingle, count(*) AS sdf FROM sh GROUP BY 1),
+      rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfs USING (shingle)
+               WHERE sdf BETWEEN 2 AND 20),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter,
+        CAST(i.inter * 1000000 // sa.sz AS BIGINT) AS cont_ab_ppm,
+        CAST(i.inter * 1000000 // sb.sz AS BIGINT) AS cont_ba_ppm
+      FROM inter i
+      JOIN szs sa ON sa.doc_id = i.doc_a
+      JOIN szs sb ON sb.doc_id = i.doc_b
+      WHERE i.inter * 1000000 // sa.sz >= 800000
+         OR i.inter * 1000000 // sb.sz >= 800000"""))
   )
 }

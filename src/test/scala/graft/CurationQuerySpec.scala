@@ -419,6 +419,56 @@ class CurationQuerySpec extends AnyFunSuite {
     assert(got.toSeq.map(_._3).sum == rawDocs.size)
   }
 
+  test("q115 equals a brute-force cross check on the engine's own signatures") {
+    import org.apache.spark.sql.functions._
+    val tokRows = graft.catalog.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
+    val sigs = graft.operators.DedupOps
+      .simhash32FromTokenRows(tokRows, "doc_id", "tok", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bench = sigs.filter(_._1 % 20 == 0)
+    val expect = sigs.filter(_._1 % 20 != 0).flatMap { case (id, sc) =>
+      val hs = bench.values.map(sb => java.lang.Long.bitCount(sc ^ sb))
+        .filter(_ <= 2).toSeq
+      if (hs.nonEmpty) Some((id, hs.size.toLong, hs.min.toLong)) else None
+    }.toSet
+    val got = run("q115_fuzzy_decontam").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("q116 matches a direct containment recomputation and finds planted quotes") {
+    val planted = rawDocs.map { case (id, text) =>
+      id -> (if (id % 10 == 0 && rawDocs.contains(id + 1))
+               text + " " + rawDocs(id + 1)
+             else text)
+    }
+    val shingles = planted.map { case (id, text) =>
+      val ts = toks(text)
+      id -> ts.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val dfs = shingles.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val rare = shingles.map { case (id, ss) =>
+      id -> ss.filter(sh => dfs(sh) >= 2 && dfs(sh) <= 20)
+    }
+    val ids = rare.keys.toSeq.sorted
+    val expect = (for {
+      a <- ids; b <- ids if a < b
+      inter = (rare(a) & rare(b)).size.toLong if inter >= 5
+      cab = inter * 1000000L / shingles(a).size
+      cba = inter * 1000000L / shingles(b).size
+      if cab >= 800000L || cba >= 800000L
+    } yield (a, b, inter, cab, cba)).toSet
+    val got = run("q116_quote_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expect)
+    assert(got.exists { case (a, b, _, _, cba) =>
+      a % 10 == 0 && b == a + 1 && cba == 1000000L
+    })
+  }
+
   test("q109 collapses the four planted URL variants of each page") {
     val expect = rawDocs.keySet.groupBy(_ / 4).map { case (pid, ids) =>
       (s"https://cdn.example.com/p/$pid", ids.min, ids.size.toLong, ids.size.toLong)
