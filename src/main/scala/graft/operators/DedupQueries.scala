@@ -638,6 +638,58 @@ object DedupQueries extends QueryModule {
       JOIN szs sa ON sa.doc_id = i.doc_a
       JOIN szs sb ON sb.doc_id = i.doc_b
       WHERE i.inter * 1000000 // sa.sz >= 800000
-         OR i.inter * 1000000 // sb.sz >= 800000"""))
+         OR i.inter * 1000000 // sb.sz >= 800000""")),
+
+    // bag-of-words (order-insensitive) dedup: catches token-shuffled
+    // copies that exact-text dedup (q32) misses — plagiarized/reordered
+    // paragraphs hash differently but carry the identical token
+    // multiset. Planted: docs with id % 25 == 0 become a token-REVERSED
+    // copy of their successor (pair-specific content — plant frequency
+    // is scale-invariant), so each plant groups with its successor
+    // under the bag fingerprint while their exact fingerprints differ.
+    // The fingerprint is row-local (sort_array over the token multiset
+    // then md5 — both engines sort strings by binary collation), so the
+    // whole query is one map-side-combined agg on the fp key; no joins,
+    // no windows, linear at any corpus size.
+    Q("q117_bow_dedup", (s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents").select($"doc_id", $"text")
+      val donors = base.select(($"doc_id" - 1).as("doc_id"),
+        $"text".as("donor"))
+      val planted = base.join(donors, Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"doc_id" % 25 === 0 && $"donor".isNotNull,
+            concat_ws(" ", reverse(TextOps.tokens($"donor"))))
+            .otherwise($"text").as("text"))
+      planted
+        .select($"doc_id",
+          md5(concat_ws(" ", sort_array(TextOps.tokens($"text")))).as("bow_fp"),
+          md5($"text").as("exact_fp"))
+        .groupBy($"bow_fp")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          countDistinct($"exact_fp").cast("long").as("n_exact_variants"),
+          min($"doc_id").as("canonical_id"))
+        .filter($"n_docs" >= 2)
+    }, Some("""
+      WITH base AS (SELECT doc_id, text FROM documents),
+      pl AS (
+        SELECT b.doc_id,
+          CASE WHEN b.doc_id % 25 = 0 AND d.donor IS NOT NULL
+               THEN array_to_string(
+                      list_reverse(string_split_regex(trim(d.donor), '\s+')), ' ')
+               ELSE b.text END AS text
+        FROM base b
+        LEFT JOIN (SELECT doc_id - 1 AS doc_id, text AS donor FROM base) d
+          USING (doc_id)),
+      f AS (
+        SELECT doc_id,
+          md5(array_to_string(list_sort(string_split_regex(trim(text), '\s+')), ' '))
+            AS bow_fp,
+          md5(text) AS exact_fp
+        FROM pl)
+      SELECT bow_fp, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT exact_fp) AS BIGINT) AS n_exact_variants,
+        min(doc_id) AS canonical_id
+      FROM f GROUP BY 1 HAVING count(*) >= 2"""))
   )
 }

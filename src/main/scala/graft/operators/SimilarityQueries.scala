@@ -641,6 +641,42 @@ object SimilarityQueries extends QueryModule {
               row_number() OVER (PARTITION BY query_id
                                  ORDER BY sim DESC, neighbor_id ASC) AS rnk
             FROM rr)
-      WHERE rnk <= 5"""))
+      WHERE rnk <= 5""")),
+
+    // distributed k-means M-step (centroid accumulation): per (label,
+    // dimension) the component sum and member count — the numerator/
+    // denominator pair every cluster-update or per-source embedding
+    // diagnostic needs. DIVISION-FREE on purpose: emitting sum + count
+    // avoids cross-engine integer-division semantics entirely (Spark
+    // `div` truncates toward zero, DuckDB `//` floors — they disagree
+    // on negative sums, and component sums ARE negative); consumers
+    // divide in their own numeric domain. Each component is quantized
+    // row-locally to milli-units (float -> exact double -> floor, the
+    // engine-identical path), so the per-(label,dim) sums are pure
+    // integer adds — order-independent across partitionings. One
+    // posexplode (rows = n x 64) + ONE map-side-combined shuffle on
+    // (label, dim); output is labels x dims — model-sized at any
+    // corpus size.
+    Q("q118_centroid_accum", (s, d) => {
+      import s.implicits._
+      t(s, d, "embeddings")
+        .select($"label".cast("long").as("label"),
+          posexplode($"embedding").as(Seq("i", "comp")))
+        .select($"label", $"i".cast("long").as("dim"),
+          floor($"comp".cast("double") * 1000).cast("long").as("milli"))
+        .groupBy($"label", $"dim")
+        .agg(sum($"milli").cast("long").as("sum_milli"),
+          count(lit(1)).cast("long").as("n_vecs"))
+    }, Some("""
+      WITH e AS (
+        SELECT CAST(label AS BIGINT) AS label,
+          generate_subscripts(embedding, 1) - 1 AS dim,
+          unnest(embedding) AS comp
+        FROM embeddings)
+      SELECT label, CAST(dim AS BIGINT) AS dim,
+        CAST(sum(CAST(floor(CAST(comp AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+          AS sum_milli,
+        CAST(count(*) AS BIGINT) AS n_vecs
+      FROM e GROUP BY 1, 2"""))
   )
 }

@@ -469,6 +469,50 @@ class CurationQuerySpec extends AnyFunSuite {
     })
   }
 
+  test("q117 groups token-reversed plants with their donors; matches recompute") {
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val planted = rawDocs.map { case (id, text) =>
+      id -> (if (id % 25 == 0 && rawDocs.contains(id + 1))
+               toks(rawDocs(id + 1)).reverse.mkString(" ")
+             else text)
+    }
+    val expect = planted.toSeq
+      .map { case (id, text) =>
+        (md5hex(toks(text).sorted.mkString(" ")), id, md5hex(text))
+      }
+      .groupBy(_._1)
+      .collect { case (bfp, rows) if rows.size >= 2 =>
+        (bfp, rows.size.toLong, rows.map(_._3).distinct.size.toLong,
+          rows.map(_._2).min)
+      }.toSet
+    val got = run("q117_bow_dedup").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    // at least one planted reversal groups with its donor under the bag fp
+    val plantGroups = planted.toSeq.filter { case (id, _) =>
+      id % 25 == 0 && rawDocs.contains(id + 1)
+    }.map { case (id, text) => md5hex(toks(text).sorted.mkString(" ")) }
+    assert(got.exists(g => plantGroups.contains(g._1) && g._3 >= 2))
+  }
+
+  test("q118 centroid sums match a direct per-(label,dim) recomputation") {
+    val vecs = graft.catalog.Tables.t(spark, sf, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Float](1)))
+    val expect = vecs.flatMap { case (label, emb) =>
+      emb.zipWithIndex.map { case (c, i) =>
+        ((label, i.toLong), math.floor(c.toDouble * 1000).toLong)
+      }
+    }.groupBy(_._1).map { case ((label, dim), xs) =>
+      (label, dim, xs.map(_._2).sum, xs.size.toLong)
+    }.toSet
+    val got = run("q118_centroid_accum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+  }
+
   test("q109 collapses the four planted URL variants of each page") {
     val expect = rawDocs.keySet.groupBy(_ / 4).map { case (pid, ids) =>
       (s"https://cdn.example.com/p/$pid", ids.min, ids.size.toLong, ids.size.toLong)
