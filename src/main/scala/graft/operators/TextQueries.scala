@@ -497,6 +497,53 @@ object TextQueries extends QueryModule {
             FROM ex GROUP BY 1)
       SELECT pair, cnt, CAST(rk AS BIGINT) AS rk FROM (
         SELECT *, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rk FROM p)
-      WHERE rk <= 20"""))
+      WHERE rk <= 20""")),
+
+    // hourly event-rate anomaly detection: flag hours whose count is
+    // more than 3 sigma from the trailing-24h mean per event type — the
+    // ingest-observability alarm a crawl/telemetry pipeline runs. The
+    // 3-sigma gate is EXACT integer arithmetic: (x-mu)^2 > 9*sigma^2
+    // multiplied through by n^2 becomes (n*x - s1)^2 > 9*(n*s2 - s1^2)
+    // over windowed integer sums — no float mean/stddev, no rounding,
+    // engine-identical. Scale: the hourly pre-agg collapses the event
+    // stream to (types x hours) rows first (map-side combine); the
+    // window frame is a bounded 24 rows, partitioned by event type, and
+    // a type's series length grows with retention time (~9k rows/year),
+    // not with event volume — never a corpus-sized sort.
+    Q("q119_rate_anomaly", (s, d) => {
+      import s.implicits._
+      val hourly = t(s, d, "events")
+        .select($"event_type", date_trunc("hour", $"ts").as("h"))
+        .groupBy($"event_type", $"h").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"event_type").orderBy($"h")
+        .rowsBetween(-24, -1)
+      hourly
+        .withColumn("n_prev", count($"cnt").over(w))
+        .withColumn("s1", sum($"cnt").over(w))
+        .withColumn("s2", sum($"cnt" * $"cnt").over(w))
+        .filter($"n_prev" >= 12)
+        .select($"event_type",
+          date_format($"h", "yyyy-MM-dd HH:00:00").as("hour"),
+          $"cnt".cast("long").as("cnt"),
+          $"n_prev".cast("long").as("n_prev"),
+          (($"n_prev" * $"cnt" - $"s1") * ($"n_prev" * $"cnt" - $"s1") >
+            lit(9) * ($"n_prev" * $"s2" - $"s1" * $"s1")).as("is_anomaly"))
+    }, Some("""
+      WITH hc AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      w AS (
+        SELECT event_type, h, cnt,
+          count(cnt) OVER win AS n_prev,
+          sum(cnt) OVER win AS s1,
+          sum(cnt * cnt) OVER win AS s2
+        FROM hc
+        WINDOW win AS (PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, strftime(h, '%Y-%m-%d %H:00:00') AS hour,
+        CAST(cnt AS BIGINT) AS cnt, CAST(n_prev AS BIGINT) AS n_prev,
+        (n_prev * cnt - s1) * (n_prev * cnt - s1) > 9 * (n_prev * s2 - s1 * s1)
+          AS is_anomaly
+      FROM w WHERE n_prev >= 12"""))
   )
 }

@@ -513,6 +513,36 @@ class CurationQuerySpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q119 anomaly flags equal the exact integer 3-sigma gate over trailing counts") {
+    val hours = graft.catalog.Tables.t(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.date_trunc("hour",
+          org.apache.spark.sql.functions.col("ts")).as("h"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)))
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:00:00")
+    val counts = hours.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = counts.keys.toSeq.map(_._1).distinct.flatMap { et =>
+      val series = counts.filter(_._1._1 == et).toSeq
+        .map { case ((_, h), c) => (h, c) }.sortBy(_._1.getTime)
+      series.zipWithIndex.flatMap { case ((h, x), i) =>
+        val prev = series.slice(math.max(0, i - 24), i).map(_._2)
+        val n = prev.size.toLong
+        if (n >= 12) {
+          val s1 = prev.sum
+          val s2 = prev.map(c => c * c).sum
+          val lhs = (n * x - s1) * (n * x - s1)
+          val rhs = 9L * (n * s2 - s1 * s1)
+          Some((et, fmt.format(h), x, n, lhs > rhs))
+        } else None
+      }
+    }.toSet
+    val got = run("q119_rate_anomaly").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("q109 collapses the four planted URL variants of each page") {
     val expect = rawDocs.keySet.groupBy(_ / 4).map { case (pid, ids) =>
       (s"https://cdn.example.com/p/$pid", ids.min, ids.size.toLong, ids.size.toLong)
