@@ -760,6 +760,57 @@ object CorpusQueries extends QueryModule {
              ELSE 'test' END AS split
       FROM h""")),
 
+    // train/holdout n-gram coverage: after the q84 hash split, what
+    // fraction of each language's held-out bigrams also occur in its
+    // training split — the generalization sanity report an eval-prep
+    // pipeline logs (coverage ~1 means the val loss measures recall of
+    // seen constructions; low coverage warns of a skewed split). Both
+    // sides collapse to DISTINCT (lang, bigram) first (map-side
+    // combine), then ONE vocabulary-keyed left join — no broadcast
+    // (both sides grow with the corpus), no windows; cov_ppm is integer
+    // floor-division. Split assignment is the q84 seeded hashMix — a
+    // pure row function.
+    Q("q120_split_ngram_coverage", (s, d) => {
+      import s.implicits._
+      val hm = CorpusOps.hashMix($"doc_id", 1000L)
+      val docs = t(s, d, "documents")
+        .select($"doc_id", $"lang", (hm < 980).as("is_train"), $"text")
+      val big = TextOps.shingleRows(docs, "doc_id", "text", n = 2)
+        .join(docs.select($"doc_id", $"lang", $"is_train"), "doc_id")
+        .select($"lang", $"is_train", $"shingle".as("bigram"))
+      val train = big.filter($"is_train")
+        .select($"lang", $"bigram").distinct()
+        .withColumn("in_train", lit(true))
+      val hold = big.filter(!$"is_train")
+        .select($"lang", $"bigram").distinct()
+      hold.join(train, Seq("lang", "bigram"), "left")
+        .groupBy($"lang")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          sum(when($"in_train", 1L).otherwise(0L)).cast("long").as("n_covered"))
+        .withColumn("cov_ppm", expr("n_covered * 1000000 div n_bigrams"))
+    }, Some("""
+      WITH h AS (
+        SELECT doc_id, lang, text,
+          ((((doc_id % 1000003) + 1000003) % 1000003 * 2654435761 + 40503)
+             % 1000 + 1000) % 1000 < 980 AS is_train
+        FROM documents),
+      tk AS (SELECT doc_id, lang, is_train,
+               string_split_regex(trim(text), '\s+') AS toks
+             FROM h),
+      bg AS (SELECT lang, is_train,
+               unnest(list_transform(range(1, greatest(len(toks), 1)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS bigram
+             FROM tk),
+      tr AS (SELECT DISTINCT lang, bigram FROM bg WHERE is_train),
+      ho AS (SELECT DISTINCT lang, bigram FROM bg WHERE NOT is_train)
+      SELECT ho.lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+        CAST(sum(CASE WHEN tr.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_covered,
+        CAST(sum(CASE WHEN tr.bigram IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+               // count(*) AS BIGINT) AS cov_ppm
+      FROM ho LEFT JOIN tr ON tr.lang = ho.lang AND tr.bigram = ho.bigram
+      GROUP BY 1""")),
+
     // per-source quality calibration: each document's quality expressed
     // as its percentile WITHIN its source (heterogeneous sources score
     // on incomparable scales; mixing on raw scores over-drops whole

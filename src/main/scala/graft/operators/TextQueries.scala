@@ -544,6 +544,73 @@ object TextQueries extends QueryModule {
         CAST(cnt AS BIGINT) AS cnt, CAST(n_prev AS BIGINT) AS n_prev,
         (n_prev * cnt - s1) * (n_prev * cnt - s1) > 9 * (n_prev * s2 - s1 * s1)
           AS is_anomaly
-      FROM w WHERE n_prev >= 12"""))
+      FROM w WHERE n_prev >= 12""")),
+
+    // PMI collocation mining (phrase discovery): top-20 adjacent token
+    // pairs by pointwise mutual information with a minimum-count gate —
+    // the phrase-vocabulary step of tokenizer/corpus analysis.
+    // Exactness: the PMI ratio is evaluated as ONE double expression
+    // with every count explicitly cast to double BEFORE any multiply
+    // (so nothing overflows at corpus scale and both engines evaluate
+    // the identical IEEE tree), then floor-quantized ONCE to integer
+    // nano-nats; ordering ties break on the bigram string. Scale:
+    // bigram/unigram counts are map-side-combined aggs; the
+    // unigram-count joins are vocabulary-keyed (never broadcast); the
+    // grand total is a 1-row broadcast; top-20 via the 64-bucket
+    // prefilter + bounded final (both lower to TopKPerKeyExec).
+    Q("q121_collocations", (s, d) => {
+      import s.implicits._
+      graft.plans.GraftPlanner.install(s)
+      val docs = t(s, d, "documents")
+      val bg = TextOps.shingleRows(docs, "doc_id", "text", n = 2)
+        .groupBy($"shingle".as("bigram")).agg(count(lit(1)).as("cab"))
+      val uni = docs
+        .select(explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("c"))
+      val nn = bg.agg(sum($"cab").as("nb"))
+      val scored = bg
+        .filter($"cab" >= 5)
+        .withColumn("a", split($"bigram", " ").getItem(0))
+        .withColumn("b", split($"bigram", " ").getItem(1))
+        .join(uni.select($"tok".as("a"), $"c".as("ca")), "a")
+        .join(uni.select($"tok".as("b"), $"c".as("cb")), "b")
+        .join(broadcast(nn))
+        .withColumn("pmi_nano",
+          floor(log(($"cab".cast("double") * $"nb".cast("double"))
+            / ($"ca".cast("double") * $"cb".cast("double"))) * 1000000000d)
+            .cast("long"))
+      val ord = Seq($"pmi_nano".desc, $"bigram".asc)
+      val wB = Window.partitionBy(pmod(hash($"bigram"), lit(64))).orderBy(ord: _*)
+      val wG = Window.orderBy(ord: _*)
+      scored
+        .withColumn("brk", row_number().over(wB)).filter($"brk" <= 20)
+        .withColumn("rk", row_number().over(wG)).filter($"rk" <= 20)
+        .select($"bigram", $"cab".cast("long").as("cab"), $"pmi_nano",
+          $"rk".cast("long").as("rk"))
+    }, Some("""
+      WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents),
+      bg AS (SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS bigram
+             FROM tk),
+      bc AS (SELECT bigram, count(*) AS cab FROM bg GROUP BY 1),
+      uni AS (SELECT unnest(toks) AS tok FROM tk),
+      uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+      nb AS (SELECT sum(cab) AS nb FROM bc),
+      sc AS (
+        SELECT bc.bigram, bc.cab,
+          CAST(floor(ln((CAST(bc.cab AS DOUBLE) * CAST(nb.nb AS DOUBLE))
+                 / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)))
+               * 1000000000) AS BIGINT) AS pmi_nano
+        FROM bc
+        JOIN uc ca ON ca.tok = string_split(bc.bigram, ' ')[1]
+        JOIN uc cb ON cb.tok = string_split(bc.bigram, ' ')[2]
+        CROSS JOIN nb
+        WHERE bc.cab >= 5)
+      SELECT bigram, CAST(cab AS BIGINT) AS cab, pmi_nano,
+        CAST(rk AS BIGINT) AS rk FROM (
+        SELECT *, row_number() OVER (ORDER BY pmi_nano DESC, bigram ASC) AS rk
+        FROM sc)
+      WHERE rk <= 20"""))
   )
 }

@@ -543,6 +543,48 @@ class CurationQuerySpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q120 coverage equals a direct split + bigram-set recomputation") {
+    def mix(id: Long) = ((id % 1000003) * 2654435761L + 40503L) % 1000L
+    def bigrams(text: String) =
+      toks(text).sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    val langOf = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byLang = rawDocs.toSeq.groupBy { case (id, _) => langOf(id) }
+    val expect = byLang.flatMap { case (lang, docs) =>
+      val train = docs.filter(d => mix(d._1) < 980).flatMap(d => bigrams(d._2)).toSet
+      val hold = docs.filter(d => mix(d._1) >= 980).flatMap(d => bigrams(d._2)).toSet
+      if (hold.isEmpty) None
+      else {
+        val cov = hold.count(train.contains).toLong
+        Some((lang, hold.size.toLong, cov, cov * 1000000L / hold.size))
+      }
+    }.toSet
+    val got = run("q120_split_ngram_coverage").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("q121 PMI top-20 matches a direct recomputation") {
+    val bigs = rawDocs.values.toSeq
+      .flatMap(t => toks(t).sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+    val cab = bigs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val uni = rawDocs.values.toSeq.flatMap(toks)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nb = bigs.size.toLong
+    val expect = cab.toSeq.filter(_._2 >= 5).map { case (bg, c) =>
+      val Array(a, b) = bg.split(" ", 2)
+      val pmi = math.floor(math.log((c.toDouble * nb.toDouble) /
+        (uni(a).toDouble * uni(b).toDouble)) * 1e9).toLong
+      (bg, c, pmi)
+    }.sortBy(r => (-r._3, r._1)).take(20).zipWithIndex
+      .map { case ((bg, c, p), i) => (bg, c, p, i + 1L) }.toSet
+    val got = run("q121_collocations").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+  }
+
   test("q109 collapses the four planted URL variants of each page") {
     val expect = rawDocs.keySet.groupBy(_ / 4).map { case (pid, ids) =>
       (s"https://cdn.example.com/p/$pid", ids.min, ids.size.toLong, ids.size.toLong)

@@ -48,6 +48,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q108_tfidf_keywords" -> "1-row corpus-doc-count broadcast for idf",
     "q110_quantile_sketch" -> "constant 4-row quantile-list broadcast",
     "q112_bm25_retrieval" -> "1-row corpus-stats (N, avgdl) broadcast",
+    "q121_collocations" -> "1-row bigram-total broadcast for PMI",
     "q102_bigram_logprob" -> "1-row corpus-total broadcast",
     "q87_hll_relational" -> "1-row register-mass/cardinality broadcast",
     "q95_histogram" -> "1-row min/max bounds broadcast for bucket width",
