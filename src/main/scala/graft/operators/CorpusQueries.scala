@@ -1188,6 +1188,47 @@ object CorpusQueries extends QueryModule {
          |SELECT l.doc_id, l.cluster_id, q.qb,
          |  row_number() OVER (PARTITION BY l.cluster_id
          |                     ORDER BY q.qb DESC, l.doc_id ASC) = 1 AS kept
-         |FROM lab l JOIN q USING (doc_id)""".stripMargin))
+         |FROM lab l JOIN q USING (doc_id)""".stripMargin)),
+
+    // weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    // per language keep the 10 docs with the largest priority u^(1/w),
+    // w = n_chars — the "sample long documents proportionally more,
+    // but never twice" primitive behind size-weighted corpus ablations.
+    // u is a deterministic uniform from the seeded hashMix (a pure row
+    // function — replays across runs/engines/repartitionings, unlike
+    // rand()), mapped to (0,1) as (2*mix+1)/2e6ish so it is never 0 or
+    // 1. Ranking uses the monotone-equivalent ln(u)/w, floor-quantized
+    // ONCE to integer nano units (engine-identical IEEE tree), doc_id
+    // tie-break. The per-language top-10 is a declarative row_number
+    // window that lowers to TopKPerKeyExec's bounded k-buffer — one
+    // shuffle on lang, no per-language sort however hot the language.
+    Q("q122_weighted_sample", (s, d) => {
+      import s.implicits._
+      graft.plans.GraftPlanner.install(s)
+      val mix = CorpusOps.hashMix($"doc_id", 1000003L)
+      val key = floor(log((mix * 2 + 1).cast("double") / lit(2000006.0d))
+        / $"n_chars".cast("double") * 1000000000d).cast("long")
+      val w = Window.partitionBy($"lang").orderBy($"es_key_nano".desc, $"doc_id".asc)
+      t(s, d, "documents")
+        .select($"doc_id", $"lang", $"n_chars", key.as("es_key_nano"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 10)
+        .select($"doc_id", $"lang", $"n_chars".cast("long").as("n_chars"),
+          $"es_key_nano", $"__rk".cast("long").as("rk"))
+    }, Some("""
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        es_key_nano, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT doc_id, lang, n_chars, es_key_nano,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY es_key_nano DESC, doc_id ASC) AS rk
+        FROM (
+          SELECT doc_id, lang, n_chars,
+            CAST(floor(ln(CAST((((((doc_id % 1000003) + 1000003) % 1000003
+                     * 2654435761 + 40503) % 1000003 + 1000003) % 1000003
+                     * 2 + 1) AS DOUBLE) / CAST(2000006 AS DOUBLE))
+                 / CAST(n_chars AS DOUBLE) * 1000000000) AS BIGINT)
+              AS es_key_nano
+          FROM documents))
+      WHERE rk <= 10"""))
   )
 }

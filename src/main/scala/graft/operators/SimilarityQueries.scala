@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.catalog.{Q, QueryModule, Stats, Tables}
 
@@ -677,6 +678,84 @@ object SimilarityQueries extends QueryModule {
         CAST(sum(CAST(floor(CAST(comp AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
           AS sum_milli,
         CAST(count(*) AS BIGINT) AS n_vecs
-      FROM e GROUP BY 1, 2"""))
+      FROM e GROUP BY 1, 2""")),
+
+    // nearest-centroid classification report: train per-label centroids
+    // on the even vec_ids (the q118 milli-quantized accumulation —
+    // integer sums, then ONE double division), classify the odd held-out
+    // half by arg-min squared-L2 distance to the centroids, and report
+    // per-label accuracy — the embedding-space sanity check a labeling /
+    // clustering pipeline runs before trusting its labels. Exactness:
+    // each (x_i - c_i)^2 term is floor-quantized to pico units BEFORE
+    // the per-(vec,label) sum, so the sums are order-independent integer
+    // adds (identical across partitionings and engines); arg-min
+    // tie-breaks on label. Scale: the centroid frame is model-sized
+    // (labels x dims) and broadcast; the distance agg is one shuffle on
+    // (vec, label); the arg-min window is bounded by the label count per
+    // vec; the report is label-count-sized.
+    Q("q123_nearest_centroid", (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val cent = emb.filter($"vec_id" % 2 === 0)
+        .select($"label".cast("long").as("label"),
+          posexplode($"embedding").as(Seq("i", "comp")))
+        .select($"label", $"i".cast("long").as("dim"),
+          floor($"comp".cast("double") * 1000).cast("long").as("milli"))
+        .groupBy($"label", $"dim")
+        .agg((sum($"milli").cast("double")
+          / (count(lit(1)) * 1000L).cast("double")).as("c"))
+      val test = emb.filter($"vec_id" % 2 === 1)
+        .select($"vec_id", $"label".cast("long").as("true_label"),
+          posexplode($"embedding").as(Seq("i", "comp")))
+        .select($"vec_id", $"true_label", $"i".cast("long").as("dim"),
+          $"comp".cast("double").as("x"))
+      val dist = test.join(broadcast(cent), "dim")
+        .withColumn("t",
+          floor(($"x" - $"c") * ($"x" - $"c") * 1000000000000d).cast("long"))
+        .groupBy($"vec_id", $"true_label", $"label")
+        .agg(sum($"t").as("d2"))
+      val w = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"label".asc)
+      dist.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .groupBy($"true_label")
+        .agg(count(lit(1)).cast("long").as("n_test"),
+          sum(when($"label" === $"true_label", 1L).otherwise(0L))
+            .cast("long").as("n_correct"))
+        .select($"true_label".as("label"), $"n_test", $"n_correct",
+          expr("n_correct * 1000000 div n_test").as("acc_ppm"))
+    }, Some("""
+      WITH tr AS (
+        SELECT CAST(label AS BIGINT) AS label,
+          generate_subscripts(embedding, 1) - 1 AS dim,
+          unnest(embedding) AS comp
+        FROM embeddings WHERE vec_id % 2 = 0),
+      cent AS (
+        SELECT label, dim,
+          CAST(sum(CAST(floor(CAST(comp AS DOUBLE) * 1000) AS BIGINT)) AS DOUBLE)
+            / CAST(count(*) * 1000 AS DOUBLE) AS c
+        FROM tr GROUP BY 1, 2),
+      te AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+          generate_subscripts(embedding, 1) - 1 AS dim,
+          CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings WHERE vec_id % 2 = 1),
+      dist AS (
+        SELECT te.vec_id, te.true_label, cent.label,
+          sum(CAST(floor((te.x - cent.c) * (te.x - cent.c) * 1000000000000)
+                AS BIGINT)) AS d2
+        FROM te JOIN cent ON cent.dim = te.dim
+        GROUP BY 1, 2, 3),
+      pred AS (
+        SELECT vec_id, true_label, label AS pred_label FROM (
+          SELECT vec_id, true_label, label,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2 ASC, label ASC) AS rn
+          FROM dist)
+        WHERE rn = 1)
+      SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n_test,
+        CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_correct,
+        CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+          * 1000000 // count(*) AS BIGINT) AS acc_ppm
+      FROM pred GROUP BY 1"""))
   )
 }

@@ -585,6 +585,30 @@ class CurationQuerySpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q122 A-ES sample matches a direct priority recomputation and favors long docs") {
+    val meta = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def keyNano(id: Long, w: Long) = {
+      val mix = ((id % 1000003L) * 2654435761L + 40503L) % 1000003L
+      math.floor(math.log((mix * 2 + 1).toDouble / 2000006.0) / w * 1e9).toLong
+    }
+    val expect = meta.groupBy(_._2).toSeq.flatMap { case (lang, docs) =>
+      docs.toSeq.map { case (id, _, w) => (id, lang, w, keyNano(id, w)) }
+        .sortBy(r => (-r._4, r._1)).take(10).zipWithIndex
+        .map { case ((id, l, w, k), i) => (id, l, w, k, i + 1L) }
+    }.toSet
+    val got = run("q122_weighted_sample").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expect)
+    // weighting sanity: sampled docs skew longer than the corpus median
+    val med = meta.map(_._3).sorted.apply(meta.length / 2)
+    val sampledMed = got.toSeq.map(_._3).sorted.apply(got.size / 2)
+    assert(sampledMed >= med,
+      s"weighted sample median length $sampledMed < corpus median $med")
+  }
+
   test("q109 collapses the four planted URL variants of each page") {
     val expect = rawDocs.keySet.groupBy(_ / 4).map { case (pid, ids) =>
       (s"https://cdn.example.com/p/$pid", ids.min, ids.size.toLong, ids.size.toLong)

@@ -11,6 +11,8 @@ class SimilaritySpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
   test("bruteForceTopK finds the constructed nearest neighbor first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
@@ -370,5 +372,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r16 >= 0.2, s"PQ recall@1 with 16 candidates too low: $r16")
     assert(r64 >= r16, s"recall must not degrade with a larger shortlist: $r64 < $r16")
     assert(r64 >= 0.5, s"PQ recall@1 with 64 candidates too low: $r64")
+  }
+
+  test("q123 nearest-centroid report matches a direct recomputation") {
+    val rows = graft.catalog.Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Float](2).toArray))
+    val train = rows.filter(_._1 % 2 == 0)
+    val test0 = rows.filter(_._1 % 2 == 1)
+    val dims = rows.head._3.length
+    val cent: Map[Long, Array[Double]] = train.groupBy(_._2).map { case (l, vs) =>
+      val c = Array.tabulate(dims) { i =>
+        vs.map(v => math.floor(v._3(i).toDouble * 1000).toLong).sum.toDouble /
+          (vs.length * 1000L).toDouble
+      }
+      l -> c
+    }
+    val labels = cent.keys.toSeq.sorted
+    def predict(v: Array[Float]): Long =
+      labels.map { l =>
+        val c = cent(l)
+        val d2 = (0 until dims).map { i =>
+          val t = v(i).toDouble - c(i)
+          math.floor(t * t * 1e12).toLong
+        }.sum
+        (d2, l)
+      }.min._2
+    val expect = test0.groupBy(_._2).map { case (l, vs) =>
+      val nc = vs.count(v => predict(v._3) == l).toLong
+      (l, vs.length.toLong, nc, nc * 1000000L / vs.length)
+    }.toSet
+    val got = run("q123_nearest_centroid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    // the testdata labels are NOT embedding-correlated, so accuracy sits
+    // at the 1/|labels| chance rate — the report's job is to SURFACE
+    // that; assert the partition is complete instead
+    assert(got.toSeq.map(_._2).sum == test0.length.toLong)
+    assert(got.forall { case (_, n, c, ppm) =>
+      c <= n && ppm == c * 1000000L / n })
   }
 }
