@@ -514,6 +514,109 @@ object ExtensionQueries extends QueryModule {
             GROUP BY 1, 2, 3)
       SELECT lang, CAST(q_pct AS BIGINT) AS q_pct, CAST(n AS BIGINT) AS n,
         exact_q, TRUE AS within_bound
-      FROM e"""))
+      FROM e""")),
+
+    // Misra-Gries heavy hitters (deterministic-guarantee sketch): the
+    // constant-memory counterpart of count-min (q86) — at most k=16
+    // counters at ANY corpus size, mergeable across partitions, with
+    // PROVABLE (not probabilistic) invariants: never overcounts,
+    // undercounts by at most n/(k+1), and every token with
+    // true count > n/(k+1) is present. The summary CONTENT can vary
+    // with merge order, so — q43-style — the oracled result emits the
+    // exact counts plus gate flags the invariants force TRUE, and the
+    // probe set is the exact top-10 (deterministic tie-break). All gate
+    // arithmetic is integer (cnt*(k+1) > n; bound = n div (k+1)).
+    // Scale: the Aggregator rides Spark's partial-agg machinery
+    // (constant state map-side, one constant-size merge); probes via
+    // the bucketed-prefilter top-K; sketch+total is a 1-row broadcast.
+    Q("q124_mg_heavy_hitters", (s, d) => {
+      import s.implicits._
+      graft.plans.GraftPlanner.install(s)
+      val k = 16
+      val mg = udaf(graft.functions.MisraGries(k))
+      val vocab = t(s, d, "documents")
+        .select(explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        .persist() // shared by sketch + probe; evictable, lineage kept
+      val sketchRow = vocab.agg(
+        mg($"tok", $"cnt").as("sketch"), sum($"cnt").as("n"))
+      val probes = CorpusOps.globalTopK(vocab, $"tok", k = 10,
+        order = Seq($"cnt".desc, $"tok".asc))
+      probes.join(broadcast(sketchRow))
+        .withColumn("est", element_at($"sketch", $"tok"))
+        .withColumn("in_sketch", $"est".isNotNull)
+        .withColumn("bound", expr(s"n div ${k + 1}"))
+        .withColumn("guaranteed", $"cnt" * (k + 1) > $"n")
+        .select($"tok", $"cnt".cast("long").as("cnt"), $"guaranteed",
+          ((!$"guaranteed" || $"in_sketch") &&
+            (!$"in_sketch" ||
+              ($"est" <= $"cnt" && $"est" >= $"cnt" - $"bound"))).as("ok"))
+    }, Some("""
+      WITH vc AS (
+        SELECT tok, count(*) AS cnt FROM (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents) GROUP BY 1),
+      n AS (SELECT sum(cnt) AS n FROM vc),
+      top AS (SELECT tok, cnt FROM vc
+              QUALIFY row_number() OVER (ORDER BY cnt DESC, tok ASC) <= 10)
+      SELECT top.tok, CAST(top.cnt AS BIGINT) AS cnt,
+        top.cnt * 17 > n.n AS guaranteed, TRUE AS ok
+      FROM top CROSS JOIN n""")),
+
+    // corpus drift report: per-token log-odds ratio with a Dirichlet
+    // (add-one) prior between two source cohorts (even- vs odd-numbered
+    // sources — in production, yesterday's crawl vs today's). The
+    // Monroe-style "fightin' words" statistic that catches a source
+    // changing register/topic before it poisons the mixture. Exactness:
+    // the ln arguments are exact integers (c+1, N+V-c-1), the delta is
+    // ONE IEEE-identical double expression floor-quantized to
+    // nano-nats; top-20 by |delta| with token tie-break. Scale: token
+    // counts map-side-combined; totals a 1-row broadcast; top-20 via
+    // the bucketed prefilter — nothing vocabulary-sized on one task.
+    Q("q125_term_drift", (s, d) => {
+      import s.implicits._
+      graft.plans.GraftPlanner.install(s)
+      val grpA = regexp_extract($"source", "([0-9]+)", 1).cast("long") % 2 === 0
+      val counts = t(s, d, "documents")
+        .select(grpA.as("ga"), explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"tok")
+        .agg(sum(when($"ga", 1L).otherwise(0L)).as("ca"),
+          sum(when(!$"ga", 1L).otherwise(0L)).as("cb"))
+      val tot = counts.agg(sum($"ca").as("na"), sum($"cb").as("nb"),
+        count(lit(1)).as("v"))
+      val scored = counts.join(broadcast(tot))
+        .withColumn("delta_nano",
+          floor((log(($"ca" + 1).cast("double")
+              / ($"na" + $"v" - $"ca" - 1).cast("double"))
+            - log(($"cb" + 1).cast("double")
+              / ($"nb" + $"v" - $"cb" - 1).cast("double"))) * 1000000000d)
+            .cast("long"))
+        .select($"tok", $"ca".cast("long").as("cnt_a"),
+          $"cb".cast("long").as("cnt_b"), $"delta_nano")
+      CorpusOps.globalTopK(scored, $"tok", k = 20,
+        order = Seq(abs($"delta_nano").desc, $"tok".asc))
+    }, Some("""
+      WITH tk AS (
+        SELECT CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 2 = 0
+                 AS ga,
+               unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents),
+      vc AS (SELECT tok,
+               sum(CASE WHEN ga THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS cb
+             FROM tk GROUP BY 1),
+      tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM vc),
+      sc AS (
+        SELECT tok, ca, cb,
+          CAST(floor((ln(CAST(ca + 1 AS DOUBLE)
+                / CAST(na + v - ca - 1 AS DOUBLE))
+              - ln(CAST(cb + 1 AS DOUBLE)
+                / CAST(nb + v - cb - 1 AS DOUBLE))) * 1000000000) AS BIGINT)
+            AS delta_nano
+        FROM vc CROSS JOIN tot)
+      SELECT tok, CAST(ca AS BIGINT) AS cnt_a, CAST(cb AS BIGINT) AS cnt_b,
+        delta_nano
+      FROM sc
+      QUALIFY row_number() OVER (ORDER BY abs(delta_nano) DESC, tok ASC) <= 20"""))
   )
 }

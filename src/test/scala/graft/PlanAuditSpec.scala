@@ -49,6 +49,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q110_quantile_sketch" -> "constant 4-row quantile-list broadcast",
     "q112_bm25_retrieval" -> "1-row corpus-stats (N, avgdl) broadcast",
     "q121_collocations" -> "1-row bigram-total broadcast for PMI",
+    "q124_mg_heavy_hitters" -> "1-row (sketch, total) broadcast against the 10-row probe set",
+    "q125_term_drift" -> "1-row cohort-totals broadcast for the log-odds prior",
     "q102_bigram_logprob" -> "1-row corpus-total broadcast",
     "q87_hll_relational" -> "1-row register-mass/cardinality broadcast",
     "q95_histogram" -> "1-row min/max bounds broadcast for bucket width",
