@@ -34,6 +34,16 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     modules.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
 
+  /** Like [[oracleSql]], but scale-adaptive: queries with a dynamic
+    * oracle (sizing derived from the live corpus row count) resolve
+    * their SQL against the given data dir, so the same hash-exact
+    * check runs at any SF. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    modules.flatMap { q =>
+      q.oracleDyn.map(f => q.name -> f(spark, sfDir).trim)
+        .orElse(q.oracle.map(sql => q.name -> sql.trim))
+    }.toMap
+
   /** Names of queries included in the benchmark run. */
   def benchQueries: Seq[String] = modules.filter(_.bench).map(_.name)
 }

@@ -39,7 +39,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Scale-adaptive oracles (Q.oracleDyn) resolve against the dir being
+    // verified, so LSH/IVF/PQ sizing in the SQL tracks the live corpus
+    // row count; everything else dumps its static SQL.
+    val json = SparkEntry.oracleSqlFor(spark, sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -4,18 +4,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One verifiable query in the engine's public surface.
   *
-  * @param name    stable snake_case identifier (drives CORRECTNESS/BENCH keys)
-  * @param run     Spark plan builder: (session, scale-factor dir) => result
-  * @param oracle  equivalent ANSI SQL for the DuckDB oracle over the same
-  *                parquet tables; None for ops whose semantics aren't
-  *                SQL-expressible (driver then records a rows-only check)
-  * @param bench   include in the benchmark run
+  * @param name      stable snake_case identifier (drives CORRECTNESS/BENCH keys)
+  * @param run       Spark plan builder: (session, scale-factor dir) => result
+  * @param oracle    equivalent ANSI SQL for the DuckDB oracle over the same
+  *                  parquet tables; None for ops whose semantics aren't
+  *                  SQL-expressible (driver then records a rows-only check)
+  * @param bench     include in the benchmark run
+  * @param oracleDyn scale-adaptive oracle: (session, sf dir) => SQL, for
+  *                  queries whose sizing parameters (LSH planes, IVF cell
+  *                  counts, PQ anchor strides) derive from the live corpus
+  *                  row count. Verify resolves this against the ACTUAL dir
+  *                  being verified, so the identical hash-exact check runs
+  *                  at any SF; `oracle` stays as the sf0.01-shaped snapshot
+  *                  (the two must agree at sf0.01 — pinned in OracleDynSpec).
   */
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = true)
+    bench: Boolean = true,
+    oracleDyn: Option[(SparkSession, String) => String] = None)
 
 /** A group of related queries (one per SURVEY.md §2 operator family). */
 trait QueryModule {

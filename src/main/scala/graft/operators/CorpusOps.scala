@@ -32,6 +32,35 @@ object CorpusOps {
     * never drop a winner. `order` must embed a unique tiebreak for a
     * deterministic result (repo-wide rule).
     */
+  /** Broadcast `df` only if it is provably small at runtime.
+    *
+    * A bare `broadcast()` hint pins its side into every executor AND
+    * the driver regardless of size — correct for genuinely-bounded
+    * frames (an eval suite, a model), an OOM when a caller mis-wires a
+    * corpus-proportional frame. This guard counts the frame first (the
+    * intended inputs are benchmark/eval-sized, so the count is one tiny
+    * job over an already-persisted frame) and falls back to NO hint —
+    * letting the planner pick a shuffled join — above `maxRows`, with a
+    * warning. The frame is persisted (evictable, lineage kept) so the
+    * count and the subsequent join share one computation.
+    *
+    * Production decontamination (reference pattern: held-out benchmark
+    * suites vs a training corpus) passes the BENCHMARK side here; those
+    * are 10^3..10^5 items — orders of magnitude under the default cap
+    * at any corpus scale. */
+  def boundedBroadcast(df: DataFrame, maxRows: Long = 1000000L,
+                       what: String = "frame"): DataFrame = {
+    val pinned = df.persist()
+    val n = pinned.count()
+    if (n <= maxRows) broadcast(pinned)
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"boundedBroadcast: $what has $n rows > cap $maxRows; " +
+          "dropping the broadcast hint (shuffled join) to protect the driver")
+      pinned
+    }
+  }
+
   def globalTopK(df: DataFrame, bucketKey: Column, k: Int,
                  order: Seq[Column], buckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -19,6 +19,32 @@ object CorpusQueries extends QueryModule {
   private val mixPermille =
     Map("en" -> 300, "de" -> 600, "fr" -> 600, "es" -> 600, "zh" -> 900)
 
+  /** q69 oracle at embedding-corpus size n: simhash-banded text pairs
+    * FULL OUTER JOIN LSH embedding pairs. The embedding arm's sizing
+    * (planes/tables/probes) replays lshSizing(n) via
+    * [[SimilarityQueries.lshPairCtes]], so the same check runs at any
+    * SF; the text arm's simhash pipeline is scale-independent. */
+  private[operators] def ensembleOracleSql(n: Long): String =
+    s"""WITH sh AS (${DedupQueries.simhashDuckSql}),
+       |tp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+       |${SimilarityQueries.lshPairCtes(n)},
+       |ep AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c JOIN v x ON x.vec_id = c.id_a
+       |              JOIN v y ON y.vec_id = c.id_b
+       |  WHERE list_sum(list_transform(range(1, 65),
+       |          i -> x.e[i] * y.e[i])) >= 0.4)
+       |SELECT coalesce(t.id_a, e.id_a) AS id_a,
+       |       coalesce(t.id_b, e.id_b) AS id_b,
+       |       t.id_a IS NOT NULL AS by_text,
+       |       e.id_a IS NOT NULL AS by_embedding,
+       |       (t.id_a IS NOT NULL AND e.id_a IS NOT NULL) AS by_both
+       |FROM tp t FULL OUTER JOIN ep e
+       |  ON e.id_a = t.id_a AND e.id_b = t.id_b""".stripMargin
+
   def qs: Seq[Q] = Seq(
 
     // duplicate-CLUSTER resolution: near-dup pair detection emits edges
@@ -66,7 +92,14 @@ object CorpusQueries extends QueryModule {
       val trainSh = sh.filter($"doc_id" % 20 =!= 0)
       val benchSh = sh.filter($"doc_id" % 20 === 0)
         .withColumnRenamed("doc_id", "bench_id")
-      val mx = trainSh.join(broadcast(benchSh), "shingle")
+      // the benchmark side is an eval suite — tiny next to the corpus —
+      // but THIS demo derives it from the corpus (5% slice), so the
+      // broadcast is size-guarded: above the cap the hint is dropped
+      // and the join shuffles instead of pinning a corpus-proportional
+      // frame into the driver (ScaleSpec pins both behaviors)
+      val mx = trainSh.join(
+          CorpusOps.boundedBroadcast(benchSh, what = "q54 benchmark shingles"),
+          "shingle")
         .groupBy($"doc_id", $"bench_id").agg(count(lit(1)).as("shared"))
         .groupBy($"doc_id").agg(max($"shared").as("mo"))
       docs.select($"doc_id").filter($"doc_id" % 20 =!= 0)
@@ -243,42 +276,9 @@ object CorpusQueries extends QueryModule {
           coalesce($"be", lit(false)).as("by_embedding"),
           (coalesce($"bt", lit(false)) && coalesce($"be", lit(false)))
             .as("by_both"))
-    }, Some {
-      val tables = SimilarityOps.lshTables(planes = 5, tables = 8, dim = 64)
-      s"""WITH sh AS (${DedupQueries.simhashDuckSql}),
-         |tp AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
-         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-         |      FROM embeddings),
-         |planes(table_id, plane_idx, pv) AS (VALUES
-         |${SimilarityQueries.planeValuesSql(tables)}),
-         |sig AS (
-         |  SELECT v.vec_id, p.table_id,
-         |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
-         |                    i -> v.e[i] * p.pv[i])) > 0
-         |             THEN CAST(1 AS BIGINT) << p.plane_idx ELSE 0 END)
-         |         AS BIGINT) AS bucket
-         |  FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.table_id),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM sig a JOIN sig b ON a.table_id = b.table_id
-         |         AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |ep AS (
-         |  SELECT c.id_a, c.id_b
-         |  FROM cand c JOIN v x ON x.vec_id = c.id_a
-         |              JOIN v y ON y.vec_id = c.id_b
-         |  WHERE list_sum(list_transform(range(1, 65),
-         |          i -> x.e[i] * y.e[i])) >= 0.4)
-         |SELECT coalesce(t.id_a, e.id_a) AS id_a,
-         |       coalesce(t.id_b, e.id_b) AS id_b,
-         |       t.id_a IS NOT NULL AS by_text,
-         |       e.id_a IS NOT NULL AS by_embedding,
-         |       (t.id_a IS NOT NULL AND e.id_a IS NOT NULL) AS by_both
-         |FROM tp t FULL OUTER JOIN ep e
-         |  ON e.id_a = t.id_a AND e.id_b = t.id_b""".stripMargin
-    }),
+    }, Some(CorpusQueries.ensembleOracleSql(500)),
+      oracleDyn = Some((s, d) => CorpusQueries.ensembleOracleSql(
+        Stats.parquetRowCount(s, s"$d/embeddings.parquet")))),
 
     // the mixture report a training run is configured against: per
     // (source, lang) document and token counts plus each cell's share
@@ -1206,8 +1206,10 @@ object CorpusQueries extends QueryModule {
       import s.implicits._
       graft.plans.GraftPlanner.install(s)
       val mix = CorpusOps.hashMix($"doc_id", 1000003L)
+      // weight floor of 1: an empty doc (n_chars = 0) must not divide
+      // ln(u) by zero — -Infinity fails the long cast in both engines
       val key = floor(log((mix * 2 + 1).cast("double") / lit(2000006.0d))
-        / $"n_chars".cast("double") * 1000000000d).cast("long")
+        / greatest($"n_chars", lit(1)).cast("double") * 1000000000d).cast("long")
       val w = Window.partitionBy($"lang").orderBy($"es_key_nano".desc, $"doc_id".asc)
       t(s, d, "documents")
         .select($"doc_id", $"lang", $"n_chars", key.as("es_key_nano"))
@@ -1226,7 +1228,7 @@ object CorpusQueries extends QueryModule {
             CAST(floor(ln(CAST((((((doc_id % 1000003) + 1000003) % 1000003
                      * 2654435761 + 40503) % 1000003 + 1000003) % 1000003
                      * 2 + 1) AS DOUBLE) / CAST(2000006 AS DOUBLE))
-                 / CAST(n_chars AS DOUBLE) * 1000000000) AS BIGINT)
+                 / CAST(greatest(n_chars, 1) AS DOUBLE) * 1000000000) AS BIGINT)
               AS es_key_nano
           FROM documents))
       WHERE rk <= 10"""))

@@ -26,6 +26,364 @@ object SimilarityQueries extends QueryModule {
       }
     }.mkString(",\n")
 
+  // ---------------------------------------------------------------------
+  // Scale-adaptive oracle builders (Q.oracleDyn). The ANN queries size
+  // their models from the live corpus row count (lshSizing/ivfHierSizing/
+  // anchor strides), so a static oracle baked for one SF diverges at any
+  // other. Each builder below replays the EXACT sizing arithmetic the
+  // Spark path runs and splices the results into the SQL as literals —
+  // Verify resolves them against the dir under test, so the identical
+  // hash-exact check runs at every SF. The static Q.oracle snapshots are
+  // produced by the same builders at n=500 (the sf0.001/sf0.01 corpus).
+  // ---------------------------------------------------------------------
+
+  private def embedN(s: org.apache.spark.sql.SparkSession, d: String): Long =
+    Stats.parquetRowCount(s, s"$d/embeddings.parquet")
+
+  /** CTE chain `planes → dots → sig [→ flips → probes]` (expects a `v`
+    * CTE with `(vec_id, e DOUBLE[])` in scope). With probes > 1 the
+    * `probes` CTE replays hp_probes exactly: base bucket plus the
+    * probes-1 lowest-|dot| single-bit flips, ties to the lower plane
+    * index (q52's oracle pattern). */
+  private def lshSigCtes(tables: Seq[Array[Array[Double]]], probes: Int): String = {
+    val base =
+      s"""planes(table_id, plane_idx, pv) AS (VALUES
+         |${planeValuesSql(tables)}),
+         |dots AS (
+         |  SELECT v.vec_id, p.table_id, p.plane_idx,
+         |    list_sum(list_transform(range(1, 65), i -> v.e[i] * p.pv[i])) AS d
+         |  FROM v CROSS JOIN planes p),
+         |sig AS (
+         |  SELECT vec_id, table_id,
+         |    CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << plane_idx
+         |             ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots GROUP BY vec_id, table_id)""".stripMargin
+    if (probes <= 1) base
+    else base +
+      s""",
+         |flips AS (
+         |  SELECT vec_id, table_id, plane_idx,
+         |    row_number() OVER (PARTITION BY vec_id, table_id
+         |                       ORDER BY abs(d) ASC, plane_idx ASC) AS fr
+         |  FROM dots),
+         |probes AS (
+         |  SELECT vec_id, table_id, bucket FROM sig
+         |  UNION ALL
+         |  SELECT f.vec_id, f.table_id,
+         |    xor(s.bucket, CAST(1 AS BIGINT) << f.plane_idx) AS bucket
+         |  FROM flips f JOIN sig s USING (vec_id, table_id)
+         |  WHERE f.fr <= ${probes - 1})""".stripMargin
+  }
+
+  /** CTE chain `v → …sig… → cand` for LSH near-dup PAIR candidates at
+    * corpus size n; select from `cand` (join back to `v` for the exact
+    * verify). probes = 1 keeps the symmetric `<`-halved self-join; the
+    * multi-probe join is asymmetric (probes vs base) so pairs are
+    * least/greatest-normalized, matching lshNearDupPairs. */
+  private[operators] def lshPairCtes(n: Long): String = {
+    val cfg = SimilarityOps.lshSizing(n)
+    val tables = SimilarityOps.lshTables(cfg.planes, cfg.tables, dim = 64)
+    val cand =
+      if (cfg.probes <= 1)
+        """cand AS (
+          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          |  FROM sig a JOIN sig b ON a.table_id = b.table_id
+          |         AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+      else
+        """cand AS (
+          |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+          |                  greatest(a.vec_id, b.vec_id) AS id_b
+          |  FROM probes a JOIN sig b ON a.table_id = b.table_id
+          |         AND a.bucket = b.bucket AND a.vec_id != b.vec_id)""".stripMargin
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |      FROM embeddings),
+       |${lshSigCtes(tables, cfg.probes)},
+       |$cand""".stripMargin
+  }
+
+  /** q39 oracle at corpus size n: full LSH top-k pipeline (signatures →
+    * buckets → candidates → exact ranking), query side = probe buckets,
+    * index side = base signatures, as lshTopK. */
+  private[operators] def knnLshOracleSql(n: Long): String = {
+    val cfg = SimilarityOps.lshSizing(n)
+    val tables = SimilarityOps.lshTables(cfg.planes, cfg.tables, dim = 64)
+    val qside = if (cfg.probes <= 1) "sig" else "probes"
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |           FROM embeddings),
+       |${lshSigCtes(tables, cfg.probes)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM $qside a JOIN sig b ON a.table_id = b.table_id
+       |         AND a.bucket = b.bucket AND a.vec_id != b.vec_id),
+       |sims AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_sum(list_transform(range(1, 65), i -> q.e[i] * n.e[i])) AS sim
+       |  FROM cand c JOIN v q ON q.vec_id = c.query_id
+       |              JOIN v n ON n.vec_id = c.neighbor_id)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+       |       round(sim, 6) AS sim_r
+       |FROM (SELECT query_id, neighbor_id, sim,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY sim DESC, neighbor_id ASC) AS rnk
+       |      FROM sims)
+       |WHERE rnk <= 3""".stripMargin
+  }
+
+  /** q50 oracle at corpus size n: LSH pair candidates + exact verify. */
+  private[operators] def neardupLshOracleSql(n: Long): String =
+    s"""WITH ${lshPairCtes(n)}
+       |SELECT c.id_a, c.id_b,
+       |  round(list_sum(list_transform(range(1, 65),
+       |          i -> x.e[i] * y.e[i])), 6) AS sim_r
+       |FROM cand c JOIN v x ON x.vec_id = c.id_a
+       |            JOIN v y ON y.vec_id = c.id_b
+       |WHERE list_sum(list_transform(range(1, 65),
+       |        i -> x.e[i] * y.e[i])) >= 0.4""".stripMargin
+
+  /** q74 oracle at corpus size n: first-nlist seed cells, within-cell
+    * ≥0.4 edges, recursive-CTE transitive closure. */
+  private[operators] def semanticDedupOracleSql(n: Long): String = {
+    val nlist = math.max(4, math.ceil(math.sqrt(n / 8.0)).toInt)
+    s"""WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |                     FROM embeddings),
+       |c1 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+       |  FROM v ORDER BY vec_id LIMIT $nlist),
+       |s1 AS (
+       |  SELECT a.vec_id, c.cell,
+       |    list_sum(list_transform(range(1, 65), i -> a.e[i] * c.ce[i])) AS sim
+       |  FROM v a CROSS JOIN c1 c),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY sim DESC, cell ASC) AS r
+       |    FROM s1) WHERE r = 1),
+       |pairs AS (
+       |  SELECT ax.vec_id AS a, ay.vec_id AS b
+       |  FROM assign ax JOIN assign ay
+       |    ON ax.cell = ay.cell AND ax.vec_id < ay.vec_id
+       |  JOIN v x ON x.vec_id = ax.vec_id
+       |  JOIN v y ON y.vec_id = ay.vec_id
+       |  WHERE list_sum(list_transform(range(1, 65),
+       |          i -> x.e[i] * y.e[i])) >= 0.4),
+       |e AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+       |r(id, m) AS (
+       |  SELECT vec_id, vec_id FROM v
+       |  UNION
+       |  SELECT e.b, r.m FROM r JOIN e ON e.a = r.id)
+       |SELECT id AS vec_id, CAST(min(m) AS BIGINT) AS cluster_id,
+       |       min(m) <> id AS is_dup
+       |FROM r GROUP BY id""".stripMargin
+  }
+
+  /** q45 oracle at corpus size n: two-level IVF with first-by-id seeds
+    * at both levels (nprobe1 = nprobe2 = 2 are scale-independent). */
+  private[operators] def ivfHierOracleSql(n: Long): String = {
+    val (nlist1, nlist2) = SimilarityOps.ivfHierSizing(n)
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |c1 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+       |  FROM v ORDER BY vec_id LIMIT $nlist1),
+       |s1 AS (
+       |  SELECT a.vec_id, c.cell,
+       |    list_sum(list_transform(range(1, 65), i -> a.e[i] * c.ce[i])) AS sim
+       |  FROM v a CROSS JOIN c1 c),
+       |r1 AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS r
+       |  FROM s1),
+       |assign1 AS (SELECT vec_id, cell AS c1 FROM r1 WHERE r = 1),
+       |probe1 AS (SELECT vec_id, cell AS c1 FROM r1 WHERE r <= 2),
+       |sub AS (
+       |  SELECT c1, rn - 1 AS c2, e AS ce
+       |  FROM (SELECT a.c1, v.e,
+       |          row_number() OVER (PARTITION BY a.c1 ORDER BY a.vec_id) AS rn
+       |        FROM assign1 a JOIN v ON v.vec_id = a.vec_id)
+       |  WHERE rn <= $nlist2),
+       |s2 AS (
+       |  SELECT a.vec_id, a.c1, s.c2,
+       |    list_sum(list_transform(range(1, 65), i -> v.e[i] * s.ce[i])) AS sim
+       |  FROM assign1 a JOIN v ON v.vec_id = a.vec_id
+       |                 JOIN sub s ON s.c1 = a.c1),
+       |assign2 AS (
+       |  SELECT vec_id AS neighbor_id, c1, c2
+       |  FROM (SELECT vec_id, c1, c2,
+       |          row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY sim DESC, c2 ASC) AS r
+       |        FROM s2)
+       |  WHERE r = 1),
+       |ps AS (
+       |  SELECT p.vec_id, p.c1, s.c2,
+       |    list_sum(list_transform(range(1, 65), i -> v.e[i] * s.ce[i])) AS sim
+       |  FROM probe1 p JOIN v ON v.vec_id = p.vec_id
+       |                JOIN sub s ON s.c1 = p.c1),
+       |probe2 AS (
+       |  SELECT vec_id AS query_id, c1, c2
+       |  FROM (SELECT vec_id, c1, c2,
+       |          row_number() OVER (PARTITION BY vec_id, c1
+       |                             ORDER BY sim DESC, c2 ASC) AS r
+       |        FROM ps)
+       |  WHERE r <= 2),
+       |cand AS (
+       |  SELECT p.query_id, a.neighbor_id
+       |  FROM probe2 p JOIN assign2 a ON a.c1 = p.c1 AND a.c2 = p.c2
+       |               AND p.query_id != a.neighbor_id),
+       |sims AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_sum(list_transform(range(1, 65), i -> q.e[i] * n.e[i])) AS sim
+       |  FROM cand c JOIN v q ON q.vec_id = c.query_id
+       |              JOIN v n ON n.vec_id = c.neighbor_id)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+       |       round(sim, 6) AS sim_r
+       |FROM (SELECT query_id, neighbor_id, sim,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY sim DESC, neighbor_id ASC) AS rnk
+       |      FROM sims)
+       |WHERE rnk <= 3""".stripMargin
+  }
+
+  /** CTE chain `v → anch → cb → cbn → scored → codes → recon` re-deriving
+    * the stride-anchor PQ codebook (m = 4, k = 16) and each vector's
+    * reconstruction at corpus size n — shared by q64/q68. */
+  private def pqReconCtes(n: Long): String = {
+    val stride = math.max(1L, n / 16)
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |      FROM embeddings),
+       |anch AS (SELECT vec_id, e FROM v
+       |         WHERE vec_id % $stride = 0 AND vec_id < ${stride * 16}),
+       |cb AS (
+       |  SELECT CAST(a.vec_id // $stride AS INT) AS c, s.mi,
+       |    list_transform(range(1, 17), i -> a.e[s.mi * 16 + i]) AS cv
+       |  FROM anch a CROSS JOIN (SELECT unnest(range(0, 4)) AS mi) s),
+       |cbn AS (
+       |  SELECT c, mi, cv,
+       |    list_append(cv, -(list_sum(list_transform(range(1, 17),
+       |      i -> cv[i] * cv[i])) / 2.0)) AS cva
+       |  FROM cb),
+       |scored AS (
+       |  SELECT v.vec_id, b.mi, b.c,
+       |    list_sum(list_transform(range(1, 17),
+       |      i -> v.e[b.mi * 16 + i] * b.cva[i])) + 1.0 * b.cva[17] AS s
+       |  FROM v CROSS JOIN cbn b),
+       |codes AS (
+       |  SELECT vec_id, mi, c FROM (
+       |    SELECT vec_id, mi, c,
+       |      row_number() OVER (PARTITION BY vec_id, mi
+       |                         ORDER BY s DESC, c ASC) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |recon AS (
+       |  SELECT codes.vec_id, flatten(list(b.cv ORDER BY codes.mi)) AS r
+       |  FROM codes JOIN cbn b ON b.mi = codes.mi AND b.c = codes.c
+       |  GROUP BY codes.vec_id)""".stripMargin
+  }
+
+  /** q64 oracle at corpus size n: PQ-ADC shortlist + exact rerank. */
+  private[operators] def pqKnnOracleSql(n: Long): String =
+    s"""WITH ${pqReconCtes(n)},
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, 65), i -> q.e[i] * r.r[i])) AS adc
+       |  FROM v q JOIN recon r ON r.vec_id != q.vec_id
+       |  WHERE q.vec_id < 10),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY adc DESC, neighbor_id ASC) AS cr
+       |    FROM adc) WHERE cr <= 20),
+       |rr AS (
+       |  SELECT sh.query_id, sh.neighbor_id,
+       |    list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i])) AS sim
+       |  FROM short sh
+       |  JOIN v q ON q.vec_id = sh.query_id
+       |  JOIN v c ON c.vec_id = sh.neighbor_id)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+       |       round(sim, 6) AS sim_r
+       |FROM (SELECT query_id, neighbor_id, sim,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY sim DESC, neighbor_id ASC) AS rnk
+       |      FROM rr)
+       |WHERE rnk <= 5""".stripMargin
+
+  /** q68 oracle at corpus size n: two-level coarse quantizer (sizing
+    * from ivfHierSizing(n, 8)) + PQ-ADC + exact rerank. */
+  private[operators] def ivfPqOracleSql(n: Long): String = {
+    val (nlist1, nlist2) = SimilarityOps.ivfHierSizing(n, targetCell = 8)
+    s"""WITH ${pqReconCtes(n)},
+       |c1 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+       |  FROM v ORDER BY vec_id LIMIT $nlist1),
+       |s1 AS (
+       |  SELECT a.vec_id, c.cell,
+       |    list_sum(list_transform(range(1, 65), i -> a.e[i] * c.ce[i])) AS sim
+       |  FROM v a CROSS JOIN c1 c),
+       |r1 AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY sim DESC, cell ASC) AS r
+       |  FROM s1),
+       |assign1 AS (SELECT vec_id, cell AS c1 FROM r1 WHERE r = 1),
+       |probe1 AS (SELECT vec_id, cell AS c1 FROM r1 WHERE r <= 2 AND vec_id < 10),
+       |sub AS (
+       |  SELECT c1, rn - 1 AS c2, e AS ce
+       |  FROM (SELECT a.c1, v.e,
+       |          row_number() OVER (PARTITION BY a.c1 ORDER BY a.vec_id) AS rn
+       |        FROM assign1 a JOIN v ON v.vec_id = a.vec_id)
+       |  WHERE rn <= $nlist2),
+       |s2 AS (
+       |  SELECT a.vec_id, a.c1, s.c2,
+       |    list_sum(list_transform(range(1, 65), i -> v.e[i] * s.ce[i])) AS sim
+       |  FROM assign1 a JOIN v ON v.vec_id = a.vec_id
+       |                 JOIN sub s ON s.c1 = a.c1),
+       |assign2 AS (
+       |  SELECT vec_id AS neighbor_id, c1, c2
+       |  FROM (SELECT vec_id, c1, c2,
+       |          row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY sim DESC, c2 ASC) AS r
+       |        FROM s2)
+       |  WHERE r = 1),
+       |ps AS (
+       |  SELECT p.vec_id, p.c1, s.c2,
+       |    list_sum(list_transform(range(1, 65), i -> v.e[i] * s.ce[i])) AS sim
+       |  FROM probe1 p JOIN v ON v.vec_id = p.vec_id
+       |                JOIN sub s ON s.c1 = p.c1),
+       |probe2 AS (
+       |  SELECT vec_id AS query_id, c1, c2
+       |  FROM (SELECT vec_id, c1, c2,
+       |          row_number() OVER (PARTITION BY vec_id, c1
+       |                             ORDER BY sim DESC, c2 ASC) AS r
+       |        FROM ps)
+       |  WHERE r <= 2),
+       |adc AS (
+       |  SELECT p.query_id, a.neighbor_id,
+       |    list_sum(list_transform(range(1, 65), i -> q.e[i] * r.r[i])) AS adc
+       |  FROM probe2 p
+       |  JOIN assign2 a ON a.c1 = p.c1 AND a.c2 = p.c2
+       |                AND a.neighbor_id != p.query_id
+       |  JOIN recon r ON r.vec_id = a.neighbor_id
+       |  JOIN v q ON q.vec_id = p.query_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY adc DESC, neighbor_id ASC) AS cr
+       |    FROM adc) WHERE cr <= 20),
+       |rr AS (
+       |  SELECT sh.query_id, sh.neighbor_id,
+       |    list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i])) AS sim
+       |  FROM short sh
+       |  JOIN v q ON q.vec_id = sh.query_id
+       |  JOIN v c ON c.vec_id = sh.neighbor_id)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+       |       round(sim, 6) AS sim_r
+       |FROM (SELECT query_id, neighbor_id, sim,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY sim DESC, neighbor_id ASC) AS rnk
+       |      FROM rr)
+       |WHERE rnk <= 5""".stripMargin
+  }
+
   def qs: Seq[Q] = Seq(
 
     // SemDeDup-style semantic dedup: coarse cells block the pair
@@ -42,38 +400,8 @@ object SimilarityQueries extends QueryModule {
       val nlist = math.max(4, math.ceil(math.sqrt(n / 8.0)).toInt)
       SimilarityOps.semanticDedupLabels(emb, "vec_id", "embedding",
         nlist = nlist, threshold = 0.4)
-    }, Some("""
-      WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                           FROM embeddings),
-      c1 AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
-        FROM v ORDER BY vec_id LIMIT 8),
-      s1 AS (
-        SELECT a.vec_id, c.cell,
-          list_sum(list_transform(range(1, 65), i -> a.e[i] * c.ce[i])) AS sim
-        FROM v a CROSS JOIN c1 c),
-      assign AS (
-        SELECT vec_id, cell FROM (
-          SELECT vec_id, cell,
-            row_number() OVER (PARTITION BY vec_id
-                               ORDER BY sim DESC, cell ASC) AS r
-          FROM s1) WHERE r = 1),
-      pairs AS (
-        SELECT ax.vec_id AS a, ay.vec_id AS b
-        FROM assign ax JOIN assign ay
-          ON ax.cell = ay.cell AND ax.vec_id < ay.vec_id
-        JOIN v x ON x.vec_id = ax.vec_id
-        JOIN v y ON y.vec_id = ay.vec_id
-        WHERE list_sum(list_transform(range(1, 65),
-                i -> x.e[i] * y.e[i])) >= 0.4),
-      e AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-      r(id, m) AS (
-        SELECT vec_id, vec_id FROM v
-        UNION
-        SELECT e.b, r.m FROM r JOIN e ON e.a = r.id)
-      SELECT id AS vec_id, CAST(min(m) AS BIGINT) AS cluster_id,
-             min(m) <> id AS is_dup
-      FROM r GROUP BY id""")),
+    }, Some(semanticDedupOracleSql(500)),
+      oracleDyn = Some((s, d) => semanticDedupOracleSql(embedN(s, d)))),
 
     // exact top-5 cosine neighbors for the first 20 vectors (embeddings
     // are unit-norm, so dot product == cosine). Broadcast queries; one
@@ -137,36 +465,8 @@ object SimilarityQueries extends QueryModule {
       val tables = SimilarityOps.lshTables(cfg.planes, cfg.tables, dim = 64)
       SimilarityOps.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         tables, k = 3, probes = cfg.probes)
-    }, Some {
-      val tables = SimilarityOps.lshTables(planes = 5, tables = 8, dim = 64)
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-         |           FROM embeddings),
-         |planes(table_id, plane_idx, pv) AS (VALUES
-         |${planeValuesSql(tables)}),
-         |sig AS (
-         |  SELECT v.vec_id, p.table_id,
-         |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
-         |                    i -> v.e[i] * p.pv[i])) > 0
-         |             THEN CAST(1 AS BIGINT) << p.plane_idx ELSE 0 END)
-         |         AS BIGINT) AS bucket
-         |  FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.table_id),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
-         |  FROM sig a JOIN sig b ON a.table_id = b.table_id
-         |         AND a.bucket = b.bucket AND a.vec_id != b.vec_id),
-         |sims AS (
-         |  SELECT c.query_id, c.neighbor_id,
-         |    list_sum(list_transform(range(1, 65), i -> q.e[i] * n.e[i])) AS sim
-         |  FROM cand c JOIN v q ON q.vec_id = c.query_id
-         |              JOIN v n ON n.vec_id = c.neighbor_id)
-         |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
-         |       round(sim, 6) AS sim_r
-         |FROM (SELECT query_id, neighbor_id, sim,
-         |        row_number() OVER (PARTITION BY query_id
-         |                           ORDER BY sim DESC, neighbor_id ASC) AS rnk
-         |      FROM sims)
-         |WHERE rnk <= 3""".stripMargin
-    }),
+    }, Some(knnLshOracleSql(500)),
+      oracleDyn = Some((s, d) => knnLshOracleSql(embedN(s, d)))),
 
     // embedding-cosine near-dup pairs — brute-force baseline with an
     // exact oracle (unit vectors: dot == cosine). Quadratic; excluded
@@ -193,31 +493,8 @@ object SimilarityQueries extends QueryModule {
       val tables = SimilarityOps.lshTables(cfg.planes, cfg.tables, dim = 64)
       SimilarityOps.lshNearDupPairs(t(s, d, "embeddings"), "vec_id",
         "embedding", tables, threshold = 0.4, probes = cfg.probes)
-    }, Some {
-      val tables = SimilarityOps.lshTables(planes = 5, tables = 8, dim = 64)
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-         |           FROM embeddings),
-         |planes(table_id, plane_idx, pv) AS (VALUES
-         |${planeValuesSql(tables)}),
-         |sig AS (
-         |  SELECT v.vec_id, p.table_id,
-         |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
-         |                    i -> v.e[i] * p.pv[i])) > 0
-         |             THEN CAST(1 AS BIGINT) << p.plane_idx ELSE 0 END)
-         |         AS BIGINT) AS bucket
-         |  FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.table_id),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM sig a JOIN sig b ON a.table_id = b.table_id
-         |         AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         |SELECT c.id_a, c.id_b,
-         |  round(list_sum(list_transform(range(1, 65),
-         |          i -> x.e[i] * y.e[i])), 6) AS sim_r
-         |FROM cand c JOIN v x ON x.vec_id = c.id_a
-         |            JOIN v y ON y.vec_id = c.id_b
-         |WHERE list_sum(list_transform(range(1, 65),
-         |        i -> x.e[i] * y.e[i])) >= 0.4""".stripMargin
-    }),
+    }, Some(neardupLshOracleSql(500)),
+      oracleDyn = Some((s, d) => neardupLshOracleSql(embedN(s, d)))),
 
     // MULTI-PROBE LSH near-dup — the recall-compensation path that lets
     // the plane count grow uncapped at lake scale, exercised through the
@@ -288,67 +565,8 @@ object SimilarityQueries extends QueryModule {
       val (nlist1, nlist2) = SimilarityOps.ivfHierSizing(n)
       SimilarityOps.ivfHierTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         nlist1 = nlist1, nlist2 = nlist2, nprobe1 = 2, nprobe2 = 2, k = 3)
-    }, Some("""
-      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      c1 AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
-        FROM v ORDER BY vec_id LIMIT 3),
-      s1 AS (
-        SELECT a.vec_id, c.cell,
-          list_sum(list_transform(range(1, 65), i -> a.e[i] * c.ce[i])) AS sim
-        FROM v a CROSS JOIN c1 c),
-      r1 AS (
-        SELECT vec_id, cell,
-          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS r
-        FROM s1),
-      assign1 AS (SELECT vec_id, cell AS c1 FROM r1 WHERE r = 1),
-      probe1 AS (SELECT vec_id, cell AS c1 FROM r1 WHERE r <= 2),
-      sub AS (
-        SELECT c1, rn - 1 AS c2, e AS ce
-        FROM (SELECT a.c1, v.e,
-                row_number() OVER (PARTITION BY a.c1 ORDER BY a.vec_id) AS rn
-              FROM assign1 a JOIN v ON v.vec_id = a.vec_id)
-        WHERE rn <= 3),
-      s2 AS (
-        SELECT a.vec_id, a.c1, s.c2,
-          list_sum(list_transform(range(1, 65), i -> v.e[i] * s.ce[i])) AS sim
-        FROM assign1 a JOIN v ON v.vec_id = a.vec_id
-                       JOIN sub s ON s.c1 = a.c1),
-      assign2 AS (
-        SELECT vec_id AS neighbor_id, c1, c2
-        FROM (SELECT vec_id, c1, c2,
-                row_number() OVER (PARTITION BY vec_id
-                                   ORDER BY sim DESC, c2 ASC) AS r
-              FROM s2)
-        WHERE r = 1),
-      ps AS (
-        SELECT p.vec_id, p.c1, s.c2,
-          list_sum(list_transform(range(1, 65), i -> v.e[i] * s.ce[i])) AS sim
-        FROM probe1 p JOIN v ON v.vec_id = p.vec_id
-                      JOIN sub s ON s.c1 = p.c1),
-      probe2 AS (
-        SELECT vec_id AS query_id, c1, c2
-        FROM (SELECT vec_id, c1, c2,
-                row_number() OVER (PARTITION BY vec_id, c1
-                                   ORDER BY sim DESC, c2 ASC) AS r
-              FROM ps)
-        WHERE r <= 2),
-      cand AS (
-        SELECT p.query_id, a.neighbor_id
-        FROM probe2 p JOIN assign2 a ON a.c1 = p.c1 AND a.c2 = p.c2
-                     AND p.query_id != a.neighbor_id),
-      sims AS (
-        SELECT c.query_id, c.neighbor_id,
-          list_sum(list_transform(range(1, 65), i -> q.e[i] * n.e[i])) AS sim
-        FROM cand c JOIN v q ON q.vec_id = c.query_id
-                    JOIN v n ON n.vec_id = c.neighbor_id)
-      SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
-             round(sim, 6) AS sim_r
-      FROM (SELECT query_id, neighbor_id, sim,
-              row_number() OVER (PARTITION BY query_id
-                                 ORDER BY sim DESC, neighbor_id ASC) AS rnk
-            FROM sims)
-      WHERE rnk <= 3""")),
+    }, Some(ivfHierOracleSql(500)),
+      oracleDyn = Some((s, d) => ivfHierOracleSql(embedN(s, d)))),
 
     // int8 scalar quantization of the embedding corpus — the compression
     // path for lake-scale vector storage (4x smaller than float32, decode
@@ -468,59 +686,8 @@ object SimilarityQueries extends QueryModule {
         emb, "vec_id", "embedding", n, m = 4, k = 16)
       SimilarityOps.pqTopK(emb, emb.filter($"vec_id" < 10),
         "vec_id", "embedding", cb, candidates = 20, k = 5)
-    }, Some("""
-      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                 FROM embeddings),
-      anch AS (SELECT vec_id, e FROM v
-               WHERE vec_id % 31 = 0 AND vec_id < 496),
-      cb AS (
-        SELECT CAST(a.vec_id // 31 AS INT) AS c, s.mi,
-          list_transform(range(1, 17), i -> a.e[s.mi * 16 + i]) AS cv
-        FROM anch a CROSS JOIN (SELECT unnest(range(0, 4)) AS mi) s),
-      cbn AS (
-        SELECT c, mi, cv,
-          list_append(cv, -(list_sum(list_transform(range(1, 17),
-            i -> cv[i] * cv[i])) / 2.0)) AS cva
-        FROM cb),
-      scored AS (
-        SELECT v.vec_id, b.mi, b.c,
-          list_sum(list_transform(range(1, 17),
-            i -> v.e[b.mi * 16 + i] * b.cva[i])) + 1.0 * b.cva[17] AS s
-        FROM v CROSS JOIN cbn b),
-      codes AS (
-        SELECT vec_id, mi, c FROM (
-          SELECT vec_id, mi, c,
-            row_number() OVER (PARTITION BY vec_id, mi
-                               ORDER BY s DESC, c ASC) AS rn
-          FROM scored) WHERE rn = 1),
-      recon AS (
-        SELECT codes.vec_id, flatten(list(b.cv ORDER BY codes.mi)) AS r
-        FROM codes JOIN cbn b ON b.mi = codes.mi AND b.c = codes.c
-        GROUP BY codes.vec_id),
-      adc AS (
-        SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
-          list_sum(list_transform(range(1, 65), i -> q.e[i] * r.r[i])) AS adc
-        FROM v q JOIN recon r ON r.vec_id != q.vec_id
-        WHERE q.vec_id < 10),
-      short AS (
-        SELECT query_id, neighbor_id FROM (
-          SELECT query_id, neighbor_id,
-            row_number() OVER (PARTITION BY query_id
-                               ORDER BY adc DESC, neighbor_id ASC) AS cr
-          FROM adc) WHERE cr <= 20),
-      rr AS (
-        SELECT sh.query_id, sh.neighbor_id,
-          list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i])) AS sim
-        FROM short sh
-        JOIN v q ON q.vec_id = sh.query_id
-        JOIN v c ON c.vec_id = sh.neighbor_id)
-      SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
-             round(sim, 6) AS sim_r
-      FROM (SELECT query_id, neighbor_id, sim,
-              row_number() OVER (PARTITION BY query_id
-                                 ORDER BY sim DESC, neighbor_id ASC) AS rnk
-            FROM rr)
-      WHERE rnk <= 5""")),
+    }, Some(pqKnnOracleSql(500)),
+      oracleDyn = Some((s, d) => pqKnnOracleSql(embedN(s, d)))),
 
     // HIERARCHICAL IVF-PQ — the composition a production vector service
     // runs at lake scale: a TWO-LEVEL coarse quantizer (q45's scheme —
@@ -543,106 +710,8 @@ object SimilarityQueries extends QueryModule {
       SimilarityOps.ivfHierPqTopK(emb, emb.filter($"vec_id" < 10),
         "vec_id", "embedding", nlist1 = nlist1, nlist2 = nlist2,
         nprobe1 = 2, nprobe2 = 2, cb, candidates = 20, k = 5)
-    }, Some("""
-      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                 FROM embeddings),
-      anch AS (SELECT vec_id, e FROM v
-               WHERE vec_id % 31 = 0 AND vec_id < 496),
-      cb AS (
-        SELECT CAST(a.vec_id // 31 AS INT) AS c, s.mi,
-          list_transform(range(1, 17), i -> a.e[s.mi * 16 + i]) AS cv
-        FROM anch a CROSS JOIN (SELECT unnest(range(0, 4)) AS mi) s),
-      cbn AS (
-        SELECT c, mi, cv,
-          list_append(cv, -(list_sum(list_transform(range(1, 17),
-            i -> cv[i] * cv[i])) / 2.0)) AS cva
-        FROM cb),
-      scored AS (
-        SELECT v.vec_id, b.mi, b.c,
-          list_sum(list_transform(range(1, 17),
-            i -> v.e[b.mi * 16 + i] * b.cva[i])) + 1.0 * b.cva[17] AS s
-        FROM v CROSS JOIN cbn b),
-      codes AS (
-        SELECT vec_id, mi, c FROM (
-          SELECT vec_id, mi, c,
-            row_number() OVER (PARTITION BY vec_id, mi
-                               ORDER BY s DESC, c ASC) AS rn
-          FROM scored) WHERE rn = 1),
-      recon AS (
-        SELECT codes.vec_id, flatten(list(b.cv ORDER BY codes.mi)) AS r
-        FROM codes JOIN cbn b ON b.mi = codes.mi AND b.c = codes.c
-        GROUP BY codes.vec_id),
-      c1 AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
-        FROM v ORDER BY vec_id LIMIT 8),
-      s1 AS (
-        SELECT a.vec_id, c.cell,
-          list_sum(list_transform(range(1, 65), i -> a.e[i] * c.ce[i])) AS sim
-        FROM v a CROSS JOIN c1 c),
-      r1 AS (
-        SELECT vec_id, cell,
-          row_number() OVER (PARTITION BY vec_id
-                             ORDER BY sim DESC, cell ASC) AS r
-        FROM s1),
-      assign1 AS (SELECT vec_id, cell AS c1 FROM r1 WHERE r = 1),
-      probe1 AS (SELECT vec_id, cell AS c1 FROM r1 WHERE r <= 2 AND vec_id < 10),
-      sub AS (
-        SELECT c1, rn - 1 AS c2, e AS ce
-        FROM (SELECT a.c1, v.e,
-                row_number() OVER (PARTITION BY a.c1 ORDER BY a.vec_id) AS rn
-              FROM assign1 a JOIN v ON v.vec_id = a.vec_id)
-        WHERE rn <= 8),
-      s2 AS (
-        SELECT a.vec_id, a.c1, s.c2,
-          list_sum(list_transform(range(1, 65), i -> v.e[i] * s.ce[i])) AS sim
-        FROM assign1 a JOIN v ON v.vec_id = a.vec_id
-                       JOIN sub s ON s.c1 = a.c1),
-      assign2 AS (
-        SELECT vec_id AS neighbor_id, c1, c2
-        FROM (SELECT vec_id, c1, c2,
-                row_number() OVER (PARTITION BY vec_id
-                                   ORDER BY sim DESC, c2 ASC) AS r
-              FROM s2)
-        WHERE r = 1),
-      ps AS (
-        SELECT p.vec_id, p.c1, s.c2,
-          list_sum(list_transform(range(1, 65), i -> v.e[i] * s.ce[i])) AS sim
-        FROM probe1 p JOIN v ON v.vec_id = p.vec_id
-                      JOIN sub s ON s.c1 = p.c1),
-      probe2 AS (
-        SELECT vec_id AS query_id, c1, c2
-        FROM (SELECT vec_id, c1, c2,
-                row_number() OVER (PARTITION BY vec_id, c1
-                                   ORDER BY sim DESC, c2 ASC) AS r
-              FROM ps)
-        WHERE r <= 2),
-      adc AS (
-        SELECT p.query_id, a.neighbor_id,
-          list_sum(list_transform(range(1, 65), i -> q.e[i] * r.r[i])) AS adc
-        FROM probe2 p
-        JOIN assign2 a ON a.c1 = p.c1 AND a.c2 = p.c2
-                      AND a.neighbor_id != p.query_id
-        JOIN recon r ON r.vec_id = a.neighbor_id
-        JOIN v q ON q.vec_id = p.query_id),
-      short AS (
-        SELECT query_id, neighbor_id FROM (
-          SELECT query_id, neighbor_id,
-            row_number() OVER (PARTITION BY query_id
-                               ORDER BY adc DESC, neighbor_id ASC) AS cr
-          FROM adc) WHERE cr <= 20),
-      rr AS (
-        SELECT sh.query_id, sh.neighbor_id,
-          list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i])) AS sim
-        FROM short sh
-        JOIN v q ON q.vec_id = sh.query_id
-        JOIN v c ON c.vec_id = sh.neighbor_id)
-      SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
-             round(sim, 6) AS sim_r
-      FROM (SELECT query_id, neighbor_id, sim,
-              row_number() OVER (PARTITION BY query_id
-                                 ORDER BY sim DESC, neighbor_id ASC) AS rnk
-            FROM rr)
-      WHERE rnk <= 5""")),
+    }, Some(ivfPqOracleSql(500)),
+      oracleDyn = Some((s, d) => ivfPqOracleSql(embedN(s, d)))),
 
     // distributed k-means M-step (centroid accumulation): per (label,
     // dimension) the component sum and member count — the numerator/

@@ -40,21 +40,45 @@ object HttpFetchSink {
         .connectTimeout(java.time.Duration.ofMillis(timeoutMillis))
         .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
         .build()
-    def apply(url: String): Either[String, Array[Byte]] =
+    def apply(url: String): Either[String, Array[Byte]] = {
+      // HttpRequest.timeout only bounds time-to-response-HEADERS; a
+      // server that sends headers then stalls (or drips) the body would
+      // hang a blocking send() past any deadline. The whole exchange —
+      // connect, headers, AND full body — therefore runs async with a
+      // hard get(timeout); on expiry the future is cancelled so the
+      // client tears the transfer down instead of leaking it.
+      var fut: java.util.concurrent.CompletableFuture[
+        java.net.http.HttpResponse[Array[Byte]]] = null
       try {
         val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
           .timeout(java.time.Duration.ofMillis(timeoutMillis))
           .GET().build()
-        val resp = client.send(req,
+        fut = client.sendAsync(req,
           java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        val resp = fut.get(timeoutMillis,
+          java.util.concurrent.TimeUnit.MILLISECONDS)
         if (resp.statusCode() / 100 == 2) Right(resp.body())
         else Left(s"HTTP ${resp.statusCode()}")
       } catch {
-        case e: java.net.http.HttpTimeoutException =>
-          Left(s"timeout after ${timeoutMillis}ms: ${e.getMessage}")
+        case _: java.util.concurrent.TimeoutException =>
+          fut.cancel(true)
+          Left(s"timeout after ${timeoutMillis}ms: body read exceeded deadline")
+        case e: java.util.concurrent.ExecutionException =>
+          e.getCause match {
+            case t: java.net.http.HttpTimeoutException =>
+              Left(s"timeout after ${timeoutMillis}ms: ${t.getMessage}")
+            case t if t != null =>
+              Left(s"${t.getClass.getSimpleName}: ${t.getMessage}")
+            case _ => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          if (fut != null) fut.cancel(true)
+          Left(s"interrupted: ${e.getMessage}")
         case scala.util.control.NonFatal(e) =>
           Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
+    }
   }
 
   /** Default production fetcher (the 60 s reference contract). */

@@ -180,12 +180,27 @@ private[sources] class KeyedJsonScan(
       if (files.nonEmpty && idx.length == files.length) Some(idx.max + 1)
       else None
     }
+    // A part index >= the sidecar value is a hard contradiction: the
+    // writer that produced those files used MORE shards than the sidecar
+    // claims (stale sidecar over a rewritten dir, partial copy, legacy
+    // writer), so pruning with the sidecar count would open the wrong
+    // files and silently drop rows living in the higher-indexed parts.
+    // (onDisk < sidecar is NOT a contradiction — Spark's text writer
+    // skips empty partitions, so missing high part indices are expected
+    // for sparse data.) maxIdx+1 > sc catches every such index because
+    // onDisk is the max over ALL parseable names.
     val effectiveShards: Option[Int] = (sidecar, shards) match {
       case (Some(sc), opt) =>
         if (opt.exists(_ != sc)) log.warn(
           s"keyedjson $path: shards option ${opt.get} contradicts writer " +
             s"sidecar $sc; using the sidecar")
-        Some(sc)
+        if (onDisk.exists(_ > sc)) {
+          log.warn(s"keyedjson $path: sidecar claims $sc shards but part " +
+            s"files index up to ${onDisk.get - 1}; sidecar is stale or the " +
+            "dir was rewritten — falling back to a FULL scan to avoid " +
+            "silently incomplete point lookups")
+          None
+        } else Some(sc)
       case (None, Some(n)) =>
         if (onDisk.contains(n)) Some(n)
         else {

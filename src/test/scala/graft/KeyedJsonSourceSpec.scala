@@ -91,6 +91,29 @@ class KeyedJsonSourceSpec extends AnyFunSuite {
     assert(noneLegacy.collect().map(_.getString(0)).toSeq == Seq("42"))
   }
 
+  test("stale sidecar contradicted by on-disk part indices -> full scan") {
+    writeState() // 8 shards on disk, sidecar says 8
+    import spark.implicits._
+    // corrupt the sidecar to claim FEWER shards than the part files
+    // index — the signature of a rewritten dir / stale sidecar. Pruning
+    // with it would open the wrong file and silently drop rows.
+    val sc = new java.io.File(dir, graft.sinks.KeyedJsonSink.ShardSidecar)
+    def setSidecar(v: String): Unit = {
+      java.nio.file.Files.writeString(sc.toPath, v)
+      // drop Hadoop LocalFileSystem's checksum sidecar — the hand-edit
+      // invalidates it (which is precisely how a tampered file looks)
+      new java.io.File(dir, "." + sc.getName + ".crc").delete()
+    }
+    setSidecar("4")
+    val v2 = spark.read.format(fmt).option("path", dir).load()
+      .filter($"uid" === "42")
+    assert(v2.rdd.getNumPartitions == 8,
+      "contradicted sidecar must disable pruning, not mis-prune")
+    assert(v2.collect().map(_.getString(0)).toSeq == Seq("42"))
+    // restore a consistent state for later tests
+    setSidecar("8")
+  }
+
   test("column pruning drops the json payload from the scan schema") {
     writeState()
     import spark.implicits._

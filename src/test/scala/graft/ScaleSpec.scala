@@ -188,4 +188,45 @@ class ScaleSpec extends AnyFunSuite {
     assert(probeShuffles(p81) <= 2,
       s"unexpected probe-side shuffles in q81 plan:\n$p81")
   }
+
+  test("boundedBroadcast guards the hint: under cap broadcasts, over cap shuffles") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // hint-only
+    try {
+      val big = (1 to 500).map(i => (i.toLong, s"k$i")).toDF("id", "k")
+      val side = (1 to 100).map(i => (i.toLong, i * 2)).toDF("id", "v")
+
+      // under cap: the hint survives -> BroadcastHashJoin
+      val under = big.join(
+        CorpusOps.boundedBroadcast(side, maxRows = 1000, what = "test"), "id")
+      assert(under.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "under-cap side must keep the broadcast hint")
+      assert(under.count() == 100)
+
+      // over cap: hint dropped -> planner falls back to a shuffled join
+      // (auto-broadcast disabled above, so no broadcast can appear)
+      val over = big.join(
+        CorpusOps.boundedBroadcast(side, maxRows = 10, what = "test"), "id")
+      val overPlan = over.queryExecution.executedPlan.toString
+      assert(!overPlan.contains("BroadcastHashJoin"),
+        s"over-cap side must NOT be broadcast:\n$overPlan")
+      assert(over.count() == 100)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  // the q54 wiring: the decontam benchmark side goes through
+  // boundedBroadcast, so a corpus-proportional benchmark frame can cost
+  // a shuffle but can never pin an unbounded broadcast into the driver
+  test("q54 decontam benchmark side rides the guarded broadcast") {
+    val plan = SparkEntry.queries("q54_decontam")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // at sf0.001 the bench slice is far under the cap -> hint applied
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the guarded hint to broadcast the small bench side:\n$plan")
+  }
 }

@@ -185,6 +185,16 @@ class SinkHardeningSpec extends AnyFunSuite {
     server.createContext("/stall", ex => {
       Thread.sleep(1500); ex.sendResponseHeaders(200, -1); ex.close()
     })
+    server.createContext("/midbody", ex => {
+      // headers + first chunk arrive promptly, then the body stalls:
+      // HttpRequest.timeout does NOT fire here (it only bounds
+      // time-to-headers), so only a whole-exchange deadline cuts this
+      ex.sendResponseHeaders(200, 1024 * 1024)
+      ex.getResponseBody.write(Array.fill[Byte](16)(42))
+      ex.getResponseBody.flush()
+      Thread.sleep(5000)
+      ex.close()
+    })
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.start()
     val base = s"http://127.0.0.1:${server.getAddress.getPort}"
@@ -200,6 +210,16 @@ class SinkHardeningSpec extends AnyFunSuite {
       assert(stalled.isLeft && stalled.swap.toOption.get.startsWith("timeout"),
         s"expected timeout Left, got $stalled")
       assert(elapsedMs < 1400, s"timeout must cut the wait, took $elapsedMs ms")
+
+      // mid-body stall: headers OK, body never finishes — the deadline
+      // must cover the FULL body read, not just time-to-headers
+      val t1 = System.nanoTime()
+      val midbody = f(s"$base/midbody")
+      val midMs = (System.nanoTime() - t1) / 1e6
+      assert(midbody.isLeft && midbody.swap.toOption.get.startsWith("timeout"),
+        s"expected timeout Left for mid-body stall, got $midbody")
+      assert(midMs < 4500,
+        s"deadline must cut a stalled body read, took $midMs ms")
 
       // and end-to-end through the distributed sink (serializability +
       // retry/dead-letter integration with a REAL http client)
