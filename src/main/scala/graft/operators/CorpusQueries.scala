@@ -229,7 +229,10 @@ object CorpusQueries extends QueryModule {
       val dfT = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy($"doc_id")
         .orderBy($"tf".desc, $"df".asc, $"term".asc)
-      tf.join(broadcast(dfT), "term")
+      // dfT is the VOCABULARY — it grows with the corpus, so no
+      // broadcast hint: the term-keyed join shuffles by default and AQE
+      // upgrades it to a broadcast at runtime when the vocab is small
+      tf.join(dfT, "term")
         .withColumn("tfidf", round($"tf" * log(lit(n.toDouble) / $"df"), 6))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 3)
@@ -674,8 +677,12 @@ object CorpusQueries extends QueryModule {
       def hit(j: Int) = coalesce(
         expr(s"(shiftright(bits$j, cast(b$j % 32 as int)) & 1L) = 1L"),
         lit(false))
-      val exact = bench.select($"fp").distinct().withColumn("__im", lit(true))
-      probed.join(broadcast(exact), Seq("fp"), "left_outer")
+      // the benchmark fingerprint set is eval-suite-sized in production
+      // but corpus-derived in this demo — size-guarded like q54's
+      val exact = CorpusOps.boundedBroadcast(
+        bench.select($"fp").distinct().withColumn("__im", lit(true)),
+        what = "q81 benchmark fingerprints")
+      probed.join(exact, Seq("fp"), "left_outer")
         .select($"doc_id",
           (hit(0) && hit(1) && hit(2)).as("might_match"),
           coalesce($"__im", lit(false)).as("is_match"))

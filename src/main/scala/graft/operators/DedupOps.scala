@@ -254,8 +254,12 @@ object DedupOps {
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > blockCap)
       .select(col("__pfx"), lit(true).as("__hot"))
+    // hot set is ≤ n/blockCap rows (one per over-cap block) — sublinear
+    // but still corpus-growing, so the broadcast is size-guarded: above
+    // the cap the hint drops and the join shuffles
     val blocked = titles
-      .join(broadcast(hot), pfx === col("__pfx"), "left_outer")
+      .join(CorpusOps.boundedBroadcast(hot, what = "SNM hot prefixes"),
+        pfx === col("__pfx"), "left_outer")
       .withColumn("__block",
         when(col("__hot"), substring(title, 1, prefixLen + extLen))
           .otherwise(pfx))

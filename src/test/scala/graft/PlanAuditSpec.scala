@@ -64,6 +64,38 @@ class PlanAuditSpec extends AnyFunSuite {
     "q75_budget_select" -> "running sum over the <=1001-row quality-bucket histogram (doc-level window is bucket-partitioned)",
   )
 
+  /** broadcast() HINT audit (the q54 class): a hint pins its side into
+    * the driver + every executor regardless of size, so a hinted
+    * subtree must be provably bounded. Auto-classified as bounded:
+    * no base-relation scan at all (literal/local frames), an explicit
+    * limit, or a scalar (no-grouping) aggregate. Everything else needs
+    * a named justification below — grouped aggregates are NOT auto-ok
+    * because a groupBy on a corpus-cardinality key (e.g. distinct
+    * shingles) grows with the data. */
+  private val broadcastHintOk: Map[String, String] = Map(
+    "q03_join_agg" -> "nation (25 rows) + region (5 rows): fixed TPC-H dimension tables",
+    "q09_parent_lookup" -> "region dimension (5 rows)",
+    "q10_point_lookup" -> "nation dimension filtered to one region (<= 25 rows)",
+    "q37_knn_brute" -> "query batch: vec_id < 20 constant probe set",
+    "q54_decontam" -> "benchmark-shingle side: runtime-guarded by CorpusOps.boundedBroadcast (hint dropped above 1M rows)",
+    "q61_knn_sq8" -> "query batch (vec_id < 10) + dim-range model (64 rows)",
+    "q64_knn_pq" -> "query batch (vec_id < 10) + PQ anchor rows (16)",
+    "q68_knn_ivfpq" -> "query batch (vec_id < 10) + coarse/PQ model frames (sqrt-n / 16 rows)",
+    "q75_budget_select" -> "per-quality-bucket priors: qb in [0, 1000] — <= 1001 rows by construction",
+    "q79_vocab_oov" -> "top-50 vocabulary from bucketed-prefilter top-K: constant k rows",
+    "q81_bloom_decontam" -> "bloom words (1024/32 = 32 rows, x3 probes) + boundedBroadcast-guarded benchmark fingerprints",
+    "q83_topp_select" -> "per-(stratum, permille-bucket) priors + per-stratum totals: langs x 1000 cap",
+    "q91_regional_revenue" -> "nation + region dimension tables",
+    "q92_idle_rich_customers" -> "nation dimension (the avg-balance scalar auto-classifies)",
+    "q99_source_overlap" -> "per-source vocab sizes: groupBy source (bounded source registry)",
+    "q101_sorted_neighborhood" -> "SNM hot-prefix set: runtime-guarded by boundedBroadcast (<= n/blockCap rows under the cap)",
+    "q112_bm25_retrieval" -> "query-term set of the 3 seed docs: doc-bounded, not corpus-growing",
+    "q80_adaptive_threshold" -> "per-lang quality stats: groupBy lang (bounded language registry)",
+    "q86_countmin_freq" -> "count-min sketch: groupBy (j, b) over the fixed 3x256 hash range — 768 rows at any corpus size",
+    "q110_quantile_sketch" -> "targets + approx frames: langs x 4 quantile rows each",
+    "q123_nearest_centroid" -> "centroid matrix from the label x dim agg: model-sized (labels x 64)",
+  )
+
   test("catalog-wide plan audit: cartesian/BNLJ/global-window invariants") {
     val offendersCartesian = scala.collection.mutable.ListBuffer.empty[String]
     val offendersBnlj = scala.collection.mutable.ListBuffer.empty[String]
@@ -102,5 +134,46 @@ class PlanAuditSpec extends AnyFunSuite {
       s"stale bnljOk entries: ${(bnljOk.keySet -- hitBnlj).mkString(", ")}")
     assert(hitWindow == globalWindowOk.keySet,
       s"stale globalWindowOk entries: ${(globalWindowOk.keySet -- hitWindow).mkString(", ")}")
+  }
+
+  test("broadcast() hints never pin an unbounded corpus-growing side") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def hasNode(p: LogicalPlan, f: LogicalPlan => Boolean): Boolean =
+      p.collectFirst { case n if f(n) => n }.isDefined
+    /** bounded w.r.t. corpus size, statically provable */
+    def bounded(p: LogicalPlan): Boolean = {
+      val scans = !hasNode(p, {
+        case _: LocalRelation | _: OneRowRelation | _: Range => false
+        case l: LeafNode => true
+        case _ => false
+      })
+      scans || // no base-relation scan: literal/local frame
+        hasNode(p, {
+          case _: GlobalLimit | _: LocalLimit | _: Sample => true
+          case a: Aggregate if a.groupingExpressions.isEmpty => true
+          case _ => false
+        })
+    }
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    val hit = scala.collection.mutable.Set.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, run) =>
+      val analyzed = run(spark, sf).queryExecution.analyzed
+      val hinted = analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h.child
+      } ++ analyzed.subqueries.flatMap(_.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h.child
+      })
+      hinted.foreach { side =>
+        if (!bounded(side)) {
+          if (broadcastHintOk.contains(name)) hit += name
+          else offenders += name
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"broadcast() hint over a statically-unbounded side in: ${offenders.distinct.mkString(", ")} — " +
+        "bound it (limit / scalar agg / boundedBroadcast) or justify it in broadcastHintOk")
+    assert(hit == broadcastHintOk.keySet,
+      s"stale broadcastHintOk entries: ${(broadcastHintOk.keySet -- hit).mkString(", ")}")
   }
 }
