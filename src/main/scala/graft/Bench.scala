@@ -106,6 +106,10 @@ object Bench {
     // failures are listed explicitly and the process exits nonzero.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"probe":$probeJson,"reps":$reps,"sf":"$sfDir"}""")
+    // the big JSON line can be FRONT-truncated by tail-capture harnesses
+    // (BENCH_r07 lost half its per-query times that way); this short
+    // trailer repeats the headline numbers so they survive any tail cut.
+    println(s"""{"metric":"summary","total_sec":$total,"n_queries":${results.length},"n_failed":${failed.length},"probe_median":${f"${pSorted(pSorted.length / 2)}%.3f"},"probe_max":${f"${pSorted.last}%.3f"}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
