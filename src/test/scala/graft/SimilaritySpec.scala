@@ -96,6 +96,60 @@ class SimilaritySpec extends AnyFunSuite {
         s"recall ${lsh.size}/${exact.size} too low")
   }
 
+  test("recall sweep: Lloyd-refined IVF and PQ models vs raw seeds at two corpus sizes") {
+    // the oracled q45/q64/q68 paths use raw seeds/anchors (bit-replayable
+    // in SQL); production callers refine with kmeansCentroids/pqRefine.
+    // This pins the value of that refinement: at BOTH corpus sizes the
+    // refined model's recall is at least the seed model's (Lloyd's moves
+    // centroids toward the data, it must not cost recall), with the
+    // actual numbers surfaced for the record.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val emb = graft.catalog.Tables.t(spark, dir, "embeddings")
+      val n = emb.count()
+
+      // IVF arm: recall@1 over the full corpus, tight nprobe so the
+      // cell model quality is what decides recall
+      val nlist = if (n <= 1000) 16 else 32
+      val brute1 = SimilarityOps.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+      def ivfRecall(cents: Seq[Seq[Double]]): Double = {
+        val got = SimilarityOps
+          .ivfTopK(emb, "vec_id", "embedding", cents, nprobe = 2, k = 1)
+          .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+        got.count { case (q, nb) => brute1.get(q).contains(nb) }.toDouble / brute1.size
+      }
+      val seed = SimilarityOps.seedCentroids(emb, "vec_id", "embedding", nlist)
+      val refined = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding", nlist, iters = 2)
+      val (rSeed, rRef) = (ivfRecall(seed), ivfRecall(refined))
+      info(f"$dir n=$n IVF recall@1: seed=$rSeed%.3f refined=$rRef%.3f")
+      assert(refined != seed, "refinement must move the centroids")
+      assert(rRef >= rSeed,
+        f"refined IVF recall $rRef%.3f fell below seed recall $rSeed%.3f at $dir")
+
+      // PQ arm: recall@5 for the 10-query probe batch through the full
+      // ADC-shortlist-rerank path, raw anchors vs 2 Lloyd iterations
+      val queries = emb.filter($"vec_id" < 10)
+      val brute5 = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def pqRecall(cb: Array[Array[(Array[Double], Double)]]): Double = {
+        val got = SimilarityOps.pqTopK(emb, queries, "vec_id", "embedding",
+            cb, candidates = 20, k = 5)
+          .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val hits = brute5.map { case (q, t) =>
+          got.getOrElse(q, Set.empty).count(t.contains) }.sum
+        hits.toDouble / brute5.values.map(_.size).sum
+      }
+      val rawCb = SimilarityOps.pqAnchorCodebook(emb, "vec_id", "embedding", n, m = 4, k = 16)
+      val refCb = SimilarityOps.pqRefine(emb, "embedding", rawCb, iters = 2)
+      val (pRaw, pRef) = (pqRecall(rawCb), pqRecall(refCb))
+      info(f"$dir n=$n PQ recall@5: anchors=$pRaw%.3f refined=$pRef%.3f")
+      assert(pRef >= pRaw,
+        f"refined PQ recall $pRef%.3f fell below anchor recall $pRaw%.3f at $dir")
+    }
+  }
+
   test("hyperplanes are deterministic by seed") {
     val p1 = SimilarityOps.hyperplanes(4, 8, seed = 7)
     val p2 = SimilarityOps.hyperplanes(4, 8, seed = 7)
