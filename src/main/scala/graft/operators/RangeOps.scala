@@ -18,13 +18,17 @@ object RangeOps {
   def bucketedRangeCount(left: DataFrame, right: DataFrame, leftId: String,
                          leftTs: String, rightTs: String, windowUs: Long,
                          outCol: String = "n_in_range"): DataFrame = {
+    // cast-to-ltz first: the testdata parquet carries un-annotated
+    // timestamps (Spark reads TIMESTAMP_NTZ, which unix_micros rejects);
+    // under the pinned UTC session timezone the cast is the identity for
+    // both NTZ and LTZ inputs, so epoch arithmetic is generation-proof
     val l = left
-      .withColumn("__lus", unix_micros(col(leftTs)))
+      .withColumn("__lus", unix_micros(col(leftTs).cast("timestamp")))
       .withColumn("__bucket",
         explode(array(expr(s"__lus div ${windowUs}L"),
           expr(s"__lus div ${windowUs}L - 1L"))))
     val r = right
-      .withColumn("__rus", unix_micros(col(rightTs)))
+      .withColumn("__rus", unix_micros(col(rightTs).cast("timestamp")))
       .withColumn("__bucket", expr(s"__rus div ${windowUs}L"))
       .select(col("__bucket"), col("__rus"))
     val counts = l.join(r, "__bucket")

@@ -69,7 +69,10 @@ object TextQueries extends QueryModule {
         .withColumn("prev_ts", lag($"ts", 1).over(w))
         .withColumn("is_new",
           when($"prev_ts".isNull ||
-               (unix_micros($"ts") - unix_micros($"prev_ts")) > 1800000000L, 1L)
+               // cast: parquet ts is un-annotated (NTZ to Spark) — under
+               // the UTC session tz the cast is identity for LTZ too
+               (unix_micros($"ts".cast("timestamp")) -
+                unix_micros($"prev_ts".cast("timestamp"))) > 1800000000L, 1L)
             .otherwise(0L))
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_events"), sum($"is_new").as("n_sessions"))

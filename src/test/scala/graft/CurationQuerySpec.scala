@@ -184,7 +184,13 @@ class CurationQuerySpec extends AnyFunSuite {
   test("q89 funnel counts match a per-user sequential recompute") {
     val ev = graft.catalog.Tables.t(spark, sf, "events")
       .select("user_id", "event_type", "ts").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+      .map(r => (r.getLong(0), r.getString(1), r.get(2) match {
+        // parquet ts may surface as LTZ (Timestamp) or NTZ (LocalDateTime)
+        // depending on the generator's annotation; epoch under UTC either way
+        case t: java.sql.Timestamp => t.getTime
+        case d: java.time.LocalDateTime =>
+          d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }))
     val byUser = ev.groupBy(_._1)
     def minOf(g: Array[(Long, String, Long)], t: String): Option[Long] = {
       val xs = g.filter(_._2 == t).map(_._3)
