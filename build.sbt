@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit the forked program's stdout RAW instead of through sbt's logger:
+// the logger prefixes every line with "[info] ", which breaks harnesses
+// that tail-capture stdout and json-parse the final line (every round's
+// bench artifact had parsed:null because of it).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
