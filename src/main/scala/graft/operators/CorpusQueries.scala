@@ -93,13 +93,14 @@ object CorpusQueries extends QueryModule {
       val benchSh = sh.filter($"doc_id" % 20 === 0)
         .withColumnRenamed("doc_id", "bench_id")
       // the benchmark side is an eval suite — tiny next to the corpus —
-      // but THIS demo derives it from the corpus (5% slice), so the
-      // broadcast is size-guarded: above the cap the hint is dropped
-      // and the join shuffles instead of pinning a corpus-proportional
-      // frame into the driver (ScaleSpec pins both behaviors)
-      val mx = trainSh.join(
-          CorpusOps.boundedBroadcast(benchSh, what = "q54 benchmark shingles"),
-          "shingle")
+      // but THIS demo derives it from the corpus (5% slice), so nothing
+      // is pinned: no broadcast hint, AQE measures the side's actual
+      // bytes at runtime and upgrades the shuffled join to a broadcast
+      // exactly when it is small (same treatment as q58's vocabulary
+      // join; a 100 TB deployment sizes autoBroadcastJoinThreshold to
+      // its eval suites). A runtime persist+count guard here proved
+      // both redundant with AQE and bench-unstable (BASELINE round 9).
+      val mx = trainSh.join(benchSh, "shingle")
         .groupBy($"doc_id", $"bench_id").agg(count(lit(1)).as("shared"))
         .groupBy($"doc_id").agg(max($"shared").as("mo"))
       docs.select($"doc_id").filter($"doc_id" % 20 =!= 0)
@@ -678,10 +679,11 @@ object CorpusQueries extends QueryModule {
         expr(s"(shiftright(bits$j, cast(b$j % 32 as int)) & 1L) = 1L"),
         lit(false))
       // the benchmark fingerprint set is eval-suite-sized in production
-      // but corpus-derived in this demo — size-guarded like q54's
-      val exact = CorpusOps.boundedBroadcast(
-        bench.select($"fp").distinct().withColumn("__im", lit(true)),
-        what = "q81 benchmark fingerprints")
+      // but corpus-derived in this demo — like q54, no hint is pinned:
+      // AQE upgrades this join to a broadcast at runtime when the side
+      // measures small, and falls back to a shuffled join when it does
+      // not, so the driver can never be handed a corpus-sized frame
+      val exact = bench.select($"fp").distinct().withColumn("__im", lit(true))
       probed.join(exact, Seq("fp"), "left_outer")
         .select($"doc_id",
           (hit(0) && hit(1) && hit(2)).as("might_match"),

@@ -77,13 +77,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q09_parent_lookup" -> "region dimension (5 rows)",
     "q10_point_lookup" -> "nation dimension filtered to one region (<= 25 rows)",
     "q37_knn_brute" -> "query batch: vec_id < 20 constant probe set",
-    "q54_decontam" -> "benchmark-shingle side: runtime-guarded by CorpusOps.boundedBroadcast (hint dropped above 1M rows)",
     "q61_knn_sq8" -> "query batch (vec_id < 10) + dim-range model (64 rows)",
     "q64_knn_pq" -> "query batch (vec_id < 10) + PQ anchor rows (16)",
     "q68_knn_ivfpq" -> "query batch (vec_id < 10) + coarse/PQ model frames (sqrt-n / 16 rows)",
     "q75_budget_select" -> "per-quality-bucket priors: qb in [0, 1000] — <= 1001 rows by construction",
     "q79_vocab_oov" -> "top-50 vocabulary from bucketed-prefilter top-K: constant k rows",
-    "q81_bloom_decontam" -> "bloom words (1024/32 = 32 rows, x3 probes) + boundedBroadcast-guarded benchmark fingerprints",
+    "q81_bloom_decontam" -> "bloom words (1024/32 = 32 rows, x3 probes); the benchmark-fingerprint join is unhinted (AQE-adjudicated)",
     "q83_topp_select" -> "per-(stratum, permille-bucket) priors + per-stratum totals: langs x 1000 cap",
     "q91_regional_revenue" -> "nation + region dimension tables",
     "q92_idle_rich_customers" -> "nation dimension (the avg-balance scalar auto-classifies)",
