@@ -78,5 +78,7 @@ object GraftFunctions {
     add("nearest_cells", exprs => NearestCells(exprs.head, exprs(1), exprs(2)))
     add("nearest_cells_col", exprs =>
       NearestCellsCol(exprs.head, exprs(1), exprs(2)))
+    add("nfc_normalize", exprs => NfcNormalize(exprs.head))
+    add("char_entropy_nano_sum", exprs => CharEntropyNanoSum(exprs.head))
   }
 }

@@ -29,6 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nearest_cells"),
       new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
       (exprs: Seq[Expression]) => NearestCells(exprs.head, exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("char_entropy_nano_sum"),
+      new ExpressionInfo(classOf[CharEntropyNanoSum].getName, "char_entropy_nano_sum"),
+      (exprs: Seq[Expression]) => CharEntropyNanoSum(exprs.head)))
     // EAV self-join-chain -> single-shuffle pivot (opt-in via
     // spark.graft.eav.pivotJoinChains AND spark.graft.eav.entityColumn
     // naming the declared-unique link column; see the rule's scaladoc)

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-local text-normalization kernels shared by the interpreted eval and
+  * the generated code of the expressions below (the UriCodec pattern).
+  *
+  * A training-data pipeline normalizes and profiles text BEFORE hashing or
+  * filtering it — Unicode-equivalent byte sequences must fingerprint
+  * identically (NFC), and character-distribution entropy is the standard
+  * cheap gibberish/binary-junk signal. Both are pure per-row passes: no
+  * shuffle, no UDF serialization, whole-stage codegen keeps them inside
+  * the scan's pipeline.
+  */
+object TextNormOps {
+
+  /** Unicode NFC (canonical composition). */
+  def nfc(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+
+  /** Character-distribution Shannon entropy in floor-quantized nano-nats,
+    * summed per codepoint occurrence: Σ_c k_c * floor(1e9 * ln(n / k_c)),
+    * where k_c is the count of codepoint c and n the total codepoints.
+    * Quantizing each distinct-codepoint term to an integer BEFORE the sum
+    * (the q73 engine-exactness scheme) makes the result identical across
+    * engines regardless of summation order; divide by n for nano-nats
+    * per character. Empty input returns 0.
+    */
+  def entropyNanoSum(s: String): Long = {
+    val counts = new java.util.HashMap[Integer, Integer]()
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n == 0L) return 0L
+    var sum = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val k = it.next().toLong
+      sum += k * math.floor(math.log(n.toDouble / k) * 1e9).toLong
+    }
+    sum
+  }
+}
+
+/** Unicode NFC normalization as a codegen'd Catalyst expression —
+  * `nfc_normalize(text)`. DuckDB's built-in of the same name is the
+  * oracle counterpart. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(TextNormOps.nfc(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(graft.functions.TextNormOps.nfc($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+/** Codepoint-distribution entropy sum in nano-nats —
+  * `char_entropy_nano_sum(text)`; divide by the codepoint count for
+  * per-char entropy. One pass over the string, no explode: at corpus
+  * scale this replaces a per-character Generate + two shuffles with a
+  * row-local kernel. */
+case class CharEntropyNanoSum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_entropy_nano_sum"
+
+  override def nullSafeEval(input: Any): Any =
+    TextNormOps.entropyNanoSum(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextNormOps.entropyNanoSum($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyNanoSum =
+    copy(child = newChild)
+}

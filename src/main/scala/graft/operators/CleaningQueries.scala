@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{Q, QueryModule, Tables}
+import graft.functions.GraftFunctions
+
+/** Text-cleaning / normalization operators (SURVEY.md §2.12 X96-X100) —
+  * the pre-filter passes a large-scale training-data pipeline runs before
+  * anything is hashed, deduplicated, or sampled: paragraph-level exact
+  * dedup, Unicode NFC normalization, script composition, character-
+  * distribution entropy, and URL host policy filtering.
+  *
+  * Scale shape: q126 is two linear key-partitioned shuffles (paragraph
+  * fingerprint, then doc); everything else is row-local expression work
+  * inside whole-stage codegen plus at most a small aggregation. No
+  * broadcast carries corpus-derived data.
+  */
+object CleaningQueries extends QueryModule {
+
+  private def t(s: org.apache.spark.sql.SparkSession, d: String, n: String) =
+    Tables.t(s, d, n)
+
+  def qs: Seq[Q] = Seq(
+
+    // paragraph-level exact dedup (the CCNet/RefinedWeb pre-pass): split
+    // each doc into fixed 25-token paragraphs, fingerprint each, keep only
+    // the first occurrence corpus-wide ((doc_id, para_id) order), report
+    // per-doc retention. The keeper choice is a row_number window
+    // PARTITIONED by fingerprint — bounded per duplicate group, never
+    // global — and both shuffles (para agg, fp window) are linear in the
+    // paragraph count. At 100 TB this is the exact shape that runs:
+    // fingerprints partition uniformly (md5), no side is collected or
+    // broadcast anywhere.
+    Q("q126_paragraph_dedup", (s, d) => {
+      import s.implicits._
+      val paras = t(s, d, "documents")
+        .select($"doc_id", posexplode(TextOps.tokens($"text")).as(Seq("pos", "tok")))
+        .groupBy($"doc_id", expr("pos div 25").cast("long").as("para_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          array_sort(collect_list(struct($"pos", $"tok"))).as("ts"))
+        .select($"doc_id", $"para_id", $"n_toks",
+          md5(array_join(transform($"ts", x => x.getField("tok")), " "))
+            .as("fp"))
+      val w = Window.partitionBy($"fp").orderBy($"doc_id".asc, $"para_id".asc)
+      paras.withColumn("kept", row_number().over(w) === 1)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"kept", $"n_toks").otherwise(0L)).as("kt"),
+          sum($"n_toks").as("tt"))
+        .select($"doc_id", $"n_paras", $"n_kept",
+          expr("(kt * 1000) div tt").as("kept_tok_permille"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents),
+      tk AS (SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) - 1 AS pos FROM d),
+      p AS (SELECT doc_id, CAST(pos // 25 AS BIGINT) AS para_id,
+              count(*) AS n_toks,
+              md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+            FROM tk GROUP BY 1, 2),
+      k AS (SELECT doc_id, para_id, n_toks,
+              row_number() OVER (PARTITION BY fp
+                                 ORDER BY doc_id ASC, para_id ASC) = 1 AS kept
+            FROM p)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN kept THEN n_toks ELSE 0 END) * 1000
+               // sum(n_toks) AS BIGINT) AS kept_tok_permille
+      FROM k GROUP BY doc_id""")),
+
+    // Unicode NFC normalization (custom codegen'd expression — Spark has
+    // no built-in): a pipeline must canonically compose text before
+    // fingerprinting, or byte-different but canonically-equal docs escape
+    // dedup. The corpus is ASCII, so each doc gets a deterministic
+    // decorated suffix exercising all paths: combining grave/acute
+    // (compose), precomposed e-acute (already NFC), plain ASCII (no-op).
+    // Row-local, zero shuffles beyond the final tiny agg-free project.
+    Q("q127_nfc_normalize", (s, d) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      // cases 0/1 are DECOMPOSED (base letter + combining grave/acute -
+      // NFC composes them); case 2 is precomposed e-acute (already NFC)
+      val suffix = when($"doc_id" % 4 === 0, lit("e\u0300"))
+        .when($"doc_id" % 4 === 1, lit("e\u0301"))
+        .when($"doc_id" % 4 === 2, lit("\u00e9"))
+        .otherwise(lit("x"))
+      t(s, d, "documents")
+        .select($"doc_id", concat($"text", lit(" "), suffix).as("raw"))
+        .select($"doc_id", $"raw",
+          call_function("nfc_normalize", $"raw").as("norm"))
+        .select($"doc_id",
+          ($"norm" =!= $"raw").as("changed"),
+          length($"raw").cast("long").as("len_raw"),
+          length($"norm").cast("long").as("len_norm"),
+          substring($"norm", -1, 1).as("tail_ch"))
+    }, Some("""
+      WITH r AS (
+        SELECT doc_id,
+          text || ' ' || CASE doc_id % 4
+            WHEN 0 THEN 'e' || chr(768)
+            WHEN 1 THEN 'e' || chr(769)
+            WHEN 2 THEN chr(233)
+            ELSE 'x' END AS raw
+        FROM documents),
+      n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM r)
+      SELECT doc_id, norm <> raw AS changed,
+        CAST(length(raw) AS BIGINT) AS len_raw,
+        CAST(length(norm) AS BIGINT) AS len_norm,
+        norm[-1] AS tail_ch
+      FROM n""")),
+
+    // Unicode-script composition (language-ID's cheap precursor): count
+    // Latin / Cyrillic / CJK codepoints per doc via length-difference
+    // after class removal (identical formulation in both engines), pick
+    // the dominant script with a fixed tie-break. The ASCII corpus gets a
+    // deterministic non-Latin decoration so every branch is exercised.
+    // Pure row-local regex work inside codegen.
+    Q("q128_script_mix", (s, d) => {
+      import s.implicits._
+      val decorated = concat($"text",
+        when($"doc_id" % 3 === 1, lit(" привет мир"))
+          .when($"doc_id" % 3 === 2, lit(" 数据处理系统"))
+          .otherwise(lit("")))
+      def cnt(c: org.apache.spark.sql.Column, cls: String) =
+        (length(c) - length(regexp_replace(c, cls, ""))).cast("long")
+      t(s, d, "documents")
+        .select($"doc_id", decorated.as("txt"))
+        .select($"doc_id",
+          cnt($"txt", "[A-Za-z]").as("n_latin"),
+          cnt($"txt", "[Ѐ-ӿ]").as("n_cyr"),
+          cnt($"txt", "[一-鿿]").as("n_cjk"))
+        .withColumn("dominant",
+          when($"n_latin" >= $"n_cyr" && $"n_latin" >= $"n_cjk", "latin")
+            .when($"n_cyr" >= $"n_cjk", "cyrillic")
+            .otherwise("cjk"))
+    }, Some("""
+      WITH r AS (
+        SELECT doc_id,
+          text || CASE doc_id % 3
+            WHEN 1 THEN ' ' || chr(1087) || chr(1088) || chr(1080) || chr(1074)
+                     || chr(1077) || chr(1090) || ' ' || chr(1084) || chr(1080)
+                     || chr(1088)
+            WHEN 2 THEN ' ' || chr(25968) || chr(25454) || chr(22788)
+                     || chr(29702) || chr(31995) || chr(32479)
+            ELSE '' END AS txt
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+          CAST(length(txt) - length(regexp_replace(txt, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+          CAST(length(txt) - length(regexp_replace(txt, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyr,
+          CAST(length(txt) - length(regexp_replace(txt, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk
+        FROM r)
+      SELECT doc_id, n_latin, n_cyr, n_cjk,
+        CASE WHEN n_latin >= n_cyr AND n_latin >= n_cjk THEN 'latin'
+             WHEN n_cyr >= n_cjk THEN 'cyrillic'
+             ELSE 'cjk' END AS dominant
+      FROM c""")),
+
+    // character-distribution entropy (gibberish / binary-junk filter):
+    // one row-local pass per doc via a custom codegen'd expression — at
+    // corpus scale this replaces the naive per-character explode (n_chars
+    // rows through a Generate + two shuffles) with zero shuffles. Each
+    // distinct-codepoint term is floor-quantized to integer nano-nats
+    // BEFORE summation (the q73 scheme), so the oracle's unnest-and-group
+    // formulation lands on the identical integer.
+    Q("q129_char_entropy", (s, d) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      t(s, d, "documents")
+        .filter(length($"text") > 0)
+        .select($"doc_id",
+          length($"text").cast("long").as("n_chars"),
+          call_function("char_entropy_nano_sum", $"text").as("ent_sum"))
+        .select($"doc_id", $"n_chars",
+          expr("ent_sum div n_chars").as("entropy_nano"))
+    }, Some("""
+      WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents WHERE length(text) > 0),
+      tf AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+      n AS (SELECT doc_id, sum(k) AS n FROM tf GROUP BY 1),
+      q AS (
+        SELECT tf.doc_id,
+          sum(tf.k * CAST(floor(ln(n.n * 1.0 / tf.k) * 1000000000) AS BIGINT))
+            AS ent_sum,
+          any_value(n.n) AS n
+        FROM tf JOIN n USING (doc_id) GROUP BY 1)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        CAST(ent_sum // n AS BIGINT) AS entropy_nano
+      FROM q""")),
+
+    // URL host policy filter: derive each doc's host, extract the TLD,
+    // and flag blocklisted hosts. The blocklist is a static policy —
+    // row-local IN-list, not a join: at 100 TB nothing is shuffled,
+    // broadcast, or collected; the per-host rollup is a 5-key agg.
+    Q("q130_host_blocklist", (s, d) => {
+      import s.implicits._
+      val host = when($"doc_id" % 5 === 0, "docs.example.com")
+        .when($"doc_id" % 5 === 1, "spam.tracker.net")
+        .when($"doc_id" % 5 === 2, "cdn.example.com")
+        .when($"doc_id" % 5 === 3, "blog.example.org")
+        .otherwise("ads.clickfarm.biz")
+      val blocked = Seq("spam.tracker.net", "ads.clickfarm.biz")
+      t(s, d, "documents")
+        .select($"doc_id", host.as("host"))
+        .select($"doc_id", $"host",
+          regexp_extract($"host", "\\.([a-z]+)$", 1).as("tld"),
+          $"host".isin(blocked: _*).as("is_blocked"))
+        .groupBy($"host", $"tld", $"is_blocked")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id, CASE doc_id % 5
+          WHEN 0 THEN 'docs.example.com'
+          WHEN 1 THEN 'spam.tracker.net'
+          WHEN 2 THEN 'cdn.example.com'
+          WHEN 3 THEN 'blog.example.org'
+          ELSE 'ads.clickfarm.biz' END AS host
+        FROM documents)
+      SELECT host, regexp_extract(host, '\.([a-z]+)$', 1) AS tld,
+        host IN ('spam.tracker.net', 'ads.clickfarm.biz') AS is_blocked,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM u GROUP BY 1, 2, 3""")),
+  )
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextNormOps
+
+/** Semantic tests for the cleaning/normalization family (q126-q130):
+  * independent Scala recomputation from the raw sf0.001 corpus (the
+  * CurationQuerySpec pattern — the DuckDB oracle proves engine parity,
+  * these pin the SEMANTICS so a same-wrong-both-sides bug can't hide).
+  */
+class CleaningQuerySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private lazy val rawDocs: Map[Long, String] =
+    graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def toks(text: String): Array[String] = text.trim.split("\\s+")
+
+  test("q126 paragraph retention matches a direct first-keeper recompute") {
+    // recompute: 25-token paragraphs, first (doc_id, para_id) per text wins
+    val paras = rawDocs.toSeq.flatMap { case (id, text) =>
+      toks(text).grouped(25).zipWithIndex.map { case (g, i) =>
+        (id, i.toLong, g.length.toLong, g.mkString(" "))
+      }
+    }
+    val keeper = paras.groupBy(_._4).map { case (_, g) =>
+      g.minBy(p => (p._1, p._2)) -> ()
+    }.keySet
+    val expect = paras.groupBy(_._1).map { case (id, g) =>
+      val kept = g.filter(keeper.contains)
+      val kt = kept.map(_._3).sum
+      val tt = g.map(_._3).sum
+      id -> (g.size.toLong, kept.size.toLong, kt * 1000 / tt)
+    }
+    val got = run("q126_paragraph_dedup").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+    // the corpus plants duplicate docs, so some paragraphs must dedup
+    assert(got.values.exists { case (p, k, _) => k < p },
+      "expected at least one doc to lose a duplicate paragraph")
+  }
+
+  test("q127 NFC composes the decomposed suffixes and is idempotent") {
+    val got = run("q127_nfc_normalize").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    got.foreach { case (id, (changed, lenRaw, lenNorm, tail)) =>
+      (id % 4) match {
+        case 0 => assert(changed && lenNorm == lenRaw - 1 && tail == "è")
+        case 1 => assert(changed && lenNorm == lenRaw - 1 && tail == "é")
+        case 2 => assert(!changed && lenNorm == lenRaw && tail == "é")
+        case _ => assert(!changed && lenNorm == lenRaw && tail == "x")
+      }
+    }
+    // kernel idempotence: nfc(nfc(x)) == nfc(x) on a mixed sample
+    val samples = Seq("éabc", "é", "plain", "Åring")
+    samples.foreach { s =>
+      assert(TextNormOps.nfc(TextNormOps.nfc(s)) == TextNormOps.nfc(s))
+    }
+  }
+
+  test("q128 script counts match direct codepoint-range counts") {
+    val got = run("q128_script_mix").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    assert(got.keySet == rawDocs.keySet)
+    rawDocs.foreach { case (id, text) =>
+      val txt = text + (id % 3 match {
+        case 1 => " привет мир"
+        case 2 => " 数据处理系统"
+        case _ => ""
+      })
+      val lat = txt.count(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')).toLong
+      val cyr = txt.count(c => c >= 'Ѐ' && c <= 'ӿ').toLong
+      val cjk = txt.count(c => c >= '一' && c <= '鿿').toLong
+      val dom = if (lat >= cyr && lat >= cjk) "latin"
+                else if (cyr >= cjk) "cyrillic" else "cjk"
+      assert(got(id) == (lat, cyr, cjk, dom), s"doc $id")
+    }
+    // decoration exercised every branch
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._3 > 0))
+  }
+
+  test("q129 entropy matches a direct recompute and sits in [0, ln(alphabet)]") {
+    val got = run("q129_char_entropy").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rawDocs.foreach { case (id, text) =>
+      val counts = text.groupBy(identity).view.mapValues(_.length.toLong)
+      val n = text.length.toLong
+      val sum = counts.values.map(k =>
+        k * math.floor(math.log(n.toDouble / k) * 1e9).toLong).sum
+      assert(got(id) == (n, sum / n), s"doc $id")
+      // bounds: 0 <= H <= ln(#distinct); quantization can undershoot by <= 1e-9/char
+      assert(got(id)._2 >= -1L)
+      assert(got(id)._2 <= math.ceil(math.log(counts.size.toDouble) * 1e9).toLong)
+    }
+    // uniform string: H = ln(4) exactly (up to the floor quantization)
+    val u = TextNormOps.entropyNanoSum("abcd") / 4
+    assert(math.abs(u - math.floor(math.log(4.0) * 1e9).toLong) <= 1)
+  }
+
+  test("q130 blocklist flags exactly the two policy hosts") {
+    val rows = run("q130_host_blocklist").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+    assert(rows.length == 5)
+    val blocked = rows.filter(_._3).map(_._1).toSet
+    assert(blocked == Set("spam.tracker.net", "ads.clickfarm.biz"))
+    assert(rows.map(_._2).toSet == Set("com", "net", "org", "biz"))
+    assert(rows.map(_._4).sum == rawDocs.size)
+  }
+}
