@@ -225,5 +225,151 @@ object CleaningQueries extends QueryModule {
         CAST(count(*) AS BIGINT) AS n_docs,
         CAST(min(doc_id) AS BIGINT) AS first_doc
       FROM u GROUP BY 1, 2, 3""")),
+
+    // train/eval split-leakage audit: after the q84 deterministic hash
+    // split, how many val/test docs share an EXACT content fingerprint
+    // with any training doc — the contamination check every eval-prep
+    // pipeline must run (a leaked eval doc inflates measured quality).
+    // Shape: one distinct on the train fingerprints, one fp-keyed left
+    // join (NEITHER side broadcast — both grow with the corpus), then a
+    // 2-row rollup. All linear, shuffle keyed on md5 — uniform.
+    Q("q131_split_leakage", (s, d) => {
+      import s.implicits._
+      val h = CorpusOps.hashMix($"doc_id", 1000L)
+      val fps = t(s, d, "documents").select($"doc_id",
+        TextOps.fingerprint($"text").as("fp"),
+        when(h < 980, "train").when(h < 990, "val").otherwise("test")
+          .as("split"))
+      val trainFp = fps.filter($"split" === "train")
+        .select($"fp").distinct().withColumn("__leak", lit(true))
+      fps.filter($"split" =!= "train")
+        .join(trainFp, Seq("fp"), "left_outer")
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"__leak", 1L).otherwise(0L)).as("n_leaked"))
+        .select($"split", $"n_docs", $"n_leaked",
+          expr("(n_leaked * 1000) div n_docs").as("leak_permille"))
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+          CASE WHEN ((((doc_id % 1000003) + 1000003) % 1000003
+                      * 2654435761 + 40503) % 1000 + 1000) % 1000 < 980
+                 THEN 'train'
+               WHEN ((((doc_id % 1000003) + 1000003) % 1000003
+                      * 2654435761 + 40503) % 1000 + 1000) % 1000 < 990
+                 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents),
+      tr AS (SELECT DISTINCT fp FROM f WHERE split = 'train')
+      SELECT f.split, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_leaked,
+        CAST(sum(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END) * 1000
+               // count(*) AS BIGINT) AS leak_permille
+      FROM f LEFT JOIN tr ON tr.fp = f.fp
+      WHERE f.split <> 'train'
+      GROUP BY 1""")),
+
+    // overlapping stride chunking (RAG/embedding prep): size-32 chunks
+    // every 16 tokens, so each token lands in (up to) two chunks and no
+    // retrieval boundary can split an answer span. Each token row
+    // explodes into its <= 2 owning chunks — a constant fan-out, not a
+    // join — then one (doc, chunk) agg rebuilds chunk text + fingerprint.
+    // Linear; the only shuffle is the chunk agg keyed by (doc_id, chunk).
+    Q("q132_stride_chunk", (s, d) => {
+      import s.implicits._
+      val tk = t(s, d, "documents")
+        .select($"doc_id", posexplode(TextOps.tokens($"text")).as(Seq("pos", "tok")))
+        .withColumn("kmax", (max($"pos").over(
+          Window.partitionBy($"doc_id")) / 16).cast("long"))
+      tk.select($"doc_id", $"pos", $"tok", $"kmax",
+          explode(array(expr("pos div 16 - 1"), expr("pos div 16"))).as("k"))
+        .filter($"k" >= 0 && $"pos" < $"k" * 16 + 32 && $"k" <= $"kmax")
+        .groupBy($"doc_id", $"k")
+        .agg(count(lit(1)).as("n"),
+          array_sort(collect_list(struct($"pos", $"tok"))).as("ts"))
+        .select($"doc_id", $"k".as("chunk_id"),
+          $"n".cast("long").as("n_tokens"),
+          md5(array_join(transform($"ts", x => x.getField("tok")), " "))
+            .as("chunk_fp"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents),
+      tk AS (SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) - 1 AS pos,
+               CAST((len(toks) - 1) // 16 AS BIGINT) AS kmax
+             FROM d),
+      m AS (SELECT doc_id, pos, tok, kmax,
+              unnest([pos // 16 - 1, pos // 16]) AS k FROM tk)
+      SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        CAST(count(*) AS BIGINT) AS n_tokens,
+        md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+      FROM m
+      WHERE k >= 0 AND pos < k * 16 + 32 AND k <= kmax
+      GROUP BY 1, 2""")),
+
+    // per-source Zipf decay rate (corpus-health diagnostic): the
+    // rank-frequency log-log slope over each source's top-100 terms —
+    // natural text sits near decay 1.0; template/boilerplate-heavy or
+    // synthetic sources drift far off. Engine-exact integer scheme:
+    // ln(rank)/ln(freq) are floor-quantized to MILLI units per term,
+    // centered as n*x - Sx (integers — no float means), and the slope
+    // is the ratio of two integer sums; quantizing at milli keeps every
+    // intermediate under 2^63 at any corpus size (|X*Y| <= 1.3e12 per
+    // term, * 100 terms = 1.3e14). The negated (positive) decay is
+    // reported so the final integer division stays sign-uniform across
+    // engines. Top-100 per source rides a (source, hash-bucket)
+    // prefilter window, then a <= 6400-row per-source final window —
+    // the global sort never sees the vocabulary.
+    Q("q133_zipf_decay", (s, d) => {
+      import s.implicits._
+      val tf = t(s, d, "documents")
+        .select($"source", explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("freq"))
+      val wB = Window.partitionBy($"source", pmod(hash($"tok"), lit(64)))
+        .orderBy($"freq".desc, $"tok".asc)
+      val wS = Window.partitionBy($"source")
+        .orderBy($"freq".desc, $"tok".asc)
+      val top = tf.withColumn("rb", row_number().over(wB)).filter($"rb" <= 100)
+        .withColumn("rank", row_number().over(wS)).filter($"rank" <= 100)
+        .select($"source", $"rank", $"freq",
+          floor(log($"rank".cast("double")) * 1000).cast("long").as("x"),
+          floor(log($"freq".cast("double")) * 1000).cast("long").as("y"))
+      val wA = Window.partitionBy($"source")
+      top
+        .withColumn("n", count(lit(1)).over(wA))
+        .withColumn("sx", sum($"x").over(wA))
+        .withColumn("sy", sum($"y").over(wA))
+        .select($"source",
+          $"n", ($"n" * $"x" - $"sx").as("cx"), ($"n" * $"y" - $"sy").as("cy"))
+        .groupBy($"source")
+        .agg(max($"n").cast("long").as("n_terms"),
+          sum(-$"cx" * $"cy").as("num"), sum($"cx" * $"cx").as("den"))
+        .select($"source", $"n_terms",
+          expr("(num * 1000) div den").as("decay_milli"))
+    }, Some("""
+      WITH tf AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents),
+      f AS (SELECT source, tok, count(*) AS freq FROM tf GROUP BY 1, 2),
+      r AS (SELECT source, freq,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY freq DESC, tok ASC) AS rank
+            FROM f),
+      q AS (SELECT source, rank, freq,
+              CAST(floor(ln(rank * 1.0) * 1000) AS BIGINT) AS x,
+              CAST(floor(ln(freq * 1.0) * 1000) AS BIGINT) AS y
+            FROM r WHERE rank <= 100),
+      c AS (SELECT source,
+              count(*) OVER (PARTITION BY source) AS n,
+              sum(x) OVER (PARTITION BY source) AS sx,
+              sum(y) OVER (PARTITION BY source) AS sy,
+              x, y
+            FROM q)
+      SELECT source, CAST(max(n) AS BIGINT) AS n_terms,
+        CAST(sum(-(n * x - sx) * (n * y - sy)) * 1000
+               // sum((n * x - sx) * (n * x - sx)) AS BIGINT) AS decay_milli
+      FROM c GROUP BY source""")),
   )
 }

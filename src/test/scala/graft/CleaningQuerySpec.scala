@@ -106,6 +106,73 @@ class CleaningQuerySpec extends AnyFunSuite {
     assert(math.abs(u - math.floor(math.log(4.0) * 1e9).toLong) <= 1)
   }
 
+  test("q131 leakage counts match a direct fingerprint-containment recompute") {
+    def hm(id: Long): Long =
+      ((((id % 1000003) + 1000003) % 1000003 * 2654435761L + 40503) % 1000 + 1000) % 1000
+    def split(id: Long): String =
+      if (hm(id) < 980) "train" else if (hm(id) < 990) "val" else "test"
+    def fp(text: String): String = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    val byraw = rawDocs.groupBy { case (id, _) => split(id) }
+    val trainFps = byraw.getOrElse("train", Map.empty).values.map(fp).toSet
+    val got = run("q131_split_leakage").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set("val", "test"))
+    Seq("val", "test").foreach { s =>
+      val docs = byraw.getOrElse(s, Map.empty)
+      val leaked = docs.values.count(t => trainFps.contains(fp(t))).toLong
+      assert(got(s) == (docs.size.toLong, leaked, leaked * 1000 / docs.size),
+        s"split $s")
+    }
+  }
+
+  test("q132 stride chunks cover every token twice (except edge chunks)") {
+    val got = run("q132_stride_chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = got.groupBy(_._1)
+    rawDocs.foreach { case (id, text) =>
+      val n = toks(text).length
+      val kmax = (n - 1) / 16
+      val chunks = byDoc(id).sortBy(_._2)
+      assert(chunks.map(_._2).toSeq == (0L to kmax.toLong).toSeq,
+        s"doc $id chunk ids")
+      // chunk k covers [16k, min(16k+32, n)) -> token memberships sum
+      val covered = chunks.map(_._3).sum
+      val expect = (0 to kmax).map(k => math.min(16 * k + 32, n) - 16 * k).sum
+      assert(covered == expect, s"doc $id coverage")
+      // adjacent chunks share exactly the 16-token overlap region
+      chunks.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._3 == 32 || b._2 == kmax.toLong, s"doc $id interior chunk short")
+        case _ =>
+      }
+    }
+  }
+
+  test("q133 zipf decay matches a direct integer-regression recompute") {
+    val docs = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (src, g) =>
+      val freq = g.flatMap(d => toks(d._2)).groupBy(identity)
+        .view.mapValues(_.length.toLong).toSeq
+      val top = freq.sortBy { case (t, f) => (-f, t) }.take(100).zipWithIndex
+      val xy = top.map { case ((_, f), i) =>
+        (math.floor(math.log((i + 1).toDouble) * 1000).toLong,
+         math.floor(math.log(f.toDouble) * 1000).toLong)
+      }
+      val n = xy.length.toLong
+      val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+      val num = xy.map { case (x, y) => -(n * x - sx) * (n * y - sy) }.sum
+      val den = xy.map { case (x, _) => (n * x - sx) * (n * x - sx) }.sum
+      src -> (n, num * 1000 / den)
+    }
+    val got = run("q133_zipf_decay").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect)
+    // a natural-ish token distribution decays: every source's slope > 0
+    assert(got.values.forall(_._2 > 0))
+  }
+
   test("q130 blocklist flags exactly the two policy hosts") {
     val rows = run("q130_host_blocklist").collect()
       .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
