@@ -371,5 +371,49 @@ object CleaningQueries extends QueryModule {
         CAST(sum(-(n * x - sx) * (n * y - sy)) * 1000
                // sum((n * x - sx) * (n * x - sx)) AS BIGINT) AS decay_milli
       FROM c GROUP BY source""")),
+
+    // source duplication matrix over document LEADS (mixing diagnostic):
+    // fingerprint each doc's first 10 tokens — the shared-boilerplate-
+    // lead signal (mirrors, template farms, syndication) that exact
+    // whole-doc hashing misses — and report, per source pair
+    // (src_a <= src_b), how many lead fingerprints are duplicated
+    // between them: the DIAGONAL counts leads appearing >= 2 times
+    // inside one source, off-diagonal counts leads present in both.
+    // Shape: one (fp, source) agg with map-side combine, then a per-fp
+    // sorted source-struct array exploded into its pairs — fan-out
+    // bounded by (|source registry| choose 2), a CONSTANT, not a corpus
+    // dimension; one final tiny agg. No corpus self-join, nothing
+    // broadcast.
+    Q("q134_source_dup_matrix", (s, d) => {
+      import s.implicits._
+      val sfc = t(s, d, "documents")
+        .select(md5(array_join(slice(TextOps.tokens($"text"), 1, 10), " "))
+          .as("fp"), $"source")
+        .groupBy($"fp", $"source").agg(count(lit(1)).as("n"))
+      sfc.groupBy($"fp")
+        .agg(sort_array(collect_list(struct($"source", $"n"))).as("srcs"))
+        .select($"fp", explode(expr(
+          """concat(
+             |  transform(filter(srcs, x -> x.n >= 2),
+             |    x -> struct(x.source as src_a, x.source as src_b)),
+             |  flatten(transform(srcs, (a, i) ->
+             |    transform(slice(srcs, i + 2, size(srcs)), b ->
+             |      struct(a.source as src_a, b.source as src_b)))))"""
+            .stripMargin)).as("p"))
+        .groupBy($"p.src_a".as("src_a"), $"p.src_b".as("src_b"))
+        .agg(count(lit(1)).as("n_dup_fps"))
+    }, Some("""
+      WITH sfc AS (
+        SELECT md5(array_to_string(
+                 list_slice(string_split_regex(trim(text), '\s+'), 1, 10),
+                 ' ')) AS fp,
+               source, count(*) AS n
+        FROM documents GROUP BY 1, 2)
+      SELECT a.source AS src_a, b.source AS src_b,
+        CAST(count(*) AS BIGINT) AS n_dup_fps
+      FROM sfc a JOIN sfc b
+        ON a.fp = b.fp
+       AND (a.source < b.source OR (a.source = b.source AND a.n >= 2))
+      GROUP BY 1, 2""")),
   )
 }

@@ -173,6 +173,28 @@ class CleaningQuerySpec extends AnyFunSuite {
     assert(got.values.forall(_._2 > 0))
   }
 
+  test("q134 lead-dup matrix matches a direct pair recompute") {
+    val docs = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = docs.groupBy { case (src, text) =>
+      (toks(text).take(10).mkString(" "), src)
+    }.view.mapValues(_.length).toMap
+    val byFp = counts.keys.groupBy(_._1)
+    val expect = byFp.toSeq.flatMap { case (fp, keys) =>
+      val srcs = keys.map(_._2).toSeq.sorted
+      val diag = srcs.filter(s => counts((fp, s)) >= 2).map(s => (s, s))
+      val cross = for {
+        i <- srcs.indices; j <- (i + 1) until srcs.length
+      } yield (srcs(i), srcs(j))
+      diag ++ cross
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = run("q134_source_dup_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expect)
+    assert(got.nonEmpty, "lead collisions must exist in the corpus")
+  }
+
   test("q130 blocklist flags exactly the two policy hosts") {
     val rows = run("q130_host_blocklist").collect()
       .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
