@@ -279,10 +279,12 @@ object CleaningQueries extends QueryModule {
     // Linear; the only shuffle is the chunk agg keyed by (doc_id, chunk).
     Q("q132_stride_chunk", (s, d) => {
       import s.implicits._
+      // kmax rides each row from a row-local size() BEFORE the explode —
+      // a doc-partitioned window here would cost a whole extra shuffle
       val tk = t(s, d, "documents")
-        .select($"doc_id", posexplode(TextOps.tokens($"text")).as(Seq("pos", "tok")))
-        .withColumn("kmax", (max($"pos").over(
-          Window.partitionBy($"doc_id")) / 16).cast("long"))
+        .select($"doc_id",
+          ((size(TextOps.tokens($"text")) - 1) / 16).cast("long").as("kmax"),
+          posexplode(TextOps.tokens($"text")).as(Seq("pos", "tok")))
       tk.select($"doc_id", $"pos", $"tok", $"kmax",
           explode(array(expr("pos div 16 - 1"), expr("pos div 16"))).as("k"))
         .filter($"k" >= 0 && $"pos" < $"k" * 16 + 32 && $"k" <= $"kmax")
