@@ -138,4 +138,58 @@ class PropertySpec extends AnyFunSuite {
       .collect().toMap
     assert(distinctTyped == Map("a" -> "m|x", "b" -> "a|z"))
   }
+
+  test("char-entropy kernel: permutation-invariant, bounded, uniform-exact") {
+    import graft.functions.TextNormOps
+    val gen = for {
+      s <- Gen.listOfN(60, Gen.oneOf('a', 'b', 'c', ' ', 'é', '数')).map(_.mkString)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (s, seed)
+    checkProp(Prop.forAll(gen) { case (s, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(s.toList).mkString
+      val e = TextNormOps.entropyNanoSum(s)
+      // counts-only function: any permutation scores identically
+      val perm = e == TextNormOps.entropyNanoSum(shuffled)
+      // bounds: 0 <= sum <= n * ln(#distinct) (+n quantization slack)
+      val n = s.length.toLong
+      val distinct = s.distinct.length.max(1)
+      val hi = math.ceil(math.log(distinct.toDouble) * 1e9).toLong * n + n
+      perm && e >= 0 && e <= hi
+    })
+    // exactly uniform input: per-char entropy == floor(ln(k) * 1e9) ± 1
+    (1 to 6).foreach { k =>
+      val s = ('a' until ('a' + k).toChar).mkString
+      val perChar = TextNormOps.entropyNanoSum(s) / k
+      assert(math.abs(perChar - math.floor(math.log(k.toDouble) * 1e9).toLong) <= 1)
+    }
+  }
+
+  test("NFC kernel: idempotent, ASCII-invariant, equals java.text reference") {
+    import graft.functions.TextNormOps
+    val gen = Gen.listOfN(30,
+      Gen.oneOf('e', 'a', '̀', '́', 'é', 'x', ' ')).map(_.mkString)
+    checkProp(Prop.forAll(gen) { s =>
+      val once = TextNormOps.nfc(s)
+      val ascii = s.forall(_ < 128)
+      (TextNormOps.nfc(once) == once) &&
+        (!ascii || once == s) &&
+        java.text.Normalizer.isNormalized(once, java.text.Normalizer.Form.NFC)
+    })
+  }
+
+  test("stride-chunk arithmetic: every position lands in its owning chunks only") {
+    // the q132 membership rule: pos is in chunk k iff 16k <= pos < 16k+32
+    // and 0 <= k <= (n-1) div 16 — the two-candidate explode covers it
+    val gen = for {
+      n <- Gen.choose(1, 200)
+      pos <- Gen.choose(0, n - 1)
+    } yield (n, pos)
+    checkProp(Prop.forAll(gen) { case (n, pos) =>
+      val kmax = (n - 1) / 16
+      val owners = (0 to kmax).filter(k => 16 * k <= pos && pos < 16 * k + 32)
+      val candidates = Seq(pos / 16 - 1, pos / 16)
+        .filter(k => k >= 0 && pos < k * 16 + 32 && k <= kmax)
+      owners == candidates && owners.nonEmpty && owners.length <= 2
+    })
+  }
 }
