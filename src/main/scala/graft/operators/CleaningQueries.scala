@@ -417,5 +417,71 @@ object CleaningQueries extends QueryModule {
         ON a.fp = b.fp
        AND (a.source < b.source OR (a.source = b.source AND a.n >= 2))
       GROUP BY 1, 2""")),
+
+    // embedding-consistency audit (the CLIP-score-style filter for text
+    // corpora): per source, the 5 documents whose embeddings sit furthest
+    // from their source's mean direction — mislabeled/ingestion-corrupt
+    // candidates. Exactness scheme: the centroid rides the q118
+    // milli-quantized integer accumulation (order-independent sums, ONE
+    // double division per component), and the cosine is a row-local
+    // index-ascending dot product (the q37 convention both engines
+    // share), rounded to 6. Scale: the centroid frame is |registry| x 64
+    // — model-sized, broadcast by the planner; the doc-embedding join is
+    // co-keyed on the id; bottom-5 per source rides the rank pushdown
+    // (WindowGroupLimit), so no source-wide sort materializes.
+    Q("q135_embedding_outliers", (s, d) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val src = t(s, d, "documents").select($"doc_id", $"source")
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id".as("doc_id"), $"embedding".cast("array<double>").as("e"))
+        .join(src, "doc_id")
+      val cent = emb
+        .select($"source", posexplode($"e").as(Seq("i", "comp")))
+        .groupBy($"source", $"i")
+        .agg(sum(floor($"comp" * 1000).cast("long")).as("sm"),
+          count(lit(1)).as("n"))
+        .select($"source", $"i",
+          ($"sm".cast("double") / ($"n" * 1000).cast("double")).as("cv"))
+        .groupBy($"source")
+        .agg(array_sort(collect_list(struct($"i", $"cv"))).as("cs"))
+        .select($"source", expr("transform(cs, x -> x.cv)").as("c"))
+      val scored = emb.join(cent, "source")
+        .select($"doc_id", $"source",
+          round(call_function("dot_product", $"e", $"c") /
+            (sqrt(call_function("dot_product", $"e", $"e")) *
+             sqrt(call_function("dot_product", $"c", $"c"))), 6).as("cos_r"))
+      val w = Window.partitionBy($"source").orderBy($"cos_r".asc, $"doc_id".asc)
+      scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+        .select($"source", $"rank".cast("long").as("rank"), $"doc_id", $"cos_r")
+    }, Some("""
+      WITH emb AS (
+        SELECT d.doc_id, d.source, CAST(e.embedding AS DOUBLE[]) AS e
+        FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id),
+      comp AS (
+        SELECT source, generate_subscripts(e, 1) - 1 AS i, unnest(e) AS comp
+        FROM emb),
+      cm AS (
+        SELECT source, i,
+          CAST(sum(CAST(floor(comp * 1000) AS BIGINT)) AS DOUBLE)
+            / CAST(count(*) * 1000 AS DOUBLE) AS cv
+        FROM comp GROUP BY 1, 2),
+      cent AS (SELECT source, list(cv ORDER BY i) AS c FROM cm GROUP BY 1),
+      scored AS (
+        SELECT emb.doc_id, emb.source,
+          round(
+            list_sum(list_transform(range(1, 65), i -> e[i] * c[i])) /
+            (sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i]))) *
+             sqrt(list_sum(list_transform(range(1, 65), i -> c[i] * c[i])))),
+            6) AS cos_r
+        FROM emb JOIN cent USING (source)),
+      r AS (
+        SELECT source, doc_id, cos_r,
+          row_number() OVER (PARTITION BY source
+                             ORDER BY cos_r ASC, doc_id ASC) AS rank
+        FROM scored)
+      SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, cos_r
+      FROM r WHERE rank <= 5""")),
   )
 }

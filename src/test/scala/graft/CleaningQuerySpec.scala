@@ -195,6 +195,39 @@ class CleaningQuerySpec extends AnyFunSuite {
     assert(got.nonEmpty, "lead collisions must exist in the corpus")
   }
 
+  test("q135 outliers are each source's true bottom-5 cosines vs its centroid") {
+    val embs = graft.catalog.Tables.t(spark, sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val srcOf = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val bySrc = embs.toSeq.groupBy { case (id, _) => srcOf(id) }
+    val expect = bySrc.flatMap { case (src, vs) =>
+      val n = vs.size
+      val cent = (0 until 64).map { i =>
+        vs.map { case (_, e) => math.floor(e(i) * 1000).toLong }.sum.toDouble /
+          (n * 1000).toDouble
+      }.toArray
+      val scored = vs.map { case (id, e) =>
+        val c = BigDecimal(dot(e, cent) / (math.sqrt(dot(e, e)) * math.sqrt(dot(cent, cent))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, c)
+      }.sortBy { case (id, c) => (c, id) }.take(5).zipWithIndex
+      scored.map { case ((id, c), i) => (src, (i + 1).toLong) -> (id, c) }
+    }
+    val got = run("q135_embedding_outliers").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, (id, c)) =>
+      val (eid, ec) = expect(k)
+      assert(id == eid && math.abs(c - ec) < 2e-6, s"$k: got ($id,$c) want ($eid,$ec)")
+    }
+  }
+
   test("q130 blocklist flags exactly the two policy hosts") {
     val rows = run("q130_host_blocklist").collect()
       .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
