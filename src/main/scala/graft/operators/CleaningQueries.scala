@@ -280,11 +280,15 @@ object CleaningQueries extends QueryModule {
     Q("q132_stride_chunk", (s, d) => {
       import s.implicits._
       // kmax rides each row from a row-local size() BEFORE the explode —
-      // a doc-partitioned window here would cost a whole extra shuffle
+      // a doc-partitioned window here would cost a whole extra shuffle.
+      // tokens() is materialized ONCE in its own projection: generator
+      // inputs get no common-subexpression elimination, so inlining the
+      // split into both size() and posexplode() would tokenize twice.
       val tk = t(s, d, "documents")
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
         .select($"doc_id",
-          ((size(TextOps.tokens($"text")) - 1) / 16).cast("long").as("kmax"),
-          posexplode(TextOps.tokens($"text")).as(Seq("pos", "tok")))
+          ((size($"toks") - 1) / 16).cast("long").as("kmax"),
+          posexplode($"toks").as(Seq("pos", "tok")))
       tk.select($"doc_id", $"pos", $"tok", $"kmax",
           explode(array(expr("pos div 16 - 1"), expr("pos div 16"))).as("k"))
         .filter($"k" >= 0 && $"pos" < $"k" * 16 + 32 && $"k" <= $"kmax")
