@@ -22,7 +22,10 @@ object Explain {
                          "q82_salted_join", "q83_topp_select",
                          "q86_countmin_freq", "q87_hll_relational",
                          "q91_regional_revenue", "q100_pipeline_v2",
-                         "q103_excerpt_pairs")
+                         "q103_excerpt_pairs", "q126_paragraph_dedup",
+                         "q129_char_entropy", "q131_split_leakage",
+                         "q132_stride_chunk", "q133_zipf_decay",
+                         "q134_source_dup_matrix", "q135_embedding_outliers")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
