@@ -487,5 +487,39 @@ object CleaningQueries extends QueryModule {
         FROM scored)
       SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, cos_r
       FROM r WHERE rank <= 5""")),
+
+    // corpus-saturation / novelty curve: in ingestion (doc_id) order,
+    // what fraction of each doc's distinct trigrams has never been seen
+    // in any earlier doc — the diminishing-returns signal that tells a
+    // crawl when more data stops adding value. Shape: distinct
+    // (doc, shingle) (map-side combine), ONE min-aggregate per shingle
+    // for the first-seer, one shingle-keyed join back — all linear,
+    // keyed on the shingle hash; nothing broadcast, no windows.
+    Q("q136_novelty_curve", (s, d) => {
+      import s.implicits._
+      val sh = TextOps.shingleRows(t(s, d, "documents"), "doc_id", "text")
+        .select($"doc_id", $"shingle").distinct()
+      val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
+      sh.join(first, "shingle")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"doc_id" === $"first_doc", 1L).otherwise(0L)).as("n_novel"))
+        .select($"doc_id", $"n_shingles", $"n_novel",
+          expr("(n_novel * 1000) div n_shingles").as("novelty_permille"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+             FROM d),
+      f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+      SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        CAST(sum(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_novel,
+        CAST(sum(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) * 1000
+               // count(*) AS BIGINT) AS novelty_permille
+      FROM sh JOIN f USING (shingle)
+      GROUP BY 1""")),
   )
 }

@@ -228,6 +228,27 @@ class CleaningQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("q136 novelty matches a sequential first-seen recompute; doc 0 is all-novel") {
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expect = rawDocs.toSeq.sortBy(_._1).map { case (id, text) =>
+      val t = toks(text)
+      val sh = t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val novel = sh.count(!seen.contains(_)).toLong
+      seen ++= sh
+      id -> (sh.size.toLong, novel, novel * 1000 / sh.size)
+    }.toMap
+    val got = run("q136_novelty_curve").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+    assert(got(0L)._3 == 1000L, "the first doc must be fully novel")
+    // saturation: later docs are on average less novel than early ones
+    val ids = got.keys.toSeq.sorted
+    val (early, late) = (ids.take(50), ids.takeRight(50))
+    def avg(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size
+    assert(avg(early.map(got(_)._3)) >= avg(late.map(got(_)._3)),
+      "novelty should not increase with corpus position on average")
+  }
+
   test("q130 blocklist flags exactly the two policy hosts") {
     val rows = run("q130_host_blocklist").collect()
       .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
