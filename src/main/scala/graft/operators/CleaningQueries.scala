@@ -521,5 +521,49 @@ object CleaningQueries extends QueryModule {
                // count(*) AS BIGINT) AS novelty_permille
       FROM sh JOIN f USING (shingle)
       GROUP BY 1""")),
+
+    // split-composition parity (q131's sibling): after the q84 hash
+    // split, does each language keep its corpus-wide share inside every
+    // split? Reports per (split, lang) the in-split share and its
+    // deviation from the language's global share, both in integer ppm —
+    // the stratification audit run before trusting val/test metrics.
+    // Two tiny aggs (splits x langs, then langs) + one lang-keyed join
+    // of registry-sized frames; the corpus is touched ONCE.
+    Q("q137_split_parity", (s, d) => {
+      import s.implicits._
+      val h = CorpusOps.hashMix($"doc_id", 1000L)
+      val tagged = t(s, d, "documents").select($"lang",
+        when(h < 980, "train").when(h < 990, "val").otherwise("test")
+          .as("split"))
+      val bySplitLang = tagged.groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n"))
+      val bySplit = bySplitLang.groupBy($"split").agg(sum($"n").as("ns"))
+      val byLang = bySplitLang.groupBy($"lang").agg(sum($"n").as("nl"))
+      val total = byLang.agg(sum($"nl").as("nt"))
+      bySplitLang.join(bySplit, "split").join(byLang, "lang").join(broadcast(total))
+        .select($"split", $"lang", $"n",
+          expr("(n * 1000000) div ns").as("share_ppm"),
+          expr("(n * 1000000) div ns - (nl * 1000000) div nt")
+            .as("dev_ppm"))
+    }, Some("""
+      WITH t AS (
+        SELECT lang,
+          CASE WHEN ((((doc_id % 1000003) + 1000003) % 1000003
+                      * 2654435761 + 40503) % 1000 + 1000) % 1000 < 980
+                 THEN 'train'
+               WHEN ((((doc_id % 1000003) + 1000003) % 1000003
+                      * 2654435761 + 40503) % 1000 + 1000) % 1000 < 990
+                 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents),
+      sl AS (SELECT split, lang, count(*) AS n FROM t GROUP BY 1, 2),
+      sp AS (SELECT split, sum(n) AS ns FROM sl GROUP BY 1),
+      lg AS (SELECT lang, sum(n) AS nl FROM sl GROUP BY 1),
+      tt AS (SELECT sum(nl) AS nt FROM lg)
+      SELECT sl.split, sl.lang, CAST(sl.n AS BIGINT) AS n,
+        CAST(sl.n * 1000000 // sp.ns AS BIGINT) AS share_ppm,
+        CAST(sl.n * 1000000 // sp.ns - lg.nl * 1000000 // tt.nt AS BIGINT)
+          AS dev_ppm
+      FROM sl JOIN sp USING (split) JOIN lg USING (lang) CROSS JOIN tt""")),
   )
 }

@@ -249,6 +249,32 @@ class CleaningQuerySpec extends AnyFunSuite {
       "novelty should not increase with corpus position on average")
   }
 
+  test("q137 split-parity shares and deviations match a direct recompute") {
+    def hm(id: Long): Long =
+      ((((id % 1000003) + 1000003) % 1000003 * 2654435761L + 40503) % 1000 + 1000) % 1000
+    def split(id: Long): String =
+      if (hm(id) < 980) "train" else if (hm(id) < 990) "val" else "test"
+    val langOf = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sl = langOf.toSeq.groupBy { case (id, l) => (split(id), l) }
+      .view.mapValues(_.size.toLong).toMap
+    val ns = sl.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nl = sl.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nt = langOf.size.toLong
+    val got = run("q137_split_parity").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == sl.keySet)
+    sl.foreach { case ((sp, l), n) =>
+      val share = n * 1000000L / ns(sp)
+      val dev = share - nl(l) * 1000000L / nt
+      assert(got((sp, l)) == (n, share, dev), s"($sp, $l)")
+    }
+    // every doc accounted for exactly once
+    assert(got.values.map(_._1).sum == nt)
+  }
+
   test("q130 blocklist flags exactly the two policy hosts") {
     val rows = run("q130_host_blocklist").collect()
       .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3)))

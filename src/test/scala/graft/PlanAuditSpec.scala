@@ -45,6 +45,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q66_mixture_report" -> "1-row grand-total broadcast for mixture shares",
     "q72_mixture_weights" -> "1-row normalizer broadcast",
     "q73_unigram_logprob" -> "1-row corpus-token-total broadcast",
+    "q137_split_parity" -> "1-row corpus-doc-total broadcast onto the registry-sized (split, lang) frame",
     "q108_tfidf_keywords" -> "1-row corpus-doc-count broadcast for idf",
     "q110_quantile_sketch" -> "constant 4-row quantile-list broadcast",
     "q112_bm25_retrieval" -> "1-row corpus-stats (N, avgdl) broadcast",
