@@ -25,7 +25,10 @@ object Explain {
                          "q103_excerpt_pairs", "q126_paragraph_dedup",
                          "q129_char_entropy", "q131_split_leakage",
                          "q132_stride_chunk", "q133_zipf_decay",
-                         "q134_source_dup_matrix", "q135_embedding_outliers")
+                         "q134_source_dup_matrix", "q135_embedding_outliers",
+                         "q138_semantic_leakage", "q139_link_pagerank",
+                         "q140_cdc_chunks", "q141_hard_negatives",
+                         "q142_robust_outliers", "q143_ks_drift")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -565,5 +565,65 @@ object CleaningQueries extends QueryModule {
         CAST(sl.n * 1000000 // sp.ns - lg.nl * 1000000 // tt.nt AS BIGINT)
           AS dev_ppm
       FROM sl JOIN sp USING (split) JOIN lg USING (lang) CROSS JOIN tt""")),
+
+    // content-defined chunking (the rsync/LBFS/FastCDC idea on token
+    // streams — q132's shift-robust sibling): a chunk boundary falls
+    // AFTER any token whose md5 starts with '0' (1/16 rate, ~16-token
+    // expected chunks), so inserting a sentence re-chunks only the
+    // chunk it lands in, where fixed-stride chunking (q132) shifts
+    // every later boundary and defeats chunk-level dedup. Reports
+    // per-source chunk dedup: storage/near-dup savings the CDC layout
+    // unlocks. Shape: boundary flag is a row-local md5 test; chunk ids
+    // come from a running sum over each doc's own window (parallel
+    // across docs, bounded by doc length); ONE (doc, chunk) shuffle
+    // rebuilds chunk fingerprints; final agg map-side combined. The
+    // boundary test is engine-portable (md5 hex), so the oracle
+    // replays the exact chunking.
+    Q("q140_cdc_chunks", (s, d) => {
+      import s.implicits._
+      val tk = t(s, d, "documents")
+        .select($"doc_id", $"source",
+          posexplode(TextOps.tokens($"text")).as(Seq("pos", "tok")))
+        .withColumn("b",
+          when(substring(md5($"tok"), 1, 1) === "0", 1L).otherwise(0L))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ch = tk.withColumn("chunk", sum($"b").over(w) - $"b")
+        .groupBy($"doc_id", $"source", $"chunk")
+        .agg(count(lit(1)).as("n_toks"),
+          array_sort(collect_list(struct($"pos", $"tok"))).as("ts"))
+        .select($"source", $"n_toks",
+          md5(array_join(transform($"ts", x => x.getField("tok")), " "))
+            .as("fp"))
+      ch.groupBy($"source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct($"fp").as("n_distinct"),
+          sum($"n_toks").as("tt"))
+        .select($"source", $"n_chunks", $"n_distinct",
+          expr("((n_chunks - n_distinct) * 1000) div n_chunks")
+            .as("dup_permille"),
+          expr("(tt * 1000) div n_chunks").as("avg_len_milli"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, source,
+                   string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents),
+      tk AS (SELECT doc_id, source, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) - 1 AS pos FROM d),
+      bf AS (SELECT doc_id, source, tok, pos,
+               CASE WHEN substring(md5(tok), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+             FROM tk),
+      c AS (SELECT doc_id, source, pos, tok,
+              sum(b) OVER (PARTITION BY doc_id ORDER BY pos ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b AS chunk
+            FROM bf),
+      ch AS (SELECT source, doc_id, chunk, count(*) AS n_toks,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+             FROM c GROUP BY 1, 2, 3)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+        CAST((count(*) - count(DISTINCT fp)) * 1000 // count(*) AS BIGINT)
+          AS dup_permille,
+        CAST(sum(n_toks) * 1000 // count(*) AS BIGINT) AS avg_len_milli
+      FROM ch GROUP BY 1""")),
   )
 }

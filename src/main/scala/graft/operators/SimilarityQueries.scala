@@ -825,6 +825,125 @@ object SimilarityQueries extends QueryModule {
           AS BIGINT) AS n_correct,
         CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
           * 1000000 // count(*) AS BIGINT) AS acc_ppm
-      FROM pred GROUP BY 1"""))
+      FROM pred GROUP BY 1""")),
+
+    // cross-split SEMANTIC leakage (q131's embedding-space sibling):
+    // after the q84 hash split, find val/test docs whose embedding
+    // collides with a training doc in hyperplane-LSH space and report
+    // each probe doc's candidate count and max train-side cosine —
+    // paraphrase-level contamination that exact fingerprints (q131)
+    // can't see. The signature is a FIXED 8-plane single-table bucket
+    // (a high-precision screen, planes independent of corpus size, so
+    // the oracle is static): row-local codegen'd sign tests, then ONE
+    // bucket-keyed equi-join train×probe — neither side broadcast,
+    // both corpus-growing, the same banded shape as q115. Exact cosine
+    // runs only on in-bucket candidates.
+    Q("q138_semantic_leakage", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val planes = SimilarityOps.hyperplanes(8, 64, seed = 1337L)
+      val h = CorpusOps.hashMix($"vec_id", 1000L)
+      val v = t(s, d, "embeddings").select($"vec_id",
+        $"embedding".cast("array<double>").as("e"),
+        when(h < 980, "train").when(h < 990, "val").otherwise("test")
+          .as("split"))
+        .withColumn("bucket", SimilarityOps.hyperplaneSignature($"e", planes))
+      val train = v.filter($"split" === "train")
+        .select($"bucket", $"vec_id".as("tid"), $"e".as("te"))
+      v.filter($"split" =!= "train")
+        .join(train, Seq("bucket"), "left_outer")
+        .withColumn("sim",
+          when($"tid".isNotNull, SimilarityOps.dot($"e", $"te")))
+        .groupBy($"split", $"vec_id")
+        .agg(sum(when($"tid".isNotNull, 1L).otherwise(0L)).as("n_cand"),
+          round(max($"sim"), 6).as("max_sim_r"))
+    }, Some(s"""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+          CASE WHEN ((((vec_id % 1000003) + 1000003) % 1000003
+                      * 2654435761 + 40503) % 1000 + 1000) % 1000 < 980
+                 THEN 'train'
+               WHEN ((((vec_id % 1000003) + 1000003) % 1000003
+                      * 2654435761 + 40503) % 1000 + 1000) % 1000 < 990
+                 THEN 'val'
+               ELSE 'test' END AS split
+        FROM embeddings),
+      planes(table_id, plane_idx, pv) AS (VALUES
+      ${planeValuesSql(Seq(SimilarityOps.hyperplanes(8, 64, seed = 1337L)))}),
+      dots AS (
+        SELECT v.vec_id, p.plane_idx,
+          list_sum(list_transform(range(1, 65), i -> v.e[i] * p.pv[i])) AS dp
+        FROM v CROSS JOIN planes p),
+      sig AS (
+        SELECT vec_id,
+          CAST(sum(CASE WHEN dp > 0 THEN CAST(1 AS BIGINT) << plane_idx
+                   ELSE 0 END) AS BIGINT) AS bucket
+        FROM dots GROUP BY 1),
+      tv AS (SELECT s.bucket, v.vec_id AS tid, v.e AS te
+             FROM v JOIN sig s USING (vec_id) WHERE v.split = 'train'),
+      pb AS (SELECT v.split, v.vec_id, v.e, s.bucket
+             FROM v JOIN sig s USING (vec_id) WHERE v.split <> 'train')
+      SELECT pb.split, pb.vec_id,
+        CAST(sum(CASE WHEN tv.tid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_cand,
+        round(max(CASE WHEN tv.tid IS NOT NULL THEN
+          list_sum(list_transform(range(1, 65), i -> pb.e[i] * tv.te[i]))
+          END), 6) AS max_sim_r
+      FROM pb LEFT JOIN tv ON tv.bucket = pb.bucket
+      GROUP BY 1, 2""")),
+
+    // retrieval hard-negative mining: for a fixed batch of anchor docs,
+    // the top-5 most-similar docs from a DIFFERENT source — the
+    // "looks relevant, isn't from the answer source" negatives a
+    // contrastive retriever trains against. The anchor batch is an
+    // INPUT (constant size at any corpus scale), so broadcasting it is
+    // the k*n scan shape of q37/q61 — the corpus side streams through
+    // row-local codegen'd dots. Top-5 per anchor rides the
+    // (anchor, hash-bucket) prefilter + bounded final window (q133
+    // pattern): the row_number tiebreak (sim DESC, doc_id ASC) is a
+    // TOTAL order, so bucketing cannot change the survivors and the
+    // engine-local hash never reaches the oracle.
+    Q("q141_hard_negatives", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val qids = Seq(0L, 3L, 7L, 11L, 19L, 23L, 31L, 42L)
+      val src = t(s, d, "documents").select($"doc_id", $"source")
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id".as("doc_id"),
+          $"embedding".cast("array<double>").as("e"))
+        .join(src, "doc_id")
+      val q = broadcast(emb.filter($"doc_id".isin(qids: _*))
+        .select($"doc_id".as("query_id"), $"e".as("qe"),
+          $"source".as("qsrc")))
+      val scored = emb
+        .join(q, $"doc_id" =!= $"query_id" && $"source" =!= $"qsrc")
+        .withColumn("sim", SimilarityOps.dot($"qe", $"e"))
+      val wB = Window.partitionBy($"query_id", pmod(hash($"doc_id"), lit(64)))
+        .orderBy($"sim".desc, $"doc_id".asc)
+      val wF = Window.partitionBy($"query_id")
+        .orderBy($"sim".desc, $"doc_id".asc)
+      scored.withColumn("rb", row_number().over(wB)).filter($"rb" <= 5)
+        .withColumn("rank", row_number().over(wF)).filter($"rank" <= 5)
+        .select($"query_id", $"rank".cast("long").as("rank"),
+          $"doc_id".as("neg_id"), $"source".as("neg_source"),
+          round($"sim", 6).as("sim_r"))
+    }, Some("""
+      WITH emb AS (
+        SELECT e.vec_id AS doc_id, CAST(e.embedding AS DOUBLE[]) AS e, d.source
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+      q AS (SELECT doc_id AS query_id, e AS qe, source AS qsrc FROM emb
+            WHERE doc_id IN (0, 3, 7, 11, 19, 23, 31, 42)),
+      s AS (SELECT q.query_id, emb.doc_id AS neg_id, emb.source AS neg_source,
+              list_sum(list_transform(range(1, 65), i -> q.qe[i] * emb.e[i]))
+                AS sim
+            FROM q, emb
+            WHERE emb.doc_id <> q.query_id AND emb.source <> q.qsrc)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rank, neg_id, neg_source,
+             round(sim, 6) AS sim_r
+      FROM (SELECT query_id, neg_id, neg_source, sim,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neg_id ASC) AS rnk
+            FROM s)
+      WHERE rnk <= 5"""))
   )
 }

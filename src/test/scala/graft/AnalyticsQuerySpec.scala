@@ -1,0 +1,217 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic tests for the round-10 analytics family (q138-q143):
+  * independent Scala recomputation from the raw sf0.001 corpus (the
+  * CleaningQuerySpec pattern — the DuckDB oracle proves engine parity,
+  * these pin the SEMANTICS so a same-wrong-both-sides bug can't hide).
+  */
+class AnalyticsQuerySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def toks(text: String): Array[String] = text.trim.split("\\s+")
+
+  private lazy val rawDocs: Map[Long, (String, String)] =
+    graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text", "source").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+
+  private lazy val embs: Map[Long, Array[Double]] =
+    graft.catalog.Tables.t(spark, sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def hm(id: Long): Long =
+    ((((id % 1000003) + 1000003) % 1000003 * 2654435761L + 40503) % 1000 + 1000) % 1000
+
+  private def split(id: Long): String =
+    if (hm(id) < 980) "train" else if (hm(id) < 990) "val" else "test"
+
+  // ------------------------------------------------------------------
+  test("q139 PageRank matches a sequential 3-iteration recompute; mass is conserved up to floor loss") {
+    val edges = rawDocs.keys.toSeq
+      .map(id => (id % 32, (id * 7 + 3) % 32)).filter { case (s, d) => s != d }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ow = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nodes = ow.keys.toSeq.sorted
+    var r = nodes.map(_ -> 1000000L).toMap
+    (1 to 3).foreach { _ =>
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case ((s, d), w) => in(d) += r(s) * w / ow(s) }
+      r = nodes.map(n => n -> (150000L + 85L * in(n) / 100L)).toMap
+    }
+    val got = run("q139_link_pagerank").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach(n => assert(got(n) == (ow(n), r(n)), s"node $n"))
+    // per-node rank formulation: total mass stays within floor-division
+    // loss of N * 1e6 (each iteration floors once per edge + once per node)
+    val total = r.values.sum
+    val n = nodes.size.toLong
+    assert(total <= n * 1000000L && total > n * 1000000L - 3 * (edges.size + n) * 100L,
+      s"mass $total vs ${n * 1000000L}")
+  }
+
+  // ------------------------------------------------------------------
+  test("q140 CDC chunking matches a direct recompute; boundaries are content-defined") {
+    case class Chunk(source: String, fp: String, n: Long)
+    val chunks = rawDocs.toSeq.flatMap { case (_, (text, src)) =>
+      val t = toks(text)
+      val bufAll = scala.collection.mutable.ArrayBuffer.empty[Chunk]
+      val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      t.foreach { tok =>
+        cur += tok
+        if (md5hex(tok).startsWith("0")) {
+          bufAll += Chunk(src, md5hex(cur.mkString(" ")), cur.size.toLong)
+          cur.clear()
+        }
+      }
+      if (cur.nonEmpty) bufAll += Chunk(src, md5hex(cur.mkString(" ")), cur.size.toLong)
+      bufAll
+    }
+    val expect = chunks.groupBy(_.source).map { case (src, cs) =>
+      val n = cs.size.toLong
+      val nd = cs.map(_.fp).distinct.size.toLong
+      src -> (n, nd, (n - nd) * 1000 / n, cs.map(_.n).sum * 1000 / n)
+    }
+    val got = run("q140_cdc_chunks").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == expect)
+    // content-defined property: a prefix insertion re-chunks only the
+    // chunk it lands in — every boundary after the first post-insertion
+    // cut point is unchanged (the whole point vs fixed-stride q132)
+    val t = toks(rawDocs.values.head._1)
+    def cutFps(ts: Array[String]): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      ts.foreach { tok =>
+        cur += tok
+        if (md5hex(tok).startsWith("0")) { out += md5hex(cur.mkString(" ")); cur.clear() }
+      }
+      if (cur.nonEmpty) out += md5hex(cur.mkString(" "))
+      out.toList
+    }
+    val shifted = cutFps(Array("INSERTED", "TOKENS") ++ t)
+    val base = cutFps(t)
+    assert(base.drop(1) == shifted.drop(shifted.size - (base.size - 1)),
+      "all chunks after the first boundary must survive a prefix insertion")
+  }
+
+  // ------------------------------------------------------------------
+  test("q141 hard negatives match a brute-force different-source top-5") {
+    val qids = Seq(0L, 3L, 7L, 11L, 19L, 23L, 31L, 42L)
+    val expect = qids.flatMap { qid =>
+      val (qe, qsrc) = (embs(qid), rawDocs(qid)._2)
+      embs.toSeq
+        .filter { case (id, _) => id != qid && rawDocs(id)._2 != qsrc }
+        .map { case (id, e) => (id, dot(qe, e)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).zipWithIndex
+        .map { case ((id, s), i) =>
+          (qid, (i + 1).toLong) -> (id, rawDocs(id)._2, round6(s)) }
+    }.toMap
+    val got = run("q141_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3), r.getDouble(4))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, (id, src, s)) =>
+      val (eid, esrc, es) = expect(k)
+      assert(id == eid && src == esrc && math.abs(s - es) < 2e-6, s"$k")
+    }
+    // the mined negative really is from a different source than its anchor
+    got.foreach { case ((qid, _), (_, src, _)) =>
+      assert(src != rawDocs(qid)._2)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  test("q142 median/MAD/outliers match a direct recompute") {
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val sorted = xs.sorted
+      sorted((xs.size - 1) / 2) // min v with 2*cum(v) >= n
+    }
+    val bySrc = rawDocs.values.groupBy(_._2)
+      .view.mapValues(_.map(d => toks(d._1).length.toLong).toSeq).toMap
+    val expect = bySrc.map { case (src, vs) =>
+      val med = lowerMedian(vs)
+      val devs = vs.map(v => math.abs(v - med))
+      val mad = lowerMedian(devs)
+      src -> (vs.size.toLong, med, mad,
+        devs.count(_ > math.max(mad, 1L) * 5).toLong)
+    }
+    val got = run("q142_robust_outliers").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == expect)
+  }
+
+  // ------------------------------------------------------------------
+  test("q143 KS drift matches a direct CDF-gap recompute; ks of the corpus vs itself would be 0") {
+    val lens = rawDocs.values.toSeq.map(d => (d._2, toks(d._1).length.toLong))
+    val grid = lens.map(_._2).distinct.sorted
+    val ng = lens.size.toLong
+    val expect = lens.groupBy(_._1).map { case (src, xs) =>
+      val ns = xs.size.toLong
+      val ks = grid.map { v =>
+        val cs = xs.count(_._2 <= v).toLong
+        val cg = lens.count(_._2 <= v).toLong
+        math.abs(cs * 1000000L / ns - cg * 1000000L / ng)
+      }.max
+      src -> (ns, ks)
+    }
+    val got = run("q143_ks_drift").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect)
+    // sanity on the statistic itself: identical distributions → ks 0
+    val self = grid.map { v =>
+      val c = lens.count(_._2 <= v).toLong
+      math.abs(c * 1000000L / ng - c * 1000000L / ng)
+    }.max
+    assert(self == 0L)
+  }
+
+  // ------------------------------------------------------------------
+  test("q138 semantic leakage matches a recomputed bucket join; candidates share the signature") {
+    val planes = graft.operators.SimilarityOps.hyperplanes(8, 64, seed = 1337L)
+    def sig(e: Array[Double]): Long =
+      planes.zipWithIndex.map { case (p, i) =>
+        if (dot(e, p) > 0) 1L << i else 0L
+      }.sum
+    val sigs = embs.view.mapValues(sig).toMap
+    val train = embs.keys.filter(split(_) == "train").toSeq
+    val expect = embs.keys.filterNot(split(_) == "train").map { id =>
+      val cands = train.filter(t => sigs(t) == sigs(id))
+      val maxSim =
+        if (cands.isEmpty) None
+        else Some(round6(cands.map(t => dot(embs(id), embs(t))).max))
+      (split(id), id) -> (cands.size.toLong, maxSim)
+    }.toMap
+    val got = run("q138_semantic_leakage").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, (n, s)) =>
+      val (en, es) = expect(k)
+      assert(n == en, s"$k candidates")
+      (s, es) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 2e-6, s"$k sim")
+        case (a, b) => assert(a == b, s"$k sim presence")
+      }
+    }
+  }
+}

@@ -56,6 +56,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q87_hll_relational" -> "1-row register-mass/cardinality broadcast",
     "q95_histogram" -> "1-row min/max bounds broadcast for bucket width",
     "q92_idle_rich_customers" -> "1-row scalar threshold (avg balance) broadcast",
+    "q141_hard_negatives" -> "fixed anchor batch broadcast against the corpus: the k*n hard-negative scan (q37 shape)",
+    "q143_ks_drift" -> "registry-sized per-source totals + 1-row corpus total fanned over the bounded distinct-value grid",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
@@ -63,6 +65,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * per-partition prefilters + bounded finals in round 7.) */
   private val globalWindowOk: Map[String, String] = Map(
     "q75_budget_select" -> "running sum over the <=1001-row quality-bucket histogram (doc-level window is bucket-partitioned)",
+    "q143_ks_drift" -> "global CDF cum over DISTINCT token counts — bounded by the value domain (max doc length), not the corpus (q110 argument)",
   )
 
   /** broadcast() HINT audit (the q54 class): a hint pins its side into
@@ -94,6 +97,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q86_countmin_freq" -> "count-min sketch: groupBy (j, b) over the fixed 3x256 hash range — 768 rows at any corpus size",
     "q110_quantile_sketch" -> "targets + approx frames: langs x 4 quantile rows each",
     "q123_nearest_centroid" -> "centroid matrix from the label x dim agg: model-sized (labels x 64)",
+    "q141_hard_negatives" -> "anchor batch: doc_id IN (8 literal ids) — constant probe set (q37 class)",
+    "q143_ks_drift" -> "per-source doc totals: groupBy source (bounded source registry, q99 class) + the scalar corpus total",
   )
 
   test("catalog-wide plan audit: cartesian/BNLJ/global-window invariants") {
