@@ -227,14 +227,19 @@ object DedupQueries extends QueryModule {
         when($"doc_id" % 50 === 3 || $"doc_id" % 50 === 4,
           concat($"text", tail))
         .otherwise($"text").as("text"))
-      // shared by the rare-window branch AND the per-doc size agg.
-      // persist(), not localCheckpoint: lineage is kept, so the blocks
-      // are reclaimable (clearCache / unpersist) without losing the
-      // frame — an eager localCheckpoint here once leaked its blocks
-      // across a 101-query bench run and made THIS query 9x slower
-      // under block-manager pressure (round-5 verdict finding #1)
+      // shared by the rare-window branch AND the per-doc size agg —
+      // deliberately NOT persisted. History: an eager localCheckpoint
+      // here leaked blocks across the catalog run (round-5 verdict
+      // finding #1); its persist() replacement then showed the same
+      // session-sticky bimodality as the removed q54/q81 runtime guards
+      // (round-9/10 A/B, BASELINE.md: persist medians 4.0/2.1 s with
+      // 10.7/15.0 s tails vs 1.7/1.9 s with the shared subtree simply
+      // recomputed per consumer). The distinctWindows stage is linear
+      // row-local work, so recompute-per-consumer is also the honest
+      // 100 TB answer — materializing a shingle-exploded corpus-sized
+      // frame into executor memory is exactly what a block manager
+      // under pressure cannot absorb.
       val wins = TextOps.distinctWindows(planted, "doc_id", "text")
-        .persist()
       val rare = TextOps.withWindowFreq(wins).filter($"wdf" <= 20)
       val sizes = wins.groupBy($"doc_id").agg(count(lit(1)).as("nw"))
       val shared = rare.select($"doc_id".as("doc_a"), $"shingle")
