@@ -28,7 +28,9 @@ object Explain {
                          "q134_source_dup_matrix", "q135_embedding_outliers",
                          "q138_semantic_leakage", "q139_link_pagerank",
                          "q140_cdc_chunks", "q141_hard_negatives",
-                         "q142_robust_outliers", "q143_ks_drift")
+                         "q142_robust_outliers", "q143_ks_drift",
+                         "q144_snapshot_diff", "q145_distribution_match",
+                         "q146_rare_group_suppress")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

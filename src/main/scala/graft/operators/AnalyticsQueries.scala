@@ -210,5 +210,166 @@ object AnalyticsQueries extends QueryModule {
         CAST(max(abs((cum_s * 1000000) // n_s - (cum_g * 1000000) // n_g))
                AS BIGINT) AS ks_ppm
       FROM cm GROUP BY 1""")),
+
+    // crawl-to-crawl snapshot diff: treat docs with doc_id % 10 != 7 as
+    // the PREVIOUS crawl (v1) and the full corpus as the current one
+    // (v2), with every doc_id % 13 == 5 doc's text "re-crawled" (suffix
+    // appended) in v2 — then report per source: docs added, docs
+    // changed (same id, different content fingerprint), docs unchanged
+    // — the ingest-delta report that decides how much of a re-crawl is
+    // actually new before paying for downstream dedup. Shape: ONE
+    // id-keyed full-outer join of the two fingerprint frames (both
+    // corpus-growing, neither broadcast, md5-uniform key), then a
+    // registry-sized rollup. At 100 TB this is the exact two-snapshot
+    // reconciliation shape; nothing is collected.
+    Q("q144_snapshot_diff", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val v1 = docs.filter($"doc_id" % 10 =!= 7)
+        .select($"doc_id", TextOps.fingerprint($"text").as("fp1"))
+      val v2 = docs.select($"doc_id", $"source",
+        TextOps.fingerprint(
+          when($"doc_id" % 13 === 5, concat($"text", lit(" recrawled")))
+            .otherwise($"text")).as("fp2"))
+      v2.join(v1, Seq("doc_id"), "left_outer")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"fp1".isNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when($"fp1".isNotNull && $"fp1" =!= $"fp2", 1L).otherwise(0L))
+            .as("n_changed"),
+          sum(when($"fp1" === $"fp2", 1L).otherwise(0L)).as("n_unchanged"))
+    }, Some("""
+      WITH v1 AS (
+        SELECT doc_id,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp1
+        FROM documents WHERE doc_id % 10 <> 7),
+      v2 AS (
+        SELECT doc_id, source,
+          md5(regexp_replace(lower(trim(
+            CASE WHEN doc_id % 13 = 5 THEN text || ' recrawled'
+                 ELSE text END)), '\s+', ' ', 'g')) AS fp2
+        FROM documents)
+      SELECT v2.source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN v1.fp1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_added,
+        CAST(sum(CASE WHEN v1.fp1 IS NOT NULL AND v1.fp1 <> v2.fp2
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        CAST(sum(CASE WHEN v1.fp1 = v2.fp2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_unchanged
+      FROM v2 LEFT JOIN v1 USING (doc_id)
+      GROUP BY 1""")),
+
+    // distribution-matching resampler (the mixture-rebalancing pass
+    // behind "match the reference language mix"): per language, accept
+    // docs with deterministic probability min(1, target_share /
+    // current_share) so the SURVIVING corpus's language mix approaches
+    // a fixed target (40/30/20/10-style ppm table as the policy input).
+    // Acceptance = hashMix(doc_id) < rate_permille — the q84/q56 pure
+    // row function: rerun-, engine- and repartition-stable, so an
+    // ablation on the resampled corpus is reproducible. Shape: one
+    // registry-sized groupBy for current shares, one 1-row total, one
+    // lang-keyed join back (registry frame broadcast by the planner),
+    // then the row-local accept test and a final rollup. Rates are
+    // integer permille: rate = min(1000, target_ppm * n_total div
+    // (1000 * n_lang)) — all div-floors on non-negative ints.
+    Q("q145_distribution_match", (s, d) => {
+      import s.implicits._
+      // fixed policy: target shares in ppm, keyed by position of the
+      // lang in the registry's sort order (so the policy is static SQL
+      // in both engines without a lang-name literal table)
+      val docs = t(s, d, "documents").select($"doc_id", $"lang")
+      val byLang = docs.groupBy($"lang").agg(count(lit(1)).as("nl"))
+      val wAll = Window.orderBy($"lang".asc)
+      val ranked = byLang
+        .withColumn("li", row_number().over(wAll) - 1)
+        .withColumn("target_ppm",
+          when($"li" % 4 === 0, 400000L).when($"li" % 4 === 1, 300000L)
+            .when($"li" % 4 === 2, 200000L).otherwise(100000L))
+      val tot = byLang.agg(sum($"nl").as("nt"))
+      val rates = ranked.crossJoin(broadcast(tot))
+        .select($"lang", $"nl",
+          least(lit(1000L), expr("(target_ppm * nt) div (1000 * nl)"))
+            .as("rate_pm"))
+      docs.join(rates, "lang")
+        .withColumn("keep", CorpusOps.hashMix($"doc_id", 1000L) < $"rate_pm")
+        .groupBy($"lang")
+        .agg(max($"rate_pm").as("rate_pm"), count(lit(1)).as("n_docs"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_kept"))
+    }, Some("""
+      WITH bl AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
+      rk AS (SELECT lang, nl,
+               row_number() OVER (ORDER BY lang ASC) - 1 AS li
+             FROM bl),
+      tgt AS (SELECT lang, nl,
+                CASE li % 4 WHEN 0 THEN 400000 WHEN 1 THEN 300000
+                  WHEN 2 THEN 200000 ELSE 100000 END AS target_ppm
+              FROM rk),
+      tt AS (SELECT sum(nl) AS nt FROM bl),
+      rates AS (SELECT lang, nl,
+                  least(1000, (target_ppm * tt.nt) // (1000 * nl)) AS rate_pm
+                FROM tgt CROSS JOIN tt)
+      SELECT d.lang, CAST(max(r.rate_pm) AS BIGINT) AS rate_pm,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN ((((d.doc_id % 1000003) + 1000003) % 1000003
+                             * 2654435761 + 40503) % 1000 + 1000) % 1000
+                        < r.rate_pm
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM documents d JOIN rates r USING (lang)
+      GROUP BY 1""")),
+
+    // rare-combination suppression (k-anonymity-style release gate):
+    // bucket every doc by its quasi-identifier tuple (lang, source,
+    // length octile) and suppress buckets holding fewer than k=5 docs —
+    // the pre-release pass that keeps "the only Swahili doc from
+    // forum.example.com at length ~9000" from being re-identifiable in
+    // a published corpus. Length octiles come from a domain-bounded
+    // distinct-value cum (q110 argument), NOT percent_rank over the
+    // corpus. Shape: the octile frame is distinct lengths; the doc-side
+    // octile lookup is a value-keyed join; bucket counting is one
+    // map-side-combined agg; the per-doc suppress flag joins back on
+    // the bucket key. Nothing broadcast but the 1-row total.
+    Q("q146_rare_group_suppress", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select($"doc_id", $"lang", $"source",
+        TextOps.tokenCount($"text").cast("long").as("v"))
+      val wV = Window.orderBy($"v".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = docs.agg(count(lit(1)).as("nt"))
+      val oct = docs.groupBy($"v").agg(count(lit(1)).as("k"))
+        .withColumn("cum", sum($"k").over(wV))
+        .crossJoin(broadcast(tot))
+        .select($"v", least(lit(7L), expr("(cum * 8 - 1) div nt")).as("octile"))
+      val bucketed = docs.join(oct, "v")
+        .select($"doc_id", $"lang", $"source", $"octile")
+      val sizes = bucketed.groupBy($"lang", $"source", $"octile")
+        .agg(count(lit(1)).as("bn"))
+      bucketed.join(sizes, Seq("lang", "source", "octile"))
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"bn" < 5, 1L).otherwise(0L)).as("n_suppressed"),
+          countDistinct(when($"bn" < 5, $"octile")).as("n_rare_buckets"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, lang, source,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                     AS v
+                 FROM documents),
+      tt AS (SELECT count(*) AS nt FROM d),
+      oc AS (SELECT v,
+               least(7, (sum(cnt) OVER (ORDER BY v ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 8 - 1)
+                 // tt.nt) AS octile
+             FROM (SELECT v, count(*) AS cnt FROM d GROUP BY 1)
+             CROSS JOIN tt),
+      b AS (SELECT d.doc_id, d.lang, d.source, oc.octile
+            FROM d JOIN oc USING (v)),
+      sz AS (SELECT lang, source, octile, count(*) AS bn
+             FROM b GROUP BY 1, 2, 3)
+      SELECT b.lang, b.source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN sz.bn < 5 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_suppressed,
+        CAST(count(DISTINCT CASE WHEN sz.bn < 5 THEN sz.octile END) AS BIGINT)
+          AS n_rare_buckets
+      FROM b JOIN sz USING (lang, source, octile)
+      GROUP BY 1, 2""")),
   )
 }

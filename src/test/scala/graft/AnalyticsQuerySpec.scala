@@ -186,6 +186,81 @@ class AnalyticsQuerySpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  test("q144 snapshot diff matches a direct two-version recompute; counts partition the corpus") {
+    def fp(text: String): String =
+      md5hex(text.trim.toLowerCase.replaceAll("\\s+", " "))
+    val expect = rawDocs.toSeq.groupBy(_._2._2).map { case (src, ds) =>
+      val rows = ds.map { case (id, (text, _)) =>
+        val f2 = fp(if (id % 13 == 5) text + " recrawled" else text)
+        val f1 = if (id % 10 != 7) Some(fp(text)) else None
+        (f1, f2)
+      }
+      src -> (rows.size.toLong,
+        rows.count(_._1.isEmpty).toLong,
+        rows.count(r => r._1.exists(_ != r._2)).toLong,
+        rows.count(r => r._1.contains(r._2)).toLong)
+    }
+    val got = run("q144_snapshot_diff").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == expect)
+    // added + changed + unchanged covers every v2 doc exactly once
+    got.values.foreach { case (n, a, c, u) => assert(a + c + u == n) }
+  }
+
+  // ------------------------------------------------------------------
+  test("q145 distribution match reproduces the acceptance arithmetic and moves the mix toward target") {
+    val byLang = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nl = byLang.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nt = byLang.length.toLong
+    val ranked = nl.keys.toSeq.sorted.zipWithIndex.toMap
+    val targetPpm = ranked.view.mapValues(i => Seq(400000L, 300000L, 200000L, 100000L)(i % 4)).toMap
+    val rate = nl.map { case (l, n) =>
+      l -> math.min(1000L, targetPpm(l) * nt / (1000L * n))
+    }
+    val expect = byLang.groupBy(_._2).map { case (l, ds) =>
+      l -> (rate(l), ds.size.toLong, ds.count(d => hm(d._1) < rate(l)).toLong)
+    }
+    val got = run("q145_distribution_match").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+    // rebalancing direction: every over-represented language is cut
+    // (rate < 1000) and every at-or-under-target one is kept whole
+    nl.keys.foreach { l =>
+      val over = nl(l) * 1000000L / nt > targetPpm(l)
+      assert((rate(l) < 1000L) == over, s"$l rate ${rate(l)}")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  test("q146 rare-group suppression matches a direct octile recompute") {
+    val docs = rawDocs.toSeq.map { case (id, (text, src)) => (id, src, toks(text).length.toLong) }
+    val langOf = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nt = docs.size.toLong
+    val grid = docs.map(_._3).groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy(_._1)
+    val cum = grid.scanLeft(0L)(_ + _._2).tail
+    val octOf = grid.map(_._1).zip(cum).map { case (v, c) =>
+      v -> math.min(7L, (c * 8 - 1) / nt)
+    }.toMap
+    val bucketed = docs.map { case (id, src, v) => (langOf(id), src, octOf(v)) }
+    val sizes = bucketed.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = bucketed.groupBy(b => (b._1, b._2)).map { case ((l, s), bs) =>
+      (l, s) -> (bs.size.toLong,
+        bs.count(b => sizes(b) < 5).toLong,
+        bs.filter(b => sizes(b) < 5).map(_._3).distinct.size.toLong)
+    }
+    val got = run("q146_rare_group_suppress").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect)
+  }
+
+  // ------------------------------------------------------------------
   test("q138 semantic leakage matches a recomputed bucket join; candidates share the signature") {
     val planes = graft.operators.SimilarityOps.hyperplanes(8, 64, seed = 1337L)
     def sig(e: Array[Double]): Long =

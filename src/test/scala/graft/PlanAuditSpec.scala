@@ -58,6 +58,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q92_idle_rich_customers" -> "1-row scalar threshold (avg balance) broadcast",
     "q141_hard_negatives" -> "fixed anchor batch broadcast against the corpus: the k*n hard-negative scan (q37 shape)",
     "q143_ks_drift" -> "registry-sized per-source totals + 1-row corpus total fanned over the bounded distinct-value grid",
+    "q145_distribution_match" -> "1-row corpus total broadcast onto the language-registry share frame",
+    "q146_rare_group_suppress" -> "1-row corpus total broadcast onto the bounded distinct-length octile frame",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
@@ -66,6 +68,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val globalWindowOk: Map[String, String] = Map(
     "q75_budget_select" -> "running sum over the <=1001-row quality-bucket histogram (doc-level window is bucket-partitioned)",
     "q143_ks_drift" -> "global CDF cum over DISTINCT token counts — bounded by the value domain (max doc length), not the corpus (q110 argument)",
+    "q145_distribution_match" -> "row_number over the language-registry share frame (bounded registry)",
+    "q146_rare_group_suppress" -> "octile cum over DISTINCT token counts — value-domain bounded (q110 argument), appears in both the build and lookup branches",
   )
 
   /** broadcast() HINT audit (the q54 class): a hint pins its side into
