@@ -30,7 +30,8 @@ object Explain {
                          "q140_cdc_chunks", "q141_hard_negatives",
                          "q142_robust_outliers", "q143_ks_drift",
                          "q144_snapshot_diff", "q145_distribution_match",
-                         "q146_rare_group_suppress")
+                         "q146_rare_group_suppress", "q147_tokenizer_fertility",
+                         "q148_shard_balance")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -371,5 +371,89 @@ object AnalyticsQueries extends QueryModule {
           AS n_rare_buckets
       FROM b JOIN sz USING (lang, source, octile)
       GROUP BY 1, 2""")),
+
+    // tokenizer fertility report (per language): BPE-ish subword tokens
+    // per whitespace word (fertility, ppm), punctuation-token share
+    // (ppm), and mean subword length (milli-chars) — the
+    // tokenizer-efficiency numbers that decide whether a vocabulary
+    // fits a language before a training run is priced (fertility ~2x
+    // means 2x the compute per word). Everything is a row-local
+    // regexp + three integer sums with map-side combine — zero joins,
+    // zero windows, zero broadcasts; the total-chars term rides
+    // length(array_join(bpe)) so no per-token explode happens.
+    Q("q147_tokenizer_fertility", (s, d) => {
+      import s.implicits._
+      val bpe = TextOps.bpeTokens($"text")
+      t(s, d, "documents")
+        .select($"lang",
+          TextOps.tokenCount($"text").cast("long").as("words"),
+          size(bpe).cast("long").as("subtoks"),
+          // the BPE pattern emits punctuation as single-char tokens, so
+          // counting the class matches on the raw text IS the
+          // punct-token count — no filter() HOF over the token array
+          size(regexp_extract_all($"text", lit("[^a-zA-Z0-9\\s]"), lit(0)))
+            .cast("long").as("puncts"),
+          length(array_join(bpe, "")).cast("long").as("chars"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"words").as("n_words"),
+          sum($"subtoks").as("n_subtoks"),
+          sum($"puncts").as("np"), sum($"chars").as("nc"))
+        .select($"lang", $"n_docs", $"n_words", $"n_subtoks",
+          expr("(n_subtoks * 1000000) div n_words").as("fertility_ppm"),
+          expr("(np * 1000000) div n_subtoks").as("punct_ppm"),
+          expr("(nc * 1000) div n_subtoks").as("sublen_milli"))
+    }, Some("""
+      WITH r AS (
+        SELECT lang,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS words,
+          CAST(len(regexp_extract_all(text,
+            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS subtoks,
+          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT)
+            AS puncts,
+          CAST(length(array_to_string(regexp_extract_all(text,
+            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'), '')) AS BIGINT) AS chars
+        FROM documents)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(words) AS BIGINT) AS n_words,
+        CAST(sum(subtoks) AS BIGINT) AS n_subtoks,
+        CAST(sum(subtoks) * 1000000 // sum(words) AS BIGINT) AS fertility_ppm,
+        CAST(sum(puncts) * 1000000 // sum(subtoks) AS BIGINT) AS punct_ppm,
+        CAST(sum(chars) * 1000 // sum(subtoks) AS BIGINT) AS sublen_milli
+      FROM r GROUP BY 1""")),
+
+    // training-shard balance audit (q106's load-balance sibling): after
+    // the deterministic hashMix shard assignment, does token mass land
+    // evenly? Reports per shard its token share (ppm) and signed
+    // deviation from the ideal 1/8 (ppm) — the number that predicts
+    // straggler shards before a training run starts. One
+    // map-side-combined agg over the corpus + a 1-row total; the shard
+    // frame is 8 rows at any corpus size.
+    Q("q148_shard_balance", (s, d) => {
+      import s.implicits._
+      val byShard = t(s, d, "documents")
+        .select(pmod(CorpusOps.hashMix($"doc_id", 1000003L), lit(8L))
+          .as("shard"),
+          TextOps.tokenCount($"text").cast("long").as("n_toks"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("toks"))
+      val tot = byShard.agg(sum($"toks").as("tt"))
+      byShard.crossJoin(broadcast(tot))
+        .select($"shard", $"n_docs", $"toks",
+          expr("(toks * 1000000) div tt").as("share_ppm"),
+          (expr("(toks * 1000000) div tt") - lit(125000L)).as("dev_ppm"))
+    }, Some("""
+      WITH s AS (
+        SELECT ((((doc_id % 1000003) + 1000003) % 1000003 * 2654435761
+                 + 40503) % 1000003 + 1000003) % 1000003 % 8 AS shard,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+        FROM documents),
+      b AS (SELECT shard, count(*) AS n_docs, sum(n_toks) AS toks
+            FROM s GROUP BY 1),
+      tt AS (SELECT sum(toks) AS t FROM b)
+      SELECT CAST(shard AS BIGINT) AS shard, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(toks AS BIGINT) AS toks,
+        CAST(toks * 1000000 // tt.t AS BIGINT) AS share_ppm,
+        CAST(toks * 1000000 // tt.t - 125000 AS BIGINT) AS dev_ppm
+      FROM b CROSS JOIN tt""")),
   )
 }

@@ -261,6 +261,55 @@ class AnalyticsQuerySpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  test("q147 tokenizer fertility matches a direct regex recompute; fertility >= 1 word-for-word") {
+    val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]".r
+    val punct = "[^a-zA-Z0-9\\s]".r
+    val langOf = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = rawDocs.toSeq.groupBy(d => langOf(d._1)).map { case (l, ds) =>
+      val words = ds.map(d => toks(d._2._1).length.toLong).sum
+      val sub = ds.map(d => pat.findAllIn(d._2._1).size.toLong).sum
+      val np = ds.map(d => punct.findAllIn(d._2._1).size.toLong).sum
+      val nc = ds.map(d => pat.findAllIn(d._2._1).mkString("").length.toLong).sum
+      l -> (ds.size.toLong, words, sub,
+        sub * 1000000 / words, np * 1000000 / sub, nc * 1000 / sub)
+    }
+    val got = run("q147_tokenizer_fertility").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got == expect)
+    // a whitespace word yields >= 1 subword, so fertility_ppm >= 1e6
+    got.values.foreach { case (_, _, _, f, _, _) => assert(f >= 1000000L) }
+  }
+
+  // ------------------------------------------------------------------
+  test("q148 shard balance matches a direct recompute; shares sum to ~1e6 and devs to ~0") {
+    val byShard = rawDocs.toSeq
+      .map { case (id, (text, _)) =>
+        ((hm2(id) % 8), toks(text).length.toLong)
+      }.groupBy(_._1)
+    val tt = byShard.values.flatten.map(_._2).sum
+    val expect = byShard.map { case (sh, xs) =>
+      val toksSum = xs.map(_._2).sum
+      sh -> (xs.size.toLong, toksSum, toksSum * 1000000 / tt,
+        toksSum * 1000000 / tt - 125000L)
+    }
+    val got = run("q148_shard_balance").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == expect)
+    val shareSum = got.values.map(_._3).sum
+    assert(shareSum > 1000000L - 8 && shareSum <= 1000000L, s"shares $shareSum")
+    val devSum = got.values.map(_._4).sum
+    assert(devSum > -8 && devSum <= 0, s"devs $devSum")
+  }
+
+  private def hm2(id: Long): Long =
+    ((((id % 1000003) + 1000003) % 1000003 * 2654435761L + 40503) % 1000003 + 1000003) % 1000003
+
+  // ------------------------------------------------------------------
   test("q138 semantic leakage matches a recomputed bucket join; candidates share the signature") {
     val planes = graft.operators.SimilarityOps.hyperplanes(8, 64, seed = 1337L)
     def sig(e: Array[Double]): Long =

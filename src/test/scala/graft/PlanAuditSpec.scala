@@ -60,6 +60,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q143_ks_drift" -> "registry-sized per-source totals + 1-row corpus total fanned over the bounded distinct-value grid",
     "q145_distribution_match" -> "1-row corpus total broadcast onto the language-registry share frame",
     "q146_rare_group_suppress" -> "1-row corpus total broadcast onto the bounded distinct-length octile frame",
+    "q148_shard_balance" -> "1-row token-total broadcast onto the constant 8-row shard frame",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
