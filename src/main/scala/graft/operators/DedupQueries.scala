@@ -242,9 +242,21 @@ object DedupQueries extends QueryModule {
       val wins = TextOps.distinctWindows(planted, "doc_id", "text")
       val rare = TextOps.withWindowFreq(wins).filter($"wdf" <= 20)
       val sizes = wins.groupBy($"doc_id").agg(count(lit(1)).as("nw"))
-      val shared = rare.select($"doc_id".as("doc_a"), $"shingle")
-        .join(rare.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
-        .filter($"doc_a" < $"doc_b")
+      // pairs come from a per-window sorted doc list, NOT a rare×rare
+      // self-join: the wdf <= 20 filter runs BEFORE the collect, so
+      // every group is <= 20 docs (<= 190 pairs) by construction — no
+      // unbounded agg buffer — and the groupBy reuses the frequency
+      // window's shingle partitioning, so no extra shuffle. This also
+      // halves the distinct-window recomputes (the self-join's two
+      // sides each re-derived the frame; round-10 A/B in BASELINE.md).
+      val shared = rare.groupBy($"shingle")
+        .agg(sort_array(collect_list($"doc_id")).as("ds"))
+        .select(explode(expr(
+          """flatten(transform(ds, (a, i) ->
+             |  transform(slice(ds, i + 2, size(ds)),
+             |    b -> struct(a as doc_a, b as doc_b))))""".stripMargin))
+          .as("p"))
+        .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
         .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
         .filter($"shared" >= 5)
       shared
