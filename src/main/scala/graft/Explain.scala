@@ -31,7 +31,8 @@ object Explain {
                          "q142_robust_outliers", "q143_ks_drift",
                          "q144_snapshot_diff", "q145_distribution_match",
                          "q146_rare_group_suppress", "q147_tokenizer_fertility",
-                         "q148_shard_balance")
+                         "q148_shard_balance", "q149_bloom_join_prune",
+                         "q150_hll_merge")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -455,5 +455,180 @@ object AnalyticsQueries extends QueryModule {
         CAST(toks * 1000000 // tt.t AS BIGINT) AS share_ppm,
         CAST(toks * 1000000 // tt.t - 125000 AS BIGINT) AS dev_ppm
       FROM b CROSS JOIN tt""")),
+
+    // Bloom-filtered join pre-pass (the runtime-filter / sideways-
+    // information-passing technique, made explicit and auditable):
+    // before joining lineitem to the urgent-orders subset, probe each
+    // row against a 1024-bit/3-hash Bloom built from the urgent order
+    // keys and report how much of the scan the CONSTANT 32-word filter
+    // would prune vs ground truth — rows passed, true matches, false
+    // positives (ppm of the prunable set), and the structural
+    // no-false-negatives gate (both engines must claim TRUE). At scale
+    // this is the join where the probe side is 100 TB and shipping a
+    // 4 KB filter to every task saves the shuffle of every pruned row;
+    // the exact-truth join stays unhinted so AQE adjudicates it.
+    Q("q149_bloom_join_prune", (s, d) => {
+      import s.implicits._
+      val urgent = t(s, d, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey".cast("string").as("k"))
+      val bloom = DedupOps.md5Buckets(urgent, $"k", k = 3, mod = 1024)
+        .select(explode(array($"b0", $"b1", $"b2")).as("p"))
+        .groupBy(expr("p div 32").as("word"))
+        .agg(expr("bit_or(shiftleft(1L, cast(p % 32 as int)))").as("bits"))
+      val li = DedupOps.md5Buckets(
+        t(s, d, "lineitem").select($"l_orderkey".cast("string").as("k")),
+        $"k", k = 3, mod = 1024)
+      val probed = (0 until 3).foldLeft(li) { (acc, j) =>
+        acc.join(
+          broadcast(bloom.select(col("word").as(s"w$j"), col("bits").as(s"bits$j"))),
+          expr(s"b$j div 32") === col(s"w$j"), "left_outer")
+      }
+      def hit(j: Int) = coalesce(
+        expr(s"(shiftright(bits$j, cast(b$j % 32 as int)) & 1L) = 1L"),
+        lit(false))
+      val truth = urgent.distinct().withColumn("__t", lit(true))
+      probed.join(truth, Seq("k"), "left_outer")
+        .select((hit(0) && hit(1) && hit(2)).as("bp"),
+          coalesce($"__t", lit(false)).as("tr"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"bp", 1L).otherwise(0L)).as("n_bloom_pass"),
+          sum(when($"tr", 1L).otherwise(0L)).as("n_true"),
+          sum(when($"bp" && !$"tr", 1L).otherwise(0L)).as("n_false_pos"),
+          (sum(when($"tr" && !$"bp", 1L).otherwise(0L)) === 0L).as("no_misses"))
+        .select($"n_rows", $"n_bloom_pass", $"n_true", $"n_false_pos",
+          $"no_misses",
+          expr("(n_false_pos * 1000000) div (n_rows - n_true)").as("fp_ppm"))
+    }, Some {
+      val hv = (v: String, j: Int) => DedupQueries.hvDuckOf(s"($v || ':$j')")
+      s"""WITH u AS (
+         |  SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+         |  WHERE o_orderpriority = '1-URGENT'),
+         |upos AS (
+         |  SELECT CASE j WHEN 0 THEN (${hv("k", 0)}) % 1024
+         |                WHEN 1 THEN (${hv("k", 1)}) % 1024
+         |                ELSE (${hv("k", 2)}) % 1024 END AS p
+         |  FROM u CROSS JOIN (SELECT unnest(range(0, 3)) AS j) js),
+         |bloom AS (
+         |  SELECT p // 32 AS word,
+         |         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+         |  FROM upos GROUP BY 1),
+         |li AS (
+         |  SELECT k0.k AS k,
+         |    (${hv("k0.k", 0)}) % 1024 AS b0,
+         |    (${hv("k0.k", 1)}) % 1024 AS b1,
+         |    (${hv("k0.k", 2)}) % 1024 AS b2
+         |  FROM (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem) k0),
+         |fl AS (
+         |  SELECT
+         |    coalesce((w0.bits >> CAST(li.b0 % 32 AS INT)) & 1, 0) = 1 AND
+         |    coalesce((w1.bits >> CAST(li.b1 % 32 AS INT)) & 1, 0) = 1 AND
+         |    coalesce((w2.bits >> CAST(li.b2 % 32 AS INT)) & 1, 0) = 1 AS bp,
+         |    EXISTS (SELECT 1 FROM u WHERE u.k = li.k) AS tr
+         |  FROM li
+         |  LEFT JOIN bloom w0 ON w0.word = li.b0 // 32
+         |  LEFT JOIN bloom w1 ON w1.word = li.b1 // 32
+         |  LEFT JOIN bloom w2 ON w2.word = li.b2 // 32)
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+         |  CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN bp AND NOT tr THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_false_pos,
+         |  sum(CASE WHEN tr AND NOT bp THEN 1 ELSE 0 END) = 0 AS no_misses,
+         |  CAST(sum(CASE WHEN bp AND NOT tr THEN 1 ELSE 0 END) * 1000000
+         |         // (count(*) - sum(CASE WHEN tr THEN 1 ELSE 0 END))
+         |       AS BIGINT) AS fp_ppm
+         |FROM fl""".stripMargin
+    }),
+
+    // HLL mergeability gate (WHY sketches run at scale, demonstrated
+    // relationally): per-hour 256-register HLL sketches of distinct
+    // users are merged register-by-register (max) into a daily sketch,
+    // which must equal the sketch built directly from the day's raw
+    // events — max is associative, so regs_equal is a structural
+    // identity both engines must claim TRUE, and it is exactly the
+    // property that lets a 100 TB pipeline keep per-partition sketches
+    // and combine them without re-reading data. The merged estimate
+    // and the exact daily distinct ride alongside (q87 arithmetic:
+    // DECIMAL-exact register mass, linear-counting branch). All aggs
+    // are register-keyed (day x 256 at most) after one distinct pass.
+    Q("q150_hll_merge", (s, d) => {
+      import s.implicits._
+      val aLit = f"${0.7213 / (1 + 1.079 / 256) * 256 * 256}%.17g"
+      val bitlenSql = (24 to 1 by -1)
+        .map(k => s"WHEN rest >= ${1L << (k - 1)} THEN $k")
+        .mkString("CASE ", " ", " ELSE 0 END")
+      val ev = t(s, d, "events").select(
+        date_format(to_date($"ts"), "yyyy-MM-dd").as("day"),
+        hour($"ts").cast("long").as("hr"), $"user_id")
+      val hashed = ev.distinct()
+        .withColumn("__h", md5($"user_id".cast("string")))
+        .withColumn("hv", expr(s"(${DedupOps.hv32FromHexSql("__h")})"))
+        .select($"day", $"hr", ($"hv" % 256).as("b"),
+          expr("hv div 256").as("rest"))
+      val hourly = hashed.groupBy($"day", $"hr", $"b")
+        .agg(max(expr(s"25 - ($bitlenSql)")).as("m"))
+      val merged = hourly.groupBy($"day", $"b").agg(max($"m").as("mm"))
+      val direct = hashed.groupBy($"day", $"b")
+        .agg(max(expr(s"25 - ($bitlenSql)")).as("md"))
+      val perDay = merged.join(direct, Seq("day", "b"))
+        .groupBy($"day")
+        .agg((sum(when($"mm" === $"md", 0L).otherwise(1L)) === 0L)
+          .as("regs_equal"),
+          sum(expr("cast(power(0.5, mm) as decimal(38,30))")).as("sp"),
+          count(lit(1)).as("np"))
+      val estSql =
+        s"""CASE WHEN ($aLit / (cast(sp as double) + (256 - np))) <= 640.0
+           |       AND np < 256
+           |     THEN floor(256.0 * ln(256.0 / (256 - np)))
+           |     ELSE floor($aLit / (cast(sp as double) + (256 - np))) END"""
+          .stripMargin
+      val exact = ev.select($"day", $"user_id").distinct()
+        .groupBy($"day").agg(count(lit(1)).as("n_exact"))
+      val hours = ev.select($"day", $"hr").distinct()
+        .groupBy($"day").agg(count(lit(1)).as("n_hours"))
+      perDay.join(exact, "day").join(hours, "day")
+        .select($"day", $"n_hours", $"regs_equal",
+          (lit(256L) - $"np").cast("long").as("zero_regs"),
+          expr(s"cast(($estSql) as bigint)").as("hll_est"),
+          $"n_exact".cast("long").as("n_exact"))
+    }, Some {
+      val aLit = f"${0.7213 / (1 + 1.079 / 256) * 256 * 256}%.17g"
+      val bitlenSql = (24 to 1 by -1)
+        .map(k => s"WHEN rest >= ${1L << (k - 1)} THEN $k")
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""WITH ev AS (
+         |  SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         |    CAST(hour(ts) AS BIGINT) AS hr, user_id
+         |  FROM events),
+         |h AS (SELECT day, hr,
+         |        (${DedupQueries.hvDuckOf("CAST(user_id AS VARCHAR)")}) AS hv
+         |      FROM ev),
+         |r AS (SELECT day, hr, hv % 256 AS b, hv // 256 AS rest FROM h),
+         |hourly AS (SELECT day, hr, b, max(25 - ($bitlenSql)) AS m
+         |           FROM r GROUP BY 1, 2, 3),
+         |merged AS (SELECT day, b, max(m) AS mm FROM hourly GROUP BY 1, 2),
+         |direct AS (SELECT day, b, max(25 - ($bitlenSql)) AS md
+         |           FROM r GROUP BY 1, 2),
+         |pd AS (SELECT m.day,
+         |         sum(CASE WHEN m.mm = d.md THEN 0 ELSE 1 END) = 0
+         |           AS regs_equal,
+         |         sum(CAST(power(0.5, m.mm) AS DECIMAL(38,30))) AS sp,
+         |         count(*) AS np
+         |       FROM merged m JOIN direct d USING (day, b) GROUP BY 1),
+         |ex AS (SELECT day, count(DISTINCT user_id) AS n_exact
+         |       FROM ev GROUP BY 1),
+         |hh AS (SELECT day, count(DISTINCT hr) AS n_hours FROM ev GROUP BY 1)
+         |SELECT pd.day, CAST(hh.n_hours AS BIGINT) AS n_hours, pd.regs_equal,
+         |  CAST(256 - pd.np AS BIGINT) AS zero_regs,
+         |  CAST(CASE WHEN ($aLit / (CAST(pd.sp AS DOUBLE) + (256 - pd.np)))
+         |                 <= 640.0 AND pd.np < 256
+         |            THEN floor(256.0 * ln(256.0 / (256 - pd.np)))
+         |            ELSE floor($aLit / (CAST(pd.sp AS DOUBLE)
+         |                               + (256 - pd.np))) END
+         |       AS BIGINT) AS hll_est,
+         |  CAST(ex.n_exact AS BIGINT) AS n_exact
+         |FROM pd JOIN ex USING (day) JOIN hh USING (day)""".stripMargin
+    }),
   )
 }

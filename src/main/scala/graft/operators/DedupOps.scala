@@ -37,10 +37,12 @@ object DedupOps {
     * digest in a projection first and parse it with this form
     * (measured: 37.6 s -> ~3 s for minhash at sf0.1). */
   private[operators] def hv32FromHexSql(hexVar: String): String =
-    (1 to 8).map { p =>
-      val coef = math.pow(16, 8 - p).toLong
-      s"(instr('0123456789abcdef', substr($hexVar, $p, 1)) - 1) * ${coef}L"
-    }.mkString(" + ")
+    // conv() parses the 8-digit hex prefix in one call — value-identical
+    // to the positional instr() chain the DuckDB oracles replay
+    // (DedupQueries.hvDuckOf keeps that form; DuckDB has no conv), but
+    // one expression instead of 8 substr+instr+multiply terms per hash
+    // (round-10: q149's 3-hash probe over 600k lineitem rows)
+    s"cast(conv(substr($hexVar, 1, 8), 16, 10) as bigint)"
 
   /** Append k salted positional-md5 bucket columns `b0..b{k-1}` =
     * `hv32(md5(col || ':' || j)) % mod` — the ONE definition of the

@@ -310,6 +310,65 @@ class AnalyticsQuerySpec extends AnyFunSuite {
     ((((id % 1000003) + 1000003) % 1000003 * 2654435761L + 40503) % 1000003 + 1000003) % 1000003
 
   // ------------------------------------------------------------------
+  test("q149 bloom join pruning matches a direct recompute and never misses a true match") {
+    def hv32(s: String): Long =
+      md5hex(s).take(8).foldLeft(0L)((acc, c) => acc * 16 + "0123456789abcdef".indexOf(c))
+    def buckets(k: String): Seq[Long] = (0 until 3).map(j => hv32(s"$k:$j") % 1024)
+    val orders = graft.catalog.Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val urgent = orders.filter(_._2 == "1-URGENT").map(_._1.toString).toSet
+    val bloomBits = urgent.flatMap(buckets)
+    val li = graft.catalog.Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey").collect().map(_.getLong(0).toString)
+    val rows = li.map { k =>
+      val bp = buckets(k).forall(bloomBits.contains)
+      val tr = urgent.contains(k)
+      (bp, tr)
+    }
+    val nRows = rows.length.toLong
+    val nPass = rows.count(_._1).toLong
+    val nTrue = rows.count(_._2).toLong
+    val nFp = rows.count(r => r._1 && !r._2).toLong
+    val got = run("q149_bloom_join_prune").collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      ((nRows, nPass, nTrue, nFp)))
+    assert(got.getBoolean(4), "bloom must never miss a true match")
+    assert(got.getLong(5) == nFp * 1000000 / (nRows - nTrue))
+    assert(rows.forall(r => !r._2 || r._1), "recompute: no false negatives")
+  }
+
+  // ------------------------------------------------------------------
+  test("q150 hourly-merged HLL registers equal the direct daily sketch; estimate lands near exact") {
+    val rows = run("q150_hll_merge").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"day ${r.getString(0)}: merged != direct registers")
+      val (est, exact) = (r.getLong(4), r.getLong(5))
+      // 256 registers -> ~6.5% relative error; allow 4 sigma
+      assert(math.abs(est - exact).toDouble / exact < 0.26,
+        s"day ${r.getString(0)}: est $est vs exact $exact")
+    }
+    // independent recompute of one day's registers from raw events
+    val ev = graft.catalog.Tables.t(spark, sf, "events")
+      .selectExpr("date_format(to_date(ts), 'yyyy-MM-dd') as day",
+        "cast(user_id as string) as u").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val day0 = rows.head.getString(0)
+    def hv32(s: String): Long =
+      md5hex(s).take(8).foldLeft(0L)((acc, c) => acc * 16 + "0123456789abcdef".indexOf(c))
+    val users = ev.filter(_._1 == day0).map(_._2).distinct
+    def bitlen(x: Long): Int =
+      if (x == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val regs = users.map(hv32).groupBy(_ % 256).view
+      .mapValues(vs => vs.map(hv => 25 - bitlen(hv / 256)).max).toMap
+    // bit-length recompute sanity: register count matches zero_regs
+    val got0 = rows.find(_.getString(0) == day0).get
+    assert(256L - regs.size == got0.getLong(3), "zero register count")
+    assert(users.size.toLong == got0.getLong(5), "exact distinct")
+  }
+
+  // ------------------------------------------------------------------
   test("q138 semantic leakage matches a recomputed bucket join; candidates share the signature") {
     val planes = graft.operators.SimilarityOps.hyperplanes(8, 64, seed = 1337L)
     def sig(e: Array[Double]): Long =

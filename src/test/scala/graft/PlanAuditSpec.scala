@@ -104,6 +104,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q123_nearest_centroid" -> "centroid matrix from the label x dim agg: model-sized (labels x 64)",
     "q141_hard_negatives" -> "anchor batch: doc_id IN (8 literal ids) — constant probe set (q37 class)",
     "q143_ks_drift" -> "per-source doc totals: groupBy source (bounded source registry, q99 class) + the scalar corpus total",
+    "q149_bloom_join_prune" -> "bloom filter words: groupBy (p div 32) over the fixed 1024-bit range — 32 rows at any corpus size (q86/q81 class), x3 probes",
   )
 
   test("catalog-wide plan audit: cartesian/BNLJ/global-window invariants") {
