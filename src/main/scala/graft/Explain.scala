@@ -32,7 +32,8 @@ object Explain {
                          "q144_snapshot_diff", "q145_distribution_match",
                          "q146_rare_group_suppress", "q147_tokenizer_fertility",
                          "q148_shard_balance", "q149_bloom_join_prune",
-                         "q150_hll_merge")
+                         "q150_hll_merge", "q151_pii_audit",
+                         "q152_dense_ids", "q153_group_folds")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -17,7 +17,7 @@ object SparkEntry {
     RelationalQueries.qs ++ ScalarFnQueries.qs ++ TextQueries.qs ++
       DedupQueries.qs ++ CorpusQueries.qs ++ SimilarityQueries.qs ++
       MultimodalQueries.qs ++ ExtensionQueries.qs ++ CleaningQueries.qs ++
-      AnalyticsQueries.qs
+      AnalyticsQueries.qs ++ GovernanceQueries.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q100 composes five curation stages (quality gate, duplicated-span

@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{Q, QueryModule, Tables}
+
+/** Round-11 data-governance operators (SURVEY.md §2.12 X121-X123): the
+  * release-side audits a corpus owner runs before training or shipping
+  * a dataset — PII exposure, stable global sample ids, and
+  * leakage-aware cross-validation folds.
+  *
+  * Exactness scheme follows the catalog conventions: integer
+  * permille/ppm floor-quantization on non-negative values (Spark `div`
+  * ≡ DuckDB `//`), the shared overflow-safe hashMix for every seeded
+  * assignment, and the positional-md5 hv32 for string-keyed hashing so
+  * DuckDB replays the exact same arithmetic.
+  */
+object GovernanceQueries extends QueryModule {
+
+  private def t(s: org.apache.spark.sql.SparkSession, d: String, n: String) =
+    Tables.t(s, d, n)
+
+  /** Java-regex == RE2 PII patterns: every construct used (literal
+    * classes, bounded/unbounded greedy repetition, ASCII `\b`, `\d`) has
+    * identical match semantics in Spark's Java regex and DuckDB's RE2,
+    * so counts and global replacements agree engine-for-engine. No
+    * backreferences or lookarounds (RE2 has neither). */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val idRunRe = "\\d{9,}"
+
+  def qs: Seq[Q] = Seq(
+
+    // PII-exposure audit: per source, how many documents contain
+    // email-, IPv4-, or long-id-shaped spans, how many matches of each
+    // class, and how many characters a redaction pass would remove —
+    // the release gate run before any corpus leaves the pipeline. The
+    // synthetic corpus carries no organic PII, so the operator plants
+    // deterministic spans first (doc_id-keyed, like q144's synthetic
+    // re-crawl) and then audits them — the audit itself never looks at
+    // doc_id, only at text. Scale shape: row-local regexp counts and
+    // replacements (codegen'd, linear in bytes scanned) + ONE
+    // map-side-combined agg to a registry-sized frame; zero joins,
+    // zero windows, nothing broadcast.
+    Q("q151_pii_audit", (s, d) => {
+      import s.implicits._
+      val aug = when($"doc_id" % 17 === 3,
+          concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+            lit("@example.com")))
+        .when($"doc_id" % 23 === 5,
+          concat($"text", lit(" from 10."), ($"doc_id" % 256).cast("string"),
+            lit(".0."), ($"doc_id" * 3 % 256).cast("string")))
+        .when($"doc_id" % 29 === 11,
+          concat($"text", lit(" ref "),
+            ($"doc_id" + 4100000000L).cast("string")))
+        .otherwise($"text")
+      val redacted = regexp_replace(
+        regexp_replace(regexp_replace(col("txt"), emailRe, ""), ipv4Re, ""),
+        idRunRe, "")
+      t(s, d, "documents")
+        .select($"source", aug.as("txt"))
+        .select($"source",
+          regexp_count($"txt", lit(emailRe)).cast("long").as("ne"),
+          regexp_count($"txt", lit(ipv4Re)).cast("long").as("ni"),
+          regexp_count($"txt", lit(idRunRe)).cast("long").as("nd"),
+          (length($"txt") - length(redacted)).cast("long").as("cut"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"ne" + $"ni" + $"nd" > 0, 1L).otherwise(0L))
+            .as("docs_with_pii"),
+          sum($"ne").as("n_emails"), sum($"ni").as("n_ips"),
+          sum($"nd").as("n_idruns"), sum($"cut").as("chars_redacted"))
+        .select($"source", $"n_docs", $"docs_with_pii",
+          expr("(docs_with_pii * 1000) div n_docs").as("pii_permille"),
+          $"n_emails", $"n_ips", $"n_idruns", $"chars_redacted")
+    }, Some(s"""
+      WITH a AS (
+        SELECT source,
+          CASE WHEN doc_id % 17 = 3 THEN text || ' contact user'
+                 || CAST(doc_id AS VARCHAR) || '@example.com'
+               WHEN doc_id % 23 = 5 THEN text || ' from 10.'
+                 || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                 || CAST((doc_id * 3) % 256 AS VARCHAR)
+               WHEN doc_id % 29 = 11 THEN text || ' ref '
+                 || CAST(doc_id + 4100000000 AS VARCHAR)
+               ELSE text END AS txt
+        FROM documents),
+      c AS (SELECT source,
+        CAST(len(regexp_extract_all(txt, '$emailRe')) AS BIGINT) AS ne,
+        CAST(len(regexp_extract_all(txt, '$ipv4Re')) AS BIGINT) AS ni,
+        CAST(len(regexp_extract_all(txt, '$idRunRe')) AS BIGINT) AS nd,
+        CAST(length(txt) - length(regexp_replace(regexp_replace(
+          regexp_replace(txt, '$emailRe', '', 'g'), '$ipv4Re', '', 'g'),
+          '$idRunRe', '', 'g')) AS BIGINT) AS cut
+        FROM a)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN ne + ni + nd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS docs_with_pii,
+        CAST(sum(CASE WHEN ne + ni + nd > 0 THEN 1 ELSE 0 END) * 1000
+               // count(*) AS BIGINT) AS pii_permille,
+        CAST(sum(ne) AS BIGINT) AS n_emails,
+        CAST(sum(ni) AS BIGINT) AS n_ips,
+        CAST(sum(nd) AS BIGINT) AS n_idruns,
+        CAST(sum(cut) AS BIGINT) AS chars_redacted
+      FROM c GROUP BY 1""")),
+
+    // stable dense global ids (distributed zipWithIndex): assign the
+    // contiguous ids 1..n in (source, doc_id) order WITHOUT a
+    // single-partition global window — the id assignment behind
+    // training-order manifests and resumable shard offsets. Plan:
+    // range-repartition orders partitions globally; a one-row-PER-
+    // PARTITION count frame (#partitions rows — a deployment knob,
+    // never corpus-proportional) turns into start offsets via a
+    // cumulative window over that tiny frame; the offsets broadcast
+    // back onto the data and id = offset + row_number within the
+    // partition id. The per-pid window is bounded by the range
+    // partition's size — the same partition byte budget every shuffle
+    // in the engine is sized by — so no corpus-wide sort ever
+    // materializes. Both references to the range exchange live in ONE
+    // plan, so Catalyst's ReusedExchange guarantees the offsets branch
+    // and the assignment branch see the SAME materialized partitioning
+    // (no cache, no recompute-determinism caveat, fully lazy — an
+    // earlier two-job mapPartitions draft was 5x slower warm and
+    // needed exactly that caveat). Verification emits per-source
+    // n/min/max plus an order-independent bit_xor checksum —
+    // overflow-free at any corpus size (an id SUM would wrap int64
+    // past ~4e9 docs) — and DuckDB replays it against a true global
+    // ROW_NUMBER, so every id is pinned exactly.
+    Q("q152_dense_ids", (s, d) => {
+      import s.implicits._
+      val rp = t(s, d, "documents").select($"source", $"doc_id")
+        .repartitionByRange(32, $"source", $"doc_id")
+        .withColumn("pid", spark_partition_id())
+      val wOff = Window.orderBy($"pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = rp.groupBy($"pid").agg(count(lit(1)).as("k"))
+        .withColumn("off", coalesce(sum($"k").over(wOff), lit(0L)))
+        .select($"pid", $"off")
+      val wIn = Window.partitionBy($"pid").orderBy($"source", $"doc_id")
+      rp.join(broadcast(offs), "pid")
+        .withColumn("dense_id", $"off" + row_number().over(wIn))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), min($"dense_id").as("min_id"),
+          max($"dense_id").as("max_id"),
+          expr("bit_xor(dense_id)").as("xor_id"))
+    }, Some("""
+      WITH r AS (
+        SELECT source, row_number() OVER (ORDER BY source, doc_id) AS id
+        FROM documents)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id,
+        CAST(bit_xor(id) AS BIGINT) AS xor_id
+      FROM r GROUP BY 1""")),
+
+    // leakage-aware GROUP k-fold assignment: folds are a pure hash of
+    // the 10-token lead fingerprint (q134's mirror/boilerplate group
+    // key), so every near-identical-lead clone lands in the SAME fold
+    // and cross-validation never grades a model on its own training
+    // near-duplicates — the structural fix for what q131 only measures.
+    // Reports per fold: group count, doc count, token share (ppm) —
+    // plus the groups_multi_fold gate computed honestly from the data
+    // (an agg over groups counting distinct folds; must be 0 — and is,
+    // structurally, because fold is a function of the group key).
+    // Scale shape: lead fp + fold are row-local; ONE (fp, fold)
+    // map-side-combined agg (corpus-keyed shuffle agg, never
+    // broadcast); everything after is 5-row arithmetic; the two
+    // broadcasts are 1-row scalar aggs.
+    Q("q153_group_folds", (s, d) => {
+      import s.implicits._
+      val grouped = t(s, d, "documents")
+        .select(md5(array_join(slice(TextOps.tokens($"text"), 1, 10), " "))
+            .as("__fp"),
+          TextOps.tokenCount($"text").cast("long").as("n_toks"))
+        .withColumn("hv", expr(s"(${DedupOps.hv32FromHexSql("__fp")})"))
+        .withColumn("fold", CorpusOps.hashMix($"hv", 5L))
+        .groupBy($"__fp", $"fold")
+        .agg(count(lit(1)).as("nd"), sum($"n_toks").as("toks"))
+      val byFold = grouped.groupBy($"fold")
+        .agg(count(lit(1)).as("n_groups"), sum($"nd").as("n_docs"),
+          sum($"toks").as("toks"))
+      val leak = grouped.groupBy($"__fp")
+        .agg(count_distinct($"fold").as("nf"))
+        .agg(sum(when($"nf" > 1, 1L).otherwise(0L)).as("groups_multi_fold"))
+      val tot = byFold.agg(sum($"toks").as("tt"))
+      byFold.crossJoin(broadcast(tot)).crossJoin(broadcast(leak))
+        .select($"fold", $"n_groups", $"n_docs",
+          expr("(toks * 1000000) div tt").as("share_ppm"),
+          $"groups_multi_fold")
+    }, Some(s"""
+      WITH g AS (
+        SELECT array_to_string(
+                 list_slice(string_split_regex(trim(text), '\\s+'), 1, 10),
+                 ' ') AS ld,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS n_toks
+        FROM documents),
+      h AS (SELECT md5(ld) AS fp, n_toks,
+              (((((${DedupQueries.hvDuckOf("ld")}) % 1000003 + 1000003)
+                  % 1000003 * 2654435761 + 40503) % 5) + 5) % 5 AS fold
+            FROM g),
+      grp AS (SELECT fp, fold, count(*) AS nd, sum(n_toks) AS toks
+              FROM h GROUP BY 1, 2),
+      bf AS (SELECT fold, count(*) AS n_groups, sum(nd) AS n_docs,
+               sum(toks) AS toks
+             FROM grp GROUP BY 1),
+      lk AS (SELECT sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END)
+               AS groups_multi_fold
+             FROM (SELECT fp, count(DISTINCT fold) AS nf FROM grp
+                   GROUP BY 1)),
+      tt AS (SELECT sum(toks) AS t FROM bf)
+      SELECT CAST(fold AS BIGINT) AS fold,
+        CAST(n_groups AS BIGINT) AS n_groups,
+        CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(toks * 1000000 // tt.t AS BIGINT) AS share_ppm,
+        CAST(lk.groups_multi_fold AS BIGINT) AS groups_multi_fold
+      FROM bf CROSS JOIN tt CROSS JOIN lk"""))
+  )
+}

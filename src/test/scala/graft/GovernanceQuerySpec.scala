@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic tests for the governance family (q151-q153): independent
+  * Scala recomputation from the raw sf0.001 corpus (the
+  * AnalyticsQuerySpec pattern — the DuckDB oracle proves engine
+  * parity, these pin the SEMANTICS so a same-wrong-both-sides bug
+  * can't hide).
+  */
+class GovernanceQuerySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def hv32(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(8), 16)
+
+  private def hm(id: Long, mod: Long): Long =
+    ((((id % 1000003) + 1000003) % 1000003 * 2654435761L + 40503) % mod
+      + mod) % mod
+
+  private lazy val rawDocs: Seq[(Long, String, String)] =
+    graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text", "source").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  // ------------------------------------------------------------------
+  test("q151 PII audit matches a java.util.regex recompute; planted spans are found") {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b".r
+    val idrun = "\\d{9,}".r
+    def aug(id: Long, text: String): String =
+      if (id % 17 == 3) s"$text contact user$id@example.com"
+      else if (id % 23 == 5) s"$text from 10.${id % 256}.0.${id * 3 % 256}"
+      else if (id % 29 == 11) s"$text ref ${id + 4100000000L}"
+      else text
+    case class Acc(docs: Long = 0, hit: Long = 0, ne: Long = 0, ni: Long = 0,
+                   nd: Long = 0, cut: Long = 0)
+    val exp = rawDocs.groupBy(_._3).map { case (src, ds) =>
+      src -> ds.foldLeft(Acc()) { case (a, (id, text, _)) =>
+        val t = aug(id, text)
+        val (e, i, d) = (email.findAllIn(t).size, ipv4.findAllIn(t).size,
+          idrun.findAllIn(t).size)
+        val red = idrun.replaceAllIn(
+          ipv4.replaceAllIn(email.replaceAllIn(t, ""), ""), "")
+        Acc(a.docs + 1, a.hit + (if (e + i + d > 0) 1 else 0), a.ne + e,
+          a.ni + i, a.nd + d, a.cut + (t.length - red.length))
+      }
+    }
+    val got = run("q151_pii_audit").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (src, a) =>
+      val r = got(src)
+      assert(r.getLong(1) == a.docs, s"$src n_docs")
+      assert(r.getLong(2) == a.hit, s"$src docs_with_pii")
+      assert(r.getLong(3) == a.hit * 1000 / a.docs, s"$src permille")
+      assert(r.getLong(4) == a.ne, s"$src emails")
+      assert(r.getLong(5) == a.ni, s"$src ips")
+      assert(r.getLong(6) == a.nd, s"$src idruns")
+      assert(r.getLong(7) == a.cut, s"$src chars_redacted")
+    }
+    // the planted spans exist and are found: every class is non-zero
+    assert(exp.values.map(_.ne).sum > 0 && exp.values.map(_.ni).sum > 0 &&
+      exp.values.map(_.nd).sum > 0)
+  }
+
+  // ------------------------------------------------------------------
+  test("q152 dense ids equal a sequential global row_number; ranges partition 1..n") {
+    val ordered = rawDocs.map(t => (t._3, t._1)).sorted.zipWithIndex
+      .map { case ((src, _), i) => (src, i + 1L) }
+    val exp = ordered.groupBy(_._1).map { case (src, ids) =>
+      val v = ids.map(_._2)
+      src -> (v.size.toLong, v.min, v.max, v.reduce(_ ^ _))
+    }
+    val got = run("q152_dense_ids").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == exp)
+    // ranges are disjoint, contiguous, and cover 1..n
+    val spans = got.values.toSeq.sortBy(_._2)
+    assert(spans.head._2 == 1L)
+    assert(spans.last._3 == rawDocs.size.toLong)
+    spans.foreach { case (n, lo, hi, _) => assert(hi - lo + 1 == n) }
+    spans.sliding(2).foreach {
+      case Seq(a, b) => assert(b._2 == a._3 + 1)
+      case _ =>
+    }
+  }
+
+  // ------------------------------------------------------------------
+  test("q153 group folds match the lead-fp hash recompute; zero groups span folds; shares sum to ~1e6") {
+    val perDoc = rawDocs.map { case (_, text, _) =>
+      val tk = text.trim.split("\\s+")
+      val lead = tk.take(10).mkString(" ")
+      (md5hex(lead), hm(hv32(lead), 5), tk.length.toLong)
+    }
+    val grp = perDoc.groupBy(t => (t._1, t._2))
+      .map { case (k, v) => (k._1, k._2, v.size.toLong, v.map(_._3).sum) }
+    val tt = grp.map(_._4).sum
+    val exp = grp.groupBy(_._2).map { case (fold, gs) =>
+      fold -> (gs.size.toLong, gs.map(_._3).sum, gs.map(_._4).sum * 1000000L / tt)
+    }
+    // fold is a pure function of the group key, so no group can span folds
+    assert(grp.groupBy(_._1).values.forall(_.map(_._2).toSet.size == 1))
+    val got = run("q153_group_folds").collect()
+    assert(got.map(_.getLong(0)).toSet == exp.keySet)
+    got.foreach { r =>
+      val (ng, nd, share) = exp(r.getLong(0))
+      assert(r.getLong(1) == ng, s"fold ${r.getLong(0)} n_groups")
+      assert(r.getLong(2) == nd, s"fold ${r.getLong(0)} n_docs")
+      assert(r.getLong(3) == share, s"fold ${r.getLong(0)} share_ppm")
+      assert(r.getLong(4) == 0L, "groups_multi_fold gate")
+    }
+    val shares = got.map(_.getLong(3)).sum
+    assert(shares > 1000000L - 10 && shares <= 1000000L)
+  }
+}

@@ -61,6 +61,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q145_distribution_match" -> "1-row corpus total broadcast onto the language-registry share frame",
     "q146_rare_group_suppress" -> "1-row corpus total broadcast onto the bounded distinct-length octile frame",
     "q148_shard_balance" -> "1-row token-total broadcast onto the constant 8-row shard frame",
+    "q153_group_folds" -> "1-row token-total + 1-row leak-gate broadcasts onto the 5-row fold frame",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
@@ -71,6 +72,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q143_ks_drift" -> "global CDF cum over DISTINCT token counts — bounded by the value domain (max doc length), not the corpus (q110 argument)",
     "q145_distribution_match" -> "row_number over the language-registry share frame (bounded registry)",
     "q146_rare_group_suppress" -> "octile cum over DISTINCT token counts — value-domain bounded (q110 argument), appears in both the build and lookup branches",
+    "q152_dense_ids" -> "cumulative offsets over the one-count-per-partition frame — bounded by the partition-count knob, never the corpus",
   )
 
   /** broadcast() HINT audit (the q54 class): a hint pins its side into
@@ -105,6 +107,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q141_hard_negatives" -> "anchor batch: doc_id IN (8 literal ids) — constant probe set (q37 class)",
     "q143_ks_drift" -> "per-source doc totals: groupBy source (bounded source registry, q99 class) + the scalar corpus total",
     "q149_bloom_join_prune" -> "bloom filter words: groupBy (p div 32) over the fixed 1024-bit range — 32 rows at any corpus size (q86/q81 class), x3 probes",
+    "q152_dense_ids" -> "per-partition offsets: groupBy spark_partition_id() — one row per partition (a deployment knob), never corpus-proportional",
   )
 
   test("catalog-wide plan audit: cartesian/BNLJ/global-window invariants") {
