@@ -33,7 +33,9 @@ object Explain {
                          "q146_rare_group_suppress", "q147_tokenizer_fertility",
                          "q148_shard_balance", "q149_bloom_join_prune",
                          "q150_hll_merge", "q151_pii_audit",
-                         "q152_dense_ids", "q153_group_folds")
+                         "q152_dense_ids", "q153_group_folds",
+                         "q154_setsim_join",
+                         "q155_hits_centrality", "q156_heaps_growth")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

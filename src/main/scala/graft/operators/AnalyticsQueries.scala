@@ -630,5 +630,178 @@ object AnalyticsQueries extends QueryModule {
          |  CAST(ex.n_exact AS BIGINT) AS n_exact
          |FROM pd JOIN ex USING (day) JOIN hh USING (day)""".stripMargin
     }),
+
+    // HITS hubs/authorities (2 unrolled iterations, flow-normalized):
+    // the complementary centrality to q139's PageRank — a node is a
+    // good HUB if it links to good authorities, a good AUTHORITY if
+    // good hubs link to it; crawl schedulers use the hub score to pick
+    // link-rich index pages and the authority score to rank content
+    // hosts. Same deterministic host graph as q139. Flow normalization
+    // (each step divides a node's outgoing mass by its total edge
+    // weight, floored PER EDGE before the sum — order-independent)
+    // keeps every score in the 1e6 mass scale at any graph size, so
+    // no max-normalization pass (and its overflow-prone * 1e6) is
+    // needed. Scale shape: identical to q139 — each half-iteration is
+    // one edge⋈score equi-join + one map-side-combined per-endpoint
+    // sum over DISTRIBUTED node-keyed tables; nothing collected or
+    // broadcast; nodes are the HOST registry, not documents.
+    Q("q155_hits_centrality", (s, d) => {
+      import s.implicits._
+      val edges = t(s, d, "documents")
+        .select(($"doc_id" % 32).as("src"), (($"doc_id" * 7 + 3) % 32).as("dst"))
+        .filter($"src" =!= $"dst")
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      val ow = edges.groupBy($"src").agg(sum($"w").as("ow"))
+      val iw = edges.groupBy($"dst").agg(sum($"w").as("iw"))
+      val eo = edges.join(ow, "src")
+      val ei = edges.join(iw, "dst")
+      val nodes = ow.select($"src".as("node")).join(
+        iw.select($"dst".as("node")), Seq("node"), "full_outer")
+      def authStep(h: org.apache.spark.sql.DataFrame) =
+        nodes.join(
+          eo.join(h.withColumnRenamed("node", "src"), "src")
+            .select($"dst".as("node"), expr("(h * w) div ow").as("c"))
+            .groupBy($"node").agg(sum($"c").as("ar")),
+          Seq("node"), "left_outer")
+          .select($"node", coalesce($"ar", lit(0L)).as("a"))
+      def hubStep(a: org.apache.spark.sql.DataFrame) =
+        nodes.join(
+          ei.join(a.withColumnRenamed("node", "dst"), "dst")
+            .select($"src".as("node"), expr("(a * w) div iw").as("c"))
+            .groupBy($"node").agg(sum($"c").as("hr")),
+          Seq("node"), "left_outer")
+          .select($"node", coalesce($"hr", lit(0L)).as("h"))
+      val h0 = nodes.select($"node", lit(1000000L).as("h"))
+      val a1 = authStep(h0)
+      val h1 = hubStep(a1)
+      val a2 = authStep(h1)
+      val h2 = hubStep(a2)
+      nodes
+        .join(ow.withColumnRenamed("src", "node"), Seq("node"), "left_outer")
+        .join(iw.withColumnRenamed("dst", "node"), Seq("node"), "left_outer")
+        .join(a2.withColumnRenamed("a", "auth_micro"), "node")
+        .join(h2.withColumnRenamed("h", "hub_micro"), "node")
+        .select($"node", coalesce($"ow", lit(0L)).as("out_weight"),
+          coalesce($"iw", lit(0L)).as("in_weight"),
+          $"auth_micro", $"hub_micro")
+    }, Some("""
+      WITH ed AS (SELECT doc_id % 32 AS src, (doc_id * 7 + 3) % 32 AS dst
+                  FROM documents),
+      e AS (SELECT src, dst, count(*) AS w FROM ed WHERE src <> dst
+            GROUP BY 1, 2),
+      o AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+      i AS (SELECT dst, CAST(sum(w) AS BIGINT) AS iw FROM e GROUP BY 1),
+      n AS (SELECT src AS node FROM o UNION SELECT dst FROM i),
+      a1 AS (SELECT n.node, coalesce(x.ar, 0) AS a FROM n LEFT JOIN (
+               SELECT e.dst AS node, sum((1000000 * e.w) // o.ow) AS ar
+               FROM e JOIN o USING (src) GROUP BY 1) x ON x.node = n.node),
+      h1 AS (SELECT n.node, coalesce(x.hr, 0) AS h FROM n LEFT JOIN (
+               SELECT e.src AS node, sum((a1.a * e.w) // i.iw) AS hr
+               FROM e JOIN i USING (dst) JOIN a1 ON a1.node = e.dst
+               GROUP BY 1) x ON x.node = n.node),
+      a2 AS (SELECT n.node, coalesce(x.ar, 0) AS a FROM n LEFT JOIN (
+               SELECT e.dst AS node, sum((h1.h * e.w) // o.ow) AS ar
+               FROM e JOIN o USING (src) JOIN h1 ON h1.node = e.src
+               GROUP BY 1) x ON x.node = n.node),
+      h2 AS (SELECT n.node, coalesce(x.hr, 0) AS h FROM n LEFT JOIN (
+               SELECT e.src AS node, sum((a2.a * e.w) // i.iw) AS hr
+               FROM e JOIN i USING (dst) JOIN a2 ON a2.node = e.dst
+               GROUP BY 1) x ON x.node = n.node)
+      SELECT n.node, coalesce(o.ow, 0) AS out_weight,
+        coalesce(i.iw, 0) AS in_weight,
+        CAST(a2.a AS BIGINT) AS auth_micro, CAST(h2.h AS BIGINT) AS hub_micro
+      FROM n LEFT JOIN o ON o.src = n.node LEFT JOIN i ON i.dst = n.node
+      JOIN a2 ON a2.node = n.node JOIN h2 ON h2.node = n.node""")),
+
+    // Heaps-law vocabulary growth (q133 Zipf's longitudinal sibling):
+    // per source, the log-log slope of distinct-vocabulary size vs
+    // cumulative token count across 8 ingestion-order checkpoints —
+    // the saturation exponent (beta ~ 0.5 healthy crawl, -> 0 a
+    // template/synthetic source that stopped contributing new
+    // vocabulary; complements q136's per-doc novelty curve with a
+    // per-source scalar). Exactness: checkpoint membership is the
+    // integer test fd*8 <= max_id*j (no division); ln floor-quantized
+    // to milli (q133 convention); the slope is the all-integer
+    // closed-form (n*sxy - sx*sy)*1000 div (n*sxx - sx*sx) over
+    // DISTINCT (x, y) points (dedup keeps flat tails from
+    // over-weighting the fit and guards the degenerate all-equal
+    // case, which falls back to 0). Scale shape: first-seen is ONE
+    // vocabulary-keyed min-agg; both checkpoint frames are 8
+    // conditional sums with map-side combine (NO 8x fan-out of the
+    // vocabulary); everything after the registry join is <= 8 rows
+    // per source; the only broadcast is the 1-row max-doc-id.
+    Q("q156_heaps_growth", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select($"source", $"doc_id",
+        TextOps.tokenCount($"text").cast("long").as("ntok"), $"text")
+      val fs = docs
+        .select($"source", $"doc_id",
+          explode(array_distinct(TextOps.tokens($"text"))).as("tok"))
+        .groupBy($"source", $"tok").agg(min($"doc_id").as("fd"))
+      val mx = docs.agg(max($"doc_id").as("mxid"))
+      val vAggs = (1 to 8).map(j =>
+        sum(when($"fd" * 8 <= $"mxid" * j, 1L).otherwise(0L)).as(s"v$j"))
+      val tAggs = (1 to 8).map(j =>
+        sum(when($"doc_id" * 8 <= $"mxid" * j, $"ntok").otherwise(0L))
+          .as(s"t$j"))
+      val vocab = fs.crossJoin(broadcast(mx)).groupBy($"source")
+        .agg(vAggs.head, vAggs.tail: _*)
+      val toks = docs.crossJoin(broadcast(mx)).groupBy($"source")
+        .agg(tAggs.head, tAggs.tail: _*)
+      val pts = vocab.join(toks, "source")
+        .select($"source", explode(array((1 to 8).map(j =>
+          struct(col(s"v$j").as("v"), col(s"t$j").as("tk"))): _*)).as("p"))
+        .filter($"p.v" > 0 && $"p.tk" > 0)
+        .select($"source",
+          floor(log($"p.tk".cast("double")) * 1000).cast("long").as("x"),
+          floor(log($"p.v".cast("double")) * 1000).cast("long").as("y"),
+          $"p.v".as("v"), $"p.tk".as("tk"))
+        .distinct()
+      pts.groupBy($"source")
+        .agg(count(lit(1)).as("n_pts"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+          max($"v").as("vocab_final"), max($"tk").as("tokens_final"))
+        .select($"source", $"n_pts", $"vocab_final", $"tokens_final",
+          when($"n_pts" * $"sxx" - $"sx" * $"sx" > 0,
+            expr("(greatest(n_pts * sxy - sx * sy, 0L) * 1000) " +
+              "div (n_pts * sxx - sx * sx)")).otherwise(0L).as("beta_milli"))
+    }, Some("""
+      WITH dd AS (
+        SELECT source, doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok,
+          text
+        FROM documents),
+      mx AS (SELECT max(doc_id) AS mxid FROM dd),
+      fs AS (SELECT source, tok, min(doc_id) AS fd FROM (
+               SELECT DISTINCT source, doc_id,
+                 unnest(string_split_regex(trim(text), '\s+')) AS tok
+               FROM dd) GROUP BY 1, 2),
+      vocab AS (SELECT source, j,
+                  sum(CASE WHEN fd * 8 <= mxid * j THEN 1 ELSE 0 END) AS v
+                FROM fs CROSS JOIN mx CROSS JOIN range(1, 9) r(j)
+                GROUP BY 1, 2),
+      tks AS (SELECT source, j,
+                sum(CASE WHEN doc_id * 8 <= mxid * j THEN ntok ELSE 0 END)
+                  AS tk
+              FROM dd CROSS JOIN mx CROSS JOIN range(1, 9) r(j)
+              GROUP BY 1, 2),
+      pts AS (SELECT DISTINCT source,
+                CAST(floor(ln(tk * 1.0) * 1000) AS BIGINT) AS x,
+                CAST(floor(ln(v * 1.0) * 1000) AS BIGINT) AS y,
+                v, tk
+              FROM vocab JOIN tks USING (source, j)
+              WHERE v > 0 AND tk > 0),
+      ag AS (SELECT source, count(*) AS n_pts, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx,
+               max(v) AS vocab_final, max(tk) AS tokens_final
+             FROM pts GROUP BY 1)
+      SELECT source, CAST(n_pts AS BIGINT) AS n_pts,
+        CAST(vocab_final AS BIGINT) AS vocab_final,
+        CAST(tokens_final AS BIGINT) AS tokens_final,
+        CAST(CASE WHEN n_pts * sxx - sx * sx > 0
+                  THEN greatest(n_pts * sxy - sx * sy, 0) * 1000
+                         // (n_pts * sxx - sx * sx)
+                  ELSE 0 END AS BIGINT) AS beta_milli
+      FROM ag""")),
   )
 }

@@ -707,6 +707,118 @@ object DedupQueries extends QueryModule {
       SELECT bow_fp, CAST(count(*) AS BIGINT) AS n_docs,
         CAST(count(DISTINCT exact_fp) AS BIGINT) AS n_exact_variants,
         min(doc_id) AS canonical_id
-      FROM f GROUP BY 1 HAVING count(*) >= 2"""))
+      FROM f GROUP BY 1 HAVING count(*) >= 2""")),
+
+    // prefix-filtered set-similarity join (the PPJoin family, the
+    // third candidate-generation scheme after banding (q34/q36) and
+    // sorted neighborhood (q101)): exact shingle-set Jaccard >= 0.6,
+    // with candidates generated ONLY from shared PREFIX shingles —
+    // each doc's rarest L = |S| - ceil(0.6|S|) + 1 shingles in global
+    // (df, shingle) order. The pigeonhole guarantee: two sets with
+    // J >= tau MUST share a prefix element, so the inverted index
+    // over prefixes (not whole sets) finds every pair — and the
+    // prefix is the rarest slice of each doc, so the index's posting
+    // lists are short by construction. A df <= 20 cap on join
+    // shingles (the q103/q116 guard) bounds every posting's fan-out
+    // at 190 pairs; pairs reachable only through boilerplate
+    // shingles are dropped (documented approximation — those pairs
+    // are the near-dup CLUSTERS q53 already resolves; the spec
+    // proves no-false-negatives vs brute force under the cap at
+    // sf0.001). Scale shape: df and size are one agg each; the
+    // per-doc sorted list is doc-bounded; candidate pairs come from
+    // the q103 sorted-posting explode (bounded cap^2/2 per shingle,
+    // no self-join); verification is two doc-keyed array joins +
+    // row-local intersection. Output is the <= 5-row Jaccard-decile
+    // report + the candidate count (1-row broadcast).
+    Q("q154_setsim_join", (s, d) => {
+      import s.implicits._
+      // shingles collapse to 32-bit hv hashes up front (q36's oracle-
+      // replayable hv32; ~0.1 expected collisions per 10^5 shingles —
+      // the standard MinHash-family approximation, identical in both
+      // engines) so every downstream stage — df agg, doc-keyed
+      // collect, sort, posting explode, intersection — runs on longs,
+      // not 30-char strings (string variant measured 3x slower).
+      val sh = TextOps.shingleRows(t(s, d, "documents"), "doc_id", "text")
+        .select($"doc_id", expr(DedupOps.hv32Sql("shingle")).as("tok"))
+        .distinct()
+      val df = sh.groupBy($"tok").agg(count(lit(1)).as("df"))
+      // ONE (df, tok)-sorted struct array per doc carries everything
+      // downstream: sz = its size (no separate size branch), the
+      // prefix slice keeps df attached so the cap filter is row-local
+      // (no df re-join). The frame is one row per doc with a
+      // doc-bounded array — persisted because the prefix branch and
+      // both verification sides read it (3 consumers; unpersisted the
+      // sh -> df -> collect chain re-executes per consumer — measured
+      // 16 -> 3 s at sf0.1. Tiny, unlike the q103 frame whose persist
+      // was session-sticky: this is |docs| rows, not an exploded
+      // corpus).
+      val ord0 = sh.join(df, "tok").groupBy($"doc_id")
+        .agg(array_sort(collect_list(struct($"df", $"tok"))).as("dt"))
+        .withColumn("sz", size($"dt").cast("long"))
+        .filter($"sz" >= 5)
+        .persist()
+      val ord = ord0.select($"doc_id", $"sz",
+        expr("transform(dt, x -> x.tok)").as("lst"))
+      val pref = ord0.select($"doc_id",
+        explode(slice($"dt", lit(1),
+          ($"sz" - expr("(6 * sz + 9) div 10") + 1).cast("int"))).as("p"))
+        .filter($"p.df" <= 20)
+        .select($"doc_id", $"p.tok".as("tok"))
+      val cand = pref.groupBy($"tok")
+        .agg(sort_array(collect_list($"doc_id")).as("ds"))
+        .select(explode(expr(
+          """flatten(transform(ds, (a, i) ->
+            |  transform(slice(ds, i + 2, size(ds)),
+            |    b -> struct(a as da, b as db))))""".stripMargin)).as("p"))
+        .select($"p.da".as("da"), $"p.db".as("db")).distinct()
+      cand
+        .join(ord.select($"doc_id".as("da"), $"lst".as("la"), $"sz".as("sza")),
+          "da")
+        .join(ord.select($"doc_id".as("db"), $"lst".as("lb"), $"sz".as("szb")),
+          "db")
+        .select(size(array_intersect($"la", $"lb")).cast("long").as("inter"),
+          $"sza", $"szb")
+        .withColumn("jp", expr("(inter * 1000) div (sza + szb - inter)"))
+        // matched pairs land in their jaccard decile; pruned candidates
+        // (verified but below tau) land in bucket -1, so the report
+        // carries the selectivity of the filter in the same frame —
+        // cand has exactly ONE consumer (no second count pipeline)
+        .groupBy(when($"jp" >= 600, expr("jp div 100")).otherwise(-1L)
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"), min($"jp").as("min_jp"),
+          max($"jp").as("max_jp"))
+    }, Some("""
+      WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents),
+      shs AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+             FROM tk),
+      sh AS (SELECT DISTINCT doc_id, (__HV__) AS tok FROM shs),
+      df AS (SELECT tok, count(*) AS df FROM sh GROUP BY 1),
+      ord AS (SELECT sh.doc_id, list(sh.tok ORDER BY df.df, sh.tok) AS lst,
+                list(df.df ORDER BY df.df, sh.tok) AS dfs,
+                count(*) AS sz
+              FROM sh JOIN df USING (tok)
+              GROUP BY 1 HAVING count(*) >= 5),
+      pf AS (SELECT doc_id, unnest(list_slice(lst, 1,
+                 CAST(sz - (6 * sz + 9) // 10 + 1 AS BIGINT))) AS tok,
+               unnest(list_slice(dfs, 1,
+                 CAST(sz - (6 * sz + 9) // 10 + 1 AS BIGINT))) AS tdf
+             FROM ord),
+      pfc AS (SELECT doc_id, tok FROM pf WHERE tdf <= 20),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+               FROM pfc a JOIN pfc b
+                 ON a.tok = b.tok AND a.doc_id < b.doc_id),
+      ver AS (SELECT CAST(len(list_intersect(x.lst, y.lst)) AS BIGINT)
+                  AS inter, x.sz AS sza, y.sz AS szb
+              FROM cand JOIN ord x ON x.doc_id = cand.da
+              JOIN ord y ON y.doc_id = cand.db),
+      m AS (SELECT inter * 1000 // (sza + szb - inter) AS jp FROM ver)
+      SELECT CAST(CASE WHEN jp >= 600 THEN jp // 100 ELSE -1 END AS BIGINT)
+          AS bucket,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(min(jp) AS BIGINT) AS min_jp, CAST(max(jp) AS BIGINT) AS max_jp
+      FROM m GROUP BY 1""".replace("__HV__", hvDuckOf("shingle"))))
   )
 }

@@ -397,4 +397,76 @@ class AnalyticsQuerySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------------------------------------------------------
+  test("q155 HITS matches a sequential 2-iteration recompute; flow normalization conserves mass up to floor loss") {
+    val edges = rawDocs.keys.toSeq
+      .map(id => (id % 32, (id * 7 + 3) % 32)).filter { case (s, d) => s != d }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ow = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val iw = edges.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nodes = (ow.keySet ++ iw.keySet).toSeq.sorted
+    def authStep(h: Map[Long, Long]): Map[Long, Long] = {
+      val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case ((s, d), w) => acc(d) += h(s) * w / ow(s) }
+      nodes.map(n => n -> acc(n)).toMap
+    }
+    def hubStep(a: Map[Long, Long]): Map[Long, Long] = {
+      val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case ((s, d), w) => acc(s) += a(d) * w / iw(d) }
+      nodes.map(n => n -> acc(n)).toMap
+    }
+    val h0 = nodes.map(_ -> 1000000L).toMap
+    val a2 = authStep(hubStep(authStep(h0)))
+    val h2 = hubStep(authStep(hubStep(authStep(h0))))
+    val got = run("q155_hits_centrality").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { n =>
+      val (o, i, a, h) = got(n)
+      assert(o == ow.getOrElse(n, 0L) && i == iw.getOrElse(n, 0L), s"node $n weights")
+      assert(a == a2(n), s"node $n auth")
+      assert(h == h2(n), s"node $n hub")
+    }
+    // each flow step loses at most one unit per edge to the floor
+    val mass0 = nodes.size * 1000000L
+    assert(a2.values.sum <= mass0 && a2.values.sum > mass0 - 3 * edges.size)
+    assert(h2.values.sum <= mass0 && h2.values.sum > mass0 - 4 * edges.size)
+  }
+
+  // ------------------------------------------------------------------
+  test("q156 Heaps growth matches a sequential checkpoint recompute; beta in a sane range") {
+    val mx = rawDocs.keys.max
+    val bySource = rawDocs.toSeq.map { case (id, (text, src)) =>
+      (src, id, toks(text))
+    }.groupBy(_._1)
+    val got = run("q156_heaps_growth").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == bySource.keySet)
+    bySource.foreach { case (src, ds) =>
+      val firstSeen = ds.flatMap { case (_, id, tk) => tk.distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val pts = (1 to 8).flatMap { j =>
+        val v = firstSeen.values.count(_ * 8 <= mx * j).toLong
+        val t = ds.filter(_._2 * 8 <= mx * j).map(_._3.length.toLong).sum
+        if (v > 0 && t > 0)
+          Some((math.floor(math.log(t.toDouble) * 1000).toLong,
+            math.floor(math.log(v.toDouble) * 1000).toLong, v, t))
+        else None
+      }.distinct
+      val n = pts.size.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val (sxy, sxx) = (pts.map(p => p._1 * p._2).sum, pts.map(p => p._1 * p._1).sum)
+      val den = n * sxx - sx * sx
+      val beta = if (den > 0) math.max(n * sxy - sx * sy, 0L) * 1000 / den else 0L
+      val (gn, gv, gt, gb) = got(src)
+      assert(gn == n, s"$src n_pts")
+      assert(gv == pts.map(_._3).max, s"$src vocab_final")
+      assert(gt == pts.map(_._4).max, s"$src tokens_final")
+      assert(gb == beta, s"$src beta_milli")
+      assert(beta >= 0 && beta <= 1000, s"$src beta range")
+    }
+  }
 }

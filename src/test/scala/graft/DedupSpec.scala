@@ -118,4 +118,56 @@ class DedupSpec extends AnyFunSuite {
       .agg(max("count")).head().getLong(0)
     assert(maxBlock <= 50)
   }
+
+  test("q154 prefix-filter join: pigeonhole completeness vs brute force; engine matches the capped recompute") {
+    // independent recompute from the raw corpus (same hv32 shingle
+    // hashing as the engine)
+    def hv32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8),
+      16)
+    val docs = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .toMap
+    val sets = docs.view.mapValues(ts =>
+      ts.sliding(3).filter(_.size == 3).map(w => hv32(w.mkString(" "))).toSet)
+      .filter(_._2.size >= 5).toMap
+    val df = sets.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    def prefix(s: Set[Long]): Seq[Long] = {
+      val l = (s.size - (6 * s.size + 9) / 10 + 1).toInt
+      s.toSeq.sortBy(t => (df(t), t)).take(l)
+    }
+    def jacPermille(a: Set[Long], b: Set[Long]): Long = {
+      val i = (a & b).size.toLong
+      i * 1000 / (a.size + b.size - i)
+    }
+    val ids = sets.keys.toSeq.sorted
+    // pigeonhole: every true pair shares an UNCAPPED prefix shingle
+    for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      (a, b) = (ids(i), ids(j))
+      if jacPermille(sets(a), sets(b)) >= 600
+    } assert(prefix(sets(a)).toSet.intersect(prefix(sets(b)).toSet).nonEmpty,
+      s"prefix scheme missed true pair ($a, $b)")
+    // capped candidate recompute (the engine's documented rule:
+    // df <= 20 join keys), bucketed exactly as the engine reports
+    val cands = for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      (a, b) = (ids(i), ids(j))
+      if prefix(sets(a)).filter(df(_) <= 20).toSet
+        .intersect(prefix(sets(b)).filter(df(_) <= 20).toSet).nonEmpty
+    } yield jacPermille(sets(a), sets(b))
+    val expBuckets = cands.groupBy(jp => if (jp >= 600) jp / 100 else -1L)
+      .map { case (bk, ps) => bk -> (ps.size.toLong, ps.min, ps.max) }
+    val got = SparkEntry.queries("q154_setsim_join")(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSet == expBuckets.keySet)
+    got.foreach { r =>
+      val (n, lo, hi) = expBuckets(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == lo && r.getLong(3) == hi,
+        s"bucket ${r.getLong(0)}")
+    }
+    // the filter actually matched something at this SF
+    assert(expBuckets.keySet.exists(_ >= 6))
+  }
 }
