@@ -35,7 +35,8 @@ object Explain {
                          "q150_hll_merge", "q151_pii_audit",
                          "q152_dense_ids", "q153_group_folds",
                          "q154_setsim_join",
-                         "q155_hits_centrality", "q156_heaps_growth")
+                         "q155_hits_centrality", "q156_heaps_growth",
+                         "q157_centroid_drift", "q158_range_frame")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -214,6 +214,76 @@ object GovernanceQueries extends QueryModule {
         CAST(n_docs AS BIGINT) AS n_docs,
         CAST(toks * 1000000 // tt.t AS BIGINT) AS share_ppm,
         CAST(lk.groups_multi_fold AS BIGINT) AS groups_multi_fold
-      FROM bf CROSS JOIN tt CROSS JOIN lk"""))
+      FROM bf CROSS JOIN tt CROSS JOIN lk""")),
+
+    // train/val embedding centroid drift: after the q84-style hash
+    // split, how far apart do each label's train and validation mean
+    // directions sit? cos ~ 1 means the split preserved the label's
+    // embedding geometry; a low cosine flags a label whose val slice
+    // is not representative (clustered duplicates, temporal drift) —
+    // checked BEFORE trusting per-label val metrics. Exactness: q118's
+    // milli-quantized integer accumulation per (label, split, dim)
+    // (order-independent sums, ONE double division per component),
+    // then the q37/q135 row-local index-ascending cosine rounded to 6.
+    // Scale shape: one (label, split, dim) agg with map-side combine;
+    // everything after is model-sized (labels x 2 x dims); no
+    // broadcast, no windows.
+    Q("q157_centroid_drift", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val cent = t(s, d, "embeddings")
+        .select($"label".cast("long").as("label"),
+          (CorpusOps.hashMix($"vec_id", 1000L) < 900).as("is_train"),
+          posexplode($"embedding".cast("array<double>"))
+            .as(Seq("i", "comp")))
+        .groupBy($"label", $"is_train", $"i")
+        .agg(sum(floor($"comp" * 1000).cast("long")).as("sm"),
+          count(lit(1)).as("n"))
+        .select($"label", $"is_train", $"i", $"n",
+          ($"sm".cast("double") / ($"n" * 1000).cast("double")).as("cv"))
+        .groupBy($"label", $"is_train")
+        .agg(max($"n").as("n_vecs"),
+          array_sort(collect_list(struct($"i", $"cv"))).as("cs"))
+        .select($"label", $"is_train", $"n_vecs",
+          expr("transform(cs, x -> x.cv)").as("c"))
+      val tr = cent.filter($"is_train")
+        .select($"label", $"n_vecs".as("n_train"), $"c".as("ct"))
+      val va = cent.filter(!$"is_train")
+        .select($"label", $"n_vecs".as("n_val"), $"c".as("cv"))
+      tr.join(va, "label")
+        .select($"label", $"n_train", $"n_val",
+          round(call_function("dot_product", $"ct", $"cv") /
+            (sqrt(call_function("dot_product", $"ct", $"ct")) *
+             sqrt(call_function("dot_product", $"cv", $"cv"))), 6)
+            .as("cos_r"))
+    }, Some("""
+      WITH sp AS (
+        SELECT CAST(label AS BIGINT) AS label,
+          ((((vec_id % 1000003) + 1000003) % 1000003 * 2654435761 + 40503)
+             % 1000 + 1000) % 1000 < 900 AS is_train,
+          CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings),
+      comp AS (SELECT label, is_train,
+                 generate_subscripts(e, 1) - 1 AS i, unnest(e) AS comp
+               FROM sp),
+      cm AS (SELECT label, is_train, i, count(*) AS n,
+               CAST(sum(CAST(floor(comp * 1000) AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) * 1000 AS DOUBLE) AS cv
+             FROM comp GROUP BY 1, 2, 3),
+      cent AS (SELECT label, is_train, max(n) AS n_vecs,
+                 list(cv ORDER BY i) AS c
+               FROM cm GROUP BY 1, 2),
+      tr AS (SELECT label, n_vecs AS n_train, c AS ct FROM cent
+             WHERE is_train),
+      va AS (SELECT label, n_vecs AS n_val, c AS cv FROM cent
+             WHERE NOT is_train)
+      SELECT label, CAST(n_train AS BIGINT) AS n_train,
+        CAST(n_val AS BIGINT) AS n_val,
+        round(
+          list_sum(list_transform(range(1, 65), i -> ct[i] * cv[i])) /
+          (sqrt(list_sum(list_transform(range(1, 65), i -> ct[i] * ct[i]))) *
+           sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))),
+          6) AS cos_r
+      FROM tr JOIN va USING (label)"""))
   )
 }

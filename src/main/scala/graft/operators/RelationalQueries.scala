@@ -460,6 +460,53 @@ object RelationalQueries extends QueryModule {
         AND NOT EXISTS (SELECT 1 FROM orders
                         WHERE o_custkey = c_custkey
                           AND o_orderdate >= TIMESTAMP '2000-01-01')
-      GROUP BY n_name"""))
+      GROUP BY n_name""")),
+
+    // value-based RANGE window frames (the window capability the rest
+    // of §2.5 doesn't exercise — q15/q26/q97 all use row frames/lag):
+    // per user, the rolling 1-hour event count and value mass at every
+    // event, reduced to the user's PEAK burst — the rate-limiter /
+    // bot-detection signal. RANGE frames bound the window by the
+    // ORDER-BY VALUE (epoch micros), so simultaneous events all join
+    // the frame regardless of row order — deterministic where a ROWS
+    // frame on a timestamp with ties is not. Exactness: value mass is
+    // floor-milli integer (float sum order never surfaces). Scale
+    // shape: both windows are user-partitioned (bounded by a user's
+    // event history, never the corpus) and computed in ONE WindowExec
+    // pass (same partition + order + frame); the rollup is
+    // map-side-combined.
+    Q("q158_range_frame", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ep")
+        .rangeBetween(-3600000000L, 0L)
+      t(s, d, "events")
+        .select($"user_id",
+          // cast: parquet ts is un-annotated (NTZ to Spark) — under
+          // the UTC session tz the cast is identity for LTZ too
+          unix_micros($"ts".cast("timestamp")).as("ep"),
+          floor($"value" * 1000).cast("long").as("vm"))
+        .withColumn("burst", count(lit(1)).over(w))
+        .withColumn("mass", sum($"vm").over(w))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), max($"burst").as("peak_1h_events"),
+          max($"mass").as("peak_1h_value_milli"))
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ep,
+          CAST(floor(value * 1000) AS BIGINT) AS vm
+        FROM events),
+      r AS (
+        SELECT user_id,
+          count(*) OVER (PARTITION BY user_id ORDER BY ep
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            AS burst,
+          sum(vm) OVER (PARTITION BY user_id ORDER BY ep
+                        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            AS mass
+        FROM e)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(max(burst) AS BIGINT) AS peak_1h_events,
+        CAST(max(mass) AS BIGINT) AS peak_1h_value_milli
+      FROM r GROUP BY 1"""))
   )
 }
