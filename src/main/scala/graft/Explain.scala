@@ -36,7 +36,8 @@ object Explain {
                          "q152_dense_ids", "q153_group_folds",
                          "q154_setsim_join",
                          "q155_hits_centrality", "q156_heaps_growth",
-                         "q157_centroid_drift", "q158_range_frame")
+                         "q157_centroid_drift", "q158_range_frame",
+                         "q159_join_size_sketch", "q160_source_datasheet")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -627,6 +627,70 @@ object ExtensionQueries extends QueryModule {
       SELECT tok, CAST(ca AS BIGINT) AS cnt_a, CAST(cb AS BIGINT) AS cnt_b,
         delta_nano
       FROM sc
-      QUALIFY row_number() OVER (ORDER BY abs(delta_nano) DESC, tok ASC) <= 20"""))
+      QUALIFY row_number() OVER (ORDER BY abs(delta_nano) DESC, tok ASC) <= 20""")),
+
+    // join-size estimation via count-min inner products (the AMS/CM
+    // sketch a cost-based planner consults before picking a shuffle
+    // strategy): estimate the SELF-join size of lineitem on l_partkey
+    // — Sum_k f(k)^2, the F2 moment that prices a part-keyed join's
+    // shuffle — from the 3x256 count-min sketch alone, as
+    // min_j Sum_b c_jb^2, gated against the exact answer. Structural
+    // gate: every row's inner product expands to
+    // Sum_{k,k' colliding} f(k)f(k') >= Sum_k f(k)^2 (all terms
+    // non-negative), so est >= exact in BOTH engines — claimed as a
+    // boolean both must agree on, plus the overestimate in ppm. Scale
+    // shape: one key-counts agg, the sketch is the CONSTANT 3x256
+    // frame (q86 family, ONE md5Buckets definition), exact F2 one
+    // more map-side-combined agg; at 100 TB two pre-built 4 KB
+    // sketches answer the question without touching either table.
+    // int64 bound: per-bucket mass < ~3e9 rows keeps c^2 < 2^63
+    // (upgrade the squares to DECIMAL(38,0) past that — same plan).
+    Q("q159_join_size_sketch", (s, d) => {
+      import s.implicits._
+      val keys = t(s, d, "lineitem")
+        .groupBy($"l_partkey".as("k")).agg(count(lit(1)).as("cnt"))
+      val positioned = DedupOps.md5Buckets(
+        keys.withColumn("ks", $"k".cast("string")), $"ks", k = 3, mod = 256)
+      val cells = positioned.select($"cnt", explode(array(
+        struct(lit(0L).as("j"), $"b0".as("b")),
+        struct(lit(1L).as("j"), $"b1".as("b")),
+        struct(lit(2L).as("j"), $"b2".as("b")))).as("p"))
+        .groupBy($"p.j".as("j"), $"p.b".as("b"))
+        .agg(sum($"cnt").as("c"))
+      val est = cells.groupBy($"j").agg(sum($"c" * $"c").as("ip"))
+        .agg(min($"ip").as("cm_est"))
+      val exact = keys.agg(sum($"cnt" * $"cnt").as("exact_f2"),
+        count(lit(1)).as("n_keys"))
+      exact.crossJoin(broadcast(est))
+        .select($"n_keys", $"exact_f2", $"cm_est",
+          ($"cm_est" >= $"exact_f2").as("never_under"),
+          expr("((cm_est - exact_f2) * 1000000) div exact_f2")
+            .as("overest_ppm"))
+    }, Some {
+      def hv(j: Int) =
+        DedupQueries.hvDuckOf(s"(CAST(k AS VARCHAR) || ':$j')")
+      s"""WITH keys AS (
+         |  SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+         |pos AS (
+         |  SELECT cnt, (${hv(0)}) % 256 AS b0, (${hv(1)}) % 256 AS b1,
+         |    (${hv(2)}) % 256 AS b2
+         |  FROM keys),
+         |cells AS (
+         |  SELECT 0 AS j, b0 AS b, cnt FROM pos
+         |  UNION ALL SELECT 1, b1, cnt FROM pos
+         |  UNION ALL SELECT 2, b2, cnt FROM pos),
+         |sk AS (SELECT j, b, sum(cnt) AS c FROM cells GROUP BY 1, 2),
+         |est AS (SELECT min(ip) AS cm_est FROM (
+         |          SELECT j, sum(c * c) AS ip FROM sk GROUP BY 1)),
+         |ex AS (SELECT sum(cnt * cnt) AS exact_f2, count(*) AS n_keys
+         |       FROM keys)
+         |SELECT CAST(ex.n_keys AS BIGINT) AS n_keys,
+         |  CAST(ex.exact_f2 AS BIGINT) AS exact_f2,
+         |  CAST(est.cm_est AS BIGINT) AS cm_est,
+         |  est.cm_est >= ex.exact_f2 AS never_under,
+         |  CAST((est.cm_est - ex.exact_f2) * 1000000 // ex.exact_f2
+         |         AS BIGINT) AS overest_ppm
+         |FROM ex CROSS JOIN est""".stripMargin
+    }),
   )
 }

@@ -284,6 +284,76 @@ object GovernanceQueries extends QueryModule {
           (sqrt(list_sum(list_transform(range(1, 65), i -> ct[i] * ct[i]))) *
            sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))),
           6) AS cos_r
-      FROM tr JOIN va USING (label)"""))
+      FROM tr JOIN va USING (label)""")),
+
+    // per-source dataset datasheet (the "datasets card" numbers a
+    // release ships with, in ONE pass over the corpus): doc and token
+    // counts, vocabulary size, exact-duplicate permille (fingerprint
+    // collisions), mean quality (milli, integer), and the dominant
+    // language with its share — the summary every downstream consumer
+    // reads before deciding whether to mix the source in. Scale
+    // shape: three map-side-combined aggs (doc-level stats with a
+    // single-column distinct, the vocabulary distinct, the
+    // (source, lang) registry) joined on the source registry; the
+    // dominant-language window runs over the registry-sized lang
+    // frame; quality mean is integer (sum of floor-milli div n), so
+    // no float aggregation order surfaces.
+    Q("q160_source_datasheet", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val base = docs.select($"source", $"lang",
+        TextOps.tokenCount($"text").cast("long").as("ntok"),
+        TextOps.fingerprint($"text").as("fp"),
+        floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("qm"))
+      val agg1 = base.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"),
+          count_distinct($"fp").as("n_fps"), sum($"qm").as("sq"))
+      val vocab = docs
+        .select($"source", explode(TextOps.tokens($"text")).as("tok"))
+        .distinct()
+        .groupBy($"source").agg(count(lit(1)).as("vocab"))
+      val wL = Window.partitionBy($"source")
+        .orderBy($"lc".desc, $"lang".asc)
+      val top = base.groupBy($"source", $"lang").agg(count(lit(1)).as("lc"))
+        .withColumn("rn", row_number().over(wL)).filter($"rn" === 1)
+        .select($"source", $"lang".as("top_lang"), $"lc")
+      agg1.join(vocab, "source").join(top, "source")
+        .select($"source", $"n_docs", $"n_tokens", $"vocab",
+          expr("((n_docs - n_fps) * 1000) div n_docs").as("dup_permille"),
+          expr("sq div n_docs").as("quality_mean_milli"),
+          $"top_lang",
+          expr("(lc * 1000) div n_docs").as("top_lang_permille"))
+    }, Some("""
+      WITH base AS (
+        SELECT source, lang,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+          CAST(floor((
+            least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0)
+              * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+              / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b'))
+              / 10.0) * 0.2) * 1000) AS BIGINT) AS qm
+        FROM documents),
+      a1 AS (SELECT source, count(*) AS n_docs, sum(ntok) AS n_tokens,
+               count(DISTINCT fp) AS n_fps, sum(qm) AS sq
+             FROM base GROUP BY 1),
+      vb AS (SELECT source, count(*) AS vocab FROM (
+               SELECT DISTINCT source,
+                 unnest(string_split_regex(trim(text), '\s+')) AS tok
+               FROM documents) GROUP BY 1),
+      tl AS (SELECT source, lang AS top_lang, lc FROM (
+               SELECT source, lang, count(*) AS lc,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY count(*) DESC, lang ASC) AS rn
+               FROM base GROUP BY source, lang) WHERE rn = 1)
+      SELECT a1.source, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(n_tokens AS BIGINT) AS n_tokens, CAST(vocab AS BIGINT) AS vocab,
+        CAST((n_docs - n_fps) * 1000 // n_docs AS BIGINT) AS dup_permille,
+        CAST(sq // n_docs AS BIGINT) AS quality_mean_milli,
+        top_lang,
+        CAST(lc * 1000 // n_docs AS BIGINT) AS top_lang_permille
+      FROM a1 JOIN vb USING (source) JOIN tl USING (source)"""))
   )
 }

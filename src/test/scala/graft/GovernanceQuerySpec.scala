@@ -187,4 +187,57 @@ class GovernanceQuerySpec extends AnyFunSuite {
       assert(gm == bursts.map(_._2).max, s"user $u peak mass")
     }
   }
+
+  // ------------------------------------------------------------------
+  test("q159 join-size sketch matches a sequential CM recompute and never underestimates") {
+    val counts = graft.catalog.Tables.t(spark, sf, "lineitem")
+      .groupBy("l_partkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val exact = counts.map(c => c._2 * c._2).sum
+    val sketch = Array.fill(3, 256)(0L)
+    counts.foreach { case (k, cnt) =>
+      (0 until 3).foreach { j =>
+        val b = (hv32(s"$k:$j") % 256).toInt
+        sketch(j)(b) += cnt
+      }
+    }
+    val est = (0 until 3).map(j => sketch(j).map(c => c * c).sum).min
+    val r = run("q159_join_size_sketch").collect().head
+    assert(r.getLong(0) == counts.length.toLong, "n_keys")
+    assert(r.getLong(1) == exact, "exact_f2")
+    assert(r.getLong(2) == est, "cm_est")
+    assert(r.getBoolean(3), "never_under gate")
+    assert(est >= exact)
+    assert(r.getLong(4) == (est - exact) * 1000000 / exact, "overest_ppm")
+  }
+
+  // ------------------------------------------------------------------
+  test("q160 datasheet matches a sequential recompute per source") {
+    val stopRe = raw"\b(the|a|of|and|to)\b".r
+    def quality(text: String): Double = {
+      val ntok = text.trim.split("\\s+").length.toDouble
+      val alpha = text.replaceAll("[^a-z]", "").length.toDouble
+      val stop = stopRe.findAllIn(text).size.toDouble
+      math.min(1.0, ntok / 50.0) * 0.5 + (alpha / text.length) * 0.3 +
+        math.min(1.0, stop / 10.0) * 0.2
+    }
+    val got = run("q160_source_datasheet").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val bySource = rawDocs.groupBy(_._3)
+    assert(got.keySet == bySource.keySet)
+    bySource.foreach { case (src, ds) =>
+      val r = got(src)
+      val n = ds.size.toLong
+      assert(r.getLong(1) == n, s"$src n_docs")
+      assert(r.getLong(2) ==
+        ds.map(_._2.trim.split("\\s+").length.toLong).sum, s"$src tokens")
+      assert(r.getLong(3) ==
+        ds.flatMap(_._2.trim.split("\\s+")).toSet.size.toLong, s"$src vocab")
+      val fps = ds.map(d =>
+        md5hex(d._2.trim.toLowerCase.replaceAll("\\s+", " "))).toSet.size
+      assert(r.getLong(4) == (n - fps) * 1000 / n, s"$src dup_permille")
+      val sq = ds.map(d => math.floor(quality(d._2) * 1000).toLong).sum
+      assert(r.getLong(5) == sq / n, s"$src quality_mean_milli")
+    }
+  }
 }

@@ -63,6 +63,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q148_shard_balance" -> "1-row token-total broadcast onto the constant 8-row shard frame",
     "q153_group_folds" -> "1-row token-total + 1-row leak-gate broadcasts onto the 5-row fold frame",
     "q156_heaps_growth" -> "1-row max-doc-id broadcast onto the vocabulary first-seen frame and the doc frame (checkpoint thresholds)",
+    "q159_join_size_sketch" -> "1-row sketch-estimate broadcast onto the 1-row exact frame (both scalar aggs)",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
