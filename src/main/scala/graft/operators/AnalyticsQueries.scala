@@ -803,5 +803,103 @@ object AnalyticsQueries extends QueryModule {
                          // (n_pts * sxx - sx * sx)
                   ELSE 0 END AS BIGINT) AS beta_milli
       FROM ag""")),
+
+    // Pareto skyline (quality vs token cost): the documents no other
+    // document dominates — higher-or-equal quality AND
+    // shorter-or-equal, strict somewhere — the frontier a budgeted
+    // curation pass selects from before trading quality for tokens
+    // (complements q75's scalar budget with the full frontier). 2-D
+    // skyline reduces to: per-length max quality, then a running max
+    // over lengths ascending — a length is on the frontier iff its
+    // best quality strictly beats every shorter length's best. Scale
+    // shape: the corpus is touched by ONE map-side-combined
+    // (ntok, max qm) agg plus the canonical join-back; the running-max
+    // window rides the DISTINCT token-count grid — bounded by the
+    // value DOMAIN (q110/q143 argument), never the corpus. Quality is
+    // floor-milli integer throughout.
+    Q("q161_pareto_skyline", (s, d) => {
+      import s.implicits._
+      val b = t(s, d, "documents").select($"doc_id",
+        TextOps.tokenCount($"text").cast("long").as("ntok"),
+        floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("qm"))
+      val g = b.groupBy($"ntok").agg(max($"qm").as("mq"))
+      val wLt = Window.orderBy($"ntok".asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sk = g.withColumn("rlt", max($"mq").over(wLt))
+        .filter($"rlt".isNull || $"mq" > $"rlt")
+        .select($"ntok", $"mq")
+      sk.join(b, sk("ntok") === b("ntok") && sk("mq") === b("qm"))
+        .groupBy(sk("ntok").as("n_tokens"), sk("mq").as("quality_milli"))
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical_id"))
+    }, Some("""
+      WITH b AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok,
+          CAST(floor((
+            least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0)
+              * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+              / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b'))
+              / 10.0) * 0.2) * 1000) AS BIGINT) AS qm
+        FROM documents),
+      g AS (SELECT ntok, max(qm) AS mq FROM b GROUP BY 1),
+      r AS (SELECT ntok, mq,
+              max(mq) OVER (ORDER BY ntok ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS rlt
+            FROM g),
+      sk AS (SELECT ntok, mq FROM r WHERE rlt IS NULL OR mq > rlt)
+      SELECT sk.ntok AS n_tokens, sk.mq AS quality_milli,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(min(b.doc_id) AS BIGINT) AS canonical_id
+      FROM sk JOIN b ON b.ntok = sk.ntok AND b.qm = sk.mq
+      GROUP BY 1, 2""")),
+
+    // SCD-2 interval build (the warehouse dimension-history op): from
+    // the event stream, each user's last-observed value per day,
+    // collapsed into validity intervals [valid_from, valid_to) that
+    // change only when the value changes — the bitemporal lookup table
+    // an as-of join (q-asof family) probes. Deterministic last-wins:
+    // (ts, event_id) is a total order. Open intervals close at the
+    // standard 9999-12-31 high date (no NULL comparisons cross
+    // engines). Scale shape: one (user, day) ranked reduction + two
+    // lag/lead windows, ALL partitioned by user — bounded by a user's
+    // history, never the corpus; value is floor-milli integer.
+    Q("q162_scd2_intervals", (s, d) => {
+      import s.implicits._
+      val wD = Window.partitionBy($"user_id", $"day")
+        .orderBy($"ts".desc, $"event_id".desc)
+      val daily = t(s, d, "events")
+        .select($"user_id", date_format(to_date($"ts"), "yyyy-MM-dd").as("day"),
+          $"ts", $"event_id", floor($"value" * 1000).cast("long").as("vm"))
+        .withColumn("rn", row_number().over(wD)).filter($"rn" === 1)
+        .select($"user_id", $"day", $"vm")
+      val wU = Window.partitionBy($"user_id").orderBy($"day".asc)
+      val changes = daily
+        .withColumn("pv", lag($"vm", 1).over(wU))
+        .filter($"pv".isNull || $"vm" =!= $"pv")
+      changes
+        .withColumn("valid_to",
+          coalesce(lead($"day", 1).over(wU), lit("9999-12-31")))
+        .select($"user_id", $"day".as("valid_from"), $"valid_to", $"vm")
+    }, Some("""
+      WITH daily AS (
+        SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+          CAST(floor(value * 1000) AS BIGINT) AS vm
+        FROM events
+        QUALIFY row_number() OVER (
+          PARTITION BY user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d')
+          ORDER BY ts DESC, event_id DESC) = 1),
+      ch AS (
+        SELECT user_id, day, vm,
+          lag(vm) OVER (PARTITION BY user_id ORDER BY day ASC) AS pv
+        FROM daily
+        QUALIFY pv IS NULL OR vm <> pv)
+      SELECT user_id, day AS valid_from,
+        coalesce(lead(day) OVER (PARTITION BY user_id ORDER BY day ASC),
+                 '9999-12-31') AS valid_to,
+        vm
+      FROM ch""")),
   )
 }

@@ -469,4 +469,68 @@ class AnalyticsQuerySpec extends AnyFunSuite {
       assert(beta >= 0 && beta <= 1000, s"$src beta range")
     }
   }
+
+  // ------------------------------------------------------------------
+  test("q161 skyline equals the brute-force dominance recompute") {
+    val stopRe = raw"\b(the|a|of|and|to)\b".r
+    def qm(text: String): Long = {
+      val ntok = text.trim.split("\\s+").length.toDouble
+      val alpha = text.replaceAll("[^a-z]", "").length.toDouble
+      val stop = stopRe.findAllIn(text).size.toDouble
+      math.floor((math.min(1.0, ntok / 50.0) * 0.5 +
+        (alpha / text.length) * 0.3 +
+        math.min(1.0, stop / 10.0) * 0.2) * 1000).toLong
+    }
+    val pts = rawDocs.toSeq.map { case (id, (text, _)) =>
+      (id, text.trim.split("\\s+").length.toLong, qm(text))
+    }
+    // brute force: p undominated iff no p' with len' <= len, q' >= q,
+    // strict somewhere
+    val sky = pts.filter { case (_, l, q) =>
+      !pts.exists { case (_, l2, q2) =>
+        l2 <= l && q2 >= q && (l2 < l || q2 > q)
+      }
+    }
+    val exp = sky.groupBy(p => (p._2, p._3)).map { case (k, ps) =>
+      k -> (ps.size.toLong, ps.map(_._1).min)
+    }
+    val got = run("q161_pareto_skyline").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == exp)
+  }
+
+  // ------------------------------------------------------------------
+  test("q162 SCD-2 intervals equal a sequential change-capture recompute; intervals tile each user's history") {
+    val evs = graft.catalog.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "date_format(to_date(ts), 'yyyy-MM-dd') as day",
+        "unix_micros(cast(ts as timestamp)) as tsu", "event_id",
+        "cast(floor(value * 1000) as long) as vm")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val exp = evs.groupBy(_._1).flatMap { case (u, es) =>
+      val daily = es.groupBy(_._2).toSeq.map { case (day, ds) =>
+        day -> ds.maxBy(e => (e._3, e._4))._5
+      }.sortBy(_._1)
+      val changes = daily.zip(Option.empty[Long] +: daily.map(d => Some(d._2)))
+        .collect { case ((day, v), pv) if !pv.contains(v) => (day, v) }
+      changes.zipAll(changes.drop(1).map(_._1), ("", 0L), "9999-12-31")
+        .map { case ((from, v), to) => (u, from, to, v) }
+    }.toSet
+    val got = run("q162_scd2_intervals").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == exp)
+    // intervals tile: per user, valid_from values strictly increase and
+    // each valid_to equals the next valid_from (last one open)
+    got.groupBy(_._1).foreach { case (u, is) =>
+      val sorted = is.toSeq.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 == b._2, s"user $u gap")
+        case _ =>
+      }
+      assert(sorted.last._3 == "9999-12-31", s"user $u open interval")
+    }
+  }
 }

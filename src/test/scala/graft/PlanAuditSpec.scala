@@ -75,6 +75,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q145_distribution_match" -> "row_number over the language-registry share frame (bounded registry)",
     "q146_rare_group_suppress" -> "octile cum over DISTINCT token counts — value-domain bounded (q110 argument), appears in both the build and lookup branches",
     "q152_dense_ids" -> "cumulative offsets over the one-count-per-partition frame — bounded by the partition-count knob, never the corpus",
+    "q161_pareto_skyline" -> "running max over the DISTINCT token-count grid — value-domain bounded (q110 argument), never the corpus",
   )
 
   /** broadcast() HINT audit (the q54 class): a hint pins its side into
