@@ -901,5 +901,119 @@ object AnalyticsQueries extends QueryModule {
                  '9999-12-31') AS valid_to,
         vm
       FROM ch""")),
+
+    // last-touch attribution (IGNORE NULLS window navigation — the
+    // §2.5 capability lag/lead/rows frames don't cover): each purchase
+    // is credited to the user's most recent PRECEDING click if it
+    // happened within 24h — the marketing-attribution join expressed
+    // as one window pass instead of an as-of self-join (the q-asof
+    // family's window-native sibling). Deterministic order: (epoch,
+    // event_id) is total. Scale shape: ONE user-partitioned window
+    // (bounded by a user's history) + a map-side-combined rollup;
+    // no joins at all. Value mass floor-milli integer.
+    Q("q163_attribution", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ep".asc, $"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          unix_micros($"ts".cast("timestamp")).as("ep"),
+          floor($"value" * 1000).cast("long").as("vm"))
+        .withColumn("prev_click",
+          last(when($"event_type" === "click", $"ep"), ignoreNulls = true)
+            .over(w))
+        .filter($"event_type" === "purchase")
+        .withColumn("attributed",
+          $"prev_click".isNotNull && $"ep" - $"prev_click" <= 86400000000L)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when($"attributed", 1L).otherwise(0L)).as("n_attributed"),
+          sum(when($"attributed", $"vm").otherwise(0L))
+            .as("attributed_value_milli"))
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ep,
+          CAST(floor(value * 1000) AS BIGINT) AS vm
+        FROM events),
+      x AS (
+        SELECT user_id, event_type, ep, vm,
+          last_value(CASE WHEN event_type = 'click' THEN ep END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prev_click
+        FROM e),
+      p AS (
+        SELECT user_id, vm,
+          prev_click IS NOT NULL AND ep - prev_click <= 86400000000
+            AS attributed
+        FROM x WHERE event_type = 'purchase')
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        CAST(sum(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_attributed,
+        CAST(sum(CASE WHEN attributed THEN vm ELSE 0 END) AS BIGINT)
+          AS attributed_value_milli
+      FROM p GROUP BY 1""")),
+
+    // referential-integrity audit (the warehouse release gate §2.3's
+    // semantic joins never state explicitly): orphan counts and ppm
+    // for each foreign-key edge of the star schema — the number that
+    // decides whether a load is publishable before ANY downstream
+    // join is trusted. Shape: one left-anti join per edge, each
+    // reduced to a count — the anti side streams, the key side is
+    // whatever the planner picks (AQE adjudicates; dimension keys
+    // broadcast, fact keys shuffle); the 3-row report is a union of
+    // scalar frames.
+    Q("q164_fk_integrity", (s, d) => {
+      import s.implicits._
+      def edge(name: String, child: org.apache.spark.sql.DataFrame,
+               ck: String, parent: org.apache.spark.sql.DataFrame,
+               pk: String) = {
+        val n = child.count()
+        val p = parent.select(col(pk)).distinct()
+        child.join(p, child(ck) === p(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(name).as("fk_edge"), lit(n).as("n_child"),
+            $"n_orphans",
+            expr("(n_orphans * 1000000) div " + n).as("orphan_ppm"))
+      }
+      val li = t(s, d, "lineitem"); val or = t(s, d, "orders")
+      val cu = t(s, d, "customer"); val na = t(s, d, "nation")
+      edge("lineitem->orders", li, "l_orderkey", or, "o_orderkey")
+        .unionAll(edge("orders->customer", or, "o_custkey", cu, "c_custkey"))
+        .unionAll(edge("customer->nation", cu, "c_nationkey", na, "n_nationkey"))
+    }, Some("""
+      SELECT 'lineitem->orders' AS fk_edge,
+        CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+        CAST((SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+             AS BIGINT) AS n_orphans,
+        CAST((SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+             * 1000000 // (SELECT count(*) FROM lineitem)
+             AS BIGINT) AS orphan_ppm
+      UNION ALL
+      SELECT 'orders->customer',
+        CAST((SELECT count(*) FROM orders) AS BIGINT),
+        CAST((SELECT count(*) FROM orders r
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = r.o_custkey))
+             AS BIGINT),
+        CAST((SELECT count(*) FROM orders r
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = r.o_custkey))
+             * 1000000 // (SELECT count(*) FROM orders) AS BIGINT)
+      UNION ALL
+      SELECT 'customer->nation',
+        CAST((SELECT count(*) FROM customer) AS BIGINT),
+        CAST((SELECT count(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey))
+             AS BIGINT),
+        CAST((SELECT count(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey))
+             * 1000000 // (SELECT count(*) FROM customer) AS BIGINT)""")),
   )
 }

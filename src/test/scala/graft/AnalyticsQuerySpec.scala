@@ -533,4 +533,61 @@ class AnalyticsQuerySpec extends AnyFunSuite {
       assert(sorted.last._3 == "9999-12-31", s"user $u open interval")
     }
   }
+
+  // ------------------------------------------------------------------
+  test("q163 attribution matches a sequential last-click recompute") {
+    val evs = graft.catalog.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(cast(ts as timestamp)) as ep",
+        "cast(floor(value * 1000) as long) as vm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val exp = evs.groupBy(_._1).flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (e._4, e._2))
+      var lastClick = Option.empty[Long]
+      val purchases = ordered.flatMap { e =>
+        val r = if (e._3 == "purchase")
+          Some((lastClick.exists(c => e._4 - c <= 86400000000L), e._5))
+        else None
+        if (e._3 == "click") lastClick = Some(e._4)
+        r
+      }
+      if (purchases.isEmpty) None
+      else Some(u -> (purchases.size.toLong,
+        purchases.count(_._1).toLong,
+        purchases.collect { case (true, v) => v }.sum))
+    }
+    val got = run("q163_attribution").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == exp)
+  }
+
+  // ------------------------------------------------------------------
+  test("q164 FK integrity matches set-difference orphan counts") {
+    def keys(tbl: String, col: String): Seq[Long] =
+      graft.catalog.Tables.t(spark, sf, tbl)
+        .selectExpr(s"cast($col as long)").collect()
+        .map(_.getLong(0)).toSeq
+    val exp = Map(
+      "lineitem->orders" ->
+        (keys("lineitem", "l_orderkey"),
+          keys("orders", "o_orderkey").toSet),
+      "orders->customer" ->
+        (keys("orders", "o_custkey"), keys("customer", "c_custkey").toSet),
+      "customer->nation" ->
+        (keys("customer", "c_nationkey"),
+          keys("nation", "n_nationkey").toSet))
+    val got = run("q164_fk_integrity").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (edge, (child, parents)) =>
+      val orphans = child.count(k => !parents.contains(k)).toLong
+      val (gn, go, gp) = got(edge)
+      assert(gn == child.size.toLong, s"$edge n_child")
+      assert(go == orphans, s"$edge orphans")
+      assert(gp == orphans * 1000000 / child.size, s"$edge ppm")
+    }
+  }
 }
