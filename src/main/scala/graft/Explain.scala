@@ -39,7 +39,8 @@ object Explain {
                          "q157_centroid_drift", "q158_range_frame",
                          "q159_join_size_sketch", "q160_source_datasheet",
                          "q161_pareto_skyline", "q162_scd2_intervals",
-                         "q163_attribution", "q164_fk_integrity")
+                         "q163_attribution", "q164_fk_integrity",
+                         "q165_rbo_rankings", "q166_budget_apportion")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -354,6 +354,149 @@ object GovernanceQueries extends QueryModule {
         CAST(sq // n_docs AS BIGINT) AS quality_mean_milli,
         top_lang,
         CAST(lc * 1000 // n_docs AS BIGINT) AS top_lang_permille
-      FROM a1 JOIN vb USING (source) JOIN tl USING (source)"""))
+      FROM a1 JOIN vb USING (source) JOIN tl USING (source)""")),
+
+    // rank-biased overlap between two selection rankings (RBO, p=0.9,
+    // depth 100): when the quality metric changes (v1 -> v2), how much
+    // does the actual top-100 SELECTION change? RBO weights agreement
+    // at the head far more than the tail — the number that says
+    // whether a "small metric tweak" silently re-picks the corpus.
+    // Exactness: the geometric weights (1-p)p^(d-1) are precomputed in
+    // Scala, nano-floor-quantized, and embedded as THE SAME literal
+    // list in both engines (no cross-engine pow()); each depth's term
+    // floors before the sum. Scale shape: both rankings ride the
+    // bucketed-prefilter + rank<=100 pattern (TopKPerKeyExec — the
+    // global sort never sees the corpus); everything after is <= 100
+    // rows.
+    Q("q165_rbo_rankings", (s, d) => {
+      import s.implicits._
+      val wNano = (1 to 100).map(dd =>
+        math.floor(0.1 * math.pow(0.9, dd - 1) * 1e9).toLong)
+      val ntokD = TextOps.tokenCount($"text").cast("double")
+      val alpha = length(regexp_replace($"text", "[^a-z]", "")).cast("double")
+      val stop = size(regexp_extract_all($"text",
+        lit("\\b(the|a|of|and|to)\\b"), lit(0))).cast("double")
+      val v2 = least(lit(1.0), ntokD / 100.0) * 0.3 +
+        (alpha / length($"text")) * 0.3 + least(lit(1.0), stop / 5.0) * 0.4
+      val b = t(s, d, "documents").select($"doc_id",
+        floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("qm"),
+        floor(v2 * 1000).cast("long").as("qm2"))
+      def top100(ord: Seq[org.apache.spark.sql.Column], out: String) = {
+        val wB = Window.partitionBy(pmod(hash($"doc_id"), lit(64)))
+          .orderBy(ord: _*)
+        val wG = Window.orderBy(ord: _*)
+        b.withColumn("__brk", row_number().over(wB)).filter($"__brk" <= 100)
+          .withColumn("__rk", row_number().over(wG)).filter($"__rk" <= 100)
+          .select($"doc_id", $"__rk".cast("long").as(out))
+      }
+      val ra = top100(Seq($"qm".desc, $"doc_id".asc), "ra")
+      val rb = top100(Seq($"qm2".desc, $"doc_id".asc), "rb")
+      val mc = ra.join(rb, "doc_id")
+        .select(greatest($"ra", $"rb").as("m"))
+        .groupBy($"m").agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy($"dd".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s.range(1, 101).toDF("dd")
+        .join(mc, $"dd" === $"m", "left_outer")
+        .withColumn("w",
+          element_at(array(wNano.map(lit(_)): _*), $"dd".cast("int")))
+        .withColumn("cum", sum(coalesce($"c", lit(0L))).over(wCum))
+        .agg(lit(100L).as("k"),
+          coalesce(max($"cum"), lit(0L)).as("n_common"),
+          sum(expr("(w * cum) div dd")).as("rbo_nano"))
+    }, Some {
+      val wLit = (1 to 100).map(dd =>
+        math.floor(0.1 * math.pow(0.9, dd - 1) * 1e9).toLong)
+        .mkString("[", ", ", "]")
+      """
+      WITH b AS (
+        SELECT doc_id,
+          CAST(floor((
+            least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0)
+              * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+              / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b'))
+              / 10.0) * 0.2) * 1000) AS BIGINT) AS qm,
+          CAST(floor((
+            least(1.0, len(string_split_regex(trim(text), '\s+')) / 100.0)
+              * 0.3 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+              / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b'))
+              / 5.0) * 0.4) * 1000) AS BIGINT) AS qm2
+        FROM documents),
+      ra AS (SELECT doc_id,
+               row_number() OVER (ORDER BY qm DESC, doc_id ASC) AS ra
+             FROM b QUALIFY ra <= 100),
+      rb AS (SELECT doc_id,
+               row_number() OVER (ORDER BY qm2 DESC, doc_id ASC) AS rb
+             FROM b QUALIFY rb <= 100),
+      mm AS (SELECT greatest(ra.ra, rb.rb) AS m
+             FROM ra JOIN rb USING (doc_id)),
+      mc AS (SELECT m, count(*) AS c FROM mm GROUP BY 1),
+      g AS (SELECT r.d AS dd, (__W__)[CAST(r.d AS INT)] AS w,
+              coalesce(mc.c, 0) AS c
+            FROM range(1, 101) r(d) LEFT JOIN mc ON mc.m = r.d),
+      cm AS (SELECT dd, w,
+               sum(c) OVER (ORDER BY dd ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+             FROM g)
+      SELECT CAST(100 AS BIGINT) AS k,
+        CAST(coalesce(max(cum), 0) AS BIGINT) AS n_common,
+        CAST(sum((w * cum) // dd) AS BIGINT) AS rbo_nano
+      FROM cm""".replace("__W__", wLit)
+    }),
+
+    // token-budget apportionment (largest-remainder / Hamilton method):
+    // divide a fixed 1M-token training budget across languages exactly
+    // proportionally to their token mass — floors first, then the
+    // leftover units go to the largest remainders (deterministic
+    // (remainder, lang) tiebreak). The allocations sum to EXACTLY the
+    // budget (spec-pinned) — what q72's float mixture weights can't
+    // promise. Scale shape: corpus touched by ONE map-side-combined
+    // registry agg; everything after is registry-sized arithmetic;
+    // the two broadcasts are 1-row scalars; int64-safe while
+    // budget * corpus tokens < 2^63 (DECIMAL upgrade documented past
+    // ~9e12 tokens).
+    Q("q166_budget_apportion", (s, d) => {
+      import s.implicits._
+      val cells = t(s, d, "documents")
+        .select($"lang", TextOps.tokenCount($"text").cast("long").as("ntok"))
+        .groupBy($"lang").agg(sum($"ntok").as("toks"))
+      val tot = cells.agg(sum($"toks").as("tt"))
+      val base = cells.crossJoin(broadcast(tot))
+        .select($"lang", $"toks",
+          expr("(1000000 * toks) div tt").as("quota"),
+          expr("(1000000 * toks) % tt").as("rem"))
+      val left = base.agg((lit(1000000L) - sum($"quota")).as("r"))
+      val wR = Window.orderBy($"rem".desc, $"lang".asc)
+      base.crossJoin(broadcast(left))
+        .withColumn("rk", row_number().over(wR).cast("long"))
+        .select($"lang", $"toks", $"quota",
+          when($"rk" <= $"r", 1L).otherwise(0L).as("extra"),
+          ($"quota" + when($"rk" <= $"r", 1L).otherwise(0L))
+            .as("final_quota"))
+    }, Some("""
+      WITH cells AS (
+        SELECT lang,
+          sum(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
+            AS toks
+        FROM documents GROUP BY 1),
+      tt AS (SELECT sum(toks) AS t FROM cells),
+      base AS (SELECT lang, toks, (1000000 * toks) // tt.t AS quota,
+                 (1000000 * toks) % tt.t AS rem
+               FROM cells CROSS JOIN tt),
+      lf AS (SELECT 1000000 - sum(quota) AS r FROM base),
+      rk AS (SELECT base.*, lf.r,
+               row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+             FROM base CROSS JOIN lf)
+      SELECT lang, CAST(toks AS BIGINT) AS toks,
+        CAST(quota AS BIGINT) AS quota,
+        CAST(CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        CAST(quota + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
+          AS final_quota
+      FROM rk"""))
   )
 }

@@ -240,4 +240,66 @@ class GovernanceQuerySpec extends AnyFunSuite {
       assert(r.getLong(5) == sq / n, s"$src quality_mean_milli")
     }
   }
+
+  // ------------------------------------------------------------------
+  test("q165 RBO matches a sequential recompute; identical rankings would score ~1e9") {
+    val stopRe = raw"\b(the|a|of|and|to)\b".r
+    def metrics(text: String): (Long, Long) = {
+      val ntok = text.trim.split("\\s+").length.toDouble
+      val alpha = text.replaceAll("[^a-z]", "").length.toDouble
+      val stop = stopRe.findAllIn(text).size.toDouble
+      val v1 = math.min(1.0, ntok / 50.0) * 0.5 + (alpha / text.length) * 0.3 +
+        math.min(1.0, stop / 10.0) * 0.2
+      val v2 = math.min(1.0, ntok / 100.0) * 0.3 + (alpha / text.length) * 0.3 +
+        math.min(1.0, stop / 5.0) * 0.4
+      (math.floor(v1 * 1000).toLong, math.floor(v2 * 1000).toLong)
+    }
+    val scored = rawDocs.map { case (id, text, _) =>
+      val (a, b) = metrics(text); (id, a, b)
+    }
+    def top100(key: ((Long, Long, Long)) => Long): Map[Long, Long] =
+      scored.sortBy(t => (-key(t), t._1)).take(100).zipWithIndex
+        .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val ra = top100(_._2)
+    val rb = top100(_._3)
+    val common = ra.keySet & rb.keySet
+    val w = (1 to 100).map(dd =>
+      math.floor(0.1 * math.pow(0.9, dd - 1) * 1e9).toLong)
+    val rbo = (1 to 100).map { dd =>
+      val ov = common.count(id => ra(id) <= dd && rb(id) <= dd).toLong
+      w(dd - 1) * ov / dd
+    }.sum
+    val r = run("q165_rbo_rankings").collect().head
+    assert(r.getLong(0) == 100L)
+    assert(r.getLong(1) == common.size.toLong, "n_common")
+    assert(r.getLong(2) == rbo, "rbo_nano")
+    // bound: a perfectly stable selection would score w.sum (~1e9 up
+    // to quantization), so the score is interpretable on that scale
+    assert(rbo >= 0 && rbo <= w.sum)
+  }
+
+  // ------------------------------------------------------------------
+  test("q166 apportionment sums exactly to the budget and matches largest-remainder") {
+    val byLang = graft.catalog.Tables.t(spark, sf, "documents")
+      .selectExpr("lang", "cast(size(split(trim(text), '\\\\s+')) as long) as n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sum }
+    val tt = byLang.values.sum
+    val base = byLang.toSeq.map { case (l, toks) =>
+      (l, toks, 1000000L * toks / tt, 1000000L * toks % tt)
+    }
+    val r = 1000000L - base.map(_._3).sum
+    val extras = base.sortBy(t => (-t._4, t._1)).take(r.toInt).map(_._1).toSet
+    val got = run("q166_budget_apportion").collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4))).toMap
+    assert(got.keySet == byLang.keySet)
+    base.foreach { case (l, toks, q, _) =>
+      val (gt, gq, ge, gf) = got(l)
+      assert(gt == toks && gq == q, s"$l base")
+      assert(ge == (if (extras(l)) 1L else 0L), s"$l extra")
+      assert(gf == q + ge, s"$l final")
+    }
+    assert(got.values.map(_._4).sum == 1000000L, "exact budget")
+  }
 }

@@ -64,6 +64,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q153_group_folds" -> "1-row token-total + 1-row leak-gate broadcasts onto the 5-row fold frame",
     "q156_heaps_growth" -> "1-row max-doc-id broadcast onto the vocabulary first-seen frame and the doc frame (checkpoint thresholds)",
     "q159_join_size_sketch" -> "1-row sketch-estimate broadcast onto the 1-row exact frame (both scalar aggs)",
+    "q166_budget_apportion" -> "1-row token-total + 1-row leftover broadcasts onto the language-registry frame",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
@@ -76,6 +77,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q146_rare_group_suppress" -> "octile cum over DISTINCT token counts — value-domain bounded (q110 argument), appears in both the build and lookup branches",
     "q152_dense_ids" -> "cumulative offsets over the one-count-per-partition frame — bounded by the partition-count knob, never the corpus",
     "q161_pareto_skyline" -> "running max over the DISTINCT token-count grid — value-domain bounded (q110 argument), never the corpus",
+    "q165_rbo_rankings" -> "cumulative overlap over the literal 100-row depth grid (both rankings already prefiltered to <= 100 rows via TopKPerKeyExec)",
+    "q166_budget_apportion" -> "largest-remainder rank over the language-registry frame (bounded registry)",
   )
 
   /** broadcast() HINT audit (the q54 class): a hint pins its side into
