@@ -16,6 +16,13 @@ run / fork := true
 // that tail-capture stdout and json-parse the final line (every round's
 // bench artifact had parsed:null because of it).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop sbt's own trailing "[success] Total time: ..." line, which
+// otherwise lands AFTER the program's final JSON and defeats a
+// parse-the-last-line harness even with raw stdout above.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not a task — exclude it
+// from the unused-key lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
