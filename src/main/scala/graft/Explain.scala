@@ -40,7 +40,9 @@ object Explain {
                          "q159_join_size_sketch", "q160_source_datasheet",
                          "q161_pareto_skyline", "q162_scd2_intervals",
                          "q163_attribution", "q164_fk_integrity",
-                         "q165_rbo_rankings", "q166_budget_apportion")
+                         "q165_rbo_rankings", "q166_budget_apportion",
+                         "q167_scd2_probe", "q168_triangle_count",
+                         "q169_markov_transitions")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -866,24 +866,7 @@ object AnalyticsQueries extends QueryModule {
     // engines). Scale shape: one (user, day) ranked reduction + two
     // lag/lead windows, ALL partitioned by user — bounded by a user's
     // history, never the corpus; value is floor-milli integer.
-    Q("q162_scd2_intervals", (s, d) => {
-      import s.implicits._
-      val wD = Window.partitionBy($"user_id", $"day")
-        .orderBy($"ts".desc, $"event_id".desc)
-      val daily = t(s, d, "events")
-        .select($"user_id", date_format(to_date($"ts"), "yyyy-MM-dd").as("day"),
-          $"ts", $"event_id", floor($"value" * 1000).cast("long").as("vm"))
-        .withColumn("rn", row_number().over(wD)).filter($"rn" === 1)
-        .select($"user_id", $"day", $"vm")
-      val wU = Window.partitionBy($"user_id").orderBy($"day".asc)
-      val changes = daily
-        .withColumn("pv", lag($"vm", 1).over(wU))
-        .filter($"pv".isNull || $"vm" =!= $"pv")
-      changes
-        .withColumn("valid_to",
-          coalesce(lead($"day", 1).over(wU), lit("9999-12-31")))
-        .select($"user_id", $"day".as("valid_from"), $"valid_to", $"vm")
-    }, Some("""
+    Q("q162_scd2_intervals", (s, d) => scd2Intervals(s, d), Some("""
       WITH daily AS (
         SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
           CAST(floor(value * 1000) AS BIGINT) AS vm
@@ -1015,5 +998,204 @@ object AnalyticsQueries extends QueryModule {
               WHERE NOT EXISTS (SELECT 1 FROM nation n
                                 WHERE n.n_nationkey = c.c_nationkey))
              * 1000000 // (SELECT count(*) FROM customer) AS BIGINT)""")),
+
+    // SCD-2 as-of probe (the consumer of q162's bitemporal build): each
+    // purchase event looks up the dimension value that was valid on its
+    // day — the point-in-interval join every warehouse fact load runs
+    // against a slowly-changing dimension. Containment is guaranteed by
+    // construction (a purchase is itself an event, so its day is >= the
+    // user's first interval start). Scale shape: the join is EQUI on
+    // user_id (SMJ/shuffle-hash on the user key at any corpus size);
+    // the interval range test is a post-join filter within one user's
+    // history — never a cartesian, never corpus x corpus. Day strings
+    // compare lexicographically (yyyy-MM-dd), no date arithmetic
+    // crosses engines; dimension value is q162's floor-milli integer.
+    Q("q167_scd2_probe", (s, d) => {
+      import s.implicits._
+      val dim = scd2Intervals(s, d)
+        .select($"user_id".as("du"), $"valid_from", $"valid_to", $"vm")
+      t(s, d, "events")
+        .filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id",
+          date_format(to_date($"ts"), "yyyy-MM-dd").as("day"))
+        .join(dim, $"user_id" === $"du" &&
+          $"day" >= $"valid_from" && $"day" < $"valid_to")
+        .select($"user_id", $"event_id", $"day", $"vm".as("dim_value_milli"))
+    }, Some("""
+      WITH daily AS (
+        SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+          CAST(floor(value * 1000) AS BIGINT) AS vm
+        FROM events
+        QUALIFY row_number() OVER (
+          PARTITION BY user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d')
+          ORDER BY ts DESC, event_id DESC) = 1),
+      ch AS (
+        SELECT user_id, day, vm,
+          lag(vm) OVER (PARTITION BY user_id ORDER BY day ASC) AS pv
+        FROM daily
+        QUALIFY pv IS NULL OR vm <> pv),
+      dim AS (
+        SELECT user_id AS du, day AS valid_from,
+          coalesce(lead(day) OVER (PARTITION BY user_id ORDER BY day ASC),
+                   '9999-12-31') AS valid_to,
+          vm
+        FROM ch)
+      SELECT e.user_id, e.event_id,
+        strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS day,
+        dim.vm AS dim_value_milli
+      FROM events e JOIN dim ON e.user_id = dim.du
+        AND strftime(CAST(e.ts AS DATE), '%Y-%m-%d') >= dim.valid_from
+        AND strftime(CAST(e.ts AS DATE), '%Y-%m-%d') < dim.valid_to
+      WHERE e.event_type = 'purchase'""")),
+
+    // Degree-ordered triangle counting over the host link graph (the
+    // third graph-analytics op after q139 PageRank / q155 HITS):
+    // per-node triangle membership + local clustering coefficient —
+    // the community-density signal a crawl scheduler reads next to
+    // centrality. The algorithm IS the scale story: each undirected
+    // edge is oriented from its lower-(degree, id) endpoint to the
+    // higher one, so every triangle is generated by exactly ONE wedge
+    // at its lowest-ranked corner and out-degrees are O(sqrt(m)) on
+    // any graph — wedge fan-out is sum(outdeg^2), the classic bound
+    // that makes the plan survive a power-law host graph at 100 TB.
+    // All joins are node/edge-keyed equi-joins; nothing is collected.
+    // Counts are exact integers; clustering is floor ppm.
+    Q("q168_triangle_count", (s, d) => {
+      import s.implicits._
+      // three deterministic generators give the 48-host registry a
+      // non-trivial clustered topology (same synthesis family as q139)
+      val raw = t(s, d, "documents").select(($"doc_id" % 48).as("u"),
+          (($"doc_id" * 7 + 5) % 48).as("v"))
+        .unionAll(t(s, d, "documents").select(($"doc_id" % 48).as("u"),
+          (($"doc_id" * 11 + 3) % 48).as("v")))
+        .unionAll(t(s, d, "documents").select((($"doc_id" * 5 + 1) % 48).as("u"),
+          (($"doc_id" * 13 + 7) % 48).as("v")))
+      val und = raw.filter($"u" =!= $"v")
+        .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
+        .distinct()
+      val deg = und.select($"a".as("n")).unionAll(und.select($"b".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      // total order: ord = deg * 64 + node (node < 48 by construction)
+      val withOrd = und
+        .join(deg.select($"n".as("a"), ($"deg" * 64 + $"n").as("oa")), "a")
+        .join(deg.select($"n".as("b"), ($"deg" * 64 + $"n").as("ob")), "b")
+      val oriented = withOrd.select(
+        when($"oa" < $"ob", $"a").otherwise($"b").as("src"),
+        when($"oa" < $"ob", $"b").otherwise($"a").as("dst"),
+        when($"oa" < $"ob", $"ob").otherwise($"oa").as("odst"))
+      // wedges at the lowest-ranked corner; close with the oriented
+      // (lower-rank -> higher-rank) edge between the two tips
+      val e1 = oriented.select($"src", $"dst".as("t1"), $"odst".as("o1"))
+      val e2 = oriented.select($"src", $"dst".as("t2"), $"odst".as("o2"))
+      val wedges = e1.join(e2, "src").filter($"o1" < $"o2")
+      val close = oriented.select($"src".as("t1"), $"dst".as("t2"))
+      val tris = wedges.join(close, Seq("t1", "t2"))
+        .select($"src".as("c1"), $"t1".as("c2"), $"t2".as("c3"))
+      val perNode = tris.select($"c1".as("n"))
+        .unionAll(tris.select($"c2".as("n")))
+        .unionAll(tris.select($"c3".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("n_triangles"))
+      deg.join(perNode, Seq("n"), "left_outer")
+        .select($"n".as("node"), $"deg",
+          coalesce($"n_triangles", lit(0L)).as("n_triangles"))
+        .withColumn("clustering_ppm",
+          when($"deg" > 1,
+            expr("(2 * n_triangles * 1000000) div (deg * (deg - 1))"))
+            .otherwise(lit(0L)))
+    }, Some("""
+      WITH raw AS (
+        SELECT doc_id % 48 AS u, (doc_id * 7 + 5) % 48 AS v FROM documents
+        UNION ALL
+        SELECT doc_id % 48, (doc_id * 11 + 3) % 48 FROM documents
+        UNION ALL
+        SELECT (doc_id * 5 + 1) % 48, (doc_id * 13 + 7) % 48 FROM documents),
+      und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+              FROM raw WHERE u <> v),
+      deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+              GROUP BY 1),
+      wo AS (SELECT und.a, und.b, da.deg * 64 + und.a AS oa,
+                    db.deg * 64 + und.b AS ob
+             FROM und JOIN deg da ON da.n = und.a
+                      JOIN deg db ON db.n = und.b),
+      ori AS (SELECT CASE WHEN oa < ob THEN a ELSE b END AS src,
+                     CASE WHEN oa < ob THEN b ELSE a END AS dst,
+                     CASE WHEN oa < ob THEN ob ELSE oa END AS odst
+              FROM wo),
+      tris AS (SELECT e1.src AS c1, e1.dst AS c2, e2.dst AS c3
+               FROM ori e1 JOIN ori e2 ON e1.src = e2.src
+                 AND e1.odst < e2.odst
+               JOIN ori cl ON cl.src = e1.dst AND cl.dst = e2.dst),
+      pn AS (SELECT n, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+               SELECT c1 AS n FROM tris UNION ALL SELECT c2 FROM tris
+               UNION ALL SELECT c3 FROM tris) GROUP BY 1)
+      SELECT deg.n AS node, deg.deg,
+        coalesce(pn.n_triangles, 0) AS n_triangles,
+        CASE WHEN deg.deg > 1 THEN
+          (2 * coalesce(pn.n_triangles, 0) * 1000000)
+            // (deg.deg * (deg.deg - 1))
+        ELSE 0 END AS clustering_ppm
+      FROM deg LEFT JOIN pn ON pn.n = deg.n""")),
+
+    // First-order Markov transition matrix over the event stream (the
+    // behavioral-model fit behind q97's pattern matching): per
+    // (from_type, to_type) transition count and row-normalized
+    // probability in ppm, with deterministic (epoch, event_id) total
+    // order. Scale shape: ONE user-partitioned lead window (bounded by
+    // a user's history) + a map-side-combined (from, to) agg; the
+    // row-normalizing join is on the 5-value event-type registry, so
+    // everything after the first agg is registry-sized at any corpus.
+    Q("q169_markov_transitions", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ep".asc, $"event_id".asc)
+      val trans = t(s, d, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          unix_micros($"ts".cast("timestamp")).as("ep"))
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy($"from_type")
+        .agg(sum($"n").as("from_total"))
+      trans.join(totals, "from_type")
+        .select($"from_type", $"to_type", $"n",
+          expr("(n * 1000000) div from_total").as("p_ppm"))
+    }, Some("""
+      WITH tr AS (
+        SELECT event_type AS from_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts) ASC, event_id ASC) AS to_type
+        FROM events),
+      cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+              FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS from_total
+              FROM cnt GROUP BY 1)
+      SELECT cnt.from_type, cnt.to_type, cnt.n,
+        (cnt.n * 1000000) // tot.from_total AS p_ppm
+      FROM cnt JOIN tot ON tot.from_type = cnt.from_type""")),
   )
+
+  /** q162's interval build, shared with its as-of probe q167: per-user
+    * last-observed daily value collapsed into [valid_from, valid_to)
+    * change intervals (floor-milli value; open interval closes at
+    * 9999-12-31). */
+  private def scd2Intervals(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val wD = Window.partitionBy($"user_id", $"day")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val daily = t(s, d, "events")
+      .select($"user_id", date_format(to_date($"ts"), "yyyy-MM-dd").as("day"),
+        $"ts", $"event_id", floor($"value" * 1000).cast("long").as("vm"))
+      .withColumn("rn", row_number().over(wD)).filter($"rn" === 1)
+      .select($"user_id", $"day", $"vm")
+    val wU = Window.partitionBy($"user_id").orderBy($"day".asc)
+    daily
+      .withColumn("pv", lag($"vm", 1).over(wU))
+      .filter($"pv".isNull || $"vm" =!= $"pv")
+      .withColumn("valid_to",
+        coalesce(lead($"day", 1).over(wU), lit("9999-12-31")))
+      .select($"user_id", $"day".as("valid_from"), $"valid_to", $"vm")
+  }
 }

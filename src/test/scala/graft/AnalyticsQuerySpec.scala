@@ -590,4 +590,90 @@ class AnalyticsQuerySpec extends AnyFunSuite {
       assert(gp == orphans * 1000000 / child.size, s"$edge ppm")
     }
   }
+
+  // ------------------------------------------------------------------
+  test("q167 SCD-2 probe: every purchase resolves to exactly one interval, and the value is the user's last observed daily value on that day") {
+    val evs = graft.catalog.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type",
+        "date_format(to_date(ts), 'yyyy-MM-dd') as day",
+        "unix_micros(cast(ts as timestamp)) as tsu",
+        "cast(floor(value * 1000) as long) as vm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    val got = run("q167_scd2_probe").collect()
+      .map(r => (r.getLong(1), (r.getLong(0), r.getString(2), r.getLong(3))))
+    // exactly one row per purchase event
+    val purchases = evs.filter(_._3 == "purchase")
+    assert(got.length == purchases.length)
+    assert(got.map(_._1).distinct.length == got.length, "duplicate probe rows")
+    // the dimension value is the last-observed daily value at <= day:
+    // daily last-wins per (user, day), then the latest day <= probe day
+    val dailyLast: Map[(Long, String), Long] = evs.groupBy(e => (e._1, e._4))
+      .map { case (k, es) => k -> es.maxBy(e => (e._5, e._2))._6 }
+    val gotMap = got.toMap
+    purchases.foreach { case (u, eid, _, day, _, _) =>
+      val expVm = dailyLast.filter { case ((uu, dd), _) => uu == u && dd <= day }
+        .maxBy(_._1._2)._2
+      val (gu, gday, gvm) = gotMap(eid)
+      assert(gu == u && gday == day, s"probe row mismatch for event $eid")
+      assert(gvm == expVm, s"event $eid: dim value $gvm != expected $expVm")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  test("q168 triangle counts equal brute-force enumeration; clustering is the floor-ppm local coefficient") {
+    val ids = rawDocs.keys.toSeq
+    val und = (ids.map(i => (i % 48, (i * 7 + 5) % 48)) ++
+      ids.map(i => (i % 48, (i * 11 + 3) % 48)) ++
+      ids.map(i => ((i * 5 + 1) % 48, (i * 13 + 7) % 48)))
+      .filter { case (u, v) => u != v }
+      .map { case (u, v) => (u min v, u max v) }.distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val triPerNode = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    var total = 0L
+    val nodes = adj.keys.toSeq.sorted
+    for {
+      a <- nodes; b <- adj(a).toSeq.sorted if b > a
+      c <- adj(a).toSeq.sorted if c > b && adj(b).contains(c)
+    } {
+      total += 1
+      Seq(a, b, c).foreach(n => triPerNode(n) += 1)
+    }
+    val got = run("q168_triangle_count").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == adj.keySet)
+    assert(got.values.map(_._2).sum == 3 * total, "corner identity")
+    got.foreach { case (n, (deg, tri, cl)) =>
+      assert(deg == adj(n).size.toLong, s"node $n degree")
+      assert(tri == triPerNode(n), s"node $n triangles")
+      val expCl = if (deg > 1) 2 * tri * 1000000L / (deg * (deg - 1)) else 0L
+      assert(cl == expCl, s"node $n clustering")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  test("q169 Markov transitions match a sequential recompute; each row's probabilities sum to ~1e6") {
+    val evs = graft.catalog.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(cast(ts as timestamp)) as ep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val trans = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val o = es.sortBy(e => (e._4, e._2)).map(_._3)
+      o.zip(o.drop(1))
+    }
+    val exp = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = run("q169_markov_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (k, n) => assert(got(k)._1 == n, s"$k count") }
+    // floor-ppm rows sum to 1e6 minus at most (fanout - 1)
+    got.keys.groupBy(_._1).foreach { case (from, ks) =>
+      val s = ks.toSeq.map(got(_)._2).sum
+      assert(s <= 1000000L && s > 1000000L - ks.size, s"$from prob mass $s")
+    }
+  }
 }
