@@ -42,7 +42,9 @@ object Explain {
                          "q163_attribution", "q164_fk_integrity",
                          "q165_rbo_rankings", "q166_budget_apportion",
                          "q167_scd2_probe", "q168_triangle_count",
-                         "q169_markov_transitions")
+                         "q169_markov_transitions",
+                         "q170_quantile_normalize", "q171_anchor_terms",
+                         "q172_skipgram_ppmi")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

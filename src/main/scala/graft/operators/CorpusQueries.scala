@@ -1240,6 +1240,71 @@ object CorpusQueries extends QueryModule {
                  / CAST(greatest(n_chars, 1) AS DOUBLE) * 1000000000) AS BIGINT)
               AS es_key_nano
           FROM documents))
-      WHERE rk <= 10"""))
+      WHERE rk <= 10""")),
+
+    // Cross-source quantile normalization (q85's consumer): each doc's
+    // per-source quality rank is mapped to the GLOBAL quality value at
+    // the same permille — the calibration that makes "top 10% of srcA"
+    // and "top 10% of srcB" comparable before a corpus-wide threshold
+    // (per-source graders drift; ranks don't). Mechanics: the global
+    // quantile function g(pm) = min{v : cdf(v) >= pm/1000} is built as
+    // contiguous permille intervals per DISTINCT quality value, then
+    // exploded to one row per permille — the doc-side lookup is a plain
+    // equi-join on pm. Scale shape: the per-source percent_rank window
+    // is source-partitioned (q85); the quantile-function frames ride
+    // the DISTINCT qmilli grid — value-domain bounded (<= 1001 rows by
+    // construction, q110 argument) — and the pm map (<= 1001 rows) is
+    // AQE-adjudicated on the join; all-integer interval arithmetic.
+    Q("q170_quantile_normalize", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select($"doc_id", $"source",
+          floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("qmilli"))
+      val n1 = docs.agg(count(lit(1)).as("n"))
+      val wV = Window.orderBy($"v".asc)
+      val cum = docs.groupBy($"qmilli".as("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum($"c").over(
+          wV.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(n1))
+        .withColumn("hi", expr("(cum * 1000) div n"))
+      val pmMap = cum
+        .withColumn("ph", lag($"hi", 1).over(wV))
+        .withColumn("lo", when($"ph".isNull, lit(0L)).otherwise($"ph" + 1))
+        .filter($"hi" >= $"lo")
+        .select($"v", explode(sequence($"lo", $"hi")).as("pm"))
+      val wS = Window.partitionBy($"source")
+        .orderBy($"qmilli".asc, $"doc_id".asc)
+      docs
+        .withColumn("pm", floor(percent_rank().over(wS) * 1000).cast("long"))
+        .join(pmMap, "pm")
+        .select($"doc_id", $"source", $"qmilli", $"pm",
+          $"v".as("qnorm_milli"))
+    }, Some("""
+      WITH q AS (
+        SELECT doc_id, source,
+          CAST(floor((least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2)
+            * 1000) AS BIGINT) AS qmilli
+        FROM documents),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+      grid AS (SELECT qmilli AS v, CAST(count(*) AS BIGINT) AS c
+               FROM q GROUP BY 1),
+      cum AS (SELECT v, sum(c) OVER (ORDER BY v ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM grid),
+      hilo AS (SELECT v, CAST((cum * 1000) // n.n AS BIGINT) AS hi,
+                 CAST(lag((cum * 1000) // n.n) OVER (ORDER BY v ASC)
+                      AS BIGINT) AS ph
+               FROM cum CROSS JOIN n),
+      iv AS (SELECT v, CAST(coalesce(ph + 1, 0) AS BIGINT) AS lo, hi
+             FROM hilo WHERE hi >= coalesce(ph + 1, 0)),
+      pmv AS (SELECT v, unnest(generate_series(lo, hi)) AS pm FROM iv),
+      r AS (SELECT doc_id, source, qmilli,
+              CAST(floor(percent_rank() OVER (PARTITION BY source
+                ORDER BY qmilli ASC, doc_id ASC) * 1000) AS BIGINT) AS pm
+            FROM q)
+      SELECT r.doc_id, r.source, r.qmilli, r.pm, pmv.v AS qnorm_milli
+      FROM r JOIN pmv ON pmv.pm = r.pm"""))
   )
 }

@@ -614,6 +614,113 @@ object TextQueries extends QueryModule {
         CAST(rk AS BIGINT) AS rk FROM (
         SELECT *, row_number() OVER (ORDER BY pmi_nano DESC, bigram ASC) AS rk
         FROM sc)
-      WHERE rk <= 20"""))
+      WHERE rk <= 20""")),
+
+    // Anchor-text aggregation per authority host (the link-graph ⋈ text
+    // operator behind web-corpus retrieval: what do OTHER pages call
+    // this host?): every link edge carries the linking doc's 3-token
+    // lead as its anchor text; per target host, the top-5 anchor terms
+    // by count. Scale shape: anchors are row-local slices (no joins to
+    // build them); one (host, term) map-side-combined agg; the top-5 is
+    // the q79 two-stage shape — a (host, hash-bucket)-partitioned
+    // prefilter keeps <= 5 rows per bucket, then the per-host final
+    // window sees <= 320 survivors per host regardless of vocabulary
+    // size, so a hot host never serializes its whole term set.
+    Q("q171_anchor_terms", (s, d) => {
+      import s.implicits._
+      val counts = t(s, d, "documents")
+        .select((($"doc_id" * 7 + 3) % 32).as("host"),
+          explode(slice(TextOps.tokens($"text"), 1, 3)).as("term"))
+        .groupBy($"host", $"term").agg(count(lit(1)).as("cnt"))
+      val wB = Window.partitionBy($"host", pmod(hash($"term"), lit(64)))
+        .orderBy($"cnt".desc, $"term".asc)
+      val wH = Window.partitionBy($"host").orderBy($"cnt".desc, $"term".asc)
+      counts
+        .withColumn("__brk", row_number().over(wB)).filter($"__brk" <= 5)
+        .withColumn("rk", row_number().over(wH)).filter($"rk" <= 5)
+        .select($"host", $"term", $"cnt", $"rk".cast("long").as("rk"))
+    }, Some("""
+      WITH an AS (
+        SELECT (doc_id * 7 + 3) % 32 AS host,
+          unnest(string_split_regex(trim(text), '\s+')[1:3]) AS term
+        FROM documents),
+      c AS (SELECT host, term, CAST(count(*) AS BIGINT) AS cnt
+            FROM an GROUP BY 1, 2)
+      SELECT host, term, cnt, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY host
+          ORDER BY cnt DESC, term ASC) AS rk
+        FROM c)
+      WHERE rk <= 5""")),
+
+    // Windowed skip-gram PPMI (q121's embedding-training sibling:
+    // word2vec-style co-occurrence statistics): unordered token pairs
+    // within distance <= 2, marginals over the pair distribution, and
+    // each word's top-3 contexts by positive PMI. Pairs are built
+    // ROW-LOCALLY from the token array (zip_with against its own
+    // k-shift — no positional self-join, fan-out exactly 2 rows per
+    // token). Engine exactness: every count is cast to double BEFORE
+    // any multiply (no int64 overflow at corpus scale; both engines
+    // evaluate the identical IEEE tree), floor-quantized ONCE to
+    // integer nano-nats, clamped at 0 AFTER the floor. Scale: pair and
+    // marginal aggs are map-side-combined and vocabulary-keyed (never
+    // broadcast); only the 1-row pair total broadcasts; the per-word
+    // top-3 window is word-partitioned.
+    Q("q172_skipgram_ppmi", (s, d) => {
+      import s.implicits._
+      val toksDf = t(s, d, "documents")
+        .select($"doc_id", TextOps.tokens($"text").as("ts"))
+      def shifted(k: Int) = toksDf.select(expr(
+        s"""explode(zip_with(
+              slice(ts, 1, greatest(size(ts) - $k, 0)),
+              slice(ts, ${k + 1}, greatest(size(ts) - $k, 0)),
+              (a, b) -> named_struct('u', a, 'v', b))) AS p"""))
+        .select($"p.u".as("u"), $"p.v".as("v"))
+      val pairs = shifted(1).unionAll(shifted(2))
+        .filter($"u" =!= $"v")
+        .select(least($"u", $"v").as("x"), greatest($"u", $"v").as("y"))
+      val pcAll = pairs.groupBy($"x", $"y").agg(count(lit(1)).as("n"))
+      val marg = pcAll.select($"x".as("t"), $"n")
+        .unionAll(pcAll.select($"y".as("t"), $"n"))
+        .groupBy($"t").agg(sum($"n").as("m"))
+      val tot = pcAll.agg(sum($"n").as("tt"))
+      val wX = Window.partitionBy($"x").orderBy($"ppmi_nano".desc, $"y".asc)
+      pcAll.filter($"n" >= 3)
+        .join(marg.select($"t".as("x"), $"m".as("mx")), "x")
+        .join(marg.select($"t".as("y"), $"m".as("my")), "y")
+        .join(broadcast(tot))
+        .withColumn("ppmi_nano", greatest(
+          floor(log(($"n".cast("double") * $"tt".cast("double")) /
+            ($"mx".cast("double") * $"my".cast("double")))
+            * 1000000000d).cast("long"), lit(0L)))
+        .withColumn("rk", row_number().over(wX)).filter($"rk" <= 3)
+        .select($"x".as("w"), $"y".as("c"), $"n", $"ppmi_nano",
+          $"rk".cast("long").as("rk"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+                 FROM documents),
+      tok AS (SELECT doc_id, unnest(ts) AS tk,
+                generate_subscripts(ts, 1) AS pos FROM d),
+      pr AS (SELECT least(a.tk, b.tk) AS x, greatest(a.tk, b.tk) AS y
+             FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+               AND b.pos > a.pos AND b.pos <= a.pos + 2
+             WHERE a.tk <> b.tk),
+      pc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2),
+      marg AS (SELECT t, CAST(sum(n) AS BIGINT) AS m FROM (
+                 SELECT x AS t, n FROM pc UNION ALL SELECT y, n FROM pc)
+               GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM pc),
+      sc AS (SELECT pc.x, pc.y, pc.n,
+               greatest(CAST(floor(ln((CAST(pc.n AS DOUBLE) * CAST(tot.tt AS DOUBLE))
+                 / (CAST(mx.m AS DOUBLE) * CAST(my.m AS DOUBLE)))
+                 * 1000000000) AS BIGINT), 0) AS ppmi_nano
+             FROM pc JOIN marg mx ON mx.t = pc.x
+                     JOIN marg my ON my.t = pc.y
+                     CROSS JOIN tot
+             WHERE pc.n >= 3)
+      SELECT x AS w, y AS c, n, ppmi_nano, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY x
+          ORDER BY ppmi_nano DESC, y ASC) AS rk
+        FROM sc)
+      WHERE rk <= 3"""))
   )
 }

@@ -675,4 +675,103 @@ class CurationQuerySpec extends AnyFunSuite {
       assert(kept.head._1 == best._1)
     }
   }
+
+  // ------------------------------------------------------------------
+  private lazy val rawDocsSrc: Map[Long, (String, String)] =
+    graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text", "source").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+
+  private def qmilli(text: String): Long = {
+    val stopRe = raw"\b(the|a|of|and|to)\b".r
+    val ntok = text.trim.split("\\s+").length.toDouble
+    val alpha = text.replaceAll("[^a-z]", "").length.toDouble
+    val stop = stopRe.findAllIn(text).size.toDouble
+    math.floor((math.min(1.0, ntok / 50.0) * 0.5 +
+      (alpha / text.length) * 0.3 +
+      math.min(1.0, stop / 10.0) * 0.2) * 1000).toLong
+  }
+
+  test("q170 quantile normalization matches a direct recompute; qnorm is monotone in qmilli within a source") {
+    val docs = rawDocsSrc.toSeq.map { case (id, (text, src)) =>
+      (id, src, qmilli(text))
+    }
+    val n = docs.size.toLong
+    // global quantile function over the distinct-value grid
+    val grid = docs.groupBy(_._3).view.mapValues(_.size.toLong).toSeq
+      .sortBy(_._1)
+    val cums = grid.scanLeft((0L, 0L)) { case ((_, acc), (v, c)) =>
+      (v, acc + c)
+    }.drop(1)
+    def g(pm: Long): Long =
+      cums.find { case (_, cum) => cum * 1000 >= pm * n }.get._1
+    // per-source permille rank
+    val expected = docs.groupBy(_._2).flatMap { case (_, ds) =>
+      val sorted = ds.sortBy(x => (x._3, x._1))
+      val m = sorted.size
+      sorted.zipWithIndex.map { case ((id, src, q), i) =>
+        // replay the engines' double arithmetic exactly:
+        // floor(percent_rank * 1000) with percent_rank = i / (m - 1)
+        val pm = if (m == 1) 0L
+          else math.floor(i.toDouble / (m - 1).toDouble * 1000.0).toLong
+        id -> (src, q, pm, g(pm))
+      }
+    }
+    val got = run("q170_quantile_normalize").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == expected)
+    // monotone within source: higher qmilli never maps lower
+    got.values.groupBy(_._1).foreach { case (src, vs) =>
+      vs.toSeq.sortBy(v => (v._2, v._4)).sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._2 > b._2 || a._4 <= b._4, s"$src monotonicity")
+        case _ =>
+      }
+    }
+  }
+
+  test("q171 anchor terms equal a direct per-host top-5 recompute") {
+    val counts = scala.collection.mutable.Map.empty[(Long, String), Long]
+      .withDefaultValue(0L)
+    rawDocsSrc.foreach { case (id, (text, _)) =>
+      val host = (id * 7 + 3) % 32
+      text.trim.split("\\s+").take(3).foreach(t => counts((host, t)) += 1)
+    }
+    val expected = counts.toSeq.groupBy(_._1._1).flatMap { case (h, ts) =>
+      ts.map { case ((_, t), c) => (t, c) }
+        .sortBy { case (t, c) => (-c, t) }.take(5).zipWithIndex
+        .map { case ((t, c), i) => (h, t) -> (c, i + 1L) }
+    }
+    val got = run("q171_anchor_terms").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("q172 skip-gram PPMI matches a direct windowed-pair recompute") {
+    val pairs = rawDocsSrc.values.toSeq.flatMap { case (text, _) =>
+      val t = text.trim.split("\\s+")
+      (1 to 2).flatMap { k =>
+        t.indices.dropRight(k).map(i => (t(i), t(i + k)))
+      }
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (Seq(a, b).min, Seq(a, b).max) }
+    val pc = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val marg = (pc.toSeq.map { case ((x, _), c) => x -> c } ++
+      pc.toSeq.map { case ((_, y), c) => y -> c })
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val tt = pc.values.sum.toDouble
+    val expected = pc.filter(_._2 >= 3).toSeq.map { case ((x, y), c) =>
+      val raw = math.log(c.toDouble * tt / (marg(x).toDouble * marg(y).toDouble))
+      (x, y, c, math.max(math.floor(raw * 1e9).toLong, 0L))
+    }.groupBy(_._1).flatMap { case (_, cs) =>
+      cs.sortBy { case (_, y, _, p) => (-p, y) }.take(3).zipWithIndex
+        .map { case ((x, y, c, p), i) => (x, y) -> (c, p, i + 1L) }
+    }
+    val got = run("q172_skipgram_ppmi").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+  }
 }

@@ -65,6 +65,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q156_heaps_growth" -> "1-row max-doc-id broadcast onto the vocabulary first-seen frame and the doc frame (checkpoint thresholds)",
     "q159_join_size_sketch" -> "1-row sketch-estimate broadcast onto the 1-row exact frame (both scalar aggs)",
     "q166_budget_apportion" -> "1-row token-total + 1-row leftover broadcasts onto the language-registry frame",
+    "q170_quantile_normalize" -> "1-row corpus-count broadcast onto the distinct-qmilli grid (value-domain bounded)",
+    "q172_skipgram_ppmi" -> "1-row pair-total broadcast for the PMI normalizer",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
@@ -79,6 +81,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q161_pareto_skyline" -> "running max over the DISTINCT token-count grid — value-domain bounded (q110 argument), never the corpus",
     "q165_rbo_rankings" -> "cumulative overlap over the literal 100-row depth grid (both rankings already prefiltered to <= 100 rows via TopKPerKeyExec)",
     "q166_budget_apportion" -> "largest-remainder rank over the language-registry frame (bounded registry)",
+    "q170_quantile_normalize" -> "quantile-function cum/lag over the DISTINCT qmilli grid — value-domain bounded (<= 1001 rows by construction, q110 argument)",
   )
 
   /** broadcast() HINT audit (the q54 class): a hint pins its side into
