@@ -44,7 +44,9 @@ object Explain {
                          "q167_scd2_probe", "q168_triangle_count",
                          "q169_markov_transitions",
                          "q170_quantile_normalize", "q171_anchor_terms",
-                         "q172_skipgram_ppmi")
+                         "q172_skipgram_ppmi",
+                         "q173_basket_lift", "q174_ab_readout",
+                         "q175_noisy_release", "q176_calibration_curve")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

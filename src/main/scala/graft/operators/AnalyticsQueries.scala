@@ -1174,6 +1174,137 @@ object AnalyticsQueries extends QueryModule {
       SELECT cnt.from_type, cnt.to_type, cnt.n,
         (cnt.n * 1000000) // tot.from_total AS p_ppm
       FROM cnt JOIN tot ON tot.from_type = cnt.from_type""")),
+
+    // Market-basket association (support / confidence / lift over
+    // co-ordered part classes): the affinity analysis a retail-shaped
+    // corpus runs before bundling or recommendation. Items are part
+    // classes (l_partkey % 100, a bounded registry); pairs come from a
+    // self-join ON THE ORDER KEY, so fan-out is C(basket, 2) per order
+    // — bounded by the per-order line cap (7 in TPC-H), NEVER corpus x
+    // corpus. Scale shape: distinct + pair aggs are order/pair-keyed
+    // map-side-combined; item counts join on the <= 100-row class
+    // registry (AQE-adjudicated); only the 1-row order total
+    // broadcasts. Lift's cross-multiplied form is cast to double
+    // per-count BEFORE multiplying (no int64 overflow at any scale;
+    // identical IEEE tree both engines), floored once to milli.
+    Q("q173_basket_lift", (s, d) => {
+      import s.implicits._
+      val items = t(s, d, "lineitem")
+        .select($"l_orderkey".as("ok"), ($"l_partkey" % 100).as("item"))
+        .distinct()
+      val nOrders = items.select($"ok").distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val itemN = items.groupBy($"item").agg(count(lit(1)).as("n_item"))
+      val a = items.select($"ok", $"item".as("item_a"))
+      val b = items.select($"ok", $"item".as("item_b"))
+      a.join(b, "ok").filter($"item_a" < $"item_b")
+        .groupBy($"item_a", $"item_b").agg(count(lit(1)).as("n_ab"))
+        .filter($"n_ab" >= 5)
+        .join(itemN.select($"item".as("item_a"), $"n_item".as("n_a")),
+          "item_a")
+        .join(itemN.select($"item".as("item_b"), $"n_item".as("n_b")),
+          "item_b")
+        .join(broadcast(nOrders))
+        .select($"item_a", $"item_b", $"n_ab", $"n_a", $"n_b",
+          expr("(n_ab * 1000000) div n_orders").as("supp_ppm"),
+          expr("(n_ab * 1000000) div n_a").as("conf_a_ppm"),
+          floor($"n_ab".cast("double") * $"n_orders".cast("double") /
+            ($"n_a".cast("double") * $"n_b".cast("double")) * 1000)
+            .cast("long").as("lift_milli"))
+    }, Some("""
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok,
+                       l_partkey % 100 AS item FROM lineitem),
+      n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+      ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+             FROM items GROUP BY 1),
+      pc AS (SELECT a.item AS item_a, b.item AS item_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+             FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+             GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT pc.item_a, pc.item_b, pc.n_ab,
+        ia.n_item AS n_a, ib.n_item AS n_b,
+        (pc.n_ab * 1000000) // n.n_orders AS supp_ppm,
+        (pc.n_ab * 1000000) // ia.n_item AS conf_a_ppm,
+        CAST(floor(CAST(pc.n_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE) /
+          (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)) * 1000)
+          AS BIGINT) AS lift_milli
+      FROM pc JOIN ic ia ON ia.item = pc.item_a
+              JOIN ic ib ON ib.item = pc.item_b
+              CROSS JOIN n""")),
+
+    // A/B experiment readout (two-proportion z in integer milli): users
+    // hash-split into two variants (the q84 pure-hash assignment —
+    // rerun/engine/repartition-stable), conversion = a purchase within
+    // the user's FIRST DAY (a data-driven rate that is neither 0 nor 1,
+    // unlike "ever purchased" which saturates). Scale shape: one
+    // user-partitioned min-window (bounded by a user's history), one
+    // per-user agg, then a 2-row variant frame collapsed by
+    // conditional aggregation — no joins at all; the z formula's
+    // double tree is written identically in both engines with each
+    // count cast before any arithmetic, floored once to milli, and
+    // guarded against the degenerate all/none-converted pools.
+    Q("q174_ab_readout", (s, d) => {
+      import s.implicits._
+      val wU = Window.partitionBy($"user_id")
+      val per = t(s, d, "events")
+        .select($"user_id", $"event_type",
+          unix_micros($"ts".cast("timestamp")).as("ep"))
+        .withColumn("ep0", min($"ep").over(wU))
+        .groupBy($"user_id")
+        .agg(max(when($"event_type" === "purchase" &&
+          $"ep" <= $"ep0" + 86400000000L, 1L).otherwise(0L)).as("conv"))
+        .select($"user_id", CorpusOps.hashMix($"user_id", 2L).as("variant"),
+          $"conv")
+      val r = per.groupBy($"variant")
+        .agg(count(lit(1)).as("n"), sum($"conv").as("k"))
+        .agg(sum(when($"variant" === 0, $"n")).as("n_a"),
+          sum(when($"variant" === 0, $"k")).as("k_a"),
+          sum(when($"variant" === 1, $"n")).as("n_b"),
+          sum(when($"variant" === 1, $"k")).as("k_b"))
+      r.select($"n_a", $"k_a", $"n_b", $"k_b",
+        expr("(k_a * 1000000) div n_a").as("p_a_ppm"),
+        expr("(k_b * 1000000) div n_b").as("p_b_ppm"),
+        when($"k_a" + $"k_b" === 0 ||
+          $"k_a" + $"k_b" === $"n_a" + $"n_b", lit(0L))
+          .otherwise(floor(
+            ($"k_a".cast("double") / $"n_a".cast("double") -
+              $"k_b".cast("double") / $"n_b".cast("double")) /
+            sqrt((($"k_a" + $"k_b").cast("double") /
+                ($"n_a" + $"n_b").cast("double")) *
+              (lit(1.0) - ($"k_a" + $"k_b").cast("double") /
+                ($"n_a" + $"n_b").cast("double")) *
+              (lit(1.0) / $"n_a".cast("double") +
+                lit(1.0) / $"n_b".cast("double"))) * 1000)
+            .cast("long")).as("z_milli"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ep,
+                   min(epoch_us(ts)) OVER (PARTITION BY user_id) AS ep0
+                 FROM events),
+      per AS (SELECT user_id,
+                ((user_id % 1000003) * 2654435761 + 40503) % 2 AS variant,
+                max(CASE WHEN event_type = 'purchase'
+                    AND ep <= ep0 + 86400000000 THEN 1 ELSE 0 END) AS conv
+              FROM e GROUP BY 1, 2),
+      v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(conv) AS BIGINT) AS k FROM per GROUP BY 1),
+      r AS (SELECT
+              CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN variant = 0 THEN k END) AS BIGINT) AS k_a,
+              CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN variant = 1 THEN k END) AS BIGINT) AS k_b
+            FROM v)
+      SELECT n_a, k_a, n_b, k_b,
+        (k_a * 1000000) // n_a AS p_a_ppm,
+        (k_b * 1000000) // n_b AS p_b_ppm,
+        CASE WHEN k_a + k_b = 0 OR k_a + k_b = n_a + n_b THEN 0
+          ELSE CAST(floor(
+            (CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+              CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+            sqrt((CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+              (1.0 - CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+              (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+            * 1000) AS BIGINT) END AS z_milli
+      FROM r""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

@@ -498,5 +498,106 @@ object GovernanceQueries extends QueryModule {
         CAST(quota + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
           AS final_quota
       FROM rk"""))
+      ,
+
+    // Seeded noisy-count release (q146's statistical sibling): per
+    // (lang, source) doc counts released through a deterministic
+    // two-sided geometric noise mechanism + a k>=5 suppression gate —
+    // the disclosure-avoidance shape (noise THEN threshold) of a DP
+    // release, with the noise drawn from the group key's md5 so the
+    // release is reproducible and ORACLE-CHECKABLE (true randomness
+    // can't be cross-engine verified; the mechanism's plumbing is what
+    // this operator pins). Geometric(1/2) magnitude via integer
+    // threshold comparisons on a 20-bit uniform (no cross-engine
+    // float log), sign from bit 20, clamp at 0, suppress noisy < 5.
+    // Scale shape: ONE map-side-combined registry agg; everything
+    // after is registry-sized row-local arithmetic.
+    Q("q175_noisy_release", (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+        .withColumn("__hx", md5(concat($"lang", lit("|"), $"source")))
+        .withColumn("hv", expr(DedupOps.hv32FromHexSql("__hx")))
+        .withColumn("u20", $"hv" % 1048576L)
+        .withColumn("mag",
+          when($"u20" < 524288L, 0L).when($"u20" < 786432L, 1L)
+            .when($"u20" < 917504L, 2L).when($"u20" < 983040L, 3L)
+            .when($"u20" < 1015808L, 4L).otherwise(5L))
+        .withColumn("noise",
+          when(expr("(hv div 1048576) % 2") === 1L, $"mag")
+            .otherwise(-$"mag"))
+        .withColumn("noisy", greatest($"n" + $"noise", lit(0L)))
+        .select($"lang", $"source", $"n", $"noise", $"noisy",
+          ($"noisy" >= 5L).as("released"))
+    }, Some(s"""
+      WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+                 FROM documents GROUP BY 1, 2),
+      h AS (SELECT lang, source, n,
+              CAST(${DedupQueries.hvDuckOf("lang || '|' || source")}
+                   AS BIGINT) AS hv
+            FROM g),
+      m AS (SELECT lang, source, n, hv, hv % 1048576 AS u20,
+              CASE WHEN hv % 1048576 < 524288 THEN 0
+                   WHEN hv % 1048576 < 786432 THEN 1
+                   WHEN hv % 1048576 < 917504 THEN 2
+                   WHEN hv % 1048576 < 983040 THEN 3
+                   WHEN hv % 1048576 < 1015808 THEN 4
+                   ELSE 5 END AS mag
+            FROM h),
+      z AS (SELECT lang, source, n,
+              CAST(CASE WHEN (hv // 1048576) % 2 = 1 THEN mag
+                   ELSE -mag END AS BIGINT) AS noise
+            FROM m)
+      SELECT lang, source, n, noise,
+        CAST(greatest(n + noise, 0) AS BIGINT) AS noisy,
+        greatest(n + noise, 0) >= 5 AS released
+      FROM z""")),
+
+    // Calibration curve over the quality score (the reliability
+    // diagram an ML-eval pass draws before trusting a learned or
+    // heuristic grader): docs bucketed into score deciles; per decile
+    // the mean predicted score vs the observed positive rate of a
+    // score-correlated outcome (hash(doc) < qmilli — calibrated by
+    // construction up to hash noise, so the gap column ISOLATES the
+    // mechanism: any systematic gap is a pipeline bug, not data).
+    // Scale shape: label and decile are row-local; ONE map-side-
+    // combined 10-row agg; zero joins/windows/broadcasts; integer
+    // milli/ppm arithmetic throughout.
+    Q("q176_calibration_curve", (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id",
+          floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("qm"))
+        .withColumn("label",
+          when(CorpusOps.hashMix($"doc_id", 1000L) < $"qm", 1L)
+            .otherwise(0L))
+        .withColumn("decile", least(expr("qm div 100"), lit(9L)))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n"), sum($"qm").as("sq"),
+          sum($"label").as("k"))
+        .select($"decile", $"n",
+          expr("sq div n").as("mean_pred_milli"),
+          expr("(k * 1000000) div n").as("obs_ppm"),
+          (expr("(k * 1000000) div n") - expr("(sq div n) * 1000"))
+            .as("gap_ppm"))
+    }, Some("""
+      WITH q AS (
+        SELECT doc_id,
+          CAST(floor((least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2)
+            * 1000) AS BIGINT) AS qm
+        FROM documents),
+      l AS (SELECT qm,
+              CASE WHEN ((doc_id % 1000003) * 2654435761 + 40503) % 1000
+                   < qm THEN 1 ELSE 0 END AS label,
+              least(qm // 100, 9) AS decile
+            FROM q)
+      SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(qm) // count(*) AS BIGINT) AS mean_pred_milli,
+        CAST((sum(label) * 1000000) // count(*) AS BIGINT) AS obs_ppm,
+        CAST((sum(label) * 1000000) // count(*)
+          - (sum(qm) // count(*)) * 1000 AS BIGINT) AS gap_ppm
+      FROM l GROUP BY 1"""))
   )
 }

@@ -676,4 +676,62 @@ class AnalyticsQuerySpec extends AnyFunSuite {
       assert(s <= 1000000L && s > 1000000L - ks.size, s"$from prob mass $s")
     }
   }
+
+  // ------------------------------------------------------------------
+  test("q173 basket lift matches a direct pair recompute; lift formula verified per pair") {
+    val baskets = graft.catalog.Tables.t(spark, sf, "lineitem")
+      .selectExpr("l_orderkey", "l_partkey % 100 as item").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrders = baskets.map(_._1).distinct.length.toLong
+    val itemN = baskets.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pairN = baskets.groupBy(_._1).values.toSeq.flatMap { is =>
+      val s = is.map(_._2).sorted
+      for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 5).toMap
+    val got = run("q173_basket_lift").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    assert(got.keySet == pairN.keySet)
+    got.foreach { case ((a, b), (nab, na, nb, supp, conf, lift)) =>
+      assert(nab == pairN((a, b)))
+      assert(na == itemN(a) && nb == itemN(b))
+      assert(supp == nab * 1000000L / nOrders)
+      assert(conf == nab * 1000000L / na)
+      val expLift = math.floor(
+        nab.toDouble * nOrders.toDouble / (na.toDouble * nb.toDouble) * 1000)
+        .toLong
+      assert(lift == expLift, s"($a,$b) lift")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  test("q174 A/B readout matches a sequential recompute of the first-day-purchase rate and z") {
+    val evs = graft.catalog.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_type",
+        "unix_micros(cast(ts as timestamp)) as ep").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val per = evs.groupBy(_._1).toSeq.map { case (u, es) =>
+      val ep0 = es.map(_._3).min
+      val conv = es.exists(e => e._2 == "purchase" && e._3 <= ep0 + 86400000000L)
+      val variant = ((u % 1000003) * 2654435761L + 40503) % 2
+      (variant, if (conv) 1L else 0L)
+    }.toSeq
+    val (na, ka) = (per.count(_._1 == 0L).toLong,
+      per.filter(_._1 == 0L).map(_._2).sum)
+    val (nb, kb) = (per.count(_._1 == 1L).toLong,
+      per.filter(_._1 == 1L).map(_._2).sum)
+    val r = run("q174_ab_readout").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((na, ka, nb, kb)))
+    assert(r.getLong(4) == ka * 1000000L / na)
+    assert(r.getLong(5) == kb * 1000000L / nb)
+    val pp = (ka + kb).toDouble / (na + nb).toDouble
+    val z = (ka.toDouble / na.toDouble - kb.toDouble / nb.toDouble) /
+      math.sqrt(pp * (1.0 - pp) * (1.0 / na.toDouble + 1.0 / nb.toDouble))
+    val expZ = if (ka + kb == 0 || ka + kb == na + nb) 0L
+      else math.floor(z * 1000).toLong
+    assert(r.getLong(6) == expZ)
+  }
 }

@@ -302,4 +302,61 @@ class GovernanceQuerySpec extends AnyFunSuite {
     }
     assert(got.values.map(_._4).sum == 1000000L, "exact budget")
   }
+
+  // ------------------------------------------------------------------
+  private lazy val rawDocsLang: Seq[(Long, String, String, String)] =
+    graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+
+  test("q175 noisy release matches the seeded geometric mechanism; suppression is exactly noisy < 5") {
+    val exp = rawDocsLang.groupBy(d => (d._3, d._4)).map { case ((l, s), ds) =>
+      val n = ds.size.toLong
+      val hv = hv32(s"$l|$s")
+      val u20 = hv % 1048576L
+      val mag =
+        if (u20 < 524288L) 0L else if (u20 < 786432L) 1L
+        else if (u20 < 917504L) 2L else if (u20 < 983040L) 3L
+        else if (u20 < 1015808L) 4L else 5L
+      val noise = if ((hv / 1048576L) % 2 == 1L) mag else -mag
+      val noisy = math.max(n + noise, 0L)
+      (l, s) -> (n, noise, noisy, noisy >= 5L)
+    }
+    val got = run("q175_noisy_release").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got == exp)
+  }
+
+  test("q176 calibration curve matches a direct recompute; large deciles sit near the diagonal") {
+    val stopRe = raw"\b(the|a|of|and|to)\b".r
+    def qm(text: String): Long = {
+      val ntok = text.trim.split("\\s+").length.toDouble
+      val alpha = text.replaceAll("[^a-z]", "").length.toDouble
+      val stop = stopRe.findAllIn(text).size.toDouble
+      math.floor((math.min(1.0, ntok / 50.0) * 0.5 +
+        (alpha / text.length) * 0.3 +
+        math.min(1.0, stop / 10.0) * 0.2) * 1000).toLong
+    }
+    val rows = rawDocsLang.map { case (id, text, _, _) =>
+      val q = qm(text)
+      (math.min(q / 100, 9L), q, if (hm(id, 1000L) < q) 1L else 0L)
+    }
+    val exp = rows.groupBy(_._1).map { case (dec, rs) =>
+      val n = rs.size.toLong
+      val sq = rs.map(_._2).sum
+      val k = rs.map(_._3).sum
+      dec -> (n, sq / n, k * 1000000L / n, k * 1000000L / n - (sq / n) * 1000)
+    }
+    val got = run("q176_calibration_curve").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == exp)
+    // mechanism sanity: deciles with enough mass stay within 150 ppt of
+    // the diagonal (hash label is calibrated by construction)
+    got.foreach { case (dec, (n, pred, obs, _)) =>
+      if (n >= 50)
+        assert(math.abs(obs - pred * 1000) <= 150000L, s"decile $dec gap")
+    }
+  }
 }

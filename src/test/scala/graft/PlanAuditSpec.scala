@@ -67,6 +67,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q166_budget_apportion" -> "1-row token-total + 1-row leftover broadcasts onto the language-registry frame",
     "q170_quantile_normalize" -> "1-row corpus-count broadcast onto the distinct-qmilli grid (value-domain bounded)",
     "q172_skipgram_ppmi" -> "1-row pair-total broadcast for the PMI normalizer",
+    "q173_basket_lift" -> "1-row order-total broadcast onto the <= 100-row part-class pair frame",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
