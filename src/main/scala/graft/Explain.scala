@@ -46,7 +46,9 @@ object Explain {
                          "q170_quantile_normalize", "q171_anchor_terms",
                          "q172_skipgram_ppmi",
                          "q173_basket_lift", "q174_ab_readout",
-                         "q175_noisy_release", "q176_calibration_curve")
+                         "q175_noisy_release", "q176_calibration_curve",
+                         "q177_fuzzy_match", "q178_seasonality",
+                         "q179_golden_record", "q180_mass_quantiles")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

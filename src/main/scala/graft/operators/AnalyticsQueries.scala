@@ -1305,6 +1305,129 @@ object AnalyticsQueries extends QueryModule {
               (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
             * 1000) AS BIGINT) END AS z_milli
       FROM r""")),
+
+    // Hour-of-day seasonality profile per event type (the periodic
+    // baseline q119's rolling anomaly window normalizes against,
+    // extracted as an explicit index): share of the type's events in
+    // each UTC hour slot and the seasonal index vs a uniform profile
+    // (1e6 = flat). Scale shape: ONE (type, hour) map-side-combined
+    // agg; the normalizing join is on the 5-value type registry;
+    // everything after the first agg is <= types x 24 rows at any
+    // event volume; all-integer ppm arithmetic.
+    Q("q178_seasonality", (s, d) => {
+      import s.implicits._
+      val byHour = t(s, d, "events")
+        .select($"event_type", hour($"ts".cast("timestamp")).as("hod"))
+        .groupBy($"event_type", $"hod").agg(count(lit(1)).as("n"))
+      val totals = byHour.groupBy($"event_type")
+        .agg(sum($"n").as("total"))
+      byHour.join(totals, "event_type")
+        .select($"event_type", $"hod".cast("long").as("hod"), $"n",
+          expr("(n * 1000000) div total").as("share_ppm"),
+          expr("(n * 24 * 1000000) div total").as("index_ppm"))
+    }, Some("""
+      WITH h AS (SELECT event_type, hour(ts) AS hod,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+            FROM h GROUP BY 1)
+      SELECT h.event_type, CAST(h.hod AS BIGINT) AS hod, h.n,
+        (h.n * 1000000) // t.total AS share_ppm,
+        (h.n * 24 * 1000000) // t.total AS index_ppm
+      FROM h JOIN t ON t.event_type = h.event_type""")),
+
+    // Survivorship merge / golden record (the record-consolidation
+    // step after entity resolution): per user, the most recent payload
+    // value from EACH event stream collapsed into one wide row —
+    // last-wins per (user, stream) with a (epoch, event_id) total
+    // order, missing streams surfaced as -1 (no cross-engine NULLs).
+    // Scale shape: one (user, stream)-partitioned row_number window
+    // (bounded by a user's history — and swap-eligible for
+    // TopKPerKeyExec), then ONE map-side-combined per-user conditional
+    // pivot; no joins.
+    Q("q179_golden_record", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ep".desc, $"event_id".desc)
+      val last = t(s, d, "events")
+        .select($"user_id", $"event_type", $"event_id",
+          unix_micros($"ts".cast("timestamp")).as("ep"),
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      last.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_streams"),
+          coalesce(max(when($"event_type" === "view", $"k")), lit(-1L))
+            .as("last_view_k"),
+          coalesce(max(when($"event_type" === "click", $"k")), lit(-1L))
+            .as("last_click_k"),
+          coalesce(max(when($"event_type" === "purchase", $"k")), lit(-1L))
+            .as("last_purchase_k"),
+          coalesce(max(when($"event_type" === "signup", $"k")), lit(-1L))
+            .as("last_signup_k"),
+          coalesce(max(when($"event_type" === "error", $"k")), lit(-1L))
+            .as("last_error_k"))
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS ep,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+          ORDER BY ep DESC, event_id DESC) = 1)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_streams,
+        coalesce(max(CASE WHEN event_type = 'view' THEN k END), -1)
+          AS last_view_k,
+        coalesce(max(CASE WHEN event_type = 'click' THEN k END), -1)
+          AS last_click_k,
+        coalesce(max(CASE WHEN event_type = 'purchase' THEN k END), -1)
+          AS last_purchase_k,
+        coalesce(max(CASE WHEN event_type = 'signup' THEN k END), -1)
+          AS last_signup_k,
+        coalesce(max(CASE WHEN event_type = 'error' THEN k END), -1)
+          AS last_error_k
+      FROM e GROUP BY 1""")),
+
+    // Token-mass-weighted length quantiles per language (q60's
+    // unweighted sibling, and the number a PACKING budget actually
+    // needs: "docs up to WHAT length cover 50% / 90% of the token
+    // mass?" — long docs dominate mass, so the weighted p90 sits far
+    // above the doc-count p90). Quantile = min length with cumulative
+    // mass * 10 >= p * total, exact over the DISTINCT length grid.
+    // Scale shape: ONE (lang, ntok) map-side-combined agg collapses
+    // the corpus to the per-lang value grid (value-domain bounded,
+    // q110 argument); the cum window rides that grid partitioned by
+    // lang; the quantile pick is a <= grid-sized agg; all integers.
+    Q("q180_mass_quantiles", (s, d) => {
+      import s.implicits._
+      val grid = t(s, d, "documents")
+        .select($"lang", size(TextOps.tokens($"text")).cast("long").as("ntok"))
+        .groupBy($"lang", $"ntok").agg(sum($"ntok").as("mass"))
+      val wL = Window.partitionBy($"lang").orderBy($"ntok".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("cum", sum($"mass").over(wL))
+        .withColumn("total", sum($"mass").over(Window.partitionBy($"lang")))
+        .groupBy($"lang")
+        .agg(max($"total").as("total_tokens"),
+          min(when($"cum" * 10 >= $"total" * 5, $"ntok")).as("p50_mass_len"),
+          min(when($"cum" * 10 >= $"total" * 9, $"ntok")).as("p90_mass_len"))
+    }, Some("""
+      WITH g AS (SELECT lang, CAST(len(string_split_regex(trim(text), '\s+'))
+                   AS BIGINT) AS ntok
+                 FROM documents),
+      m AS (SELECT lang, ntok, CAST(sum(ntok) AS BIGINT) AS mass
+            FROM g GROUP BY 1, 2),
+      c AS (SELECT lang, ntok, mass,
+              CAST(sum(mass) OVER (PARTITION BY lang ORDER BY ntok ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum,
+              CAST(sum(mass) OVER (PARTITION BY lang) AS BIGINT) AS total
+            FROM m)
+      SELECT lang, CAST(max(total) AS BIGINT) AS total_tokens,
+        CAST(min(CASE WHEN cum * 10 >= total * 5 THEN ntok END) AS BIGINT)
+          AS p50_mass_len,
+        CAST(min(CASE WHEN cum * 10 >= total * 9 THEN ntok END) AS BIGINT)
+          AS p90_mass_len
+      FROM c GROUP BY 1""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

@@ -820,5 +820,63 @@ object DedupQueries extends QueryModule {
         CAST(count(*) AS BIGINT) AS n_pairs,
         CAST(min(jp) AS BIGINT) AS min_jp, CAST(max(jp) AS BIGINT) AS max_jp
       FROM m GROUP BY 1""".replace("__HV__", hvDuckOf("shingle"))))
+      ,
+
+    // Fuzzy entity resolution with prefix blocking + edit-distance
+    // verify (the record-linkage shape q101's sorted neighborhood
+    // approximates with sort keys): each doc's "title" is its 4-token
+    // lead; candidates come ONLY from blocks sharing the first TWO
+    // tokens and the title token count (hv-bucketed), and pairs are
+    // verified with levenshtein <= 5. Block membership is capped at 50
+    // (the q103 df-cap pattern, replayed identically by the oracle):
+    // a hot prefix block degrades to no-candidates rather than a
+    // quadratic task — the documented trade of every blocking scheme;
+    // production would add a third blocking key, not a bigger cap.
+    // Scale shape: titles/blocks row-local; ONE block-keyed self-join
+    // with <= C(50,2) pairs per block; levenshtein is per-pair
+    // row-local (Java == DuckDB definition); everything map-side
+    // combined before the join.
+    Q("q177_fuzzy_match", (s, d) => {
+      import s.implicits._
+      val titles = t(s, d, "documents")
+        .select($"doc_id",
+          array_join(slice(TextOps.tokens($"text"), 1, 4), " ").as("title"),
+          array_join(slice(TextOps.tokens($"text"), 1, 2), " ").as("pfx"),
+          least(size(TextOps.tokens($"text")), lit(4)).as("nt"))
+        .withColumn("__hx", md5($"pfx"))
+        .withColumn("bk",
+          concat(expr(s"(${DedupOps.hv32FromHexSql("__hx")}) % 4096"),
+            lit(":"), $"nt"))
+      val sized = titles.groupBy($"bk").agg(count(lit(1)).as("bsz"))
+        .filter($"bsz".between(2, 50))
+      val inBlock = titles.join(sized, "bk")
+        .select($"bk", $"doc_id", $"title")
+      val a = inBlock.select($"bk", $"doc_id".as("da"), $"title".as("ta"))
+      val b = inBlock.select($"bk", $"doc_id".as("db"), $"title".as("tb"))
+      a.join(b, "bk").filter($"da" < $"db")
+        .withColumn("dist", levenshtein($"ta", $"tb"))
+        .filter($"dist" <= 5)
+        .select($"da", $"db", $"dist".cast("long").as("dist"))
+    }, Some(s"""
+      WITH ti AS (
+        SELECT doc_id,
+          array_to_string(string_split_regex(trim(text), '\\s+')[1:4], ' ')
+            AS title,
+          array_to_string(string_split_regex(trim(text), '\\s+')[1:2], ' ')
+            AS pfx,
+          least(len(string_split_regex(trim(text), '\\s+')), 4) AS nt
+        FROM documents),
+      bk AS (SELECT doc_id, title,
+               CAST((${DedupQueries.hvDuckOf("pfx")}) % 4096 AS VARCHAR)
+                 || ':' || CAST(nt AS VARCHAR) AS bk
+             FROM ti),
+      ok AS (SELECT bk FROM bk GROUP BY 1
+             HAVING count(*) BETWEEN 2 AND 50),
+      ib AS (SELECT bk.bk, bk.doc_id, bk.title
+             FROM bk JOIN ok ON ok.bk = bk.bk)
+      SELECT a.doc_id AS da, b.doc_id AS db,
+        CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+      FROM ib a JOIN ib b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.title, b.title) <= 5"""))
   )
 }

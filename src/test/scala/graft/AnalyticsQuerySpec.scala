@@ -734,4 +734,74 @@ class AnalyticsQuerySpec extends AnyFunSuite {
       else math.floor(z * 1000).toLong
     assert(r.getLong(6) == expZ)
   }
+
+  // ------------------------------------------------------------------
+  test("q178 seasonality matches a direct recompute; per-type shares sum to ~1e6 and indices average ~1e6") {
+    val evs = graft.catalog.Tables.t(spark, sf, "events")
+      .selectExpr("event_type", "unix_micros(cast(ts as timestamp)) as ep")
+      .collect().map(r => (r.getString(0), r.getLong(1) / 3600000000L % 24))
+    val cnt = evs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = evs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = run("q178_seasonality").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == cnt.keySet)
+    got.foreach { case ((ty, h), (n, share, idx)) =>
+      assert(n == cnt((ty, h)))
+      assert(share == n * 1000000L / tot(ty))
+      assert(idx == n * 24 * 1000000L / tot(ty))
+    }
+    got.keys.groupBy(_._1).foreach { case (ty, ks) =>
+      val s = ks.toSeq.map(got(_)._2).sum
+      assert(s <= 1000000L && s > 1000000L - 24, s"$ty share mass")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  test("q179 golden record equals a sequential last-wins merge per stream") {
+    val evs = graft.catalog.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "event_id",
+        "unix_micros(cast(ts as timestamp)) as ep",
+        "cast(get_json_object(props, '$.k') as long) as k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val exp = evs.groupBy(_._1).map { case (u, es) =>
+      val latest = es.groupBy(_._2).view.mapValues(
+        _.maxBy(e => (e._4, e._3))._5.getOrElse(-1L)).toMap
+      u -> (latest.size.toLong, types.map(latest.getOrElse(_, -1L)))
+    }
+    val got = run("q179_golden_record").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (u, e) => assert(got(u) == e, s"user $u") }
+  }
+
+  // ------------------------------------------------------------------
+  test("q180 mass quantiles match a direct weighted-CDF recompute; p90 >= p50 and both cover the stated mass") {
+    val langs = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split("\\s+").length.toLong))
+    val got = run("q180_mass_quantiles").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val byLang = langs.groupBy(_._1)
+    assert(got.keySet == byLang.keySet)
+    byLang.foreach { case (lang, ds) =>
+      val total = ds.map(_._2).sum
+      val grid = ds.groupBy(_._2).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy(_._1)
+      def q(p: Long): Long = {
+        var cum = 0L
+        grid.find { case (_, m) => cum += m; cum * 10 >= total * p }.get._1
+      }
+      val (gt, g50, g90) = got(lang)
+      assert(gt == total, s"$lang total")
+      assert(g50 == q(5), s"$lang p50")
+      assert(g90 == q(9), s"$lang p90")
+      assert(g90 >= g50)
+    }
+  }
 }

@@ -170,4 +170,47 @@ class DedupSpec extends AnyFunSuite {
     // the filter actually matched something at this SF
     assert(expBuckets.keySet.exists(_ >= 6))
   }
+
+  test("q177 fuzzy match equals a brute-force in-block levenshtein recompute") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    def hv32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8),
+      16)
+    val docs = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val titled = docs.map { case (id, text) =>
+      val t = text.trim.split("\\s+")
+      (id, t.take(4).mkString(" "),
+        s"${hv32(t.take(2).mkString(" ")) % 4096}:${math.min(t.length, 4)}")
+    }
+    val exp = titled.groupBy(_._3).values
+      .filter(b => b.length >= 2 && b.length <= 50)
+      .flatMap { b =>
+        b.toSeq.flatMap(x => b.toSeq.collect {
+          case y if x._1 < y._1 && lev(x._2, y._2) <= 5 =>
+            (x._1, y._1) -> lev(x._2, y._2).toLong
+        })
+      }.toMap
+    val got = run177.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == exp)
+    assert(got.nonEmpty, "blocking should yield candidates at sf0.001")
+  }
+
+  private def run177 =
+    SparkEntry.queries("q177_fuzzy_match")(spark, sf)
 }
