@@ -48,7 +48,9 @@ object Explain {
                          "q173_basket_lift", "q174_ab_readout",
                          "q175_noisy_release", "q176_calibration_curve",
                          "q177_fuzzy_match", "q178_seasonality",
-                         "q179_golden_record", "q180_mass_quantiles")
+                         "q179_golden_record", "q180_mass_quantiles",
+                         "q181_skew_report", "q182_upsert_merge",
+                         "q183_trend_slope", "q184_bootstrap_ci")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

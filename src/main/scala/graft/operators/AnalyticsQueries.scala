@@ -1428,6 +1428,150 @@ object AnalyticsQueries extends QueryModule {
         CAST(min(CASE WHEN cum * 10 >= total * 9 THEN ntok END) AS BIGINT)
           AS p90_mass_len
       FROM c GROUP BY 1""")),
+
+    // Join-key skew report (the DIAGNOSIS that precedes q42/q82's
+    // salting cures): frequency distribution of lineitem's order key —
+    // key count, row count, max/p50/p99 per-key frequency, the top
+    // key's row share, and the max/mean skew factor. Everything after
+    // the first agg rides the DISTINCT frequency grid: the number of
+    // distinct per-key frequencies is value-domain bounded (q110
+    // argument — a power-law key space still has few distinct counts),
+    // so the cum windows and the final 1-row fold never see
+    // key-cardinality rows. Integer cross-multiplied comparisons.
+    Q("q181_skew_report", (s, d) => {
+      import s.implicits._
+      val freq = t(s, d, "lineitem")
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("f"))
+      val grid = freq.groupBy($"f").agg(count(lit(1)).as("nk"))
+      val wF = Window.orderBy($"f".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      grid
+        .withColumn("cumk", sum($"nk").over(wF))
+        .withColumn("tk", sum($"nk").over(wAll))
+        .withColumn("tr", sum($"f" * $"nk").over(wAll))
+        .agg(max($"tk").as("n_keys"), max($"tr").as("n_rows"),
+          max($"f").as("max_freq"),
+          min(when($"cumk" * 100 >= $"tk" * 50, $"f")).as("p50_freq"),
+          min(when($"cumk" * 100 >= $"tk" * 99, $"f")).as("p99_freq"))
+        .select($"n_keys", $"n_rows", $"max_freq", $"p50_freq", $"p99_freq",
+          expr("(max_freq * 1000000) div n_rows").as("top1_share_ppm"),
+          expr("(max_freq * n_keys * 1000) div n_rows").as("skew_milli"))
+    }, Some("""
+      WITH f AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS f
+                 FROM lineitem GROUP BY 1),
+      g AS (SELECT f, CAST(count(*) AS BIGINT) AS nk FROM f GROUP BY 1),
+      c AS (SELECT f, nk,
+              CAST(sum(nk) OVER (ORDER BY f ASC ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cumk,
+              CAST(sum(nk) OVER () AS BIGINT) AS tk,
+              CAST(sum(f * nk) OVER () AS BIGINT) AS tr
+            FROM g),
+      a AS (SELECT CAST(max(tk) AS BIGINT) AS n_keys,
+              CAST(max(tr) AS BIGINT) AS n_rows,
+              CAST(max(f) AS BIGINT) AS max_freq,
+              CAST(min(CASE WHEN cumk * 100 >= tk * 50 THEN f END)
+                AS BIGINT) AS p50_freq,
+              CAST(min(CASE WHEN cumk * 100 >= tk * 99 THEN f END)
+                AS BIGINT) AS p99_freq
+            FROM c)
+      SELECT n_keys, n_rows, max_freq, p50_freq, p99_freq,
+        (max_freq * 1000000) // n_rows AS top1_share_ppm,
+        (max_freq * n_keys * 1000) // n_rows AS skew_milli
+      FROM a""")),
+
+    // SCD-1 upsert merge (MERGE INTO semantics in plain Spark — the
+    // CDC-apply step downstream of q144's snapshot diff): a base
+    // snapshot full-outer-joined with a change batch whose ops are
+    // delete > upsert by precedence; deletes drop the row, upserts
+    // update-or-insert, untouched base rows pass through, and every
+    // surviving row carries its provenance. Op assignment is
+    // deterministic (doc_id residues) so the oracle replays it. Scale
+    // shape: ONE id-keyed full-outer-shaped join, both sides
+    // corpus-growing, neither broadcast (q144's shape); everything
+    // else row-local.
+    Q("q182_upsert_merge", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select($"doc_id", $"n_chars")
+      val base = docs.filter($"doc_id" % 3 =!= 0)
+        .select($"doc_id", $"n_chars".as("v0"))
+      val delta = docs.filter($"doc_id" % 5 === 0 || $"doc_id" % 4 === 0 ||
+          $"doc_id" % 3 === 0)
+        .select($"doc_id",
+          when($"doc_id" % 5 === 0, lit("delete")).otherwise(lit("upsert"))
+            .as("op"),
+          ($"n_chars" + 1000).as("v1"))
+      base.join(delta, Seq("doc_id"), "full_outer")
+        .filter(coalesce($"op", lit("")) =!= "delete")
+        .select($"doc_id",
+          when($"op" === "upsert", $"v1").otherwise($"v0").as("v"),
+          when($"op".isNull, lit("base"))
+            .when($"v0".isNull, lit("inserted")).otherwise(lit("updated"))
+            .as("provenance"))
+    }, Some("""
+      WITH docs AS (SELECT doc_id, n_chars FROM documents),
+      base AS (SELECT doc_id, n_chars AS v0 FROM docs WHERE doc_id % 3 <> 0),
+      delta AS (SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN 'delete' ELSE 'upsert' END
+                    AS op,
+                  n_chars + 1000 AS v1
+                FROM docs
+                WHERE doc_id % 5 = 0 OR doc_id % 4 = 0 OR doc_id % 3 = 0)
+      SELECT coalesce(base.doc_id, delta.doc_id) AS doc_id,
+        CAST(CASE WHEN delta.op = 'upsert' THEN delta.v1
+             ELSE base.v0 END AS BIGINT) AS v,
+        CASE WHEN delta.op IS NULL THEN 'base'
+             WHEN base.v0 IS NULL THEN 'inserted'
+             ELSE 'updated' END AS provenance
+      FROM base FULL OUTER JOIN delta ON base.doc_id = delta.doc_id
+      WHERE coalesce(delta.op, '') <> 'delete'""")),
+
+    // Per-source OLS trend slope of quality over ingest order (the
+    // drift DIRECTION q143's KS gap can't give: is this source getting
+    // better or worse?): closed-form least squares on (doc_id - source
+    // min, qmilli), moment sums as exact integers, ONE double division
+    // floored to nano units. x is centered per source so the moment
+    // sums stay in int64 headroom; at 10^12-row sources the sums move
+    // to DECIMAL (q159's documented upgrade path). Scale shape: the
+    // min-center window and the moment agg are both source-keyed
+    // map-side-combinable passes; output is registry-sized.
+    Q("q183_trend_slope", (s, d) => {
+      import s.implicits._
+      val wS = Window.partitionBy($"source")
+      val m = t(s, d, "documents")
+        .select($"doc_id", $"source",
+          floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("y"))
+        .withColumn("x", $"doc_id" - min($"doc_id").over(wS))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      m.select($"source", $"n",
+        when($"n" * $"sxx" - $"sx" * $"sx" === 0, lit(0L))
+          .otherwise(floor(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n" * $"sxx" - $"sx" * $"sx").cast("double") * 1000000000d)
+            .cast("long")).as("slope_nano"))
+    }, Some("""
+      WITH q AS (
+        SELECT doc_id, source,
+          CAST(floor((least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2)
+            * 1000) AS BIGINT) AS y
+        FROM documents),
+      x AS (SELECT source, doc_id - min(doc_id) OVER (PARTITION BY source)
+              AS x, y FROM q),
+      m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM x GROUP BY 1)
+      SELECT source, n,
+        CASE WHEN n * sxx - sx * sx = 0 THEN 0
+          ELSE CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+            CAST(n * sxx - sx * sx AS DOUBLE) * 1000000000) AS BIGINT)
+          END AS slope_nano
+      FROM m""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

@@ -598,6 +598,105 @@ object GovernanceQueries extends QueryModule {
         CAST((sum(label) * 1000000) // count(*) AS BIGINT) AS obs_ppm,
         CAST((sum(label) * 1000000) // count(*)
           - (sum(qm) // count(*)) * 1000 AS BIGINT) AS gap_ppm
-      FROM l GROUP BY 1"""))
+      FROM l GROUP BY 1""")),
+
+    // Poisson-bootstrap confidence interval for the per-source mean
+    // quality (the error bar a release report should carry; the
+    // statistical-rigor sibling of q174): B=32 deterministic resamples
+    // — each doc's weight in resample b is Poisson(1) drawn by
+    // inverse-CDF threshold comparison on a 20-bit md5(doc:b) uniform
+    // (thresholds precomputed ONCE in Scala and embedded as the SAME
+    // integer literals in both engines — the q165 pattern; no
+    // cross-engine exp/log at query time). CI = [2nd smallest, 2nd
+    // largest] of the 32 resample means (~93.75% percentile
+    // bootstrap). Scale shape: the 32x row multiplication is the
+    // bootstrap's stated, bounded cost and streams straight into ONE
+    // map-side-combined (source, b) agg; the rank window rides the
+    // 32-row-per-source means frame; integer milli means throughout.
+    Q("q184_bootstrap_ci", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select($"doc_id", $"source",
+          floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("q"))
+      val reps = docs
+        .select($"doc_id", $"source", $"q",
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("__hx", md5(concat($"doc_id".cast("string"), lit(":"),
+          $"b".cast("string"))))
+        .withColumn("u20",
+          expr(s"(${DedupOps.hv32FromHexSql("__hx")}) % 1048576"))
+        .withColumn("w",
+          when($"u20" < poisT(0), 0L).when($"u20" < poisT(1), 1L)
+            .when($"u20" < poisT(2), 2L).when($"u20" < poisT(3), 3L)
+            .when($"u20" < poisT(4), 4L).otherwise(5L))
+      val means = reps.groupBy($"source", $"b")
+        .agg(sum($"w" * $"q").as("swq"), sum($"w").as("sw"))
+        .filter($"sw" > 0)
+        .select($"source", $"b", expr("swq div sw").as("mean_milli"))
+      val wS = Window.partitionBy($"source")
+        .orderBy($"mean_milli".asc, $"b".asc)
+      val fullMean = docs.groupBy($"source")
+        .agg(expr("sum(q) div count(1)").as("mean_full_milli"))
+      means
+        .withColumn("rk", row_number().over(wS))
+        .withColumn("nb", count(lit(1)).over(Window.partitionBy($"source")))
+        .groupBy($"source")
+        .agg(min(when($"rk" === 2, $"mean_milli")).as("ci_lo_milli"),
+          min(when($"rk" === $"nb" - 1, $"mean_milli")).as("ci_hi_milli"))
+        .join(fullMean, "source")
+        .select($"source", $"mean_full_milli", $"ci_lo_milli", $"ci_hi_milli")
+    }, Some(s"""
+      WITH q AS (
+        SELECT doc_id, source,
+          CAST(floor((least(1.0, len(string_split_regex(trim(text), '\\s+')) / 50.0) * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\\b(the|a|of|and|to)\\b')) / 10.0) * 0.2)
+            * 1000) AS BIGINT) AS q
+        FROM documents),
+      r AS (SELECT doc_id, source, q,
+              unnest(generate_series(0, 31)) AS b FROM q),
+      h AS (SELECT source, b, q,
+              CAST((${DedupQueries.hvDuckOf(
+                "CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")})
+                % 1048576 AS BIGINT) AS u20
+            FROM r),
+      w AS (SELECT source, b, q,
+              CASE WHEN u20 < ${poisT(0)} THEN 0
+                   WHEN u20 < ${poisT(1)} THEN 1
+                   WHEN u20 < ${poisT(2)} THEN 2
+                   WHEN u20 < ${poisT(3)} THEN 3
+                   WHEN u20 < ${poisT(4)} THEN 4
+                   ELSE 5 END AS w
+            FROM h),
+      m AS (SELECT source, b, CAST(sum(w * q) // sum(w) AS BIGINT)
+              AS mean_milli
+            FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+      rk AS (SELECT source, b, mean_milli,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY mean_milli ASC, b ASC) AS rk,
+               count(*) OVER (PARTITION BY source) AS nb
+             FROM m),
+      ci AS (SELECT source,
+               CAST(min(CASE WHEN rk = 2 THEN mean_milli END) AS BIGINT)
+                 AS ci_lo_milli,
+               CAST(min(CASE WHEN rk = nb - 1 THEN mean_milli END)
+                 AS BIGINT) AS ci_hi_milli
+             FROM rk GROUP BY 1),
+      f AS (SELECT source, CAST(sum(q) // count(*) AS BIGINT)
+              AS mean_full_milli
+            FROM q GROUP BY 1)
+      SELECT ci.source, f.mean_full_milli, ci.ci_lo_milli, ci.ci_hi_milli
+      FROM ci JOIN f ON f.source = ci.source"""))
   )
+
+  /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed
+    * once here and embedded as identical integer literals in BOTH
+    * engines (q165's precomputed-literal pattern): t(k) =
+    * floor(CDF_Pois(1)(k) * 2^20) for k = 0..4; u < t(k) => weight k,
+    * else 5 (truncated tail). */
+  private val poisT: Seq[Long] = {
+    val e = math.exp(-1.0)
+    Seq(1.0, 2.0, 2.5, 8.0 / 3, 65.0 / 24)
+      .map(c => math.floor(c * e * 1048576).toLong)
+  }
 }

@@ -804,4 +804,86 @@ class AnalyticsQuerySpec extends AnyFunSuite {
       assert(g90 >= g50)
     }
   }
+
+  // ------------------------------------------------------------------
+  test("q181 skew report matches a direct frequency recompute") {
+    val freqs = graft.catalog.Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey").collect().map(_.getLong(0))
+      .groupBy(identity).map(_._2.length.toLong).toSeq
+    val nKeys = freqs.size.toLong
+    val nRows = freqs.sum
+    val maxF = freqs.max
+    val sorted = freqs.sorted
+    def pct(p: Long): Long = {
+      var cum = 0L
+      sorted.distinct.find { f =>
+        cum = sorted.count(_ <= f).toLong; cum * 100 >= nKeys * p
+      }.get
+    }
+    val r = run("q181_skew_report").collect().head
+    assert(r.getLong(0) == nKeys)
+    assert(r.getLong(1) == nRows)
+    assert(r.getLong(2) == maxF)
+    assert(r.getLong(3) == pct(50))
+    assert(r.getLong(4) == pct(99))
+    assert(r.getLong(5) == maxF * 1000000L / nRows)
+    assert(r.getLong(6) == maxF * nKeys * 1000L / nRows)
+  }
+
+  // ------------------------------------------------------------------
+  test("q182 upsert merge applies delete > upsert precedence and tracks provenance") {
+    val docs = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val base = docs.filter(_._1 % 3 != 0).toMap
+    val delta = docs.filter(d => d._1 % 5 == 0 || d._1 % 4 == 0 || d._1 % 3 == 0)
+      .map { case (id, nc) =>
+        id -> (if (id % 5 == 0) ("delete", 0L) else ("upsert", nc + 1000))
+      }.toMap
+    val exp = (base.keySet ++ delta.keySet).flatMap { id =>
+      delta.get(id) match {
+        case Some(("delete", _)) => None
+        case Some(("upsert", v1)) =>
+          Some(id -> (v1, if (base.contains(id)) "updated" else "inserted"))
+        case _ => Some(id -> (base(id), "base"))
+      }
+    }.toMap
+    val got = run("q182_upsert_merge").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got == exp)
+    // deleted ids are truly absent
+    assert(!got.keySet.exists(id => id % 5 == 0))
+  }
+
+  // ------------------------------------------------------------------
+  test("q183 trend slope equals the closed-form least-squares recompute") {
+    val docs = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val stopRe = raw"\b(the|a|of|and|to)\b".r
+    def qm(text: String): Long = {
+      val ntok = text.trim.split("\\s+").length.toDouble
+      val alpha = text.replaceAll("[^a-z]", "").length.toDouble
+      val stop = stopRe.findAllIn(text).size.toDouble
+      math.floor((math.min(1.0, ntok / 50.0) * 0.5 +
+        (alpha / text.length) * 0.3 +
+        math.min(1.0, stop / 10.0) * 0.2) * 1000).toLong
+    }
+    val exp = docs.groupBy(_._3).map { case (src, ds) =>
+      val minId = ds.map(_._1).min
+      val pts = ds.map(d => (d._1 - minId, qm(d._2)))
+      val n = pts.length.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val den = n * sxx - sx * sx
+      val slope = if (den == 0) 0L
+        else math.floor((n * sxy - sx * sy).toDouble / den.toDouble * 1e9)
+          .toLong
+      src -> (n, slope)
+    }
+    val got = run("q183_trend_slope").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == exp)
+  }
 }

@@ -359,4 +359,45 @@ class GovernanceQuerySpec extends AnyFunSuite {
         assert(math.abs(obs - pred * 1000) <= 150000L, s"decile $dec gap")
     }
   }
+
+  // ------------------------------------------------------------------
+  test("q184 bootstrap CI matches the seeded Poisson resample recompute; lo <= hi and the interval brackets the full mean loosely") {
+    val stopRe = raw"\b(the|a|of|and|to)\b".r
+    def qm(text: String): Long = {
+      val ntok = text.trim.split("\\s+").length.toDouble
+      val alpha = text.replaceAll("[^a-z]", "").length.toDouble
+      val stop = stopRe.findAllIn(text).size.toDouble
+      math.floor((math.min(1.0, ntok / 50.0) * 0.5 +
+        (alpha / text.length) * 0.3 +
+        math.min(1.0, stop / 10.0) * 0.2) * 1000).toLong
+    }
+    val e1 = math.exp(-1.0)
+    val poisT = Seq(1.0, 2.0, 2.5, 8.0 / 3, 65.0 / 24)
+      .map(c => math.floor(c * e1 * 1048576).toLong)
+    def weight(id: Long, b: Int): Long = {
+      val u = hv32(s"$id:$b") % 1048576L
+      poisT.indexWhere(u < _) match { case -1 => 5L case k => k.toLong }
+    }
+    val docs = rawDocsLang.map { case (id, text, _, src) => (id, src, qm(text)) }
+    val exp = docs.groupBy(_._2).map { case (src, ds) =>
+      val fullMean = ds.map(_._3).sum / ds.size
+      val means = (0 until 32).flatMap { b =>
+        val ws = ds.map(d => (weight(d._1, b), d._3))
+        val sw = ws.map(_._1).sum
+        if (sw == 0) None else Some((ws.map(w => w._1 * w._2).sum / sw, b))
+      }.sortBy(identity)
+      val lo = means(1)._1
+      val hi = means(means.size - 2)._1
+      src -> (fullMean, lo, hi)
+    }
+    val got = run("q184_bootstrap_ci").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == exp)
+    got.foreach { case (src, (m, lo, hi)) =>
+      assert(lo <= hi, s"$src order")
+      // percentile bootstrap of a mean should land near the full mean
+      assert(lo - 50 <= m && m <= hi + 50, s"$src bracket")
+    }
+  }
 }

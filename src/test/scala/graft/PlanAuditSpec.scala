@@ -83,6 +83,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q165_rbo_rankings" -> "cumulative overlap over the literal 100-row depth grid (both rankings already prefiltered to <= 100 rows via TopKPerKeyExec)",
     "q166_budget_apportion" -> "largest-remainder rank over the language-registry frame (bounded registry)",
     "q170_quantile_normalize" -> "quantile-function cum/lag over the DISTINCT qmilli grid — value-domain bounded (<= 1001 rows by construction, q110 argument)",
+    "q181_skew_report" -> "cum/total windows over the DISTINCT per-key-frequency grid — value-domain bounded (q110 argument), never key-cardinality rows",
   )
 
   /** broadcast() HINT audit (the q54 class): a hint pins its side into
