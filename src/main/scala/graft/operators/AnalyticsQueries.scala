@@ -1070,9 +1070,12 @@ object AnalyticsQueries extends QueryModule {
           (($"doc_id" * 11 + 3) % 48).as("v")))
         .unionAll(t(s, d, "documents").select((($"doc_id" * 5 + 1) % 48).as("u"),
           (($"doc_id" * 13 + 7) % 48).as("v")))
+      // und feeds deg + withOrd and oriented feeds 3 consumers: persist
+      // the registry-sized frames so the document scans run ONCE (the
+      // shared-subplan persist() convention; blocks stay evictable)
       val und = raw.filter($"u" =!= $"v")
         .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
-        .distinct()
+        .distinct().persist()
       val deg = und.select($"a".as("n")).unionAll(und.select($"b".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("deg"))
       // total order: ord = deg * 64 + node (node < 48 by construction)
@@ -1082,7 +1085,7 @@ object AnalyticsQueries extends QueryModule {
       val oriented = withOrd.select(
         when($"oa" < $"ob", $"a").otherwise($"b").as("src"),
         when($"oa" < $"ob", $"b").otherwise($"a").as("dst"),
-        when($"oa" < $"ob", $"ob").otherwise($"oa").as("odst"))
+        when($"oa" < $"ob", $"ob").otherwise($"oa").as("odst")).persist()
       // wedges at the lowest-ranked corner; close with the oriented
       // (lower-rank -> higher-rank) edge between the two tips
       val e1 = oriented.select($"src", $"dst".as("t1"), $"odst".as("o1"))
@@ -1189,9 +1192,11 @@ object AnalyticsQueries extends QueryModule {
     // identical IEEE tree both engines), floored once to milli.
     Q("q173_basket_lift", (s, d) => {
       import s.implicits._
+      // items feeds nOrders + itemN + both pair sides: persist the
+      // distinct basket frame so the lineitem scan + distinct run once
       val items = t(s, d, "lineitem")
         .select($"l_orderkey".as("ok"), ($"l_partkey" % 100).as("item"))
-        .distinct()
+        .distinct().persist()
       val nOrders = items.select($"ok").distinct()
         .agg(count(lit(1)).as("n_orders"))
       val itemN = items.groupBy($"item").agg(count(lit(1)).as("n_item"))

@@ -1257,9 +1257,12 @@ object CorpusQueries extends QueryModule {
     // AQE-adjudicated on the join; all-integer interval arithmetic.
     Q("q170_quantile_normalize", (s, d) => {
       import s.implicits._
+      // docs feeds the count, the value grid, and the ranked lookup:
+      // persist so the quality expression runs once per row
       val docs = t(s, d, "documents")
         .select($"doc_id", $"source",
           floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("qmilli"))
+        .persist()
       val n1 = docs.agg(count(lit(1)).as("n"))
       val wV = Window.orderBy($"v".asc)
       val cum = docs.groupBy($"qmilli".as("v")).agg(count(lit(1)).as("c"))

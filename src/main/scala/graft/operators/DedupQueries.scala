@@ -847,6 +847,7 @@ object DedupQueries extends QueryModule {
         .withColumn("bk",
           concat(expr(s"(${DedupOps.hv32FromHexSql("__hx")}) % 4096"),
             lit(":"), $"nt"))
+        .persist() // feeds the block-size gate and the in-block join
       val sized = titles.groupBy($"bk").agg(count(lit(1)).as("bsz"))
         .filter($"bsz".between(2, 50))
       val inBlock = titles.join(sized, "bk")

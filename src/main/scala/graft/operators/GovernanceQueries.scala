@@ -615,9 +615,12 @@ object GovernanceQueries extends QueryModule {
     // 32-row-per-source means frame; integer milli means throughout.
     Q("q184_bootstrap_ci", (s, d) => {
       import s.implicits._
+      // docs feeds the 32x resample explosion AND the full mean:
+      // persist so the quality expression runs once per row
       val docs = t(s, d, "documents")
         .select($"doc_id", $"source",
           floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("q"))
+        .persist()
       val reps = docs
         .select($"doc_id", $"source", $"q",
           explode(sequence(lit(0), lit(31))).as("b"))

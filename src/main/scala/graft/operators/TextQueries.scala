@@ -678,7 +678,10 @@ object TextQueries extends QueryModule {
       val pairs = shifted(1).unionAll(shifted(2))
         .filter($"u" =!= $"v")
         .select(least($"u", $"v").as("x"), greatest($"u", $"v").as("y"))
+      // pcAll feeds both marginal legs, the total, and the scored join:
+      // persist so the pair explosion + agg run once
       val pcAll = pairs.groupBy($"x", $"y").agg(count(lit(1)).as("n"))
+        .persist()
       val marg = pcAll.select($"x".as("t"), $"n")
         .unionAll(pcAll.select($"y".as("t"), $"n"))
         .groupBy($"t").agg(sum($"n").as("m"))
