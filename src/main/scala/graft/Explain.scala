@@ -50,7 +50,9 @@ object Explain {
                          "q177_fuzzy_match", "q178_seasonality",
                          "q179_golden_record", "q180_mass_quantiles",
                          "q181_skew_report", "q182_upsert_merge",
-                         "q183_trend_slope", "q184_bootstrap_ci")
+                         "q183_trend_slope", "q184_bootstrap_ci",
+                         "q185_lateness_histogram", "q186_column_profile",
+                         "q187_asof_nearest", "q188_file_prune_stats")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1577,6 +1577,145 @@ object AnalyticsQueries extends QueryModule {
             CAST(n * sxx - sx * sx AS DOUBLE) * 1000000000) AS BIGINT)
           END AS slope_nano
       FROM m""")),
+
+    // Event-lateness histogram (the measurement that SIZES a streaming
+    // watermark instead of guessing it): per event, lateness = the
+    // user's max event-time seen so far IN ARRIVAL ORDER (event_id)
+    // minus this event's time; bucketed to minutes (capped at 60) with
+    // cumulative ppm — "a 7-minute watermark covers 99.4% of events"
+    // reads straight off the result. Scale shape: ONE user-partitioned
+    // running-max window (arrival-ordered, bounded by a user's
+    // history) + a map-side-combined <= 61-row bucket agg; the cum
+    // window rides the bounded bucket grid.
+    Q("q185_lateness_histogram", (s, d) => {
+      import s.implicits._
+      // arrival time = event time + a deterministic 0-2 h transport
+      // delay (pure-hash, q84 convention) — the generator writes events
+      // in event-time order, so without modeled transport jitter every
+      // lateness is 0 and the histogram is vacuous; 2 h is on the order
+      // of this corpus's inter-event gaps, so real reordering occurs
+      val w = Window.partitionBy($"user_id").orderBy($"arr".asc, $"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val buckets = t(s, d, "events")
+        .select($"user_id", $"event_id",
+          unix_micros($"ts".cast("timestamp")).as("ep"))
+        .withColumn("arr",
+          $"ep" + CorpusOps.hashMix($"event_id", 7200L) * 1000000L)
+        .withColumn("late", max($"ep").over(w) - $"ep")
+        .select(least(expr("late div 60000000"), lit(60L)).as("late_min"))
+        .groupBy($"late_min").agg(count(lit(1)).as("n"))
+      val wB = Window.orderBy($"late_min".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      buckets
+        .withColumn("cum", sum($"n").over(wB))
+        .withColumn("total", sum($"n").over(wAll))
+        .select($"late_min", $"n",
+          expr("(cum * 1000000) div total").as("cum_ppm"))
+    }, Some("""
+      WITH e0 AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ep,
+          epoch_us(ts) + ((event_id % 1000003) * 2654435761 + 40503) % 7200
+            * 1000000 AS arr
+        FROM events),
+      e AS (
+        SELECT user_id, event_id, ep,
+          max(ep) OVER (PARTITION BY user_id ORDER BY arr ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+        FROM e0),
+      b AS (SELECT least((mx - ep) // 60000000, 60) AS late_min,
+              CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY 1),
+      c AS (SELECT late_min, n,
+              CAST(sum(n) OVER (ORDER BY late_min ASC ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+              CAST(sum(n) OVER () AS BIGINT) AS total
+            FROM b)
+      SELECT late_min, n, (cum * 1000000) // total AS cum_ppm FROM c""")),
+
+    // Nearest-event as-of join (the as-of family's third member after
+    // last-before q47 and window-native q163: match to the CLOSEST
+    // event in EITHER direction — sensor alignment, error-to-click
+    // triage). Same union trick as q47, extended with a forward frame:
+    // one user-partitioned pass computes last-click-at-or-before and
+    // first-click-after, and a row-local comparison picks the nearer
+    // (ties -> the earlier click). No self-join, no inequality join.
+    // Scale shape: ONE (ts, tag, id)-ordered window per user (bounded
+    // by a user's history); unmatched probes surface as -1/0 (no
+    // cross-engine NULLs).
+    Q("q187_asof_nearest", (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          unix_micros($"ts".cast("timestamp")).as("ep"))
+      val probes = ev.filter($"event_type" === "error")
+        .select($"user_id", $"event_id".as("eid"), $"ep",
+          lit(1L).as("tag"), lit(null).cast("long").as("cid"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("eid"), $"ep",
+          lit(0L).as("tag"), $"event_id".as("cid"))
+      val u = probes.unionByName(clicks)
+      val ord = Window.partitionBy($"user_id")
+        .orderBy($"ep".asc, $"tag".asc, $"eid".asc)
+      val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
+      u
+        .withColumn("pcid", last($"cid", ignoreNulls = true).over(wPrev))
+        .withColumn("pts",
+          last(when($"tag" === 0, $"ep"), ignoreNulls = true).over(wPrev))
+        .withColumn("ncid", first($"cid", ignoreNulls = true).over(wNext))
+        .withColumn("nts",
+          first(when($"tag" === 0, $"ep"), ignoreNulls = true).over(wNext))
+        .filter($"tag" === 1)
+        .select($"user_id", $"eid".as("error_id"),
+          when($"pcid".isNull && $"ncid".isNull, lit(-1L))
+            .when($"ncid".isNull, $"pcid")
+            .when($"pcid".isNull, $"ncid")
+            .when($"nts" - $"ep" < $"ep" - $"pts", $"ncid")
+            .otherwise($"pcid").as("click_id"),
+          when($"pcid".isNull && $"ncid".isNull, lit(0L))
+            .when($"ncid".isNull, $"pts" - $"ep")
+            .when($"pcid".isNull, $"nts" - $"ep")
+            .when($"nts" - $"ep" < $"ep" - $"pts", $"nts" - $"ep")
+            .otherwise($"pts" - $"ep").as("delta_us"))
+    }, Some("""
+      WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ep
+                  FROM events),
+      u AS (
+        SELECT user_id, event_id AS eid, ep, 1 AS tag,
+          CAST(NULL AS BIGINT) AS cid
+        FROM ev WHERE event_type = 'error'
+        UNION ALL
+        SELECT user_id, event_id, ep, 0, event_id
+        FROM ev WHERE event_type = 'click'),
+      x AS (
+        SELECT user_id, eid, ep, tag,
+          last_value(cid IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY ep ASC, tag ASC, eid ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pcid,
+          last_value(CASE WHEN tag = 0 THEN ep END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ep ASC, tag ASC, eid ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pts,
+          first_value(cid IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY ep ASC, tag ASC, eid ASC
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ncid,
+          first_value(CASE WHEN tag = 0 THEN ep END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ep ASC, tag ASC, eid ASC
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nts
+        FROM u)
+      SELECT user_id, eid AS error_id,
+        CAST(CASE WHEN pcid IS NULL AND ncid IS NULL THEN -1
+             WHEN ncid IS NULL THEN pcid
+             WHEN pcid IS NULL THEN ncid
+             WHEN nts - ep < ep - pts THEN ncid
+             ELSE pcid END AS BIGINT) AS click_id,
+        CAST(CASE WHEN pcid IS NULL AND ncid IS NULL THEN 0
+             WHEN ncid IS NULL THEN pts - ep
+             WHEN pcid IS NULL THEN nts - ep
+             WHEN nts - ep < ep - pts THEN nts - ep
+             ELSE pts - ep END AS BIGINT) AS delta_us
+      FROM x WHERE tag = 1""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

@@ -689,7 +689,132 @@ object GovernanceQueries extends QueryModule {
               AS mean_full_milli
             FROM q GROUP BY 1)
       SELECT ci.source, f.mean_full_milli, ci.ci_lo_milli, ci.ci_hi_milli
-      FROM ci JOIN f ON f.source = ci.source"""))
+      FROM ci JOIN f ON f.source = ci.source""")),
+
+    // Column-profile report (the dbt-docs / data-catalog primitive: one
+    // row per column with count, null count, exact NDV, canonical
+    // min/max strings). ONE scan computes all five columns' stats in a
+    // single multi-distinct aggregate (Catalyst's Expand handles the
+    // distinct legs), then a stack pivots the 1-row frame to the
+    // 5-row report. Numeric columns are profiled on canonical integer
+    // forms (milli / yyyy-MM-dd) so min/max strings are engine-stable.
+    // Scale shape: one corpus scan, map-side-combined; everything
+    // after is a 1-row -> 5-row local pivot.
+    Q("q186_column_profile", (s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem").select(
+        $"l_orderkey", $"l_partkey", $"l_returnflag",
+        date_format($"l_shipdate", "yyyy-MM-dd").as("ship"),
+        floor($"l_quantity" * 1000).cast("long").as("qty_milli"))
+      def prof(c: String, i: Int) = Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nu$i"),
+        countDistinct(col(c)).as(s"d$i"),
+        min(col(c)).cast("string").as(s"mn$i"),
+        max(col(c)).cast("string").as(s"mx$i"))
+      val cols = Seq("l_orderkey", "l_partkey", "l_returnflag", "ship",
+        "qty_milli")
+      val aggs = count(lit(1)).as("n") +:
+        cols.zipWithIndex.flatMap { case (c, i) => prof(c, i) }
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.zipWithIndex
+        .map { case (c, i) => s"'$c', nu$i, d$i, mn$i, mx$i" }
+        .mkString(", ")
+      one.selectExpr(
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_null, n_distinct, min_str, max_str)", "n")
+        .select($"col_name", $"n", $"n_null", $"n_distinct",
+          $"min_str", $"max_str")
+    }, Some("""
+      WITH li AS (SELECT l_orderkey, l_partkey, l_returnflag,
+                    strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship,
+                    CAST(floor(l_quantity * 1000) AS BIGINT) AS qty_milli
+                  FROM lineitem)
+      SELECT 'l_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_null,
+        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+        CAST(max(l_orderkey) AS VARCHAR) AS max_str FROM li
+      UNION ALL
+      SELECT 'l_partkey', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(count(DISTINCT l_partkey) AS BIGINT),
+        CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR)
+      FROM li
+      UNION ALL
+      SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT),
+        CAST(count(DISTINCT l_returnflag) AS BIGINT),
+        CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+      FROM li
+      UNION ALL
+      SELECT 'ship', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN ship IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(count(DISTINCT ship) AS BIGINT),
+        CAST(min(ship) AS VARCHAR), CAST(max(ship) AS VARCHAR) FROM li
+      UNION ALL
+      SELECT 'qty_milli', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN qty_milli IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(count(DISTINCT qty_milli) AS BIGINT),
+        CAST(min(qty_milli) AS VARCHAR), CAST(max(qty_milli) AS VARCHAR)
+      FROM li""")),
+
+    // File-pruning layout comparison (WHY sorted/range layout matters,
+    // quantified — the min/max-zonemap argument behind ZOrderLayout):
+    // the same corpus assigned to files two ways (natural insertion
+    // order vs value-range partitioning on the sort column), per-file
+    // min/max zonemaps built, and a mid-range 10% predicate evaluated
+    // against both: the report says what fraction of files each layout
+    // PRUNES. Scale shape: 1-row min/max broadcast; two file-keyed
+    // map-side-combined aggs; file counts are corpus/50-sized frames
+    // reduced immediately to 1-row stats; integer arithmetic.
+    Q("q188_file_prune_stats", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select($"doc_id", $"n_chars")
+      val mm = docs.agg(min($"n_chars").as("mn"), max($"n_chars").as("mx"))
+      val base = docs.join(broadcast(mm))
+        .withColumn("lo", expr("mn + ((mx - mn) * 45) div 100"))
+        .withColumn("hi", expr("mn + ((mx - mn) * 55) div 100"))
+        .withColumn("file_nat", expr("doc_id div 50"))
+        .withColumn("w", expr("(mx - mn) div 20 + 1"))
+        .withColumn("file_rng", expr("(n_chars - mn) div w"))
+      def layout(fileCol: String, label: String) =
+        base.groupBy(col(fileCol).as("f"))
+          .agg(min($"n_chars").as("fmn"), max($"n_chars").as("fmx"),
+            max($"lo").as("lo"), max($"hi").as("hi"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when($"fmx" >= $"lo" && $"fmn" <= $"hi", 1L).otherwise(0L))
+              .as("n_overlap"))
+          .select(lit(label).as("layout"), $"n_files", $"n_overlap",
+            expr("((n_files - n_overlap) * 1000000) div n_files")
+              .as("prune_ppm"))
+      layout("file_nat", "natural").unionAll(layout("file_rng", "range"))
+    }, Some("""
+      WITH mm AS (SELECT CAST(min(n_chars) AS BIGINT) AS mn,
+                    CAST(max(n_chars) AS BIGINT) AS mx FROM documents),
+      base AS (SELECT doc_id, n_chars,
+                 mn + ((mx - mn) * 45) // 100 AS lo,
+                 mn + ((mx - mn) * 55) // 100 AS hi,
+                 doc_id // 50 AS file_nat,
+                 (n_chars - mn) // ((mx - mn) // 20 + 1) AS file_rng
+               FROM documents CROSS JOIN mm),
+      nat AS (SELECT file_nat AS f, min(n_chars) AS fmn, max(n_chars) AS fmx,
+                max(lo) AS lo, max(hi) AS hi FROM base GROUP BY 1),
+      rng AS (SELECT file_rng AS f, min(n_chars) AS fmn, max(n_chars) AS fmx,
+                max(lo) AS lo, max(hi) AS hi FROM base GROUP BY 1),
+      a AS (SELECT 'natural' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+              CAST(sum(CASE WHEN fmx >= lo AND fmn <= hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap
+            FROM nat
+            UNION ALL
+            SELECT 'range', CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN fmx >= lo AND fmn <= hi THEN 1 ELSE 0 END)
+                AS BIGINT)
+            FROM rng)
+      SELECT layout, n_files, n_overlap,
+        ((n_files - n_overlap) * 1000000) // n_files AS prune_ppm
+      FROM a"""))
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

@@ -886,4 +886,65 @@ class AnalyticsQuerySpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == exp)
   }
+
+  // ------------------------------------------------------------------
+  test("q185 lateness histogram matches a sequential arrival-order recompute; cum reaches 1e6") {
+    val evs = graft.catalog.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_id",
+        "unix_micros(cast(ts as timestamp)) as ep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lates = evs.groupBy(_._1).values.flatMap { es =>
+      val byArr = es.map { case (_, eid, ep) =>
+        val d = ((eid % 1000003) * 2654435761L + 40503) % 7200
+        (ep + d * 1000000L, eid, ep)
+      }.sortBy(e => (e._1, e._2))
+      var mx = Long.MinValue
+      byArr.map { case (_, _, ep) =>
+        mx = math.max(mx, ep)
+        math.min((mx - ep) / 60000000L, 60L)
+      }
+    }.toSeq
+    val exp = lates.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = run("q185_lateness_histogram").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (b, n) => assert(got(b)._1 == n, s"bucket $b") }
+    val total = lates.size.toLong
+    var cum = 0L
+    got.keys.toSeq.sorted.foreach { b =>
+      cum += got(b)._1
+      assert(got(b)._2 == cum * 1000000L / total, s"bucket $b cum")
+    }
+    assert(got(got.keys.max)._2 == 1000000L)
+  }
+
+  // ------------------------------------------------------------------
+  test("q187 nearest as-of picks the closer of last-before and first-after, ties to the earlier click") {
+    val evs = graft.catalog.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(cast(ts as timestamp)) as ep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val exp = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val clicks = es.filter(_._3 == "click").map(e => (e._4, e._2))
+        .sortBy(identity)
+      es.filter(_._3 == "error").map { case (_, eid, _, ep) =>
+        // "before" = click at or before the error in (ts, tag, id)
+        // order: clicks tie-break BEFORE errors at equal ts
+        val before = clicks.filter(c => c._1 <= ep).lastOption
+        val after = clicks.filter(c => c._1 > ep).headOption
+        val (cid, delta) = (before, after) match {
+          case (None, None) => (-1L, 0L)
+          case (Some((ts, id)), None) => (id, ts - ep)
+          case (None, Some((ts, id))) => (id, ts - ep)
+          case (Some((pts, pid)), Some((nts, nid))) =>
+            if (nts - ep < ep - pts) (nid, nts - ep) else (pid, pts - ep)
+        }
+        (u, eid) -> (cid, delta)
+      }
+    }.toMap
+    val got = run("q187_asof_nearest").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == exp)
+  }
 }

@@ -400,4 +400,67 @@ class GovernanceQuerySpec extends AnyFunSuite {
       assert(lo - 50 <= m && m <= hi + 50, s"$src bracket")
     }
   }
+
+  // ------------------------------------------------------------------
+  test("q186 column profile matches direct per-column stats") {
+    val li = graft.catalog.Tables.t(spark, sf, "lineitem")
+      .selectExpr("l_orderkey", "l_partkey", "l_returnflag",
+        "date_format(l_shipdate, 'yyyy-MM-dd') as ship",
+        "cast(floor(l_quantity * 1000) as long) as qty_milli").collect()
+    val n = li.length.toLong
+    def col[T](i: Int): Seq[Any] = li.map(_.get(i)).toSeq
+    val exp = Map(
+      "l_orderkey" -> col(0), "l_partkey" -> col(1),
+      "l_returnflag" -> col(2), "ship" -> col(3), "qty_milli" -> col(4))
+      .map { case (name, vs) =>
+        val nonNull = vs.filterNot(_ == null)
+        val strs = nonNull.map(_.toString)
+        val (mn, mx) = name match {
+          case "l_returnflag" | "ship" => (strs.min, strs.max)
+          case _ =>
+            val ls = nonNull.map(_.asInstanceOf[Long])
+            (ls.min.toString, ls.max.toString)
+        }
+        name -> ((vs.size - nonNull.size).toLong,
+          nonNull.distinct.size.toLong, mn, mx)
+      }
+    val got = run("q186_column_profile").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (c, (nu, nd, mn, mx)) =>
+      val (gn, gnu, gnd, gmn, gmx) = got(c)
+      assert(gn == n, s"$c n")
+      assert(gnu == nu, s"$c nulls")
+      assert(gnd == nd, s"$c ndv")
+      assert(gmn == mn && gmx == mx, s"$c min/max")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  test("q188 range layout prunes most files for a mid-range predicate; natural layout prunes none on this corpus") {
+    val docs = graft.catalog.Tables.t(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mn = docs.map(_._2).min; val mx = docs.map(_._2).max
+    val lo = mn + (mx - mn) * 45 / 100
+    val hi = mn + (mx - mn) * 55 / 100
+    val w = (mx - mn) / 20 + 1
+    def stats(assign: ((Long, Long)) => Long): (Long, Long) = {
+      val files = docs.groupBy(assign).values
+        .map(fs => (fs.map(_._2).min, fs.map(_._2).max))
+      (files.size.toLong,
+        files.count { case (fmn, fmx) => fmx >= lo && fmn <= hi }.toLong)
+    }
+    val (nfN, ovN) = stats(d => d._1 / 50)
+    val (nfR, ovR) = stats(d => (d._2 - mn) / w)
+    val got = run("q188_file_prune_stats").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got("natural") == ((nfN, ovN, (nfN - ovN) * 1000000L / nfN)))
+    assert(got("range") == ((nfR, ovR, (nfR - ovR) * 1000000L / nfR)))
+    // the story the operator exists to tell
+    assert(got("range")._3 > got("natural")._3,
+      "range layout must prune more than natural")
+  }
 }

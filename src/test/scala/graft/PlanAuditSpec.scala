@@ -68,6 +68,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q170_quantile_normalize" -> "1-row corpus-count broadcast onto the distinct-qmilli grid (value-domain bounded)",
     "q172_skipgram_ppmi" -> "1-row pair-total broadcast for the PMI normalizer",
     "q173_basket_lift" -> "1-row order-total broadcast onto the <= 100-row part-class pair frame",
+    "q188_file_prune_stats" -> "1-row corpus min/max broadcast for the range-layout width and predicate bounds",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
@@ -84,6 +85,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q166_budget_apportion" -> "largest-remainder rank over the language-registry frame (bounded registry)",
     "q170_quantile_normalize" -> "quantile-function cum/lag over the DISTINCT qmilli grid — value-domain bounded (<= 1001 rows by construction, q110 argument)",
     "q181_skew_report" -> "cum/total windows over the DISTINCT per-key-frequency grid — value-domain bounded (q110 argument), never key-cardinality rows",
+    "q185_lateness_histogram" -> "cum/total windows over the <= 61-row capped lateness-minute bucket grid",
   )
 
   /** broadcast() HINT audit (the q54 class): a hint pins its side into
