@@ -52,7 +52,8 @@ object Explain {
                          "q181_skew_report", "q182_upsert_merge",
                          "q183_trend_slope", "q184_bootstrap_ci",
                          "q185_lateness_histogram", "q186_column_profile",
-                         "q187_asof_nearest", "q188_file_prune_stats")
+                         "q187_asof_nearest", "q188_file_prune_stats",
+                         "q189_path_mining", "q190_wow_growth")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

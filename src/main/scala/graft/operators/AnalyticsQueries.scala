@@ -1716,6 +1716,124 @@ object AnalyticsQueries extends QueryModule {
              WHEN nts - ep < ep - pts THEN nts - ep
              ELSE pts - ep END AS BIGINT) AS delta_us
       FROM x WHERE tag = 1""")),
+
+    // Clickstream path mining (the top behavioral 3-grams q97's single
+    // pattern can't rank): sessionize (30-min gap, q26 semantics),
+    // take every in-session 3-step event-type path, count, and keep
+    // the global top-10. Scale shape: sessionization + the two leads
+    // are ONE user-partitioned window pass (bounded by a user's
+    // history); the path space is the type-registry cubed (<= 125), so
+    // the count agg is registry-sized and the top-10 is a
+    // TakeOrdered limit — no window over the corpus, no shuffle after
+    // the first agg.
+    Q("q189_path_mining", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ep".asc, $"event_id".asc)
+      val sess = t(s, d, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          unix_micros($"ts".cast("timestamp")).as("ep"))
+        .withColumn("prev", lag($"ep", 1).over(w))
+        .withColumn("nw",
+          when($"prev".isNull || $"ep" - $"prev" > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid",
+          sum($"nw").over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      val wS = Window.partitionBy($"user_id", $"sid")
+        .orderBy($"ep".asc, $"event_id".asc)
+      sess
+        .withColumn("t1", lead($"event_type", 1).over(wS))
+        .withColumn("t2", lead($"event_type", 2).over(wS))
+        .filter($"t1".isNotNull && $"t2".isNotNull)
+        .select(concat($"event_type", lit(">"), $"t1", lit(">"), $"t2")
+          .as("path"))
+        .groupBy($"path").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"path".asc)
+        .limit(10)
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ep,
+          lag(epoch_us(ts)) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
+        FROM events),
+      s AS (
+        SELECT user_id, event_id, event_type, ep,
+          sum(CASE WHEN prev IS NULL OR ep - prev > 1800000000
+              THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+            ORDER BY ep ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM e),
+      p AS (
+        SELECT event_type || '>' ||
+          lead(event_type, 1) OVER (PARTITION BY user_id, sid
+            ORDER BY ep ASC, event_id ASC) || '>' ||
+          lead(event_type, 2) OVER (PARTITION BY user_id, sid
+            ORDER BY ep ASC, event_id ASC) AS path
+        FROM s
+        QUALIFY lead(event_type, 1) OVER (PARTITION BY user_id, sid
+            ORDER BY ep ASC, event_id ASC) IS NOT NULL
+          AND lead(event_type, 2) OVER (PARTITION BY user_id, sid
+            ORDER BY ep ASC, event_id ASC) IS NOT NULL)
+      SELECT path, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1
+      ORDER BY n DESC, path ASC LIMIT 10""")),
+
+    // Week-over-week growth report (the trend dashboard q178's static
+    // profile feeds into): per (event_type, epoch-week) event count and
+    // value mass, each with signed permille growth vs the previous
+    // week. Weeks are integer epoch-week indices (ep div 604800e6) —
+    // no cross-engine calendar arithmetic. Scale shape: ONE
+    // map-side-combined (type, week) agg collapses the stream; the lag
+    // windows ride the per-type weekly series (grows with retention
+    // time, ~52 rows/type/year — q119's argument), partitioned by
+    // type; integer permille with zero-previous guarded to 0.
+    Q("q190_wow_growth", (s, d) => {
+      import s.implicits._
+      val wk = t(s, d, "events")
+        .select($"event_type",
+          expr("unix_micros(cast(ts as timestamp)) div 604800000000")
+            .as("week"),
+          floor($"value" * 1000).cast("long").as("vm"))
+        .groupBy($"event_type", $"week")
+        .agg(count(lit(1)).as("n"), sum($"vm").as("value_milli"))
+      val w = Window.partitionBy($"event_type").orderBy($"week".asc)
+      wk
+        .withColumn("pn", lag($"n", 1).over(w))
+        .withColumn("pv", lag($"value_milli", 1).over(w))
+        // signed-magnitude form: Spark `div` truncates toward zero but
+        // DuckDB `//` floors, so negative growth must never reach the
+        // integer division — divide the |diff| and reapply the sign
+        .select($"event_type", $"week", $"n", $"value_milli",
+          when($"pn".isNull || $"pn" === 0, lit(0L))
+            .when($"n" >= $"pn", expr("((n - pn) * 1000) div pn"))
+            .otherwise(-expr("((pn - n) * 1000) div pn")).as("n_growth_pml"),
+          when($"pv".isNull || $"pv" === 0, lit(0L))
+            .when($"value_milli" >= $"pv",
+              expr("((value_milli - pv) * 1000) div pv"))
+            .otherwise(-expr("((pv - value_milli) * 1000) div pv"))
+            .as("value_growth_pml"))
+    }, Some("""
+      WITH wk AS (
+        SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+            AS value_milli
+        FROM events GROUP BY 1, 2),
+      l AS (
+        SELECT event_type, week, n, value_milli,
+          lag(n) OVER (PARTITION BY event_type ORDER BY week ASC) AS pn,
+          lag(value_milli) OVER (PARTITION BY event_type ORDER BY week ASC)
+            AS pv
+        FROM wk)
+      SELECT event_type, week, n, value_milli,
+        CAST(CASE WHEN pn IS NULL OR pn = 0 THEN 0
+          WHEN n >= pn THEN ((n - pn) * 1000) // pn
+          ELSE -(((pn - n) * 1000) // pn) END AS BIGINT) AS n_growth_pml,
+        CAST(CASE WHEN pv IS NULL OR pv = 0 THEN 0
+          WHEN value_milli >= pv THEN ((value_milli - pv) * 1000) // pv
+          ELSE -(((pv - value_milli) * 1000) // pv) END AS BIGINT)
+          AS value_growth_pml
+      FROM l""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

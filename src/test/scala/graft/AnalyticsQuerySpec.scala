@@ -947,4 +947,59 @@ class AnalyticsQuerySpec extends AnyFunSuite {
       .toMap
     assert(got == exp)
   }
+
+  // ------------------------------------------------------------------
+  test("q189 top paths equal a sequential sessionize-and-count recompute") {
+    val evs = graft.catalog.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(cast(ts as timestamp)) as ep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val paths = evs.groupBy(_._1).values.flatMap { es =>
+      val o = es.sortBy(e => (e._4, e._2))
+      var sid = 0L
+      var prev = Option.empty[Long]
+      val withSid = o.map { e =>
+        if (prev.forall(p => e._4 - p > 1800000000L)) sid += 1
+        prev = Some(e._4)
+        (sid, e._3)
+      }
+      withSid.groupBy(_._1).values.flatMap { ss =>
+        val ts = ss.map(_._2)
+        ts.sliding(3).filter(_.size == 3).map(_.mkString(">"))
+      }
+    }.toSeq
+    val counts = paths.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val top10 = counts.sortBy { case (p, n) => (-n, p) }.take(10).toMap
+    val got = run("q189_path_mining").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == top10)
+  }
+
+  // ------------------------------------------------------------------
+  test("q190 WoW growth matches a direct recompute with truncation-toward-zero semantics on negative growth") {
+    val evs = graft.catalog.Tables.t(spark, sf, "events")
+      .selectExpr("event_type",
+        "unix_micros(cast(ts as timestamp)) div 604800000000 as week",
+        "cast(floor(value * 1000) as long) as vm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def g(cur: Long, prev: Option[Long]): Long = prev match {
+      case None | Some(0L) => 0L
+      case Some(p) =>
+        if (cur >= p) (cur - p) * 1000 / p else -((p - cur) * 1000 / p)
+    }
+    val exp = evs.groupBy(e => (e._1, e._2)).toSeq
+      .map { case ((ty, wk), es) => (ty, wk, es.size.toLong, es.map(_._3).sum) }
+      .groupBy(_._1).flatMap { case (_, wks) =>
+        val s = wks.sortBy(_._2)
+        s.zip(None +: s.map(Some(_))).map { case ((ty, wk, n, v), p) =>
+          (ty, wk) -> (n, v, g(n, p.map(_._3)), g(v, p.map(_._4)))
+        }
+      }
+    val got = run("q190_wow_growth").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == exp)
+    // the signed branch is actually exercised on this data
+    assert(got.values.exists(_._3 < 0), "expected at least one negative growth")
+  }
 }
