@@ -693,37 +693,30 @@ object GovernanceQueries extends QueryModule {
 
     // Column-profile report (the dbt-docs / data-catalog primitive: one
     // row per column with count, null count, exact NDV, canonical
-    // min/max strings). ONE scan computes all five columns' stats in a
-    // single multi-distinct aggregate (Catalyst's Expand handles the
-    // distinct legs), then a stack pivots the 1-row frame to the
-    // 5-row report. Numeric columns are profiled on canonical integer
-    // forms (milli / yyyy-MM-dd) so min/max strings are engine-stable.
-    // Scale shape: one corpus scan, map-side-combined; everything
-    // after is a 1-row -> 5-row local pivot.
+    // min/max strings). ONE independent two-stage aggregate PER COLUMN,
+    // unioned — NOT a single multi-distinct aggregate: Catalyst plans
+    // n distinct legs as an Expand that multiplies every row n-fold
+    // through one exchange (measured 8.9 s vs 0.6 s for this exact
+    // query at sf0.1), while per-column branches each keep the
+    // map-side partial-distinct shape and run in parallel. Numeric
+    // columns are profiled on canonical integer forms (milli /
+    // yyyy-MM-dd) so min/max strings are engine-stable.
     Q("q186_column_profile", (s, d) => {
       import s.implicits._
       val li = t(s, d, "lineitem").select(
         $"l_orderkey", $"l_partkey", $"l_returnflag",
         date_format($"l_shipdate", "yyyy-MM-dd").as("ship"),
         floor($"l_quantity" * 1000).cast("long").as("qty_milli"))
-      def prof(c: String, i: Int) = Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nu$i"),
-        countDistinct(col(c)).as(s"d$i"),
-        min(col(c)).cast("string").as(s"mn$i"),
-        max(col(c)).cast("string").as(s"mx$i"))
-      val cols = Seq("l_orderkey", "l_partkey", "l_returnflag", "ship",
-        "qty_milli")
-      val aggs = count(lit(1)).as("n") +:
-        cols.zipWithIndex.flatMap { case (c, i) => prof(c, i) }
-      val one = li.agg(aggs.head, aggs.tail: _*)
-      val stackArgs = cols.zipWithIndex
-        .map { case (c, i) => s"'$c', nu$i, d$i, mn$i, mx$i" }
-        .mkString(", ")
-      one.selectExpr(
-        s"stack(${cols.size}, $stackArgs) AS " +
-          "(col_name, n_null, n_distinct, min_str, max_str)", "n")
-        .select($"col_name", $"n", $"n_null", $"n_distinct",
+      def prof(c: String) = li.select(col(c))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_str"),
+          max(col(c)).cast("string").as("max_str"))
+        .select(lit(c).as("col_name"), $"n", $"n_null", $"n_distinct",
           $"min_str", $"max_str")
+      Seq("l_orderkey", "l_partkey", "l_returnflag", "ship", "qty_milli")
+        .map(prof).reduce(_ unionAll _)
     }, Some("""
       WITH li AS (SELECT l_orderkey, l_partkey, l_returnflag,
                     strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship,
