@@ -944,6 +944,189 @@ object SimilarityQueries extends QueryModule {
               row_number() OVER (PARTITION BY query_id
                                  ORDER BY sim DESC, neg_id ASC) AS rnk
             FROM s)
-      WHERE rnk <= 5"""))
+      WHERE rnk <= 5""")),
+
+    // hybrid-retrieval reciprocal-rank fusion (the RAG hybrid-search
+    // shape): for each query doc, fuse a DENSE ranking (embedding
+    // cosine, q37's codegen'd dot) with a LEXICAL ranking (q112's BM25
+    // over the token index) via RRF — score(d) = sum over lists of
+    // 1/(60+rank), in integer micro-units so the fusion is pure integer
+    // arithmetic (no cross-engine float division). Scale shape: the
+    // query batch is an INPUT (constant at any corpus size) so the
+    // dense side is the broadcast k*n scan of q37/q141; the lexical
+    // side is q112's vocabulary-keyed joins (df/dl frames grow with the
+    // corpus, never broadcast; only the doc-bounded query-term set and
+    // the 1-row corpus stats are). Both per-query top-50s ride the
+    // (query, hash-bucket) prefilter + bounded final window — the
+    // total-order tiebreak (score DESC, doc ASC) makes bucketing
+    // invisible to the oracle. The fusion join sees <= 100 rows per
+    // query (two top-50 lists), AQE-adjudicated, and the final top-10
+    // re-rank windows over <= 100 survivors per query.
+    Q("q191_rrf_fusion", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val qids = Seq(0L, 5L)
+      // dense ranking: cosine to the query embedding (unit-norm -> dot)
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id".as("doc_id"),
+          $"embedding".cast("array<double>").as("e"))
+      val qe = broadcast(emb.filter($"doc_id".isin(qids: _*))
+        .select($"doc_id".as("q_id"), $"e".as("qv")))
+      val dOrd = Seq($"sim".desc, $"doc_id".asc)
+      val wDB = Window.partitionBy($"q_id", pmod(hash($"doc_id"), lit(64)))
+        .orderBy(dOrd: _*)
+      val wDF = Window.partitionBy($"q_id").orderBy(dOrd: _*)
+      val dense = emb.join(qe, $"doc_id" =!= $"q_id")
+        .withColumn("sim", SimilarityOps.dot($"qv", $"e"))
+        .withColumn("rb", row_number().over(wDB)).filter($"rb" <= 50)
+        .withColumn("drk", row_number().over(wDF).cast("long"))
+        .filter($"drk" <= 50)
+        .select($"q_id", $"doc_id", $"drk")
+      // lexical ranking: q112's BM25 (same constants), queries = same docs
+      // tf feeds four consumers (dl, df/idf, the query-term set, and the
+      // scored join). A persist() was A/B-measured SLOWER here (3.8 s vs
+      // 2.3 s at sf0.1): tf is corpus-sized (docs x distinct tokens) and
+      // the cache write costs more than the three extra scan+agg legs,
+      // unlike the registry-sized q168-class frames the round-12 persist
+      // pass targeted. Left unpersisted deliberately.
+      val tf = t(s, d, "documents")
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"),
+        (sum($"dl") * lit(1.0) / count(lit(1))).as("avgdl"))
+      val idf = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+        .join(broadcast(stats))
+        .select($"tok",
+          floor(log(lit(1) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+            * 1000000000d).cast("long").as("idf_n"))
+      val qt = tf.filter($"doc_id".isin(qids: _*))
+        .select($"doc_id".as("q_id"), $"tok").distinct()
+      val scored = tf.join(broadcast(qt), "tok")
+        .filter($"doc_id" =!= $"q_id")
+        .join(idf, "tok").join(dl, "doc_id").join(broadcast(stats))
+        .withColumn("term_n",
+          floor($"idf_n" * (($"tf" * lit(2.2))
+            / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / $"avgdl")))))
+            .cast("long"))
+        .groupBy($"q_id", $"doc_id").agg(sum($"term_n").as("bm25_n"))
+      val lOrd = Seq($"bm25_n".desc, $"doc_id".asc)
+      val wLB = Window.partitionBy($"q_id", pmod(hash($"doc_id"), lit(64)))
+        .orderBy(lOrd: _*)
+      val wLF = Window.partitionBy($"q_id").orderBy(lOrd: _*)
+      val lex = scored
+        .withColumn("rb", row_number().over(wLB)).filter($"rb" <= 50)
+        .withColumn("lrk", row_number().over(wLF).cast("long"))
+        .filter($"lrk" <= 50)
+        .select($"q_id", $"doc_id", $"lrk")
+      // RRF fusion: integer micro-unit contributions, absent list -> 0
+      val fused = dense.withColumn("dc", expr("1000000 div (60 + drk)"))
+        .join(lex.withColumn("lc", expr("1000000 div (60 + lrk)")),
+          Seq("q_id", "doc_id"), "full_outer")
+        .select($"q_id", $"doc_id",
+          coalesce($"drk", lit(0L)).as("dense_rk"),
+          coalesce($"lrk", lit(0L)).as("lex_rk"),
+          (coalesce($"dc", lit(0L)) + coalesce($"lc", lit(0L)))
+            .as("rrf_micro"))
+      val wR = Window.partitionBy($"q_id")
+        .orderBy($"rrf_micro".desc, $"doc_id".asc)
+      fused.withColumn("rk", row_number().over(wR).cast("long"))
+        .filter($"rk" <= 10)
+    }, Some("""
+      WITH emb AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+      qe AS (SELECT doc_id AS q_id, e AS qv FROM emb WHERE doc_id IN (0, 5)),
+      dense AS (
+        SELECT q_id, doc_id, CAST(rnk AS BIGINT) AS drk FROM (
+          SELECT qe.q_id, emb.doc_id,
+            row_number() OVER (PARTITION BY qe.q_id ORDER BY
+              list_sum(list_transform(range(1, 65),
+                i -> qe.qv[i] * emb.e[i])) DESC, emb.doc_id ASC) AS rnk
+          FROM qe, emb WHERE emb.doc_id <> qe.q_id)
+        WHERE rnk <= 50),
+      tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+      idf AS (SELECT tok,
+                CAST(floor(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1000000000)
+                     AS BIGINT) AS idf_n
+              FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+              CROSS JOIN stats),
+      qt AS (SELECT DISTINCT doc_id AS q_id, tok FROM tf
+             WHERE doc_id IN (0, 5)),
+      sc AS (SELECT qt.q_id, tf.doc_id,
+               CAST(sum(CAST(floor(idf.idf_n * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / stats.avgdl)))))
+                 AS BIGINT)) AS BIGINT) AS bm25_n
+             FROM qt
+             JOIN tf ON tf.tok = qt.tok AND tf.doc_id <> qt.q_id
+             JOIN idf ON idf.tok = tf.tok
+             JOIN dl ON dl.doc_id = tf.doc_id
+             CROSS JOIN stats
+             GROUP BY 1, 2),
+      lex AS (
+        SELECT q_id, doc_id, CAST(rnk AS BIGINT) AS lrk FROM (
+          SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+            ORDER BY bm25_n DESC, doc_id ASC) AS rnk FROM sc)
+        WHERE rnk <= 50),
+      fused AS (
+        SELECT coalesce(dense.q_id, lex.q_id) AS q_id,
+          coalesce(dense.doc_id, lex.doc_id) AS doc_id,
+          coalesce(dense.drk, 0) AS dense_rk,
+          coalesce(lex.lrk, 0) AS lex_rk,
+          coalesce(1000000 // (60 + dense.drk), 0)
+            + coalesce(1000000 // (60 + lex.lrk), 0) AS rrf_micro
+        FROM dense FULL JOIN lex
+          ON lex.q_id = dense.q_id AND lex.doc_id = dense.doc_id)
+      SELECT q_id, doc_id, CAST(dense_rk AS BIGINT) AS dense_rk,
+        CAST(lex_rk AS BIGINT) AS lex_rk,
+        CAST(rrf_micro AS BIGINT) AS rrf_micro, CAST(rk AS BIGINT) AS rk
+      FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY rrf_micro DESC, doc_id ASC) AS rk FROM fused)
+      WHERE rk <= 10""")),
+
+    // embedding energy-compaction audit (matryoshka readiness): for
+    // unit-norm embeddings, the squared-norm mass in the first p
+    // dimensions IS the cosine^2 between the full vector and its
+    // p-truncation — the number that says whether 8/16/32-dim truncated
+    // indexes (MRL-style) can serve coarse ANN stages. Per label: mean
+    // retained energy (ppm) at p in {8, 16, 32}. Per-row energies are
+    // floor-quantized to integer ppm BEFORE the mean so the aggregate
+    // is order-independent integer addition; the fold itself
+    // (aggregate over slice, left-to-right double adds of per-component
+    // squares) is written identically in both engines. Scale shape: ONE
+    // row-local pass + one map-side-combined label agg — zero joins,
+    // windows, or broadcasts.
+    Q("q192_energy_compaction", (s, d) => {
+      import s.implicits._
+      def en(p: Int) = expr(
+        s"""CAST(floor(1000000 * aggregate(slice(embedding, 1, $p),
+           |CAST(0 AS DOUBLE),
+           |(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+           |AS BIGINT)""".stripMargin.replaceAll("\n", " "))
+      t(s, d, "embeddings")
+        .select($"label".cast("long").as("label"),
+          en(8).as("e8"), en(16).as("e16"), en(32).as("e32"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("sum(e8) div count(1)").as("p8_ppm"),
+          expr("sum(e16) div count(1)").as("p16_ppm"),
+          expr("sum(e32) div count(1)").as("p32_ppm"))
+    }, Some("""
+      WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+        CAST(floor(1000000 * list_sum(list_transform(embedding[1:8],
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS BIGINT) AS e8,
+        CAST(floor(1000000 * list_sum(list_transform(embedding[1:16],
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS BIGINT) AS e16,
+        CAST(floor(1000000 * list_sum(list_transform(embedding[1:32],
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS BIGINT) AS e32
+        FROM embeddings)
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        CAST(sum(e8) // count(*) AS BIGINT) AS p8_ppm,
+        CAST(sum(e16) // count(*) AS BIGINT) AS p16_ppm,
+        CAST(sum(e32) // count(*) AS BIGINT) AS p32_ppm
+      FROM e GROUP BY 1"""))
   )
 }

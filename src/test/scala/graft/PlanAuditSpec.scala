@@ -69,6 +69,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q172_skipgram_ppmi" -> "1-row pair-total broadcast for the PMI normalizer",
     "q173_basket_lift" -> "1-row order-total broadcast onto the <= 100-row part-class pair frame",
     "q188_file_prune_stats" -> "1-row corpus min/max broadcast for the range-layout width and predicate bounds",
+    "q191_rrf_fusion" -> "constant 2-query probe set broadcast against the corpus (dense k*n scan, q37 class) + 1-row corpus-stats (N, avgdl) broadcasts on the BM25 side (q112 class)",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
@@ -121,6 +122,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q143_ks_drift" -> "per-source doc totals: groupBy source (bounded source registry, q99 class) + the scalar corpus total",
     "q149_bloom_join_prune" -> "bloom filter words: groupBy (p div 32) over the fixed 1024-bit range — 32 rows at any corpus size (q86/q81 class), x3 probes",
     "q152_dense_ids" -> "per-partition offsets: groupBy spark_partition_id() — one row per partition (a deployment knob), never corpus-proportional",
+    "q191_rrf_fusion" -> "query-embedding batch (doc_id IN 2 literal ids — q141 class) + the query-term set of those 2 docs (doc-bounded, q112 class)",
   )
 
   test("catalog-wide plan audit: cartesian/BNLJ/global-window invariants") {
