@@ -54,7 +54,8 @@ object Explain {
                          "q185_lateness_histogram", "q186_column_profile",
                          "q187_asof_nearest", "q188_file_prune_stats",
                          "q189_path_mining", "q190_wow_growth",
-                         "q191_rrf_fusion", "q192_energy_compaction")
+                         "q191_rrf_fusion", "q192_energy_compaction",
+                         "q193_kcore", "q194_benford_drift")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

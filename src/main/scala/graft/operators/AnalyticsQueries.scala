@@ -1834,6 +1834,97 @@ object AnalyticsQueries extends QueryModule {
           ELSE -(((pv - value_milli) * 1000) // pv) END AS BIGINT)
           AS value_growth_pml
       FROM l""")),
+
+    // k-core decomposition (3 unrolled peeling rounds, k = 12): the
+    // graph-density ladder behind community/spam detection — a node
+    // survives round r if it keeps >= k neighbors among round-(r-1)
+    // survivors. Graph: the deterministic hashMix node mapping over a
+    // 64-node registry (denser than q139's modular host graph, so
+    // peeling actually bites at sf0.01). Scale shape: the edge list
+    // aggregates the corpus to <= C(64,2) distinct undirected pairs in
+    // ONE map-side-combined distinct and is persisted (registry-sized —
+    // the q168-class persist, NOT the corpus-sized q191 anti-case);
+    // each round is semi-join + map-side-combined degree agg on
+    // node-keyed frames (classic BSP peel, q139's argument); nothing
+    // is collected or broadcast; per-round reports are 1-row aggs
+    // unioned into the 3-row result.
+    Q("q193_kcore", (s, d) => {
+      import s.implicits._
+      // node mapping MUST be a real hash: the affine hashMix collapses
+      // mod-64 to a functional 64-edge graph (y becomes a linear
+      // function of x — measured: every node degree exactly 2), so the
+      // endpoints come from the positional-md5 hv32 family instead
+      // (salted 'a'/'b' so the two endpoints are independent)
+      val k = 12
+      val hx = DedupOps.hv32FromHexSql("md5(concat('a', cast(doc_id as string)))")
+      val hy = DedupOps.hv32FromHexSql("md5(concat('b', cast(doc_id as string)))")
+      val edges = t(s, d, "documents")
+        .select(expr(s"$hx % 64").as("x"), expr(s"$hy % 64").as("y"))
+        .filter($"x" =!= $"y")
+        .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+        .distinct()
+        .persist()
+      val adj = edges.select($"a".as("node"), $"b".as("nbr"))
+        .union(edges.select($"b".as("node"), $"a".as("nbr")))
+      def peel(alive: org.apache.spark.sql.DataFrame) = {
+        val live = adj
+          .join(alive.select($"node"), Seq("node"), "left_semi")
+          .join(alive.select($"node".as("nbr")), Seq("nbr"), "left_semi")
+        live.groupBy($"node").agg(count(lit(1)).as("deg"))
+          .filter($"deg" >= k)
+      }
+      // each peel references the previous frontier TWICE (both semi-join
+      // ends), so an unmaterialized recursion re-executes the whole
+      // prior round 2^depth times (measured: 21 s at sf0.1). Frontiers
+      // are registry-sized (<= 64 rows) — persist each round: 0.98 s vs
+      // 2.33 s for an eager localCheckpoint (the checkpoint pays a
+      // barrier job per round; at this fixed depth-3 the lazy cache
+      // wins — the CC family keeps materializeFrontier because its
+      // O(log n) depth needs lineage truncation, this fixed unroll
+      // doesn't)
+      val alive0 = adj.select($"node").distinct()
+      val r1 = peel(alive0).persist()
+      val r2 = peel(r1).persist()
+      val r3 = peel(r2)
+      Seq((r1, 1), (r2, 2), (r3, 3)).map { case (r, i) =>
+        r.agg(lit(i.toLong).as("round"),
+          count(lit(1)).as("nodes_alive"),
+          coalesce(min($"deg"), lit(0L)).as("min_deg"),
+          coalesce(max($"deg"), lit(0L)).as("max_deg"))
+      }.reduce(_ union _)
+    }, Some(s"""
+      WITH ed AS (
+        SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM (
+          SELECT
+            (${DedupQueries.hvDuckOf("'a' || CAST(doc_id AS VARCHAR)")}) % 64
+              AS x,
+            (${DedupQueries.hvDuckOf("'b' || CAST(doc_id AS VARCHAR)")}) % 64
+              AS y
+          FROM documents)
+        WHERE x <> y),
+      adj AS (SELECT a AS node, b AS nbr FROM ed
+              UNION ALL SELECT b, a FROM ed),
+      a0 AS (SELECT DISTINCT node FROM adj),
+      d1 AS (SELECT adj.node, count(*) AS deg FROM adj
+             JOIN a0 ON a0.node = adj.node
+             JOIN a0 n ON n.node = adj.nbr GROUP BY 1),
+      r1 AS (SELECT node, deg FROM d1 WHERE deg >= 12),
+      d2 AS (SELECT adj.node, count(*) AS deg FROM adj
+             JOIN r1 ON r1.node = adj.node
+             JOIN r1 n ON n.node = adj.nbr GROUP BY 1),
+      r2 AS (SELECT node, deg FROM d2 WHERE deg >= 12),
+      d3 AS (SELECT adj.node, count(*) AS deg FROM adj
+             JOIN r2 ON r2.node = adj.node
+             JOIN r2 n ON n.node = adj.nbr GROUP BY 1),
+      r3 AS (SELECT node, deg FROM d3 WHERE deg >= 12)
+      SELECT CAST(1 AS BIGINT) AS round,
+        CAST(count(*) AS BIGINT) AS nodes_alive,
+        CAST(coalesce(min(deg), 0) AS BIGINT) AS min_deg,
+        CAST(coalesce(max(deg), 0) AS BIGINT) AS max_deg FROM r1
+      UNION ALL
+      SELECT 2, count(*), coalesce(min(deg), 0), coalesce(max(deg), 0) FROM r2
+      UNION ALL
+      SELECT 3, count(*), coalesce(min(deg), 0), coalesce(max(deg), 0) FROM r3""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

@@ -807,7 +807,61 @@ object GovernanceQueries extends QueryModule {
             FROM rng)
       SELECT layout, n_files, n_overlap,
         ((n_files - n_overlap) * 1000000) // n_files AS prune_ppm
-      FROM a"""))
+      FROM a""")),
+
+    // Benford first-digit drift (the synthetic-data / fabricated-metric
+    // smell test): per event_type, the leading-digit distribution of
+    // the positive values vs Benford's log10(1 + 1/d) expectation, as
+    // max and total absolute deviation in integer ppm. The digit is
+    // extracted from the INTEGER cents string (floor(value*100), the
+    // q190 quantization) — never from float log10, whose boundary
+    // behavior differs across engines. Benford expectations are 9
+    // integer-ppm literals. Scale shape: ONE map-side-combined
+    // (type, digit) agg collapses the stream to <= 45 rows; everything
+    // after (registry join to per-type totals, the 9-row literal join,
+    // the per-type rollup) is registry-sized.
+    Q("q194_benford_drift", (s, d) => {
+      import s.implicits._
+      val digits = t(s, d, "events")
+        .filter($"value" > 0)
+        .select($"event_type",
+          substring(floor($"value" * 100).cast("long").cast("string"), 1, 1)
+            .cast("long").as("dig"))
+        .groupBy($"event_type", $"dig").agg(count(lit(1)).as("n"))
+      val tot = digits.groupBy($"event_type").agg(sum($"n").as("nt"))
+      // floor(log10(1 + 1/d) * 1e6) for d = 1..9, precomputed once on
+      // the driver (constant literals, not data-dependent)
+      val benford = (1 to 9).map(dd =>
+        (dd.toLong, math.floor(math.log10(1.0 + 1.0 / dd) * 1e6).toLong))
+      val bf = s.createDataFrame(benford).toDF("dig", "exp_ppm")
+      digits.join(tot, "event_type").join(bf, "dig")
+        .select($"event_type",
+          expr("(n * 1000000) div nt").as("obs_ppm"), $"exp_ppm", $"nt")
+        .withColumn("dev",
+          when($"obs_ppm" >= $"exp_ppm", $"obs_ppm" - $"exp_ppm")
+            .otherwise($"exp_ppm" - $"obs_ppm"))
+        .groupBy($"event_type")
+        .agg(max($"nt").as("n_events"), max($"dev").as("max_dev_ppm"),
+          sum($"dev").as("total_dev_ppm"))
+    }, Some(s"""
+      WITH dg AS (
+        SELECT event_type,
+          CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR),
+            1, 1) AS BIGINT) AS dig,
+          count(*) AS n
+        FROM events WHERE value > 0 GROUP BY 1, 2),
+      tt AS (SELECT event_type, sum(n) AS nt FROM dg GROUP BY 1),
+      bf (dig, exp_ppm) AS (VALUES ${(1 to 9).map(dd =>
+        s"($dd, ${math.floor(math.log10(1.0 + 1.0 / dd) * 1e6).toLong})")
+        .mkString(", ")}),
+      dv AS (
+        SELECT dg.event_type, tt.nt,
+          abs((dg.n * 1000000) // tt.nt - bf.exp_ppm) AS dev
+        FROM dg JOIN tt USING (event_type) JOIN bf USING (dig))
+      SELECT event_type, CAST(max(nt) AS BIGINT) AS n_events,
+        CAST(max(dev) AS BIGINT) AS max_dev_ppm,
+        CAST(sum(dev) AS BIGINT) AS total_dev_ppm
+      FROM dv GROUP BY 1"""))
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed
