@@ -55,7 +55,8 @@ object Explain {
                          "q187_asof_nearest", "q188_file_prune_stats",
                          "q189_path_mining", "q190_wow_growth",
                          "q191_rrf_fusion", "q192_energy_compaction",
-                         "q193_kcore", "q194_benford_drift")
+                         "q193_kcore", "q194_benford_drift",
+                         "q195_kappa_agreement", "q196_variance_alloc")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -861,7 +861,145 @@ object GovernanceQueries extends QueryModule {
       SELECT event_type, CAST(max(nt) AS BIGINT) AS n_events,
         CAST(max(dev) AS BIGINT) AS max_dev_ppm,
         CAST(sum(dev) AS BIGINT) AS total_dev_ppm
-      FROM dv GROUP BY 1"""))
+      FROM dv GROUP BY 1""")),
+
+    // Inter-annotator agreement (Cohen's kappa, integer ppm): how much
+    // two labelers agree BEYOND chance — the acceptance gate for
+    // auto-labeled training data. Labelers here are two deterministic
+    // length heuristics (chars >= 300 vs tokens >= 56, the corpus
+    // medians) so the mechanism is oracle-checkable; per source, kappa
+    // = (n*agree - pe_num) / (n^2 - pe_num) with pe_num = a1*b1 +
+    // a0*b0, ALL integer (no float po/pe), signed-magnitude division
+    // for the negative-kappa case, chance-degenerate den=0 -> 1e6.
+    // Scale shape: ONE map-side-combined source agg collapses the
+    // corpus; everything after is registry-sized row-local arithmetic.
+    // Overflow bound: n*agree <= n^2 — exact to ~3e9 docs/source.
+    Q("q195_kappa_agreement", (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"source",
+          when($"n_chars" >= 300, 1L).otherwise(0L).as("a"),
+          when(TextOps.tokenCount($"text") >= 56, 1L).otherwise(0L).as("b"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"a").as("a1"), sum($"b").as("b1"),
+          sum(when($"a" === $"b", 1L).otherwise(0L)).as("agree"))
+        .select($"source", $"n".as("n_docs"), $"a1".as("pos_len"),
+          $"b1".as("pos_tok"), $"agree",
+          expr("""CASE
+            WHEN n * n - (a1 * b1 + (n - a1) * (n - b1)) = 0 THEN CAST(1000000 AS BIGINT)
+            WHEN n * agree - (a1 * b1 + (n - a1) * (n - b1)) >= 0 THEN
+              ((n * agree - (a1 * b1 + (n - a1) * (n - b1))) * 1000000)
+                div (n * n - (a1 * b1 + (n - a1) * (n - b1)))
+            ELSE
+              -((((a1 * b1 + (n - a1) * (n - b1)) - n * agree) * 1000000)
+                div (n * n - (a1 * b1 + (n - a1) * (n - b1))))
+            END""").as("kappa_ppm"))
+    }, Some("""
+      WITH c AS (
+        SELECT source,
+          CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+          CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 56
+            THEN 1 ELSE 0 END AS b
+        FROM documents),
+      g AS (
+        SELECT source, count(*) AS n, sum(a) AS a1, sum(b) AS b1,
+          sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+        FROM c GROUP BY 1)
+      SELECT source, CAST(n AS BIGINT) AS n_docs,
+        CAST(a1 AS BIGINT) AS pos_len, CAST(b1 AS BIGINT) AS pos_tok,
+        CAST(agree AS BIGINT) AS agree,
+        CAST(CASE
+          WHEN n * n - (a1 * b1 + (n - a1) * (n - b1)) = 0 THEN 1000000
+          WHEN n * agree - (a1 * b1 + (n - a1) * (n - b1)) >= 0 THEN
+            ((n * agree - (a1 * b1 + (n - a1) * (n - b1))) * 1000000)
+              // (n * n - (a1 * b1 + (n - a1) * (n - b1)))
+          ELSE
+            -((((a1 * b1 + (n - a1) * (n - b1)) - n * agree) * 1000000)
+              // (n * n - (a1 * b1 + (n - a1) * (n - b1))))
+          END AS BIGINT) AS kappa_ppm
+      FROM g""")),
+
+    // Variance-weighted stratified budget allocation (Neyman-flavored
+    // with S^2-mass weights so every step stays in exact integers — no
+    // cross-engine sqrt): allocate a 1000-doc sample budget across
+    // languages proportional to each stratum's TOTAL squared deviation
+    // of n_chars (nh * variance — high-variance strata get more
+    // samples), largest-remainder apportioned (q166), then pick each
+    // stratum's quota deterministically by hashMix order (q56's
+    // rerun/engine/repartition-stable sampling). Scale shape: mean pass
+    // + deviation pass are two map-side-combined corpus aggs (the mean
+    // join-back is a registry-sized frame); apportionment windows ride
+    // the language registry; the per-lang pick is the (lang,
+    // hash-bucket) prefilter + bounded final window, both capped by the
+    // CONSTANT budget. Overflow: 1000 * weight needs weight < 9.2e15 —
+    // holds to ~1e10 docs/stratum at document-scale deviations.
+    Q("q196_variance_alloc", (s, d) => {
+      import s.implicits._
+      import graft.operators.{CorpusOps => C}
+      val docs = t(s, d, "documents").select($"doc_id", $"lang", $"n_chars")
+      val mu = docs.groupBy($"lang")
+        .agg(count(lit(1)).as("nh"), sum($"n_chars").as("sx"))
+        .select($"lang", $"nh", expr("sx div nh").as("mu"))
+      val w = docs.join(mu, "lang")
+        .select($"lang", $"nh",
+          (($"n_chars" - $"mu") * ($"n_chars" - $"mu")).as("d2"))
+        .groupBy($"lang").agg(max($"nh").as("nh"), sum($"d2").as("weight"))
+      val tot = w.agg(sum($"weight").as("wt"))
+      val base = w.crossJoin(broadcast(tot))
+        .select($"lang", $"nh", $"weight",
+          expr("(1000 * weight) div wt").as("quota"),
+          expr("(1000 * weight) % wt").as("rem"))
+      val left = base.agg((lit(1000L) - sum($"quota")).as("r"))
+      val wR = Window.orderBy($"rem".desc, $"lang".asc)
+      val alloc = base.crossJoin(broadcast(left))
+        .withColumn("rk", row_number().over(wR).cast("long"))
+        .select($"lang", $"nh", $"weight",
+          ($"quota" + when($"rk" <= $"r", 1L).otherwise(0L)).as("alloc"))
+      val ord = Seq(C.hashMix($"doc_id", 1000000L).asc, $"doc_id".asc)
+      val wB = Window.partitionBy($"lang", pmod(hash($"doc_id"), lit(64)))
+        .orderBy(ord: _*)
+      val wF = Window.partitionBy($"lang").orderBy(ord: _*)
+      docs
+        .withColumn("rb", row_number().over(wB)).filter($"rb" <= 1000)
+        .withColumn("rn", row_number().over(wF).cast("long"))
+        .filter($"rn" <= 1000)
+        .join(alloc, "lang").filter($"rn" <= $"alloc")
+        .groupBy($"lang")
+        .agg(max($"nh").as("n_docs"), max($"weight").as("weight"),
+          max($"alloc").as("alloc"), count(lit(1)).as("picked"),
+          sum($"doc_id").as("picked_id_sum"))
+    }, Some("""
+      WITH mu AS (
+        SELECT lang, count(*) AS nh, sum(n_chars) // count(*) AS mu
+        FROM documents GROUP BY 1),
+      w AS (
+        SELECT d.lang, max(mu.nh) AS nh,
+          sum((d.n_chars - mu.mu) * (d.n_chars - mu.mu)) AS weight
+        FROM documents d JOIN mu ON mu.lang = d.lang GROUP BY 1),
+      tt AS (SELECT sum(weight) AS wt FROM w),
+      base AS (SELECT lang, nh, weight, (1000 * weight) // tt.wt AS quota,
+                 (1000 * weight) % tt.wt AS rem
+               FROM w CROSS JOIN tt),
+      lf AS (SELECT 1000 - sum(quota) AS r FROM base),
+      al AS (SELECT base.lang, base.nh, base.weight,
+               base.quota + CASE WHEN
+                 row_number() OVER (ORDER BY base.rem DESC, base.lang ASC)
+                   <= lf.r THEN 1 ELSE 0 END AS alloc
+             FROM base CROSS JOIN lf),
+      rn AS (SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY
+                 (((doc_id % 1000003) + 1000003) % 1000003
+                   * 2654435761 + 40503) % 1000000 ASC, doc_id ASC) AS rn
+             FROM documents),
+      pick AS (SELECT rn.lang, al.nh, al.weight, al.alloc, rn.doc_id
+               FROM rn JOIN al ON al.lang = rn.lang
+               WHERE rn.rn <= al.alloc)
+      SELECT lang, CAST(max(nh) AS BIGINT) AS n_docs,
+        CAST(max(weight) AS BIGINT) AS weight,
+        CAST(max(alloc) AS BIGINT) AS alloc,
+        CAST(count(*) AS BIGINT) AS picked,
+        CAST(sum(doc_id) AS BIGINT) AS picked_id_sum
+      FROM pick GROUP BY 1"""))
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

@@ -70,6 +70,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q173_basket_lift" -> "1-row order-total broadcast onto the <= 100-row part-class pair frame",
     "q188_file_prune_stats" -> "1-row corpus min/max broadcast for the range-layout width and predicate bounds",
     "q191_rrf_fusion" -> "constant 2-query probe set broadcast against the corpus (dense k*n scan, q37 class) + 1-row corpus-stats (N, avgdl) broadcasts on the BM25 side (q112 class)",
+    "q196_variance_alloc" -> "1-row weight-total + 1-row leftover broadcasts onto the language-registry frame (q166 class)",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
@@ -87,6 +88,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q170_quantile_normalize" -> "quantile-function cum/lag over the DISTINCT qmilli grid — value-domain bounded (<= 1001 rows by construction, q110 argument)",
     "q181_skew_report" -> "cum/total windows over the DISTINCT per-key-frequency grid — value-domain bounded (q110 argument), never key-cardinality rows",
     "q185_lateness_histogram" -> "cum/total windows over the <= 61-row capped lateness-minute bucket grid",
+    "q196_variance_alloc" -> "largest-remainder rank over the language-registry frame (bounded registry, q166 class)",
   )
 
   /** broadcast() HINT audit (the q54 class): a hint pins its side into
