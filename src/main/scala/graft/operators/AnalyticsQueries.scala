@@ -1925,6 +1925,65 @@ object AnalyticsQueries extends QueryModule {
       SELECT 2, count(*), coalesce(min(deg), 0), coalesce(max(deg), 0) FROM r2
       UNION ALL
       SELECT 3, count(*), coalesce(min(deg), 0), coalesce(max(deg), 0) FROM r3""")),
+
+    // Activity concentration (Gini coefficient, integer ppm): per event
+    // type, how unequally activity is spread across users — the
+    // bot-traffic / whale-user concentration monitor. Exactness: the
+    // Lorenz trapezoid runs over the DISTINCT (type, activity-count)
+    // grid with multiplicities (q110/q181 value-domain argument — the
+    // windows never see user-cardinality rows), population and mass
+    // shares floor-quantized to ppm BEFORE the trapezoid products so
+    // every term is bounded integer arithmetic (dp <= 1e6,
+    // (lp+lc) <= 2e6, per-term product <= 2e12 — no n^2 rank sums that
+    // would overflow at 1e9 users). Scale shape: ONE (type, user) agg
+    // collapses the stream, one (type, activity) agg collapses users to
+    // the value grid; cum windows ride the bounded grid partitioned by
+    // type.
+    Q("q197_activity_gini", (s, d) => {
+      import s.implicits._
+      val act = t(s, d, "events")
+        .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("a"))
+      val grid = act.groupBy($"event_type", $"a")
+        .agg(count(lit(1)).as("m"))
+      val tots = grid.groupBy($"event_type")
+        .agg(sum($"m").as("n"), sum($"a" * $"m").as("s"))
+      val wC = Window.partitionBy($"event_type").orderBy($"a".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(tots, "event_type")
+        .withColumn("cmass", sum($"a" * $"m").over(wC))
+        .select($"event_type", $"n", $"m", $"a", $"s", $"cmass",
+          expr("(m * 1000000) div n").as("dp"),
+          expr("((cmass - a * m) * 1000000) div s").as("lp"),
+          expr("(cmass * 1000000) div s").as("lc"))
+        .groupBy($"event_type")
+        .agg(max($"n").as("n_users"), max($"s").as("n_events"),
+          (lit(1000000L) - sum(expr("(dp * (lp + lc)) div 1000000")))
+            .as("gini_ppm"))
+    }, Some("""
+      WITH act AS (
+        SELECT event_type, user_id, count(*) AS a
+        FROM events GROUP BY 1, 2),
+      grid AS (
+        SELECT event_type, a, count(*) AS m FROM act GROUP BY 1, 2),
+      tots AS (
+        SELECT event_type, sum(m) AS n, sum(a * m) AS s
+        FROM grid GROUP BY 1),
+      c AS (
+        SELECT grid.event_type, tots.n, tots.s, grid.m, grid.a,
+          sum(grid.a * grid.m) OVER (PARTITION BY grid.event_type
+            ORDER BY grid.a ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmass
+        FROM grid JOIN tots USING (event_type)),
+      terms AS (
+        SELECT event_type, n, s,
+          ((m * 1000000) // n
+            * (((cmass - a * m) * 1000000) // s
+               + (cmass * 1000000) // s)) // 1000000 AS t2
+        FROM c)
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_users,
+        CAST(max(s) AS BIGINT) AS n_events,
+        CAST(1000000 - sum(t2) AS BIGINT) AS gini_ppm
+      FROM terms GROUP BY 1""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

@@ -1127,6 +1127,63 @@ object SimilarityQueries extends QueryModule {
         CAST(sum(e8) // count(*) AS BIGINT) AS p8_ppm,
         CAST(sum(e16) // count(*) AS BIGINT) AS p16_ppm,
         CAST(sum(e32) // count(*) AS BIGINT) AS p32_ppm
-      FROM e GROUP BY 1"""))
+      FROM e GROUP BY 1""")),
+
+    // dimensional-collapse audit (participation ratio of per-dim
+    // variance, per label): PR = (sum_d var_d)^2 / sum_d var_d^2 — 64
+    // when variance spreads evenly across dims, ~1 when the space has
+    // collapsed onto one axis. The embedding-health number a retriever
+    // owner watches after finetuning/compression. Exactness: q118's
+    // milli quantization, TWO-pass centered variance (a one-pass
+    // n*sum(c^2)-(sum c)^2 overflows int64 past ~1e6 vecs/label at
+    // milli scale; the centered pass is exact to ~1e12), per-dim
+    // variances re-quantized (div 100) BEFORE squaring so the PR
+    // numerator stays under 6.5e15 at any label size. Scale shape: two
+    // map-side-combined (label, dim) aggs; the mean frame is
+    // model-sized (labels x 64) and equi-joined (AQE adjudicates, no
+    // hint); the final agg is label-count rows.
+    Q("q198_dim_collapse", (s, d) => {
+      import s.implicits._
+      val ex = t(s, d, "embeddings")
+        .select($"label".cast("long").as("label"),
+          posexplode($"embedding").as(Seq("i", "comp")))
+        .select($"label", $"i".cast("long").as("dim"),
+          floor($"comp".cast("double") * 1000).cast("long").as("c"))
+      val mu = ex.groupBy($"label", $"dim")
+        .agg(count(lit(1)).as("n"), sum($"c").as("sc"))
+        .select($"label", $"dim", $"n", expr("sc div n").as("mu"))
+      val vd = ex.join(mu, Seq("label", "dim"))
+        .groupBy($"label", $"dim")
+        .agg(max($"n").as("n"),
+          expr("sum((c - mu) * (c - mu)) div max(n)").as("v"))
+        .select($"label", $"dim", $"n", expr("v div 100").as("vk"))
+      vd.groupBy($"label")
+        .agg(max($"n").as("n_vecs"), sum($"vk").as("sum_var_k"),
+          max($"vk").as("max_var_k"),
+          expr("""CASE WHEN sum(vk * vk) = 0 THEN CAST(0 AS BIGINT)
+            ELSE (1000 * sum(vk) * sum(vk)) div sum(vk * vk) END""")
+            .as("pr_milli"))
+    }, Some("""
+      WITH ex AS (
+        SELECT CAST(label AS BIGINT) AS label,
+          generate_subscripts(embedding, 1) - 1 AS dim,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+            AS c
+        FROM embeddings),
+      mu AS (
+        SELECT label, dim, count(*) AS n, sum(c) // count(*) AS mu
+        FROM ex GROUP BY 1, 2),
+      vd AS (
+        SELECT ex.label, ex.dim, max(mu.n) AS n,
+          (sum((ex.c - mu.mu) * (ex.c - mu.mu)) // max(mu.n)) // 100 AS vk
+        FROM ex JOIN mu ON mu.label = ex.label AND mu.dim = ex.dim
+        GROUP BY 1, 2)
+      SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+        CAST(sum(vk) AS BIGINT) AS sum_var_k,
+        CAST(max(vk) AS BIGINT) AS max_var_k,
+        CAST(CASE WHEN sum(vk * vk) = 0 THEN 0
+          ELSE (1000 * sum(vk) * sum(vk)) // sum(vk * vk) END AS BIGINT)
+          AS pr_milli
+      FROM vd GROUP BY 1"""))
   )
 }
