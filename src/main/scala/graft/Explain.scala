@@ -57,7 +57,8 @@ object Explain {
                          "q191_rrf_fusion", "q192_energy_compaction",
                          "q193_kcore", "q194_benford_drift",
                          "q195_kappa_agreement", "q196_variance_alloc",
-                         "q197_activity_gini", "q198_dim_collapse")
+                         "q197_activity_gini", "q198_dim_collapse",
+                         "q199_persistent_parts", "q200_fano_burstiness")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1984,6 +1984,105 @@ object AnalyticsQueries extends QueryModule {
         CAST(max(s) AS BIGINT) AS n_events,
         CAST(1000000 - sum(t2) AS BIGINT) AS gini_ppm
       FROM terms GROUP BY 1""")),
+
+    // Cross-week persistence mining (which parts stay in the weekly
+    // top-100 by shipped quantity — trend persistence vs one-week
+    // spikes, the "evergreen vs fad" split a demand planner needs):
+    // per epoch-week top-100 parts, then the top-20 parts by number of
+    // weeks spent in that top-100. Scale shape: ONE (week, part)
+    // map-side-combined agg collapses the join; the per-week top-100
+    // rides the (week, hash-bucket) prefilter + a final window over
+    // <= 6400 survivors/week (q133 pattern, integer-quantized
+    // quantities make the order total with the part tiebreak); the
+    // persistence agg sees <= 100 x weeks rows (retention-time bounded,
+    // q119 argument) and the final top-20 is the bucketed-prefilter
+    // globalTopK — no unbounded window anywhere.
+    Q("q199_persistent_parts", (s, d) => {
+      import s.implicits._
+      import graft.operators.{CorpusOps => C}
+      graft.plans.GraftPlanner.install(s)
+      val wk = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+        .select(
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 604800000000")
+            .as("week"),
+          $"l_partkey",
+          floor($"l_quantity" * 100).cast("long").as("qc"))
+        .groupBy($"week", $"l_partkey").agg(sum($"qc").as("qty_c"))
+      val ord = Seq($"qty_c".desc, $"l_partkey".asc)
+      val wB = Window.partitionBy($"week", pmod(hash($"l_partkey"), lit(64)))
+        .orderBy(ord: _*)
+      val wF = Window.partitionBy($"week").orderBy(ord: _*)
+      val weekly = wk
+        .withColumn("rb", row_number().over(wB)).filter($"rb" <= 100)
+        .withColumn("rk", row_number().over(wF)).filter($"rk" <= 100)
+      val pers = weekly.groupBy($"l_partkey")
+        .agg(count(lit(1)).as("weeks_in_top"), sum($"qty_c").as("qty_c_top"))
+      C.globalTopK(pers, $"l_partkey", 20,
+        Seq($"weeks_in_top".desc, $"l_partkey".asc))
+    }, Some("""
+      WITH wk AS (
+        SELECT epoch_us(o_orderdate) // 604800000000 AS week, l_partkey,
+          sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS qty_c
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY 1, 2),
+      top AS (
+        SELECT week, l_partkey, qty_c FROM (
+          SELECT *, row_number() OVER (PARTITION BY week
+            ORDER BY qty_c DESC, l_partkey ASC) AS rk FROM wk)
+        WHERE rk <= 100),
+      pers AS (
+        SELECT l_partkey, count(*) AS weeks_in_top, sum(qty_c) AS qty_c_top
+        FROM top GROUP BY 1)
+      SELECT l_partkey, CAST(weeks_in_top AS BIGINT) AS weeks_in_top,
+        CAST(qty_c_top AS BIGINT) AS qty_c_top
+      FROM (SELECT *, row_number() OVER (ORDER BY weeks_in_top DESC,
+              l_partkey ASC) AS rk FROM pers)
+      WHERE rk <= 20""")),
+
+    // Per-type burstiness (Fano factor of per-(user, day) event counts,
+    // integer milli): var/mean = 1 for Poisson arrivals — above says
+    // bursty (retries, bots, incident storms), below says regularized
+    // traffic. The temporal-quality sibling of q197's population
+    // concentration. Exactness: two-pass centered sum of squares
+    // (one-pass overflows, q198 argument) with the integer cell mean;
+    // Fano_milli = (1000 * sum((x-mu)^2)) div sum(x) — exact while
+    // 1000 * sum((x-mu)^2) < 2^63 (~9e14 observed cells at day-scale
+    // counts). Scale shape: ONE (type, user, day) map-side-combined
+    // agg collapses the stream; the mean frame is type-registry-sized
+    // and equi-joined unhinted; zero windows.
+    Q("q200_fano_burstiness", (s, d) => {
+      import s.implicits._
+      val cells = t(s, d, "events")
+        .select($"event_type", $"user_id",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+        .groupBy($"event_type", $"user_id", $"day")
+        .agg(count(lit(1)).as("x"))
+      val mu = cells.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+        .select($"event_type", $"n", $"sx", expr("sx div n").as("mu"))
+      cells.join(mu, "event_type")
+        .groupBy($"event_type")
+        .agg(max($"n").as("n_cells"),
+          expr("(1000 * max(sx)) div max(n)").as("mean_milli"),
+          expr("(1000 * sum((x - mu) * (x - mu))) div max(sx)")
+            .as("fano_milli"))
+    }, Some("""
+      WITH cells AS (
+        SELECT event_type, user_id, epoch_us(ts) // 86400000000 AS day,
+          count(*) AS x
+        FROM events GROUP BY 1, 2, 3),
+      mu AS (
+        SELECT event_type, count(*) AS n, sum(x) AS sx,
+          sum(x) // count(*) AS mu
+        FROM cells GROUP BY 1)
+      SELECT cells.event_type, CAST(max(mu.n) AS BIGINT) AS n_cells,
+        CAST((1000 * max(mu.sx)) // max(mu.n) AS BIGINT) AS mean_milli,
+        CAST((1000 * sum((cells.x - mu.mu) * (cells.x - mu.mu)))
+          // max(mu.sx) AS BIGINT) AS fano_milli
+      FROM cells JOIN mu USING (event_type)
+      GROUP BY 1""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user
