@@ -999,7 +999,131 @@ object GovernanceQueries extends QueryModule {
         CAST(max(alloc) AS BIGINT) AS alloc,
         CAST(count(*) AS BIGINT) AS picked,
         CAST(sum(doc_id) AS BIGINT) AS picked_id_sum
-      FROM pick GROUP BY 1"""))
+      FROM pick GROUP BY 1""")),
+
+    // Stratum sample-size determination (the power-analysis companion
+    // to q196's allocator): per language, the n needed to estimate mean
+    // n_chars within +-10 chars at 95% (z^2 = 3.8416 carried as the
+    // integer 38416/1e4), with finite-population correction — the
+    // "how big must the eval sample be" number a dataset owner prices
+    // before labeling. All integer: two-pass centered variance (q198
+    // overflow argument), n_req = ceil(38416 * var / 1e4 / d^2) via
+    // integer ceil-division, fpc = n_req*nh / (n_req + nh - 1). Scale
+    // shape: two map-side-combined corpus aggs + registry arithmetic;
+    // zero windows, zero broadcasts beyond the registry join (AQE
+    // adjudicates, unhinted).
+    Q("q201_sample_size", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select($"lang", $"n_chars")
+      val mu = docs.groupBy($"lang")
+        .agg(count(lit(1)).as("nh"), sum($"n_chars").as("sx"))
+        .select($"lang", $"nh", expr("sx div nh").as("mu"))
+      docs.join(mu, "lang")
+        .groupBy($"lang")
+        .agg(max($"nh").as("n_docs"),
+          expr("sum((n_chars - mu) * (n_chars - mu)) div max(nh)")
+            .as("var_int"))
+        .withColumn("n_req",
+          expr("(38416 * var_int + 999999) div 1000000"))
+        .withColumn("n_fpc",
+          expr("(n_req * n_docs) div (n_req + n_docs - 1)"))
+        .withColumn("feasible",
+          when($"n_fpc" <= $"n_docs", 1L).otherwise(0L))
+    }, Some("""
+      WITH mu AS (
+        SELECT lang, count(*) AS nh, sum(n_chars) // count(*) AS mu
+        FROM documents GROUP BY 1),
+      v AS (
+        SELECT d.lang, max(mu.nh) AS n_docs,
+          sum((d.n_chars - mu.mu) * (d.n_chars - mu.mu)) // max(mu.nh)
+            AS var_int
+        FROM documents d JOIN mu ON mu.lang = d.lang GROUP BY 1)
+      SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(var_int AS BIGINT) AS var_int,
+        CAST((38416 * var_int + 999999) // 1000000 AS BIGINT) AS n_req,
+        CAST((((38416 * var_int + 999999) // 1000000) * n_docs)
+          // ((38416 * var_int + 999999) // 1000000 + n_docs - 1)
+          AS BIGINT) AS n_fpc,
+        CAST(CASE WHEN (((38416 * var_int + 999999) // 1000000) * n_docs)
+          // ((38416 * var_int + 999999) // 1000000 + n_docs - 1)
+          <= n_docs THEN 1 ELSE 0 END AS BIGINT) AS feasible
+      FROM v""")),
+
+    // Information-value feature screening (WOE/IV, the credit-scoring /
+    // feature-selection standard): how much do 'lang' and 'source'
+    // separate good docs (n_chars >= 300) from bad — IV < 0.02 means
+    // the feature is useless, > 0.3 strong. Laplace-smoothed (+1 per
+    // bin) so empty bins never divide by zero; WOE =
+    // ln((g+1)(B+nb) / ((b+1)(G+nb))) evaluated on an integer-ratio
+    // double — the identical IEEE tree both engines (q112's ln
+    // convention) — then floor-quantized to nano before the IV sum.
+    // Scale shape: ONE map-side-combined (feature, bin) agg per
+    // feature collapses the corpus to the registry; totals are
+    // registry-sums joined back; everything downstream registry-sized.
+    Q("q202_information_value", (s, d) => {
+      import s.implicits._
+      def iv(col0: String) = {
+        val bins = t(s, d, "documents")
+          .select(col(col0).as("bin"),
+            when($"n_chars" >= 300, 1L).otherwise(0L).as("y"))
+          .groupBy($"bin")
+          .agg(sum($"y").as("g"), sum(lit(1L) - $"y").as("b"))
+        val tot = bins.agg(sum($"g").as("gt"), sum($"b").as("bt"),
+          count(lit(1)).as("nb"))
+        bins.crossJoin(broadcast(tot))
+          .select(lit(col0).as("feature"), $"nb", $"gt", $"bt",
+            expr("""floor(ln((cast((g + 1) as double) * (bt + nb))
+              / (cast((b + 1) as double) * (gt + nb))) * 1e9)""")
+              .cast("long").as("woe_nano"),
+            expr("((g + 1) * 1000000) div (gt + nb)").as("dg"),
+            expr("((b + 1) * 1000000) div (bt + nb)").as("db"))
+          .groupBy($"feature")
+          .agg(max($"nb").as("n_bins"),
+            // signed-magnitude division: the per-bin product can be
+            // negative (quantization near woe=0), and Spark div
+            // (truncate) != DuckDB // (floor) there
+            sum(expr("""CASE WHEN (dg - db) * woe_nano >= 0
+              THEN ((dg - db) * woe_nano) div 1000000
+              ELSE -((-((dg - db) * woe_nano)) div 1000000) END"""))
+              .as("iv_nano"),
+            max($"woe_nano").as("max_woe_nano"),
+            min($"woe_nano").as("min_woe_nano"))
+      }
+      iv("lang").union(iv("source"))
+    }, Some("""
+      WITH d AS (
+        SELECT lang, source,
+          CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+        FROM documents),
+      lb AS (SELECT lang AS bin, sum(y) AS g, sum(1 - y) AS b
+             FROM d GROUP BY 1),
+      lt AS (SELECT sum(g) AS gt, sum(b) AS bt, count(*) AS nb FROM lb),
+      lw AS (SELECT 'lang' AS feature, lt.nb,
+               CAST(floor(ln((CAST(g + 1 AS DOUBLE) * (bt + nb))
+                 / (CAST(b + 1 AS DOUBLE) * (gt + nb))) * 1e9) AS BIGINT)
+                 AS woe_nano,
+               ((g + 1) * 1000000) // (gt + nb) AS dg,
+               ((b + 1) * 1000000) // (bt + nb) AS db
+             FROM lb CROSS JOIN lt),
+      sb AS (SELECT source AS bin, sum(y) AS g, sum(1 - y) AS b
+             FROM d GROUP BY 1),
+      st AS (SELECT sum(g) AS gt, sum(b) AS bt, count(*) AS nb FROM sb),
+      sw AS (SELECT 'source' AS feature, st.nb,
+               CAST(floor(ln((CAST(g + 1 AS DOUBLE) * (bt + nb))
+                 / (CAST(b + 1 AS DOUBLE) * (gt + nb))) * 1e9) AS BIGINT)
+                 AS woe_nano,
+               ((g + 1) * 1000000) // (gt + nb) AS dg,
+               ((b + 1) * 1000000) // (bt + nb) AS db
+             FROM sb CROSS JOIN st),
+      u AS (SELECT * FROM lw UNION ALL SELECT * FROM sw)
+      SELECT feature, CAST(max(nb) AS BIGINT) AS n_bins,
+        CAST(sum(CASE WHEN (dg - db) * woe_nano >= 0
+          THEN ((dg - db) * woe_nano) // 1000000
+          ELSE -((-((dg - db) * woe_nano)) // 1000000) END) AS BIGINT)
+          AS iv_nano,
+        CAST(max(woe_nano) AS BIGINT) AS max_woe_nano,
+        CAST(min(woe_nano) AS BIGINT) AS min_woe_nano
+      FROM u GROUP BY 1"""))
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

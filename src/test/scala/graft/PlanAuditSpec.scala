@@ -71,6 +71,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q188_file_prune_stats" -> "1-row corpus min/max broadcast for the range-layout width and predicate bounds",
     "q191_rrf_fusion" -> "constant 2-query probe set broadcast against the corpus (dense k*n scan, q37 class) + 1-row corpus-stats (N, avgdl) broadcasts on the BM25 side (q112 class)",
     "q196_variance_alloc" -> "1-row weight-total + 1-row leftover broadcasts onto the language-registry frame (q166 class)",
+    "q202_information_value" -> "1-row good/bad-total broadcasts onto the lang- and source-registry bin frames",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
