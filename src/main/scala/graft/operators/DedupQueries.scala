@@ -878,6 +878,70 @@ object DedupQueries extends QueryModule {
       SELECT a.doc_id AS da, b.doc_id AS db,
         CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
       FROM ib a JOIN ib b ON a.bk = b.bk AND a.doc_id < b.doc_id
-      WHERE levenshtein(a.title, b.title) <= 5"""))
+      WHERE levenshtein(a.title, b.title) <= 5""")),
+
+    // Blocking-efficiency report (the meta-audit behind every
+    // candidate-generation scheme in this catalog): for three blockers
+    // — lead-10-token fingerprint (q134), SimHash top-16-bit band
+    // (q34), and lang x length-bucket (coarse) — the reduction ratio
+    // and block-size skew, computed ARITHMETICALLY from block sizes.
+    // The 100 TB point: candidate pairs are never materialized and the
+    // ratio is expressed in per-record units — cand_per_rec =
+    // sum(b*(b-1)) div n vs (n-1) — so nothing ever forms n^2 (a
+    // C(n,2)-denominator formulation overflows int64 past ~4e9 docs).
+    // Scale shape per blocker: one map-side-combined key agg to block
+    // sizes, one 1-row rollup; the SimHash signature is the shared
+    // q34 computation (32 conditional bit sums, one doc-keyed shuffle).
+    Q("q204_blocking_efficiency", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      def report(name: String, keyed: org.apache.spark.sql.DataFrame) =
+        keyed.groupBy($"key").agg(count(lit(1)).as("b"))
+          .agg(lit(name).as("blocker"),
+            count(lit(1)).as("n_blocks"), max($"b").as("max_block"),
+            sum($"b").as("n"), sum($"b" * ($"b" - 1)).as("cand2"))
+          .select($"blocker", $"n_blocks", $"max_block",
+            expr("cand2 div n").as("cand_per_rec"),
+            expr("1000000 - ((cand2 div n) * 1000000) div (n - 1)")
+              .as("rr_ppm"))
+      val lead = docs.select(
+        md5(array_join(slice(TextOps.tokens($"text"), 1, 10), " "))
+          .as("key"))
+      val band = DedupOps.simhash32FromTokenRows(
+          docs.select($"doc_id", explode(TextOps.tokens($"text")).as("tok")),
+          "doc_id", "tok", "simhash")
+        .select(expr("simhash div 65536").as("key"))
+      val coarse = docs.select(
+        concat($"lang", lit(":"), expr("n_chars div 64").cast("string"))
+          .as("key"))
+      report("lead10", lead)
+        .union(report("simband16", band))
+        .union(report("coarse", coarse))
+    }, Some(s"""
+      WITH lead AS (
+        SELECT md5(array_to_string(
+          list_slice(string_split_regex(trim(text), '\\s+'), 1, 10), ' '))
+          AS key
+        FROM documents),
+      sim AS ($simhashDuckSql),
+      band AS (SELECT simhash // 65536 AS key FROM sim),
+      coarse AS (
+        SELECT lang || ':' || CAST(n_chars // 64 AS VARCHAR) AS key
+        FROM documents),
+      r AS (
+        SELECT 'lead10' AS blocker, b FROM (
+          SELECT count(*) AS b FROM lead GROUP BY key)
+        UNION ALL
+        SELECT 'simband16', b FROM (
+          SELECT count(*) AS b FROM band GROUP BY key)
+        UNION ALL
+        SELECT 'coarse', b FROM (
+          SELECT count(*) AS b FROM coarse GROUP BY key))
+      SELECT blocker, CAST(count(*) AS BIGINT) AS n_blocks,
+        CAST(max(b) AS BIGINT) AS max_block,
+        CAST(sum(b * (b - 1)) // sum(b) AS BIGINT) AS cand_per_rec,
+        CAST(1000000 - ((sum(b * (b - 1)) // sum(b)) * 1000000)
+          // (sum(b) - 1) AS BIGINT) AS rr_ppm
+      FROM r GROUP BY 1"""))
   )
 }

@@ -1184,6 +1184,79 @@ object SimilarityQueries extends QueryModule {
         CAST(CASE WHEN sum(vk * vk) = 0 THEN 0
           ELSE (1000 * sum(vk) * sum(vk)) // sum(vk * vk) END AS BIGINT)
           AS pr_milli
-      FROM vd GROUP BY 1"""))
+      FROM vd GROUP BY 1""")),
+
+    // embedding whitening audit (pairwise covariance + correlation of
+    // the first 8 dims): q198's PR says IF variance is concentrated,
+    // this says WHERE — strongly correlated dim pairs mean a whitening/
+    // rotation step would improve the quantizers (PQ subspaces assume
+    // independence). Exactness: q118 milli quantization, two-pass
+    // centered products (mean frame is 8 rows, equi-joined unhinted);
+    // corr = 1000*cov/sqrt(vi*vj) evaluated on integer-fed doubles
+    // (sqrt and / are correctly-rounded IEEE — identical both engines),
+    // floor-quantized; zero-variance guarded to 0. Scale shape: the
+    // (vec, dim<8) explode is a constant 8x fan-out; the pair self-join
+    // is vec-keyed with a constant <= 36 pairs per vec; two map-side-
+    // combined (i, j) aggs; everything after is the 36-row pair frame.
+    Q("q203_embedding_covariance", (s, d) => {
+      import s.implicits._
+      val ex = t(s, d, "embeddings")
+        .select($"vec_id", posexplode($"embedding").as(Seq("i", "comp")))
+        .filter($"i" < 8)
+        .select($"vec_id", $"i".cast("long").as("dim"),
+          floor($"comp".cast("double") * 1000).cast("long").as("c"))
+      val mu = ex.groupBy($"dim")
+        .agg(count(lit(1)).as("n"), sum($"c").as("sc"))
+        .select($"dim", $"n", expr("sc div n").as("mu"))
+      val cex = ex.join(mu, "dim")
+        .select($"vec_id", $"dim", ($"c" - $"mu").as("cc"), $"n")
+      val aSide = cex.select($"vec_id", $"dim".as("i"), $"cc".as("ca"),
+        $"n")
+      val bSide = cex.select($"vec_id", $"dim".as("j"), $"cc".as("cb"))
+      val cov = aSide.join(bSide, "vec_id").filter($"i" <= $"j")
+        .groupBy($"i", $"j")
+        .agg(max($"n").as("n"),
+          // signed-magnitude: covariance sums go negative and Spark
+          // div (truncate) != DuckDB // (floor) on negative dividends
+          expr("""CASE WHEN sum(ca * cb) >= 0
+            THEN sum(ca * cb) div max(n)
+            ELSE -((-sum(ca * cb)) div max(n)) END""").as("cov_k"))
+      val diag = cov.filter($"i" === $"j")
+        .select($"i".as("dd"), $"cov_k".as("var_k"))
+      cov.filter($"i" < $"j")
+        .join(diag.select($"dd".as("i"), $"var_k".as("vi")), "i")
+        .join(diag.select($"dd".as("j"), $"var_k".as("vj")), "j")
+        .select($"i", $"j", $"cov_k",
+          expr("""CASE WHEN vi <= 0 OR vj <= 0 THEN CAST(0 AS BIGINT)
+            ELSE cast(floor(1000 * cov_k /
+              sqrt(cast(vi as double) * cast(vj as double))) as bigint)
+            END""").as("corr_milli"))
+    }, Some("""
+      WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+            AS c
+        FROM embeddings),
+      e8 AS (SELECT * FROM ex WHERE dim < 8),
+      mu AS (SELECT dim, count(*) AS n, sum(c) // count(*) AS mu
+             FROM e8 GROUP BY 1),
+      cex AS (SELECT e8.vec_id, e8.dim, e8.c - mu.mu AS cc, mu.n
+              FROM e8 JOIN mu USING (dim)),
+      cov AS (
+        SELECT a.dim AS i, b.dim AS j, max(a.n) AS n,
+          CASE WHEN sum(a.cc * b.cc) >= 0
+            THEN sum(a.cc * b.cc) // max(a.n)
+            ELSE -((-sum(a.cc * b.cc)) // max(a.n)) END AS cov_k
+        FROM cex a JOIN cex b ON b.vec_id = a.vec_id AND b.dim >= a.dim
+        GROUP BY 1, 2),
+      diag AS (SELECT i AS dd, cov_k AS var_k FROM cov WHERE i = j)
+      SELECT cov.i, cov.j, CAST(cov.cov_k AS BIGINT) AS cov_k,
+        CAST(CASE WHEN di.var_k <= 0 OR dj.var_k <= 0 THEN 0
+          ELSE floor(1000 * cov.cov_k /
+            sqrt(CAST(di.var_k AS DOUBLE) * CAST(dj.var_k AS DOUBLE)))
+          END AS BIGINT) AS corr_milli
+      FROM cov JOIN diag di ON di.dd = cov.i
+      JOIN diag dj ON dj.dd = cov.j
+      WHERE cov.i < cov.j"""))
   )
 }
