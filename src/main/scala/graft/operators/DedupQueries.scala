@@ -942,6 +942,64 @@ object DedupQueries extends QueryModule {
         CAST(sum(b * (b - 1)) // sum(b) AS BIGINT) AS cand_per_rec,
         CAST(1000000 - ((sum(b * (b - 1)) // sum(b)) * 1000000)
           // (sum(b) - 1) AS BIGINT) AS rr_ppm
-      FROM r GROUP BY 1"""))
+      FROM r GROUP BY 1""")),
+
+    // Dedup-discounted effective token mass (the number that prices a
+    // source's REAL contribution: raw token counts double-count every
+    // exact duplicate, so mixture weights computed from them overtrain
+    // on boilerplate-heavy sources). Per source: raw docs/tokens vs
+    // the tokens attributed ONCE per fingerprint cluster to the
+    // keeper's (min doc_id) source, and the resulting discount ppm.
+    // The fingerprint is the lead-10-token key (q134's convention —
+    // the full-text fp finds zero clusters at sf0.01, so the gate
+    // would never exercise the discount path; lead-dedup is also the
+    // CCNet-style production pre-pass this report prices).
+    // Scale shape: one (fp) map-side-combined agg collapses the corpus
+    // to clusters; the keeper->source attribution is ONE doc-keyed
+    // equi-join (neither side broadcast — both corpus-growing); both
+    // rollups registry-sized; full-outer on the source registry.
+    Q("q205_effective_tokens", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select($"doc_id", $"source",
+          md5(array_join(slice(TextOps.tokens($"text"), 1, 10), " "))
+            .as("fp"),
+          TextOps.tokenCount($"text").cast("long").as("tc"))
+      val raw = docs.groupBy($"source")
+        .agg(count(lit(1)).as("raw_docs"), sum($"tc").as("raw_tokens"))
+      // cluster members differ in tc under lead-fp, so the keeper's
+      // OWN token count comes from the join, not a cluster agg
+      val clusters = docs.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+      val eff = clusters
+        .join(docs.select($"doc_id", $"source", $"tc"), "doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("eff_docs"), sum($"tc").as("eff_tokens"))
+      raw.join(eff, Seq("source"), "left_outer")
+        .select($"source", $"raw_docs", $"raw_tokens",
+          coalesce($"eff_docs", lit(0L)).as("eff_docs"),
+          coalesce($"eff_tokens", lit(0L)).as("eff_tokens"),
+          expr("""((raw_tokens - coalesce(eff_tokens, 0L)) * 1000000)
+            div raw_tokens""").as("discount_ppm"))
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id, source,
+          md5(array_to_string(
+            list_slice(string_split_regex(trim(text), '\s+'), 1, 10), ' '))
+            AS fp,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tc
+        FROM documents),
+      raw AS (SELECT source, count(*) AS raw_docs, sum(tc) AS raw_tokens
+              FROM docs GROUP BY 1),
+      cl AS (SELECT fp, min(doc_id) AS doc_id FROM docs GROUP BY 1),
+      eff AS (SELECT d.source, count(*) AS eff_docs, sum(d.tc)
+                AS eff_tokens
+              FROM cl JOIN docs d ON d.doc_id = cl.doc_id GROUP BY 1)
+      SELECT raw.source, CAST(raw_docs AS BIGINT) AS raw_docs,
+        CAST(raw_tokens AS BIGINT) AS raw_tokens,
+        CAST(coalesce(eff_docs, 0) AS BIGINT) AS eff_docs,
+        CAST(coalesce(eff_tokens, 0) AS BIGINT) AS eff_tokens,
+        CAST(((raw_tokens - coalesce(eff_tokens, 0)) * 1000000)
+          // raw_tokens AS BIGINT) AS discount_ppm
+      FROM raw LEFT JOIN eff ON eff.source = raw.source"""))
   )
 }

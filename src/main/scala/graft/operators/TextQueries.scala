@@ -724,6 +724,61 @@ object TextQueries extends QueryModule {
         SELECT *, row_number() OVER (PARTITION BY x
           ORDER BY ppmi_nano DESC, y ASC) AS rk
         FROM sc)
-      WHERE rk <= 3"""))
+      WHERE rk <= 3""")),
+
+    // Inverted-index compression estimator (the index-sizing number
+    // priced before building retrieval over the corpus): per df band
+    // (log2 of document frequency), the Elias-gamma bit cost of
+    // delta-gap-encoded posting lists vs raw 64-bit ids. Dense terms
+    // compress hardest (small gaps) — the band report says how much of
+    // the index budget each frequency tier costs. Exactness: gamma
+    // bits = 2*bitlen(gap) - 1 with bitlen = length(bin(gap)) — a
+    // STRING-length integer identical in both engines (no float log2);
+    // first posting's gap is doc_id + 1 (ids start at 0). Scale shape:
+    // distinct postings is one map-side-combined agg; the gap lag is a
+    // term-partitioned window (posting-list bounded — the per-user
+    // history argument); df joins back vocabulary-keyed (corpus-
+    // growing, never broadcast); the band rollup is <= 64 rows.
+    Q("q206_index_compression", (s, d) => {
+      import s.implicits._
+      val post = t(s, d, "documents")
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+        .distinct()
+      val df = post.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val wP = Window.partitionBy($"tok").orderBy($"doc_id".asc)
+      post
+        .withColumn("gap",
+          $"doc_id" - coalesce(lag($"doc_id", 1).over(wP), lit(-1L)))
+        .join(df, "tok")
+        .select(length(expr("bin(df)")).cast("long").as("band"),
+          (lit(2) * length(expr("bin(gap)")).cast("long") - 1)
+            .as("gbits"))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_postings"), sum($"gbits").as("gamma_bits"),
+          (count(lit(1)) * 64).as("raw_bits"))
+        .select($"band", $"n_postings", $"gamma_bits", $"raw_bits",
+          expr("(gamma_bits * 1000000) div raw_bits").as("ratio_ppm"))
+    }, Some("""
+      WITH post AS (
+        SELECT DISTINCT doc_id,
+          unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents),
+      df AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
+      g AS (
+        SELECT post.tok,
+          post.doc_id - coalesce(lag(post.doc_id, 1) OVER (
+            PARTITION BY post.tok ORDER BY post.doc_id ASC), -1) AS gap,
+          df.df
+        FROM post JOIN df USING (tok)),
+      b AS (
+        SELECT CAST(length(bin(df)) AS BIGINT) AS band,
+          2 * CAST(length(bin(gap)) AS BIGINT) - 1 AS gbits
+        FROM g)
+      SELECT band, CAST(count(*) AS BIGINT) AS n_postings,
+        CAST(sum(gbits) AS BIGINT) AS gamma_bits,
+        CAST(count(*) * 64 AS BIGINT) AS raw_bits,
+        CAST((sum(gbits) * 1000000) // (count(*) * 64) AS BIGINT)
+          AS ratio_ppm
+      FROM b GROUP BY 1"""))
   )
 }
