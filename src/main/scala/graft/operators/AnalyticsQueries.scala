@@ -2083,6 +2083,62 @@ object AnalyticsQueries extends QueryModule {
           // max(mu.sx) AS BIGINT) AS fano_milli
       FROM cells JOIN mu USING (event_type)
       GROUP BY 1""")),
+
+    // Item co-occurrence similarity (co-purchase cosine over order
+    // baskets, min support 3 — the classic collaborative-filtering /
+    // "frequently bought together" prep; q173 works at the part-CLASS
+    // level, this resolves individual items). Scale shape: pairs come
+    // from per-basket sorted-array explodes (fan-out bounded by
+    // basket size squared — the q134/q173 argument — NEVER an
+    // item x item self-join); pair and item supports are map-side-
+    // combined aggs; support joins are item-keyed (catalog-growing,
+    // not broadcast); cosine = 1000*c_ab/sqrt(c_a*c_b) on integer-fed
+    // doubles (correctly-rounded IEEE both engines) floored; the
+    // top-30 is the bucketed-prefilter globalTopK.
+    Q("q208_item_cooccurrence", (s, d) => {
+      import s.implicits._
+      import graft.operators.{CorpusOps => C}
+      graft.plans.GraftPlanner.install(s)
+      val li = t(s, d, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      val pairs = li.groupBy($"ok")
+        .agg(sort_array(collect_list($"pk")).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (a, i) ->
+            |  transform(slice(ps, i + 2, size(ps)),
+            |    b -> struct(a as pa, b as pb))))""".stripMargin)).as("p"))
+        .groupBy($"p.pa".as("pa"), $"p.pb".as("pb"))
+        .agg(count(lit(1)).as("cab"))
+        .filter($"cab" >= 3)
+      val sup = li.groupBy($"pk").agg(count(lit(1)).as("c"))
+      val scored = pairs
+        .join(sup.select($"pk".as("pa"), $"c".as("ca")), "pa")
+        .join(sup.select($"pk".as("pb"), $"c".as("cb")), "pb")
+        .select($"pa", $"pb", $"cab", $"ca", $"cb",
+          expr("""cast(floor(1000 * cab /
+            sqrt(cast(ca as double) * cast(cb as double))) as long)""")
+            .as("cos_milli"))
+      C.globalTopK(scored, concat($"pa", lit(":"), $"pb"), 30,
+        Seq($"cos_milli".desc, $"pa".asc, $"pb".asc))
+    }, Some("""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      pr AS (
+        SELECT a.pk AS pa, b.pk AS pb, count(*) AS cab
+        FROM li a JOIN li b ON b.ok = a.ok AND b.pk > a.pk
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      sup AS (SELECT pk, count(*) AS c FROM li GROUP BY 1),
+      sc AS (
+        SELECT pa, pb, cab, sa.c AS ca, sb.c AS cb,
+          CAST(floor(1000 * cab /
+            sqrt(CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE))) AS BIGINT)
+            AS cos_milli
+        FROM pr JOIN sup sa ON sa.pk = pr.pa JOIN sup sb ON sb.pk = pr.pb)
+      SELECT pa, pb, CAST(cab AS BIGINT) AS cab, CAST(ca AS BIGINT) AS ca,
+        CAST(cb AS BIGINT) AS cb, cos_milli
+      FROM (SELECT *, row_number() OVER (ORDER BY cos_milli DESC, pa ASC,
+              pb ASC) AS rk FROM sc)
+      WHERE rk <= 30""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

@@ -779,6 +779,59 @@ object TextQueries extends QueryModule {
         CAST(count(*) * 64 AS BIGINT) AS raw_bits,
         CAST((sum(gbits) * 1000000) // (count(*) * 64) AS BIGINT)
           AS ratio_ppm
-      FROM b GROUP BY 1"""))
+      FROM b GROUP BY 1""")),
+
+    // Per-source unigram KL divergence vs the corpus LM (the
+    // distribution-level drift monitor q143's token-count KS can't
+    // give — it sees WHICH sources use a different vocabulary, not
+    // just different lengths). KL_s = sum_t p_s(t) ln(p_s(t)/p_c(t))
+    // in integer milli-nats: each term's log-ratio is
+    // ln((f_st * T) / (Ts * f_t)) on integer-fed doubles (identical
+    // IEEE tree) floor-quantized to milli, weighted by f_st with
+    // signed-magnitude division (negative terms where the source
+    // under-uses a token). Milli (not nano) keeps f_st * term under
+    // int64 to ~4e14 occurrences/term/source. Scale shape: one
+    // (source, tok) agg + one corpus tok agg, joined
+    // VOCABULARY-keyed (both corpus-growing, never broadcast);
+    // per-source totals registry-sized; the corpus total is the 1-row
+    // broadcast; rollup registry-sized.
+    Q("q207_source_kl", (s, d) => {
+      import s.implicits._
+      val st = t(s, d, "documents")
+        .select($"source", explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("fst"))
+      val ts = st.groupBy($"source").agg(sum($"fst").as("ts"))
+      val ct = st.groupBy($"tok").agg(sum($"fst").as("ft"))
+      val tot = ct.agg(sum($"ft").as("tt"))
+      st.join(ct, "tok").join(ts, "source").crossJoin(broadcast(tot))
+        .withColumn("term_m",
+          expr("""cast(floor(ln((cast(fst as double) * cast(tt as double))
+            / (cast(ts as double) * cast(ft as double))) * 1000)
+            as long)"""))
+        .withColumn("contrib",
+          expr("""CASE WHEN term_m >= 0 THEN (fst * term_m) div ts
+            ELSE -((fst * (-term_m)) div ts) END"""))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_terms"), max($"ts").as("n_tokens"),
+          sum($"contrib").as("kl_milli"))
+    }, Some("""
+      WITH st AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents),
+      f AS (SELECT source, tok, count(*) AS fst FROM st GROUP BY 1, 2),
+      ts AS (SELECT source, sum(fst) AS ts FROM f GROUP BY 1),
+      ct AS (SELECT tok, sum(fst) AS ft FROM f GROUP BY 1),
+      tt AS (SELECT sum(ft) AS tt FROM ct),
+      terms AS (
+        SELECT f.source, f.fst, ts.ts,
+          CAST(floor(ln((CAST(f.fst AS DOUBLE) * CAST(tt.tt AS DOUBLE))
+            / (CAST(ts.ts AS DOUBLE) * CAST(ct.ft AS DOUBLE))) * 1000)
+            AS BIGINT) AS term_m
+        FROM f JOIN ct USING (tok) JOIN ts USING (source) CROSS JOIN tt)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(max(ts) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN term_m >= 0 THEN (fst * term_m) // ts
+          ELSE -((fst * (-term_m)) // ts) END) AS BIGINT) AS kl_milli
+      FROM terms GROUP BY 1"""))
   )
 }

@@ -72,6 +72,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q191_rrf_fusion" -> "constant 2-query probe set broadcast against the corpus (dense k*n scan, q37 class) + 1-row corpus-stats (N, avgdl) broadcasts on the BM25 side (q112 class)",
     "q196_variance_alloc" -> "1-row weight-total + 1-row leftover broadcasts onto the language-registry frame (q166 class)",
     "q202_information_value" -> "1-row good/bad-total broadcasts onto the lang- and source-registry bin frames",
+    "q207_source_kl" -> "1-row corpus-token-total broadcast for the KL log-ratio (q73 class)",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
