@@ -1000,6 +1000,95 @@ object DedupQueries extends QueryModule {
         CAST(coalesce(eff_tokens, 0) AS BIGINT) AS eff_tokens,
         CAST(((raw_tokens - coalesce(eff_tokens, 0)) * 1000000)
           // raw_tokens AS BIGINT) AS discount_ppm
-      FROM raw LEFT JOIN eff ON eff.source = raw.source"""))
+      FROM raw LEFT JOIN eff ON eff.source = raw.source""")),
+
+    // Cluster-cohesion audit (the false-merge monitor over q53's
+    // transitive near-dup clusters): banding + connected components
+    // merges by CHAINS, so a cluster can hold pairs farther apart than
+    // any single edge (a-b=1, b-c=1 allows a-c=2). Per cluster-size
+    // band: how many sampled within-cluster pairs exceed the edge
+    // threshold — the number that says whether transitive closure is
+    // over-merging. Scale shape: clusters ride the shared O(log n)
+    // large-star/small-star CC; per cluster only the FIRST 10 members
+    // (doc_id order, a cluster-partitioned rank window lowered to
+    // TopKPerKeyExec) form pairs — <= 45 per cluster regardless of
+    // cluster size, the q134 sorted-array explode; hamming from one
+    // sig equi-join per side; the rollup is <= size-band rows.
+    Q("q209_cluster_cohesion", (s, d) => {
+      import s.implicits._
+      graft.plans.GraftPlanner.install(s)
+      val docs = t(s, d, "documents")
+      val tokRows = docs
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      val sigs = DedupOps
+        .simhash32FromTokenRows(tokRows, "doc_id", "tok", "simhash")
+        .select($"doc_id", $"simhash").persist()
+      val edges = DedupOps
+        .simhashPairsBanded(sigs, "doc_id", "simhash", maxHamming = 1)
+        .select($"doc_a".as("a"), $"doc_b".as("b"))
+      val cl = CorpusOps.componentLabels(docs.select($"doc_id"), "doc_id",
+        edges).select($"doc_id", $"cluster_id")
+      val wC = Window.partitionBy($"cluster_id").orderBy($"doc_id".asc)
+      val members = cl
+        .withColumn("rn", row_number().over(wC)).filter($"rn" <= 10)
+      val pairs = members.groupBy($"cluster_id")
+        .agg(sort_array(collect_list($"doc_id")).as("ms"),
+          count(lit(1)).as("sz"))
+        .filter($"sz" >= 2)
+        .select($"cluster_id", $"sz", explode(expr(
+          """flatten(transform(ms, (a, i) ->
+            |  transform(slice(ms, i + 2, size(ms)),
+            |    b -> struct(a as da, b as db))))""".stripMargin)).as("p"))
+        .select($"cluster_id", $"sz", $"p.da".as("da"), $"p.db".as("db"))
+      pairs
+        .join(sigs.select($"doc_id".as("da"), $"simhash".as("sa")), "da")
+        .join(sigs.select($"doc_id".as("db"), $"simhash".as("sb")), "db")
+        .select($"sz", expr("bit_count(sa ^ sb)").cast("long").as("h"))
+        .groupBy($"sz".as("cluster_size"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("(1000 * sum(h)) div count(1)").as("mean_hamming_milli"),
+          sum(when($"h" > 1, 1L).otherwise(0L)).as("n_over_edge"),
+          expr("""(sum(CASE WHEN h > 1 THEN 1 ELSE 0 END) * 1000000)
+            div count(1)""").as("over_edge_ppm"))
+    }, Some(
+      s"""WITH RECURSIVE sh AS ($simhashDuckSql),
+         |prs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM prs
+         |      UNION ALL SELECT doc_b, doc_a FROM prs),
+         |r(id, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.m FROM r JOIN e ON e.a = r.id),
+         |cl AS (SELECT id AS doc_id, min(m) AS cluster_id
+         |       FROM r GROUP BY id),
+         |mem AS (
+         |  SELECT doc_id, cluster_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY doc_id ASC) AS rn FROM cl)
+         |  WHERE rn <= 10),
+         |szs AS (SELECT cluster_id, count(*) AS sz FROM mem GROUP BY 1),
+         |pp AS (
+         |  SELECT szs.sz, a.doc_id AS da, b.doc_id AS db
+         |  FROM mem a JOIN mem b ON b.cluster_id = a.cluster_id
+         |    AND b.doc_id > a.doc_id
+         |  JOIN szs ON szs.cluster_id = a.cluster_id
+         |  WHERE szs.sz >= 2),
+         |hh AS (
+         |  SELECT pp.sz,
+         |    bit_count(xor(x.simhash, y.simhash)) AS h
+         |  FROM pp JOIN sh x ON x.doc_id = pp.da
+         |  JOIN sh y ON y.doc_id = pp.db)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST((1000 * sum(h)) // count(*) AS BIGINT)
+         |    AS mean_hamming_milli,
+         |  CAST(sum(CASE WHEN h > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_over_edge,
+         |  CAST((sum(CASE WHEN h > 1 THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS over_edge_ppm
+         |FROM hh GROUP BY 1""".stripMargin))
   )
 }

@@ -1123,7 +1123,86 @@ object GovernanceQueries extends QueryModule {
           AS iv_nano,
         CAST(max(woe_nano) AS BIGINT) AS max_woe_nano,
         CAST(min(woe_nano) AS BIGINT) AS min_woe_nano
-      FROM u GROUP BY 1"""))
+      FROM u GROUP BY 1""")),
+
+    // Join-multiplicity profile (the cardinality contract audit behind
+    // every join-size estimate: is each FK edge 1:1, 1:N, or silently
+    // N:M, and how heavy is the fan-out tail): per relationship —
+    // orders->customer, lineitem->orders, lineitem->part — the
+    // childless/single/multi parent split, max fan-out, and mean
+    // fan-out in milli. q164 audits referential INTEGRITY (orphans);
+    // this audits SHAPE, the input q159's sketch estimate and q181's
+    // skew report both assume. Scale shape per relation: one
+    // map-side-combined child agg to per-parent counts, one
+    // parent-keyed left join (both sides corpus-growing, unhinted),
+    // one 1-row rollup; union of three 1-row frames.
+    Q("q210_multiplicity_audit", (s, d) => {
+      import s.implicits._
+      def rel(name: String, parents: org.apache.spark.sql.DataFrame,
+              children: org.apache.spark.sql.DataFrame) = {
+        val cc = children.groupBy($"k").agg(count(lit(1)).as("c"))
+        parents.join(cc, Seq("k"), "left_outer")
+          .select(coalesce($"c", lit(0L)).as("c"))
+          .agg(lit(name).as("relation"),
+            count(lit(1)).as("n_parents"), sum($"c").as("n_children"),
+            sum(when($"c" === 0, 1L).otherwise(0L)).as("childless"),
+            sum(when($"c" === 1, 1L).otherwise(0L)).as("single"),
+            sum(when($"c" > 1, 1L).otherwise(0L)).as("multi"),
+            max($"c").as("max_fanout"))
+          .withColumn("mean_fanout_milli",
+            expr("(1000 * n_children) div n_parents"))
+      }
+      val r1 = rel("orders->customer",
+        t(s, d, "customer").select($"c_custkey".cast("long").as("k")),
+        t(s, d, "orders").select($"o_custkey".cast("long").as("k")))
+      val r2 = rel("lineitem->orders",
+        t(s, d, "orders").select($"o_orderkey".cast("long").as("k")),
+        t(s, d, "lineitem").select($"l_orderkey".cast("long").as("k")))
+      val r3 = rel("lineitem->part",
+        t(s, d, "part").select($"p_partkey".cast("long").as("k")),
+        t(s, d, "lineitem").select($"l_partkey".cast("long").as("k")))
+      r1.union(r2).union(r3)
+    }, Some("""
+      WITH c1 AS (SELECT o_custkey AS k, count(*) AS c FROM orders
+                  GROUP BY 1),
+      r1 AS (
+        SELECT 'orders->customer' AS relation, count(*) AS n_parents,
+          sum(coalesce(c, 0)) AS n_children,
+          sum(CASE WHEN coalesce(c, 0) = 0 THEN 1 ELSE 0 END) AS childless,
+          sum(CASE WHEN coalesce(c, 0) = 1 THEN 1 ELSE 0 END) AS single,
+          sum(CASE WHEN coalesce(c, 0) > 1 THEN 1 ELSE 0 END) AS multi,
+          max(coalesce(c, 0)) AS max_fanout
+        FROM customer LEFT JOIN c1 ON c1.k = c_custkey),
+      c2 AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem
+             GROUP BY 1),
+      r2 AS (
+        SELECT 'lineitem->orders', count(*),
+          sum(coalesce(c, 0)),
+          sum(CASE WHEN coalesce(c, 0) = 0 THEN 1 ELSE 0 END),
+          sum(CASE WHEN coalesce(c, 0) = 1 THEN 1 ELSE 0 END),
+          sum(CASE WHEN coalesce(c, 0) > 1 THEN 1 ELSE 0 END),
+          max(coalesce(c, 0))
+        FROM orders LEFT JOIN c2 ON c2.k = o_orderkey),
+      c3 AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem
+             GROUP BY 1),
+      r3 AS (
+        SELECT 'lineitem->part', count(*),
+          sum(coalesce(c, 0)),
+          sum(CASE WHEN coalesce(c, 0) = 0 THEN 1 ELSE 0 END),
+          sum(CASE WHEN coalesce(c, 0) = 1 THEN 1 ELSE 0 END),
+          sum(CASE WHEN coalesce(c, 0) > 1 THEN 1 ELSE 0 END),
+          max(coalesce(c, 0))
+        FROM part LEFT JOIN c3 ON c3.k = p_partkey),
+      u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+            UNION ALL SELECT * FROM r3)
+      SELECT relation, CAST(n_parents AS BIGINT) AS n_parents,
+        CAST(n_children AS BIGINT) AS n_children,
+        CAST(childless AS BIGINT) AS childless,
+        CAST(single AS BIGINT) AS single, CAST(multi AS BIGINT) AS multi,
+        CAST(max_fanout AS BIGINT) AS max_fanout,
+        CAST((1000 * n_children) // n_parents AS BIGINT)
+          AS mean_fanout_milli
+      FROM u"""))
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed
