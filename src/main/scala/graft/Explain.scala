@@ -63,7 +63,8 @@ object Explain {
                          "q203_embedding_covariance", "q204_blocking_efficiency",
                          "q205_effective_tokens", "q206_index_compression",
                          "q207_source_kl", "q208_item_cooccurrence",
-                         "q209_cluster_cohesion", "q210_multiplicity_audit")
+                         "q209_cluster_cohesion", "q210_multiplicity_audit",
+                         "q211_purged_folds", "q212_knn_label_noise")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

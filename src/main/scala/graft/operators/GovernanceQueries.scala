@@ -1202,7 +1202,66 @@ object GovernanceQueries extends QueryModule {
         CAST(max_fanout AS BIGINT) AS max_fanout,
         CAST((1000 * n_children) // n_parents AS BIGINT)
           AS mean_fanout_milli
-      FROM u"""))
+      FROM u""")),
+
+    // Purged time-series cross-validation folds (embargoed CV, the
+    // leakage control finance ML standardized: q131 catches CONTENT
+    // leakage, q153 GROUP leakage — this kills TEMPORAL leakage, where
+    // training on events adjacent in time to the test fold leaks
+    // autocorrelated state): 5 contiguous epoch-day folds, and any
+    // train event within 1 day of the test fold's span is PURGED.
+    // All integer day arithmetic from one min/max scalar frame; fold
+    // boundaries by integer interpolation (fold f covers days
+    // [lo + f*(span+1) div 5, lo + (f+1)*(span+1) div 5)). Scale
+    // shape: the 5-fold classification is a constant 5x explode
+    // (every event classifies against each fold row-locally); ONE
+    // map-side-combined (fold, class) agg; the min/max bounds are the
+    // 1-row broadcast.
+    Q("q211_purged_folds", (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"))
+      val bounds = ev.agg(min($"day").as("lo"), max($"day").as("hi"))
+      ev.crossJoin(broadcast(bounds))
+        .select($"day", $"lo",
+          explode(expr("sequence(0L, 4L)")).as("fold"),
+          ($"hi" - $"lo" + 1).as("span"))
+        .select($"fold",
+          expr("lo + (fold * span) div 5").as("fs"),
+          expr("lo + ((fold + 1) * span) div 5").as("fe"), $"day")
+        .select($"fold",
+          when($"day" >= $"fs" && $"day" < $"fe", lit("test"))
+            .when($"day" >= $"fs" - 1 && $"day" < $"fe" + 1, lit("purged"))
+            .otherwise(lit("train")).as("cls"))
+        .groupBy($"fold")
+        .agg(sum(when($"cls" === "test", 1L).otherwise(0L)).as("n_test"),
+          sum(when($"cls" === "purged", 1L).otherwise(0L)).as("n_purged"),
+          sum(when($"cls" === "train", 1L).otherwise(0L)).as("n_train"))
+    }, Some("""
+      WITH ev AS (
+        SELECT epoch_us(ts) // 86400000000 AS day FROM events),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+      x AS (
+        SELECT f.fold, ev.day, b.lo,
+          b.lo + (f.fold * (b.hi - b.lo + 1)) // 5 AS fs,
+          b.lo + ((f.fold + 1) * (b.hi - b.lo + 1)) // 5 AS fe
+        FROM ev CROSS JOIN b
+        CROSS JOIN (SELECT unnest(range(0, 5)) AS fold) f),
+      c AS (
+        SELECT fold,
+          CASE WHEN day >= fs AND day < fe THEN 'test'
+               WHEN day >= fs - 1 AND day < fe + 1 THEN 'purged'
+               ELSE 'train' END AS cls
+        FROM x)
+      SELECT CAST(fold AS BIGINT) AS fold,
+        CAST(sum(CASE WHEN cls = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_test,
+        CAST(sum(CASE WHEN cls = 'purged' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_purged,
+        CAST(sum(CASE WHEN cls = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_train
+      FROM c GROUP BY 1"""))
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

@@ -1257,6 +1257,56 @@ object SimilarityQueries extends QueryModule {
           END AS BIGINT) AS corr_milli
       FROM cov JOIN diag di ON di.dd = cov.i
       JOIN diag dj ON dj.dd = cov.j
-      WHERE cov.i < cov.j"""))
+      WHERE cov.i < cov.j""")),
+
+    // kNN label-consistency audit (the confident-learning-style
+    // label-noise estimate): for a fixed probe batch, what fraction of
+    // each probe's 5 exact nearest neighbors carries the probe's own
+    // label — per-label mean agreement ppm. A label whose members'
+    // neighborhoods disagree is either noisy or the embedding doesn't
+    // separate it; both mean "don't trust this label for training".
+    // Scale shape: the probe batch is an INPUT (vec_id < 100, constant
+    // at any corpus size) — the q37/q141 broadcast k*n scan; top-5
+    // rides the (probe, hash-bucket) prefilter + bounded final window;
+    // label joins are probe/neighbor-keyed; the rollup is label-sized.
+    Q("q212_knn_label_noise", (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val labels = emb.select($"vec_id", $"label".cast("long").as("lab"))
+      val knn = SimilarityOps.bruteForceTopK(
+        emb, emb.filter($"vec_id" < 100), "vec_id", "embedding", k = 5)
+      knn
+        .join(labels.select($"vec_id".as("query_id"), $"lab".as("ql")),
+          "query_id")
+        .join(labels.select($"vec_id".as("neighbor_id"), $"lab".as("nl")),
+          "neighbor_id")
+        .groupBy($"query_id", $"ql")
+        .agg(sum(when($"ql" === $"nl", 1L).otherwise(0L)).as("agree"))
+        .groupBy($"ql".as("label"))
+        .agg(count(lit(1)).as("n_probes"),
+          expr("(sum(agree) * 1000000) div (count(1) * 5)")
+            .as("mean_agree_ppm"))
+    }, Some("""
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe,
+                   CAST(label AS BIGINT) AS ql
+                 FROM embeddings WHERE vec_id < 100),
+      c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce,
+              CAST(label AS BIGINT) AS nl
+            FROM embeddings),
+      s AS (SELECT query_id, ql, neighbor_id, nl,
+              list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i]))
+                AS sim
+            FROM q, c WHERE neighbor_id != query_id),
+      k AS (SELECT query_id, ql, nl FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM s)
+            WHERE rnk <= 5),
+      a AS (SELECT query_id, ql,
+              sum(CASE WHEN ql = nl THEN 1 ELSE 0 END) AS agree
+            FROM k GROUP BY 1, 2)
+      SELECT ql AS label, CAST(count(*) AS BIGINT) AS n_probes,
+        CAST((sum(agree) * 1000000) // (count(*) * 5) AS BIGINT)
+          AS mean_agree_ppm
+      FROM a GROUP BY 1"""))
   )
 }

@@ -73,6 +73,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q196_variance_alloc" -> "1-row weight-total + 1-row leftover broadcasts onto the language-registry frame (q166 class)",
     "q202_information_value" -> "1-row good/bad-total broadcasts onto the lang- and source-registry bin frames",
     "q207_source_kl" -> "1-row corpus-token-total broadcast for the KL log-ratio (q73 class)",
+    "q211_purged_folds" -> "1-row min/max day bounds broadcast for the fold-boundary interpolation (q95 class)",
+    "q212_knn_label_noise" -> "constant probe batch (vec_id < 100) broadcast against the corpus: the q37 k*n scan",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
@@ -127,6 +129,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q149_bloom_join_prune" -> "bloom filter words: groupBy (p div 32) over the fixed 1024-bit range — 32 rows at any corpus size (q86/q81 class), x3 probes",
     "q152_dense_ids" -> "per-partition offsets: groupBy spark_partition_id() — one row per partition (a deployment knob), never corpus-proportional",
     "q191_rrf_fusion" -> "query-embedding batch (doc_id IN 2 literal ids — q141 class) + the query-term set of those 2 docs (doc-bounded, q112 class)",
+    "q212_knn_label_noise" -> "probe batch: vec_id < 100 constant probe set (q37 class)",
   )
 
   test("catalog-wide plan audit: cartesian/BNLJ/global-window invariants") {
