@@ -64,7 +64,8 @@ object Explain {
                          "q205_effective_tokens", "q206_index_compression",
                          "q207_source_kl", "q208_item_cooccurrence",
                          "q209_cluster_cohesion", "q210_multiplicity_audit",
-                         "q211_purged_folds", "q212_knn_label_noise")
+                         "q211_purged_folds", "q212_knn_label_noise",
+                         "q213_reconciliation", "q214_delete_impact")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

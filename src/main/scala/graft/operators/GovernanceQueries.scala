@@ -1261,7 +1261,133 @@ object GovernanceQueries extends QueryModule {
           AS n_purged,
         CAST(sum(CASE WHEN cls = 'train' THEN 1 ELSE 0 END) AS BIGINT)
           AS n_train
-      FROM c GROUP BY 1"""))
+      FROM c GROUP BY 1""")),
+
+    // Cross-table reconciliation audit (the financial-close check: does
+    // each order's stored total match the sum of its line items under
+    // the pricing formula price*(1-disc)*(1+tax))? Per order-priority
+    // band: match/mismatch counts and the signed total drift in cents.
+    // Exactness: every money term goes through integer cents BEFORE
+    // aggregation (the DECIMAL(12,2) lesson — float sums break hash
+    // equality and real ledgers don't float); the per-line cents value
+    // floors an integer-fed double product (identical IEEE tree both
+    // engines); signed-magnitude drift. Scale shape: one map-side-
+    // combined per-order lineitem agg, one order-keyed join (both
+    // corpus-growing, unhinted), one registry rollup.
+    Q("q213_reconciliation", (s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+        .select($"l_orderkey".as("ok"),
+          expr("""cast(floor(cast(l_extendedprice as double)
+            * (1.0 - cast(l_discount as double))
+            * (1.0 + cast(l_tax as double)) * 100) as long)""")
+            .as("cents"))
+        .groupBy($"ok").agg(sum($"cents").as("li_cents"))
+      t(s, d, "orders")
+        .select($"o_orderkey".as("ok"), $"o_orderpriority",
+          expr("cast(floor(cast(o_totalprice as double) * 100) as long)")
+            .as("o_cents"))
+        .join(li, Seq("ok"), "left_outer")
+        .select($"o_orderpriority",
+          coalesce($"li_cents", lit(0L)).as("li_cents"), $"o_cents",
+          ($"o_cents" - coalesce($"li_cents", lit(0L))).as("drift"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when($"drift" === 0, 1L).otherwise(0L)).as("n_exact"),
+          sum(when($"drift" =!= 0, 1L).otherwise(0L)).as("n_mismatch"),
+          sum($"drift").as("net_drift_cents"),
+          max(abs($"drift")).as("max_abs_drift_cents"))
+    }, Some("""
+      WITH li AS (
+        SELECT l_orderkey AS ok,
+          sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)
+            * (1.0 - CAST(l_discount AS DOUBLE))
+            * (1.0 + CAST(l_tax AS DOUBLE)) * 100) AS BIGINT)) AS li_cents
+        FROM lineitem GROUP BY 1),
+      o AS (
+        SELECT o_orderkey AS ok, o_orderpriority,
+          CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+            AS o_cents
+        FROM orders),
+      j AS (
+        SELECT o.o_orderpriority,
+          o.o_cents - coalesce(li.li_cents, 0) AS drift
+        FROM o LEFT JOIN li ON li.ok = o.ok)
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(CASE WHEN drift = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_exact,
+        CAST(sum(CASE WHEN drift <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_mismatch,
+        CAST(sum(drift) AS BIGINT) AS net_drift_cents,
+        CAST(max(abs(drift)) AS BIGINT) AS max_abs_drift_cents
+      FROM j GROUP BY 1""")),
+
+    // Cascade delete-impact report (the right-to-be-forgotten dry run:
+    // before honoring an erasure batch, price what it touches). A
+    // deterministic 2% customer slice (hashMix — the erasure batch is
+    // an INPUT; the hash stands in for an uploaded id list) cascades
+    // customer -> orders -> lineitem and user -> events; per table:
+    // rows deleted and permille of the table. Scale shape: the
+    // cascade is two LEFT-SEMI joins down the FK chain (key-keyed
+    // shuffles, nothing broadcast — an id-list upload would broadcast
+    // like q11's IN-list instead); per-table counts are scalar aggs
+    // unioned into the 4-row report.
+    Q("q214_delete_impact", (s, d) => {
+      import s.implicits._
+      import graft.operators.{CorpusOps => C}
+      val victims = t(s, d, "customer")
+        .filter(C.hashMix($"c_custkey", 50) === 0)
+        .select($"c_custkey".cast("long").as("k"))
+      val orders = t(s, d, "orders")
+      val dOrders = orders
+        .join(victims.select($"k".as("o_custkey")), Seq("o_custkey"),
+          "left_semi")
+      val li = t(s, d, "lineitem")
+      val dLi = li.join(dOrders.select($"o_orderkey".as("l_orderkey")),
+        Seq("l_orderkey"), "left_semi")
+      val ev = t(s, d, "events")
+      val dEv = ev.join(victims.select($"k".as("user_id")), Seq("user_id"),
+        "left_semi")
+      def row(name: String, del: org.apache.spark.sql.DataFrame,
+              all: org.apache.spark.sql.DataFrame) = {
+        val n = del.agg(count(lit(1)).as("n_deleted"))
+        val tot = all.agg(count(lit(1)).as("n_total"))
+        n.crossJoin(tot).select(lit(name).as("table_name"), $"n_deleted",
+          $"n_total",
+          expr("(n_deleted * 1000) div n_total").as("permille"))
+      }
+      row("customer", victims, t(s, d, "customer"))
+        .union(row("orders", dOrders, orders))
+        .union(row("lineitem", dLi, li))
+        .union(row("events", dEv, ev))
+    }, Some("""
+      WITH v AS (
+        SELECT c_custkey AS k FROM customer
+        WHERE (((c_custkey % 1000003) + 1000003) % 1000003
+          * 2654435761 + 40503) % 50 = 0),
+      do_ AS (SELECT o_orderkey FROM orders
+              WHERE o_custkey IN (SELECT k FROM v)),
+      r AS (
+        SELECT 'customer' AS table_name,
+          (SELECT count(*) FROM v) AS n_deleted,
+          (SELECT count(*) FROM customer) AS n_total
+        UNION ALL
+        SELECT 'orders', (SELECT count(*) FROM do_),
+          (SELECT count(*) FROM orders)
+        UNION ALL
+        SELECT 'lineitem',
+          (SELECT count(*) FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM do_)),
+          (SELECT count(*) FROM lineitem)
+        UNION ALL
+        SELECT 'events',
+          (SELECT count(*) FROM events
+           WHERE user_id IN (SELECT k FROM v)),
+          (SELECT count(*) FROM events))
+      SELECT table_name, CAST(n_deleted AS BIGINT) AS n_deleted,
+        CAST(n_total AS BIGINT) AS n_total,
+        CAST((n_deleted * 1000) // n_total AS BIGINT) AS permille
+      FROM r"""))
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

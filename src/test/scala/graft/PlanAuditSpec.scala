@@ -75,6 +75,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q207_source_kl" -> "1-row corpus-token-total broadcast for the KL log-ratio (q73 class)",
     "q211_purged_folds" -> "1-row min/max day bounds broadcast for the fold-boundary interpolation (q95 class)",
     "q212_knn_label_noise" -> "constant probe batch (vec_id < 100) broadcast against the corpus: the q37 k*n scan",
+    "q214_delete_impact" -> "1-row deleted-count x 1-row total-count frames per table (scalar aggs, q159 class)",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
