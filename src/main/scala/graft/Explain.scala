@@ -65,7 +65,8 @@ object Explain {
                          "q207_source_kl", "q208_item_cooccurrence",
                          "q209_cluster_cohesion", "q210_multiplicity_audit",
                          "q211_purged_folds", "q212_knn_label_noise",
-                         "q213_reconciliation", "q214_delete_impact")
+                         "q213_reconciliation", "q214_delete_impact",
+                         "q215_salt_advisor", "q216_watermark_advisor")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1634,6 +1634,90 @@ object AnalyticsQueries extends QueryModule {
             FROM b)
       SELECT late_min, n, (cum * 1000000) // total AS cum_ppm FROM c""")),
 
+    // Skew-salt advisor (turns q82's hardcoded salt factor into a
+    // DERIVED number): per candidate join key (event_type — the classic
+    // low-cardinality skew key), row count, share, and the salt factor
+    // ceil(rows / budget) a co-partitioned join would need to keep
+    // every salted partition under the row budget (1000 here — a
+    // deployment knob standing in for bytes-per-partition / row
+    // width). Scale shape: ONE map-side-combined key agg collapses the
+    // stream to the key registry; the total is a registry sum joined
+    // back; all advisory arithmetic row-local on registry rows.
+    Q("q215_salt_advisor", (s, d) => {
+      import s.implicits._
+      val counts = t(s, d, "events")
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum($"n").as("t"))
+      counts.crossJoin(broadcast(tot))
+        .select($"event_type", $"n",
+          expr("(n * 1000000) div t").as("share_ppm"),
+          when($"n" > 1000, 1L).otherwise(0L).as("needs_salt"),
+          expr("(n + 999) div 1000").as("salt_factor"))
+    }, Some("""
+      WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+      t AS (SELECT sum(n) AS t FROM c)
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+        CAST((n * 1000000) // t.t AS BIGINT) AS share_ppm,
+        CAST(CASE WHEN n > 1000 THEN 1 ELSE 0 END AS BIGINT) AS needs_salt,
+        CAST((n + 999) // 1000 AS BIGINT) AS salt_factor
+      FROM c CROSS JOIN t""")),
+
+    // Watermark advisor (closes q185's loop: from the lateness
+    // distribution to the `withWatermark` setting a streaming job
+    // should use): the smallest whole-minute watermark admitting 99%
+    // and 99.9% of events, plus the observed max — the three numbers a
+    // pipeline owner trades off against state size. Same q185
+    // transport-delay model and capped 61-row bucket grid; the
+    // advisory picks min(late_min) where cum_ppm crosses the target —
+    // 1-row output from the bounded grid.
+    Q("q216_watermark_advisor", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"arr".asc, $"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val buckets = t(s, d, "events")
+        .select($"user_id", $"event_id",
+          unix_micros($"ts".cast("timestamp")).as("ep"))
+        .withColumn("arr",
+          $"ep" + CorpusOps.hashMix($"event_id", 7200L) * 1000000L)
+        .withColumn("late", max($"ep").over(w) - $"ep")
+        .select(least(expr("late div 60000000"), lit(60L)).as("late_min"))
+        .groupBy($"late_min").agg(count(lit(1)).as("n"))
+      buckets
+        .withColumn("cum_ppm",
+          expr("(1000000 * sum(n) over (order by late_min asc rows between"
+            + " unbounded preceding and current row)) div"
+            + " sum(n) over (rows between unbounded preceding and"
+            + " unbounded following)"))
+        .agg(min(when($"cum_ppm" >= 990000, $"late_min")).as("wm_p99_min"),
+          min(when($"cum_ppm" >= 999000, $"late_min")).as("wm_p999_min"),
+          max($"late_min").as("wm_max_min"))
+    }, Some("""
+      WITH e0 AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ep,
+          epoch_us(ts) + ((event_id % 1000003) * 2654435761 + 40503) % 7200
+            * 1000000 AS arr
+        FROM events),
+      e AS (
+        SELECT user_id, event_id, ep,
+          max(ep) OVER (PARTITION BY user_id ORDER BY arr ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+        FROM e0),
+      b AS (SELECT least((mx - ep) // 60000000, 60) AS late_min,
+              count(*) AS n
+            FROM e GROUP BY 1),
+      c AS (SELECT late_min,
+              (1000000 * sum(n) OVER (ORDER BY late_min ASC ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW))
+                // sum(n) OVER () AS cum_ppm
+            FROM b)
+      SELECT CAST(min(CASE WHEN cum_ppm >= 990000 THEN late_min END)
+          AS BIGINT) AS wm_p99_min,
+        CAST(min(CASE WHEN cum_ppm >= 999000 THEN late_min END)
+          AS BIGINT) AS wm_p999_min,
+        CAST(max(late_min) AS BIGINT) AS wm_max_min
+      FROM c""")),
+
     // Nearest-event as-of join (the as-of family's third member after
     // last-before q47 and window-native q163: match to the CLOSEST
     // event in EITHER direction — sensor alignment, error-to-click

@@ -76,6 +76,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q211_purged_folds" -> "1-row min/max day bounds broadcast for the fold-boundary interpolation (q95 class)",
     "q212_knn_label_noise" -> "constant probe batch (vec_id < 100) broadcast against the corpus: the q37 k*n scan",
     "q214_delete_impact" -> "1-row deleted-count x 1-row total-count frames per table (scalar aggs, q159 class)",
+    "q215_salt_advisor" -> "1-row event-total broadcast onto the key-registry count frame",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
@@ -94,6 +95,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q181_skew_report" -> "cum/total windows over the DISTINCT per-key-frequency grid — value-domain bounded (q110 argument), never key-cardinality rows",
     "q185_lateness_histogram" -> "cum/total windows over the <= 61-row capped lateness-minute bucket grid",
     "q196_variance_alloc" -> "largest-remainder rank over the language-registry frame (bounded registry, q166 class)",
+    "q216_watermark_advisor" -> "cum/total windows over the <= 61-row capped lateness-minute bucket grid (q185 class)",
   )
 
   /** broadcast() HINT audit (the q54 class): a hint pins its side into
