@@ -1,0 +1,254 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic property tests for the round-13 operator batch (q191-q216):
+  * each test pins an invariant the oracle hash-compare can't express —
+  * bounds, conservation laws, monotonicity, internal consistency —
+  * so a future refactor that stays self-consistent (and therefore
+  * still hash-matches a co-drifted oracle) cannot silently change the
+  * operator's meaning.
+  */
+class RoundAuditsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q191: 10 fused rows per query, rrf score replays the rank formula") {
+    val rows = run("q191_rrf_fusion").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.values.forall(_.length == 10))
+    rows.foreach { r =>
+      val d = r.getAs[Long]("dense_rk"); val l = r.getAs[Long]("lex_rk")
+      val exp = (if (d > 0) 1000000L / (60 + d) else 0L) +
+        (if (l > 0) 1000000L / (60 + l) else 0L)
+      assert(r.getAs[Long]("rrf_micro") == exp)
+      assert(d >= 0 && d <= 50 && l >= 0 && l <= 50)
+      assert(d > 0 || l > 0) // a fused row came from at least one list
+    }
+  }
+
+  test("q192: energy fractions are ppm-bounded and monotone in the prefix") {
+    run("q192_energy_compaction").collect().foreach { r =>
+      val p8 = r.getAs[Long]("p8_ppm"); val p16 = r.getAs[Long]("p16_ppm")
+      val p32 = r.getAs[Long]("p32_ppm")
+      assert(p8 >= 0 && p32 <= 1000000L)
+      assert(p8 <= p16 && p16 <= p32) // energy only accumulates with dims
+    }
+  }
+
+  test("q193: peeling is monotone and survivors respect the k threshold") {
+    val rs = run("q193_kcore").collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("nodes_alive"),
+        r.getAs[Long]("min_deg")))
+      .sortBy(_._1)
+    assert(rs.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(rs(0)._2 >= rs(1)._2 && rs(1)._2 >= rs(2)._2)
+    rs.foreach { case (_, alive, minDeg) =>
+      if (alive > 0) assert(minDeg >= 12)
+    }
+  }
+
+  test("q194: deviations are ppm-bounded and max <= total") {
+    run("q194_benford_drift").collect().foreach { r =>
+      val mx = r.getAs[Long]("max_dev_ppm")
+      val tot = r.getAs[Long]("total_dev_ppm")
+      assert(mx >= 0 && mx <= 1000000L && mx <= tot)
+    }
+  }
+
+  test("q195: kappa is bounded and replays its integer formula") {
+    run("q195_kappa_agreement").collect().foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val a1 = r.getAs[Long]("pos_len")
+      val b1 = r.getAs[Long]("pos_tok"); val ag = r.getAs[Long]("agree")
+      val k = r.getAs[Long]("kappa_ppm")
+      assert(k >= -1000000L && k <= 1000000L)
+      val pe = a1 * b1 + (n - a1) * (n - b1)
+      val den = n * n - pe
+      val exp =
+        if (den == 0) 1000000L
+        else {
+          val num = n * ag - pe
+          if (num >= 0) num * 1000000L / den else -(-num * 1000000L / den)
+        }
+      assert(k == exp)
+    }
+  }
+
+  test("q196: allocation apportions the exact budget; picks respect quota") {
+    val rows = run("q196_variance_alloc").collect()
+    // sum over strata of the final quota is exactly the 1000 budget
+    // (largest-remainder invariant) — but picked is capped by stratum size
+    val allocSum = rows.map(_.getAs[Long]("alloc")).sum
+    assert(allocSum == 1000L)
+    rows.foreach { r =>
+      val picked = r.getAs[Long]("picked")
+      assert(picked == math.min(r.getAs[Long]("alloc"),
+        r.getAs[Long]("n_docs")))
+    }
+  }
+
+  test("q197: Gini is a ppm in [0, 1e6)") {
+    run("q197_activity_gini").collect().foreach { r =>
+      val g = r.getAs[Long]("gini_ppm")
+      assert(g >= 0 && g < 1000000L)
+    }
+  }
+
+  test("q199: persistence never exceeds the number of weeks") {
+    val weeks = graft.catalog.Tables.t(spark, sf, "orders")
+      .selectExpr("count(distinct unix_micros(cast(o_orderdate as timestamp))"
+        + " div 604800000000) as w").collect()(0).getAs[Long]("w")
+    val rows = run("q199_persistent_parts").collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("weeks_in_top") <= weeks))
+  }
+
+  test("q200: Fano factor and mean are non-negative") {
+    run("q200_fano_burstiness").collect().foreach { r =>
+      assert(r.getAs[Long]("fano_milli") >= 0)
+      assert(r.getAs[Long]("mean_milli") >= 1000L) // a cell has >= 1 event
+    }
+  }
+
+  test("q201: fpc shrinks the requirement and the flag is consistent") {
+    run("q201_sample_size").collect().foreach { r =>
+      val req = r.getAs[Long]("n_req"); val fpc = r.getAs[Long]("n_fpc")
+      assert(fpc <= req)
+      assert((r.getAs[Long]("feasible") == 1L) ==
+        (fpc <= r.getAs[Long]("n_docs")))
+    }
+  }
+
+  test("q202: one IV row per feature with the registry's bin count") {
+    val docs = graft.catalog.Tables.t(spark, sf, "documents")
+    val nLang = docs.select("lang").distinct().count()
+    val nSrc = docs.select("source").distinct().count()
+    val rows = run("q202_information_value").collect()
+      .map(r => r.getAs[String]("feature") -> r.getAs[Long]("n_bins")).toMap
+    assert(rows == Map("lang" -> nLang, "source" -> nSrc))
+  }
+
+  test("q203: correlations are milli-bounded over all 28 dim pairs") {
+    val rows = run("q203_embedding_covariance").collect()
+    assert(rows.length == 28)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("corr_milli")
+      assert(c >= -1000L && c <= 1000L)
+    }
+  }
+
+  test("q204: reduction ratios are ppm-bounded; coarse blocks fewer") {
+    val rows = run("q204_blocking_efficiency").collect()
+      .map(r => r.getAs[String]("blocker") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("rr_ppm"))).toMap
+    assert(rows.keySet == Set("lead10", "simband16", "coarse"))
+    rows.values.foreach { case (_, rr) => assert(rr >= 0 && rr <= 1000000L) }
+    // the coarse lang x length blocker is by construction far coarser
+    assert(rows("coarse")._1 < rows("lead10")._1)
+  }
+
+  test("q205: effective mass never exceeds raw and conserves clusters") {
+    val rows = run("q205_effective_tokens").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("eff_tokens") <= r.getAs[Long]("raw_tokens"))
+      assert(r.getAs[Long]("eff_docs") <= r.getAs[Long]("raw_docs"))
+    }
+    val fpCount = graft.catalog.Tables.t(spark, sf, "documents")
+      .selectExpr("count(distinct md5(array_join(slice(split(trim(text),"
+        + " '\\\\s+'), 1, 10), ' '))) as c").collect()(0).getAs[Long]("c")
+    assert(rows.map(_.getAs[Long]("eff_docs")).sum == fpCount)
+  }
+
+  test("q206: the dense df band compresses below raw bits") {
+    val rows = run("q206_index_compression").collect()
+    assert(rows.nonEmpty)
+    val dense = rows.maxBy(_.getAs[Long]("n_postings"))
+    assert(dense.getAs[Long]("ratio_ppm") < 1000000L)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("gamma_bits") > 0 &&
+        r.getAs[Long]("raw_bits") == 64 * r.getAs[Long]("n_postings")))
+  }
+
+  test("q207: KL terms aggregate to a finite per-source score; totals hold") {
+    val rows = run("q207_source_kl").collect()
+    val toks = graft.catalog.Tables.t(spark, sf, "documents")
+      .selectExpr("sum(size(split(trim(text), '\\\\s+'))) as n")
+      .collect()(0).getAs[Long]("n")
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == toks)
+  }
+
+  test("q209: over-edge pairs are a subset and rates are ppm-bounded") {
+    run("q209_cluster_cohesion").collect().foreach { r =>
+      val over = r.getAs[Long]("n_over_edge"); val np = r.getAs[Long]("n_pairs")
+      assert(over <= np)
+      val ppm = r.getAs[Long]("over_edge_ppm")
+      assert(ppm >= 0 && ppm <= 1000000L)
+      assert(r.getAs[Long]("cluster_size") >= 2 &&
+        r.getAs[Long]("cluster_size") <= 10)
+    }
+  }
+
+  test("q210: multiplicity classes partition the parent table") {
+    run("q210_multiplicity_audit").collect().foreach { r =>
+      assert(r.getAs[Long]("childless") + r.getAs[Long]("single") +
+        r.getAs[Long]("multi") == r.getAs[Long]("n_parents"))
+      assert(r.getAs[Long]("max_fanout") >= 0)
+    }
+  }
+
+  test("q211: fold classes partition the event stream, five folds") {
+    val total = graft.catalog.Tables.t(spark, sf, "events").count()
+    val rows = run("q211_purged_folds").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_test") + r.getAs[Long]("n_purged") +
+        r.getAs[Long]("n_train") == total)
+      assert(r.getAs[Long]("n_test") > 0)
+    }
+  }
+
+  test("q212: agreement is ppm-bounded and probes cover the batch") {
+    val rows = run("q212_knn_label_noise").collect()
+    assert(rows.map(_.getAs[Long]("n_probes")).sum == 100L)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("mean_agree_ppm")
+      assert(p >= 0 && p <= 1000000L)
+    }
+  }
+
+  test("q213: exact + mismatch partition each priority band") {
+    run("q213_reconciliation").collect().foreach { r =>
+      assert(r.getAs[Long]("n_exact") + r.getAs[Long]("n_mismatch") ==
+        r.getAs[Long]("n_orders"))
+      assert(r.getAs[Long]("max_abs_drift_cents") >= 0)
+    }
+  }
+
+  test("q214: the cascade reports every table, deletions within totals") {
+    val rows = run("q214_delete_impact").collect()
+    assert(rows.map(_.getAs[String]("table_name")).toSet ==
+      Set("customer", "orders", "lineitem", "events"))
+    rows.foreach { r =>
+      val del = r.getAs[Long]("n_deleted")
+      assert(del >= 0 && del <= r.getAs[Long]("n_total"))
+    }
+  }
+
+  test("q215: the advisor replays ceil(n/budget) and flags consistently") {
+    run("q215_salt_advisor").collect().foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("salt_factor") == (n + 999) / 1000)
+      assert((r.getAs[Long]("needs_salt") == 1L) == (n > 1000))
+    }
+  }
+
+  test("q216: watermark recommendations are ordered p99 <= p999 <= max") {
+    val r = run("q216_watermark_advisor").collect()(0)
+    val p99 = r.getAs[Long]("wm_p99_min"); val p999 = r.getAs[Long]("wm_p999_min")
+    val mx = r.getAs[Long]("wm_max_min")
+    assert(p99 <= p999 && p999 <= mx && p99 >= 0)
+  }
+}
