@@ -66,7 +66,8 @@ object Explain {
                          "q209_cluster_cohesion", "q210_multiplicity_audit",
                          "q211_purged_folds", "q212_knn_label_noise",
                          "q213_reconciliation", "q214_delete_impact",
-                         "q215_salt_advisor", "q216_watermark_advisor")
+                         "q215_salt_advisor", "q216_watermark_advisor",
+                         "q217_threshold_sweep", "q218_metric_comovement")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1718,6 +1718,67 @@ object AnalyticsQueries extends QueryModule {
         CAST(max(late_min) AS BIGINT) AS wm_max_min
       FROM c""")),
 
+    // Metric co-movement matrix (Pearson correlation of daily count
+    // series between every event-type pair, integer milli): the
+    // dashboard that separates "all metrics dipped together"
+    // (infrastructure) from "one metric dipped alone" (product) — and
+    // the q203 whitening audit's shape applied to TIME SERIES instead
+    // of embedding dims. Exactness: two-pass centered products on the
+    // day-grid (retention-bounded, q119 argument), correlation on
+    // integer-fed doubles (correctly-rounded IEEE sqrt + divide)
+    // floor-quantized to milli; signed values flow through floor on
+    // doubles (identical both engines) — no integer division on
+    // negatives anywhere. Scale shape: ONE (type, day) map-side-
+    // combined agg collapses the stream; the day self-join fans out
+    // type-registry-squared per day (<= C(5,2) pairs); means are
+    // registry-sized equi-joins, unhinted.
+    Q("q218_metric_comovement", (s, d) => {
+      import s.implicits._
+      val daily = t(s, d, "events")
+        .select($"event_type",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+      val mu = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("nd"), sum($"n").as("sn"))
+        .select($"event_type", $"nd", expr("sn div nd").as("mu"))
+      val c = daily.join(mu, "event_type")
+        .select($"event_type", $"day", ($"n" - $"mu").as("cc"))
+      val a = c.select($"day", $"event_type".as("ta"), $"cc".as("ca"))
+      val b = c.select($"day", $"event_type".as("tb"), $"cc".as("cb"))
+      val prod = a.join(b, "day").filter($"ta" < $"tb")
+        .groupBy($"ta", $"tb")
+        .agg(count(lit(1)).as("n_days"), sum($"ca" * $"cb").as("sxy"),
+          sum($"ca" * $"ca").as("sxx"), sum($"cb" * $"cb").as("syy"))
+      prod.select($"ta".as("type_a"), $"tb".as("type_b"), $"n_days",
+        expr("""CASE WHEN sxx = 0 OR syy = 0 THEN CAST(0 AS BIGINT)
+          ELSE cast(floor(1000 * sxy /
+            sqrt(cast(sxx as double) * cast(syy as double))) as bigint)
+          END""").as("corr_milli"))
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          count(*) AS n
+        FROM events GROUP BY 1, 2),
+      mu AS (
+        SELECT event_type, count(*) AS nd, sum(n) // count(*) AS mu
+        FROM daily GROUP BY 1),
+      c AS (
+        SELECT daily.event_type, daily.day, daily.n - mu.mu AS cc
+        FROM daily JOIN mu USING (event_type)),
+      pr AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+          count(*) AS n_days, sum(a.cc * b.cc) AS sxy,
+          sum(a.cc * a.cc) AS sxx, sum(b.cc * b.cc) AS syy
+        FROM c a JOIN c b ON b.day = a.day AND b.event_type > a.event_type
+        GROUP BY 1, 2)
+      SELECT ta AS type_a, tb AS type_b, CAST(n_days AS BIGINT) AS n_days,
+        CAST(CASE WHEN sxx = 0 OR syy = 0 THEN 0
+          ELSE floor(1000 * sxy /
+            sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)))
+          END AS BIGINT) AS corr_milli
+      FROM pr""")),
+
     // Nearest-event as-of join (the as-of family's third member after
     // last-before q47 and window-native q163: match to the CLOSEST
     // event in EITHER direction — sensor alignment, error-to-click

@@ -1089,6 +1089,66 @@ object DedupQueries extends QueryModule {
          |    AS n_over_edge,
          |  CAST((sum(CASE WHEN h > 1 THEN 1 ELSE 0 END) * 1000000)
          |    // count(*) AS BIGINT) AS over_edge_ppm
-         |FROM hh GROUP BY 1""".stripMargin))
+         |FROM hh GROUP BY 1""".stripMargin)),
+
+    // Dedup threshold-sensitivity sweep (the curve a curation owner
+    // reads BEFORE committing to a hamming threshold: pairs and docs
+    // touched at each distance 0..3 — too tight leaves dupes, too
+    // loose merges distinct content). Banding with 4 bands of 8 bits
+    // guarantees every pair at hamming <= 3 shares a clean band
+    // (pigeonhole), so the sweep is exact without an all-pairs join.
+    // Cumulative counts: a pair at hamming h matches every threshold
+    // >= h, so thresholds accumulate down the 4-row grid (row-local
+    // sums over <= 4 rows — no corpus window). Scale shape: one
+    // banded equi-join (the q35 shape) + one 4-row rollup; the doc
+    // count per threshold is a distinct over the pair endpoints,
+    // bounded by the near-dup population.
+    Q("q217_threshold_sweep", (s, d) => {
+      import s.implicits._
+      val tokRows = t(s, d, "documents")
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      val sigs = DedupOps
+        .simhash32FromTokenRows(tokRows, "doc_id", "tok", "simhash")
+        .select($"doc_id", $"simhash")
+      val pairs = DedupOps
+        .simhashPairsBanded(sigs, "doc_id", "simhash", maxHamming = 3)
+        .persist()
+      // ONE pass per report column instead of a job per threshold:
+      // pairs collapse to a <= 4-row hamming histogram; docs collapse
+      // to a <= 4-row min-hamming histogram (a doc is "touched" at
+      // threshold t iff its closest neighbor is within t); both join
+      // the literal threshold frame on h <= t (tiny local frames).
+      val ph = pairs.groupBy($"hamming").agg(count(lit(1)).as("np"))
+      val dm = pairs.select($"doc_a".as("dd"), $"hamming")
+        .union(pairs.select($"doc_b".as("dd"), $"hamming"))
+        .groupBy($"dd").agg(min($"hamming").as("mh"))
+        .groupBy($"mh").agg(count(lit(1)).as("ndoc"))
+      val th = s.createDataFrame(Seq(0L, 1L, 2L, 3L).map(Tuple1(_)))
+        .toDF("threshold")
+      th.join(ph, $"hamming" <= $"threshold", "left_outer")
+        .groupBy($"threshold")
+        .agg(coalesce(sum($"np"), lit(0L)).as("n_pairs"))
+        .join(th.join(dm, $"mh" <= $"threshold", "left_outer")
+          .groupBy($"threshold")
+          .agg(coalesce(sum($"ndoc"), lit(0L)).as("n_docs_touched")),
+          "threshold")
+    }, Some(
+      s"""WITH sh AS ($simhashDuckSql),
+         |p AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |    bit_count(xor(a.simhash, b.simhash)) AS h
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |t(threshold) AS (VALUES (0), (1), (2), (3))
+         |SELECT CAST(t.threshold AS BIGINT) AS threshold,
+         |  CAST(count(CASE WHEN p.h <= t.threshold THEN 1 END) AS BIGINT)
+         |    AS n_pairs,
+         |  CAST((SELECT count(*) FROM (
+         |     SELECT DISTINCT u FROM (
+         |       SELECT da AS u FROM p WHERE h <= t.threshold
+         |       UNION ALL SELECT db FROM p WHERE h <= t.threshold)))
+         |    AS BIGINT) AS n_docs_touched
+         |FROM t LEFT JOIN p ON true
+         |GROUP BY t.threshold""".stripMargin))
   )
 }

@@ -77,6 +77,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q212_knn_label_noise" -> "constant probe batch (vec_id < 100) broadcast against the corpus: the q37 k*n scan",
     "q214_delete_impact" -> "1-row deleted-count x 1-row total-count frames per table (scalar aggs, q159 class)",
     "q215_salt_advisor" -> "1-row event-total broadcast onto the key-registry count frame",
+    "q217_threshold_sweep" -> "literal 4-row threshold frame inequality-joined against <= 4-row hamming histograms (all bounded local/registry frames)",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
