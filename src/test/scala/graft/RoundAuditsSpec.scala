@@ -245,6 +245,31 @@ class RoundAuditsSpec extends AnyFunSuite {
     }
   }
 
+  test("q217: sweep is monotone in the threshold and docs track pairs") {
+    val rows = run("q217_threshold_sweep").collect()
+      .map(r => (r.getAs[Long]("threshold"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs_touched")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3) // relaxing the threshold only adds
+    }
+    rows.foreach { case (_, np, nd) =>
+      if (np > 0) assert(nd >= 2 && nd <= 2 * np)
+      else assert(nd == 0)
+    }
+  }
+
+  test("q218: correlations are milli-bounded over the full type-pair grid") {
+    val rows = run("q218_metric_comovement").collect()
+    assert(rows.length == 10) // C(5, 2) event-type pairs
+    rows.foreach { r =>
+      val c = r.getAs[Long]("corr_milli")
+      assert(c >= -1000L && c <= 1000L)
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+    }
+  }
+
   test("q216: watermark recommendations are ordered p99 <= p999 <= max") {
     val r = run("q216_watermark_advisor").collect()(0)
     val p99 = r.getAs[Long]("wm_p99_min"); val p999 = r.getAs[Long]("wm_p999_min")
