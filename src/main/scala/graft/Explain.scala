@@ -67,7 +67,8 @@ object Explain {
                          "q211_purged_folds", "q212_knn_label_noise",
                          "q213_reconciliation", "q214_delete_impact",
                          "q215_salt_advisor", "q216_watermark_advisor",
-                         "q217_threshold_sweep", "q218_metric_comovement")
+                         "q217_threshold_sweep", "q218_metric_comovement",
+                         "q219_conformal_threshold", "q220_quality_scorecard")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

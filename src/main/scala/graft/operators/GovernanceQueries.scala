@@ -1387,7 +1387,205 @@ object GovernanceQueries extends QueryModule {
       SELECT table_name, CAST(n_deleted AS BIGINT) AS n_deleted,
         CAST(n_total AS BIGINT) AS n_total,
         CAST((n_deleted * 1000) // n_total AS BIGINT) AS permille
-      FROM r"""))
+      FROM r""")),
+
+    // Split-conformal calibration threshold (distribution-free
+    // prediction intervals, the modern ML-ops way to attach "90% of
+    // values land within +-qhat" guarantees without distributional
+    // assumptions): per event type, a hash-split train half supplies
+    // the point predictor (exact discrete lower median of integer
+    // cents, q142's value-domain grid), the calibration half supplies
+    // nonconformity scores |cents - median|, and qhat is the
+    // ceil((n_cal+1)*0.9)-th smallest score — an exact order statistic
+    // read off the score-domain grid, never a corpus sort. Scale
+    // shape: all windows partitioned by type over DISTINCT value/score
+    // grids (domain-bounded, q110/q142 argument); split is the pure
+    // hashMix row function; rollup is type-registry-sized.
+    Q("q219_conformal_threshold", (s, d) => {
+      import s.implicits._
+      import graft.operators.{CorpusOps => C}
+      val ev = t(s, d, "events")
+        .select($"event_type", $"event_id",
+          floor($"value" * 100).cast("long").as("cents"))
+        .withColumn("cal", C.hashMix($"event_id", 2))
+      val byType = Window.partitionBy($"event_type")
+      def gridStat(df: org.apache.spark.sql.DataFrame, vc: String,
+                   rankNum: org.apache.spark.sql.Column) = {
+        val wCum = Window.partitionBy($"event_type").orderBy(col(vc).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.groupBy($"event_type", col(vc)).agg(count(lit(1)).as("k"))
+          .withColumn("cum", sum($"k").over(wCum))
+          .withColumn("n", sum($"k").over(byType))
+          .filter($"cum" >= rankNum)
+          .groupBy($"event_type")
+          .agg(min(col(vc)).as("stat"), max($"n").as("n"))
+      }
+      // train-half lower median: smallest v with cum >= (n+1) div 2
+      val med = gridStat(ev.filter($"cal" === 0).select($"event_type",
+          $"cents"), "cents", expr("(n + 1) div 2"))
+        .select($"event_type", $"stat".as("median_cents"),
+          $"n".as("n_train"))
+      // calibration scores + the conformal rank ceil((n+1)*9/10)
+      val scores = ev.filter($"cal" === 1)
+        .join(med, "event_type")
+        .select($"event_type", abs($"cents" - $"median_cents").as("s"))
+      val qhat = gridStat(scores, "s", expr("((n + 1) * 9 + 9) div 10"))
+        .select($"event_type", $"stat".as("qhat_cents"), $"n".as("n_cal"))
+      med.join(qhat, "event_type")
+        .select($"event_type", $"n_train", $"n_cal", $"median_cents",
+          $"qhat_cents")
+    }, Some("""
+      WITH ev AS (
+        SELECT event_type, event_id,
+          CAST(floor(value * 100) AS BIGINT) AS cents,
+          (((event_id % 1000003) + 1000003) % 1000003
+            * 2654435761 + 40503) % 2 AS cal
+        FROM events),
+      tg AS (SELECT event_type, cents, count(*) AS k FROM ev
+             WHERE cal = 0 GROUP BY 1, 2),
+      tc AS (SELECT event_type, cents,
+               sum(k) OVER (PARTITION BY event_type ORDER BY cents ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(k) OVER (PARTITION BY event_type) AS n
+             FROM tg),
+      med AS (SELECT event_type, min(cents) AS median_cents,
+                max(n) AS n_train
+              FROM tc WHERE cum >= (n + 1) // 2 GROUP BY 1),
+      sc AS (SELECT ev.event_type,
+               abs(ev.cents - med.median_cents) AS s
+             FROM ev JOIN med USING (event_type) WHERE ev.cal = 1),
+      sg AS (SELECT event_type, s, count(*) AS k FROM sc GROUP BY 1, 2),
+      scum AS (SELECT event_type, s,
+                 sum(k) OVER (PARTITION BY event_type ORDER BY s ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(k) OVER (PARTITION BY event_type) AS n
+               FROM sg),
+      qh AS (SELECT event_type, min(s) AS qhat_cents, max(n) AS n_cal
+             FROM scum WHERE cum >= ((n + 1) * 9 + 9) // 10 GROUP BY 1)
+      SELECT event_type, CAST(n_train AS BIGINT) AS n_train,
+        CAST(n_cal AS BIGINT) AS n_cal,
+        CAST(median_cents AS BIGINT) AS median_cents,
+        CAST(qhat_cents AS BIGINT) AS qhat_cents
+      FROM med JOIN qh USING (event_type)""")),
+
+    // Per-source data-quality scorecard (the single-pane composition a
+    // release review actually reads — three independent, already-
+    // oracled signal families joined into one verdict per source):
+    // lead-fingerprint duplication ppm (q205's fp), unigram KL drift
+    // vs the corpus LM in milli-nats (q207's scheme), and mean-length
+    // deviation from the corpus mean in signed permille. Flags count
+    // exceeded thresholds; verdict 'ok' / 'review' (1 flag) /
+    // 'block' (2+). Scale shape: three registry-sized signal frames
+    // (each one or two map-side-combined corpus aggs, vocabulary /
+    // fp keyed joins never broadcast, 1-row corpus totals broadcast)
+    // equi-joined on the source registry.
+    Q("q220_quality_scorecard", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      // signal 1: lead-fp duplication ppm per source
+      val dup = docs
+        .select($"source",
+          md5(array_join(slice(TextOps.tokens($"text"), 1, 10), " "))
+            .as("fp"))
+        .groupBy($"source", $"fp").agg(count(lit(1)).as("c"))
+        .groupBy($"source")
+        .agg(sum($"c").as("nd"), count(lit(1)).as("nu"))
+        .select($"source", $"nd".as("n_docs"),
+          expr("((nd - nu) * 1000000) div nd").as("dup_ppm"))
+      // signal 2: unigram KL vs corpus (q207's milli-nat scheme)
+      val st = docs
+        .select($"source", explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("fst"))
+      val ts = st.groupBy($"source").agg(sum($"fst").as("ts"))
+      val ct = st.groupBy($"tok").agg(sum($"fst").as("ft"))
+      val tot = ct.agg(sum($"ft").as("tt"))
+      val kl = st.join(ct, "tok").join(ts, "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("term_m",
+          expr("""cast(floor(ln((cast(fst as double) * cast(tt as double))
+            / (cast(ts as double) * cast(ft as double))) * 1000)
+            as long)"""))
+        .withColumn("contrib",
+          expr("""CASE WHEN term_m >= 0 THEN (fst * term_m) div ts
+            ELSE -((fst * (-term_m)) div ts) END"""))
+        .groupBy($"source").agg(sum($"contrib").as("kl_milli"))
+      // signal 3: mean length deviation vs corpus mean, signed permille
+      val lens = docs.groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("sc"))
+        .select($"source", expr("sc div n").as("mlen"))
+      // integer division: a double-division + cast would TRUNCATE in
+      // Spark but ROUND in DuckDB — the cross-engine cast trap
+      val cmean = docs.agg(expr("sum(n_chars) div count(1)").as("cm"))
+      val len = lens.crossJoin(broadcast(cmean))
+        .select($"source",
+          expr("""CASE WHEN mlen >= cm THEN ((mlen - cm) * 1000) div cm
+            ELSE -(((cm - mlen) * 1000) div cm) END""").as("len_dev_pml"))
+      dup.join(kl, "source").join(len, "source")
+        .withColumn("flags",
+          when($"dup_ppm" > 100000, 1L).otherwise(0L)
+            + when($"kl_milli" > 150, 1L).otherwise(0L)
+            + when(abs($"len_dev_pml") > 100, 1L).otherwise(0L))
+        .withColumn("verdict",
+          when($"flags" >= 2, lit("block"))
+            .when($"flags" === 1, lit("review")).otherwise(lit("ok")))
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id, source, text, n_chars,
+          md5(array_to_string(
+            list_slice(string_split_regex(trim(text), '\s+'), 1, 10), ' '))
+            AS fp
+        FROM documents),
+      dup AS (
+        SELECT source, sum(c) AS nd, count(*) AS nu FROM (
+          SELECT source, fp, count(*) AS c FROM docs GROUP BY 1, 2)
+        GROUP BY 1),
+      d2 AS (SELECT source, nd AS n_docs,
+               ((nd - nu) * 1000000) // nd AS dup_ppm
+             FROM dup),
+      st AS (SELECT source, unnest(string_split_regex(trim(text), '\s+'))
+               AS tok FROM docs),
+      f AS (SELECT source, tok, count(*) AS fst FROM st GROUP BY 1, 2),
+      ts AS (SELECT source, sum(fst) AS ts FROM f GROUP BY 1),
+      ct AS (SELECT tok, sum(fst) AS ft FROM f GROUP BY 1),
+      tt AS (SELECT sum(ft) AS tt FROM ct),
+      kl AS (
+        SELECT f.source,
+          sum(CASE WHEN t.term_m >= 0 THEN (f.fst * t.term_m) // ts.ts
+            ELSE -((f.fst * (-t.term_m)) // ts.ts) END) AS kl_milli
+        FROM f JOIN ts USING (source)
+        JOIN (SELECT f2.source, f2.tok,
+                CAST(floor(ln((CAST(f2.fst AS DOUBLE) * CAST(tt.tt AS DOUBLE))
+                  / (CAST(ts2.ts AS DOUBLE) * CAST(ct.ft AS DOUBLE))) * 1000)
+                  AS BIGINT) AS term_m
+              FROM f f2 JOIN ts ts2 USING (source) JOIN ct USING (tok)
+              CROSS JOIN tt) t
+          ON t.source = f.source AND t.tok = f.tok
+        GROUP BY 1),
+      lens AS (SELECT source, sum(n_chars) // count(*) AS mlen
+               FROM docs GROUP BY 1),
+      cm AS (SELECT sum(n_chars) // count(*) AS cm FROM docs),
+      len AS (SELECT source,
+                CASE WHEN mlen >= cm.cm
+                  THEN ((mlen - cm.cm) * 1000) // cm.cm
+                  ELSE -(((cm.cm - mlen) * 1000) // cm.cm) END
+                  AS len_dev_pml
+              FROM lens CROSS JOIN cm),
+      j AS (
+        SELECT d2.source, d2.n_docs, d2.dup_ppm, kl.kl_milli,
+          len.len_dev_pml,
+          (CASE WHEN d2.dup_ppm > 100000 THEN 1 ELSE 0 END)
+            + (CASE WHEN kl.kl_milli > 150 THEN 1 ELSE 0 END)
+            + (CASE WHEN abs(len.len_dev_pml) > 100 THEN 1 ELSE 0 END)
+            AS flags
+        FROM d2 JOIN kl USING (source) JOIN len USING (source))
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(dup_ppm AS BIGINT) AS dup_ppm,
+        CAST(kl_milli AS BIGINT) AS kl_milli,
+        CAST(len_dev_pml AS BIGINT) AS len_dev_pml,
+        CAST(flags AS BIGINT) AS flags,
+        CASE WHEN flags >= 2 THEN 'block' WHEN flags = 1 THEN 'review'
+          ELSE 'ok' END AS verdict
+      FROM j"""))
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

@@ -78,6 +78,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q214_delete_impact" -> "1-row deleted-count x 1-row total-count frames per table (scalar aggs, q159 class)",
     "q215_salt_advisor" -> "1-row event-total broadcast onto the key-registry count frame",
     "q217_threshold_sweep" -> "literal 4-row threshold frame inequality-joined against <= 4-row hamming histograms (all bounded local/registry frames)",
+    "q220_quality_scorecard" -> "1-row corpus-token-total (KL normalizer, q207 class) + 1-row corpus-mean-length broadcasts onto the source registry",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
