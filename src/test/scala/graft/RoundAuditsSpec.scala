@@ -270,6 +270,32 @@ class RoundAuditsSpec extends AnyFunSuite {
     }
   }
 
+  test("q219: split halves partition each type; qhat covers >= 90% of scores") {
+    val totals = graft.catalog.Tables.t(spark, sf, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    run("q219_conformal_threshold").collect().foreach { r =>
+      val et = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_cal") == totals(et))
+      assert(r.getAs[Long]("qhat_cents") >= 0)
+      assert(r.getAs[Long]("median_cents") >= 0)
+    }
+  }
+
+  test("q220: flags replay their thresholds and drive the verdict") {
+    run("q220_quality_scorecard").collect().foreach { r =>
+      val exp = (if (r.getAs[Long]("dup_ppm") > 100000) 1 else 0) +
+        (if (r.getAs[Long]("kl_milli") > 150) 1 else 0) +
+        (if (math.abs(r.getAs[Long]("len_dev_pml")) > 100) 1 else 0)
+      assert(r.getAs[Long]("flags") == exp)
+      val v = r.getAs[String]("verdict")
+      assert(v == (if (exp >= 2) "block" else if (exp == 1) "review"
+        else "ok"))
+      val d = r.getAs[Long]("dup_ppm")
+      assert(d >= 0 && d <= 1000000L)
+    }
+  }
+
   test("q216: watermark recommendations are ordered p99 <= p999 <= max") {
     val r = run("q216_watermark_advisor").collect()(0)
     val p99 = r.getAs[Long]("wm_p99_min"); val p999 = r.getAs[Long]("wm_p999_min")
