@@ -94,11 +94,17 @@ object Bench {
       // makes a pathological query attributable while the run is live
       System.err.println(
         f"[bench] $name ${times(times.length / 2)}%.3f s (${times.mkString(", ")})")
-      name -> times(times.length / 2)
+      (name, times(times.length / 2), times)
     }
     probes += probeOnce()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // per-rep times (sorted ascending, as measured then ordered) so a
+    // round artifact can distinguish a one-rep host stall from a
+    // sustained elevation without a judge re-run (round-9 VERDICT #2)
+    val repsDetail = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
     val pSorted = probes.toSeq.sorted
     val probeJson = {
@@ -110,7 +116,7 @@ object Bench {
     // a failed query's near-zero elapsed time must not read as a speedup:
     // failures are listed explicitly and the process exits nonzero.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"probe":$probeJson,"reps":$reps,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_detail":$repsDetail,"failed":$failedJson,"probe":$probeJson,"reps":$reps,"sf":"$sfDir"}"""
     // the full line exceeds tail-capture budgets (~2000 chars), so it is
     // ALSO written to a file — the durable per-round record.
     java.nio.file.Files.write(
@@ -123,7 +129,7 @@ object Bench {
     // slowest 25 (the ones a grader reads); the full map is in the file
     // and the line above.
     val slow = results.sortBy(-_._2).take(25)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val pMed = f"${pSorted(pSorted.length / 2)}%.3f"
     val pMax = f"${pSorted.last}%.3f"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow,"n_queries":${results.length},"n_failed":${failed.length},"failed":$failedJson,"probe_median":$pMed,"probe_max":$pMax,"reps":$reps,"sf":"$sfDir"}""")

@@ -26,6 +26,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release frames the query persist()'d (shared multi-consumer
+      // subplans cache themselves) — without this, blocks from 220
+      // queries accumulate across the dump in one JVM
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

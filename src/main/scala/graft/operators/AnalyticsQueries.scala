@@ -1945,17 +1945,14 @@ object AnalyticsQueries extends QueryModule {
       wk
         .withColumn("pn", lag($"n", 1).over(w))
         .withColumn("pv", lag($"value_milli", 1).over(w))
-        // signed-magnitude form: Spark `div` truncates toward zero but
-        // DuckDB `//` floors, so negative growth must never reach the
-        // integer division — divide the |diff| and reapply the sign
+        // negative growth divides identically in both engines: Spark
+        // `div` and DuckDB `//` both truncate toward zero on integers
+        // (measured -7//2 = -3 in DuckDB)
         .select($"event_type", $"week", $"n", $"value_milli",
           when($"pn".isNull || $"pn" === 0, lit(0L))
-            .when($"n" >= $"pn", expr("((n - pn) * 1000) div pn"))
-            .otherwise(-expr("((pn - n) * 1000) div pn")).as("n_growth_pml"),
+            .otherwise(expr("((n - pn) * 1000) div pn")).as("n_growth_pml"),
           when($"pv".isNull || $"pv" === 0, lit(0L))
-            .when($"value_milli" >= $"pv",
-              expr("((value_milli - pv) * 1000) div pv"))
-            .otherwise(-expr("((pv - value_milli) * 1000) div pv"))
+            .otherwise(expr("((value_milli - pv) * 1000) div pv"))
             .as("value_growth_pml"))
     }, Some("""
       WITH wk AS (
@@ -1972,11 +1969,9 @@ object AnalyticsQueries extends QueryModule {
         FROM wk)
       SELECT event_type, week, n, value_milli,
         CAST(CASE WHEN pn IS NULL OR pn = 0 THEN 0
-          WHEN n >= pn THEN ((n - pn) * 1000) // pn
-          ELSE -(((pn - n) * 1000) // pn) END AS BIGINT) AS n_growth_pml,
+          ELSE ((n - pn) * 1000) // pn END AS BIGINT) AS n_growth_pml,
         CAST(CASE WHEN pv IS NULL OR pv = 0 THEN 0
-          WHEN value_milli >= pv THEN ((value_milli - pv) * 1000) // pv
-          ELSE -(((pv - value_milli) * 1000) // pv) END AS BIGINT)
+          ELSE ((value_milli - pv) * 1000) // pv END AS BIGINT)
           AS value_growth_pml
       FROM l""")),
 

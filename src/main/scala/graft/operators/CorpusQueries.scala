@@ -261,9 +261,13 @@ object CorpusQueries extends QueryModule {
       import s.implicits._
       val tokRows = t(s, d, "documents")
         .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      // persisted like q209's (round-9 adjudication): the sig frame is
+      // the expensive tokenize→simhash agg; caching it pins the cost to
+      // one computation even if the banded cache below is evicted under
+      // full-catalog memory pressure.
       val sigs = DedupOps
         .simhash32FromTokenRows(tokRows, "doc_id", "tok", "simhash")
-        .select($"doc_id", $"simhash")
+        .select($"doc_id", $"simhash").persist()
       val textPairs = DedupOps
         .simhashPairsBanded(sigs, "doc_id", "simhash", maxHamming = 1)
         .select($"doc_a".as("id_a"), $"doc_b".as("id_b"), lit(true).as("bt"))

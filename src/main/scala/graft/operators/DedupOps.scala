@@ -135,7 +135,17 @@ object DedupOps {
 
   def simhashPairsBanded(sigs: DataFrame, idCol: String, sigCol: String,
                          maxHamming: Int, bits: Int = 32): DataFrame = {
-    val banded = simhashBanded(sigs, idCol, sigCol, maxHamming, bits)
+    // The band table feeds BOTH sides of the candidate equi-join below
+    // with DIFFERENT projections (doc_a/sig_a vs doc_b/sig_b), so
+    // Catalyst's ReuseExchange cannot canonicalize the two exchanges
+    // into one — without a persist, the entire upstream (scan →
+    // tokenize → simhash agg → band explode) runs twice, and under
+    // full-catalog memory pressure the driver bench measured that
+    // recompute at up to 8× the clean-run median (round-9 q69/q209
+    // adjudication). The cached frame is 4 narrow columns × (maxHamming
+    // + 1) rows per doc — linear, evictable, released by the harness's
+    // per-query clearCache.
+    val banded = simhashBanded(sigs, idCol, sigCol, maxHamming, bits).persist()
     val cands = banded
       .select(col(idCol).as("doc_a"), col(sigCol).as("sig_a"),
         col("band"), col("bv"))

@@ -369,9 +369,13 @@ object DedupQueries extends QueryModule {
     Q("q36_minhash_lsh", (s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents")
-      // distinct shingle stream -> k min-aggregates -> band bucket join
+      // distinct shingle stream -> k min-aggregates -> band bucket join.
+      // Persisted: 4 consumers below (signatures, set sizes, both sides
+      // of the intersection join) project it differently, so
+      // ReuseExchange can't canonicalize them — uncached, the
+      // explode+distinct would run 4x (round-9 q69 lesson).
       val sr = TextOps.shingleRows(docs, "doc_id", "text")
-        .select($"doc_id", $"shingle").distinct()
+        .select($"doc_id", $"shingle").distinct().persist()
       val sigs = DedupOps.minhashSignatures(sr, "doc_id", "shingle", k = 16)
       val bandTable = DedupOps.lshBands(sigs, "doc_id", "sig", bands = 4, rows = 4)
       val cands = DedupOps.lshCandidates(bandTable, "doc_id")
@@ -902,7 +906,10 @@ object DedupQueries extends QueryModule {
             sum($"b").as("n"), sum($"b" * ($"b" - 1)).as("cand2"))
           .select($"blocker", $"n_blocks", $"max_block",
             expr("cand2 div n").as("cand_per_rec"),
-            expr("1000000 - ((cand2 div n) * 1000000) div (n - 1)")
+            // n <= 1 means zero possible pairs: reduction is total by
+            // definition (guards the /(n-1) from a 1-document corpus)
+            expr("""CASE WHEN n <= 1 THEN CAST(1000000 AS BIGINT)
+              ELSE 1000000 - ((cand2 div n) * 1000000) div (n - 1) END""")
               .as("rr_ppm"))
       val lead = docs.select(
         md5(array_join(slice(TextOps.tokens($"text"), 1, 10), " "))
@@ -940,8 +947,9 @@ object DedupQueries extends QueryModule {
       SELECT blocker, CAST(count(*) AS BIGINT) AS n_blocks,
         CAST(max(b) AS BIGINT) AS max_block,
         CAST(sum(b * (b - 1)) // sum(b) AS BIGINT) AS cand_per_rec,
-        CAST(1000000 - ((sum(b * (b - 1)) // sum(b)) * 1000000)
-          // (sum(b) - 1) AS BIGINT) AS rr_ppm
+        CAST(CASE WHEN sum(b) <= 1 THEN 1000000
+          ELSE 1000000 - ((sum(b * (b - 1)) // sum(b)) * 1000000)
+            // (sum(b) - 1) END AS BIGINT) AS rr_ppm
       FROM r GROUP BY 1""")),
 
     // Dedup-discounted effective token mass (the number that prices a
@@ -1149,6 +1157,114 @@ object DedupQueries extends QueryModule {
          |       UNION ALL SELECT db FROM p WHERE h <= t.threshold)))
          |    AS BIGINT) AS n_docs_touched
          |FROM t LEFT JOIN p ON true
-         |GROUP BY t.threshold""".stripMargin))
+         |GROUP BY t.threshold""".stripMargin)),
+
+    // MinHash estimator calibration audit (the error curve behind
+    // every banding threshold choice): for q36's banded candidate
+    // pairs, compare the SIGNATURE-estimated Jaccard (matching
+    // components / 16) against the EXACT shingle Jaccard, grouped by
+    // match count — per estimator level: pair count, mean true
+    // Jaccard, and mean absolute estimation error (milli). This is
+    // the empirical version of the 1-(1-j^r)^b S-curve a dedup
+    // operator tunes r, b and the verify threshold against; a level
+    // whose mean error drifts says the shingle distribution violates
+    // the uniform-hash assumption. All integer milli (div truncation
+    // identical in both engines). Scale shape: candidates come from
+    // the capped band buckets (linear, never all-pairs); the exact
+    // side is the q36 shingle equi-join restricted to candidates;
+    // signature compare is row-local zip_with on 16-long arrays; the
+    // rollup is <= 17 rows. The distinct shingle stream is persisted
+    // (4 consumers — q36's pattern).
+    Q("q222_minhash_calibration", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val sr = TextOps.shingleRows(docs, "doc_id", "text")
+        .select($"doc_id", $"shingle").distinct().persist()
+      val sigs = DedupOps.minhashSignatures(sr, "doc_id", "shingle", k = 16)
+      val bandTable = DedupOps.lshBands(sigs, "doc_id", "sig",
+        bands = 4, rows = 4)
+      val cands = DedupOps.lshCandidates(bandTable, "doc_id")
+      val sizes = sr.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val inter = cands
+        .join(sr.select($"doc_id".as("doc_a"), $"shingle"), "doc_a")
+        .join(sr.select($"doc_id".as("doc_b"), $"shingle"),
+          Seq("doc_b", "shingle"))
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+      cands
+        .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sa")), "doc_a")
+        .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sb")), "doc_b")
+        // hash-collision candidates can share a band yet no shingle:
+        // keep them (left join) — they are exactly the estimator's
+        // false positives this audit prices
+        .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+        .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sza")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("szb")), "doc_b")
+        .select(
+          expr("""CAST(size(filter(zip_with(sa, sb, (x, y) -> x = y),
+            b -> b)) AS BIGINT)""").as("m"),
+          coalesce($"inter", lit(0L)).as("inter"), $"sza", $"szb")
+        .select($"m", expr("(m * 1000) div 16").as("est_milli"),
+          expr("(inter * 1000) div (sza + szb - inter)").as("ex_milli"))
+        .groupBy($"m".as("n_match"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(ex_milli) div count(1)").as("mean_jaccard_milli"),
+          expr("sum(abs(est_milli - ex_milli)) div count(1)")
+            .as("mean_abs_err_milli"))
+    }, Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+         |  FROM toks),
+         |hv AS (SELECT doc_id, (${hvDuckOf("shingle")}) % 2147483647 AS hv
+         |       FROM sh),
+         |mh AS (
+         |  SELECT doc_id, i,
+         |    min((hv * ((i * 2654435761) % 2147483646 + 1)
+         |         + (i * 40503 + 17) % 2147483647) % 2147483647) AS h
+         |  FROM hv CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ii
+         |  GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, CAST(i // 4 AS INT) AS band_id,
+         |         string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bk
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |bsz AS (SELECT band_id, bk, count(*) AS c FROM bands GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x
+         |  JOIN bands y ON x.band_id = y.band_id AND x.bk = y.bk
+         |              AND x.doc_id < y.doc_id
+         |  JOIN bsz s ON s.band_id = x.band_id AND s.bk = x.bk
+         |  WHERE s.c BETWEEN 2 AND 1000),
+         |szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY c.doc_a, c.doc_b),
+         |est AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(sum(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) AS BIGINT) AS m
+         |  FROM cand c
+         |  JOIN mh x ON x.doc_id = c.doc_a
+         |  JOIN mh y ON y.doc_id = c.doc_b AND y.i = x.i
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT e.m, (e.m * 1000) // 16 AS est_milli,
+         |    (coalesce(i.inter, 0) * 1000)
+         |      // (sa.sz + sb.sz - coalesce(i.inter, 0)) AS ex_milli
+         |  FROM est e
+         |  LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+         |  JOIN szs sa ON sa.doc_id = e.doc_a
+         |  JOIN szs sb ON sb.doc_id = e.doc_b)
+         |SELECT m AS n_match, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(ex_milli) // count(*) AS BIGINT) AS mean_jaccard_milli,
+         |  CAST(sum(abs(est_milli - ex_milli)) // count(*) AS BIGINT)
+         |    AS mean_abs_err_milli
+         |FROM p GROUP BY 1""".stripMargin))
   )
 }

@@ -869,8 +869,9 @@ object GovernanceQueries extends QueryModule {
     // length heuristics (chars >= 300 vs tokens >= 56, the corpus
     // medians) so the mechanism is oracle-checkable; per source, kappa
     // = (n*agree - pe_num) / (n^2 - pe_num) with pe_num = a1*b1 +
-    // a0*b0, ALL integer (no float po/pe), signed-magnitude division
-    // for the negative-kappa case, chance-degenerate den=0 -> 1e6.
+    // a0*b0, ALL integer (no float po/pe); negative-kappa numerators
+    // divide identically in both engines (Spark `div` and DuckDB `//`
+    // both truncate toward zero); chance-degenerate den=0 -> 1e6.
     // Scale shape: ONE map-side-combined source agg collapses the
     // corpus; everything after is registry-sized row-local arithmetic.
     // Overflow bound: n*agree <= n^2 — exact to ~3e9 docs/source.
@@ -887,12 +888,9 @@ object GovernanceQueries extends QueryModule {
           $"b1".as("pos_tok"), $"agree",
           expr("""CASE
             WHEN n * n - (a1 * b1 + (n - a1) * (n - b1)) = 0 THEN CAST(1000000 AS BIGINT)
-            WHEN n * agree - (a1 * b1 + (n - a1) * (n - b1)) >= 0 THEN
+            ELSE
               ((n * agree - (a1 * b1 + (n - a1) * (n - b1))) * 1000000)
                 div (n * n - (a1 * b1 + (n - a1) * (n - b1)))
-            ELSE
-              -((((a1 * b1 + (n - a1) * (n - b1)) - n * agree) * 1000000)
-                div (n * n - (a1 * b1 + (n - a1) * (n - b1))))
             END""").as("kappa_ppm"))
     }, Some("""
       WITH c AS (
@@ -910,12 +908,9 @@ object GovernanceQueries extends QueryModule {
         CAST(agree AS BIGINT) AS agree,
         CAST(CASE
           WHEN n * n - (a1 * b1 + (n - a1) * (n - b1)) = 0 THEN 1000000
-          WHEN n * agree - (a1 * b1 + (n - a1) * (n - b1)) >= 0 THEN
+          ELSE
             ((n * agree - (a1 * b1 + (n - a1) * (n - b1))) * 1000000)
               // (n * n - (a1 * b1 + (n - a1) * (n - b1)))
-          ELSE
-            -((((a1 * b1 + (n - a1) * (n - b1)) - n * agree) * 1000000)
-              // (n * n - (a1 * b1 + (n - a1) * (n - b1))))
           END AS BIGINT) AS kappa_ppm
       FROM g""")),
 
@@ -1025,8 +1020,11 @@ object GovernanceQueries extends QueryModule {
             .as("var_int"))
         .withColumn("n_req",
           expr("(38416 * var_int + 999999) div 1000000"))
+        // greatest(..., 1) guards the degenerate single-document
+        // zero-variance stratum (n_req=0, n_docs=1), where the fpc
+        // denominator is 0 and the row would silently go NULL
         .withColumn("n_fpc",
-          expr("(n_req * n_docs) div (n_req + n_docs - 1)"))
+          expr("(n_req * n_docs) div greatest(n_req + n_docs - 1, 1)"))
         .withColumn("feasible",
           when($"n_fpc" <= $"n_docs", 1L).otherwise(0L))
     }, Some("""
@@ -1042,10 +1040,10 @@ object GovernanceQueries extends QueryModule {
         CAST(var_int AS BIGINT) AS var_int,
         CAST((38416 * var_int + 999999) // 1000000 AS BIGINT) AS n_req,
         CAST((((38416 * var_int + 999999) // 1000000) * n_docs)
-          // ((38416 * var_int + 999999) // 1000000 + n_docs - 1)
+          // greatest((38416 * var_int + 999999) // 1000000 + n_docs - 1, 1)
           AS BIGINT) AS n_fpc,
         CAST(CASE WHEN (((38416 * var_int + 999999) // 1000000) * n_docs)
-          // ((38416 * var_int + 999999) // 1000000 + n_docs - 1)
+          // greatest((38416 * var_int + 999999) // 1000000 + n_docs - 1, 1)
           <= n_docs THEN 1 ELSE 0 END AS BIGINT) AS feasible
       FROM v""")),
 
@@ -1079,12 +1077,11 @@ object GovernanceQueries extends QueryModule {
             expr("((b + 1) * 1000000) div (bt + nb)").as("db"))
           .groupBy($"feature")
           .agg(max($"nb").as("n_bins"),
-            // signed-magnitude division: the per-bin product can be
-            // negative (quantization near woe=0), and Spark div
-            // (truncate) != DuckDB // (floor) there
-            sum(expr("""CASE WHEN (dg - db) * woe_nano >= 0
-              THEN ((dg - db) * woe_nano) div 1000000
-              ELSE -((-((dg - db) * woe_nano)) div 1000000) END"""))
+            // integer division is safe on the (possibly negative)
+            // per-bin product: Spark `div` and DuckDB `//` BOTH
+            // truncate toward zero on integers (measured -7//2 = -3
+            // in DuckDB), so no sign-splitting is needed
+            sum(expr("((dg - db) * woe_nano) div 1000000"))
               .as("iv_nano"),
             max($"woe_nano").as("max_woe_nano"),
             min($"woe_nano").as("min_woe_nano"))
@@ -1117,9 +1114,7 @@ object GovernanceQueries extends QueryModule {
              FROM sb CROSS JOIN st),
       u AS (SELECT * FROM lw UNION ALL SELECT * FROM sw)
       SELECT feature, CAST(max(nb) AS BIGINT) AS n_bins,
-        CAST(sum(CASE WHEN (dg - db) * woe_nano >= 0
-          THEN ((dg - db) * woe_nano) // 1000000
-          ELSE -((-((dg - db) * woe_nano)) // 1000000) END) AS BIGINT)
+        CAST(sum(((dg - db) * woe_nano) // 1000000) AS BIGINT)
           AS iv_nano,
         CAST(max(woe_nano) AS BIGINT) AS max_woe_nano,
         CAST(min(woe_nano) AS BIGINT) AS min_woe_nano
@@ -1271,7 +1266,7 @@ object GovernanceQueries extends QueryModule {
     // aggregation (the DECIMAL(12,2) lesson — float sums break hash
     // equality and real ledgers don't float); the per-line cents value
     // floors an integer-fed double product (identical IEEE tree both
-    // engines); signed-magnitude drift. Scale shape: one map-side-
+    // engines); the drift value itself is signed. Scale shape: one map-side-
     // combined per-order lineitem agg, one order-keyed join (both
     // corpus-growing, unhinted), one registry rollup.
     Q("q213_reconciliation", (s, d) => {
@@ -1505,9 +1500,9 @@ object GovernanceQueries extends QueryModule {
           expr("""cast(floor(ln((cast(fst as double) * cast(tt as double))
             / (cast(ts as double) * cast(ft as double))) * 1000)
             as long)"""))
-        .withColumn("contrib",
-          expr("""CASE WHEN term_m >= 0 THEN (fst * term_m) div ts
-            ELSE -((fst * (-term_m)) div ts) END"""))
+        // Spark `div` and DuckDB `//` both truncate toward zero, so the
+        // signed contribution divides identically in both engines
+        .withColumn("contrib", expr("(fst * term_m) div ts"))
         .groupBy($"source").agg(sum($"contrib").as("kl_milli"))
       // signal 3: mean length deviation vs corpus mean, signed permille
       val lens = docs.groupBy($"source")
@@ -1518,8 +1513,7 @@ object GovernanceQueries extends QueryModule {
       val cmean = docs.agg(expr("sum(n_chars) div count(1)").as("cm"))
       val len = lens.crossJoin(broadcast(cmean))
         .select($"source",
-          expr("""CASE WHEN mlen >= cm THEN ((mlen - cm) * 1000) div cm
-            ELSE -(((cm - mlen) * 1000) div cm) END""").as("len_dev_pml"))
+          expr("((mlen - cm) * 1000) div cm").as("len_dev_pml"))
       dup.join(kl, "source").join(len, "source")
         .withColumn("flags",
           when($"dup_ppm" > 100000, 1L).otherwise(0L)
@@ -1550,8 +1544,7 @@ object GovernanceQueries extends QueryModule {
       tt AS (SELECT sum(ft) AS tt FROM ct),
       kl AS (
         SELECT f.source,
-          sum(CASE WHEN t.term_m >= 0 THEN (f.fst * t.term_m) // ts.ts
-            ELSE -((f.fst * (-t.term_m)) // ts.ts) END) AS kl_milli
+          sum((f.fst * t.term_m) // ts.ts) AS kl_milli
         FROM f JOIN ts USING (source)
         JOIN (SELECT f2.source, f2.tok,
                 CAST(floor(ln((CAST(f2.fst AS DOUBLE) * CAST(tt.tt AS DOUBLE))
@@ -1565,10 +1558,7 @@ object GovernanceQueries extends QueryModule {
                FROM docs GROUP BY 1),
       cm AS (SELECT sum(n_chars) // count(*) AS cm FROM docs),
       len AS (SELECT source,
-                CASE WHEN mlen >= cm.cm
-                  THEN ((mlen - cm.cm) * 1000) // cm.cm
-                  ELSE -(((cm.cm - mlen) * 1000) // cm.cm) END
-                  AS len_dev_pml
+                ((mlen - cm.cm) * 1000) // cm.cm AS len_dev_pml
               FROM lens CROSS JOIN cm),
       j AS (
         SELECT d2.source, d2.n_docs, d2.dup_ppm, kl.kl_milli,

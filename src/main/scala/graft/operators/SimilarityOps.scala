@@ -351,13 +351,26 @@ object SimilarityOps {
   private def probeRows(corpus: DataFrame, idCol: String, embCol: String,
                         planeMatrix: Seq[Seq[Double]], planesPerTable: Int,
                         probes: Int): DataFrame =
+    probeRowsWithPos(corpus, idCol, embCol, planeMatrix, planesPerTable,
+      probes).drop("pos")
+
+  /** Like [[probeRows]] but keeps `pos`: hp_probes emits the BASE
+    * signature at `pos % probes == 0` of each table (HyperplaneProbes
+    * ordering contract), so one persisted frame of these rows serves
+    * both the probe side (all rows) and the base/index side (the
+    * `pos % probes == 0` filter) of a multi-probe join — one signature
+    * pass instead of hp_probes + hp_signatures over the corpus. */
+  private def probeRowsWithPos(corpus: DataFrame, idCol: String,
+                               embCol: String, planeMatrix: Seq[Seq[Double]],
+                               planesPerTable: Int, probes: Int): DataFrame =
     corpus.select(col(idCol), col(embCol).cast("array<double>").as("v"),
       posexplode(call_function("hp_probes",
         col(embCol).cast("array<double>"),
         typedLit(planeMatrix), lit(planesPerTable), lit(probes)))
         .as(Seq("pos", "bucket")))
       .select(col(idCol), col("v"),
-        expr(s"CAST(pos div $probes AS INT)").as("table_id"), col("bucket"))
+        expr(s"CAST(pos div $probes AS INT)").as("table_id"),
+        expr(s"CAST(pos % $probes AS INT)").as("pos"), col("bucket"))
 
   def lshNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
                       tables: Seq[Array[Array[Double]]],
@@ -366,11 +379,16 @@ object SimilarityOps {
     val planesPerTable = tables.head.length
     val planeMatrix: Seq[Seq[Double]] = tables.flatten.map(_.toSeq)
     val q = math.max(1, math.min(planesPerTable + 1, probes))
-    val bandTable = bandRows(corpus, idCol, embCol, planeMatrix, planesPerTable)
     if (q == 1) {
       // symmetric sides share one signature pass, and `<` halves the
       // candidate pairs BEFORE the dot products — the historical,
-      // oracle-replayed plan shape.
+      // oracle-replayed plan shape. Persisted: both sides of the
+      // bucket self-join project this frame differently, defeating
+      // ReuseExchange — without the cache the per-row signature
+      // hashing runs once per consumer (round-9 q69 driver-bench
+      // lesson).
+      val bandTable =
+        bandRows(corpus, idCol, embCol, planeMatrix, planesPerTable).persist()
       bandTable.select(col(idCol).as("id_a"), col("v").as("ea"),
           col("table_id"), col("bucket"))
         .join(bandTable.select(col(idCol).as("id_b"), col("v").as("eb"),
@@ -386,11 +404,16 @@ object SimilarityOps {
       // with least/greatest — dot is orientation-independent
       // bit-for-bit (per-term products commute; summation index order
       // is identical), so the normalized pair dedups to one exact sim.
-      probeRows(corpus, idCol, embCol, planeMatrix, planesPerTable, q)
-        .select(col(idCol).as("id_a"), col("v").as("ea"),
+      // ONE persisted probe frame serves both sides: the base/index
+      // side is its `pos % q == 0` slice (hp_probes ordering
+      // contract), so the corpus is signature-hashed once, not twice.
+      val pr = probeRowsWithPos(corpus, idCol, embCol, planeMatrix,
+        planesPerTable, q).persist()
+      pr.select(col(idCol).as("id_a"), col("v").as("ea"),
           col("table_id"), col("bucket"))
-        .join(bandTable.select(col(idCol).as("id_b"), col("v").as("eb"),
-          col("table_id"), col("bucket")), Seq("table_id", "bucket"))
+        .join(pr.filter(col("pos") === 0)
+          .select(col(idCol).as("id_b"), col("v").as("eb"),
+            col("table_id"), col("bucket")), Seq("table_id", "bucket"))
         .filter(col("id_a") =!= col("id_b"))
         .select(least(col("id_a"), col("id_b")).as("pid_a"),
           greatest(col("id_a"), col("id_b")).as("pid_b"),
@@ -424,10 +447,14 @@ object SimilarityOps {
     val planesPerTable = tables.head.length
     val planeMatrix: Seq[Seq[Double]] = tables.flatten.map(_.toSeq)
     val q = math.max(1, math.min(planesPerTable + 1, probes))
-    val bandTable = bandRows(corpus, idCol, embCol, planeMatrix, planesPerTable)
-    val querySide =
-      if (q == 1) bandTable
-      else probeRows(corpus, idCol, embCol, planeMatrix, planesPerTable, q)
+    // query side + index side both read one persisted frame (their
+    // projections differ → no ReuseExchange); with multi-probe, the
+    // index side is the probe frame's `pos % q == 0` slice, so the
+    // corpus is signature-hashed once either way.
+    val pr = probeRowsWithPos(corpus, idCol, embCol, planeMatrix,
+      planesPerTable, q).persist()
+    val bandTable = pr.filter(col("pos") === 0)
+    val querySide = if (q == 1) bandTable else pr
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     querySide.select(col(idCol).as("query_id"), col("v").as("qe"),

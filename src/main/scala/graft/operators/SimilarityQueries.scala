@@ -129,6 +129,54 @@ object SimilarityQueries extends QueryModule {
        |WHERE rnk <= 3""".stripMargin
   }
 
+  /** q221 oracle at corpus size n: ANN recall@5 against brute-force
+    * ground truth for the constant probe set (vec_id < 50). The ANN
+    * side replays the full lshTopK pipeline (signatures → buckets →
+    * candidates → exact ranking, query side filtered to the probes);
+    * the truth side is the q37 brute-force window. Recall is the
+    * per-probe |ANN∩BF| / 5 in integer ppm. */
+  private[operators] def annRecallOracleSql(n: Long): String = {
+    val cfg = SimilarityOps.lshSizing(n)
+    val tables = SimilarityOps.lshTables(cfg.planes, cfg.tables, dim = 64)
+    val qside = if (cfg.probes <= 1) "sig" else "probes"
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |           FROM embeddings),
+       |${lshSigCtes(tables, cfg.probes)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM $qside a JOIN sig b ON a.table_id = b.table_id
+       |         AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+       |  WHERE a.vec_id < 50),
+       |sims AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_sum(list_transform(range(1, 65), i -> q.e[i] * n.e[i])) AS sim
+       |  FROM cand c JOIN v q ON q.vec_id = c.query_id
+       |              JOIN v n ON n.vec_id = c.neighbor_id),
+       |ann AS (SELECT query_id, neighbor_id FROM (
+       |          SELECT query_id, neighbor_id,
+       |            row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY sim DESC, neighbor_id ASC)
+       |              AS rnk
+       |          FROM sims) WHERE rnk <= 5),
+       |bfs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i])) AS sim
+       |  FROM v q JOIN v c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < 50),
+       |bf AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY sim DESC, neighbor_id ASC)
+       |             AS rnk
+       |         FROM bfs) WHERE rnk <= 5)
+       |SELECT bf.query_id, CAST(count(ann.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST((count(ann.neighbor_id) * 1000000) // 5 AS BIGINT)
+       |    AS recall_ppm
+       |FROM bf LEFT JOIN ann ON ann.query_id = bf.query_id
+       |  AND ann.neighbor_id = bf.neighbor_id
+       |GROUP BY 1""".stripMargin
+  }
+
   /** q50 oracle at corpus size n: LSH pair candidates + exact verify. */
   private[operators] def neardupLshOracleSql(n: Long): String =
     s"""WITH ${lshPairCtes(n)}
@@ -717,10 +765,10 @@ object SimilarityQueries extends QueryModule {
     // dimension) the component sum and member count — the numerator/
     // denominator pair every cluster-update or per-source embedding
     // diagnostic needs. DIVISION-FREE on purpose: emitting sum + count
-    // avoids cross-engine integer-division semantics entirely (Spark
-    // `div` truncates toward zero, DuckDB `//` floors — they disagree
-    // on negative sums, and component sums ARE negative); consumers
-    // divide in their own numeric domain. Each component is quantized
+    // avoids cross-engine integer-division semantics entirely (both
+    // Spark `div` and DuckDB `//` truncate toward zero on integers,
+    // but emitting sum + count keeps consumers free to divide in
+    // their own numeric domain and precision). Each component is quantized
     // row-locally to milli-units (float -> exact double -> floor, the
     // engine-identical path), so the per-(label,dim) sums are pure
     // integer adds — order-independent across partitionings. One
@@ -1216,11 +1264,11 @@ object SimilarityQueries extends QueryModule {
       val cov = aSide.join(bSide, "vec_id").filter($"i" <= $"j")
         .groupBy($"i", $"j")
         .agg(max($"n").as("n"),
-          // signed-magnitude: covariance sums go negative and Spark
-          // div (truncate) != DuckDB // (floor) on negative dividends
-          expr("""CASE WHEN sum(ca * cb) >= 0
-            THEN sum(ca * cb) div max(n)
-            ELSE -((-sum(ca * cb)) div max(n)) END""").as("cov_k"))
+          // covariance sums go negative, but integer division is still
+          // engine-portable: Spark `div` and DuckDB `//` BOTH truncate
+          // toward zero on integers (measured -7//2 = -3 in DuckDB) —
+          // same semantics as the plain `sc div n` in `mu` above
+          expr("sum(ca * cb) div max(n)").as("cov_k"))
       val diag = cov.filter($"i" === $"j")
         .select($"i".as("dd"), $"cov_k".as("var_k"))
       cov.filter($"i" < $"j")
@@ -1244,9 +1292,7 @@ object SimilarityQueries extends QueryModule {
               FROM e8 JOIN mu USING (dim)),
       cov AS (
         SELECT a.dim AS i, b.dim AS j, max(a.n) AS n,
-          CASE WHEN sum(a.cc * b.cc) >= 0
-            THEN sum(a.cc * b.cc) // max(a.n)
-            ELSE -((-sum(a.cc * b.cc)) // max(a.n)) END AS cov_k
+          sum(a.cc * b.cc) // max(a.n) AS cov_k
         FROM cex a JOIN cex b ON b.vec_id = a.vec_id AND b.dim >= a.dim
         GROUP BY 1, 2),
       diag AS (SELECT i AS dd, cov_k AS var_k FROM cov WHERE i = j)
@@ -1307,6 +1353,43 @@ object SimilarityQueries extends QueryModule {
       SELECT ql AS label, CAST(count(*) AS BIGINT) AS n_probes,
         CAST((sum(agree) * 1000000) // (count(*) * 5) AS BIGINT)
           AS mean_agree_ppm
-      FROM a GROUP BY 1"""))
+      FROM a GROUP BY 1""")),
+
+    // ANN recall report (round-9 VERDICT stretch item, promoting the
+    // ProfileAnn tool's sweep into the hash gate): recall@5 of the
+    // production LSH top-k path against brute-force ground truth, per
+    // probe — the quality number that certifies the ANN family's
+    // speed/recall trade-off at the shipped sizing. Deterministic:
+    // seeded hyperplanes + the fixed probe set (vec_id < 50) make both
+    // rankings exact replays, so recall itself is hash-checkable in
+    // DuckDB — no tolerance band needed. Scale shape: the truth side
+    // is a constant-probe broadcast k*n scan (q37 class); the ANN
+    // side is lshTopK with the probe filter PUSHED THROUGH the
+    // rank window (query_id is the window partition key) into the
+    // query-side bucket scan, so only 50 queries' buckets join the
+    // full index; the recall join is probe-keyed (<=250 rows/side).
+    Q("q221_ann_recall", (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val n = embedN(s, d)
+      val cfg = SimilarityOps.lshSizing(n)
+      val tables = SimilarityOps.lshTables(cfg.planes, cfg.tables, dim = 64)
+      val ann = SimilarityOps
+        .lshTopK(emb, "vec_id", "embedding", tables, k = 5,
+          probes = cfg.probes)
+        .filter($"query_id" < 50)
+        .select($"query_id", $"neighbor_id")
+      val bf = SimilarityOps
+        .bruteForceTopK(emb, emb.filter($"vec_id" < 50), "vec_id",
+          "embedding", k = 5)
+        .select($"query_id", $"neighbor_id")
+      bf.join(ann.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy($"query_id")
+        .agg(sum(coalesce($"hit", lit(0L))).as("n_hits"))
+        .select($"query_id", $"n_hits",
+          expr("(n_hits * 1000000) div 5").as("recall_ppm"))
+    }, Some(annRecallOracleSql(500)),
+      oracleDyn = Some((s, d) => annRecallOracleSql(embedN(s, d))))
   )
 }

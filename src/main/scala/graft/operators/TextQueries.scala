@@ -788,8 +788,9 @@ object TextQueries extends QueryModule {
     // in integer milli-nats: each term's log-ratio is
     // ln((f_st * T) / (Ts * f_t)) on integer-fed doubles (identical
     // IEEE tree) floor-quantized to milli, weighted by f_st with
-    // signed-magnitude division (negative terms where the source
-    // under-uses a token). Milli (not nano) keeps f_st * term under
+    // integer division (Spark `div` and DuckDB `//` both truncate
+    // toward zero, so negative terms — where the source under-uses a
+    // token — divide identically). Milli (not nano) keeps f_st * term under
     // int64 to ~4e14 occurrences/term/source. Scale shape: one
     // (source, tok) agg + one corpus tok agg, joined
     // VOCABULARY-keyed (both corpus-growing, never broadcast);
@@ -808,9 +809,7 @@ object TextQueries extends QueryModule {
           expr("""cast(floor(ln((cast(fst as double) * cast(tt as double))
             / (cast(ts as double) * cast(ft as double))) * 1000)
             as long)"""))
-        .withColumn("contrib",
-          expr("""CASE WHEN term_m >= 0 THEN (fst * term_m) div ts
-            ELSE -((fst * (-term_m)) div ts) END"""))
+        .withColumn("contrib", expr("(fst * term_m) div ts"))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_terms"), max($"ts").as("n_tokens"),
           sum($"contrib").as("kl_milli"))
@@ -830,8 +829,7 @@ object TextQueries extends QueryModule {
         FROM f JOIN ct USING (tok) JOIN ts USING (source) CROSS JOIN tt)
       SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
         CAST(max(ts) AS BIGINT) AS n_tokens,
-        CAST(sum(CASE WHEN term_m >= 0 THEN (fst * term_m) // ts
-          ELSE -((fst * (-term_m)) // ts) END) AS BIGINT) AS kl_milli
+        CAST(sum((fst * term_m) // ts) AS BIGINT) AS kl_milli
       FROM terms GROUP BY 1"""))
   )
 }

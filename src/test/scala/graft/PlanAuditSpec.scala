@@ -75,6 +75,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q207_source_kl" -> "1-row corpus-token-total broadcast for the KL log-ratio (q73 class)",
     "q211_purged_folds" -> "1-row min/max day bounds broadcast for the fold-boundary interpolation (q95 class)",
     "q212_knn_label_noise" -> "constant probe batch (vec_id < 100) broadcast against the corpus: the q37 k*n scan",
+    "q221_ann_recall" -> "brute-force ground-truth side: constant probe batch (vec_id < 50) broadcast against the corpus (q37 class)",
     "q214_delete_impact" -> "1-row deleted-count x 1-row total-count frames per table (scalar aggs, q159 class)",
     "q215_salt_advisor" -> "1-row event-total broadcast onto the key-registry count frame",
     "q217_threshold_sweep" -> "literal 4-row threshold frame inequality-joined against <= 4-row hamming histograms (all bounded local/registry frames)",
@@ -135,6 +136,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q152_dense_ids" -> "per-partition offsets: groupBy spark_partition_id() — one row per partition (a deployment knob), never corpus-proportional",
     "q191_rrf_fusion" -> "query-embedding batch (doc_id IN 2 literal ids — q141 class) + the query-term set of those 2 docs (doc-bounded, q112 class)",
     "q212_knn_label_noise" -> "probe batch: vec_id < 100 constant probe set (q37 class)",
+    "q221_ann_recall" -> "probe batch: vec_id < 50 constant probe set (q37 class)",
   )
 
   test("catalog-wide plan audit: cartesian/BNLJ/global-window invariants") {
@@ -216,5 +218,52 @@ class PlanAuditSpec extends AnyFunSuite {
         "bound it (limit / scalar agg / boundedBroadcast) or justify it in broadcastHintOk")
     assert(hit == broadcastHintOk.keySet,
       s"stale broadcastHintOk entries: ${(broadcastHintOk.keySet -- hit).mkString(", ")}")
+  }
+
+  /** Self-joined expensive subplans must be cache-backed (round-9
+    * VERDICT #1/#3): the banding/LSH families feed BOTH sides of a
+    * candidate equi-join with DIFFERENT projections of one frame, so
+    * Catalyst's ReuseExchange cannot canonicalize the two exchanges —
+    * without a persist the whole upstream (scan → explode → agg) runs
+    * once per consumer, and under full-catalog memory pressure the
+    * driver bench measured that recompute at up to 8× the clean-run
+    * median (q69/q209, BENCH_r09). Each listed query must show at
+    * least two InMemoryTableScan reads (both join sides served from
+    * cache) or a ReusedExchange. The list is a contract like the maps
+    * above: an entry that stops matching fails the audit, so removing
+    * a persist cannot silently regress. */
+  private val cacheBackedSelfJoins: Map[String, String] = Map(
+    "q35_simhash_pairs" -> "simhashPairsBanded: banded frame feeds both candidate-join sides",
+    "q36_minhash_lsh" -> "distinct shingle stream: 4 consumers (signatures, sizes, both intersection sides)",
+    "q39_knn_lsh" -> "lshTopK: band table feeds query + index sides",
+    "q50_neardup_lsh" -> "lshNearDupPairs: band table feeds both bucket-join sides",
+    "q52_neardup_multiprobe" -> "lshNearDupPairs multi-probe: one probe frame feeds probe + base (pos=0 slice) sides",
+    // q53/q107 (dedup clusters / cluster canonical) are NOT listed:
+    // their banded join executes EAGERLY inside componentLabels'
+    // driver fast path at test SF, so the returned plan holds only
+    // label joins — the shared banded op itself is covered via
+    // q35/q209/q217, and CC's persist discipline via CorpusOpsSpec.
+    "q69_neardup_ensemble" -> "sigs + banded (text arm) and band table (embedding arm)",
+    "q154_setsim_join" -> "doc-array frame: 3 consumers (prefix postings, both verify sides)",
+    "q209_cluster_cohesion" -> "sigs (3 consumers) + banded frame",
+    "q217_threshold_sweep" -> "4x8-bit banded sweep frame feeds both candidate-join sides",
+  )
+
+  test("banding/LSH self-join families read their shared frame from cache") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    cacheBackedSelfJoins.keys.toSeq.sorted.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val ns = nodes(plan)
+      val cacheReads = ns.count(_.isInstanceOf[InMemoryTableScanExec])
+      val reused = ns.count(_.isInstanceOf[ReusedExchangeExec])
+      if (cacheReads < 2 && reused == 0)
+        offenders += s"$name (cacheReads=$cacheReads, reusedExchange=$reused)"
+      spark.catalog.clearCache()
+    }
+    assert(offenders.isEmpty,
+      s"self-joined subplan recomputes its shared frame in: ${offenders.mkString(", ")} — " +
+        "persist the multi-consumer frame (see cacheBackedSelfJoins)")
   }
 }

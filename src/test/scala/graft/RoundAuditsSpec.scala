@@ -302,4 +302,36 @@ class RoundAuditsSpec extends AnyFunSuite {
     val mx = r.getAs[Long]("wm_max_min")
     assert(p99 <= p999 && p999 <= mx && p99 >= 0)
   }
+
+  test("q221: one row per probe, recall replays n_hits/5, ANN not degenerate") {
+    val rows = run("q221_ann_recall").collect()
+    val n = graft.catalog.Stats.parquetRowCount(spark, s"$sf/embeddings.parquet")
+    assert(rows.length == math.min(50L, n)) // every probe reports
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0 && h <= 5)
+      assert(r.getAs[Long]("recall_ppm") == h * 1000000L / 5)
+    }
+    // the LSH path must find SOMETHING at test SF — an all-zero recall
+    // column means the ANN side silently broke (empty buckets, sizing
+    // bug), which the hash gate would only catch as a co-drift
+    assert(rows.map(_.getAs[Long]("n_hits")).sum > 0)
+  }
+
+  test("q222: estimator levels bounded, est/exact consistent at the extremes") {
+    val rows = run("q222_minhash_calibration").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("n_match")
+      assert(m >= 0 && m <= 16)
+      val mj = r.getAs[Long]("mean_jaccard_milli")
+      val me = r.getAs[Long]("mean_abs_err_milli")
+      assert(mj >= 0 && mj <= 1000)
+      assert(me >= 0 && me <= 1000)
+      // error is bounded by the worst per-pair distance between the
+      // level's estimate and ANY true jaccard value
+      assert(me <= math.max(m * 1000 / 16, 1000 - m * 1000 / 16))
+      assert(r.getAs[Long]("n_pairs") >= 1)
+    }
+  }
 }
