@@ -1312,6 +1312,106 @@ object CorpusQueries extends QueryModule {
                 ORDER BY qmilli ASC, doc_id ASC) * 1000) AS BIGINT) AS pm
             FROM q)
       SELECT r.doc_id, r.source, r.qmilli, r.pm, pmv.v AS qnorm_milli
-      FROM r JOIN pmv ON pmv.pm = r.pm"""))
+      FROM r JOIN pmv ON pmv.pm = r.pm""")),
+
+    // Importance-weight effective sample size (the resampling health
+    // check behind every mixture re-balancing): weight each doc toward
+    // a LANGUAGE-UNIFORM target (w ∝ 1/p(lang), integer milli), then
+    // per source report Kish's ESS = (Σw)²/Σw² as a ppm fraction of
+    // its docs — 1e6 means reweighting is free for that source, small
+    // means a few heavy docs dominate and the source effectively
+    // shrinks. Exactness: weights are pure integer row functions;
+    // ESS is ONE floor over integer-fed doubles (products/divides are
+    // correctly-rounded IEEE, identical both engines) — no overflow
+    // at any corpus size, unlike an all-integer (Σw)² which clips
+    // past ~3e9 milli-mass. Scale shape: one map-side-combined lang
+    // agg (registry-sized), its 1-row total broadcast, one doc-keyed
+    // registry join, one map-side-combined source agg.
+    Q("q224_importance_ess", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select($"doc_id", $"source", $"lang")
+      val lc = docs.groupBy($"lang").agg(count(lit(1)).as("nl"))
+      val tot = lc.agg(sum($"nl").as("n"), count(lit(1)).as("nlang"))
+      docs.join(lc, "lang").crossJoin(broadcast(tot))
+        .select($"source", expr("(n * 1000) div (nlang * nl)").as("wm"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"wm").as("sw"),
+          sum($"wm" * $"wm").as("sw2"), max($"wm").as("max_w_milli"))
+        .select($"source", $"n_docs", $"sw".as("sum_w_milli"),
+          $"max_w_milli",
+          expr("""CASE WHEN sw2 = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(1000000 * (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+              / (CAST(n_docs AS DOUBLE) * CAST(sw2 AS DOUBLE))) AS BIGINT)
+            END""").as("ess_ppm"))
+    }, Some("""
+      WITH lc AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
+      tot AS (SELECT sum(nl) AS n, count(*) AS nlang FROM lc),
+      w AS (SELECT d.source, (tot.n * 1000) // (tot.nlang * lc.nl) AS wm
+            FROM documents d JOIN lc USING (lang) CROSS JOIN tot),
+      g AS (SELECT source, count(*) AS n_docs, sum(wm) AS sw,
+              sum(wm * wm) AS sw2, max(wm) AS max_w_milli
+            FROM w GROUP BY 1)
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(sw AS BIGINT) AS sum_w_milli,
+        CAST(max_w_milli AS BIGINT) AS max_w_milli,
+        CAST(CASE WHEN sw2 = 0 THEN 0
+          ELSE floor(1000000 * (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+            / (CAST(n_docs AS DOUBLE) * CAST(sw2 AS DOUBLE))) END AS BIGINT)
+          AS ess_ppm
+      FROM g""")),
+
+    // Training-order interleaving audit (does q106's shuffle actually
+    // interleave sources?): same-source RUN LENGTHS in the per-shard
+    // training order, per source — long runs mean consecutive batches
+    // see one source and gradient noise correlates (the thing the
+    // hash-shuffle exists to prevent). Gaps-and-islands: within each
+    // (shard, source), run id = pos - per-source-rank, then run
+    // lengths by (shard, source, run). Scale shape: both windows ride
+    // the BOUNDED shard (q106's scale knob — shard count grows with
+    // the corpus, a shard stays ~1M docs); rollup is registry-sized.
+    // Expected mean run under random order is 1/(1-p_source) ≈ 1.05 —
+    // a mean_run_milli far above that flags a broken shuffle.
+    Q("q225_order_runs", (s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents")
+        .select($"doc_id", $"source",
+          CorpusOps.hashMix($"doc_id", 1000003L).as("prio"))
+        .withColumn("shard", pmod($"prio", lit(8L)))
+      val w = Window.partitionBy($"shard").orderBy($"prio".asc, $"doc_id".asc)
+      val ordered = base
+        .withColumn("pos", row_number().over(w).cast("long") - 1)
+      val wS = Window.partitionBy($"shard", $"source").orderBy($"pos".asc)
+      ordered
+        .withColumn("rn", row_number().over(wS).cast("long"))
+        .withColumn("grp", $"pos" - $"rn")
+        .groupBy($"shard", $"source", $"grp")
+        .agg(count(lit(1)).as("len"))
+        .groupBy($"source")
+        .agg(sum($"len").as("n_docs"), count(lit(1)).as("n_runs"),
+          max($"len").as("max_run"),
+          expr("(sum(len) * 1000) div count(1)").as("mean_run_milli"))
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+          ((((doc_id % 1000003) + 1000003) % 1000003 * 2654435761 + 40503)
+             % 1000003 + 1000003) % 1000003 AS prio
+        FROM documents),
+      o AS (
+        SELECT doc_id, source, prio % 8 AS shard,
+          CAST(row_number() OVER (PARTITION BY prio % 8
+            ORDER BY prio ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+        FROM d),
+      r AS (
+        SELECT shard, source, pos,
+          pos - row_number() OVER (PARTITION BY shard, source
+            ORDER BY pos ASC) AS grp
+        FROM o),
+      runs AS (SELECT shard, source, grp, count(*) AS len
+               FROM r GROUP BY 1, 2, 3)
+      SELECT source, CAST(sum(len) AS BIGINT) AS n_docs,
+        CAST(count(*) AS BIGINT) AS n_runs,
+        CAST(max(len) AS BIGINT) AS max_run,
+        CAST((sum(len) * 1000) // count(*) AS BIGINT) AS mean_run_milli
+      FROM runs GROUP BY 1"""))
   )
 }

@@ -830,6 +830,130 @@ object TextQueries extends QueryModule {
       SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
         CAST(max(ts) AS BIGINT) AS n_tokens,
         CAST(sum((fst * term_m) // ts) AS BIGINT) AS kl_milli
-      FROM terms GROUP BY 1"""))
+      FROM terms GROUP BY 1""")),
+
+    // Retrieval quality eval (nDCG@10 + precision@10 over the q112
+    // BM25 ranker): the eval-harness number a retrieval stack reports
+    // before its index ships. Relevance is a deterministic label the
+    // oracle can replay — 2 if the hit shares the query doc's source
+    // (strong: same site), 1 if it shares the lang (weak: lexical
+    // retrieval should at least stay in-language), 0 otherwise; the
+    // query doc itself is excluded (it would trivially rank first). nDCG uses the LOCAL
+    // ideal (top-10 relevances re-sorted descending) so it is
+    // well-defined from the retrieved list alone; the 10 log2
+    // discounts are precomputed integer-micro literals interpolated
+    // into BOTH engines, so no runtime log2 rounding can diverge.
+    // Scale shape: q112's vocabulary-keyed joins + bucketed-prefilter
+    // top-k; the eval adds two doc-keyed metadata joins and windows
+    // over <= 10 rows per query — nothing corpus-global.
+    Q("q223_ndcg_eval", (s, d) => {
+      import s.implicits._
+      val discs = TextQueries.ndcgDiscMicro
+      val docs = t(s, d, "documents")
+      val tf = docs
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"),
+        (sum($"dl") * lit(1.0) / count(lit(1))).as("avgdl"))
+      val idf = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+        .join(broadcast(stats))
+        .select($"tok",
+          floor(log(lit(1) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+            * 1000000000d).cast("long").as("idf_n"))
+      val qt = tf.filter($"doc_id" < 3)
+        .select($"doc_id".as("q_id"), $"tok").distinct()
+      val scored = tf.join(broadcast(qt), "tok")
+        .filter($"doc_id" =!= $"q_id")
+        .join(idf, "tok").join(dl, "doc_id").join(broadcast(stats))
+        .withColumn("term_n",
+          floor($"idf_n" * (($"tf" * lit(2.2))
+            / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / $"avgdl")))))
+            .cast("long"))
+        .groupBy($"q_id", $"doc_id").agg(sum($"term_n").as("bm25_n"))
+      val ord = Seq($"bm25_n".desc, $"doc_id".asc)
+      val wB = Window.partitionBy($"q_id", pmod(hash($"doc_id"), lit(64)))
+        .orderBy(ord: _*)
+      val wG = Window.partitionBy($"q_id").orderBy(ord: _*)
+      val topk = scored
+        .withColumn("brk", row_number().over(wB)).filter($"brk" <= 10)
+        .withColumn("rk", row_number().over(wG)).filter($"rk" <= 10)
+        .select($"q_id", $"doc_id", $"rk")
+      val qm = docs.select($"doc_id".as("q_id"), $"source".as("qs"),
+        $"lang".as("qlg"))
+      val dm = docs.select($"doc_id", $"source".as("ds"), $"lang".as("dlg"))
+      val wI = Window.partitionBy($"q_id").orderBy($"rel".desc, $"rk".asc)
+      topk.join(qm, "q_id").join(dm, "doc_id")
+        .select($"q_id", $"rk",
+          when($"qs" === $"ds", 2L)
+            .when($"qlg" === $"dlg", 1L).otherwise(0L).as("rel"))
+        .withColumn("irk", row_number().over(wI))
+        .groupBy($"q_id")
+        .agg(count(lit(1)).as("n_ret"),
+          sum(when($"rel" > 0, 1L).otherwise(0L)).as("n_rel"),
+          sum($"rel" * element_at(typedLit(discs), $"rk".cast("int")))
+            .as("dcg_micro"),
+          sum($"rel" * element_at(typedLit(discs), $"irk")).as("idcg_micro"))
+        .select($"q_id", $"n_ret", $"n_rel", $"dcg_micro",
+          expr("""CASE WHEN idcg_micro = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE (dcg_micro * 1000000) div idcg_micro END""").as("ndcg_ppm"),
+          expr("(n_rel * 1000000) div 10").as("prec_ppm"))
+    }, Some {
+      val dl = TextQueries.ndcgDiscMicro.mkString("[", ", ", "]")
+      s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                   FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+      idf AS (SELECT tok,
+                CAST(floor(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1000000000)
+                     AS BIGINT) AS idf_n
+              FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+              CROSS JOIN stats),
+      qt AS (SELECT DISTINCT doc_id AS q_id, tok FROM tf WHERE doc_id < 3),
+      sc AS (SELECT qt.q_id, tf.doc_id,
+               CAST(sum(CAST(floor(idf.idf_n * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / stats.avgdl)))))
+                 AS BIGINT)) AS BIGINT) AS bm25_n
+             FROM qt
+             JOIN tf ON tf.tok = qt.tok AND tf.doc_id != qt.q_id
+             JOIN idf ON idf.tok = tf.tok
+             JOIN dl ON dl.doc_id = tf.doc_id
+             CROSS JOIN stats
+             GROUP BY 1, 2),
+      topk AS (SELECT q_id, doc_id, rk FROM (
+                 SELECT *, row_number() OVER (PARTITION BY q_id
+                   ORDER BY bm25_n DESC, doc_id ASC) AS rk
+                 FROM sc)
+               WHERE rk <= 10),
+      r AS (SELECT t.q_id, t.rk,
+              CASE WHEN dq.source = dd.source THEN 2
+                   WHEN dq.lang = dd.lang THEN 1 ELSE 0 END AS rel
+            FROM topk t
+            JOIN documents dq ON dq.doc_id = t.q_id
+            JOIN documents dd ON dd.doc_id = t.doc_id),
+      i AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY rel DESC, rk ASC) AS irk FROM r),
+      g AS (SELECT q_id, count(*) AS n_ret,
+              sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_rel,
+              sum(rel * ($dl)[rk]) AS dcg_micro,
+              sum(rel * ($dl)[irk]) AS idcg_micro
+            FROM i GROUP BY 1)
+      SELECT q_id, CAST(n_ret AS BIGINT) AS n_ret,
+        CAST(n_rel AS BIGINT) AS n_rel,
+        CAST(dcg_micro AS BIGINT) AS dcg_micro,
+        CAST(CASE WHEN idcg_micro = 0 THEN 1000000
+          ELSE (dcg_micro * 1000000) // idcg_micro END AS BIGINT)
+          AS ndcg_ppm,
+        CAST((n_rel * 1000000) // 10 AS BIGINT) AS prec_ppm
+      FROM g"""
+    })
   )
+
+  /** The 10 nDCG position discounts floor(1e6 / log2(i + 1)),
+    * i = 1..10, precomputed once so both engines consume identical
+    * integer literals (no runtime log2 rounding to diverge). */
+  private[operators] val ndcgDiscMicro: Seq[Long] = (1 to 10).map(i =>
+    math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
 }

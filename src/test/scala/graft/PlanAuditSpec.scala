@@ -76,6 +76,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q211_purged_folds" -> "1-row min/max day bounds broadcast for the fold-boundary interpolation (q95 class)",
     "q212_knn_label_noise" -> "constant probe batch (vec_id < 100) broadcast against the corpus: the q37 k*n scan",
     "q221_ann_recall" -> "brute-force ground-truth side: constant probe batch (vec_id < 50) broadcast against the corpus (q37 class)",
+    "q223_ndcg_eval" -> "1-row corpus-stats (N, avgdl) broadcasts for the BM25 score (q112 class)",
+    "q224_importance_ess" -> "1-row (corpus total, lang count) broadcast onto the per-doc weight frame",
     "q214_delete_impact" -> "1-row deleted-count x 1-row total-count frames per table (scalar aggs, q159 class)",
     "q215_salt_advisor" -> "1-row event-total broadcast onto the key-registry count frame",
     "q217_threshold_sweep" -> "literal 4-row threshold frame inequality-joined against <= 4-row hamming histograms (all bounded local/registry frames)",
@@ -137,6 +139,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q191_rrf_fusion" -> "query-embedding batch (doc_id IN 2 literal ids — q141 class) + the query-term set of those 2 docs (doc-bounded, q112 class)",
     "q212_knn_label_noise" -> "probe batch: vec_id < 100 constant probe set (q37 class)",
     "q221_ann_recall" -> "probe batch: vec_id < 50 constant probe set (q37 class)",
+    "q223_ndcg_eval" -> "query-term set of the 3 seed docs: doc-bounded, not corpus-growing (q112 class)",
   )
 
   test("catalog-wide plan audit: cartesian/BNLJ/global-window invariants") {

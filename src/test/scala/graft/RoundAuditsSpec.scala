@@ -318,6 +318,42 @@ class RoundAuditsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_hits")).sum > 0)
   }
 
+  test("q223: ndcg bounded by the local ideal, precision replays n_rel") {
+    val rows = run("q223_ndcg_eval").collect()
+    assert(rows.length == 3) // one per probe query
+    rows.foreach { r =>
+      val ndcg = r.getAs[Long]("ndcg_ppm")
+      assert(ndcg >= 0 && ndcg <= 1000000L) // DCG can never beat its ideal
+      val nRel = r.getAs[Long]("n_rel")
+      assert(r.getAs[Long]("prec_ppm") == nRel * 1000000L / 10)
+      assert(r.getAs[Long]("n_ret") <= 10)
+      if (nRel == 0) assert(r.getAs[Long]("dcg_micro") == 0)
+    }
+  }
+
+  test("q224: ESS is a ppm fraction, weights conserve the corpus") {
+    val rows = run("q224_importance_ess").collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val e = r.getAs[Long]("ess_ppm")
+      assert(e > 0 && e <= 1000000L) // Kish ESS is in (0, n]
+      assert(r.getAs[Long]("max_w_milli") <= r.getAs[Long]("sum_w_milli"))
+    }
+  }
+
+  test("q225: run decomposition conserves docs, means replay the ratio") {
+    val rows = run("q225_order_runs").collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val nd = r.getAs[Long]("n_docs"); val nr = r.getAs[Long]("n_runs")
+      assert(nr >= 1 && nr <= nd)
+      assert(r.getAs[Long]("max_run") >= 1 && r.getAs[Long]("max_run") <= nd)
+      assert(r.getAs[Long]("mean_run_milli") == nd * 1000 / nr)
+    }
+  }
+
   test("q222: estimator levels bounded, est/exact consistent at the extremes") {
     val rows = run("q222_minhash_calibration").collect()
     assert(rows.nonEmpty)
