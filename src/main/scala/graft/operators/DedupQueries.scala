@@ -1265,6 +1265,63 @@ object DedupQueries extends QueryModule {
          |  CAST(sum(ex_milli) // count(*) AS BIGINT) AS mean_jaccard_milli,
          |  CAST(sum(abs(est_milli - ex_milli)) // count(*) AS BIGINT)
          |    AS mean_abs_err_milli
-         |FROM p GROUP BY 1""".stripMargin))
+         |FROM p GROUP BY 1""".stripMargin)),
+
+    // Leave-one-source-out dedup valuation (content-level data
+    // valuation: which source, if DROPPED, removes the most duplicate
+    // mass?). q214 prices an FK-cascade erasure; this prices content
+    // redundancy: per source s, corpus duplicate count without s
+    // (D_s = Σ_fp max(c - c_s - 1, 0) over lead-fp clusters) vs the
+    // full-corpus D — dups_removed = D - D_s is s's marginal
+    // redundancy contribution, the closed-form LOO a mixture owner
+    // reads before paying for more of a source. Closed form because
+    // dup count is fingerprint-additive — no per-source re-dedup jobs.
+    // Scale shape: one (fp, source) map-side-combined agg, one
+    // fp-keyed join to per-fp totals (both corpus-growing, unhinted),
+    // one registry rollup; the 1-row corpus D broadcast.
+    Q("q226_loo_dedup_value", (s, d) => {
+      import s.implicits._
+      val fps = t(s, d, "documents")
+        .select($"source",
+          md5(array_join(slice(TextOps.tokens($"text"), 1, 10), " "))
+            .as("fp"))
+      val perSrc = fps.groupBy($"fp", $"source").agg(count(lit(1)).as("cs"))
+      val perFp = perSrc.groupBy($"fp").agg(sum($"cs").as("c"))
+      val dTotal = perFp
+        .agg(sum($"c" - 1).as("d_corpus"), sum($"c").as("n_corpus"))
+      perSrc.join(perFp, "fp")
+        .groupBy($"source")
+        .agg(sum($"cs").as("n_docs"),
+          // dups lost in s's clusters when s is dropped:
+          // (c - 1) - max(c - cs - 1, 0)
+          sum(($"c" - 1) - greatest($"c" - $"cs" - 1, lit(0L)))
+            .as("dups_removed"))
+        .crossJoin(broadcast(dTotal))
+        .select($"source", $"n_docs", $"dups_removed",
+          expr("(dups_removed * 1000) div n_docs").as("removed_per_kdoc"),
+          expr("""CASE WHEN n_corpus - n_docs = 0 THEN CAST(0 AS BIGINT)
+            ELSE ((d_corpus - dups_removed) * 1000000)
+              div (n_corpus - n_docs) END""").as("dup_ppm_after"))
+    }, Some("""
+      WITH f AS (
+        SELECT source,
+          md5(array_to_string(
+            list_slice(string_split_regex(trim(text), '\s+'), 1, 10), ' '))
+            AS fp
+        FROM documents),
+      ps AS (SELECT fp, source, count(*) AS cs FROM f GROUP BY 1, 2),
+      pf AS (SELECT fp, sum(cs) AS c FROM ps GROUP BY 1),
+      tot AS (SELECT sum(c - 1) AS d_corpus, sum(c) AS n_corpus FROM pf),
+      g AS (
+        SELECT ps.source, sum(ps.cs) AS n_docs,
+          sum((pf.c - 1) - greatest(pf.c - ps.cs - 1, 0)) AS dups_removed
+        FROM ps JOIN pf USING (fp) GROUP BY 1)
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(dups_removed AS BIGINT) AS dups_removed,
+        CAST((dups_removed * 1000) // n_docs AS BIGINT) AS removed_per_kdoc,
+        CAST(CASE WHEN tot.n_corpus - n_docs = 0 THEN 0
+          ELSE ((tot.d_corpus - dups_removed) * 1000000)
+            // (tot.n_corpus - n_docs) END AS BIGINT) AS dup_ppm_after
+      FROM g CROSS JOIN tot"""))
   )
 }

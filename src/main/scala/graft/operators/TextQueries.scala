@@ -948,7 +948,71 @@ object TextQueries extends QueryModule {
           AS ndcg_ppm,
         CAST((n_rel * 1000000) // 10 AS BIGINT) AS prec_ppm
       FROM g"""
-    })
+    }),
+
+    // Vocabulary coverage curve (the tokenizer-budget readout): what
+    // fraction of all token OCCURRENCES do the top-k types cover, for
+    // k in {10, 100, 1000}? q133 fits the Zipf decay; this is the
+    // operational integral a vocab-size decision reads. Exact top-k
+    // mass WITHOUT a corpus-sized ranking sort: group types into
+    // DISTINCT-FREQUENCY classes (f, types m, mass f*m), cumulate over
+    // the class grid ordered by f desc (value-domain bounded, q110/
+    // q181 argument — classes ≤ max frequency, never vocabulary
+    // cardinality), and resolve each budget k inside its straddling
+    // class: mass(k) = cm - (ct - k)·f (ties broken by taking ANY k
+    // of the class's equal-frequency types — mass is tie-invariant,
+    // which is why the class grid needs no per-type ordering). Scale
+    // shape: one vocabulary-keyed agg, one frequency-class agg, a
+    // 3-row literal budget frame inequality-joined to the bounded
+    // grid, 1-row totals broadcast.
+    Q("q227_vocab_coverage", (s, d) => {
+      import s.implicits._
+      val tf = t(s, d, "documents")
+        .select(explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("f"))
+      val classes = tf.groupBy($"f").agg(count(lit(1)).as("m"))
+      val wC = Window.orderBy($"f".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = classes
+        .withColumn("ct", sum($"m").over(wC))
+        .withColumn("cm", sum($"f" * $"m").over(wC))
+      val totals = classes.agg(sum($"f" * $"m").as("t_mass"),
+        sum($"m").as("v_types"), min($"f").as("f_min"))
+      val budgets = s.createDataFrame(
+        Seq(10L, 100L, 1000L).map(Tuple1(_))).toDF("k")
+      budgets
+        .join(cum, cum("ct") - cum("m") < budgets("k") &&
+          budgets("k") <= cum("ct"), "left_outer")
+        .crossJoin(broadcast(totals))
+        .select($"k", least($"k", $"v_types").as("types_used"),
+          coalesce($"f", $"f_min").as("cutoff_freq"),
+          coalesce($"cm" - ($"ct" - $"k") * $"f", $"t_mass")
+            .as("mass_covered"), $"t_mass")
+        .select($"k", $"types_used", $"cutoff_freq", $"mass_covered",
+          expr("(mass_covered * 1000000) div t_mass").as("coverage_ppm"))
+    }, Some("""
+      WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+'))
+                     AS tok FROM documents),
+      tf AS (SELECT tok, count(*) AS f FROM tok GROUP BY 1),
+      cls AS (SELECT f, count(*) AS m FROM tf GROUP BY 1),
+      cum AS (SELECT f, m,
+                sum(m) OVER (ORDER BY f DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+                sum(f * m) OVER (ORDER BY f DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+              FROM cls),
+      tot AS (SELECT sum(f * m) AS t_mass, sum(m) AS v_types,
+                min(f) AS f_min FROM cls),
+      b(k) AS (VALUES (10), (100), (1000))
+      SELECT CAST(b.k AS BIGINT) AS k,
+        CAST(least(b.k, tot.v_types) AS BIGINT) AS types_used,
+        CAST(coalesce(c.f, tot.f_min) AS BIGINT) AS cutoff_freq,
+        CAST(coalesce(c.cm - (c.ct - b.k) * c.f, tot.t_mass) AS BIGINT)
+          AS mass_covered,
+        CAST((coalesce(c.cm - (c.ct - b.k) * c.f, tot.t_mass) * 1000000)
+          // tot.t_mass AS BIGINT) AS coverage_ppm
+      FROM b LEFT JOIN cum c ON c.ct - c.m < b.k AND b.k <= c.ct
+      CROSS JOIN tot"""))
   )
 
   /** The 10 nDCG position discounts floor(1e6 / log2(i + 1)),

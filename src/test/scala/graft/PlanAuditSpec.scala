@@ -78,6 +78,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q221_ann_recall" -> "brute-force ground-truth side: constant probe batch (vec_id < 50) broadcast against the corpus (q37 class)",
     "q223_ndcg_eval" -> "1-row corpus-stats (N, avgdl) broadcasts for the BM25 score (q112 class)",
     "q224_importance_ess" -> "1-row (corpus total, lang count) broadcast onto the per-doc weight frame",
+    "q226_loo_dedup_value" -> "1-row corpus dup/doc totals broadcast onto the source-registry LOO frame",
+    "q227_vocab_coverage" -> "3-row literal budget frame inequality-joined to the bounded frequency-class grid (q217 class) + 1-row totals broadcast",
     "q214_delete_impact" -> "1-row deleted-count x 1-row total-count frames per table (scalar aggs, q159 class)",
     "q215_salt_advisor" -> "1-row event-total broadcast onto the key-registry count frame",
     "q217_threshold_sweep" -> "literal 4-row threshold frame inequality-joined against <= 4-row hamming histograms (all bounded local/registry frames)",
@@ -101,6 +103,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q185_lateness_histogram" -> "cum/total windows over the <= 61-row capped lateness-minute bucket grid",
     "q196_variance_alloc" -> "largest-remainder rank over the language-registry frame (bounded registry, q166 class)",
     "q216_watermark_advisor" -> "cum/total windows over the <= 61-row capped lateness-minute bucket grid (q185 class)",
+    "q227_vocab_coverage" -> "cumulative types/mass over the DISTINCT token-frequency class grid — value-domain bounded (q110/q181 argument), never vocabulary cardinality",
   )
 
   /** broadcast() HINT audit (the q54 class): a hint pins its side into

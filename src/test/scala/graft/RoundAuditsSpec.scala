@@ -354,6 +354,36 @@ class RoundAuditsSpec extends AnyFunSuite {
     }
   }
 
+  test("q226: LOO is conservative — removed dups never exceed the corpus total") {
+    val rows = run("q226_loo_dedup_value").collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val rem = r.getAs[Long]("dups_removed")
+      // a source can remove at most its own doc count worth of dups
+      assert(rem >= 0 && rem <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("removed_per_kdoc") ==
+        rem * 1000 / r.getAs[Long]("n_docs"))
+      val after = r.getAs[Long]("dup_ppm_after")
+      assert(after >= 0 && after <= 1000000L)
+    }
+  }
+
+  test("q227: coverage is monotone in the budget and conserves total mass") {
+    val rows = run("q227_vocab_coverage").collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(10L, 100L, 1000L))
+    val masses = rows.map(_.getAs[Long]("mass_covered"))
+    assert(masses.sliding(2).forall(p => p(0) <= p(1))) // more types, more mass
+    rows.foreach { r =>
+      val cov = r.getAs[Long]("coverage_ppm")
+      assert(cov > 0 && cov <= 1000000L)
+      assert(r.getAs[Long]("types_used") <= r.getAs[Long]("k"))
+      assert(r.getAs[Long]("cutoff_freq") >= 1)
+    }
+    // the largest budget at test SF exceeds the vocabulary: full mass
+    assert(rows.last.getAs[Long]("coverage_ppm") == 1000000L)
+  }
+
   test("q222: estimator levels bounded, est/exact consistent at the extremes") {
     val rows = run("q222_minhash_calibration").collect()
     assert(rows.nonEmpty)
