@@ -2279,6 +2279,191 @@ object AnalyticsQueries extends QueryModule {
       FROM (SELECT *, row_number() OVER (ORDER BY cos_milli DESC, pa ASC,
               pb ASC) AS rk FROM sc)
       WHERE rk <= 30""")),
+
+    // UCB1 arm readout (the explore/exploit dashboard over event-type
+    // "arms": which variant would a bandit pull next, and how wide is
+    // each arm's confidence bonus?). Per arm: pulls, mean reward
+    // (value milli, integer), the UCB1 exploration bonus
+    // floor(1000·sqrt(2 ln N / n)) and the resulting upper bound —
+    // q174 tests ONE A/B pair post-hoc; this is the online-selection
+    // view over all arms. Exactness: rewards floor-quantized to milli
+    // row-locally; mean is integer div; the bonus is one floor over
+    // integer-fed doubles (ln/sqrt on identical IEEE inputs — the
+    // q202/q207 convention). Scale shape: ONE map-side-combined arm
+    // agg collapses the corpus to the registry; the 1-row total
+    // broadcasts; everything downstream registry-sized.
+    Q("q228_ucb_readout", (s, d) => {
+      import s.implicits._
+      val arms = t(s, d, "events")
+        .select($"event_type",
+          floor($"value".cast("double") * 1000).cast("long").as("vm"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_pulls"), sum($"vm").as("sv"))
+      val tot = arms.agg(sum($"n_pulls").as("n_total"))
+      arms.crossJoin(broadcast(tot))
+        .select($"event_type", $"n_pulls",
+          expr("sv div n_pulls").as("mean_milli"),
+          expr("""cast(floor(1000 * sqrt(2.0 * ln(cast(n_total as double))
+            / cast(n_pulls as double))) as long)""").as("bonus_milli"))
+        .withColumn("ucb_milli", $"mean_milli" + $"bonus_milli")
+    }, Some("""
+      WITH a AS (
+        SELECT event_type, count(*) AS n_pulls,
+          sum(CAST(floor(CAST(value AS DOUBLE) * 1000) AS BIGINT)) AS sv
+        FROM events GROUP BY 1),
+      t AS (SELECT sum(n_pulls) AS n_total FROM a)
+      SELECT event_type, CAST(n_pulls AS BIGINT) AS n_pulls,
+        CAST(sv // n_pulls AS BIGINT) AS mean_milli,
+        CAST(floor(1000 * sqrt(2.0 * ln(CAST(t.n_total AS DOUBLE))
+          / CAST(n_pulls AS DOUBLE))) AS BIGINT) AS bonus_milli,
+        CAST(sv // n_pulls + floor(1000 * sqrt(2.0
+          * ln(CAST(t.n_total AS DOUBLE)) / CAST(n_pulls AS DOUBLE)))
+          AS BIGINT) AS ucb_milli
+      FROM a CROSS JOIN t""")),
+
+    // Conversion-latency percentiles (time-to-next-stage distribution
+    // for the q89 funnel: view→click and click→purchase): p50/p90/p99
+    // and max of the step delay in MINUTES — q89 counts who converts,
+    // q185 measures pipeline lateness; this is the user-journey
+    // latency a funnel owner actually tunes against. Exact percentiles
+    // WITHOUT a corpus sort: delays bucket to the minute grid
+    // (value-domain bounded — the session horizon, q110/q185
+    // argument), cumulate per step, and each percentile resolves as
+    // the smallest bucket with cum·100 >= p·n. Scale shape: one
+    // user-keyed stage agg (map-side combined), one (step, minute)
+    // agg, per-step grid windows, a 3-row literal percentile frame
+    // inequality-joined to the bounded grid.
+    Q("q229_conversion_latency", (s, d) => {
+      import s.implicits._
+      val st = t(s, d, "events").groupBy($"user_id").agg(
+        min(when($"event_type" === "view",
+          unix_micros($"ts".cast("timestamp")))).as("tv"),
+        min(when($"event_type" === "click",
+          unix_micros($"ts".cast("timestamp")))).as("tc"),
+        min(when($"event_type" === "purchase",
+          unix_micros($"ts".cast("timestamp")))).as("tp"))
+      val deltas = st
+        .select(lit("view_click").as("step"),
+          when($"tv".isNotNull && $"tc" > $"tv",
+            expr("(tc - tv) div 60000000")).as("m"))
+        .unionAll(st.select(lit("click_purchase").as("step"),
+          when($"tc".isNotNull && $"tp" > $"tc",
+            expr("(tp - tc) div 60000000")).as("m")))
+        .filter($"m".isNotNull)
+      val grid = deltas.groupBy($"step", $"m").agg(count(lit(1)).as("c"))
+      val wS = Window.partitionBy($"step").orderBy($"m".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid.withColumn("cum", sum($"c").over(wS))
+      val totals = grid.groupBy($"step").agg(sum($"c").as("n"),
+        max($"m").as("max_min"))
+      val pcts = s.createDataFrame(Seq(50L, 90L, 99L).map(Tuple1(_)))
+        .toDF("pct")
+      cum.join(totals, "step").crossJoin(broadcast(pcts))
+        .filter($"cum" * 100 >= $"pct" * $"n")
+        .groupBy($"step", $"pct", $"n", $"max_min")
+        .agg(min($"m").as("pm"))
+        .groupBy($"step")
+        .agg(max($"n").as("n_pairs"),
+          min(when($"pct" === 50, $"pm")).as("p50_min"),
+          min(when($"pct" === 90, $"pm")).as("p90_min"),
+          min(when($"pct" === 99, $"pm")).as("p99_min"),
+          max($"max_min").as("max_min"))
+    }, Some("""
+      WITH s AS (
+        SELECT user_id,
+          min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv,
+          min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS tc,
+          min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+        FROM events GROUP BY 1),
+      d AS (
+        SELECT 'view_click' AS step, (tc - tv) // 60000000 AS m
+        FROM s WHERE tv IS NOT NULL AND tc > tv
+        UNION ALL
+        SELECT 'click_purchase', (tp - tc) // 60000000
+        FROM s WHERE tc IS NOT NULL AND tp > tc),
+      g AS (SELECT step, m, count(*) AS c FROM d GROUP BY 1, 2),
+      cum AS (SELECT step, m, c,
+                sum(c) OVER (PARTITION BY step ORDER BY m ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM g),
+      t AS (SELECT step, sum(c) AS n, max(m) AS max_min FROM g GROUP BY 1),
+      p(pct) AS (VALUES (50), (90), (99)),
+      r AS (
+        SELECT cum.step, p.pct, t.n, t.max_min, min(cum.m) AS pm
+        FROM cum JOIN t USING (step) CROSS JOIN p
+        WHERE cum.cum * 100 >= p.pct * t.n
+        GROUP BY 1, 2, 3, 4)
+      SELECT step, CAST(max(n) AS BIGINT) AS n_pairs,
+        CAST(min(CASE WHEN pct = 50 THEN pm END) AS BIGINT) AS p50_min,
+        CAST(min(CASE WHEN pct = 90 THEN pm END) AS BIGINT) AS p90_min,
+        CAST(min(CASE WHEN pct = 99 THEN pm END) AS BIGINT) AS p99_min,
+        CAST(max(max_min) AS BIGINT) AS max_min
+      FROM r GROUP BY 1""")),
+
+    // Degree assortativity (Newman's r over the q193-family hashed
+    // host graph): do high-degree nodes link to high-degree nodes
+    // (r > 0, social-web shape) or to leaves (r < 0, hub-and-spoke)?
+    // The structural prior behind sampling/crawl strategies that
+    // q139/q155/q168/q193 each assume implicitly. Endpoints are
+    // salted positional-md5 hashes (q193's lesson: modular/affine
+    // mappings collapse to degree-regular graphs, where r is
+    // identically 0 — measured here too before the switch). ALL-
+    // INTEGER: with S1 = Σ d_u d_v, S2 = Σ (d_u + d_v),
+    // S3 = Σ (d_u² + d_v²) over undirected edges,
+    // r = (4·M·S1 − S2²) / (2·M·S3 − S2²) exactly — no float
+    // moments; one milli floor-division at the end (both engines
+    // truncate identically); the degree-regular den = 0 case pinned
+    // to 0. Scale shape: the corpus collapses to <= C(64,2) distinct
+    // edges in ONE map-side-combined distinct; degrees + both
+    // endpoint joins are registry-sized.
+    Q("q230_degree_assortativity", (s, d) => {
+      import s.implicits._
+      val hx = DedupOps.hv32FromHexSql("md5(concat('c', cast(doc_id as string)))")
+      val hy = DedupOps.hv32FromHexSql("md5(concat('d', cast(doc_id as string)))")
+      val und = t(s, d, "documents")
+        .select(expr(s"$hx % 64").as("u"), expr(s"$hy % 64").as("v"))
+        .filter($"u" =!= $"v")
+        .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
+        .distinct().persist()
+      val deg = und.select($"a".as("n")).unionAll(und.select($"b".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      und
+        .join(deg.select($"n".as("a"), $"deg".as("da")), "a")
+        .join(deg.select($"n".as("b"), $"deg".as("db")), "b")
+        .agg(count(lit(1)).as("m"),
+          sum($"da" * $"db").as("s1"),
+          sum($"da" + $"db").as("s2"),
+          sum($"da" * $"da" + $"db" * $"db").as("s3"))
+        .select($"m".as("n_edges"), $"s1", $"s2", $"s3",
+          expr("""CASE WHEN 2 * m * s3 - s2 * s2 = 0 THEN CAST(0 AS BIGINT)
+            ELSE ((4 * m * s1 - s2 * s2) * 1000)
+              div (2 * m * s3 - s2 * s2) END""").as("assort_milli"))
+    }, Some(s"""
+      WITH raw AS (
+        SELECT
+          (${DedupQueries.hvDuckOf("'c' || CAST(doc_id AS VARCHAR)")}) % 64
+            AS u,
+          (${DedupQueries.hvDuckOf("'d' || CAST(doc_id AS VARCHAR)")}) % 64
+            AS v
+        FROM documents),
+      und AS (
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        FROM raw WHERE u != v),
+      deg AS (
+        SELECT n, count(*) AS deg FROM (
+          SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+        GROUP BY 1),
+      j AS (
+        SELECT count(*) AS m, sum(da.deg * db.deg) AS s1,
+          sum(da.deg + db.deg) AS s2,
+          sum(da.deg * da.deg + db.deg * db.deg) AS s3
+        FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b)
+      SELECT CAST(m AS BIGINT) AS n_edges, CAST(s1 AS BIGINT) AS s1,
+        CAST(s2 AS BIGINT) AS s2, CAST(s3 AS BIGINT) AS s3,
+        CAST(CASE WHEN 2 * m * s3 - s2 * s2 = 0 THEN 0
+          ELSE ((4 * m * s1 - s2 * s2) * 1000)
+            // (2 * m * s3 - s2 * s2) END AS BIGINT) AS assort_milli
+      FROM j""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

@@ -79,6 +79,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q223_ndcg_eval" -> "1-row corpus-stats (N, avgdl) broadcasts for the BM25 score (q112 class)",
     "q224_importance_ess" -> "1-row (corpus total, lang count) broadcast onto the per-doc weight frame",
     "q226_loo_dedup_value" -> "1-row corpus dup/doc totals broadcast onto the source-registry LOO frame",
+    "q228_ucb_readout" -> "1-row total-pulls broadcast onto the arm registry",
+    "q229_conversion_latency" -> "3-row literal percentile frame inequality-joined to the bounded minute grid (q217/q227 class)",
     "q227_vocab_coverage" -> "3-row literal budget frame inequality-joined to the bounded frequency-class grid (q217 class) + 1-row totals broadcast",
     "q214_delete_impact" -> "1-row deleted-count x 1-row total-count frames per table (scalar aggs, q159 class)",
     "q215_salt_advisor" -> "1-row event-total broadcast onto the key-registry count frame",

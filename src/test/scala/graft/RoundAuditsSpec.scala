@@ -384,6 +384,46 @@ class RoundAuditsSpec extends AnyFunSuite {
     assert(rows.last.getAs[Long]("coverage_ppm") == 1000000L)
   }
 
+  test("q228: UCB replays mean + bonus, pulls conserve the event count") {
+    val rows = run("q228_ucb_readout").collect()
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_pulls")).sum == nEvents)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bonus_milli") > 0) // ln(N)/n > 0 for n < N arms
+      assert(r.getAs[Long]("ucb_milli") ==
+        r.getAs[Long]("mean_milli") + r.getAs[Long]("bonus_milli"))
+    }
+    // more pulls -> tighter bonus (monotone in n)
+    val byN = rows.sortBy(_.getAs[Long]("n_pulls"))
+      .map(_.getAs[Long]("bonus_milli"))
+    assert(byN.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("q229: percentiles are ordered and view_click pairs replay q89") {
+    val rows = run("q229_conversion_latency").collect()
+    rows.foreach { r =>
+      val p50 = r.getAs[Long]("p50_min"); val p90 = r.getAs[Long]("p90_min")
+      val p99 = r.getAs[Long]("p99_min"); val mx = r.getAs[Long]("max_min")
+      assert(p50 <= p90 && p90 <= p99 && p99 <= mx && p50 >= 0)
+    }
+    // cross-operator conservation: the view->click pair count IS q89's
+    // n_view_click (same stage semantics)
+    val vc = rows.find(_.getAs[String]("step") == "view_click").get
+      .getAs[Long]("n_pairs")
+    val funnel = run("q89_funnel").collect()(0)
+    assert(vc == funnel.getAs[Long]("n_view_click"))
+  }
+
+  test("q230: assortativity is a correlation (|r| <= 1, Cauchy-Schwarz den)") {
+    val r = run("q230_degree_assortativity").collect()(0)
+    val a = r.getAs[Long]("assort_milli")
+    assert(a >= -1000 && a <= 1000)
+    val m = r.getAs[Long]("n_edges"); val s2 = r.getAs[Long]("s2")
+    val s3 = r.getAs[Long]("s3")
+    assert(2 * m * s3 - s2 * s2 >= 0) // Cauchy-Schwarz on degree moments
+    assert(m >= 1 && m <= 64L * 63 / 2)
+  }
+
   test("q222: estimator levels bounded, est/exact consistent at the extremes") {
     val rows = run("q222_minhash_calibration").collect()
     assert(rows.nonEmpty)
