@@ -40,6 +40,139 @@ object MultimodalQueries extends QueryModule {
         md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_digest,
         CAST(length(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS BIGINT)
           AS n_bytes
-      FROM f"""))
+      FROM f""")),
+
+    // Magic-byte format sniffing (the ingest-side trust-but-verify
+    // every media lake runs: the DECLARED format vs what the payload's
+    // leading bytes actually say). Payloads are deterministically
+    // tagged with printable magic stand-ins (JFIF/PNG:/RIFF by
+    // doc_id % 4, none for the rest; every 13th doc gets a TRUNCATED
+    // header — 13 coprime to 4 so the corruption the sniffer must
+    // catch hits every format), then sniffed back from the BYTES ONLY. Output is the declared × sniffed
+    // confusion matrix with byte mass — corrupt rows land in
+    // (declared, unknown). Row-local byte compares inside codegen;
+    // one map-side-combined registry agg; no joins.
+    Q("q231_media_sniff", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val hdr = when($"doc_id" % 4 === 0, lit("JFIF"))
+        .when($"doc_id" % 4 === 1, lit("PNG:"))
+        .when($"doc_id" % 4 === 2, lit("RIFF")).otherwise(lit(""))
+      val declared = when($"doc_id" % 4 === 0, lit("jpeg"))
+        .when($"doc_id" % 4 === 1, lit("png"))
+        .when($"doc_id" % 4 === 2, lit("wav")).otherwise(lit("none"))
+      Tables.t(s, d, "documents")
+        .select($"doc_id", declared.as("declared"),
+          concat(when($"doc_id" % 13 === 0, substring(hdr, 1, 2))
+            .otherwise(hdr), $"text").cast("binary").as("payload"))
+        .select($"declared",
+          when(expr("cast(substring(payload, 1, 4) as string)") === "JFIF",
+            lit("jpeg"))
+            .when(expr("cast(substring(payload, 1, 4) as string)") === "PNG:",
+              lit("png"))
+            .when(expr("cast(substring(payload, 1, 4) as string)") === "RIFF",
+              lit("wav"))
+            .otherwise(lit("unknown")).as("sniffed"),
+          length($"payload").cast("long").as("nb"))
+        .groupBy($"declared", $"sniffed")
+        .agg(count(lit(1)).as("n"), sum($"nb").as("total_bytes"),
+          max($"nb").as("max_bytes"))
+    }, Some("""
+      WITH p AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 4 = 0 THEN 'jpeg'
+               WHEN doc_id % 4 = 1 THEN 'png'
+               WHEN doc_id % 4 = 2 THEN 'wav' ELSE 'none' END AS declared,
+          (CASE WHEN doc_id % 13 = 0 THEN
+             substr(CASE WHEN doc_id % 4 = 0 THEN 'JFIF'
+                         WHEN doc_id % 4 = 1 THEN 'PNG:'
+                         WHEN doc_id % 4 = 2 THEN 'RIFF' ELSE '' END, 1, 2)
+           ELSE CASE WHEN doc_id % 4 = 0 THEN 'JFIF'
+                     WHEN doc_id % 4 = 1 THEN 'PNG:'
+                     WHEN doc_id % 4 = 2 THEN 'RIFF' ELSE '' END END)
+            || text AS payload
+        FROM documents),
+      c AS (
+        SELECT declared,
+          CASE WHEN substr(payload, 1, 4) = 'JFIF' THEN 'jpeg'
+               WHEN substr(payload, 1, 4) = 'PNG:' THEN 'png'
+               WHEN substr(payload, 1, 4) = 'RIFF' THEN 'wav'
+               ELSE 'unknown' END AS sniffed,
+          length(payload) AS nb
+        FROM p)
+      SELECT declared, sniffed, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(nb) AS BIGINT) AS total_bytes,
+        CAST(max(nb) AS BIGINT) AS max_bytes
+      FROM c GROUP BY 1, 2""")),
+
+    // Frame-fingerprint near-dup (video-style dedup over the frame
+    // digests q76 samples: two payloads sharing many sampled-frame
+    // digests are re-encodes / clips of the same asset — the
+    // multimodal analog of q116's shingle containment). Inverted
+    // frame-digest index with the standard df cap (2..20) so a
+    // boilerplate frame (e.g. black frame) cannot fan out
+    // quadratically; per pair: shared distinct frames and containment
+    // ppm vs the smaller doc's frame count; top-20 pairs. Scale
+    // shape: digest-keyed shuffles only, fan-out <= cap²/bucket,
+    // TopKPerKeyExec global top-k.
+    Q("q232_frame_dedup", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      graft.plans.GraftPlanner.install(s)
+      val docs = Tables.t(s, d, "documents")
+      val frames = MultimodalOps.sampleFrames(
+          MultimodalOps.withPayload(docs, "text"), "doc_id",
+          frameLen = 64, stride = 4)
+        .select($"doc_id", $"frame_digest").distinct().persist()
+      val df = frames.groupBy($"frame_digest")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd".between(2, 20))
+      val idx = frames.join(df.select($"frame_digest"), "frame_digest")
+      val perDoc = frames.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
+      val pairs = idx.select($"frame_digest", $"doc_id".as("doc_a"))
+        .join(idx.select($"frame_digest", $"doc_id".as("doc_b")),
+          "frame_digest")
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared_frames"))
+        .join(perDoc.select($"doc_id".as("doc_a"), $"nf".as("fa")), "doc_a")
+        .join(perDoc.select($"doc_id".as("doc_b"), $"nf".as("fb")), "doc_b")
+        .select($"doc_a", $"doc_b", $"shared_frames",
+          expr("(shared_frames * 1000000) div least(fa, fb)")
+            .as("containment_ppm"))
+      CorpusOps.globalTopK(pairs,
+        concat($"doc_a", lit(":"), $"doc_b"), 20,
+        Seq($"containment_ppm".desc, $"doc_a".asc, $"doc_b".asc))
+        .select($"doc_a", $"doc_b", $"shared_frames", $"containment_ppm")
+    }, Some("""
+      WITH f0 AS (
+        SELECT doc_id, text,
+          unnest(range(0, (length(text) - 1) // 64 + 1, 4)) AS i
+        FROM documents),
+      fr AS (
+        SELECT DISTINCT doc_id,
+          md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_digest
+        FROM f0),
+      df AS (SELECT frame_digest, count(DISTINCT doc_id) AS nd
+             FROM fr GROUP BY 1),
+      idx AS (SELECT fr.* FROM fr JOIN df USING (frame_digest)
+              WHERE df.nd BETWEEN 2 AND 20),
+      pd AS (SELECT doc_id, count(*) AS nf FROM fr GROUP BY 1),
+      pr AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS shared_frames
+        FROM idx a JOIN idx b ON b.frame_digest = a.frame_digest
+                 AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sc AS (
+        SELECT pr.doc_a, pr.doc_b, pr.shared_frames,
+          (pr.shared_frames * 1000000) // least(pa.nf, pb.nf)
+            AS containment_ppm
+        FROM pr JOIN pd pa ON pa.doc_id = pr.doc_a
+                JOIN pd pb ON pb.doc_id = pr.doc_b)
+      SELECT doc_a, doc_b, CAST(shared_frames AS BIGINT) AS shared_frames,
+        CAST(containment_ppm AS BIGINT) AS containment_ppm
+      FROM (SELECT *, row_number() OVER (ORDER BY containment_ppm DESC,
+              doc_a ASC, doc_b ASC) AS rk FROM sc)
+      WHERE rk <= 20"""))
   )
 }

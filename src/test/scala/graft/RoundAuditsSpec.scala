@@ -424,6 +424,34 @@ class RoundAuditsSpec extends AnyFunSuite {
     assert(m >= 1 && m <= 64L * 63 / 2)
   }
 
+  test("q231: confusion matrix conserves docs; only truncated headers misread") {
+    val rows = run("q231_media_sniff").collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nDocs)
+    rows.foreach { r =>
+      val dec = r.getAs[String]("declared"); val sn = r.getAs[String]("sniffed")
+      // a sniffed format can only come from its own declared tag or
+      // nothing at all — magic bytes don't collide across formats
+      assert(sn == "unknown" || sn == dec)
+      assert(r.getAs[Long]("max_bytes") <= r.getAs[Long]("total_bytes"))
+    }
+    // the corruption path is exercised: some declared-tagged rows sniff
+    // unknown (truncated headers)
+    assert(rows.exists(r => r.getAs[String]("declared") != "none" &&
+      r.getAs[String]("sniffed") == "unknown"))
+  }
+
+  test("q232: containment bounded, shared frames within the smaller doc") {
+    val rows = run("q232_frame_dedup").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("containment_ppm")
+      assert(c > 0 && c <= 1000000L)
+      assert(r.getAs[Long]("shared_frames") >= 1)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
   test("q222: estimator levels bounded, est/exact consistent at the extremes") {
     val rows = run("q222_minhash_calibration").collect()
     assert(rows.nonEmpty)
