@@ -2464,6 +2464,43 @@ object AnalyticsQueries extends QueryModule {
           ELSE ((4 * m * s1 - s2 * s2) * 1000)
             // (2 * m * s3 - s2 * s2) END AS BIGINT) AS assort_milli
       FROM j""")),
+
+    // Sample-ratio-mismatch check (the validity gate that must pass
+    // BEFORE q174's z-test or q228's bandit readout mean anything: is
+    // the 50/50 hash assignment actually delivering 50/50? A skewed
+    // split means broken randomization — every downstream readout is
+    // biased). One-df chi-square against the even split, ALL INTEGER:
+    // chi2 = (n_a − n_b)² / (n_a + n_b) in milli; flag at the 95%
+    // critical value 3.841. Scale shape: one map-side-combined
+    // 2-group agg collapses the corpus; everything after is 1-row
+    // arithmetic.
+    Q("q234_srm_check", (s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .select($"user_id").distinct()
+        .select(CorpusOps.hashMix($"user_id", 2L).as("variant"))
+        .agg(sum(when($"variant" === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when($"variant" === 1, 1L).otherwise(0L)).as("n_b"))
+        .select($"n_a", $"n_b", ($"n_a" - $"n_b").as("delta"),
+          expr("""((n_a - n_b) * (n_a - n_b) * 1000) div (n_a + n_b)""")
+            .as("chi2_milli"))
+        .withColumn("srm_flag",
+          when($"chi2_milli" > 3841, 1L).otherwise(0L))
+    }, Some("""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      v AS (SELECT ((user_id % 1000003) * 2654435761 + 40503) % 2
+              AS variant FROM u),
+      g AS (SELECT
+              sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+              sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b
+            FROM v)
+      SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        CAST(n_a - n_b AS BIGINT) AS delta,
+        CAST(((n_a - n_b) * (n_a - n_b) * 1000) // (n_a + n_b) AS BIGINT)
+          AS chi2_milli,
+        CAST(CASE WHEN ((n_a - n_b) * (n_a - n_b) * 1000) // (n_a + n_b)
+          > 3841 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+      FROM g""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

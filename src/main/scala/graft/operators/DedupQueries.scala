@@ -1322,6 +1322,51 @@ object DedupQueries extends QueryModule {
         CAST(CASE WHEN tot.n_corpus - n_docs = 0 THEN 0
           ELSE ((tot.d_corpus - dups_removed) * 1000000)
             // (tot.n_corpus - n_docs) END AS BIGINT) AS dup_ppm_after
-      FROM g CROSS JOIN tot"""))
+      FROM g CROSS JOIN tot""")),
+
+    // Prefix-truncation dedup (the crawl artifact exact-dedup misses:
+    // one doc is a TRUNCATED copy of another — same lead, shorter
+    // body — so full-text fingerprints differ and q32 keeps both).
+    // Candidates block on the lead-10-token fingerprint (a ≥10-token
+    // truncation shares it BY CONSTRUCTION — the stated recall
+    // boundary: shorter docs need ≥10 tokens; capped buckets bound
+    // fan-out); verify is the exact byte-prefix test with STRICT
+    // length inequality (equal-length exact dups stay q32's). Scale
+    // shape: one fp agg + fp-keyed self-join on capped buckets; the
+    // prefix compare is row-local on the paired texts; output pairs
+    // ∝ real truncations.
+    Q("q233_prefix_truncation", (s, d) => {
+      import s.implicits._
+      val f = t(s, d, "documents")
+        .select($"doc_id", $"text", length($"text").cast("long").as("len"),
+          md5(array_join(slice(TextOps.tokens($"text"), 1, 10), " "))
+            .as("fp"))
+      val sz = f.groupBy($"fp").agg(count(lit(1)).as("c"))
+        .filter($"c".between(2, 50))
+      val blocked = f.join(sz.select($"fp"), "fp").persist()
+      blocked.select($"fp", $"doc_id".as("short_id"),
+          $"text".as("ts"), $"len".as("short_len"))
+        .join(blocked.select($"fp", $"doc_id".as("long_id"),
+          $"text".as("tl"), $"len".as("long_len")), "fp")
+        .filter($"short_len" < $"long_len" &&
+          expr("substring(tl, 1, short_len)") === $"ts")
+        .select($"short_id", $"long_id", $"short_len", $"long_len",
+          expr("(short_len * 1000000) div long_len").as("trunc_ratio_ppm"))
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id, text, length(text) AS len,
+          md5(array_to_string(
+            list_slice(string_split_regex(trim(text), '\s+'), 1, 10), ' '))
+            AS fp
+        FROM documents),
+      sz AS (SELECT fp, count(*) AS c FROM f GROUP BY 1
+             HAVING count(*) BETWEEN 2 AND 50),
+      b AS (SELECT f.* FROM f JOIN sz USING (fp))
+      SELECT a.doc_id AS short_id, l.doc_id AS long_id,
+        CAST(a.len AS BIGINT) AS short_len,
+        CAST(l.len AS BIGINT) AS long_len,
+        CAST((a.len * 1000000) // l.len AS BIGINT) AS trunc_ratio_ppm
+      FROM b a JOIN b l ON l.fp = a.fp AND a.len < l.len
+        AND substr(l.text, 1, CAST(a.len AS INT)) = a.text"""))
   )
 }

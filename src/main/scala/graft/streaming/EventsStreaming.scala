@@ -109,6 +109,20 @@ object EventsStreaming {
         col("v_ts"), col("c_ts"))
   }
 
+  /** Streaming decontamination (the q54 batch anti-join over an
+    * unbounded ingest): drop docs whose canonical fingerprint appears
+    * in the STATIC benchmark set. The benchmark side is constant-size
+    * (eval suites, not corpus-growing) so it broadcasts per
+    * micro-batch — the stream side stays shuffle-free and stateless
+    * (no watermark needed: the filter is a pure per-row membership
+    * test, unlike the stateful dedup above). Spark re-resolves the
+    * static side every micro-batch, so a refreshed benchmark registry
+    * is picked up without restarting the query. */
+  def decontaminate(docs: DataFrame, benchmarkFps: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", graft.operators.TextOps.fingerprint(col("text")))
+      .join(broadcast(benchmarkFps.select(col("fp"))), Seq("fp"), "left_anti")
+
   /** Micro-batch bridge to the keyed-JSON sink contract (SURVEY.md §2.10:
     * the reference's incremental read-modify-write maps to foreachBatch):
     * per-user event counts, merged into the uid-keyed file every batch. */

@@ -452,6 +452,33 @@ class RoundAuditsSpec extends AnyFunSuite {
     }
   }
 
+  test("q233: every reported pair is a genuine strict prefix truncation") {
+    val rows = run("q233_prefix_truncation").collect()
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val s0 = texts(r.getAs[Long]("short_id"))
+      val l0 = texts(r.getAs[Long]("long_id"))
+      assert(s0.length < l0.length && l0.startsWith(s0)) // re-verify raw
+      assert(r.getAs[Long]("short_len") == s0.length.toLong)
+      assert(r.getAs[Long]("trunc_ratio_ppm") ==
+        s0.length.toLong * 1000000L / l0.length)
+    }
+  }
+
+  test("q234: SRM chi-square replays the counts; hash split is near-even") {
+    val r = run("q234_srm_check").collect()(0)
+    val na = r.getAs[Long]("n_a"); val nb = r.getAs[Long]("n_b")
+    assert(r.getAs[Long]("delta") == na - nb)
+    assert(r.getAs[Long]("chi2_milli") ==
+      (na - nb) * (na - nb) * 1000 / (na + nb))
+    assert(r.getAs[Long]("srm_flag") ==
+      (if ((na - nb) * (na - nb) * 1000 / (na + nb) > 3841) 1L else 0L))
+    // the seeded hash must not be grossly skewed at test SF
+    assert(math.abs(na - nb) * 10 <= na + nb)
+  }
+
   test("q222: estimator levels bounded, est/exact consistent at the extremes") {
     val rows = run("q222_minhash_calibration").collect()
     assert(rows.nonEmpty)

@@ -59,6 +59,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination anti-joins the static benchmark set per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventsStreaming.Doc
+    // static benchmark registry: fingerprints of two known eval texts
+    // (same canonicalization the stream side applies)
+    val bench = Seq("the eval question one", "the eval QUESTION   two")
+      .toDF("text")
+      .select(graft.operators.TextOps.fingerprint($"text").as("fp"))
+    val input = MemoryStream[Doc]
+    val q = EventsStreaming.decontaminate(input.toDF(), bench)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("decontam").start()
+    try {
+      input.addData(
+        Doc(1, ts("2024-01-01 10:00:00"), "a clean training document"),
+        // contaminated: canonicalizes (case/whitespace) to a benchmark fp
+        Doc(2, ts("2024-01-01 10:01:00"), "The Eval Question One"))
+      q.processAllAvailable()
+      // second micro-batch: membership is re-tested per batch
+      input.addData(
+        Doc(3, ts("2024-01-01 10:02:00"), "the eval   question two"),
+        Doc(4, ts("2024-01-01 10:03:00"), "another clean document"))
+      q.processAllAvailable()
+      val kept = spark.table("decontam").select($"doc_id").as[Long]
+        .collect().toSeq.sorted
+      assert(kept == Seq(1L, 4L)) // 2 and 3 dropped as benchmark hits
+    } finally q.stop()
+  }
+
   test("watermarked streaming dedup drops duplicate event ids across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
