@@ -1412,6 +1412,102 @@ object CorpusQueries extends QueryModule {
         CAST(count(*) AS BIGINT) AS n_runs,
         CAST(max(len) AS BIGINT) AS max_run,
         CAST((sum(len) * 1000) // count(*) AS BIGINT) AS mean_run_milli
-      FROM runs GROUP BY 1"""))
+      FROM runs GROUP BY 1""")),
+
+    // Bloom-filter false-positive audit (the estimator-calibration
+    // pass for q81's decontamination gate, the q222 pattern applied
+    // to the Bloom family): empirical FPR over the true non-member
+    // population vs the occupancy-based expectation (bits_set/m)^k —
+    // ALL INTEGER, no exp() (whose last-ulp rounding is not
+    // guaranteed identical across engines, unlike the division the
+    // occupancy form needs). A measured FPR far above expectation
+    // means correlated hash positions; far below means the member
+    // set double-counted. Scale shape: identical to q81 (constant
+    // 32-word filter broadcast, zero corpus-side shuffles beyond the
+    // member agg); the audit adds one 1-row rollup.
+    Q("q235_bloom_fpr_audit", (s, d) => {
+      import s.implicits._
+      val fps = t(s, d, "documents")
+        .select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+      val bench = DedupOps
+        .md5Buckets(fps.filter($"doc_id" % 20 === 0), $"fp", k = 3,
+          mod = 1024)
+        .persist()
+      val bloom = bench
+        .select(explode(array($"b0", $"b1", $"b2")).as("p"))
+        .groupBy(expr("p div 32").as("word"))
+        .agg(expr("bit_or(shiftleft(1L, cast(p % 32 as int)))").as("bits"))
+        .persist()
+      val bitsSet = bloom.agg(
+        sum(expr("bit_count(bits)")).cast("long").as("bits_set"))
+      val corpus = DedupOps
+        .md5Buckets(fps.filter($"doc_id" % 20 =!= 0), $"fp", k = 3,
+          mod = 1024)
+      val probed = (0 until 3).foldLeft(corpus) { (acc, j) =>
+        acc.join(
+          broadcast(bloom.select(col("word").as(s"w$j"),
+            col("bits").as(s"bits$j"))),
+          expr(s"b$j div 32") === col(s"w$j"), "left_outer")
+      }
+      def hit(j: Int) = coalesce(
+        expr(s"(shiftright(bits$j, cast(b$j % 32 as int)) & 1L) = 1L"),
+        lit(false))
+      val exact = bench.select($"fp").distinct().withColumn("__im", lit(true))
+      probed.join(exact, Seq("fp"), "left_outer")
+        .select((hit(0) && hit(1) && hit(2)).as("mm"),
+          coalesce($"__im", lit(false)).as("im"))
+        .filter(!$"im") // FPR is defined over true non-members only
+        .agg(count(lit(1)).as("n_nonmembers"),
+          sum(when($"mm", 1L).otherwise(0L)).as("n_false_pos"))
+        .crossJoin(broadcast(bitsSet))
+        .crossJoin(broadcast(
+          bench.select($"fp").distinct().agg(count(lit(1)).as("n_members"))))
+        .select($"n_members", $"bits_set", $"n_nonmembers", $"n_false_pos",
+          expr("(n_false_pos * 1000000) div n_nonmembers")
+            .as("fpr_emp_ppm"),
+          expr("(bits_set * bits_set * bits_set * 1000000) div 1073741824")
+            .as("fpr_occ_ppm"))
+    }, Some {
+      val hv = (j: Int) => DedupQueries.hvDuckOf(s"(fp || ':$j')")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, fp, j,
+         |    CASE j WHEN 0 THEN (${hv(0)}) % 1024
+         |           WHEN 1 THEN (${hv(1)}) % 1024
+         |           ELSE (${hv(2)}) % 1024 END AS p
+         |  FROM f CROSS JOIN (SELECT unnest(range(0, 3)) AS j) js),
+         |bloom AS (
+         |  SELECT p // 32 AS word,
+         |         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+         |  FROM pos WHERE doc_id % 20 = 0 GROUP BY 1),
+         |bs AS (SELECT sum(bit_count(bits)) AS bits_set FROM bloom),
+         |nm AS (SELECT count(DISTINCT fp) AS n_members FROM f
+         |       WHERE doc_id % 20 = 0),
+         |m AS (
+         |  SELECT pr.doc_id, pr.fp,
+         |    bool_and(coalesce((b.bits >> CAST(pr.p % 32 AS INT)) & 1, 0) = 1)
+         |      AS mm
+         |  FROM (SELECT * FROM pos WHERE doc_id % 20 <> 0) pr
+         |  LEFT JOIN bloom b ON b.word = pr.p // 32
+         |  GROUP BY 1, 2),
+         |bf AS (SELECT DISTINCT fp FROM f WHERE doc_id % 20 = 0),
+         |g AS (
+         |  SELECT count(*) AS n_nonmembers,
+         |    sum(CASE WHEN m.mm THEN 1 ELSE 0 END) AS n_false_pos
+         |  FROM m LEFT JOIN bf ON bf.fp = m.fp
+         |  WHERE bf.fp IS NULL)
+         |SELECT CAST(nm.n_members AS BIGINT) AS n_members,
+         |  CAST(bs.bits_set AS BIGINT) AS bits_set,
+         |  CAST(g.n_nonmembers AS BIGINT) AS n_nonmembers,
+         |  CAST(g.n_false_pos AS BIGINT) AS n_false_pos,
+         |  CAST((g.n_false_pos * 1000000) // g.n_nonmembers AS BIGINT)
+         |    AS fpr_emp_ppm,
+         |  CAST((bs.bits_set * bs.bits_set * bs.bits_set * 1000000)
+         |    // 1073741824 AS BIGINT) AS fpr_occ_ppm
+         |FROM g CROSS JOIN bs CROSS JOIN nm""".stripMargin
+    })
   )
 }

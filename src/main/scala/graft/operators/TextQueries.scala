@@ -1012,7 +1012,74 @@ object TextQueries extends QueryModule {
         CAST((coalesce(c.cm - (c.ct - b.k) * c.f, tot.t_mass) * 1000000)
           // tot.t_mass AS BIGINT) AS coverage_ppm
       FROM b LEFT JOIN cum c ON c.ct - c.m < b.k AND b.k <= c.ct
-      CROSS JOIN tot"""))
+      CROSS JOIN tot""")),
+
+    // Hill tail-index estimate over the type-frequency distribution
+    // (is the vocabulary genuinely power-law, and how heavy is the
+    // tail? q133 fits rank-decay, q227 integrates coverage; the Hill
+    // alpha over the top-k order statistics is the standard tail
+    // estimator a sampling/smoothing choice depends on):
+    // alpha = k / Σ_{top-k} ln(f_i / f_(k)). Exact WITHOUT a
+    // vocabulary sort: the q227 distinct-frequency class grid
+    // resolves the k-th largest frequency inside its straddling
+    // class; classes strictly above contribute m·ln(f/f_cut), the
+    // straddling class contributes 0 (ln 1). Per-class terms are
+    // floor-quantized to nano BEFORE the integer sum, so the result
+    // is order- and engine-independent (the q207 convention); k
+    // adapts to min(100, V). Scale shape: vocabulary agg +
+    // class-grid agg (value-domain bounded), 1-row cutoff broadcast.
+    Q("q236_hill_tail_index", (s, d) => {
+      import s.implicits._
+      val tf = t(s, d, "documents")
+        .select(explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("f"))
+      val classes = tf.groupBy($"f").agg(count(lit(1)).as("m"))
+      val wC = Window.orderBy($"f".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = classes.withColumn("ct", sum($"m").over(wC))
+      val totals = classes.agg(sum($"m").as("v_types"))
+        .select(least(lit(100L), $"v_types").as("k"))
+      val cut = cum.crossJoin(broadcast(totals))
+        .filter($"ct" - $"m" < $"k" && $"k" <= $"ct")
+        .select($"f".as("f_cut"), $"k")
+      classes.crossJoin(broadcast(cut))
+        .filter($"f" > $"f_cut")
+        .select($"k", $"f_cut",
+          ($"m" * expr("""cast(floor(1000000000 *
+            ln(cast(f as double) / cast(f_cut as double))) as long)"""))
+            .as("term_nano"))
+        .groupBy($"k", $"f_cut")
+        .agg(count(lit(1)).as("n_classes_above"),
+          sum($"term_nano").as("sum_ln_nano"))
+        .select($"k", $"f_cut", $"n_classes_above", $"sum_ln_nano",
+          expr("""CASE WHEN sum_ln_nano = 0 THEN CAST(0 AS BIGINT)
+            ELSE (k * 1000000000000) div sum_ln_nano END""")
+            .as("alpha_milli"))
+    }, Some("""
+      WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+'))
+                     AS tok FROM documents),
+      tf AS (SELECT tok, count(*) AS f FROM tok GROUP BY 1),
+      cls AS (SELECT f, count(*) AS m FROM tf GROUP BY 1),
+      cum AS (SELECT f, m,
+                sum(m) OVER (ORDER BY f DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+              FROM cls),
+      tot AS (SELECT least(100, sum(m)) AS k FROM cls),
+      cut AS (SELECT cum.f AS f_cut, tot.k FROM cum CROSS JOIN tot
+              WHERE cum.ct - cum.m < tot.k AND tot.k <= cum.ct),
+      terms AS (
+        SELECT cut.k, cut.f_cut,
+          cls.m * CAST(floor(1000000000 *
+            ln(CAST(cls.f AS DOUBLE) / CAST(cut.f_cut AS DOUBLE)))
+            AS BIGINT) AS term_nano
+        FROM cls CROSS JOIN cut WHERE cls.f > cut.f_cut)
+      SELECT CAST(k AS BIGINT) AS k, CAST(f_cut AS BIGINT) AS f_cut,
+        CAST(count(*) AS BIGINT) AS n_classes_above,
+        CAST(sum(term_nano) AS BIGINT) AS sum_ln_nano,
+        CAST(CASE WHEN sum(term_nano) = 0 THEN 0
+          ELSE (k * 1000000000000) // sum(term_nano) END AS BIGINT)
+          AS alpha_milli
+      FROM terms GROUP BY k, f_cut"""))
   )
 
   /** The 10 nDCG position discounts floor(1e6 / log2(i + 1)),

@@ -80,6 +80,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q224_importance_ess" -> "1-row (corpus total, lang count) broadcast onto the per-doc weight frame",
     "q226_loo_dedup_value" -> "1-row corpus dup/doc totals broadcast onto the source-registry LOO frame",
     "q228_ucb_readout" -> "1-row total-pulls broadcast onto the arm registry",
+    "q235_bloom_fpr_audit" -> "constant 32-word bloom broadcasts (q81 class) + 1-row bits-set/member-count broadcasts onto the 1-row rollup",
+    "q236_hill_tail_index" -> "1-row k-cutoff frame inequality-joined to the bounded frequency-class grid (q227 class)",
     "q229_conversion_latency" -> "3-row literal percentile frame inequality-joined to the bounded minute grid (q217/q227 class)",
     "q227_vocab_coverage" -> "3-row literal budget frame inequality-joined to the bounded frequency-class grid (q217 class) + 1-row totals broadcast",
     "q214_delete_impact" -> "1-row deleted-count x 1-row total-count frames per table (scalar aggs, q159 class)",
@@ -106,6 +108,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q196_variance_alloc" -> "largest-remainder rank over the language-registry frame (bounded registry, q166 class)",
     "q216_watermark_advisor" -> "cum/total windows over the <= 61-row capped lateness-minute bucket grid (q185 class)",
     "q227_vocab_coverage" -> "cumulative types/mass over the DISTINCT token-frequency class grid — value-domain bounded (q110/q181 argument), never vocabulary cardinality",
+    "q236_hill_tail_index" -> "cumulative types over the DISTINCT token-frequency class grid (q227 class — value-domain bounded)",
   )
 
   /** broadcast() HINT audit (the q54 class): a hint pins its side into
@@ -145,6 +148,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q212_knn_label_noise" -> "probe batch: vec_id < 100 constant probe set (q37 class)",
     "q221_ann_recall" -> "probe batch: vec_id < 50 constant probe set (q37 class)",
     "q223_ndcg_eval" -> "query-term set of the 3 seed docs: doc-bounded, not corpus-growing (q112 class)",
+    "q235_bloom_fpr_audit" -> "bloom words (1024/32 = 32 rows, x3 probes): groupBy over the fixed 1024-bit range (q81 class)",
   )
 
   test("catalog-wide plan audit: cartesian/BNLJ/global-window invariants") {

@@ -479,6 +479,29 @@ class RoundAuditsSpec extends AnyFunSuite {
     assert(math.abs(na - nb) * 10 <= na + nb)
   }
 
+  test("q235: FPR populations conserve; occupancy expectation replays bits^3/m^3") {
+    val r = run("q235_bloom_fpr_audit").collect()(0)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val bs = r.getAs[Long]("bits_set")
+    assert(bs >= 1 && bs <= 1024) // m = 1024 bits
+    assert(r.getAs[Long]("fpr_occ_ppm") == bs * bs * bs * 1000000L / 1073741824L)
+    assert(r.getAs[Long]("n_false_pos") <= r.getAs[Long]("n_nonmembers"))
+    // members + probed rows cover the corpus (non-members exclude
+    // cross-population exact dups, so <=)
+    assert(r.getAs[Long]("n_members") + r.getAs[Long]("n_nonmembers") <= nDocs)
+    assert(r.getAs[Long]("fpr_emp_ppm") <= 1000000L)
+  }
+
+  test("q236: Hill terms are positive above the cutoff; alpha replays the sum") {
+    val r = run("q236_hill_tail_index").collect()(0)
+    val k = r.getAs[Long]("k"); val sum = r.getAs[Long]("sum_ln_nano")
+    assert(k >= 1 && k <= 100)
+    assert(sum >= 0) // ln(f/f_cut) > 0 for every class above the cutoff
+    val alpha = r.getAs[Long]("alpha_milli")
+    assert(alpha == (if (sum == 0) 0L else k * 1000000000000L / sum))
+    assert(r.getAs[Long]("f_cut") >= 1)
+  }
+
   test("q222: estimator levels bounded, est/exact consistent at the extremes") {
     val rows = run("q222_minhash_calibration").collect()
     assert(rows.nonEmpty)
