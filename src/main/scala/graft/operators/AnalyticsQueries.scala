@@ -2501,6 +2501,70 @@ object AnalyticsQueries extends QueryModule {
         CAST(CASE WHEN ((n_a - n_b) * (n_a - n_b) * 1000) // (n_a + n_b)
           > 3841 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
       FROM g""")),
+
+    // Minimum-detectable-effect readout (the power analysis that says
+    // whether q174's A/B even CAN see the effect size being chased:
+    // at the current per-arm n and pooled conversion rate, the
+    // smallest absolute lift detectable at alpha 5% / power 80%).
+    // MDE = (z_{a/2} + z_b)·sqrt(2 p (1-p) / n), with the z-sum baked
+    // as the exact micro literal 2_801585 (1.959964 + 0.841621) so no
+    // inverse-normal runs anywhere; sqrt over integer-fed doubles is
+    // correctly-rounded IEEE in both engines. Conv definition and
+    // hash assignment replay q174 exactly. Scale shape: one user agg
+    // + one 2-group agg; 1-row arithmetic after.
+    Q("q237_mde_power", (s, d) => {
+      import s.implicits._
+      val wU = Window.partitionBy($"user_id")
+      val per = t(s, d, "events")
+        .select($"user_id", $"event_type",
+          unix_micros($"ts".cast("timestamp")).as("ep"))
+        .withColumn("ep0", min($"ep").over(wU))
+        .groupBy($"user_id")
+        .agg(max(when($"event_type" === "purchase" &&
+          $"ep" <= $"ep0" + 86400000000L, 1L).otherwise(0L)).as("conv"))
+        .select(CorpusOps.hashMix($"user_id", 2L).as("variant"), $"conv")
+      per.groupBy($"variant")
+        .agg(count(lit(1)).as("n"), sum($"conv").as("k"))
+        .agg(sum($"n").as("n_users"), sum($"k").as("k_conv"),
+          min($"n").as("n_min_arm"))
+        .select($"n_users", $"k_conv", $"n_min_arm",
+          expr("(k_conv * 1000000) div n_users").as("p_pool_ppm"),
+          expr("""cast(floor(2801585 * sqrt(
+            2.0 * (cast(k_conv as double) / cast(n_users as double))
+              * (1.0 - cast(k_conv as double) / cast(n_users as double))
+              / cast(n_min_arm as double))) as long)""").as("mde_ppm"))
+        .withColumn("mde_rel_pml",
+          expr("""CASE WHEN p_pool_ppm = 0 THEN CAST(0 AS BIGINT)
+            ELSE (mde_ppm * 1000) div p_pool_ppm END"""))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ep,
+                   min(epoch_us(ts)) OVER (PARTITION BY user_id) AS ep0
+                 FROM events),
+      per AS (SELECT user_id,
+                ((user_id % 1000003) * 2654435761 + 40503) % 2 AS variant,
+                max(CASE WHEN event_type = 'purchase'
+                    AND ep <= ep0 + 86400000000 THEN 1 ELSE 0 END) AS conv
+              FROM e GROUP BY 1),
+      v AS (SELECT variant, count(*) AS n, sum(conv) AS k
+            FROM per GROUP BY 1),
+      g AS (SELECT sum(n) AS n_users, sum(k) AS k_conv,
+              min(n) AS n_min_arm FROM v)
+      SELECT CAST(n_users AS BIGINT) AS n_users,
+        CAST(k_conv AS BIGINT) AS k_conv,
+        CAST(n_min_arm AS BIGINT) AS n_min_arm,
+        CAST((k_conv * 1000000) // n_users AS BIGINT) AS p_pool_ppm,
+        CAST(floor(2801585 * sqrt(
+          2.0 * (CAST(k_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+            * (1.0 - CAST(k_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+            / CAST(n_min_arm AS DOUBLE))) AS BIGINT) AS mde_ppm,
+        CAST(CASE WHEN (k_conv * 1000000) // n_users = 0 THEN 0
+          ELSE (floor(2801585 * sqrt(
+            2.0 * (CAST(k_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+              * (1.0 - CAST(k_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+              / CAST(n_min_arm AS DOUBLE))) * 1000)
+            // ((k_conv * 1000000) // n_users) END AS BIGINT)
+          AS mde_rel_pml
+      FROM g""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

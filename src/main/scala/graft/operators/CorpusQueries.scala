@@ -1508,6 +1508,65 @@ object CorpusQueries extends QueryModule {
          |  CAST((bs.bits_set * bs.bits_set * bs.bits_set * 1000000)
          |    // 1073741824 AS BIGINT) AS fpr_occ_ppm
          |FROM g CROSS JOIN bs CROSS JOIN nm""".stripMargin
-    })
+    }),
+
+    // Negative-sampling table apportionment (word2vec's unigram^0.75
+    // distribution as an EXACT 10,000-slot table): each frequency
+    // class gets slots proportional to m·f^0.75, largest-remainder
+    // apportioned so the slots sum to exactly 10,000 (q166's method
+    // lifted to the class grid). f^0.75 = sqrt(f·sqrt(f)) — two
+    // correctly-rounded IEEE sqrts, engine-identical, instead of
+    // pow()/exp() whose last-ulp rounding is not guaranteed. Scale
+    // shape: vocabulary agg collapses to the value-domain-bounded
+    // frequency-class grid (q227 argument); apportionment windows
+    // ride that grid; output is class-level (types within a class
+    // are exchangeable, so per-type tables derive by division
+    // downstream).
+    Q("q238_negative_sampling", (s, d) => {
+      import s.implicits._
+      val tf = t(s, d, "documents")
+        .select(explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("f"))
+      val classes = tf.groupBy($"f").agg(count(lit(1)).as("m"))
+        .withColumn("w_milli", expr(
+          """cast(floor(1000 * sqrt(cast(f as double) *
+            sqrt(cast(f as double)))) as long)"""))
+        .withColumn("cw", $"m" * $"w_milli")
+      val tot = classes.agg(sum($"cw").as("tw"))
+      val based = classes.crossJoin(broadcast(tot))
+        .withColumn("base", expr("(10000 * cw) div tw"))
+        .withColumn("rem", expr("(10000 * cw) % tw"))
+      val left = based.agg((lit(10000L) - sum($"base")).as("leftover"))
+      val wR = Window.orderBy($"rem".desc, $"f".desc)
+      based.crossJoin(broadcast(left))
+        .withColumn("rk", row_number().over(wR))
+        .select($"f", $"m", $"w_milli",
+          ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+            .as("slots"))
+        .filter($"slots" > 0)
+    }, Some("""
+      WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+'))
+                     AS tok FROM documents),
+      tf AS (SELECT tok, count(*) AS f FROM tok GROUP BY 1),
+      cls AS (
+        SELECT f, count(*) AS m,
+          CAST(floor(1000 * sqrt(CAST(f AS DOUBLE) *
+            sqrt(CAST(f AS DOUBLE)))) AS BIGINT) AS w_milli
+        FROM tf GROUP BY 1),
+      c2 AS (SELECT f, m, w_milli, m * w_milli AS cw FROM cls),
+      tot AS (SELECT sum(cw) AS tw FROM c2),
+      b AS (SELECT c2.*, (10000 * cw) // tot.tw AS base,
+              (10000 * cw) % tot.tw AS rem
+            FROM c2 CROSS JOIN tot),
+      lo AS (SELECT 10000 - sum(base) AS leftover FROM b),
+      r AS (SELECT b.*, lo.leftover,
+              row_number() OVER (ORDER BY rem DESC, f DESC) AS rk
+            FROM b CROSS JOIN lo)
+      SELECT CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m,
+        w_milli,
+        CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+          AS slots
+      FROM r
+      WHERE base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END > 0"""))
   )
 }

@@ -81,6 +81,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q226_loo_dedup_value" -> "1-row corpus dup/doc totals broadcast onto the source-registry LOO frame",
     "q228_ucb_readout" -> "1-row total-pulls broadcast onto the arm registry",
     "q235_bloom_fpr_audit" -> "constant 32-word bloom broadcasts (q81 class) + 1-row bits-set/member-count broadcasts onto the 1-row rollup",
+    "q238_negative_sampling" -> "1-row weight-total + 1-row leftover broadcasts onto the bounded frequency-class grid (q166/q196 class)",
     "q236_hill_tail_index" -> "1-row k-cutoff frame inequality-joined to the bounded frequency-class grid (q227 class)",
     "q229_conversion_latency" -> "3-row literal percentile frame inequality-joined to the bounded minute grid (q217/q227 class)",
     "q227_vocab_coverage" -> "3-row literal budget frame inequality-joined to the bounded frequency-class grid (q217 class) + 1-row totals broadcast",
@@ -109,6 +110,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q216_watermark_advisor" -> "cum/total windows over the <= 61-row capped lateness-minute bucket grid (q185 class)",
     "q227_vocab_coverage" -> "cumulative types/mass over the DISTINCT token-frequency class grid — value-domain bounded (q110/q181 argument), never vocabulary cardinality",
     "q236_hill_tail_index" -> "cumulative types over the DISTINCT token-frequency class grid (q227 class — value-domain bounded)",
+    "q238_negative_sampling" -> "largest-remainder rank over the DISTINCT token-frequency class grid (q166 method on the q227 grid — value-domain bounded)",
   )
 
   /** broadcast() HINT audit (the q54 class): a hint pins its side into

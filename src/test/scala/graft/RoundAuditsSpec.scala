@@ -502,6 +502,33 @@ class RoundAuditsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("f_cut") >= 1)
   }
 
+  test("q237: MDE replays the closed form and scales down as n grows") {
+    val r = run("q237_mde_power").collect()(0)
+    val p = r.getAs[Long]("p_pool_ppm")
+    assert(p >= 0 && p <= 1000000L)
+    val k = r.getAs[Long]("k_conv"); val n = r.getAs[Long]("n_users")
+    val nm = r.getAs[Long]("n_min_arm")
+    val pd = k.toDouble / n
+    val expected = math.floor(2801585 * math.sqrt(2.0 * pd * (1 - pd) / nm)).toLong
+    assert(r.getAs[Long]("mde_ppm") == expected)
+    assert(nm * 2 >= n - nm) // min arm holds at least ~half
+  }
+
+  test("q238: slots sum to exactly 10000 and follow the f^0.75 ordering") {
+    val rows = run("q238_negative_sampling").collect()
+    assert(rows.map(_.getAs[Long]("slots")).sum == 10000L)
+    rows.foreach { r =>
+      val f = r.getAs[Long]("f")
+      val w = r.getAs[Long]("w_milli")
+      assert(w == math.floor(1000 * math.sqrt(f * math.sqrt(f.toDouble))).toLong)
+      assert(r.getAs[Long]("slots") >= 1)
+    }
+    // per-type slot share grows with frequency (monotone in f)
+    val byF = rows.sortBy(_.getAs[Long]("f"))
+      .map(r => r.getAs[Long]("slots").toDouble / r.getAs[Long]("m"))
+    assert(byF.sliding(2).forall(p => p(0) <= p(1) + 1)) // +1 remainder slack
+  }
+
   test("q222: estimator levels bounded, est/exact consistent at the extremes") {
     val rows = run("q222_minhash_calibration").collect()
     assert(rows.nonEmpty)
