@@ -2565,6 +2565,126 @@ object AnalyticsQueries extends QueryModule {
             // ((k_conv * 1000000) // n_users) END AS BIGINT)
           AS mde_rel_pml
       FROM g""")),
+
+    // Session entropy rate (the predictability number over q169's
+    // transition matrix: H(next | prev) per state in milli-nats plus
+    // each state's share of transitions — low entropy means scripted/
+    // bot-like sequences, high means organic browsing; the
+    // information-theoretic audit behind session-based features).
+    // Exactness: per-(prev,next) terms are cnt·floor(1e9·ln(tot/cnt))
+    // — ln on integer-fed doubles floor-quantized BEFORE the integer
+    // sum (q207 convention), so per-state sums are order- and
+    // engine-independent; the div by tot is last. Scale shape: q169's
+    // per-user lag window (user-keyed, bounded by per-user activity),
+    // one (prev,next) registry agg, registry-sized rollup; 1-row
+    // grand total broadcast.
+    Q("q239_session_entropy", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ep".asc, $"event_id".asc)
+      val trans = t(s, d, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          unix_micros($"ts".cast("timestamp")).as("ep"))
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy($"from_type")
+        .agg(sum($"n").as("tot"))
+      val grand = totals.agg(sum($"tot").as("g"))
+      trans.join(totals, "from_type")
+        .select($"from_type", $"tot",
+          ($"n" * expr("""cast(floor(1000000000 *
+            ln(cast(tot as double) / cast(n as double))) as long)"""))
+            .as("term_nano"))
+        .groupBy($"from_type", $"tot")
+        .agg(count(lit(1)).as("n_next_states"),
+          expr("sum(term_nano) div (tot * 1000000)").as("h_milli"))
+        .crossJoin(broadcast(grand))
+        .select($"from_type", $"tot".as("n_trans"), $"n_next_states",
+          $"h_milli", expr("(tot * 1000000) div g").as("share_ppm"))
+    }, Some("""
+      WITH tr AS (
+        SELECT event_type AS from_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts) ASC, event_id ASC) AS to_type
+        FROM events),
+      cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+              FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+              FROM cnt GROUP BY 1),
+      g AS (SELECT sum(tot) AS g FROM tot),
+      terms AS (
+        SELECT cnt.from_type, tot.tot,
+          cnt.n * CAST(floor(1000000000 *
+            ln(CAST(tot.tot AS DOUBLE) / CAST(cnt.n AS DOUBLE)))
+            AS BIGINT) AS term_nano
+        FROM cnt JOIN tot ON tot.from_type = cnt.from_type)
+      SELECT from_type, CAST(tot AS BIGINT) AS n_trans,
+        CAST(count(*) AS BIGINT) AS n_next_states,
+        CAST(sum(term_nano) // (tot * 1000000) AS BIGINT) AS h_milli,
+        CAST((tot * 1000000) // g.g AS BIGINT) AS share_ppm
+      FROM terms CROSS JOIN g GROUP BY from_type, tot, g.g""")),
+
+    // Join-order advisor (the optimizer-adjacent what-if a pipeline
+    // owner runs before pinning a 3-table join: which left-deep order
+    // minimizes intermediate row mass?). Candidate orders over
+    // customer ⋈ orders(filtered) ⋈ lineitem with FK-uniform
+    // cardinality estimates from ACTUAL counts (the q159 sketch
+    // stands in for these at lake scale): |C⋈O_f| = |O_f| (FK to
+    // unique parent), |O_f⋈L| = |L|·sel(O) (uniform FK share). Cost =
+    // sum of intermediate sizes; ALL integer. Output: one row per
+    // order with its estimate and the chosen flag. Scale shape:
+    // three scalar count aggs (map-side combined) + 1-row arithmetic
+    // — the advised JOIN never runs.
+    Q("q240_join_order_advisor", (s, d) => {
+      import s.implicits._
+      val c = t(s, d, "customer").agg(count(lit(1)).as("nc"))
+      val o = t(s, d, "orders").agg(count(lit(1)).as("no"),
+        sum(when($"o_orderdate" >= "1995-01-01", 1L).otherwise(0L))
+          .as("nof"))
+      val l = t(s, d, "lineitem").agg(count(lit(1)).as("nl"))
+      val stats = c.crossJoin(o).crossJoin(l)
+      // (C⋈O_f)⋈L: inter1 = nof, inter2 = (nl * nof) div no
+      // (O_f⋈L)⋈C: inter1 = (nl * nof) div no, inter2 = same mass
+      val co = stats.select(lit("customer_orders_lineitem").as("join_order"),
+        $"nof".as("inter1_rows"),
+        expr("(nl * nof) div no").as("inter2_rows"),
+        ($"nof" + expr("(nl * nof) div no")).as("cost_rows"))
+      val ol = stats.select(lit("orders_lineitem_customer").as("join_order"),
+        expr("(nl * nof) div no").as("inter1_rows"),
+        expr("(nl * nof) div no").as("inter2_rows"),
+        (expr("(nl * nof) div no") * 2).as("cost_rows"))
+      val both = co.unionAll(ol)
+      val best = both.agg(min($"cost_rows").as("mc"))
+      both.crossJoin(broadcast(best))
+        .select($"join_order", $"inter1_rows", $"inter2_rows", $"cost_rows",
+          when($"cost_rows" === $"mc", 1L).otherwise(0L).as("chosen"))
+    }, Some("""
+      WITH c AS (SELECT count(*) AS nc FROM customer),
+      o AS (SELECT count(*) AS no,
+              sum(CASE WHEN o_orderdate >= DATE '1995-01-01'
+                  THEN 1 ELSE 0 END) AS nof
+            FROM orders),
+      l AS (SELECT count(*) AS nl FROM lineitem),
+      s AS (SELECT * FROM c CROSS JOIN o CROSS JOIN l),
+      b AS (
+        SELECT 'customer_orders_lineitem' AS join_order,
+          nof AS inter1_rows, (nl * nof) // no AS inter2_rows,
+          nof + (nl * nof) // no AS cost_rows
+        FROM s
+        UNION ALL
+        SELECT 'orders_lineitem_customer',
+          (nl * nof) // no, (nl * nof) // no,
+          ((nl * nof) // no) * 2
+        FROM s),
+      m AS (SELECT min(cost_rows) AS mc FROM b)
+      SELECT join_order, CAST(inter1_rows AS BIGINT) AS inter1_rows,
+        CAST(inter2_rows AS BIGINT) AS inter2_rows,
+        CAST(cost_rows AS BIGINT) AS cost_rows,
+        CAST(CASE WHEN cost_rows = m.mc THEN 1 ELSE 0 END AS BIGINT)
+          AS chosen
+      FROM b CROSS JOIN m""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

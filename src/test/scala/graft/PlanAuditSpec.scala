@@ -82,6 +82,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q228_ucb_readout" -> "1-row total-pulls broadcast onto the arm registry",
     "q235_bloom_fpr_audit" -> "constant 32-word bloom broadcasts (q81 class) + 1-row bits-set/member-count broadcasts onto the 1-row rollup",
     "q238_negative_sampling" -> "1-row weight-total + 1-row leftover broadcasts onto the bounded frequency-class grid (q166/q196 class)",
+    "q239_session_entropy" -> "1-row grand-total broadcast onto the state registry",
+    "q240_join_order_advisor" -> "all sides are scalar count aggs / literal order frames (1-row each) — the advised join never runs",
     "q236_hill_tail_index" -> "1-row k-cutoff frame inequality-joined to the bounded frequency-class grid (q227 class)",
     "q229_conversion_latency" -> "3-row literal percentile frame inequality-joined to the bounded minute grid (q217/q227 class)",
     "q227_vocab_coverage" -> "3-row literal budget frame inequality-joined to the bounded frequency-class grid (q217 class) + 1-row totals broadcast",

@@ -529,6 +529,32 @@ class RoundAuditsSpec extends AnyFunSuite {
     assert(byF.sliding(2).forall(p => p(0) <= p(1) + 1)) // +1 remainder slack
   }
 
+  test("q239: entropy bounded by ln(branching), shares sum to ~1e6") {
+    val rows = run("q239_session_entropy").collect()
+    val shares = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shares >= 1000000L - rows.length && shares <= 1000000L)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("h_milli")
+      val b = r.getAs[Long]("n_next_states")
+      assert(h >= 0)
+      // H <= ln(branching factor), +1 milli quantization slack
+      assert(h <= math.ceil(1000 * math.log(b.toDouble)).toLong + 1)
+    }
+  }
+
+  test("q240: advisor picks the min-cost order and replays its own estimates") {
+    val rows = run("q240_join_order_advisor").collect()
+    assert(rows.length == 2)
+    val minCost = rows.map(_.getAs[Long]("cost_rows")).min
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cost_rows") ==
+        r.getAs[Long]("inter1_rows") + r.getAs[Long]("inter2_rows"))
+      assert(r.getAs[Long]("chosen") ==
+        (if (r.getAs[Long]("cost_rows") == minCost) 1L else 0L))
+    }
+    assert(rows.map(_.getAs[Long]("chosen")).sum >= 1)
+  }
+
   test("q222: estimator levels bounded, est/exact consistent at the extremes") {
     val rows = run("q222_minhash_calibration").collect()
     assert(rows.nonEmpty)
