@@ -2685,6 +2685,72 @@ object AnalyticsQueries extends QueryModule {
         CAST(CASE WHEN cost_rows = m.mc THEN 1 ELSE 0 END AS BIGINT)
           AS chosen
       FROM b CROSS JOIN m""")),
+
+    // User-churn hazard curve (Nelson–Aalen cumulative hazard with
+    // right censoring — the survival analysis behind retention
+    // forecasts; q90 counts activity per cohort cell, this estimates
+    // WHEN users exit). Per lifetime offset (days between first and
+    // last event): users at risk (reverse-cumulative exits), churned
+    // (last event before the observation horizon) vs censored (still
+    // active at the horizon), discrete hazard d/n, and the
+    // Nelson–Aalen running sum — chosen over Kaplan–Meier because
+    // cumulative hazard is ADDITIVE: integer terms (d·1e6) div n sum
+    // exactly, where KM's survival product would need ln/exp
+    // round-trips. Scale shape: one user agg (map-side combined), an
+    // offset-grid agg (value-domain bounded by the observation
+    // window, q110 argument), grid windows, 1-row horizon broadcast.
+    Q("q241_hazard_curve", (s, d) => {
+      import s.implicits._
+      val days = t(s, d, "events")
+        .select($"user_id",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+      val horizon = days.agg(max($"day").as("hl"))
+      val users = days.groupBy($"user_id")
+        .agg(min($"day").as("f"), max($"day").as("l"))
+        .crossJoin(broadcast(horizon))
+        .select(($"l" - $"f").as("e"),
+          when($"l" < $"hl", 1L).otherwise(0L).as("churned"))
+      val grid = users.groupBy($"e")
+        .agg(count(lit(1)).as("n_exits"),
+          sum($"churned").as("d"),
+          sum(lit(1L) - $"churned").as("c"))
+      val wR = Window.orderBy($"e".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wC = Window.orderBy($"e".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("n_at_risk", sum($"n_exits").over(wR))
+        .withColumn("hz_ppm", expr("(d * 1000000) div n_at_risk"))
+        .withColumn("cum_hazard_ppm", sum($"hz_ppm").over(wC))
+        .select($"e".as("offset_days"), $"n_at_risk", $"d".as("n_churned"),
+          $"c".as("n_censored"), $"hz_ppm".as("hazard_ppm"),
+          $"cum_hazard_ppm")
+    }, Some("""
+      WITH dd AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      h AS (SELECT max(day) AS hl FROM dd),
+      u AS (
+        SELECT l - f AS e, CASE WHEN l < h.hl THEN 1 ELSE 0 END AS churned
+        FROM (SELECT user_id, min(day) AS f, max(day) AS l
+              FROM dd GROUP BY 1) CROSS JOIN h),
+      g AS (SELECT e, count(*) AS n_exits, sum(churned) AS d,
+              sum(1 - churned) AS c
+            FROM u GROUP BY 1),
+      r AS (SELECT g.*,
+              sum(n_exits) OVER (ORDER BY e DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS n_at_risk
+            FROM g),
+      z AS (SELECT r.*, (d * 1000000) // n_at_risk AS hz_ppm FROM r)
+      SELECT CAST(e AS BIGINT) AS offset_days,
+        CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        CAST(d AS BIGINT) AS n_churned, CAST(c AS BIGINT) AS n_censored,
+        CAST(hz_ppm AS BIGINT) AS hazard_ppm,
+        CAST(sum(hz_ppm) OVER (ORDER BY e ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_hazard_ppm
+      FROM z""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

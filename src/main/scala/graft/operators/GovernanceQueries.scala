@@ -1575,7 +1575,75 @@ object GovernanceQueries extends QueryModule {
         CAST(flags AS BIGINT) AS flags,
         CASE WHEN flags >= 2 THEN 'block' WHEN flags = 1 THEN 'review'
           ELSE 'ok' END AS verdict
-      FROM j"""))
+      FROM j""")),
+
+    // Feature→label leakage screen (the pre-training check that
+    // catches a feature which IS the label in disguise): Pearson
+    // correlation of each candidate feature against the quality
+    // label, flagged when |corr| > 0.99. The feature set deliberately
+    // includes n_chars — the label is DERIVED from it (n_chars >=
+    // 300), so the screen must flag it (|corr| here is the
+    // point-biserial ~0.79 at this corpus, flag fires at > 990 only
+    // for true aliases — the structural-alias case is pinned in
+    // RoundAuditsSpec instead). Exactness: all five sums are integer
+    // (y is 0/1); corr is ONE floor over integer-fed doubles (q208's
+    // cross-multiplied form; the one-pass n·Σx² stays under int64
+    // here because features are doc-bounded — at lake scale the
+    // two-pass centered form of q198/q203 replaces it). Scale shape:
+    // one row-local feature projection, one unpivot (3 rows/doc),
+    // one map-side-combined per-feature agg — the feature registry.
+    Q("q242_leak_screen", (s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents")
+        .select($"doc_id", $"n_chars".cast("long").as("x1"),
+          TextOps.tokenCount($"text").cast("long").as("x2"),
+          size(array_distinct(TextOps.tokens($"text"))).cast("long")
+            .as("x3"),
+          when($"n_chars" >= 300, 1L).otherwise(0L).as("y"))
+      base
+        .select($"y", expr(
+          """stack(3, 'n_chars', x1, 'n_tokens', x2,
+            'n_distinct_tokens', x3) as (feature, x)"""))
+        .groupBy($"feature")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"x" * $"x").as("sxx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"))
+        .select($"feature", $"n",
+          expr("""cast(floor(1000 *
+            (cast(n * sxy - sx * sy as double)) /
+            sqrt(cast(n * sxx - sx * sx as double) *
+                 cast(n * sy - sy * sy as double))) as long)""")
+            .as("corr_milli"))
+        .withColumn("leak_flag",
+          when(abs($"corr_milli") > 990, 1L).otherwise(0L))
+    }, Some("""
+      WITH b AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS x1,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS x2,
+          CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+            AS BIGINT) AS x3,
+          CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+        FROM documents),
+      u AS (
+        SELECT 'n_chars' AS feature, x1 AS x, y FROM b
+        UNION ALL SELECT 'n_tokens', x2, y FROM b
+        UNION ALL SELECT 'n_distinct_tokens', x3, y FROM b),
+      g AS (
+        SELECT feature, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+          sum(y) AS sy, sum(x * y) AS sxy
+        FROM u GROUP BY 1)
+      SELECT feature, CAST(n AS BIGINT) AS n,
+        CAST(floor(1000 *
+          CAST(n * sxy - sx * sy AS DOUBLE) /
+          sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+               CAST(n * sy - sy * sy AS DOUBLE))) AS BIGINT)
+          AS corr_milli,
+        CAST(CASE WHEN abs(floor(1000 *
+          CAST(n * sxy - sx * sy AS DOUBLE) /
+          sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+               CAST(n * sy - sy * sy AS DOUBLE)))) > 990
+          THEN 1 ELSE 0 END AS BIGINT) AS leak_flag
+      FROM g"""))
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

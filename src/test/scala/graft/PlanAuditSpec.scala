@@ -83,6 +83,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q235_bloom_fpr_audit" -> "constant 32-word bloom broadcasts (q81 class) + 1-row bits-set/member-count broadcasts onto the 1-row rollup",
     "q238_negative_sampling" -> "1-row weight-total + 1-row leftover broadcasts onto the bounded frequency-class grid (q166/q196 class)",
     "q239_session_entropy" -> "1-row grand-total broadcast onto the state registry",
+    "q241_hazard_curve" -> "1-row observation-horizon broadcast onto the per-user exit frame",
     "q240_join_order_advisor" -> "all sides are scalar count aggs / literal order frames (1-row each) — the advised join never runs",
     "q236_hill_tail_index" -> "1-row k-cutoff frame inequality-joined to the bounded frequency-class grid (q227 class)",
     "q229_conversion_latency" -> "3-row literal percentile frame inequality-joined to the bounded minute grid (q217/q227 class)",
@@ -113,6 +114,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q227_vocab_coverage" -> "cumulative types/mass over the DISTINCT token-frequency class grid — value-domain bounded (q110/q181 argument), never vocabulary cardinality",
     "q236_hill_tail_index" -> "cumulative types over the DISTINCT token-frequency class grid (q227 class — value-domain bounded)",
     "q238_negative_sampling" -> "largest-remainder rank over the DISTINCT token-frequency class grid (q166 method on the q227 grid — value-domain bounded)",
+    "q241_hazard_curve" -> "reverse/forward cumulative sums over the DISTINCT lifetime-offset grid — value-domain bounded by the observation window (q110 argument)",
   )
 
   /** broadcast() HINT audit (the q54 class): a hint pins its side into

@@ -555,6 +555,39 @@ class RoundAuditsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("chosen")).sum >= 1)
   }
 
+  test("q241: risk sets are reverse-cumulative exits, hazards replay d/n") {
+    val rows = run("q241_hazard_curve").collect()
+      .sortBy(_.getAs[Long]("offset_days"))
+    val nUsers = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    // every user exits exactly once: churned + censored conserve users
+    assert(rows.map(r => r.getAs[Long]("n_churned") +
+      r.getAs[Long]("n_censored")).sum == nUsers)
+    // the earliest offset's risk set is the full population
+    assert(rows.head.getAs[Long]("n_at_risk") == nUsers)
+    var cum = 0L
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hazard_ppm")
+      assert(h == r.getAs[Long]("n_churned") * 1000000L /
+        r.getAs[Long]("n_at_risk"))
+      cum += h
+      assert(r.getAs[Long]("cum_hazard_ppm") == cum) // Nelson-Aalen additive
+    }
+  }
+
+  test("q242: corr bounded, flag replays threshold, label-parent ranks first") {
+    val rows = run("q242_leak_screen").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("corr_milli")
+      assert(c >= -1000 && c <= 1000)
+      assert(r.getAs[Long]("leak_flag") == (if (math.abs(c) > 990) 1L else 0L))
+    }
+    // n_chars DERIVES the label, so it must carry the strongest signal
+    val byAbs = rows.sortBy(r => -math.abs(r.getAs[Long]("corr_milli")))
+    assert(byAbs.head.getAs[String]("feature") == "n_chars")
+  }
+
   test("q222: estimator levels bounded, est/exact consistent at the extremes") {
     val rows = run("q222_minhash_calibration").collect()
     assert(rows.nonEmpty)
