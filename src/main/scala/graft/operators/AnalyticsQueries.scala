@@ -2751,6 +2751,204 @@ object AnalyticsQueries extends QueryModule {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
           AS cum_hazard_ppm
       FROM z""")),
+
+    // Per-source 1-D Wasserstein (earth-mover) drift vs the corpus —
+    // the L1 companion to q143's KS sup-norm: KS flags the single
+    // worst CDF gap, W1 integrates |CDF_s - CDF_g| over the value
+    // axis, so a source whose lengths are shifted a LITTLE everywhere
+    // (which KS underweights) scores proportionally to the shift
+    // magnitude in tokens — the number a rebalancing pass actually
+    // wants ("src7 reads 3.2 tokens longer on average, uniformly").
+    // Scale shape identical to q143 (the audited one): value-domain
+    // token-length grid (bounded by max doc length, q110 argument),
+    // per-source cum windows ride that grid, source/total frames are
+    // registry-sized broadcasts. Exactness: CDFs ppm floor-quantized,
+    // each grid term |d|·gap is integer, the sum is exact.
+    Q("q243_wasserstein_drift", (s, d) => {
+      import s.implicits._
+      val lens = t(s, d, "documents").select($"source",
+        TextOps.tokenCount($"text").cast("long").as("v"))
+      val wG = Window.orderBy($"v".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wL = Window.orderBy($"v".asc)
+      val grid = lens.groupBy($"v").agg(count(lit(1)).as("k"))
+        .withColumn("cum_g", sum($"k").over(wG))
+        .withColumn("gap", coalesce(lead($"v", 1).over(wL) - $"v", lit(0L)))
+        .drop("k")
+      val srcTot = lens.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      val tot = lens.agg(count(lit(1)).as("n_g"))
+      val sc = lens.groupBy($"source", $"v").agg(count(lit(1)).as("ks"))
+      val wS = Window.partitionBy($"source").orderBy($"v".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.crossJoin(broadcast(srcTot)).crossJoin(broadcast(tot))
+        .join(sc, Seq("source", "v"), "left_outer")
+        .withColumn("cum_s", sum(coalesce($"ks", lit(0L))).over(wS))
+        .withColumn("term",
+          abs(expr("(cum_s * 1000000) div n_s - (cum_g * 1000000) div n_g"))
+            * $"gap")
+        .groupBy($"source")
+        .agg(max($"n_s").as("n_docs"), sum($"term").as("w1_ppm_tokens"))
+    }, Some("""
+      WITH l AS (SELECT source,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+                 FROM documents),
+      g AS (SELECT v, count(*) AS k FROM l GROUP BY 1),
+      gg AS (SELECT v, sum(k) OVER (ORDER BY v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g,
+             coalesce(lead(v, 1) OVER (ORDER BY v ASC) - v, 0) AS gap
+             FROM g),
+      st AS (SELECT source, count(*) AS n_s FROM l GROUP BY 1),
+      tt AS (SELECT count(*) AS n_g FROM l),
+      sc AS (SELECT source, v, count(*) AS ks FROM l GROUP BY 1, 2),
+      cm AS (SELECT st.source, gg.v, gg.gap,
+               sum(coalesce(sc.ks, 0)) OVER (PARTITION BY st.source
+                 ORDER BY gg.v ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+               gg.cum_g, st.n_s, tt.n_g
+             FROM gg CROSS JOIN st CROSS JOIN tt
+             LEFT JOIN sc ON sc.source = st.source AND sc.v = gg.v)
+      SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+        CAST(sum(abs((cum_s * 1000000) // n_s - (cum_g * 1000000) // n_g)
+               * gap) AS BIGINT) AS w1_ppm_tokens
+      FROM cm GROUP BY 1""")),
+
+    // Theil–Sen robust trend per event type (median of pairwise daily
+    // slopes) — the outlier-immune companion to q183's OLS slope: one
+    // anomalous traffic day drags a least-squares slope arbitrarily
+    // far, but the MEDIAN pairwise slope has a 29% breakdown point,
+    // so the "is this event type growing?" readout survives incident
+    // days. Scale shape: the corpus collapses to a (type, day) count
+    // grid in ONE map-side-combined agg (value-domain bounded: days ×
+    // types, q110 argument); the pairwise self-join runs on that grid
+    // (≤ C(days,2) rows per type at ANY corpus size), and the median
+    // rides a per-type rank window on the bounded pair frame.
+    // Exactness: slope milli-quantized with div (both engines truncate
+    // toward zero); median = lower median by (slope, x1, x2) rank —
+    // fully deterministic, no float interpolation.
+    Q("q244_theilsen_trend", (s, d) => {
+      import s.implicits._
+      val daily = t(s, d, "events")
+        .select($"event_type",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
+      val a = daily.select($"event_type", $"day".as("x1"), $"y".as("y1"))
+      val b = daily.select($"event_type", $"day".as("x2"), $"y".as("y2"))
+      val pairs = a.join(b, Seq("event_type")).filter($"x1" < $"x2")
+        .withColumn("slope_milli",
+          expr("((y2 - y1) * 1000) div (x2 - x1)"))
+      val wR = Window.partitionBy($"event_type")
+        .orderBy($"slope_milli".asc, $"x1".asc, $"x2".asc)
+      val np = pairs.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          (countDistinct($"x1") + lit(1)).as("n_days"))
+      pairs.withColumn("rn", row_number().over(wR))
+        .join(broadcast(np), Seq("event_type"))
+        .filter($"rn" === expr("(n_pairs + 1) div 2"))
+        .select($"event_type", $"n_days", $"n_pairs",
+          $"slope_milli".as("theilsen_slope_milli"))
+    }, Some("""
+      WITH dd AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               count(*) AS y
+        FROM events GROUP BY 1, 2),
+      p AS (
+        SELECT a.event_type, a.day AS x1, b.day AS x2,
+               ((b.y - a.y) * 1000) // (b.day - a.day) AS slope_milli
+        FROM dd a JOIN dd b
+          ON a.event_type = b.event_type AND a.day < b.day),
+      np AS (SELECT event_type, count(*) AS n_pairs,
+               count(DISTINCT x1) + 1 AS n_days
+             FROM p GROUP BY 1),
+      r AS (SELECT p.*, row_number() OVER (PARTITION BY event_type
+               ORDER BY slope_milli ASC, x1 ASC, x2 ASC) AS rn
+            FROM p)
+      SELECT r.event_type, CAST(np.n_days AS BIGINT) AS n_days,
+        CAST(np.n_pairs AS BIGINT) AS n_pairs,
+        CAST(r.slope_milli AS BIGINT) AS theilsen_slope_milli
+      FROM r JOIN np ON r.event_type = np.event_type
+      WHERE r.rn = (np.n_pairs + 1) // 2""")),
+
+    // Single-changepoint detection on the daily event series (binary
+    // mean-shift segmentation, the first split of a CUSUM/PELT pass):
+    // for every candidate split day, the two-segment SSE via the
+    // Σy² − (Σy)²/n identity; the reported row is the argmin split
+    // with its segment means and the variance-explained gain vs the
+    // unsplit fit — "traffic level changed on day 19737" as a query
+    // result. Complements q183/q244 (monotone trends) with the
+    // regime-change alternative. Scale shape: the corpus collapses to
+    // the (day, count) grid in ONE map-side-combined agg (value-domain
+    // bounded, q110 argument); the candidate×day frame is grid² —
+    // bounded at ANY corpus size — and the argmin is a 1-row rank on
+    // the candidate frame. Exactness: all-integer (counts and their
+    // squares; div floors identically in both engines). At lake scale
+    // the daily counts y can reach 1e9 (y² sums approach int64
+    // headroom): center y on its global mean first (two-pass, q203
+    // convention) before squaring.
+    Q("q246_changepoint", (s, d) => {
+      import s.implicits._
+      val daily = t(s, d, "events")
+        .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"))
+        .groupBy($"day").agg(count(lit(1)).as("y"))
+        .persist() // grid-sized; feeds candidates, pairs, and flat fit
+      val mx = daily.agg(max($"day").as("mx"))
+      val cand = daily.crossJoin(broadcast(mx)).filter($"day" < $"mx")
+        .select($"day".as("c"))
+      val m = cand.crossJoin(broadcast(daily))
+        .groupBy($"c").agg(
+          sum(when($"day" <= $"c", 1L).otherwise(0L)).as("nl"),
+          sum(when($"day" <= $"c", $"y").otherwise(0L)).as("sl"),
+          sum(when($"day" <= $"c", $"y" * $"y").otherwise(0L)).as("ssl"),
+          sum(when($"day" > $"c", 1L).otherwise(0L)).as("nr"),
+          sum(when($"day" > $"c", $"y").otherwise(0L)).as("sr"),
+          sum(when($"day" > $"c", $"y" * $"y").otherwise(0L)).as("ssr"))
+        .withColumn("sse",
+          expr("(ssl - (sl * sl) div nl) + (ssr - (sr * sr) div nr)"))
+      val flat = daily
+        .agg(count(lit(1)).as("n"), sum($"y").as("sy"),
+          sum($"y" * $"y").as("ssy"))
+        .select(expr("ssy - (sy * sy) div n").as("sse_flat"))
+      val wR = Window.orderBy($"sse".asc, $"c".asc)
+      m.withColumn("rn", row_number().over(wR)).filter($"rn" === 1)
+        .crossJoin(broadcast(flat))
+        .select($"c".as("split_day"), $"nl".as("n_left"), $"nr".as("n_right"),
+          expr("(sl * 1000) div nl").as("mean_left_milli"),
+          expr("(sr * 1000) div nr").as("mean_right_milli"),
+          $"sse".as("sse_split"), $"sse_flat",
+          expr("((sse_flat - sse) * 1000000) div greatest(sse_flat, 1)")
+            .as("gain_ppm"))
+    }, Some("""
+      WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS y
+        FROM events GROUP BY 1),
+      mx AS (SELECT max(day) AS mx FROM daily),
+      cand AS (SELECT day AS c FROM daily CROSS JOIN mx WHERE day < mx),
+      m AS (
+        SELECT c,
+          sum(CASE WHEN day <= c THEN 1 ELSE 0 END) AS nl,
+          sum(CASE WHEN day <= c THEN y ELSE 0 END) AS sl,
+          sum(CASE WHEN day <= c THEN y * y ELSE 0 END) AS ssl,
+          sum(CASE WHEN day > c THEN 1 ELSE 0 END) AS nr,
+          sum(CASE WHEN day > c THEN y ELSE 0 END) AS sr,
+          sum(CASE WHEN day > c THEN y * y ELSE 0 END) AS ssr
+        FROM cand CROSS JOIN daily GROUP BY 1),
+      sc AS (SELECT m.*,
+               (ssl - (sl * sl) // nl) + (ssr - (sr * sr) // nr) AS sse
+             FROM m),
+      flat AS (SELECT sum(y * y) - (sum(y) * sum(y)) // count(*)
+                 AS sse_flat FROM daily),
+      best AS (SELECT sc.*, row_number() OVER (ORDER BY sse ASC, c ASC)
+                 AS rn FROM sc QUALIFY rn = 1)
+      SELECT CAST(c AS BIGINT) AS split_day, CAST(nl AS BIGINT) AS n_left,
+        CAST(nr AS BIGINT) AS n_right,
+        CAST((sl * 1000) // nl AS BIGINT) AS mean_left_milli,
+        CAST((sr * 1000) // nr AS BIGINT) AS mean_right_milli,
+        CAST(sse AS BIGINT) AS sse_split,
+        CAST(sse_flat AS BIGINT) AS sse_flat,
+        CAST(((sse_flat - sse) * 1000000) // greatest(sse_flat, 1)
+               AS BIGINT) AS gain_ppm
+      FROM best CROSS JOIN flat""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

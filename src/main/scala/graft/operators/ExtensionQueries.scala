@@ -692,5 +692,89 @@ object ExtensionQueries extends QueryModule {
          |         AS BIGINT) AS overest_ppm
          |FROM ex CROSS JOIN est""".stripMargin
     }),
+
+    // KMV (k-minimum-values) distinct sketch with MERGE: per event
+    // type, the 64 smallest positional-md5 hashes of the user ids
+    // estimate distinct users as (k-1)·2^32/h_k; the per-type sketches
+    // then MERGE (union the hash sets, keep the 64 smallest) into a
+    // global-distinct estimate — the property HLL (q87/q150) also has,
+    // but KMV adds an unbiased estimator whose arithmetic is pure
+    // integer (no harmonic means), so the DuckDB replay is exact to
+    // the last digit. Complements q43 (engine HLL), q87 (relational
+    // HLL), q150 (HLL merge): same contract, different sketch, and
+    // the err_ppm column puts the estimator's accuracy in the result.
+    // Scale shape: ONE map-side-combined distinct on (type, hv); the
+    // per-type min-64 rides a rank window that Spark rewrites to
+    // WindowGroupLimit (bounded per-partition buffers, no full sort);
+    // everything downstream is sketch-sized (≤ 64·|types| rows).
+    // Exactness: h_k is an integer, (k-1)·2^32 div h_k exact; sets
+    // with fewer than k hashes report their exact count (KMV rule).
+    Q("q245_kmv_sketch", (s, d) => {
+      import s.implicits._
+      val k = 64
+      val est = (n: String, kth: String) =>
+        expr(s"case when $n < $k then $n " +
+          s"else (${k - 1} * 4294967296) div greatest($kth, 1) end")
+      val hv = t(s, d, "events")
+        .select($"event_type", $"user_id",
+          expr(DedupOps.hv32FromHexSql("md5(cast(user_id as string))"))
+            .as("hv"))
+      val dh = hv.select($"event_type", $"hv").distinct().persist()
+      val wT = Window.partitionBy($"event_type").orderBy($"hv".asc)
+      val sk = dh.withColumn("rn", row_number().over(wT))
+        .filter($"rn" <= k).persist()
+      val ex = hv.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+      val pt = sk.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), max($"hv").as("kth"))
+      val pe = pt.join(broadcast(ex), Seq("event_type"))
+        .select($"event_type".as("set_name"), $"exact_users",
+          est("n", "kth").as("kmv_est"))
+      val wG = Window.orderBy($"hv".asc)
+      val mp = sk.select($"hv").distinct()
+        .withColumn("rn", row_number().over(wG)).filter($"rn" <= k)
+        .agg(count(lit(1)).as("n"), max($"hv").as("kth"))
+      val exg = hv.agg(countDistinct($"user_id").as("exact_users"))
+      val me = mp.crossJoin(exg)
+        .select(lit("__merged__").as("set_name"), $"exact_users",
+          est("n", "kth").as("kmv_est"))
+      pe.unionByName(me)
+        .select($"set_name", $"exact_users", $"kmv_est",
+          expr("((kmv_est - exact_users) * 1000000) div exact_users")
+            .as("err_ppm"))
+    }, Some {
+      val hv = DedupQueries.hvDuckOf("CAST(user_id AS VARCHAR)")
+      s"""WITH h AS (
+         |  SELECT event_type, user_id, ($hv) AS hv FROM events),
+         |dh AS (SELECT DISTINCT event_type, hv FROM h),
+         |sk AS (SELECT event_type, hv,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY hv ASC) AS rn
+         |       FROM dh QUALIFY rn <= 64),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+         |       FROM h GROUP BY 1),
+         |pt AS (SELECT event_type, count(*) AS n, max(hv) AS kth
+         |       FROM sk GROUP BY 1),
+         |pe AS (SELECT p.event_type AS set_name, e.exact_users,
+         |         CASE WHEN p.n < 64 THEN p.n
+         |           ELSE (63 * 4294967296) // greatest(p.kth, 1) END
+         |           AS kmv_est
+         |       FROM pt p JOIN ex e USING (event_type)),
+         |mr AS (SELECT hv, row_number() OVER (ORDER BY hv ASC) AS rn
+         |       FROM (SELECT DISTINCT hv FROM sk) QUALIFY rn <= 64),
+         |mp AS (SELECT count(*) AS n, max(hv) AS kth FROM mr),
+         |exg AS (SELECT count(DISTINCT user_id) AS exact_users FROM h),
+         |me AS (SELECT '__merged__' AS set_name, exg.exact_users,
+         |         CASE WHEN mp.n < 64 THEN mp.n
+         |           ELSE (63 * 4294967296) // greatest(mp.kth, 1) END
+         |           AS kmv_est
+         |       FROM mp CROSS JOIN exg),
+         |u AS (SELECT * FROM pe UNION ALL SELECT * FROM me)
+         |SELECT set_name, CAST(exact_users AS BIGINT) AS exact_users,
+         |  CAST(kmv_est AS BIGINT) AS kmv_est,
+         |  CAST(((kmv_est - exact_users) * 1000000) // exact_users
+         |         AS BIGINT) AS err_ppm
+         |FROM u""".stripMargin
+    }),
   )
 }

@@ -1643,6 +1643,66 @@ object GovernanceQueries extends QueryModule {
           sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
                CAST(n * sy - sy * sy AS DOUBLE)))) > 990
           THEN 1 ELSE 0 END AS BIGINT) AS leak_flag
+      FROM g""")),
+
+    // l-diversity audit (the re-identification check BEYOND k-anonymity:
+    // q146 suppresses small quasi-identifier groups, but a LARGE group
+    // whose sensitive attribute is uniform is still disclosive — every
+    // member's balance bracket is revealed). Per (nation, segment)
+    // quasi-identifier group over the balance bracket as the sensitive
+    // attribute: group size, distinct-l, Shannon entropy of the
+    // sensitive distribution (nano-nats, q129 quantization scheme),
+    // and the distinct-l>=3 / entropy>=ln(3) release flags. Scale
+    // shape: ONE map-side-combined (group, bracket) agg; the
+    // group-total window is partitioned by group and bounded by the
+    // bracket domain (<= ~12 rows/group at ANY corpus size); the final
+    // agg is registry-sized. Exactness: entropy terms are
+    // k·floor(ln(n/k)·1e9) — integer-fed correctly-rounded IEEE ln,
+    // floor-quantized per term (q129 convention), so both engines sum
+    // identical integers.
+    Q("q247_ldiversity", (s, d) => {
+      import s.implicits._
+      val ent3 = 1098612288L // floor(ln(3) * 1e9)
+      val tf = t(s, d, "customer")
+        .select($"c_nationkey", $"c_mktsegment",
+          floor($"c_acctbal" / 1000).cast("long").as("sens"))
+        .groupBy($"c_nationkey", $"c_mktsegment", $"sens")
+        .agg(count(lit(1)).as("k"))
+      val wN = Window.partitionBy($"c_nationkey", $"c_mktsegment")
+      tf.withColumn("n", sum($"k").over(wN))
+        .withColumn("term", $"k" *
+          floor(log($"n".cast("double") / $"k".cast("double")) * 1e9)
+            .cast("long"))
+        .groupBy($"c_nationkey", $"c_mktsegment")
+        .agg(max($"n").as("n"), count(lit(1)).as("distinct_l"),
+          expr("sum(term) div max(n)").as("entropy_nano"))
+        .select($"c_nationkey", $"c_mktsegment", $"n", $"distinct_l",
+          $"entropy_nano",
+          when($"distinct_l" >= 3 && $"entropy_nano" >= ent3, 1L)
+            .otherwise(0L).as("release_ok"))
+    }, Some("""
+      WITH tf AS (
+        SELECT c_nationkey, c_mktsegment,
+          CAST(floor(c_acctbal / 1000) AS BIGINT) AS sens,
+          count(*) AS k
+        FROM customer GROUP BY 1, 2, 3),
+      wn AS (
+        SELECT tf.*, sum(k) OVER (PARTITION BY c_nationkey, c_mktsegment)
+          AS n FROM tf),
+      tm AS (
+        SELECT c_nationkey, c_mktsegment, n,
+          k * CAST(floor(ln(n * 1.0 / k) * 1000000000) AS BIGINT) AS term
+        FROM wn),
+      g AS (
+        SELECT c_nationkey, c_mktsegment, max(n) AS n,
+          count(*) AS distinct_l, sum(term) // max(n) AS entropy_nano
+        FROM tm GROUP BY 1, 2)
+      SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS n,
+        CAST(distinct_l AS BIGINT) AS distinct_l,
+        CAST(entropy_nano AS BIGINT) AS entropy_nano,
+        CAST(CASE WHEN distinct_l >= 3
+               AND entropy_nano >= 1098612288 THEN 1 ELSE 0 END
+             AS BIGINT) AS release_ok
       FROM g"""))
   )
 

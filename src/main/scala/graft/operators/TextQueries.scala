@@ -1079,7 +1079,54 @@ object TextQueries extends QueryModule {
         CAST(CASE WHEN sum(term_nano) = 0 THEN 0
           ELSE (k * 1000000000000) // sum(term_nano) END AS BIGINT)
           AS alpha_milli
-      FROM terms GROUP BY k, f_cut"""))
+      FROM terms GROUP BY k, f_cut""")),
+
+    // Per-source readability profile (Flesch reading-ease, integer
+    // milli form): words, sentences ([.!?]+ runs), and a vowel-group
+    // syllable proxy ([aeiouy]+ runs on the lowercased text) feed
+    // 206.835 − 1.015·(W/S) − 84.6·(Syl/W) — the classic filter
+    // feature a curation pass uses alongside q28's quality score and
+    // q78's Gopher rules to catch keyword-stuffed or run-on text.
+    // Scale shape: three codegen'd regexp_count calls per row (no
+    // explode — the token stream never materializes), then ONE
+    // map-side-combined per-source agg. Exactness: ratios are integer
+    // div (all operands non-negative except the final difference,
+    // where both engines truncate toward zero identically).
+    Q("q248_readability", (s, d) => {
+      import s.implicits._
+      val m = t(s, d, "documents")
+        .select($"source",
+          greatest(TextOps.tokenCount($"text").cast("long"), lit(1L))
+            .as("w"),
+          greatest(regexp_count($"text", lit("[.!?]+")).cast("long"),
+            lit(1L)).as("sent"),
+          regexp_count(lower($"text"), lit("[aeiouy]+")).cast("long")
+            .as("syl"))
+        .select($"source", (lit(206835L) - expr("(1015000 * w) div (1000 * sent)")
+          - expr("(84600 * syl) div w")).as("flesch_milli"))
+      m.groupBy($"source").agg(count(lit(1)).as("n_docs"),
+        expr("sum(flesch_milli) div count(1)").as("avg_flesch_milli"),
+        min($"flesch_milli").as("min_flesch_milli"),
+        max($"flesch_milli").as("max_flesch_milli"))
+    }, Some("""
+      WITH m AS (
+        SELECT source,
+          greatest(CAST(len(string_split_regex(trim(text), '\s+'))
+            AS BIGINT), 1) AS w,
+          greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+            AS BIGINT), 1) AS sent,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+            AS BIGINT) AS syl
+        FROM documents),
+      f AS (
+        SELECT source, 206835 - (1015000 * w) // (1000 * sent)
+          - (84600 * syl) // w AS flesch_milli
+        FROM m)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(flesch_milli) // count(*) AS BIGINT) AS avg_flesch_milli,
+        CAST(min(flesch_milli) AS BIGINT) AS min_flesch_milli,
+        CAST(max(flesch_milli) AS BIGINT) AS max_flesch_milli
+      FROM f GROUP BY 1"""))
   )
 
   /** The 10 nDCG position discounts floor(1e6 / log2(i + 1)),

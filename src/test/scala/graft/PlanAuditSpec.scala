@@ -92,6 +92,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q215_salt_advisor" -> "1-row event-total broadcast onto the key-registry count frame",
     "q217_threshold_sweep" -> "literal 4-row threshold frame inequality-joined against <= 4-row hamming histograms (all bounded local/registry frames)",
     "q220_quality_scorecard" -> "1-row corpus-token-total (KL normalizer, q207 class) + 1-row corpus-mean-length broadcasts onto the source registry",
+    "q243_wasserstein_drift" -> "registry-sized per-source totals + 1-row corpus total fanned over the bounded distinct-value grid (q143 class)",
+    "q245_kmv_sketch" -> "1-row merged-sketch stats x 1-row exact-distinct frames (scalar aggs, q159 class)",
+    "q246_changepoint" -> "1-row max-day + 1-row flat-fit broadcasts; candidate x daily-grid BNLJ where BOTH sides are the value-domain-bounded day grid (q110 argument)",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
@@ -115,6 +118,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q236_hill_tail_index" -> "cumulative types over the DISTINCT token-frequency class grid (q227 class — value-domain bounded)",
     "q238_negative_sampling" -> "largest-remainder rank over the DISTINCT token-frequency class grid (q166 method on the q227 grid — value-domain bounded)",
     "q241_hazard_curve" -> "reverse/forward cumulative sums over the DISTINCT lifetime-offset grid — value-domain bounded by the observation window (q110 argument)",
+    "q243_wasserstein_drift" -> "global CDF cum + gap lead over DISTINCT token counts — value-domain bounded (q143 class)",
   )
 
   /** broadcast() HINT audit (the q54 class): a hint pins its side into
@@ -155,6 +159,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q221_ann_recall" -> "probe batch: vec_id < 50 constant probe set (q37 class)",
     "q223_ndcg_eval" -> "query-term set of the 3 seed docs: doc-bounded, not corpus-growing (q112 class)",
     "q235_bloom_fpr_audit" -> "bloom words (1024/32 = 32 rows, x3 probes): groupBy over the fixed 1024-bit range (q81 class)",
+    "q243_wasserstein_drift" -> "per-source doc totals: groupBy source (bounded source registry, q143 class) + the scalar corpus total",
+    "q244_theilsen_trend" -> "per-type pair/day counts: groupBy event_type (bounded event-type registry)",
+    "q245_kmv_sketch" -> "per-type exact distincts: groupBy event_type (bounded event-type registry)",
+    "q246_changepoint" -> "daily count grid: groupBy day — value-domain bounded by the observation window (q110 argument), never the corpus",
   )
 
   test("catalog-wide plan audit: cartesian/BNLJ/global-window invariants") {

@@ -604,4 +604,116 @@ class RoundAuditsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_pairs") >= 1)
     }
   }
+
+  test("q243: W1 drift nonnegative, zero iff a source matches the corpus CDF") {
+    val rows = run("q243_wasserstein_drift").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("w1_ppm_tokens") >= 0)
+      assert(r.getAs[Long]("n_docs") >= 1)
+    }
+    // W1 integrates |CDF gap| x token gap: it is bounded by
+    // 1e6 x (value range) since each CDF difference is <= 1e6 ppm
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("size(split(trim(text), '\\\\s+')) AS v")
+      .agg(org.apache.spark.sql.functions.expr("max(v) - min(v)"))
+      .head.getInt(0)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("w1_ppm_tokens") <= 1000000L * lens))
+  }
+
+  test("q244: Theil-Sen slope is a member pairwise slope with median rank") {
+    val rows = run("q244_theilsen_trend").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nd = r.getAs[Long]("n_days"); val np = r.getAs[Long]("n_pairs")
+      assert(np == nd * (nd - 1) / 2) // complete pair set, no sampling
+    }
+    // the reported slope must be an actual member of the pairwise
+    // slope set at the lower-median rank — recompute one type's set
+    import org.apache.spark.sql.functions._
+    val daily = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_type",
+        "unix_micros(cast(ts as timestamp)) div 86400000000 AS day")
+      .groupBy("event_type", "day").count()
+      .filter(col("event_type") === "click")
+      .collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("count")))
+    val slopes = (for {
+      (x1, y1) <- daily; (x2, y2) <- daily if x1 < x2
+    } yield ((y2 - y1) * 1000) / (x2 - x1)).sorted
+    val want = slopes((slopes.length + 1) / 2 - 1)
+    val got = rows.find(_.getAs[String]("event_type") == "click").get
+      .getAs[Long]("theilsen_slope_milli")
+    assert(got == want)
+  }
+
+  test("q245: KMV exact-below-k rule, merged set covers types, err replays") {
+    val rows = run("q245_kmv_sketch").collect()
+    val byName = rows.map(r => r.getAs[String]("set_name") -> r).toMap
+    assert(byName.contains("__merged__"))
+    rows.foreach { r =>
+      val ex = r.getAs[Long]("exact_users"); val est = r.getAs[Long]("kmv_est")
+      assert(ex >= 1 && est >= 1)
+      // the estimator replays into err_ppm exactly (both truncate
+      // toward zero)
+      assert(r.getAs[Long]("err_ppm") == (est - ex) * 1000000L / ex)
+      // sets smaller than k are counted exactly (KMV rule)
+      if (ex < 64) assert(est == ex)
+    }
+    // merged exact >= any per-type exact (union dominates members)
+    val mex = byName("__merged__").getAs[Long]("exact_users")
+    rows.filter(_.getAs[String]("set_name") != "__merged__")
+      .foreach(r => assert(r.getAs[Long]("exact_users") <= mex))
+  }
+
+  test("q246: split partitions the day grid, SSE gain nonnegative") {
+    val r = run("q246_changepoint").collect().head
+    val nDays = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("unix_micros(cast(ts as timestamp)) div 86400000000 AS d")
+      .distinct().count()
+    assert(r.getAs[Long]("n_left") + r.getAs[Long]("n_right") == nDays)
+    assert(r.getAs[Long]("n_left") >= 1 && r.getAs[Long]("n_right") >= 1)
+    // the best two-segment fit can only improve on the flat fit
+    // (floor-quantization slack is < 2 units per segment)
+    val sseSplit = r.getAs[Long]("sse_split")
+    val sseFlat = r.getAs[Long]("sse_flat")
+    assert(sseSplit >= 0 && sseFlat >= 0)
+    assert(sseSplit <= sseFlat + 2)
+    // gain replays its own formula exactly
+    assert(r.getAs[Long]("gain_ppm") ==
+      (sseFlat - sseSplit) * 1000000L / math.max(sseFlat, 1L))
+  }
+
+  test("q247: distinct-l/entropy consistency, release flag replays") {
+    val rows = run("q247_ldiversity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val l = r.getAs[Long]("distinct_l"); val n = r.getAs[Long]("n")
+      val e = r.getAs[Long]("entropy_nano")
+      assert(l >= 1 && l <= n)
+      assert(e >= 0) // entropy of a distribution is nonnegative
+      // entropy <= ln(distinct_l) (uniform maximizes); +1 floor slack
+      assert(e <= math.floor(math.log(l.toDouble) * 1e9).toLong + 1)
+      if (l == 1) assert(e == 0) // uniform single value => zero entropy
+      val ok = if (l >= 3 && e >= 1098612288L) 1L else 0L
+      assert(r.getAs[Long]("release_ok") == ok)
+    }
+  }
+
+  test("q248: flesch bounded above, per-source aggregates consistent") {
+    val rows = run("q248_readability").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val avg = r.getAs[Long]("avg_flesch_milli")
+      val mn = r.getAs[Long]("min_flesch_milli")
+      val mx = r.getAs[Long]("max_flesch_milli")
+      assert(mn <= mx)
+      // integer-div average truncates toward zero: widen the band by 1
+      assert(avg >= mn - 1 && avg <= mx + 1)
+      // 206.835 is the formula's absolute ceiling (w=s=syl ratios >= 0;
+      // each subtracted term is >= its w>=1,sent<=w floor)
+      assert(mx <= 206835L)
+      assert(r.getAs[Long]("n_docs") >= 1)
+    }
+  }
 }
