@@ -2949,6 +2949,171 @@ object AnalyticsQueries extends QueryModule {
         CAST(((sse_flat - sse) * 1000000) // greatest(sse_flat, 1)
                AS BIGINT) AS gain_ppm
       FROM best CROSS JOIN flat""")),
+
+    // Behavioral sequence anomaly: score each user's event stream
+    // under the corpus-fitted first-order Markov model (q169's
+    // transition matrix) by average transition negative-log-likelihood
+    // — the fraud/bot readout ("this user's click→purchase→click
+    // pattern is 40x less likely than normal") that turns the
+    // transition MATRIX into a per-user ranking. In-sample scoring:
+    // the model and the scored sequences come from the same corpus,
+    // the standard surprise-scoring setup. Scale shape: transitions
+    // via ONE user-partitioned lead window (bounded by a user's
+    // history); the model is |event types|² rows — constant — and
+    // broadcasts; the per-user agg is map-side combined; the top-20
+    // rides the q79-class bucketed prefilter (globalTopK), never a
+    // global sort of all users. Exactness: nll terms are
+    // floor(ln(ft/n)·1e9) — integer-fed correctly-rounded IEEE ln,
+    // floor-quantized per transition (q73/q129 convention).
+    Q("q249_sequence_anomaly", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ep".asc, $"event_id".asc)
+      val trans = t(s, d, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          unix_micros($"ts".cast("timestamp")).as("ep"))
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .select($"user_id", $"event_type".as("from_type"), $"to_type")
+        .persist() // feeds both the model fit and the scoring join
+      val model = trans.groupBy($"from_type", $"to_type")
+        .agg(count(lit(1)).as("n"))
+      val totals = model.groupBy($"from_type").agg(sum($"n").as("ft"))
+      val nll = model.join(totals, "from_type")
+        .select($"from_type", $"to_type",
+          floor(log($"ft".cast("double") / $"n".cast("double")) * 1e9)
+            .cast("long").as("nll_nano"))
+      val perUser = trans
+        .join(broadcast(nll), Seq("from_type", "to_type"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_trans"), sum($"nll_nano").as("snll"))
+        .select($"user_id", $"n_trans",
+          expr("snll div n_trans").as("avg_nll_nano"))
+      CorpusOps.globalTopK(perUser, $"user_id", k = 20,
+        order = Seq($"avg_nll_nano".desc, $"user_id".asc))
+    }, Some("""
+      WITH tr AS (
+        SELECT user_id, event_type AS from_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts) ASC, event_id ASC) AS to_type
+        FROM events),
+      tt AS (SELECT user_id, from_type, to_type FROM tr
+             WHERE to_type IS NOT NULL),
+      m AS (SELECT from_type, to_type, count(*) AS n
+            FROM tt GROUP BY 1, 2),
+      ft AS (SELECT from_type, sum(n) AS ft FROM m GROUP BY 1),
+      nll AS (
+        SELECT m.from_type, m.to_type,
+          CAST(floor(ln(CAST(ft.ft AS DOUBLE) / CAST(m.n AS DOUBLE))
+            * 1000000000) AS BIGINT) AS nll_nano
+        FROM m JOIN ft USING (from_type)),
+      pu AS (
+        SELECT tt.user_id, count(*) AS n_trans,
+          sum(nll.nll_nano) // count(*) AS avg_nll_nano
+        FROM tt JOIN nll USING (from_type, to_type)
+        GROUP BY 1)
+      SELECT user_id, CAST(n_trans AS BIGINT) AS n_trans,
+        CAST(avg_nll_nano AS BIGINT) AS avg_nll_nano
+      FROM pu
+      QUALIFY row_number() OVER (ORDER BY avg_nll_nano DESC,
+        user_id ASC) <= 20""")),
+
+    // Exponentially time-decayed activity mass per event type
+    // (half-life 7 days, Q20 fixed-point): the feature-store /
+    // trending-now aggregate that weighs yesterday's events ~2^(1/7)
+    // more than the day before's — q190 reports week-over-week steps,
+    // this collapses the whole history into one recency-weighted
+    // number per type (count mass + value mass). The 31 per-day-offset
+    // weights floor(2^20·2^(−o/7)) are PRECOMPUTED INTEGER LITERALS
+    // interpolated into both engines (ndcgDiscMicro convention), so no
+    // runtime pow() rounding can diverge; offsets beyond 30 days decay
+    // to weight 0 (< 2^20/19 ≈ noise) and drop. Scale shape: ONE
+    // map-side-combined (type, day-offset) agg against the 1-row
+    // horizon broadcast, then the weight lookup rides the ≤ 31-row
+    // offset grid per type. Mergeable across daily partitions by
+    // construction (weights are per-day constants).
+    Q("q254_time_decay", (s, d) => {
+      import s.implicits._
+      val wLit = decayQ20
+        .map(w => s"CAST($w AS BIGINT)").mkString("array(", ", ", ")")
+      val ev = t(s, d, "events")
+        .select($"event_type",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"),
+          floor($"value" * 1000).cast("long").as("vm"))
+      val hz = ev.agg(max($"day").as("hd"))
+      val grid = ev.crossJoin(broadcast(hz))
+        .withColumn("o", $"hd" - $"day")
+        .groupBy($"event_type", $"o")
+        .agg(count(lit(1)).as("n"), sum($"vm").as("sv"))
+        .withColumn("w", when($"o" <= 30,
+          element_at(expr(wLit), ($"o" + 1).cast("int"))).otherwise(0L))
+      grid.groupBy($"event_type")
+        .agg(sum($"n").as("n_events"),
+          sum($"w" * $"n").as("decay_count_q20"),
+          sum(expr("(w * sv) div 1048576")).as("decay_value_milli"))
+    }, Some {
+      val wList = decayQ20.mkString("[", ", ", "]")
+      s"""WITH ev AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(floor(value * 1000) AS BIGINT) AS vm
+         |  FROM events),
+         |hz AS (SELECT max(day) AS hd FROM ev),
+         |g AS (
+         |  SELECT event_type, hd - day AS o, count(*) AS n, sum(vm) AS sv
+         |  FROM ev CROSS JOIN hz GROUP BY 1, 2),
+         |w AS (
+         |  SELECT g.*, CASE WHEN o <= 30
+         |    THEN ($wList)[CAST(o + 1 AS INT)] ELSE 0 END AS w
+         |  FROM g)
+         |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+         |  CAST(sum(w * n) AS BIGINT) AS decay_count_q20,
+         |  CAST(sum((w * sv) // 1048576) AS BIGINT) AS decay_value_milli
+         |FROM w GROUP BY 1""".stripMargin
+    }),
+
+    // DAU / WAU / stickiness per day (rolling-7-day distinct users):
+    // the product-analytics engagement ratio, computed WITHOUT a
+    // sliding count-distinct window (which no engine does exactly):
+    // the corpus collapses to DISTINCT (day, user) once, each row
+    // fans out to the ≤ 7 window-end days it contributes to via a
+    // bounded day-grid range join, and a second distinct collapses
+    // (window_day, user). Scale shape: two map-side-combined
+    // distincts + one BNLJ against the value-domain-bounded day grid
+    // (≤ 7× fan-out per row, q110 argument); stickiness is integer
+    // ppm. The first 6 days report their partial-window WAU (the
+    // standard dashboard convention).
+    Q("q255_dau_wau", (s, d) => {
+      import s.implicits._
+      val du = t(s, d, "events")
+        .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"), $"user_id")
+        .distinct().persist()
+      val grid = du.select($"day").distinct()
+      val dau = du.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val wau = du.select($"day".as("aday"), $"user_id")
+        .join(broadcast(grid),
+          $"aday" <= $"day" && $"aday" > $"day" - 7)
+        .select($"day", $"user_id").distinct()
+        .groupBy($"day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select($"day", $"dau", $"wau",
+          expr("(dau * 1000000) div wau").as("stickiness_ppm"))
+    }, Some("""
+      WITH du AS (
+        SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        FROM events),
+      grid AS (SELECT DISTINCT day FROM du),
+      dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+      wau AS (
+        SELECT g.day, count(DISTINCT du.user_id) AS wau
+        FROM grid g JOIN du
+          ON du.day <= g.day AND du.day > g.day - 7
+        GROUP BY 1)
+      SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+        CAST(wau.wau AS BIGINT) AS wau,
+        CAST((dau.dau * 1000000) // wau.wau AS BIGINT) AS stickiness_ppm
+      FROM dau JOIN wau ON wau.day = dau.day""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user
@@ -2973,4 +3138,11 @@ object AnalyticsQueries extends QueryModule {
         coalesce(lead($"day", 1).over(wU), lit("9999-12-31")))
       .select($"user_id", $"day".as("valid_from"), $"valid_to", $"vm")
   }
+
+  /** q254's 31 day-offset decay weights floor(2^20 · 2^(−o/7)),
+    * o = 0..30 — precomputed once so BOTH engines consume identical
+    * integer literals (no runtime pow() rounding to diverge;
+    * ndcgDiscMicro convention). */
+  private[operators] val decayQ20: Seq[Long] = (0 to 30).map(o =>
+    math.floor(1048576.0 * math.pow(2.0, -o / 7.0)).toLong)
 }

@@ -625,5 +625,55 @@ object CleaningQueries extends QueryModule {
           AS dup_permille,
         CAST(sum(n_toks) * 1000 // count(*) AS BIGINT) AS avg_len_milli
       FROM ch GROUP BY 1""")),
+
+    // Character-4-gram redundancy (a compression-ratio proxy: 1 −
+    // distinct/total 4-grams per doc, aggregated per source) — the
+    // cheap LZ-style signal that catches template boilerplate and
+    // looped generation q63's TOKEN-level repetition misses (character
+    // n-grams see inside long pseudo-words and across token
+    // boundaries; gzip-ratio filters in curation pipelines measure
+    // exactly this, and distinct-gram ratio is its deterministic,
+    // engine-replayable stand-in). Scale shape: one position explode
+    // (len−3 rows/doc — the q31 shingle class), ONE map-side-combined
+    // (doc, gram) distinct-then-count chain, then a registry-sized
+    // per-source rollup. Docs under 4 chars are excluded in BOTH
+    // engines (no gram exists; Spark's sequence() would otherwise
+    // descend). Exactness: ppm integer div on non-negative counts.
+    Q("q256_char_ngram_redund", (s, d) => {
+      import s.implicits._
+      val g = t(s, d, "documents")
+        .filter(length($"text") >= 4)
+        .select($"doc_id", $"source",
+          explode(expr(
+            "transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))"))
+            .as("gram"))
+      val perDoc = g.groupBy($"doc_id", $"source", $"gram")
+        .agg(count(lit(1)).as("k"))
+        .groupBy($"doc_id", $"source")
+        .agg(sum($"k").as("total"), count(lit(1)).as("dist"))
+        .select($"source",
+          expr("1000000 - (dist * 1000000) div total").as("red_ppm"))
+      perDoc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(red_ppm) div count(1)").as("avg_redund_ppm"),
+          max($"red_ppm").as("max_redund_ppm"))
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id, source,
+          unnest(list_transform(range(1, length(text) - 2),
+            i -> substr(text, CAST(i AS INT), 4))) AS gram
+        FROM documents WHERE length(text) >= 4),
+      pd AS (
+        SELECT doc_id, source, sum(k) AS total, count(*) AS dist
+        FROM (SELECT doc_id, source, gram, count(*) AS k
+              FROM g GROUP BY 1, 2, 3)
+        GROUP BY 1, 2),
+      r AS (SELECT source,
+              1000000 - (dist * 1000000) // total AS red_ppm
+            FROM pd)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(red_ppm) // count(*) AS BIGINT) AS avg_redund_ppm,
+        CAST(max(red_ppm) AS BIGINT) AS max_redund_ppm
+      FROM r GROUP BY 1""")),
   )
 }

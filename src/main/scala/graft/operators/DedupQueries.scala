@@ -1367,6 +1367,104 @@ object DedupQueries extends QueryModule {
         CAST(l.len AS BIGINT) AS long_len,
         CAST((a.len * 1000000) // l.len AS BIGINT) AS trunc_ratio_ppm
       FROM b a JOIN b l ON l.fp = a.fp AND a.len < l.len
-        AND substr(l.text, 1, CAST(a.len AS INT)) = a.text"""))
+        AND substr(l.text, 1, CAST(a.len AS INT)) = a.text""")),
+
+    // Blocking pair-completeness (the ER-evaluation RECALL companion
+    // to q204's reduction ratio): ground truth = every pair with
+    // exact shingle Jaccard >= 0.5 (q33's brute baseline); candidates
+    // = the production MinHash-LSH band pairs (q36's pipeline, before
+    // verification). Pair completeness = recall of true pairs that
+    // co-occur in >= 1 band bucket, pair quality = precision of the
+    // candidate set, plus their harmonic F — the three numbers that
+    // decide whether 4x4 banding is the right operating point before
+    // a lake-scale dedup run. Bench-excluded like q33: the TRUTH side
+    // is the quadratic verification baseline (the production path it
+    // audits — q36 — stays linear). Output is one audit row.
+    Q("q250_pair_completeness", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val sr = TextOps.shingleRows(docs, "doc_id", "text")
+        .select($"doc_id", $"shingle").distinct()
+      val sigs = DedupOps.minhashSignatures(sr, "doc_id", "shingle", k = 16)
+      val bt = DedupOps.lshBands(sigs, "doc_id", "sig", bands = 4, rows = 4)
+      val cands = DedupOps.lshCandidates(bt, "doc_id").persist()
+      val sets = docs.select($"doc_id", TextOps.shingleSet($"text").as("sa"))
+      val truth = sets.select($"doc_id".as("doc_a"), $"sa")
+        .join(sets.select($"doc_id".as("doc_b"), $"sa".as("sb")),
+          col("doc_a") < col("doc_b"))
+        .filter(DedupOps.jaccard($"sa", $"sb") >= 0.5)
+        .select($"doc_a", $"doc_b").persist()
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val nCand = cands.agg(count(lit(1)).as("n_cand"))
+      val nHit = truth.join(cands, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nTrue.crossJoin(nCand).crossJoin(nHit)
+        .withColumn("pc_ppm",
+          expr("(n_hit * 1000000) div greatest(n_true, 1)"))
+        .withColumn("pq_ppm",
+          expr("(n_hit * 1000000) div greatest(n_cand, 1)"))
+        .select($"n_true", $"n_cand", $"n_hit", $"pc_ppm", $"pq_ppm",
+          expr("""CASE WHEN pc_ppm + pq_ppm = 0 THEN CAST(0 AS BIGINT)
+            ELSE (2 * pc_ppm * pq_ppm) div (pc_ppm + pq_ppm) END""")
+            .as("f1_ppm"))
+    }, Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+         |  FROM toks),
+         |hv AS (SELECT doc_id, (${hvDuckOf("shingle")}) % 2147483647 AS hv
+         |       FROM sh),
+         |mh AS (
+         |  SELECT doc_id, i,
+         |    min((hv * ((i * 2654435761) % 2147483646 + 1)
+         |         + (i * 40503 + 17) % 2147483647) % 2147483647) AS h
+         |  FROM hv CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ii
+         |  GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, CAST(i // 4 AS INT) AS band_id,
+         |         string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bk
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |bsz AS (SELECT band_id, bk, count(*) AS c FROM bands GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x
+         |  JOIN bands y ON x.band_id = y.band_id AND x.bk = y.bk
+         |              AND x.doc_id < y.doc_id
+         |  JOIN bsz s ON s.band_id = x.band_id AND s.bk = x.bk
+         |  WHERE s.c BETWEEN 2 AND 1000),
+         |dsets AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+         |  FROM toks),
+         |truth AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM dsets a JOIN dsets b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+         |        len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+         |nt AS (SELECT count(*) AS n_true FROM truth),
+         |nc AS (SELECT count(*) AS n_cand FROM cand),
+         |nh AS (SELECT count(*) AS n_hit FROM truth t
+         |       WHERE EXISTS (SELECT 1 FROM cand c
+         |         WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)),
+         |r AS (
+         |  SELECT n_true, n_cand, n_hit,
+         |    (n_hit * 1000000) // greatest(n_true, 1) AS pc_ppm,
+         |    (n_hit * 1000000) // greatest(n_cand, 1) AS pq_ppm
+         |  FROM nt CROSS JOIN nc CROSS JOIN nh)
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_cand AS BIGINT) AS n_cand,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(pc_ppm AS BIGINT) AS pc_ppm,
+         |  CAST(pq_ppm AS BIGINT) AS pq_ppm,
+         |  CAST(CASE WHEN pc_ppm + pq_ppm = 0 THEN 0
+         |    ELSE (2 * pc_ppm * pq_ppm) // (pc_ppm + pq_ppm) END
+         |    AS BIGINT) AS f1_ppm
+         |FROM r""".stripMargin),
+      bench = false)
   )
 }

@@ -1703,7 +1703,88 @@ object GovernanceQueries extends QueryModule {
         CAST(CASE WHEN distinct_l >= 3
                AND entropy_nano >= 1098612288 THEN 1 ELSE 0 END
              AS BIGINT) AS release_ok
-      FROM g"""))
+      FROM g""")),
+
+    // Brier-score Murphy decomposition of the quality "probability"
+    // (q28's raw score as a forecast of the n_chars>=300 label):
+    // reliability (calibration error), resolution (discrimination),
+    // uncertainty (label base rate), plus the directly-computed Brier
+    // and the decomposition gap Brier−(REL−RES+UNC) — the one-row
+    // scoring-rule audit complementing q176's calibration CURVE and
+    // q85's threshold fit: REL says how far the forecast is from
+    // calibrated, RES says whether it separates classes at all.
+    // Scale shape: corpus collapses to a <= 10-row decile-bucket frame
+    // in ONE map-side-combined agg (per-doc squared errors summed
+    // inside it); every later step is 10-row math with a 1-row global
+    // broadcast. Exactness: micro-quantized integer means and squared
+    // deviations (all div, truncation-identical); squared-error sums
+    // stay < 1e12·N — document a permille rescale once N passes ~1e6
+    // per partition at lake scale.
+    Q("q252_brier_decomp", (s, d) => {
+      import s.implicits._
+      val b = t(s, d, "documents")
+        .select(floor(TextOps.qualityRaw($"text") * 1000).cast("long")
+          .as("p"),
+          when($"n_chars" >= 300, 1L).otherwise(0L).as("y"))
+        .withColumn("k", least(expr("p div 100"), lit(9L)))
+        .groupBy($"k").agg(
+          count(lit(1)).as("nk"), sum($"p").as("sp"), sum($"y").as("sy"),
+          sum(expr(
+            "(p * 1000 - y * 1000000) * (p * 1000 - y * 1000000)"))
+            .as("sq"))
+      val g = b.agg(sum($"nk").as("n"), sum($"sy").as("ytot"),
+        sum($"sq").as("sqtot"))
+      b.crossJoin(broadcast(g))
+        .withColumn("pbar", expr("(sp * 1000) div nk"))
+        .withColumn("ybar", expr("(sy * 1000000) div nk"))
+        .withColumn("ybg", expr("(ytot * 1000000) div n"))
+        .agg(
+          max($"n").as("n"),
+          expr("sum(nk * (pbar - ybar) * (pbar - ybar)) div (max(n) * 1000000)")
+            .as("rel_micro"),
+          expr("sum(nk * (ybar - ybg) * (ybar - ybg)) div (max(n) * 1000000)")
+            .as("res_micro"),
+          expr("(max(ybg) * (1000000 - max(ybg))) div 1000000")
+            .as("unc_micro"),
+          expr("max(sqtot) div (max(n) * 1000000)").as("brier_micro"))
+        .withColumn("decomp_gap_micro",
+          expr("brier_micro - (rel_micro - res_micro + unc_micro)"))
+    }, Some("""
+      WITH base AS (
+        SELECT CAST(floor((least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2)
+            * 1000) AS BIGINT) AS p,
+          CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+        FROM documents),
+      bk AS (
+        SELECT least(p // 100, 9) AS k, count(*) AS nk, sum(p) AS sp,
+          sum(y) AS sy,
+          sum((p * 1000 - y * 1000000) * (p * 1000 - y * 1000000)) AS sq
+        FROM base GROUP BY 1),
+      g AS (SELECT sum(nk) AS n, sum(sy) AS ytot, sum(sq) AS sqtot
+            FROM bk),
+      w AS (
+        SELECT bk.*, g.n, g.ytot, g.sqtot,
+          (sp * 1000) // nk AS pbar, (sy * 1000000) // nk AS ybar,
+          (ytot * 1000000) // n AS ybg
+        FROM bk CROSS JOIN g),
+      f AS (
+        SELECT max(n) AS n,
+          sum(nk * (pbar - ybar) * (pbar - ybar)) // (max(n) * 1000000)
+            AS rel_micro,
+          sum(nk * (ybar - ybg) * (ybar - ybg)) // (max(n) * 1000000)
+            AS res_micro,
+          (max(ybg) * (1000000 - max(ybg))) // 1000000 AS unc_micro,
+          max(sqtot) // (max(n) * 1000000) AS brier_micro
+        FROM w)
+      SELECT CAST(n AS BIGINT) AS n, CAST(rel_micro AS BIGINT) AS rel_micro,
+        CAST(res_micro AS BIGINT) AS res_micro,
+        CAST(unc_micro AS BIGINT) AS unc_micro,
+        CAST(brier_micro AS BIGINT) AS brier_micro,
+        CAST(brier_micro - (rel_micro - res_micro + unc_micro) AS BIGINT)
+          AS decomp_gap_micro
+      FROM f"""))
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

@@ -135,6 +135,38 @@ object SimilarityQueries extends QueryModule {
     * candidates → exact ranking, query side filtered to the probes);
     * the truth side is the q37 brute-force window. Recall is the
     * per-probe |ANN∩BF| / 5 in integer ppm. */
+  /** LSH-kNN in-degree histogram oracle: the q221 signature/candidate
+    * CTE chain with EVERY vector as a query, then the per-neighbor
+    * in-degree count left-joined back so antihubs report indeg 0. */
+  private[operators] def hubnessOracleSql(n: Long): String = {
+    val cfg = SimilarityOps.lshSizing(n)
+    val tables = SimilarityOps.lshTables(cfg.planes, cfg.tables, dim = 64)
+    val qside = if (cfg.probes <= 1) "sig" else "probes"
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |           FROM embeddings),
+       |${lshSigCtes(tables, cfg.probes)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM $qside a JOIN sig b ON a.table_id = b.table_id
+       |         AND a.bucket = b.bucket AND a.vec_id != b.vec_id),
+       |sims AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_sum(list_transform(range(1, 65), i -> q.e[i] * n.e[i])) AS sim
+       |  FROM cand c JOIN v q ON q.vec_id = c.query_id
+       |              JOIN v n ON n.vec_id = c.neighbor_id),
+       |ann AS (SELECT query_id, neighbor_id FROM (
+       |          SELECT query_id, neighbor_id,
+       |            row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY sim DESC, neighbor_id ASC)
+       |              AS rnk
+       |          FROM sims) WHERE rnk <= 5),
+       |ind AS (SELECT neighbor_id, count(*) AS ind FROM ann GROUP BY 1)
+       |SELECT CAST(coalesce(ind.ind, 0) AS BIGINT) AS indeg,
+       |  CAST(count(*) AS BIGINT) AS n_vecs
+       |FROM v LEFT JOIN ind ON ind.neighbor_id = v.vec_id
+       |GROUP BY 1""".stripMargin
+  }
+
   private[operators] def annRecallOracleSql(n: Long): String = {
     val cfg = SimilarityOps.lshSizing(n)
     val tables = SimilarityOps.lshTables(cfg.planes, cfg.tables, dim = 64)
@@ -1390,6 +1422,39 @@ object SimilarityQueries extends QueryModule {
         .select($"query_id", $"n_hits",
           expr("(n_hits * 1000000) div 5").as("recall_ppm"))
     }, Some(annRecallOracleSql(500)),
-      oracleDyn = Some((s, d) => annRecallOracleSql(embedN(s, d))))
+      oracleDyn = Some((s, d) => annRecallOracleSql(embedN(s, d)))),
+
+    // Embedding hubness audit (in-degree distribution of the k-NN
+    // graph): in high dimensions a few "hub" vectors appear in
+    // EVERYONE's top-k while antihubs appear in nobody's — a known
+    // failure mode that silently skews kNN dedup (q74), label-noise
+    // screens (q212), and retrieval fusion (q191). The histogram of
+    // "how many top-5 lists each vector appears in" (0 = antihub)
+    // makes the skew a queryable number. The graph is the PRODUCTION
+    // LSH path (q221's seeded tables with multi-probe, every vector a
+    // query), so the audit measures the index actually shipped, not an
+    // idealized brute-force graph. Scale shape: lshTopK is bucketed
+    // (candidates ≈ n·avgBucket·L, never n²); the in-degree agg is
+    // map-side combined on the neighbor id; the histogram grid is
+    // bounded by max in-degree ≤ 5·n (concentrated near 5·L). The
+    // oracle replays the identical planes/probes in SQL (q221 class),
+    // sized by the live corpus count via oracleDyn.
+    Q("q253_hubness", (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val n = embedN(s, d)
+      val cfg = SimilarityOps.lshSizing(n)
+      val tables = SimilarityOps.lshTables(cfg.planes, cfg.tables, dim = 64)
+      val ann = SimilarityOps
+        .lshTopK(emb, "vec_id", "embedding", tables, k = 5,
+          probes = cfg.probes)
+      val ind = ann.groupBy($"neighbor_id").agg(count(lit(1)).as("ind"))
+      emb.select($"vec_id")
+        .join(ind.select($"neighbor_id".as("vec_id"), $"ind"),
+          Seq("vec_id"), "left_outer")
+        .select(coalesce($"ind", lit(0L)).as("indeg"))
+        .groupBy($"indeg").agg(count(lit(1)).as("n_vecs"))
+    }, Some(hubnessOracleSql(500)),
+      oracleDyn = Some((s, d) => hubnessOracleSql(embedN(s, d))))
   )
 }

@@ -1126,7 +1126,78 @@ object TextQueries extends QueryModule {
         CAST(sum(flesch_milli) // count(*) AS BIGINT) AS avg_flesch_milli,
         CAST(min(flesch_milli) AS BIGINT) AS min_flesch_milli,
         CAST(max(flesch_milli) AS BIGINT) AS max_flesch_milli
-      FROM f GROUP BY 1"""))
+      FROM f GROUP BY 1""")),
+
+    // Per-source Jensen–Shannon divergence vs the corpus token
+    // distribution — the SYMMETRIC, BOUNDED (≤ ln 2) companion to
+    // q207's KL: KL explodes on tokens the corpus has but the source
+    // lacks and is asymmetric by direction, JS is finite and
+    // direction-free, so sources are comparable on one scale.
+    // Closed-form trick that keeps the plan linear: both KL halves of
+    // JS restrict to tokens PRESENT in the source — for a token the
+    // source lacks, q/m = 2 exactly, so that tail contributes
+    // ln2 · (corpus mass outside the source's vocabulary) in one
+    // term; no vocab × sources fan-out is ever built. Scale shape:
+    // q207's audited frame (vocabulary-keyed joins, registry-sized
+    // totals, 1-row corpus total broadcast). Exactness: per-term
+    // floor(ln(·)·1e9) on integer-fed doubles (products ≤ ~1e10 —
+    // exactly representable; document the two-pass rescale if token
+    // totals pass 2^26 at lake scale), mass-weighted with integer div.
+    Q("q251_js_divergence", (s, d) => {
+      import s.implicits._
+      val ln2nano = 693147180L // floor(ln(2) * 1e9)
+      val st = t(s, d, "documents")
+        .select($"source", explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("fst"))
+      val ts = st.groupBy($"source").agg(sum($"fst").as("ts"))
+      val ct = st.groupBy($"tok").agg(sum($"fst").as("ft"))
+      val tot = ct.agg(sum($"ft").as("tt"))
+      st.join(ct, "tok").join(ts, "source").crossJoin(broadcast(tot))
+        .withColumn("t1", expr(
+          """cast(floor(ln((2.0 * fst * tt) /
+            (cast(fst as double) * tt + cast(ft as double) * ts))
+            * 1e9) as long)"""))
+        .withColumn("t2", expr(
+          """cast(floor(ln((2.0 * ft * ts) /
+            (cast(fst as double) * tt + cast(ft as double) * ts))
+            * 1e9) as long)"""))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_terms"), max($"ts").as("n_tokens"),
+          sum(expr("(fst * t1) div ts")).as("kl_pm"),
+          sum(expr("(ft * t2) div tt")).as("kl_qm_in"),
+          sum($"ft").as("ft_in"))
+        .crossJoin(broadcast(tot))
+        .select($"source", $"n_terms", $"n_tokens",
+          expr(s"(kl_pm + kl_qm_in + ($ln2nano * (tt - ft_in)) div tt) div 2")
+            .as("js_nano"))
+    }, Some("""
+      WITH st AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents),
+      f AS (SELECT source, tok, count(*) AS fst FROM st GROUP BY 1, 2),
+      ts AS (SELECT source, sum(fst) AS ts FROM f GROUP BY 1),
+      ct AS (SELECT tok, sum(fst) AS ft FROM f GROUP BY 1),
+      tt AS (SELECT sum(ft) AS tt FROM ct),
+      terms AS (
+        SELECT f.source, f.fst, ts.ts, ct.ft, tt.tt,
+          CAST(floor(ln((2.0 * f.fst * tt.tt) /
+            (CAST(f.fst AS DOUBLE) * tt.tt + CAST(ct.ft AS DOUBLE) * ts.ts))
+            * 1e9) AS BIGINT) AS t1,
+          CAST(floor(ln((2.0 * ct.ft * ts.ts) /
+            (CAST(f.fst AS DOUBLE) * tt.tt + CAST(ct.ft AS DOUBLE) * ts.ts))
+            * 1e9) AS BIGINT) AS t2
+        FROM f JOIN ct USING (tok) JOIN ts USING (source) CROSS JOIN tt),
+      g AS (
+        SELECT source, count(*) AS n_terms, max(ts) AS n_tokens,
+          sum((fst * t1) // ts) AS kl_pm,
+          sum((ft * t2) // tt) AS kl_qm_in,
+          sum(ft) AS ft_in, max(tt) AS tt
+        FROM terms GROUP BY 1)
+      SELECT source, CAST(n_terms AS BIGINT) AS n_terms,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST((kl_pm + kl_qm_in + (693147180 * (tt - ft_in)) // tt) // 2
+          AS BIGINT) AS js_nano
+      FROM g"""))
   )
 
   /** The 10 nDCG position discounts floor(1e6 / log2(i + 1)),

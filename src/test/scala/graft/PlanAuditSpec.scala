@@ -95,6 +95,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q243_wasserstein_drift" -> "registry-sized per-source totals + 1-row corpus total fanned over the bounded distinct-value grid (q143 class)",
     "q245_kmv_sketch" -> "1-row merged-sketch stats x 1-row exact-distinct frames (scalar aggs, q159 class)",
     "q246_changepoint" -> "1-row max-day + 1-row flat-fit broadcasts; candidate x daily-grid BNLJ where BOTH sides are the value-domain-bounded day grid (q110 argument)",
+    "q250_pair_completeness" -> "all-pairs Jaccard TRUTH side of the blocking-recall audit (q33 class, bench-excluded) + 1-row count frames",
+    "q254_time_decay" -> "1-row horizon (max day) broadcast onto the event stream (q241 class)",
+    "q255_dau_wau" -> "rolling-window range join against the value-domain-bounded day grid (<= 7x fan-out per distinct (day, user) row, q110 argument)",
+    "q251_js_divergence" -> "1-row corpus-token-total broadcast for the JS log-ratio and the out-of-vocabulary mass term (q207 class)",
+    "q252_brier_decomp" -> "1-row global (N, label-total, squared-error-total) broadcast onto the <= 10-row decile-bucket frame",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
@@ -163,6 +168,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q244_theilsen_trend" -> "per-type pair/day counts: groupBy event_type (bounded event-type registry)",
     "q245_kmv_sketch" -> "per-type exact distincts: groupBy event_type (bounded event-type registry)",
     "q246_changepoint" -> "daily count grid: groupBy day — value-domain bounded by the observation window (q110 argument), never the corpus",
+    "q249_sequence_anomaly" -> "transition NLL model: groupBy (from_type, to_type) — |event types|^2 rows, a constant registry square",
+    "q255_dau_wau" -> "day grid: DISTINCT day — value-domain bounded by the observation window (q110/q246 argument), never the corpus",
   )
 
   test("catalog-wide plan audit: cartesian/BNLJ/global-window invariants") {

@@ -716,4 +716,133 @@ class RoundAuditsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_docs") >= 1)
     }
   }
+
+  test("q249: top-20 by avg nll, scores nonnegative, one row per user") {
+    val rows = run("q249_sequence_anomaly").collect()
+    val all = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id").distinct().count()
+    // sf0.001 has fewer than 20 users with >= 2 events; the cut returns
+    // everyone scoreable, capped at 20
+    assert(rows.length == math.min(20L, all).toInt)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_trans") >= 1)
+      // each transition's nll = ln(ft/n) >= 0 (n <= ft by construction)
+      assert(r.getAs[Long]("avg_nll_nano") >= 0)
+    }
+    val ids = rows.map(_.getAs[Long]("user_id"))
+    assert(ids.distinct.length == rows.length)
+  }
+
+  test("q250: candidate recall/precision bounded, f1 harmonic, hits subset") {
+    val r = run("q250_pair_completeness").collect().head
+    val nt = r.getAs[Long]("n_true"); val nc = r.getAs[Long]("n_cand")
+    val nh = r.getAs[Long]("n_hit")
+    assert(nh <= nt && nh <= nc) // hits are an intersection
+    val pc = r.getAs[Long]("pc_ppm"); val pq = r.getAs[Long]("pq_ppm")
+    assert(pc >= 0 && pc <= 1000000 && pq >= 0 && pq <= 1000000)
+    assert(pc == nh * 1000000L / math.max(nt, 1L))
+    assert(pq == nh * 1000000L / math.max(nc, 1L))
+    val f1 = r.getAs[Long]("f1_ppm")
+    if (pc + pq > 0) assert(f1 == 2 * pc * pq / (pc + pq))
+    // the planted near-dups guarantee a nonempty truth set, and 4x4
+    // banding at j>=0.5 must catch a decent share of them
+    assert(nt >= 1 && pc >= 500000)
+  }
+
+  test("q251: JS bounded by ln 2, zero only for a corpus-identical source") {
+    val rows = run("q251_js_divergence").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val js = r.getAs[Long]("js_nano")
+      // 0 <= JS <= ln2; floor-quantization can dip a hair below 0
+      assert(js >= -2 && js <= 693147181L)
+      assert(r.getAs[Long]("n_terms") >= 1)
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_terms"))
+    }
+  }
+
+  test("q252: Murphy decomposition identity holds within quantization") {
+    val r = run("q252_brier_decomp").collect().head
+    val rel = r.getAs[Long]("rel_micro"); val res = r.getAs[Long]("res_micro")
+    val unc = r.getAs[Long]("unc_micro"); val b = r.getAs[Long]("brier_micro")
+    assert(rel >= 0 && res >= 0) // both are sums of squares
+    assert(unc >= 0 && unc <= 250000) // y(1-y) peaks at 1/4
+    assert(b >= 0 && b <= 1000000)
+    assert(res <= unc + 10) // resolution cannot exceed uncertainty
+    // with BINNED forecasts the 3-term identity holds up to the
+    // within-bin variance/covariance terms: |WBV| <= (halfwidth)^2 =
+    // 2500 micro and |WBC| <= sqrt(WBV * UNC_max) = 25000 micro, plus
+    // integer-mean quantization — so the gap stays under ~0.05
+    assert(math.abs(r.getAs[Long]("decomp_gap_micro")) <= 50000)
+  }
+
+  test("q253: histogram conserves vectors, in-degree mass = 5x queries bound") {
+    val rows = run("q253_hubness").collect()
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    // every vector lands in exactly one in-degree bucket
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == nVecs)
+    rows.foreach(r => assert(r.getAs[Long]("indeg") >= 0))
+    // total in-degree mass == total top-k list slots filled (<= 5 per
+    // query; can be under 5 when a bucket yields < 5 candidates)
+    val mass = rows.map(r => r.getAs[Long]("indeg") * r.getAs[Long]("n_vecs")).sum
+    assert(mass <= 5 * nVecs)
+    assert(mass > 0) // the LSH graph is nonempty at every SF
+  }
+
+  test("q254: decay weights monotone; top offset dominates; replay one type") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q254_time_decay").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val dc = r.getAs[Long]("decay_count_q20")
+      assert(n >= 1 && dc >= 0)
+      // each event contributes at most weight 2^20 (offset 0):
+      assert(dc <= n * 1048576L)
+    }
+    // recompute one type's decayed count from the raw grid
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_type",
+        "unix_micros(cast(ts as timestamp)) div 86400000000 AS day")
+    val hd = ev.agg(max(col("day"))).head.getLong(0)
+    val byOff = ev.filter(col("event_type") === "view")
+      .groupBy(col("day")).count().collect()
+      .map(r => (hd - r.getAs[Long]("day"), r.getAs[Long]("count")))
+    val w = (0 to 30).map(o =>
+      math.floor(1048576.0 * math.pow(2.0, -o / 7.0)).toLong)
+    val want = byOff.map { case (o, n) =>
+      (if (o <= 30) w(o.toInt) else 0L) * n }.sum
+    val got = rows.find(_.getAs[String]("event_type") == "view").get
+      .getAs[Long]("decay_count_q20")
+    assert(got == want)
+  }
+
+  test("q255: WAU >= DAU, stickiness in (0, 1], WAU bounded by 7-day DAU sum") {
+    val rows = run("q255_dau_wau").collect()
+      .sortBy(_.getAs[Long]("day"))
+    assert(rows.nonEmpty)
+    val dauByDay = rows.map(r =>
+      r.getAs[Long]("day") -> r.getAs[Long]("dau")).toMap
+    rows.foreach { r =>
+      val dau = r.getAs[Long]("dau"); val wau = r.getAs[Long]("wau")
+      assert(dau >= 1 && wau >= dau) // the day's actives are in its window
+      val windowSum = (0L to 6L)
+        .map(o => dauByDay.getOrElse(r.getAs[Long]("day") - o, 0L)).sum
+      assert(wau <= windowSum) // distinct can't exceed the raw sum
+      val st = r.getAs[Long]("stickiness_ppm")
+      assert(st >= 1 && st <= 1000000)
+      assert(st == dau * 1000000L / wau)
+    }
+  }
+
+  test("q256: redundancy bounded, zero only if every 4-gram is unique") {
+    val rows = run("q256_char_ngram_redund").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val avg = r.getAs[Long]("avg_redund_ppm")
+      val mx = r.getAs[Long]("max_redund_ppm")
+      assert(avg >= 0 && avg <= mx + 1 && mx < 1000000)
+      assert(r.getAs[Long]("n_docs") >= 1)
+    }
+  }
 }
