@@ -3114,6 +3114,157 @@ object AnalyticsQueries extends QueryModule {
         CAST(wau.wau AS BIGINT) AS wau,
         CAST((dau.dau * 1000000) // wau.wau AS BIGINT) AS stickiness_ppm
       FROM dau JOIN wau ON wau.day = dau.day""")),
+
+    // Mann–Whitney U per source (token lengths vs the whole corpus,
+    // tie-corrected average ranks): the NONPARAMETRIC significance
+    // companion to q143/q243 — KS/W1 measure distribution DISTANCE,
+    // the rank-biserial effect size says which way a source's lengths
+    // lean and how decisively, with no normality assumption. All rank
+    // arithmetic is exact integers in DOUBLED units (a tied group's
+    // average rank 2·cum_before + k + 1 is always integral when
+    // doubled), so both engines agree to the last digit. Scale shape:
+    // q143's audited grid frame — global cum window on the DISTINCT
+    // token-length grid, per-(source, v) counts left-joined onto it,
+    // registry-sized totals. rb = 1 − U·2/(n1·n2): the U·1e6 product
+    // needs n1·n2 ≤ ~9e6 per int64 — at lake scale compute rb in
+    // double after the exact integer U (documented, q203 convention).
+    Q("q257_mannwhitney", (s, d) => {
+      import s.implicits._
+      val lens = t(s, d, "documents").select($"source",
+        TextOps.tokenCount($"text").cast("long").as("v"))
+      val wG = Window.orderBy($"v".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val grid = lens.groupBy($"v").agg(count(lit(1)).as("kg"))
+        .withColumn("cumg", sum($"kg").over(wG))
+      val sv = lens.groupBy($"source", $"v").agg(count(lit(1)).as("ks"))
+      val tot = lens.agg(count(lit(1)).as("n"))
+      sv.join(grid, "v").crossJoin(broadcast(tot))
+        .withColumn("r2", $"ks" * (lit(2) * ($"cumg" - $"kg") + $"kg" + 1))
+        .groupBy($"source")
+        .agg(sum($"ks").as("n1"), sum($"r2").as("r1x2"), max($"n").as("n"))
+        .select($"source", $"n1".as("n_docs"),
+          ($"r1x2" - $"n1" * ($"n1" + 1)).as("u_x2"),
+          expr("""1000000 - ((r1x2 - n1 * (n1 + 1)) * 1000000)
+            div (n1 * (n - n1))""").as("rb_ppm"))
+    }, Some("""
+      WITH l AS (SELECT source,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+                 FROM documents),
+      g AS (SELECT v, count(*) AS kg FROM l GROUP BY 1),
+      gg AS (SELECT v, kg, sum(kg) OVER (ORDER BY v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumg
+             FROM g),
+      sv AS (SELECT source, v, count(*) AS ks FROM l GROUP BY 1, 2),
+      tot AS (SELECT count(*) AS n FROM l),
+      m AS (
+        SELECT sv.source, sum(sv.ks) AS n1,
+          sum(sv.ks * (2 * (gg.cumg - gg.kg) + gg.kg + 1)) AS r1x2,
+          max(tot.n) AS n
+        FROM sv JOIN gg USING (v) CROSS JOIN tot
+        GROUP BY 1)
+      SELECT source, CAST(n1 AS BIGINT) AS n_docs,
+        CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u_x2,
+        CAST(1000000 - ((r1x2 - n1 * (n1 + 1)) * 1000000)
+          // (n1 * (n - n1)) AS BIGINT) AS rb_ppm
+      FROM m""")),
+
+    // Day-of-phase one-way ANOVA on daily counts (a 7-phase "day of
+    // week" grouping): eta² = SS_between / SS_total — the fraction of
+    // daily-traffic variance explained by weekly seasonality, per
+    // event type, with the peak phase alongside. Complements q178
+    // (which profiles the seasonal SHAPE) and q183/q244 (trend) with
+    // the variance-decomposition NUMBER a forecaster uses to decide
+    // whether a weekly term belongs in the model at all. Scale shape:
+    // corpus → (type, day) grid (value-domain bounded) → 7-row phase
+    // frame per type; SS identities (Σy²−(Σy)²/n) keep everything one
+    // pass and integer. Exactness: all div on non-negative sums;
+    // int64 headroom as q246 (center y at lake scale).
+    Q("q259_dow_anova", (s, d) => {
+      import s.implicits._
+      val daily = t(s, d, "events")
+        .select($"event_type",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
+        .withColumn("ph", pmod($"day", lit(7L)))
+      val phase = daily.groupBy($"event_type", $"ph")
+        .agg(count(lit(1)).as("ng"), sum($"y").as("sg"),
+          sum($"y" * $"y").as("ssg"))
+      val wP = Window.partitionBy($"event_type")
+        .orderBy(expr("(sg * 1000) div ng").desc, $"ph".asc)
+      phase
+        .withColumn("pk", row_number().over(wP))
+        .groupBy($"event_type")
+        .agg(sum($"ng").as("n_days"),
+          sum($"sg").as("s"), sum($"ssg").as("ss"),
+          sum(expr("(sg * sg) div ng")).as("ssb_raw"),
+          max(when($"pk" === 1, $"ph")).as("peak_phase"))
+        .select($"event_type", $"n_days", $"peak_phase",
+          expr("ss - (s * s) div n_days").as("ss_total"),
+          expr("ssb_raw - (s * s) div n_days").as("ss_between"))
+        .withColumn("eta2_ppm", expr(
+          "(ss_between * 1000000) div greatest(ss_total, 1)"))
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          count(*) AS y
+        FROM events GROUP BY 1, 2),
+      ph AS (SELECT event_type, day % 7 AS ph, y FROM daily),
+      g AS (SELECT event_type, ph, count(*) AS ng, sum(y) AS sg,
+              sum(y * y) AS ssg
+            FROM ph GROUP BY 1, 2),
+      r AS (SELECT g.*, row_number() OVER (PARTITION BY event_type
+              ORDER BY (sg * 1000) // ng DESC, ph ASC) AS pk
+            FROM g),
+      m AS (
+        SELECT event_type, sum(ng) AS n_days, sum(sg) AS s,
+          sum(ssg) AS ss, sum((sg * sg) // ng) AS ssb_raw,
+          max(CASE WHEN pk = 1 THEN ph END) AS peak_phase
+        FROM r GROUP BY 1)
+      SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        CAST(peak_phase AS BIGINT) AS peak_phase,
+        CAST(ss - (s * s) // n_days AS BIGINT) AS ss_total,
+        CAST(ssb_raw - (s * s) // n_days AS BIGINT) AS ss_between,
+        CAST(((ssb_raw - (s * s) // n_days) * 1000000)
+          // greatest(ss - (s * s) // n_days, 1) AS BIGINT) AS eta2_ppm
+      FROM m""")),
+
+    // Host-graph reciprocity + density (directed-graph health row):
+    // share of edges whose reverse edge also exists — the mutuality
+    // signal that separates link farms (high reciprocity cliques)
+    // from organic citation structure; alongside q139 PageRank, q168
+    // triangles, q193 k-core, q230 assortativity it completes the
+    // graph-audit family. Scale shape: the corpus collapses to <=
+    // 32x32 distinct edges in ONE map-side-combined distinct (q193's
+    // registry argument); reciprocity is a self-join on that
+    // registry-sized edge set; everything after is 1-row math.
+    Q("q260_reciprocity", (s, d) => {
+      import s.implicits._
+      val edges = t(s, d, "documents")
+        .select(($"doc_id" % 32).as("src"),
+          ((($"doc_id" * 7) + 3) % 32).as("dst"))
+        .distinct().persist()
+      val recip = edges.as("e")
+        .join(edges.select($"src".as("dst"), $"dst".as("src")).as("r"),
+          Seq("src", "dst"), "left_semi")
+        .agg(count(lit(1)).as("n_recip"))
+      edges.agg(count(lit(1)).as("n_edges")).crossJoin(recip)
+        .select($"n_edges", $"n_recip",
+          expr("(n_recip * 1000000) div n_edges").as("recip_ppm"),
+          expr("(n_edges * 1000000) div (32 * 31)").as("density_ppm"))
+    }, Some("""
+      WITH e AS (
+        SELECT DISTINCT doc_id % 32 AS src, (doc_id * 7 + 3) % 32 AS dst
+        FROM documents),
+      r AS (SELECT count(*) AS n_recip FROM e
+            WHERE EXISTS (SELECT 1 FROM e e2
+              WHERE e2.src = e.dst AND e2.dst = e.src)),
+      n AS (SELECT count(*) AS n_edges FROM e)
+      SELECT CAST(n.n_edges AS BIGINT) AS n_edges,
+        CAST(r.n_recip AS BIGINT) AS n_recip,
+        CAST((r.n_recip * 1000000) // n.n_edges AS BIGINT) AS recip_ppm,
+        CAST((n.n_edges * 1000000) // (32 * 31) AS BIGINT) AS density_ppm
+      FROM n CROSS JOIN r""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

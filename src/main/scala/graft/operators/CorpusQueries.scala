@@ -1567,6 +1567,66 @@ object CorpusQueries extends QueryModule {
         CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
           AS slots
       FROM r
-      WHERE base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END > 0"""))
+      WHERE base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END > 0""")),
+
+    // Token-mass Lorenz deciles ("the longest 10% of docs hold 38% of
+    // all tokens"): the concentration table behind batching and
+    // pricing decisions — q60 gives length percentiles, q197 a Gini
+    // over user activity; this is the doc→token-mass CURVE, exact at
+    // every decile cut including mid-grid-row cuts (docs at one
+    // length are interchangeable, so the partial row contributes
+    // (need − cum_before)·v tokens — pure integers, no float
+    // interpolation). Scale shape: corpus → DISTINCT length grid in
+    // ONE map-side-combined agg; cum windows ride the grid (q143
+    // class); the 10-row decile frame inequality-joins the grid
+    // (BNLJ over two bounded frames, q217 class).
+    Q("q258_lorenz_deciles", (s, d) => {
+      import s.implicits._
+      val lens = t(s, d, "documents")
+        .select(TextOps.tokenCount($"text").cast("long").as("v"))
+      val wG = Window.orderBy($"v".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val grid = lens.groupBy($"v").agg(count(lit(1)).as("k"))
+        .withColumn("cumd", sum($"k").over(wG))
+        .withColumn("cumt", sum($"k" * $"v").over(wG))
+      val tot = lens.agg(count(lit(1)).as("n"),
+        sum($"v").as("tt"))
+      val dec = s.range(1, 11).toDF("decile")
+      dec.crossJoin(broadcast(tot))
+        .withColumn("need", expr("(n * decile) div 10"))
+        .join(broadcast(grid),
+          $"cumd" - $"k" < $"need" && $"cumd" >= $"need")
+        .select($"decile", $"need".as("cum_docs"),
+          (($"cumt" - $"k" * $"v") +
+            ($"need" - ($"cumd" - $"k")) * $"v").as("cum_tokens"),
+          $"tt")
+        .select($"decile", $"cum_docs", $"cum_tokens",
+          expr("(cum_tokens * 1000000) div tt").as("share_ppm"))
+    }, Some("""
+      WITH l AS (
+        SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+          AS v
+        FROM documents),
+      g AS (SELECT v, count(*) AS k FROM l GROUP BY 1),
+      gg AS (SELECT v, k,
+               sum(k) OVER (ORDER BY v ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumd,
+               sum(k * v) OVER (ORDER BY v ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt
+             FROM g),
+      tot AS (SELECT count(*) AS n, sum(v) AS tt FROM l),
+      dec AS (SELECT unnest(range(1, 11)) AS decile),
+      j AS (
+        SELECT d.decile, (tot.n * d.decile) // 10 AS need, gg.*, tot.tt
+        FROM dec d CROSS JOIN tot JOIN gg
+          ON gg.cumd - gg.k < (tot.n * d.decile) // 10
+         AND gg.cumd >= (tot.n * d.decile) // 10)
+      SELECT CAST(decile AS BIGINT) AS decile,
+        CAST(need AS BIGINT) AS cum_docs,
+        CAST((cumt - k * v) + (need - (cumd - k)) * v AS BIGINT)
+          AS cum_tokens,
+        CAST((((cumt - k * v) + (need - (cumd - k)) * v) * 1000000) // tt
+          AS BIGINT) AS share_ppm
+      FROM j"""))
   )
 }

@@ -1455,6 +1455,61 @@ object SimilarityQueries extends QueryModule {
         .select(coalesce($"ind", lit(0L)).as("indeg"))
         .groupBy($"indeg").agg(count(lit(1)).as("n_vecs"))
     }, Some(hubnessOracleSql(500)),
-      oracleDyn = Some((s, d) => hubnessOracleSql(embedN(s, d))))
+      oracleDyn = Some((s, d) => hubnessOracleSql(embedN(s, d)))),
+
+    // Fisher discriminant ratio per label (between-class scatter of
+    // the label centroid vs within-class scatter, embedding space):
+    // the one-number answer to "are these labels actually separable
+    // in this embedding?" — ratio ≈ 0 means training a classifier on
+    // these vectors is hopeless, and a label whose ratio collapses
+    // after an embedding upgrade was silently broken by it. Completes
+    // the embedding-health family: q135 flags outlier VECTORS, q157
+    // drift across SPLITS, q198/q203 collapse of the SPACE; this
+    // scores the LABELS. Scale shape: ONE (label, dim) map-side
+    // combined agg (model-sized: labels × 64 at any corpus size);
+    // global per-dim means from a 64-row rollup broadcast back; the
+    // scatter identities Σc²−(Σc)²/n keep it one pass. Exactness:
+    // milli-quantized components (q118 convention), all-integer
+    // scatter sums, div truncation identical in both engines.
+    Q("q261_fisher_ratio", (s, d) => {
+      import s.implicits._
+      val comp = t(s, d, "embeddings")
+        .select($"label".cast("long").as("label"),
+          posexplode($"embedding".cast("array<double>")).as(Seq("i", "c")))
+        .select($"label", $"i", floor($"c" * 1000).cast("long").as("cm"))
+      val ld = comp.groupBy($"label", $"i")
+        .agg(count(lit(1)).as("n"), sum($"cm").as("s"),
+          sum($"cm" * $"cm").as("q"))
+      val gd = ld.groupBy($"i").agg(sum($"s").as("sg"), sum($"n").as("ng"))
+      ld.join(broadcast(gd), "i")
+        .withColumn("w", expr("q - (s * s) div n"))
+        .withColumn("dm", expr("(s div n) - (sg div ng)"))
+        .groupBy($"label")
+        .agg(max($"n").as("n_vecs"), sum($"w").as("within_milli2"),
+          sum(expr("n * dm * dm")).as("between_milli2"))
+        .select($"label", $"n_vecs", $"within_milli2", $"between_milli2",
+          expr("(between_milli2 * 1000000) div greatest(within_milli2, 1)")
+            .as("fisher_ppm"))
+    }, Some("""
+      WITH comp AS (
+        SELECT CAST(label AS BIGINT) AS label,
+          generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS i,
+          CAST(floor(CAST(unnest(CAST(embedding AS DOUBLE[])) AS DOUBLE)
+            * 1000) AS BIGINT) AS cm
+        FROM embeddings),
+      ld AS (
+        SELECT label, i, count(*) AS n, sum(cm) AS s, sum(cm * cm) AS q
+        FROM comp GROUP BY 1, 2),
+      gd AS (SELECT i, sum(s) AS sg, sum(n) AS ng FROM ld GROUP BY 1),
+      j AS (
+        SELECT ld.label, ld.n, q - (s * s) // n AS w,
+          (s // n) - (gd.sg // gd.ng) AS dm
+        FROM ld JOIN gd USING (i))
+      SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+        CAST(sum(w) AS BIGINT) AS within_milli2,
+        CAST(sum(n * dm * dm) AS BIGINT) AS between_milli2,
+        CAST((sum(n * dm * dm) * 1000000) // greatest(sum(w), 1)
+          AS BIGINT) AS fisher_ppm
+      FROM j GROUP BY 1"""))
   )
 }

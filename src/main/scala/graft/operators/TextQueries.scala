@@ -1197,7 +1197,40 @@ object TextQueries extends QueryModule {
         CAST(n_tokens AS BIGINT) AS n_tokens,
         CAST((kl_pm + kl_qm_in + (693147180 * (tt - ft_in)) // tt) // 2
           AS BIGINT) AS js_nano
-      FROM g"""))
+      FROM g""")),
+
+    // Language-ID confusion matrix (declared `lang` label vs q29's
+    // dictionary classifier): the standard eval artifact for ANY
+    // classifier in the pipeline — per (declared, predicted) cell
+    // count and row share, so precision/recall/most-confused-pair
+    // read straight off the result; a corpus whose zh rows
+    // systematically classify as en is mislabeled or mis-extracted
+    // upstream (q29 emits predictions, this grades them). Scale
+    // shape: the classifier is q29's row-local codegen'd CASE chain
+    // (no UDF), then ONE map-side-combined (lang, pred) agg and a
+    // registry² matrix (≤ |langs|² rows at any corpus size); row
+    // totals ride a window on that matrix. Exactness: ppm integer
+    // div on counts.
+    Q("q262_lang_confusion", (s, d) => {
+      import s.implicits._
+      val m = t(s, d, "documents")
+        .select($"lang", TextOps.langId($"text", dicts).as("pred"))
+        .groupBy($"lang", $"pred").agg(count(lit(1)).as("n"))
+      val wL = Window.partitionBy($"lang")
+      m.withColumn("tot", sum($"n").over(wL))
+        .select($"lang", $"pred", $"n",
+          expr("(n * 1000000) div tot").as("row_share_ppm"),
+          when($"lang" === $"pred", $"n").otherwise(0L).as("n_correct"))
+    }, Some(s"""
+      WITH p AS (
+        SELECT lang, $langCaseSql AS pred FROM documents),
+      m AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2),
+      w AS (SELECT m.*, sum(n) OVER (PARTITION BY lang) AS tot FROM m)
+      SELECT lang, pred, CAST(n AS BIGINT) AS n,
+        CAST((n * 1000000) // tot AS BIGINT) AS row_share_ppm,
+        CAST(CASE WHEN lang = pred THEN n ELSE 0 END AS BIGINT)
+          AS n_correct
+      FROM w"""))
   )
 
   /** The 10 nDCG position discounts floor(1e6 / log2(i + 1)),

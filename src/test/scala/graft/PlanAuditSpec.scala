@@ -98,6 +98,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q250_pair_completeness" -> "all-pairs Jaccard TRUTH side of the blocking-recall audit (q33 class, bench-excluded) + 1-row count frames",
     "q254_time_decay" -> "1-row horizon (max day) broadcast onto the event stream (q241 class)",
     "q255_dau_wau" -> "rolling-window range join against the value-domain-bounded day grid (<= 7x fan-out per distinct (day, user) row, q110 argument)",
+    "q257_mannwhitney" -> "1-row corpus-count broadcast onto the per-(source, length) frame (q143 class)",
+    "q258_lorenz_deciles" -> "literal 10-row decile frame inequality-joined to the value-domain-bounded length grid (q217/q227 class) + 1-row totals broadcast",
+    "q260_reciprocity" -> "1-row edge-count x 1-row reciprocal-count frames (scalar aggs, q159 class)",
     "q251_js_divergence" -> "1-row corpus-token-total broadcast for the JS log-ratio and the out-of-vocabulary mass term (q207 class)",
     "q252_brier_decomp" -> "1-row global (N, label-total, squared-error-total) broadcast onto the <= 10-row decile-bucket frame",
   )
@@ -124,6 +127,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q238_negative_sampling" -> "largest-remainder rank over the DISTINCT token-frequency class grid (q166 method on the q227 grid — value-domain bounded)",
     "q241_hazard_curve" -> "reverse/forward cumulative sums over the DISTINCT lifetime-offset grid — value-domain bounded by the observation window (q110 argument)",
     "q243_wasserstein_drift" -> "global CDF cum + gap lead over DISTINCT token counts — value-domain bounded (q143 class)",
+    "q257_mannwhitney" -> "global rank cum over DISTINCT token counts — value-domain bounded (q143 class)",
+    "q258_lorenz_deciles" -> "doc/token cum windows over DISTINCT token counts — value-domain bounded (q143 class)",
   )
 
   /** broadcast() HINT audit (the q54 class): a hint pins its side into
@@ -170,6 +175,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q246_changepoint" -> "daily count grid: groupBy day — value-domain bounded by the observation window (q110 argument), never the corpus",
     "q249_sequence_anomaly" -> "transition NLL model: groupBy (from_type, to_type) — |event types|^2 rows, a constant registry square",
     "q255_dau_wau" -> "day grid: DISTINCT day — value-domain bounded by the observation window (q110/q246 argument), never the corpus",
+    "q258_lorenz_deciles" -> "length grid: groupBy token count — value-domain bounded (q110 argument), never the corpus",
+    "q261_fisher_ratio" -> "global per-dim means: groupBy dim index — constant 64 rows at any corpus size",
   )
 
   test("catalog-wide plan audit: cartesian/BNLJ/global-window invariants") {

@@ -845,4 +845,93 @@ class RoundAuditsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_docs") >= 1)
     }
   }
+
+  test("q257: U within bounds, rank-biserial symmetric around zero mass") {
+    val rows = run("q257_mannwhitney").collect()
+    assert(rows.nonEmpty)
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    rows.foreach { r =>
+      val n1 = r.getAs[Long]("n_docs"); val u2 = r.getAs[Long]("u_x2")
+      val n2 = n - n1
+      assert(u2 >= 0 && u2 <= 2 * n1 * n2) // U in [0, n1*n2], doubled
+      val rb = r.getAs[Long]("rb_ppm")
+      assert(rb >= -1000000 && rb <= 1000000)
+      // rb replays from U exactly
+      assert(rb == 1000000L - u2 * 1000000L / (n1 * n2))
+    }
+  }
+
+  test("q258: Lorenz curve is convex-increasing and ends at full mass") {
+    val rows = run("q258_lorenz_deciles").collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.length == 10)
+    val shares = rows.map(_.getAs[Long]("share_ppm"))
+    // monotone nondecreasing, final decile = everything
+    shares.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+    assert(shares.last >= 999999) // ppm floor of exactly 1.0
+    // Lorenz property: sorted ascending, the first d/10 of docs hold
+    // AT MOST d/10 of the token mass (curve sits under the diagonal)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("share_ppm") <=
+        r.getAs[Long]("decile") * 100000L + 1)
+    }
+  }
+
+  test("q259: eta2 in [0,1], SS nonnegative, between <= total") {
+    val rows = run("q259_dow_anova").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sst = r.getAs[Long]("ss_total"); val ssb = r.getAs[Long]("ss_between")
+      // integer-div floors can push each a hair negative, never more
+      assert(sst >= -7 && ssb >= -7)
+      assert(ssb <= sst + 7)
+      val e = r.getAs[Long]("eta2_ppm")
+      assert(e >= -1000 && e <= 1000000)
+      assert(r.getAs[Long]("peak_phase") >= 0 &&
+        r.getAs[Long]("peak_phase") <= 6)
+    }
+  }
+
+  test("q260: reciprocity and density are consistent shares of the edge set") {
+    val r = run("q260_reciprocity").collect().head
+    val ne = r.getAs[Long]("n_edges"); val nr = r.getAs[Long]("n_recip")
+    assert(ne >= 1 && ne <= 32L * 31L) // distinct non-self edges cap
+    assert(nr >= 0 && nr <= ne)
+    assert(r.getAs[Long]("recip_ppm") == nr * 1000000L / ne)
+    assert(r.getAs[Long]("density_ppm") == ne * 1000000L / (32L * 31L))
+    // reciprocity counts are symmetric: (a,b) reciprocated iff (b,a)
+    // reciprocated, so the count is even
+    assert(nr % 2 == 0)
+  }
+
+  test("q261: scatters nonnegative, fisher replays, labels cover corpus") {
+    val rows = run("q261_fisher_ratio").collect()
+    assert(rows.nonEmpty)
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == nVecs)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("within_milli2")
+      val b = r.getAs[Long]("between_milli2")
+      assert(w >= 0 && b >= 0) // scatter sums of squares
+      assert(r.getAs[Long]("fisher_ppm") ==
+        b * 1000000L / math.max(w, 1L))
+    }
+  }
+
+  test("q262: confusion rows conserve docs, row shares sum to ~1e6") {
+    val rows = run("q262_lang_confusion").collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nDocs)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, cells) =>
+      val s = cells.map(_.getAs[Long]("row_share_ppm")).sum
+      // ppm floors: sum in (1e6 - cells, 1e6]
+      assert(s > 1000000L - cells.length && s <= 1000000L)
+    }
+    rows.foreach { r =>
+      val correct = r.getAs[Long]("n_correct")
+      if (r.getAs[String]("lang") == r.getAs[String]("pred"))
+        assert(correct == r.getAs[Long]("n"))
+      else assert(correct == 0)
+    }
+  }
 }
