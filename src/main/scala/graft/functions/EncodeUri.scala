@@ -80,5 +80,7 @@ object GraftFunctions {
       NearestCellsCol(exprs.head, exprs(1), exprs(2)))
     add("nfc_normalize", exprs => NfcNormalize(exprs.head))
     add("char_entropy_nano_sum", exprs => CharEntropyNanoSum(exprs.head))
+    add("char_ngram_distinct", exprs => CharNgramDistinct(exprs.head,
+      exprs(1).eval().asInstanceOf[Int]))
   }
 }

@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("char_entropy_nano_sum"),
       new ExpressionInfo(classOf[CharEntropyNanoSum].getName, "char_entropy_nano_sum"),
       (exprs: Seq[Expression]) => CharEntropyNanoSum(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("char_ngram_distinct"),
+      new ExpressionInfo(classOf[CharNgramDistinct].getName, "char_ngram_distinct"),
+      (exprs: Seq[Expression]) => CharNgramDistinct(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
     // EAV self-join-chain -> single-shuffle pivot (opt-in via
     // spark.graft.eav.pivotJoinChains AND spark.graft.eav.entityColumn
     // naming the declared-unique link column; see the rule's scaladoc)

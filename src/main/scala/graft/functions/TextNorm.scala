@@ -48,6 +48,30 @@ object TextNormOps {
     }
     sum
   }
+
+  /** Distinct codepoint-n-gram count in one tight pass — the kernel
+    * behind `char_ngram_distinct(text, n)` (q256). Codepoint-aligned
+    * windows mirror SQL `substring` semantics, so the result equals
+    * `size(array_distinct(transform(sequence(1, length-n+1),
+    * i -> substring(text, i, n))))` exactly — without materializing
+    * the gram array or paying the interpreted higher-order-function
+    * lambda per element. Strings shorter than n count 0. */
+  def charNgramDistinct(s: String, n: Int): Long = {
+    val cps = s.codePoints().toArray
+    if (cps.length < n) return 0L
+    val set = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder(n + 1)
+    var i = 0
+    var count = 0L
+    while (i + n <= cps.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { sb.appendCodePoint(cps(i + j)); j += 1 }
+      if (set.add(sb.toString)) count += 1
+      i += 1
+    }
+    count
+  }
 }
 
 /** Unicode NFC normalization as a codegen'd Catalyst expression —
@@ -85,5 +109,27 @@ case class CharEntropyNanoSum(child: Expression) extends UnaryExpression {
       s"graft.functions.TextNormOps.entropyNanoSum($c.toString())")
 
   override protected def withNewChildInternal(newChild: Expression): CharEntropyNanoSum =
+    copy(child = newChild)
+}
+
+/** Distinct codepoint-n-gram count as a codegen'd Catalyst expression —
+  * `char_ngram_distinct(text, n)` with a FOLDABLE gram width. The
+  * row-local kernel replaces a 4M-row Generate + (doc, gram) shuffle
+  * pair (first cut of q256: 3.8 s) and the interpreted
+  * transform+array_distinct HOF chain (second cut: 2.1 s) with one
+  * whole-stage-codegen call per row (0.68 s at sf0.1). */
+case class CharNgramDistinct(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_ngram_distinct"
+
+  override def nullSafeEval(input: Any): Any =
+    TextNormOps.charNgramDistinct(input.asInstanceOf[UTF8String].toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextNormOps.charNgramDistinct($c.toString(), $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramDistinct =
     copy(child = newChild)
 }

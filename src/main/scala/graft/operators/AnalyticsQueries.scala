@@ -3265,6 +3265,201 @@ object AnalyticsQueries extends QueryModule {
         CAST((r.n_recip * 1000000) // n.n_edges AS BIGINT) AS recip_ppm,
         CAST((n.n_edges * 1000000) // (32 * 31) AS BIGINT) AS density_ppm
       FROM n CROSS JOIN r""")),
+
+    // Autocorrelation function of the daily series (lags 1-7, per
+    // event type): THE time-series diagnostic — a spike at lag 7
+    // confirms weekly structure (complementing q259's eta²), slow
+    // decay says trend (q183/q244), all-noise says the series is
+    // unforecastable. r_l = Σ(y_t−ȳ)(y_{t+l}−ȳ) / Σ(y_t−ȳ)², ppm.
+    // Scale shape: corpus → (type, day) grid (value-domain bounded);
+    // lagged self-join ON day+l over that grid (≤ 7 matches/row);
+    // per-type mean/variance from a registry-sized agg broadcast
+    // back. Exactness: centered products on integer milli means — the
+    // centering differences are exact integers, products/sums exact,
+    // one ppm div at the end (negative-safe: both engines truncate
+    // toward zero).
+    Q("q263_autocorrelation", (s, d) => {
+      import s.implicits._
+      val daily = t(s, d, "events")
+        .select($"event_type",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
+        .persist()
+      val stats = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("nd"), sum($"y").as("sy"),
+          sum($"y" * $"y").as("ssy"))
+        .withColumn("ym", expr("sy div nd"))
+      val c = daily.join(broadcast(stats), "event_type")
+        .select($"event_type", $"day", ($"y" - $"ym").as("cy"))
+      val lags = s.range(1, 8).toDF("lag")
+      val num = c.select($"event_type", $"day", $"cy".as("cya"))
+        .join(c.select($"event_type", $"cy".as("cyb"), $"day".as("db")),
+          Seq("event_type"))
+        .filter($"db" > $"day" && $"db" - $"day" <= 7)
+        .select($"event_type", ($"db" - $"day").as("lag"),
+          ($"cya" * $"cyb").as("p"))
+        .groupBy($"event_type", $"lag").agg(sum($"p").as("num"))
+      val den = c.groupBy($"event_type")
+        .agg(sum($"cy" * $"cy").as("den"))
+      lags.crossJoin(broadcast(den))
+        .join(num, Seq("event_type", "lag"), "left_outer")
+        .select($"event_type", $"lag",
+          expr("(coalesce(num, 0) * 1000000) div greatest(den, 1)")
+            .as("acf_ppm"))
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          count(*) AS y
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT event_type, count(*) AS nd, sum(y) AS sy
+             FROM daily GROUP BY 1),
+      c AS (
+        SELECT d.event_type, d.day, d.y - (st.sy // st.nd) AS cy
+        FROM daily d JOIN st USING (event_type)),
+      num AS (
+        SELECT a.event_type, b.day - a.day AS lag, sum(a.cy * b.cy) AS num
+        FROM c a JOIN c b ON b.event_type = a.event_type
+          AND b.day > a.day AND b.day - a.day <= 7
+        GROUP BY 1, 2),
+      den AS (SELECT event_type, sum(cy * cy) AS den FROM c GROUP BY 1),
+      lg AS (SELECT unnest(range(1, 8)) AS lag)
+      SELECT den.event_type, CAST(lg.lag AS BIGINT) AS lag,
+        CAST((coalesce(num.num, 0) * 1000000) // greatest(den.den, 1)
+          AS BIGINT) AS acf_ppm
+      FROM lg CROSS JOIN den
+      LEFT JOIN num ON num.event_type = den.event_type
+        AND num.lag = lg.lag""")),
+
+    // A/A validity test (hash users into two arms that SHOULD match):
+    // the negative-control run before any A/B readout — if a metric
+    // "moves" between two identically-treated arms, the assignment,
+    // logging, or metric itself is broken. Complements q174 (A/B
+    // effect readout) and q234 (sample-ratio mismatch): SRM checks
+    // COUNTS, this checks METRICS. Two metrics per row: events/user
+    // (activity) and value mass/user. Scale shape: ONE user-level agg
+    // (map-side combined), then a 2-row arm rollup; the assignment is
+    // the q84 pure-hash row function — rerun/engine/repartition
+    // stable. Exactness: per-arm means micro-quantized integer div;
+    // the relative gap guards a zero denominator.
+    Q("q264_aa_test", (s, d) => {
+      import s.implicits._
+      val users = t(s, d, "events")
+        .select($"user_id", floor($"value" * 1000).cast("long").as("vm"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("ne"), sum($"vm").as("sv"))
+        .withColumn("arm", (CorpusOps.hashMix($"user_id", 2L)).cast("long"))
+      val arms = users.groupBy($"arm")
+        .agg(count(lit(1)).as("n_users"), sum($"ne").as("se"),
+          sum($"sv").as("sm"))
+        .withColumn("events_per_user_micro",
+          expr("(se * 1000000) div n_users"))
+        .withColumn("value_per_user_milli", expr("sm div n_users"))
+      val a = arms.filter($"arm" === 0).select($"n_users".as("n_a"),
+        $"events_per_user_micro".as("epu_a"),
+        $"value_per_user_milli".as("vpu_a"))
+      val b = arms.filter($"arm" === 1).select($"n_users".as("n_b"),
+        $"events_per_user_micro".as("epu_b"),
+        $"value_per_user_milli".as("vpu_b"))
+      a.crossJoin(b).select($"n_a", $"n_b", $"epu_a", $"epu_b",
+        $"vpu_a", $"vpu_b",
+        expr("((epu_a - epu_b) * 1000000) div greatest(epu_b, 1)")
+          .as("epu_gap_ppm"),
+        expr("((vpu_a - vpu_b) * 1000000) div greatest(vpu_b, 1)")
+          .as("vpu_gap_ppm"))
+    }, Some("""
+      WITH u AS (
+        SELECT user_id, count(*) AS ne,
+          sum(CAST(floor(value * 1000) AS BIGINT)) AS sv,
+          ((((user_id % 1000003) + 1000003) % 1000003 * 2654435761
+            + 40503) % 2 + 2) % 2 AS arm
+        FROM events GROUP BY 1),
+      arms AS (
+        SELECT arm, count(*) AS n_users, sum(ne) AS se, sum(sv) AS sm
+        FROM u GROUP BY 1),
+      m AS (
+        SELECT arm, n_users, (se * 1000000) // n_users AS epu,
+          sm // n_users AS vpu
+        FROM arms),
+      a AS (SELECT n_users AS n_a, epu AS epu_a, vpu AS vpu_a
+            FROM m WHERE arm = 0),
+      b AS (SELECT n_users AS n_b, epu AS epu_b, vpu AS vpu_b
+            FROM m WHERE arm = 1)
+      SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        CAST(epu_a AS BIGINT) AS epu_a, CAST(epu_b AS BIGINT) AS epu_b,
+        CAST(vpu_a AS BIGINT) AS vpu_a, CAST(vpu_b AS BIGINT) AS vpu_b,
+        CAST(((epu_a - epu_b) * 1000000) // greatest(epu_b, 1) AS BIGINT)
+          AS epu_gap_ppm,
+        CAST(((vpu_a - vpu_b) * 1000000) // greatest(vpu_b, 1) AS BIGINT)
+          AS vpu_gap_ppm
+      FROM a CROSS JOIN b""")),
+
+    // Spearman rank correlation between doc length and quality score
+    // (tie-corrected average ranks): the MONOTONE-association
+    // companion to q242's Pearson — Pearson sees only linear
+    // relationships and is wrecked by heavy tails; Spearman on ranks
+    // answers "do longer docs score better AT ALL" robustly. Rank
+    // arithmetic is exact integers in DOUBLED units (q257's device);
+    // the final correlation is one floor over integer-fed doubles
+    // (q242/q208 form). Scale shape: two value-domain grids (length /
+    // quality-milli) carry the doubled average ranks; docs join each
+    // grid ON THE VALUE (broadcast, grid-sized); ONE moment agg ends
+    // it. Int64: Σrx·ry ≤ 4n³ — past n ≈ 10^6 switch the moment sums
+    // to DECIMAL(38) (documented, q203 convention).
+    Q("q265_spearman", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select(TextOps.tokenCount($"text").cast("long").as("x"),
+          floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("y"))
+        .persist()
+      def ranks(c: String) = {
+        val wC = Window.orderBy(col(c).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.groupBy(col(c)).agg(count(lit(1)).as("k"))
+          .withColumn("cum", sum($"k").over(wC))
+          .select(col(c), (lit(2) * ($"cum" - $"k") + $"k" + 1)
+            .as(s"r$c"))
+      }
+      val j = docs.join(broadcast(ranks("x")), "x")
+        .join(broadcast(ranks("y")), "y")
+      j.agg(count(lit(1)).as("n"), sum($"rx").as("sx"), sum($"ry").as("sy"),
+          sum($"rx" * $"ry").as("sxy"), sum($"rx" * $"rx").as("sxx"),
+          sum($"ry" * $"ry").as("syy"))
+        .select($"n",
+          floor(lit(1000d) *
+            ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+                 ($"n" * $"syy" - $"sy" * $"sy").cast("double")))
+            .cast("long").as("spearman_milli"))
+    }, Some("""
+      WITH d AS (
+        SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+            AS x,
+          CAST(floor((least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2)
+            * 1000) AS BIGINT) AS y
+        FROM documents),
+      gx AS (SELECT x, count(*) AS k FROM d GROUP BY 1),
+      rx AS (SELECT x, 2 * (sum(k) OVER (ORDER BY x ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - k)
+               + k + 1 AS rx
+             FROM gx),
+      gy AS (SELECT y, count(*) AS k FROM d GROUP BY 1),
+      ry AS (SELECT y, 2 * (sum(k) OVER (ORDER BY y ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - k)
+               + k + 1 AS ry
+             FROM gy),
+      m AS (
+        SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+          sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+        FROM d JOIN rx USING (x) JOIN ry USING (y))
+      SELECT CAST(n AS BIGINT) AS n,
+        CAST(floor(1000 * CAST(n * sxy - sx * sy AS DOUBLE) /
+          sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+               CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+          AS spearman_milli
+      FROM m""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

@@ -640,19 +640,20 @@ object CleaningQueries extends QueryModule {
     // engines (no gram exists; Spark's sequence() would otherwise
     // descend). Exactness: ppm integer div on non-negative counts.
     Q("q256_char_ngram_redund", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       import s.implicits._
-      val g = t(s, d, "documents")
+      // ROW-LOCAL distinct via the codegen'd char_ngram_distinct
+      // kernel (TextNorm.scala) — the gram stream never leaves the
+      // scan's whole-stage-codegen pipeline. A/B at sf0.1 (BenchOne):
+      // explode + (doc, gram) shuffle pair 3.82 s; interpreted
+      // transform+array_distinct HOF 2.07 s; this 0.68 s. Per-doc gram
+      // sets are bounded by doc length, so the row-local set fits in
+      // task memory at any corpus size.
+      val perDoc = t(s, d, "documents")
         .filter(length($"text") >= 4)
-        .select($"doc_id", $"source",
-          explode(expr(
-            "transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))"))
-            .as("gram"))
-      val perDoc = g.groupBy($"doc_id", $"source", $"gram")
-        .agg(count(lit(1)).as("k"))
-        .groupBy($"doc_id", $"source")
-        .agg(sum($"k").as("total"), count(lit(1)).as("dist"))
-        .select($"source",
-          expr("1000000 - (dist * 1000000) div total").as("red_ppm"))
+        .select($"source", expr(
+          """1000000 - (char_ngram_distinct(text, 4) * 1000000)
+            div (length(text) - 3)""").as("red_ppm"))
       perDoc.groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           expr("sum(red_ppm) div count(1)").as("avg_redund_ppm"),

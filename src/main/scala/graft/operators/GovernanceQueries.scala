@@ -1784,7 +1784,67 @@ object GovernanceQueries extends QueryModule {
         CAST(brier_micro AS BIGINT) AS brier_micro,
         CAST(brier_micro - (rel_micro - res_micro + unc_micro) AS BIGINT)
           AS decomp_gap_micro
-      FROM f"""))
+      FROM f""")),
+
+    // Chi-square independence test, lang × source (+ Cramér's V):
+    // "is language independent of source?" — the classic contingency
+    // test on the two corpus partitions; a high V means language
+    // balance must be managed PER SOURCE (mixture weights q72,
+    // apportionment q166 get it wrong otherwise). Integer form per
+    // cell: (o·T − r·c)² scaled /(r·c·T), so expected counts never
+    // exist as floats; V = sqrt(χ²/(T·min(R−1,C−1))) is one floor
+    // over an integer-fed double (q203 convention). Scale shape: the
+    // corpus collapses to the registry² contingency table in ONE
+    // map-side-combined agg; margins are registry-sized rollups
+    // broadcast back; all else is table-sized math. Int64: o·T
+    // overflows past T ≈ 3e9 — rescale counts to kilo-units first at
+    // lake scale (documented).
+    Q("q266_chi2_independence", (s, d) => {
+      import s.implicits._
+      val cells = t(s, d, "documents")
+        .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+        .persist()
+      val rm = cells.groupBy($"lang").agg(sum($"o").as("r"))
+      val cm = cells.groupBy($"source").agg(sum($"o").as("c"))
+      val tot = cells.agg(sum($"o").as("tt"),
+        countDistinct($"lang").as("nr"),
+        countDistinct($"source").as("nc"))
+      cells.join(broadcast(rm), "lang").join(broadcast(cm), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("contrib_milli", expr(
+          "((o * tt - r * c) * (o * tt - r * c) * 1000) div (r * c * tt)"))
+        .agg(max($"tt").as("n"), count(lit(1)).as("n_cells"),
+          max(expr("(nr - 1) * (nc - 1)")).as("df"),
+          sum($"contrib_milli").as("chi2_milli"),
+          max($"nr").as("nr"), max($"nc").as("nc"))
+        .select($"n", $"n_cells", $"df", $"chi2_milli",
+          floor(sqrt($"chi2_milli".cast("double") / 1000d /
+            ($"n" * least($"nr" - 1, $"nc" - 1)).cast("double")) * 1000d)
+            .cast("long").as("cramers_v_milli"))
+    }, Some("""
+      WITH cells AS (
+        SELECT lang, source, count(*) AS o
+        FROM documents GROUP BY 1, 2),
+      rm AS (SELECT lang, sum(o) AS r FROM cells GROUP BY 1),
+      cm AS (SELECT source, sum(o) AS c FROM cells GROUP BY 1),
+      tot AS (SELECT sum(o) AS tt, count(DISTINCT lang) AS nr,
+                count(DISTINCT source) AS nc
+              FROM cells),
+      j AS (
+        SELECT cells.o, rm.r, cm.c, tot.tt, tot.nr, tot.nc,
+          ((cells.o * tot.tt - rm.r * cm.c) *
+           (cells.o * tot.tt - rm.r * cm.c) * 1000)
+            // (rm.r * cm.c * tot.tt) AS contrib_milli
+        FROM cells JOIN rm USING (lang) JOIN cm USING (source)
+        CROSS JOIN tot)
+      SELECT CAST(max(tt) AS BIGINT) AS n,
+        CAST(count(*) AS BIGINT) AS n_cells,
+        CAST(max((nr - 1) * (nc - 1)) AS BIGINT) AS df,
+        CAST(sum(contrib_milli) AS BIGINT) AS chi2_milli,
+        CAST(floor(sqrt(CAST(sum(contrib_milli) AS DOUBLE) / 1000 /
+          CAST(max(tt) * least(max(nr) - 1, max(nc) - 1) AS DOUBLE))
+          * 1000) AS BIGINT) AS cramers_v_milli
+      FROM j"""))
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

@@ -103,6 +103,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q260_reciprocity" -> "1-row edge-count x 1-row reciprocal-count frames (scalar aggs, q159 class)",
     "q251_js_divergence" -> "1-row corpus-token-total broadcast for the JS log-ratio and the out-of-vocabulary mass term (q207 class)",
     "q252_brier_decomp" -> "1-row global (N, label-total, squared-error-total) broadcast onto the <= 10-row decile-bucket frame",
+    "q263_autocorrelation" -> "literal 7-row lag frame x registry-sized per-type variance frame (both bounded, q217 class)",
+    "q264_aa_test" -> "1-row arm-A x 1-row arm-B metric frames (scalar slices of the 2-row arm rollup, q159 class)",
+    "q266_chi2_independence" -> "1-row totals (T, |langs|, |sources|) broadcast onto the registry-squared contingency table",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
@@ -129,6 +132,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q243_wasserstein_drift" -> "global CDF cum + gap lead over DISTINCT token counts — value-domain bounded (q143 class)",
     "q257_mannwhitney" -> "global rank cum over DISTINCT token counts — value-domain bounded (q143 class)",
     "q258_lorenz_deciles" -> "doc/token cum windows over DISTINCT token counts — value-domain bounded (q143 class)",
+    "q265_spearman" -> "rank cum windows over the DISTINCT token-count and quality-milli grids — value-domain bounded (q143/q170 class)",
   )
 
   /** broadcast() HINT audit (the q54 class): a hint pins its side into
@@ -177,6 +181,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q255_dau_wau" -> "day grid: DISTINCT day — value-domain bounded by the observation window (q110/q246 argument), never the corpus",
     "q258_lorenz_deciles" -> "length grid: groupBy token count — value-domain bounded (q110 argument), never the corpus",
     "q261_fisher_ratio" -> "global per-dim means: groupBy dim index — constant 64 rows at any corpus size",
+    "q263_autocorrelation" -> "per-type mean/variance frames: groupBy event_type (bounded event-type registry)",
+    "q265_spearman" -> "rank grids: groupBy token-count / quality-milli — value-domain bounded (q110 argument; quality <= 1001 values)",
+    "q266_chi2_independence" -> "margins: groupBy lang / source (bounded registries, q99 class)",
   )
 
   test("catalog-wide plan audit: cartesian/BNLJ/global-window invariants") {

@@ -934,4 +934,55 @@ class RoundAuditsSpec extends AnyFunSuite {
       else assert(correct == 0)
     }
   }
+
+  test("q263: ACF bounded by Cauchy-Schwarz, full lag grid per type") {
+    val rows = run("q263_autocorrelation").collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.values.foreach { cells =>
+      assert(cells.map(_.getAs[Long]("lag")).sorted.toSeq == (1L to 7L))
+      cells.foreach { r =>
+        val a = r.getAs[Long]("acf_ppm")
+        // |r_l| <= 1 by Cauchy-Schwarz; integer floors allow 1 slack
+        assert(a >= -1000001 && a <= 1000001)
+      }
+    }
+  }
+
+  test("q264: A/A arms partition users, relative gaps replay") {
+    val r = run("q264_aa_test").collect().head
+    val nUsers = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == nUsers)
+    assert(r.getAs[Long]("n_a") >= 1 && r.getAs[Long]("n_b") >= 1)
+    val gap = r.getAs[Long]("epu_gap_ppm")
+    assert(gap == (r.getAs[Long]("epu_a") - r.getAs[Long]("epu_b")) *
+      1000000L / math.max(r.getAs[Long]("epu_b"), 1L))
+    val vgap = r.getAs[Long]("vpu_gap_ppm")
+    assert(vgap == (r.getAs[Long]("vpu_a") - r.getAs[Long]("vpu_b")) *
+      1000000L / math.max(r.getAs[Long]("vpu_b"), 1L))
+  }
+
+  test("q265: spearman within [-1,1], positive on this corpus by design") {
+    val r = run("q265_spearman").collect().head
+    val rho = r.getAs[Long]("spearman_milli")
+    assert(rho >= -1000 && rho <= 1000)
+    // quality's dominant term is a length ratio, so rank correlation
+    // with token count must be strongly positive
+    assert(rho > 200)
+    assert(r.getAs[Long]("n") ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
+  test("q266: chi2 nonnegative, V in [0,1], df matches registries") {
+    val r = run("q266_chi2_independence").collect().head
+    assert(r.getAs[Long]("chi2_milli") >= 0)
+    val v = r.getAs[Long]("cramers_v_milli")
+    assert(v >= 0 && v <= 1001) // floor slack 1 on the upper edge
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nr = docs.select("lang").distinct().count()
+    val nc = docs.select("source").distinct().count()
+    assert(r.getAs[Long]("df") == (nr - 1) * (nc - 1))
+    assert(r.getAs[Long]("n_cells") <= nr * nc)
+    assert(r.getAs[Long]("n") == docs.count())
+  }
 }

@@ -101,6 +101,26 @@ class ScalarFnSpec extends AnyFunSuite {
     val want = Seq("a b/ü?x=1 2", "plain", "%%").map(UriCodec.encode)
     assert(got.toSeq == want)
   }
+
+  test("char_ngram_distinct codegen equals the HOF composition") {
+    GraftFunctions.register(spark)
+    val data = Seq("abcdefg", "aaaaaa", "abcabcabc", "abc", "",
+      "über straße über", "xyxyxyxyxy")
+    val df = data.toDF("a")
+    val got = df
+      .select(call_function("char_ngram_distinct", $"a", lit(4)))
+      .as[Long].collect()
+    val want = df.selectExpr(
+      """CASE WHEN length(a) < 4 THEN CAST(0 AS BIGINT)
+         ELSE CAST(size(array_distinct(transform(
+           sequence(1, length(a) - 3), i -> substring(a, i, 4)))) AS BIGINT)
+         END""").as[Long].collect()
+    assert(got.toSeq == want.toSeq)
+    // kernel sanity: sliding distinct, not total
+    assert(graft.functions.TextNormOps.charNgramDistinct("aaaaaa", 4) == 1L)
+    assert(graft.functions.TextNormOps.charNgramDistinct("abcdef", 4) == 3L)
+    assert(graft.functions.TextNormOps.charNgramDistinct("abc", 4) == 0L)
+  }
 }
 
 object UriSpecHelpers {
