@@ -3460,6 +3460,76 @@ object AnalyticsQueries extends QueryModule {
                CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
           AS spearman_milli
       FROM m""")),
+
+    // Winsorized mean of doc lengths per source (clip at exact P5/P95,
+    // lower-rank percentile semantics): the robust location estimate
+    // BETWEEN q142's median (throws away all magnitude information)
+    // and the raw mean (one 10^6-token doc moves it arbitrarily) —
+    // the standard "mean without the tails" a curation dashboard
+    // reports. Everything derives from the per-source length GRID:
+    // the clip thresholds are grid rows at the ceil(0.05n)/ceil(0.95n)
+    // ranks, and the winsorized sum is Σ k·clip(v) over the same grid
+    // — the corpus is never re-scanned. Scale shape: ONE (source, v)
+    // agg; per-source cum windows bounded by the value domain (q110
+    // argument); threshold frames are registry-sized. All integer.
+    Q("q267_winsorized_mean", (s, d) => {
+      import s.implicits._
+      val wS = Window.partitionBy($"source").orderBy($"v".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val grid = t(s, d, "documents")
+        .select($"source", TextOps.tokenCount($"text").cast("long").as("v"))
+        .groupBy($"source", $"v").agg(count(lit(1)).as("k"))
+        .withColumn("cum", sum($"k").over(wS))
+        .persist()
+      val tot = grid.groupBy($"source").agg(sum($"k").as("n"))
+      def thresh(pct: Int, name: String) = {
+        val wR = Window.partitionBy($"source").orderBy($"v".asc)
+        grid.join(broadcast(tot), "source")
+          .filter($"cum" >= expr(s"(n * $pct + 99) div 100"))
+          .withColumn("rn", row_number().over(wR)).filter($"rn" === 1)
+          .select($"source", $"v".as(name))
+      }
+      grid.join(broadcast(tot), "source")
+        .join(broadcast(thresh(5, "lo")), "source")
+        .join(broadcast(thresh(95, "hi")), "source")
+        .withColumn("cv", least(greatest($"v", $"lo"), $"hi"))
+        .groupBy($"source")
+        .agg(max($"n").as("n_docs"), max($"lo").as("p5"),
+          max($"hi").as("p95"),
+          expr("(sum(k * v) * 1000) div max(n)").as("mean_milli"),
+          expr("(sum(k * cv) * 1000) div max(n)").as("winsor_mean_milli"))
+    }, Some("""
+      WITH l AS (SELECT source,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+                 FROM documents),
+      g AS (SELECT source, v, count(*) AS k FROM l GROUP BY 1, 2),
+      gg AS (SELECT g.*, sum(k) OVER (PARTITION BY source ORDER BY v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM g),
+      t AS (SELECT source, sum(k) AS n FROM g GROUP BY 1),
+      lo AS (
+        SELECT source, v AS lo FROM (
+          SELECT gg.source, gg.v, row_number() OVER (
+            PARTITION BY gg.source ORDER BY gg.v ASC) AS rn
+          FROM gg JOIN t USING (source)
+          WHERE gg.cum >= (t.n * 5 + 99) // 100) WHERE rn = 1),
+      hi AS (
+        SELECT source, v AS hi FROM (
+          SELECT gg.source, gg.v, row_number() OVER (
+            PARTITION BY gg.source ORDER BY gg.v ASC) AS rn
+          FROM gg JOIN t USING (source)
+          WHERE gg.cum >= (t.n * 95 + 99) // 100) WHERE rn = 1),
+      j AS (
+        SELECT gg.source, gg.k, gg.v, t.n, lo.lo, hi.hi,
+          least(greatest(gg.v, lo.lo), hi.hi) AS cv
+        FROM gg JOIN t USING (source) JOIN lo USING (source)
+          JOIN hi USING (source))
+      SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        CAST(max(lo) AS BIGINT) AS p5, CAST(max(hi) AS BIGINT) AS p95,
+        CAST((sum(k * v) * 1000) // max(n) AS BIGINT) AS mean_milli,
+        CAST((sum(k * cv) * 1000) // max(n) AS BIGINT)
+          AS winsor_mean_milli
+      FROM j GROUP BY 1""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

@@ -776,5 +776,101 @@ object ExtensionQueries extends QueryModule {
          |         AS BIGINT) AS err_ppm
          |FROM u""".stripMargin
     }),
+
+    // KMV audience-overlap estimate (click ∩ purchase users): the
+    // set-INTERSECTION readout q245's union-merge can't give — from
+    // the two 64-hash sketches alone, J ≈ |both-member hashes among
+    // the union's 64 smallest| / 64 and |A∩B| ≈ J·|A∪B|, the classic
+    // min-k Jaccard estimator. Exact overlap computed alongside so
+    // the estimator error is part of the contract (q86/q245
+    // convention) — at lake scale only the sketch side runs (exact
+    // requires the full distinct), which is the point: audience
+    // overlap from two 64-row summaries. Scale shape: ONE distinct on
+    // (type, hv); min-64 per side rides WindowGroupLimit; everything
+    // downstream is sketch-sized. All-integer estimator arithmetic.
+    Q("q269_kmv_overlap", (s, d) => {
+      import s.implicits._
+      val k = 64
+      val hv = t(s, d, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"event_type", $"user_id",
+          expr(DedupOps.hv32FromHexSql("md5(cast(user_id as string))"))
+            .as("hv"))
+        .persist()
+      val wT = Window.partitionBy($"event_type").orderBy($"hv".asc)
+      val sk = hv.select($"event_type", $"hv").distinct()
+        .withColumn("rn", row_number().over(wT)).filter($"rn" <= k)
+        .persist()
+      val wG = Window.orderBy($"hv".asc)
+      val u = sk.select($"hv").distinct()
+        .withColumn("rn", row_number().over(wG)).filter($"rn" <= k)
+      val aS = sk.filter($"event_type" === "click")
+        .select($"hv", lit(1L).as("ina"))
+      val bS = sk.filter($"event_type" === "purchase")
+        .select($"hv", lit(1L).as("inb"))
+      val mem = u.join(aS, Seq("hv"), "left_outer")
+        .join(bS, Seq("hv"), "left_outer")
+        .agg(count(lit(1)).as("nu"), max($"hv").as("kth"),
+          sum(when($"ina" === 1 && $"inb" === 1, 1L).otherwise(0L))
+            .as("jnum"))
+      val ex = hv.select($"event_type", $"user_id").distinct()
+        .groupBy($"user_id").agg(count(lit(1)).as("nt"))
+        .agg(count(lit(1)).as("ex_union"),
+          sum(when($"nt" === 2, 1L).otherwise(0L)).as("ex_inter"))
+      mem.crossJoin(ex)
+        .withColumn("union_est", expr(
+          s"case when nu < $k then nu " +
+            s"else (${k - 1} * 4294967296) div greatest(kth, 1) end"))
+        .select($"ex_union", $"ex_inter",
+          $"union_est",
+          expr("(jnum * union_est) div greatest(nu, 1)").as("inter_est"),
+          expr("(ex_inter * 1000000) div greatest(ex_union, 1)")
+            .as("jaccard_exact_ppm"),
+          expr("(jnum * 1000000) div greatest(nu, 1)")
+            .as("jaccard_est_ppm"))
+    }, Some {
+      val hvs = DedupQueries.hvDuckOf("CAST(user_id AS VARCHAR)")
+      s"""WITH h AS (
+         |  SELECT event_type, user_id, ($hvs) AS hv FROM events
+         |  WHERE event_type IN ('click', 'purchase')),
+         |dh AS (SELECT DISTINCT event_type, hv FROM h),
+         |sk AS (SELECT event_type, hv,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY hv ASC) AS rn
+         |       FROM dh QUALIFY rn <= 64),
+         |u AS (SELECT hv, row_number() OVER (ORDER BY hv ASC) AS rn
+         |      FROM (SELECT DISTINCT hv FROM sk) QUALIFY rn <= 64),
+         |mem AS (
+         |  SELECT count(*) AS nu, max(u.hv) AS kth,
+         |    sum(CASE WHEN a.hv IS NOT NULL AND b.hv IS NOT NULL
+         |        THEN 1 ELSE 0 END) AS jnum
+         |  FROM u
+         |  LEFT JOIN (SELECT hv FROM sk WHERE event_type = 'click') a
+         |    ON a.hv = u.hv
+         |  LEFT JOIN (SELECT hv FROM sk WHERE event_type = 'purchase') b
+         |    ON b.hv = u.hv),
+         |ex AS (
+         |  SELECT count(*) AS ex_union,
+         |    sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS ex_inter
+         |  FROM (SELECT user_id, count(*) AS nt
+         |        FROM (SELECT DISTINCT event_type, user_id FROM h)
+         |        GROUP BY 1)),
+         |r AS (
+         |  SELECT ex.*, mem.nu, mem.jnum,
+         |    CASE WHEN mem.nu < 64 THEN mem.nu
+         |      ELSE (63 * 4294967296) // greatest(mem.kth, 1) END
+         |      AS union_est
+         |  FROM mem CROSS JOIN ex)
+         |SELECT CAST(ex_union AS BIGINT) AS ex_union,
+         |  CAST(ex_inter AS BIGINT) AS ex_inter,
+         |  CAST(union_est AS BIGINT) AS union_est,
+         |  CAST((jnum * union_est) // greatest(nu, 1) AS BIGINT)
+         |    AS inter_est,
+         |  CAST((ex_inter * 1000000) // greatest(ex_union, 1) AS BIGINT)
+         |    AS jaccard_exact_ppm,
+         |  CAST((jnum * 1000000) // greatest(nu, 1) AS BIGINT)
+         |    AS jaccard_est_ppm
+         |FROM r""".stripMargin
+    }),
   )
 }

@@ -1230,7 +1230,47 @@ object TextQueries extends QueryModule {
         CAST((n * 1000000) // tot AS BIGINT) AS row_share_ppm,
         CAST(CASE WHEN lang = pred THEN n ELSE 0 END AS BIGINT)
           AS n_correct
-      FROM w"""))
+      FROM w""")),
+
+    // Simpson diversity of the token distribution per source (1−Σp²
+    // ppm, plus the inverse-Simpson "effective vocabulary size"):
+    // the concentration-weighted companion to entropy — entropy
+    // (q129/q207 family) weights rare types heavily, Simpson is
+    // dominated by the head, so a source whose top-10 tokens carry
+    // half its mass scores low here even with a huge tail vocabulary;
+    // inverse Simpson reads as "this source effectively uses N
+    // tokens". Scale shape: ONE (source, tok) map-side-combined agg +
+    // a registry-sized rollup; Σf² and T² are exact integers (T² int64
+    // headroom to T ≈ 3e9; rescale f to kilo-counts past that —
+    // documented). No float probabilities anywhere.
+    Q("q268_simpson_diversity", (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"source", explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("f"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_types"), sum($"f").as("n_tokens"),
+          sum($"f" * $"f").as("sf2"))
+        .select($"source", $"n_types", $"n_tokens",
+          expr("1000000 - (sf2 * 1000000) div (n_tokens * n_tokens)")
+            .as("simpson_ppm"),
+          expr("(n_tokens * n_tokens * 1000) div sf2")
+            .as("inv_simpson_milli"))
+    }, Some("""
+      WITH st AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents),
+      f AS (SELECT source, tok, count(*) AS f FROM st GROUP BY 1, 2),
+      g AS (SELECT source, count(*) AS n_types, sum(f) AS n_tokens,
+              sum(f * f) AS sf2
+            FROM f GROUP BY 1)
+      SELECT source, CAST(n_types AS BIGINT) AS n_types,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(1000000 - (sf2 * 1000000) // (n_tokens * n_tokens)
+          AS BIGINT) AS simpson_ppm,
+        CAST((n_tokens * n_tokens * 1000) // sf2 AS BIGINT)
+          AS inv_simpson_milli
+      FROM g"""))
   )
 
   /** The 10 nDCG position discounts floor(1e6 / log2(i + 1)),

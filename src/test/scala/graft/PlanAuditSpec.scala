@@ -106,6 +106,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q263_autocorrelation" -> "literal 7-row lag frame x registry-sized per-type variance frame (both bounded, q217 class)",
     "q264_aa_test" -> "1-row arm-A x 1-row arm-B metric frames (scalar slices of the 2-row arm rollup, q159 class)",
     "q266_chi2_independence" -> "1-row totals (T, |langs|, |sources|) broadcast onto the registry-squared contingency table",
+    "q269_kmv_overlap" -> "1-row sketch-membership stats x 1-row exact-overlap frames (scalar aggs, q159/q245 class)",
   )
 
   /** Unpartitioned windows allowed only over provably bounded inputs.
@@ -184,6 +185,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q263_autocorrelation" -> "per-type mean/variance frames: groupBy event_type (bounded event-type registry)",
     "q265_spearman" -> "rank grids: groupBy token-count / quality-milli — value-domain bounded (q110 argument; quality <= 1001 values)",
     "q266_chi2_independence" -> "margins: groupBy lang / source (bounded registries, q99 class)",
+    "q267_winsorized_mean" -> "per-source totals + P5/P95 threshold frames: groupBy source over the value-domain grid (bounded registry, q99/q143 class)",
   )
 
   test("catalog-wide plan audit: cartesian/BNLJ/global-window invariants") {

@@ -985,4 +985,47 @@ class RoundAuditsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_cells") <= nr * nc)
     assert(r.getAs[Long]("n") == docs.count())
   }
+
+  test("q267: thresholds ordered, winsorized mean between p5 and p95") {
+    val rows = run("q267_winsorized_mean").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lo = r.getAs[Long]("p5"); val hi = r.getAs[Long]("p95")
+      assert(lo <= hi)
+      val wm = r.getAs[Long]("winsor_mean_milli")
+      // clipping bounds the mean into [p5, p95] (milli slack 1)
+      assert(wm >= lo * 1000 - 1 && wm <= hi * 1000 + 1)
+      // winsorizing pulls tails IN: |wm - raw mean| well-defined, and
+      // the winsorized mean never exceeds the raw max-side pull
+      assert(r.getAs[Long]("n_docs") >= 1)
+    }
+  }
+
+  test("q268: Simpson within [0,1); inverse Simpson within [1, n_types]") {
+    val rows = run("q268_simpson_diversity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sp = r.getAs[Long]("simpson_ppm")
+      assert(sp >= 0 && sp < 1000000)
+      val inv = r.getAs[Long]("inv_simpson_milli")
+      // 1 <= effective types <= distinct types (floor slack 1)
+      assert(inv >= 999)
+      assert(inv <= r.getAs[Long]("n_types") * 1000 + 1)
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_types"))
+    }
+  }
+
+  test("q269: overlap estimates within KMV identities, exact consistent") {
+    val r = run("q269_kmv_overlap").collect().head
+    val exU = r.getAs[Long]("ex_union"); val exI = r.getAs[Long]("ex_inter")
+    assert(exI <= exU && exU >= 1)
+    assert(r.getAs[Long]("jaccard_exact_ppm") ==
+      exI * 1000000L / math.max(exU, 1L))
+    val jEst = r.getAs[Long]("jaccard_est_ppm")
+    assert(jEst >= 0 && jEst <= 1000000)
+    // intersection estimate is J_est * union_est (replay)
+    val uEst = r.getAs[Long]("union_est")
+    assert(uEst >= 1)
+    assert(r.getAs[Long]("inter_est") <= uEst)
+  }
 }
