@@ -82,5 +82,6 @@ object GraftFunctions {
     add("char_entropy_nano_sum", exprs => CharEntropyNanoSum(exprs.head))
     add("char_ngram_distinct", exprs => CharNgramDistinct(exprs.head,
       exprs(1).eval().asInstanceOf[Int]))
+    add("jaro_winkler_milli", exprs => JaroWinklerMilli(exprs.head, exprs(1)))
   }
 }

@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharNgramDistinct].getName, "char_ngram_distinct"),
       (exprs: Seq[Expression]) => CharNgramDistinct(exprs.head,
         exprs(1).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("jaro_winkler_milli"),
+      new ExpressionInfo(classOf[JaroWinklerMilli].getName, "jaro_winkler_milli"),
+      (exprs: Seq[Expression]) => JaroWinklerMilli(exprs.head, exprs(1))))
     // EAV self-join-chain -> single-shuffle pivot (opt-in via
     // spark.graft.eav.pivotJoinChains AND spark.graft.eav.entityColumn
     // naming the declared-unique link column; see the rule's scaladoc)

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -47,6 +47,60 @@ object TextNormOps {
       sum += k * math.floor(math.log(n.toDouble / k) * 1e9).toLong
     }
     sum
+  }
+
+  /** Jaro–Winkler similarity floor-quantized to milli — the kernel
+    * behind `jaro_winkler_milli(a, b)` (q270). Textbook algorithm
+    * (match window floor(max/2)−1, transpositions = mismatched
+    * matched-sequence positions / 2, Winkler prefix boost 0.1·l up to
+    * l = 4 applied only when jaro > 0.7) — verified value-identical
+    * to DuckDB's native `jaro_winkler_similarity` on the classic test
+    * vectors (MARTHA/MARHTA 0.9611, DIXON/DICKSONX 0.8133, boost
+    * threshold probes) so the oracle is an INDEPENDENT implementation
+    * of the same spec, not a replay. Milli floor absorbs last-ulp
+    * association-order differences. Empty input scores 0. */
+  def jaroWinklerMilli(a: String, b: String): Long =
+    math.floor(jaroWinkler(a, b) * 1000).toLong
+
+  private def jaroWinkler(a: String, b: String): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
+    if (a == b) return 1.0
+    val la = a.length; val lb = b.length
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val am = new Array[Boolean](la); val bm = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bm(j) && a.charAt(i) == b.charAt(j)) {
+          am(i) = true; bm(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0
+    i = 0
+    while (i < la) {
+      if (am(i)) {
+        while (!bm(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val jaro = (m.toDouble / la + m.toDouble / lb +
+      (m - t / 2.0) / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val lmax = math.min(4, math.min(la, lb))
+    while (l < lmax && a.charAt(l) == b.charAt(l)) l += 1
+    jaro + 0.1 * l * (1.0 - jaro)
   }
 
   /** Distinct codepoint-n-gram count in one tight pass — the kernel
@@ -132,4 +186,27 @@ case class CharNgramDistinct(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): CharNgramDistinct =
     copy(child = newChild)
+}
+
+/** Jaro–Winkler similarity (milli) as a codegen'd Catalyst expression —
+  * `jaro_winkler_milli(a, b)`. Spark has `levenshtein` but no
+  * Jaro–Winkler; the entity-resolution literature prefers JW for short
+  * name-like strings (prefix-weighted, length-normalized). DuckDB's
+  * native `jaro_winkler_similarity` is the independent oracle. */
+case class JaroWinklerMilli(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "jaro_winkler_milli"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextNormOps.jaroWinklerMilli(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextNormOps.jaroWinklerMilli($a.toString(), $b.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerMilli =
+    copy(left = newLeft, right = newRight)
 }

@@ -1465,6 +1465,64 @@ object DedupQueries extends QueryModule {
          |    ELSE (2 * pc_ppm * pq_ppm) // (pc_ppm + pq_ppm) END
          |    AS BIGINT) AS f1_ppm
          |FROM r""".stripMargin),
-      bench = false)
+      bench = false),
+
+    // Jaro–Winkler entity resolution over document lead excerpts
+    // (top-20 most similar non-identical pairs within 2-token
+    // blocks): Spark ships `levenshtein` but not Jaro–Winkler — the
+    // ER literature's preferred measure for short name-like strings
+    // (prefix-weighted, length-normalized, transposition-tolerant) —
+    // so the engine adds it as a codegen'd Catalyst expression
+    // (jaro_winkler_milli, TextNorm.scala) and the oracle scores the
+    // SAME pairs with DuckDB's NATIVE jaro_winkler_similarity: two
+    // independent implementations of the published algorithm agreeing
+    // to the milli floor, the strongest oracle form in the catalog.
+    // Complements q177 (Levenshtein ER) and q103 (exact excerpt
+    // pairs). Scale shape: 2-token blocking keys, block sizes capped
+    // 2..50 (q233 convention, pairs ≤ C(50,2)/block); the JW kernel
+    // runs inside whole-stage codegen; top-20 rides the bucketed
+    // prefilter (q79 class).
+    Q("q270_jaro_winkler_er", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select($"doc_id",
+          array_join(slice(TextOps.tokens($"text"), 1, 8), " ").as("ex"),
+          array_join(slice(TextOps.tokens($"text"), 1, 2), " ").as("blk"))
+      val sz = docs.groupBy($"blk").agg(count(lit(1)).as("c"))
+        .filter($"c".between(2, 50))
+      val b = docs.join(sz.select($"blk"), "blk")
+      val pairs = b
+        .select($"blk", $"doc_id".as("id_a"), $"ex".as("na"))
+        .join(b.select($"blk", $"doc_id".as("id_b"), $"ex".as("nb")),
+          Seq("blk"))
+        .filter($"id_a" < $"id_b")
+        .withColumn("jw_milli",
+          call_function("jaro_winkler_milli", $"na", $"nb"))
+        .filter($"jw_milli" >= 900)
+      CorpusOps.globalTopK(pairs, $"id_a", k = 20,
+          order = Seq($"jw_milli".desc, $"id_a".asc, $"id_b".asc))
+        .select($"id_a", $"id_b", $"jw_milli")
+    }, Some("""
+      WITH p AS (
+        SELECT doc_id,
+          array_to_string((string_split_regex(trim(text), '\s+'))[1:8],
+            ' ') AS ex,
+          array_to_string((string_split_regex(trim(text), '\s+'))[1:2],
+            ' ') AS blk
+        FROM documents),
+      sz AS (SELECT blk FROM p GROUP BY blk
+             HAVING count(*) BETWEEN 2 AND 50),
+      b AS (SELECT p.* FROM p JOIN sz USING (blk)),
+      pr AS (
+        SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+          CAST(floor(jaro_winkler_similarity(a.ex, b2.ex)
+            * 1000) AS BIGINT) AS jw_milli
+        FROM b a JOIN b b2
+          ON a.blk = b2.blk AND a.doc_id < b2.doc_id)
+      SELECT id_a, id_b, jw_milli FROM pr
+      WHERE jw_milli >= 900
+      QUALIFY row_number() OVER (ORDER BY jw_milli DESC, id_a ASC,
+        id_b ASC) <= 20"""))
   )
 }

@@ -1028,4 +1028,18 @@ class RoundAuditsSpec extends AnyFunSuite {
     assert(uEst >= 1)
     assert(r.getAs[Long]("inter_est") <= uEst)
   }
+
+  test("q270: pairs scored >= 900, ordered ids, no self-pairs") {
+    val rows = run("q270_jaro_winkler_er").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      val jw = r.getAs[Long]("jw_milli")
+      assert(jw >= 900 && jw <= 1000)
+    }
+    // symmetry of the kernel on a sampled pair
+    import graft.functions.TextNormOps.jaroWinklerMilli
+    assert(jaroWinklerMilli("hello world", "world hello") ==
+      jaroWinklerMilli("world hello", "hello world"))
+  }
 }

@@ -121,6 +121,30 @@ class ScalarFnSpec extends AnyFunSuite {
     assert(graft.functions.TextNormOps.charNgramDistinct("abcdef", 4) == 3L)
     assert(graft.functions.TextNormOps.charNgramDistinct("abc", 4) == 0L)
   }
+
+  test("jaro_winkler_milli matches the published vectors and DuckDB probes") {
+    import graft.functions.TextNormOps.jaroWinklerMilli
+    // classic literature vectors (DuckDB's native function returns the
+    // same doubles — measured this session before quantization)
+    assert(jaroWinklerMilli("MARTHA", "MARHTA") == 961)  // 0.9611...
+    assert(jaroWinklerMilli("DIXON", "DICKSONX") == 813) // 0.8133...
+    assert(jaroWinklerMilli("JELLYFISH", "SMELLYFISH") == 896)
+    assert(jaroWinklerMilli("apple", "apple") == 1000)
+    assert(jaroWinklerMilli("", "x") == 0)
+    assert(jaroWinklerMilli("abc", "") == 0)
+    // boost threshold: jaro 0.7333 gets the prefix boost, 0.6667 not
+    assert(jaroWinklerMilli("abcdx", "abcdzzzzzz") == 840)
+    assert(jaroWinklerMilli("ab", "az") == 666)
+    // unboosted below the 0.7 gate despite a shared prefix
+    assert(jaroWinklerMilli("abcdefgh", "abzzzzzz") == 500)
+    // codegen equivalence through the registered function
+    GraftFunctions.register(spark)
+    val got = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"))
+      .toDF("a", "b")
+      .select(call_function("jaro_winkler_milli", $"a", $"b"))
+      .as[Long].collect()
+    assert(got.toSeq == Seq(961L, 813L))
+  }
 }
 
 object UriSpecHelpers {
