@@ -507,6 +507,116 @@ object RelationalQueries extends QueryModule {
       SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         CAST(max(burst) AS BIGINT) AS peak_1h_events,
         CAST(max(mass) AS BIGINT) AS peak_1h_value_milli
-      FROM r GROUP BY 1"""))
+      FROM r GROUP BY 1""")),
+
+    // TPC-H Q20 shape (the "excess inventory" nested aggregate): which
+    // suppliers DOMINATED the 1997 shipments of some small part —
+    // supplier share of a part's shipped quantity > 50%? The classic
+    // formulation is a correlated subquery per (part, supplier); the
+    // distributed form is two aggregations over the SAME filtered scan
+    // (per-pair quantity, per-part total) joined on the part key —
+    // no correlation, no re-scan, the date filter pushed to parquet.
+    // Exactness: quantities sum as DECIMAL(12,2); the 50% test is
+    // 2*qty > tot in exact decimal (no float division anywhere).
+    // Scale shape: both aggs are map-side-combined over one shuffle on
+    // l_partkey; the part-size filter semi-joins BEFORE the supplier
+    // rollup (smallest frame first); nation is the only broadcast.
+    Q("q271_dominant_supplier", (s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+        .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType) &&
+                $"l_shipdate" < lit("1998-01-01").cast(TimestampType))
+        .select($"l_partkey", $"l_suppkey", $"l_quantity".cast(D).as("q"))
+        .persist()
+      val perPair = li.groupBy($"l_partkey", $"l_suppkey")
+        .agg(sum($"q").as("qty"))
+      val perPart = li.groupBy($"l_partkey").agg(sum($"q").as("tot"))
+      val smallParts = t(s, d, "part").filter($"p_size" <= 10)
+        .select($"p_partkey")
+      val dominant = perPair.join(perPart, "l_partkey")
+        .filter($"qty" * 2 > $"tot")
+        .join(smallParts, $"l_partkey" === $"p_partkey", "left_semi")
+      dominant
+        .join(t(s, d, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(t(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(countDistinct($"l_suppkey").as("n_suppliers"),
+          count(lit(1)).as("n_dominated_parts"))
+    }, Some("""
+      WITH li AS (
+        SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(12,2)) AS q
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'),
+      pair AS (SELECT l_partkey, l_suppkey, sum(q) AS qty
+               FROM li GROUP BY 1, 2),
+      tot AS (SELECT l_partkey, sum(q) AS tot FROM li GROUP BY 1),
+      dom AS (
+        SELECT pair.l_partkey, pair.l_suppkey
+        FROM pair JOIN tot USING (l_partkey)
+        WHERE pair.qty * 2 > tot.tot
+          AND EXISTS (SELECT 1 FROM part
+                      WHERE p_partkey = pair.l_partkey AND p_size <= 10))
+      SELECT n_name,
+        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        count(*) AS n_dominated_parts
+      FROM dom
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY 1""")),
+
+    // TPC-H Q21 shape (the "waiting orders" multi-EXISTS self-join):
+    // suppliers who were the SOLE late shipper on a finished
+    // multi-supplier order — the classic blame query whose textbook
+    // form is one EXISTS plus one NOT EXISTS against the same lineitem
+    // table. The distributed form collapses both quantifiers into ONE
+    // per-(order, supplier) flag aggregation and ONE per-order rollup
+    // (n_suppliers, n_late_suppliers) joined back — three shuffles on
+    // the order key total, against Q21's four logical scans. Lateness
+    // is ship > order date + 80 days (this schema has no
+    // commit/receipt dates; the delay domain is ~1..95 days so 80
+    // isolates a real tail). Top-20 via TakeOrderedAndProject on the
+    // (numwait desc, suppkey asc) total order.
+    Q("q272_lone_late_supplier", (s, d) => {
+      import s.implicits._
+      val flags = t(s, d, "lineitem")
+        .join(t(s, d, "orders").filter($"o_orderstatus" === "F")
+          .select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey", $"l_suppkey")
+        .agg(max(($"l_shipdate" >
+          $"o_orderdate" + expr("INTERVAL 80 DAYS")).cast("long")).as("late"))
+        .persist()
+      val perOrder = flags.groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_supps"), sum($"late").as("n_late"))
+      flags.filter($"late" === 1)
+        .join(perOrder.filter($"n_supps" >= 2 && $"n_late" === 1),
+          "l_orderkey")
+        .groupBy($"l_suppkey").agg(count(lit(1)).as("numwait"))
+        .join(t(s, d, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .select($"s_name", $"l_suppkey".as("suppkey"), $"numwait")
+        .orderBy($"numwait".desc, $"suppkey".asc)
+        .limit(20)
+    }, Some("""
+      WITH flags AS (
+        SELECT l_orderkey, l_suppkey,
+          max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 80 DAY
+              THEN 1 ELSE 0 END) AS late
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY 1, 2),
+      per_order AS (
+        SELECT l_orderkey, count(*) AS n_supps, sum(late) AS n_late
+        FROM flags GROUP BY 1),
+      waits AS (
+        SELECT f.l_suppkey, count(*) AS numwait
+        FROM flags f JOIN per_order o USING (l_orderkey)
+        WHERE f.late = 1 AND o.n_supps >= 2 AND o.n_late = 1
+        GROUP BY 1)
+      SELECT s_name, l_suppkey AS suppkey, CAST(numwait AS BIGINT) AS numwait
+      FROM waits JOIN supplier ON l_suppkey = s_suppkey
+      ORDER BY numwait DESC, suppkey ASC
+      LIMIT 20"""))
   )
 }

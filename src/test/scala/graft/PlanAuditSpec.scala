@@ -172,6 +172,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q191_rrf_fusion" -> "query-embedding batch (doc_id IN 2 literal ids — q141 class) + the query-term set of those 2 docs (doc-bounded, q112 class)",
     "q212_knn_label_noise" -> "probe batch: vec_id < 100 constant probe set (q37 class)",
     "q221_ann_recall" -> "probe batch: vec_id < 50 constant probe set (q37 class)",
+    "q271_dominant_supplier" -> "nation dimension table (25 rows, q91 class)",
     "q223_ndcg_eval" -> "query-term set of the 3 seed docs: doc-bounded, not corpus-growing (q112 class)",
     "q235_bloom_fpr_audit" -> "bloom words (1024/32 = 32 rows, x3 probes): groupBy over the fixed 1024-bit range (q81 class)",
     "q243_wasserstein_drift" -> "per-source doc totals: groupBy source (bounded source registry, q143 class) + the scalar corpus total",
