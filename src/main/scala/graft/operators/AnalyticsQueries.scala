@@ -3530,6 +3530,171 @@ object AnalyticsQueries extends QueryModule {
         CAST((sum(k * cv) * 1000) // max(n) AS BIGINT)
           AS winsor_mean_milli
       FROM j GROUP BY 1""")),
+
+    // Synchronous min-label propagation, 3 BSP rounds, with per-round
+    // convergence telemetry (labels changed, distinct labels, largest
+    // community) — the community-SEEDING primitive next to the
+    // centrality (q139/q155), density (q168/q193) and full-convergence
+    // CC (q53, O(log n) large-star/small-star) family members: fixed
+    // sub-convergence rounds cost a BOUNDED number of shuffles and the
+    // changed-labels curve itself is the diagnostic (a flat curve says
+    // the graph fragmented; a cliff says one giant component). Scale
+    // shape: pure node-keyed BSP — each round is one adj⋈labels
+    // equi-join + one map-side-combined min agg; label frames are
+    // node-registry-sized and persisted (the 2-consumer recursion
+    // lesson from q193: stats + next round both read each frame); the
+    // synthetic 96-node topology comes from the q193 salted-md5
+    // family, but nothing in the plan depends on the registry size.
+    Q("q273_label_propagation", (s, d) => {
+      import s.implicits._
+      val hx = DedupOps.hv32FromHexSql("md5(concat('c', cast(doc_id as string)))")
+      val hy = DedupOps.hv32FromHexSql("md5(concat('d', cast(doc_id as string)))")
+      val ed = t(s, d, "documents")
+        .select(expr(s"$hx % 96").as("x"), expr(s"$hy % 96").as("y"))
+        .filter($"x" =!= $"y")
+        .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+        .distinct().persist()
+      val adj = ed.select($"a".as("node"), $"b".as("nbr"))
+        .unionAll(ed.select($"b".as("node"), $"a".as("nbr")))
+      val l0 = adj.select($"node").distinct()
+        .select($"node", $"node".as("lab")).persist()
+      def step(lab: org.apache.spark.sql.DataFrame) = {
+        val nbrMin = adj
+          .join(lab.select($"node".as("nbr"), $"lab".as("nlab")), "nbr")
+          .groupBy($"node").agg(min($"nlab").as("nl"))
+        lab.join(nbrMin, Seq("node"), "left_outer")
+          .select($"node",
+            least($"lab", coalesce($"nl", $"lab")).as("lab"))
+          .persist()
+      }
+      val l1 = step(l0); val l2 = step(l1); val l3 = step(l2)
+      def stats(cur: org.apache.spark.sql.DataFrame,
+                prev: org.apache.spark.sql.DataFrame, i: Int) =
+        cur.join(prev.select($"node", $"lab".as("plab")), "node")
+          .select($"lab", ($"lab" =!= $"plab").cast("long").as("ch"))
+          .groupBy($"lab")
+          .agg(count(lit(1)).as("cs"), sum($"ch").as("chs"))
+          .agg(lit(i.toLong).as("round"), sum($"chs").as("n_changed"),
+            count(lit(1)).as("n_labels"), max($"cs").as("max_comm"))
+      stats(l1, l0, 1).unionAll(stats(l2, l1, 2)).unionAll(stats(l3, l2, 3))
+    }, Some(s"""
+      WITH ed AS (
+        SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM (
+          SELECT
+            (${DedupQueries.hvDuckOf("'c' || CAST(doc_id AS VARCHAR)")}) % 96
+              AS x,
+            (${DedupQueries.hvDuckOf("'d' || CAST(doc_id AS VARCHAR)")}) % 96
+              AS y
+          FROM documents)
+        WHERE x <> y),
+      adj AS (SELECT a AS node, b AS nbr FROM ed
+              UNION ALL SELECT b, a FROM ed),
+      l0 AS (SELECT DISTINCT node, node AS lab FROM adj),
+      p1 AS (SELECT adj.node, min(l.lab) AS nl FROM adj
+             JOIN l0 l ON l.node = adj.nbr GROUP BY 1),
+      l1 AS (SELECT l0.node, least(l0.lab, coalesce(p1.nl, l0.lab)) AS lab
+             FROM l0 LEFT JOIN p1 ON p1.node = l0.node),
+      p2 AS (SELECT adj.node, min(l.lab) AS nl FROM adj
+             JOIN l1 l ON l.node = adj.nbr GROUP BY 1),
+      l2 AS (SELECT l1.node, least(l1.lab, coalesce(p2.nl, l1.lab)) AS lab
+             FROM l1 LEFT JOIN p2 ON p2.node = l1.node),
+      p3 AS (SELECT adj.node, min(l.lab) AS nl FROM adj
+             JOIN l2 l ON l.node = adj.nbr GROUP BY 1),
+      l3 AS (SELECT l2.node, least(l2.lab, coalesce(p3.nl, l2.lab)) AS lab
+             FROM l2 LEFT JOIN p3 ON p3.node = l2.node),
+      s1 AS (SELECT c.lab, count(*) AS cs,
+               sum(CASE WHEN c.lab <> p.lab THEN 1 ELSE 0 END) AS chs
+             FROM l1 c JOIN l0 p ON c.node = p.node GROUP BY 1),
+      s2 AS (SELECT c.lab, count(*) AS cs,
+               sum(CASE WHEN c.lab <> p.lab THEN 1 ELSE 0 END) AS chs
+             FROM l2 c JOIN l1 p ON c.node = p.node GROUP BY 1),
+      s3 AS (SELECT c.lab, count(*) AS cs,
+               sum(CASE WHEN c.lab <> p.lab THEN 1 ELSE 0 END) AS chs
+             FROM l3 c JOIN l2 p ON c.node = p.node GROUP BY 1)
+      SELECT CAST(1 AS BIGINT) AS round,
+        CAST(sum(chs) AS BIGINT) AS n_changed,
+        CAST(count(*) AS BIGINT) AS n_labels,
+        CAST(max(cs) AS BIGINT) AS max_comm FROM s1
+      UNION ALL
+      SELECT 2, CAST(sum(chs) AS BIGINT), count(*), max(cs) FROM s2
+      UNION ALL
+      SELECT 3, CAST(sum(chs) AS BIGINT), count(*), max(cs) FROM s3""")),
+
+    // Multi-source BFS reachability profile: hop histogram from the
+    // top-4 in-degree hubs over the directed link graph, 3 frontier
+    // expansions — the "how much of the graph do the hubs cover in k
+    // clicks" crawl-frontier / influence-radius readout that none of
+    // the centrality or density queries answer. Scale shape: textbook
+    // frontier BSP — each hop is ONE edges⋈frontier equi-join, a
+    // distinct, and an anti-join against the visited set (all
+    // node-keyed shuffles); frontiers and the visited set are
+    // node-registry-bounded and persisted round-to-round (q193's
+    // 2-consumer rule: each round's visited set feeds the anti-join
+    // AND the union). Seed selection is a k=4 TakeOrderedAndProject
+    // on (in-degree desc, node asc) — a total order, so the seed set
+    // is engine-identical.
+    Q("q274_multi_source_bfs", (s, d) => {
+      import s.implicits._
+      val hx = DedupOps.hv32FromHexSql("md5(concat('e', cast(doc_id as string)))")
+      val hy = DedupOps.hv32FromHexSql("md5(concat('f', cast(doc_id as string)))")
+      val ed = t(s, d, "documents")
+        .select(expr(s"$hx % 128").as("x"), expr(s"$hy % 128").as("y"))
+        .filter($"x" =!= $"y").distinct().persist()
+      val nodes = ed.select($"x".as("node"))
+        .unionAll(ed.select($"y".as("node"))).distinct()
+      val seeds = ed.groupBy($"y").agg(count(lit(1)).as("ind"))
+        .orderBy($"ind".desc, $"y".asc).limit(4)
+        .select($"y".as("node"))
+      val h0 = seeds.select($"node", lit(0L).as("hop")).persist()
+      def expand(dist: org.apache.spark.sql.DataFrame,
+                 frontier: org.apache.spark.sql.DataFrame, h: Int) = {
+        val nxt = ed.join(frontier.select($"node".as("x")), "x")
+          .select($"y".as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .select($"node", lit(h.toLong).as("hop")).persist()
+        (dist.unionAll(nxt).persist(), nxt)
+      }
+      val (d1, f1) = expand(h0, h0, 1)
+      val (d2, f2) = expand(d1, f1, 2)
+      val (d3, _) = expand(d2, f2, 3)
+      val reached = d3.groupBy($"hop").agg(count(lit(1)).as("n_nodes"))
+      val unreached = nodes.join(d3, Seq("node"), "left_anti")
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(lit(-1L).as("hop"), $"n_nodes")
+      reached.unionByName(unreached)
+    }, Some(s"""
+      WITH ed AS (
+        SELECT DISTINCT x, y FROM (
+          SELECT
+            (${DedupQueries.hvDuckOf("'e' || CAST(doc_id AS VARCHAR)")}) % 128
+              AS x,
+            (${DedupQueries.hvDuckOf("'f' || CAST(doc_id AS VARCHAR)")}) % 128
+              AS y
+          FROM documents)
+        WHERE x <> y),
+      nodes AS (SELECT x AS node FROM ed UNION SELECT y FROM ed),
+      seeds AS (SELECT y AS node FROM ed GROUP BY 1
+                ORDER BY count(*) DESC, y ASC LIMIT 4),
+      h0 AS (SELECT node, CAST(0 AS BIGINT) AS hop FROM seeds),
+      r1 AS (SELECT DISTINCT ed.y AS node FROM ed
+             JOIN h0 ON ed.x = h0.node),
+      h1 AS (SELECT node, CAST(1 AS BIGINT) AS hop FROM r1
+             WHERE node NOT IN (SELECT node FROM h0)),
+      d1 AS (SELECT * FROM h0 UNION ALL SELECT * FROM h1),
+      r2 AS (SELECT DISTINCT ed.y AS node FROM ed
+             JOIN h1 ON ed.x = h1.node),
+      h2 AS (SELECT node, CAST(2 AS BIGINT) AS hop FROM r2
+             WHERE node NOT IN (SELECT node FROM d1)),
+      d2 AS (SELECT * FROM d1 UNION ALL SELECT * FROM h2),
+      r3 AS (SELECT DISTINCT ed.y AS node FROM ed
+             JOIN h2 ON ed.x = h2.node),
+      h3 AS (SELECT node, CAST(3 AS BIGINT) AS hop FROM r3
+             WHERE node NOT IN (SELECT node FROM d2)),
+      d3 AS (SELECT * FROM d2 UNION ALL SELECT * FROM h3)
+      SELECT hop, count(*) AS n_nodes FROM d3 GROUP BY 1
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), count(*) FROM nodes
+      WHERE node NOT IN (SELECT node FROM d3)""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user
