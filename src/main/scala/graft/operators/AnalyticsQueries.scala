@@ -3695,6 +3695,106 @@ object AnalyticsQueries extends QueryModule {
       UNION ALL
       SELECT CAST(-1 AS BIGINT), count(*) FROM nodes
       WHERE node NOT IN (SELECT node FROM d3)""")),
+
+    // Peak interval concurrency per day ("max concurrent active users"
+    // — the capacity-planning number): each user's active span per day
+    // is an interval [first event, last event]; the sweep-line (+1 at
+    // start, −1 after end, running sum, max) gives the peak overlap.
+    // THE scale point: a naive sweep is ONE GLOBAL ordered prefix sum
+    // — the textbook non-distributable pattern. Here the prefix sum is
+    // TWO-LEVEL: within-(day, hour) running sums (bounded partitions)
+    // plus per-day hour-offset cumsums over the ≤24-row hour grid
+    // (value-domain bounded, q110 argument) — the classic distributed
+    // scan decomposition; at any corpus size no window ever orders
+    // more than one hour-bucket of boundary points. Tie order
+    // (t asc, +1 before −1, user asc) is a total order, so the
+    // running sum — and the peak — is engine-identical.
+    Q("q275_interval_concurrency", (s, d) => {
+      import s.implicits._
+      val spans = t(s, d, "events")
+        .select($"user_id",
+          date_format(to_date($"ts".cast("timestamp")), "yyyy-MM-dd").as("day"),
+          unix_micros($"ts".cast("timestamp")).as("ep"))
+        .groupBy($"user_id", $"day")
+        .agg(min($"ep").as("lo"), max($"ep").as("hi"))
+      val pts = spans.select($"day", $"lo".as("t"), lit(1L).as("delta"),
+          $"user_id")
+        .unionAll(spans.select($"day", ($"hi" + 1).as("t"),
+          lit(-1L).as("delta"), $"user_id"))
+        .withColumn("hr", expr("(t div 3600000000) % 24"))
+      val wIn = Window.partitionBy($"day", $"hr")
+        .orderBy($"t".asc, $"delta".desc, $"user_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val l1 = pts.withColumn("rs", sum($"delta").over(wIn))
+      val wHr = Window.partitionBy($"day").orderBy($"hr".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offs = pts.groupBy($"day", $"hr").agg(sum($"delta").as("ht"))
+        .withColumn("off", sum($"ht").over(wHr) - $"ht")
+        .select($"day", $"hr", $"off")
+      l1.join(offs, Seq("day", "hr"))
+        .select($"day", ($"off" + $"rs").as("conc"))
+        .groupBy($"day")
+        .agg((count(lit(1)) / 2).cast("long").as("n_spans"),
+          max($"conc").as("peak_concurrency"))
+    }, Some("""
+      WITH spans AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+          min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        FROM events GROUP BY 1, 2),
+      pts AS (
+        SELECT day, lo AS t, CAST(1 AS BIGINT) AS delta, user_id FROM spans
+        UNION ALL
+        SELECT day, hi + 1, -1, user_id FROM spans),
+      sweep AS (
+        SELECT day,
+          sum(delta) OVER (PARTITION BY day
+            ORDER BY t ASC, delta DESC, user_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        FROM pts)
+      SELECT day, CAST(count(*) / 2 AS BIGINT) AS n_spans,
+        CAST(max(conc) AS BIGINT) AS peak_concurrency
+      FROM sweep GROUP BY 1""")),
+
+    // Per-user activity streaks (gaps & islands on the calendar):
+    // distinct active days collapse into maximal consecutive-day runs
+    // via the classic dayIndex − row_number device; the catalog-level
+    // readout is the streak-length distribution (how many runs of
+    // each length, how many users achieve one) — the engagement-
+    // habit metric DAU/WAU (q255) and retention (q90) don't give.
+    // Scale shape: ONE (user, day) distinct collapses the stream;
+    // per-user windows ride the BOUNDED day grid (a user has at most
+    // |calendar| distinct days — value-domain bounded, never
+    // event-cardinality); the rollup is map-side-combined on the
+    // (user, island) key then the ≤|calendar|-row length grid.
+    Q("q276_activity_streaks", (s, d) => {
+      import s.implicits._
+      val days = t(s, d, "events")
+        .select($"user_id",
+          datediff(to_date($"ts".cast("timestamp")), lit("2024-01-01"))
+            .cast("long").as("di"))
+        .distinct()
+      val wU = Window.partitionBy($"user_id").orderBy($"di".asc)
+      val islands = days
+        .withColumn("grp", $"di" - row_number().over(wU))
+        .groupBy($"user_id", $"grp").agg(count(lit(1)).as("len"))
+      islands.groupBy($"len".as("streak_len"))
+        .agg(count(lit(1)).as("n_streaks"),
+          countDistinct($"user_id").as("n_users"))
+    }, Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id,
+          date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di
+        FROM events),
+      islands AS (
+        SELECT user_id, di - row_number() OVER (
+            PARTITION BY user_id ORDER BY di ASC) AS grp
+        FROM days),
+      runs AS (
+        SELECT user_id, grp, count(*) AS len
+        FROM islands GROUP BY 1, 2)
+      SELECT CAST(len AS BIGINT) AS streak_len, count(*) AS n_streaks,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM runs GROUP BY 1""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

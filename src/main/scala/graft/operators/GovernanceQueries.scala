@@ -1844,7 +1844,61 @@ object GovernanceQueries extends QueryModule {
         CAST(floor(sqrt(CAST(sum(contrib_milli) AS DOUBLE) / 1000 /
           CAST(max(tt) * least(max(nr) - 1, max(nc) - 1) AS DOUBLE))
           * 1000) AS BIGINT) AS cramers_v_milli
-      FROM j"""))
+      FROM j""")),
+
+    // Compaction planner (the small-files remedy next to q188's
+    // prune-stats diagnosis): pack each source's documents, in stable
+    // doc_id order, into sequential 16 KiB target bins by cumulative
+    // size — bin = floor(bytes-before / target), the deterministic
+    // linear-scan plan a table-maintenance job would execute. Readout
+    // per source: bins, fill factor, worst bin. THE scale point: the
+    // cumulative size is a per-source ordered prefix sum — textbook
+    // non-distributable — so it is computed TWO-LEVEL (q275's scan
+    // decomposition): within-(source, 256-doc block) running sums +
+    // per-source block-offset cumsum over the n/256-row block grid
+    // (at petabyte scale the block grid recurses once more; no window
+    // here ever orders more than 256 rows or the block grid).
+    Q("q277_compaction_planner", (s, d) => {
+      import s.implicits._
+      val target = 16384L
+      val docs = t(s, d, "documents")
+        .select($"source", $"doc_id", $"n_chars",
+          expr("doc_id div 256").as("blk"))
+      val wB = Window.partitionBy($"source", $"blk")
+        .orderBy($"doc_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val l1 = docs.withColumn("rs", sum($"n_chars").over(wB))
+      val wS = Window.partitionBy($"source").orderBy($"blk".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offs = docs.groupBy($"source", $"blk")
+        .agg(sum($"n_chars").as("bt"))
+        .withColumn("off", sum($"bt").over(wS) - $"bt")
+        .select($"source", $"blk", $"off")
+      val bins = l1.join(offs, Seq("source", "blk"))
+        .select($"source", $"n_chars",
+          expr(s"(off + rs - n_chars) div $target").as("bin"))
+        .groupBy($"source", $"bin").agg(sum($"n_chars").as("bc"))
+      bins.groupBy($"source")
+        .agg(count(lit(1)).as("n_bins"), sum($"bc").as("total_chars"),
+          max($"bc").as("max_bin_chars"),
+          expr(s"(sum(bc) * 1000000) div (count(1) * $target)")
+            .as("fill_ppm"))
+    }, Some("""
+      WITH cum AS (
+        SELECT source, n_chars,
+          sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM documents),
+      bins AS (
+        SELECT source, (c - n_chars) // 16384 AS bin,
+          sum(n_chars) AS bc
+        FROM cum GROUP BY 1, 2)
+      SELECT source, count(*) AS n_bins,
+        CAST(sum(bc) AS BIGINT) AS total_chars,
+        CAST(max(bc) AS BIGINT) AS max_bin_chars,
+        CAST((sum(bc) * 1000000) // (count(*) * 16384) AS BIGINT)
+          AS fill_ppm
+      FROM bins GROUP BY 1"""))
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed
