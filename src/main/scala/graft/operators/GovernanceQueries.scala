@@ -1898,7 +1898,171 @@ object GovernanceQueries extends QueryModule {
         CAST(max(bc) AS BIGINT) AS max_bin_chars,
         CAST((sum(bc) * 1000000) // (count(*) * 16384) AS BIGINT)
           AS fill_ppm
-      FROM bins GROUP BY 1"""))
+      FROM bins GROUP BY 1""")),
+
+    // Leave-one-out target encoding (the leakage-SAFE categorical
+    // feature q242's screen checks FOR: encoding a category by its
+    // target mean must exclude the row's own target or the feature
+    // memorizes the label): enc(row) = (catSum − y + m·globalMean) /
+    // (catN − 1 + m), smoothing m=10 pulls rare categories toward the
+    // prior. Readout per category: the encoding's min/mean/max — the
+    // feature-store summary. Exactness: targets floor-micro BEFORE
+    // any sum; the global mean is ONE integer division; per-row enc
+    // is integer div (n−1+m ≥ m > 0, no degenerate denominator).
+    // Scale shape: one map-side-combined category agg (registry-
+    // bounded, broadcast back) + the 1-row global; the per-row
+    // arithmetic is row-local codegen; final agg map-side-combined.
+    Q("q278_loo_target_encoding", (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"event_type", floor($"value" * 1000000).cast("long").as("y"))
+      val cat = ev.groupBy($"event_type")
+        .agg(count(lit(1)).as("cn"), sum($"y").as("cs"))
+      val g = cat.agg(expr("sum(cs) div sum(cn)").as("gmean"))
+      ev.join(broadcast(cat), "event_type").crossJoin(broadcast(g))
+        .withColumn("enc",
+          expr("(cs - y + 10 * gmean) div (cn - 1 + 10)"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_rows"), min($"enc").as("enc_min_micro"),
+          max($"enc").as("enc_max_micro"),
+          expr("sum(enc) div count(1)").as("enc_mean_micro"))
+    }, Some("""
+      WITH ev AS (
+        SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS y
+        FROM events),
+      cat AS (SELECT event_type, count(*) AS cn, sum(y) AS cs
+              FROM ev GROUP BY 1),
+      g AS (SELECT sum(cs) // sum(cn) AS gmean FROM cat),
+      enc AS (
+        SELECT ev.event_type,
+          (cat.cs - ev.y + 10 * g.gmean) // (cat.cn - 1 + 10) AS enc
+        FROM ev JOIN cat USING (event_type) CROSS JOIN g)
+      SELECT event_type, count(*) AS n_rows,
+        CAST(min(enc) AS BIGINT) AS enc_min_micro,
+        CAST(max(enc) AS BIGINT) AS enc_max_micro,
+        CAST(sum(enc) // count(*) AS BIGINT) AS enc_mean_micro
+      FROM enc GROUP BY 1""")),
+
+    // Population Stability Index per event type (THE scorecard-
+    // monitoring drift number: reference-period value deciles become
+    // fixed bins; PSI = Σ (p_i − q_i)·ln(p_i/q_i) over current-vs-
+    // reference bin shares — decision thresholds 0.1/0.25 are industry
+    // convention). Differs from q143 (KS: max CDF gap, no binning)
+    // and q207 (KL: vocabulary distribution): PSI is the BINNED,
+    // symmetric-in-spirit variant risk teams actually gate on, and
+    // the decile-bin derivation itself (exact thresholds from a
+    // cumulative over the value grid) is the reusable machinery.
+    // Exactness: centi-quantized value grid; thresholds are exact
+    // lower-rank deciles (ceil(k·n/10) via integer div); Laplace
+    // +1 smoothing makes every bin share positive; shares in ppm;
+    // ln on the integer-fed p/q ratio floor-milli (q207 convention);
+    // contributions integer products summed to nano-nats. Scale
+    // shape: ONE (type, period, centi-value) agg collapses the
+    // stream; cum windows and threshold joins ride the value-domain
+    // grid; the 9-rank and 10-bin frames are literal local relations;
+    // the final rollup is registry-sized.
+    Q("q279_psi_drift", (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"event_type",
+          when(to_date($"ts".cast("timestamp")) < lit("2024-01-15"), "ref")
+            .otherwise("cur").as("per"),
+          floor($"value" * 100).cast("long").as("vc"))
+      val grid = ev.groupBy($"event_type", $"per", $"vc")
+        .agg(count(lit(1)).as("cnt")).persist()
+      val tots = grid.groupBy($"event_type", $"per")
+        .agg(sum($"cnt").as("n"))
+      val wV = Window.partitionBy($"event_type").orderBy($"vc".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val refCum = grid.filter($"per" === "ref")
+        .withColumn("cum", sum($"cnt").over(wV))
+        .join(tots.filter($"per" === "ref")
+          .select($"event_type", $"n"), "event_type")
+      val ks = (1L to 9L).toDF("k")
+      val thr = refCum.crossJoin(broadcast(ks))
+        .filter($"cum" >= expr("(n * k + 9) div 10"))
+        .groupBy($"event_type", $"k").agg(min($"vc").as("t"))
+      val binned = grid.join(broadcast(thr), "event_type")
+        .groupBy($"event_type", $"per", $"vc")
+        .agg(max($"cnt").as("cnt"),
+          sum(($"t" <= $"vc").cast("long")).as("bin"))
+        .groupBy($"event_type", $"bin")
+        .agg(sum(when($"per" === "ref", $"cnt").otherwise(0L)).as("rc"),
+          sum(when($"per" === "cur", $"cnt").otherwise(0L)).as("cc"))
+      val types = grid.select($"event_type").distinct()
+      val bins = (0L to 9L).toDF("bin")
+      val full = types.crossJoin(broadcast(bins))
+        .join(binned, Seq("event_type", "bin"), "left_outer")
+        .select($"event_type", $"bin",
+          coalesce($"rc", lit(0L)).as("rc"), coalesce($"cc", lit(0L)).as("cc"))
+      full
+        .join(tots.filter($"per" === "ref")
+          .select($"event_type", $"n".as("rn")), "event_type")
+        .join(tots.filter($"per" === "cur")
+          .select($"event_type", $"n".as("cn")), "event_type")
+        .withColumn("p", expr("((rc + 1) * 1000000) div (rn + 10)"))
+        .withColumn("q", expr("((cc + 1) * 1000000) div (cn + 10)"))
+        .withColumn("lr",
+          expr("cast(floor(ln(cast(p as double) / cast(q as double)) * 1000) as long)"))
+        .groupBy($"event_type")
+        .agg(max($"rn").as("n_ref"), max($"cn").as("n_cur"),
+          sum(($"p" - $"q") * $"lr").as("psi_nano"))
+    }, Some("""
+      WITH ev AS (
+        SELECT event_type,
+          CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15'
+               THEN 'ref' ELSE 'cur' END AS per,
+          CAST(floor(value * 100) AS BIGINT) AS vc
+        FROM events),
+      grid AS (SELECT event_type, per, vc, count(*) AS cnt
+               FROM ev GROUP BY 1, 2, 3),
+      tots AS (SELECT event_type, per, sum(cnt) AS n
+               FROM grid GROUP BY 1, 2),
+      refcum AS (
+        SELECT g.event_type, g.vc, t.n,
+          sum(g.cnt) OVER (PARTITION BY g.event_type ORDER BY g.vc ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM grid g JOIN tots t
+          ON t.event_type = g.event_type AND t.per = 'ref'
+        WHERE g.per = 'ref'),
+      ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (1), (2), (3),
+        (4), (5), (6), (7), (8), (9)) v(k)),
+      thr AS (
+        SELECT event_type, k, min(vc) AS t
+        FROM refcum CROSS JOIN ks
+        WHERE cum >= (n * k + 9) // 10
+        GROUP BY 1, 2),
+      assigned AS (
+        SELECT g.event_type, g.per, g.vc, max(g.cnt) AS cnt,
+          sum(CASE WHEN thr.t <= g.vc THEN 1 ELSE 0 END) AS bin
+        FROM grid g JOIN thr ON thr.event_type = g.event_type
+        GROUP BY 1, 2, 3),
+      binned AS (
+        SELECT event_type, bin,
+          sum(CASE WHEN per = 'ref' THEN cnt ELSE 0 END) AS rc,
+          sum(CASE WHEN per = 'cur' THEN cnt ELSE 0 END) AS cc
+        FROM assigned GROUP BY 1, 2),
+      bins AS (SELECT CAST(b AS BIGINT) AS bin FROM (VALUES (0), (1),
+        (2), (3), (4), (5), (6), (7), (8), (9)) v(b)),
+      full_bins AS (
+        SELECT ty.event_type, bins.bin,
+          coalesce(b.rc, 0) AS rc, coalesce(b.cc, 0) AS cc
+        FROM (SELECT DISTINCT event_type FROM grid) ty
+        CROSS JOIN bins
+        LEFT JOIN binned b
+          ON b.event_type = ty.event_type AND b.bin = bins.bin),
+      shares AS (
+        SELECT f.event_type, rt.n AS rn, ct.n AS cn,
+          ((f.rc + 1) * 1000000) // (rt.n + 10) AS p,
+          ((f.cc + 1) * 1000000) // (ct.n + 10) AS q
+        FROM full_bins f
+        JOIN tots rt ON rt.event_type = f.event_type AND rt.per = 'ref'
+        JOIN tots ct ON ct.event_type = f.event_type AND ct.per = 'cur')
+      SELECT event_type, CAST(max(rn) AS BIGINT) AS n_ref,
+        CAST(max(cn) AS BIGINT) AS n_cur,
+        CAST(sum((p - q) * CAST(floor(ln(CAST(p AS DOUBLE)
+          / CAST(q AS DOUBLE)) * 1000) AS BIGINT)) AS BIGINT) AS psi_nano
+      FROM shares GROUP BY 1"""))
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

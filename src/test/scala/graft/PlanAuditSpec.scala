@@ -77,6 +77,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q212_knn_label_noise" -> "constant probe batch (vec_id < 100) broadcast against the corpus: the q37 k*n scan",
     "q221_ann_recall" -> "brute-force ground-truth side: constant probe batch (vec_id < 50) broadcast against the corpus (q37 class)",
     "q223_ndcg_eval" -> "1-row corpus-stats (N, avgdl) broadcasts for the BM25 score (q112 class)",
+    "q278_loo_target_encoding" -> "1-row global-mean broadcast crossed onto the event stream (q92 scalar-threshold class)",
+    "q279_psi_drift" -> "constant 9-rank and 10-bin literal frames crossed onto the value-domain grid / type registry (q110 constant-list class)",
     "q224_importance_ess" -> "1-row (corpus total, lang count) broadcast onto the per-doc weight frame",
     "q226_loo_dedup_value" -> "1-row corpus dup/doc totals broadcast onto the source-registry LOO frame",
     "q228_ucb_readout" -> "1-row total-pulls broadcast onto the arm registry",
@@ -173,6 +175,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q212_knn_label_noise" -> "probe batch: vec_id < 100 constant probe set (q37 class)",
     "q221_ann_recall" -> "probe batch: vec_id < 50 constant probe set (q37 class)",
     "q271_dominant_supplier" -> "nation dimension table (25 rows, q91 class)",
+    "q278_loo_target_encoding" -> "per-category target stats: groupBy event_type (bounded type registry, q99/q143 class)",
+    "q279_psi_drift" -> "decile thresholds: groupBy (event_type, k<=9) — type registry x 9 rows (q110 class)",
     "q223_ndcg_eval" -> "query-term set of the 3 seed docs: doc-bounded, not corpus-growing (q112 class)",
     "q235_bloom_fpr_audit" -> "bloom words (1024/32 = 32 rows, x3 probes): groupBy over the fixed 1024-bit range (q81 class)",
     "q243_wasserstein_drift" -> "per-source doc totals: groupBy source (bounded source registry, q143 class) + the scalar corpus total",
