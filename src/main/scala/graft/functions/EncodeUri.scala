@@ -83,5 +83,6 @@ object GraftFunctions {
     add("char_ngram_distinct", exprs => CharNgramDistinct(exprs.head,
       exprs(1).eval().asInstanceOf[Int]))
     add("jaro_winkler_milli", exprs => JaroWinklerMilli(exprs.head, exprs(1)))
+    add("damerau_levenshtein", exprs => DamerauLevenshtein(exprs.head, exprs(1)))
   }
 }

@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler_milli"),
       new ExpressionInfo(classOf[JaroWinklerMilli].getName, "jaro_winkler_milli"),
       (exprs: Seq[Expression]) => JaroWinklerMilli(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName, "damerau_levenshtein"),
+      (exprs: Seq[Expression]) => DamerauLevenshtein(exprs.head, exprs(1))))
     // EAV self-join-chain -> single-shuffle pivot (opt-in via
     // spark.graft.eav.pivotJoinChains AND spark.graft.eav.entityColumn
     // naming the declared-unique link column; see the rule's scaladoc)

