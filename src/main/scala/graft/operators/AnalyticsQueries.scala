@@ -3795,6 +3795,123 @@ object AnalyticsQueries extends QueryModule {
       SELECT CAST(len AS BIGINT) AS streak_len, count(*) AS n_streaks,
         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       FROM runs GROUP BY 1""")),
+
+    // Simpson's-paradox gate on the value-vs-time trend: the pooled
+    // OLS slope of event value over the day index vs each event
+    // type's within-group slope, flagging SIGN REVERSALS — the
+    // aggregation-bias check that must run before any "metric is
+    // trending up" claim built on pooled data (q183 fits per-type
+    // trends; THIS query asks whether the pooled trend lies about
+    // them). Exactness: classic integer OLS numerator/denominator
+    // (n·Σxy − Σx·Σy over n·Σx² − (Σx)²) on milli-quantized values
+    // and day indexes; one signed integer division per slope (both
+    // engines truncate toward zero); int64 headroom to n ≈ 10^7
+    // rows/group at the 30-day × milli-value domain — beyond that,
+    // rescale y to centi (q265-class note). Scale shape: ONE
+    // map-side-combined per-type moment agg; the pooled moments are
+    // the SUM of the per-type frame (registry-sized, no second corpus
+    // pass); the pooled scalar is the only broadcast.
+    Q("q281_simpsons_paradox", (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"event_type",
+          datediff(to_date($"ts".cast("timestamp")), lit("2024-01-01"))
+            .cast("long").as("x"),
+          floor($"value" * 1000).cast("long").as("y"))
+      val m = ev.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+          sum($"x" * $"y").as("sxy"))
+        .withColumn("slope_milli",
+          expr("((n * sxy - sx * sy) * 1000) div (n * sxx - sx * sx)"))
+        .persist()
+      val pooled = m.agg(sum($"n").as("pn"), sum($"sx").as("psx"),
+          sum($"sy").as("psy"), sum($"sxx").as("psxx"),
+          sum($"sxy").as("psxy"))
+        .select(expr(
+          "((pn * psxy - psx * psy) * 1000) div (pn * psxx - psx * psx)")
+          .as("pooled_slope_milli"))
+      m.crossJoin(broadcast(pooled))
+        .select($"event_type", $"n", $"slope_milli", $"pooled_slope_milli",
+          (($"slope_milli" > 0 && $"pooled_slope_milli" < 0) ||
+            ($"slope_milli" < 0 && $"pooled_slope_milli" > 0))
+            .cast("long").as("reversed"))
+    }, Some("""
+      WITH ev AS (
+        SELECT event_type,
+          date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+          CAST(floor(value * 1000) AS BIGINT) AS y
+        FROM events),
+      m AS (
+        SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+          sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM ev GROUP BY 1),
+      sl AS (
+        SELECT event_type, n,
+          ((n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx)
+            AS slope_milli
+        FROM m),
+      p AS (
+        SELECT ((sum(n) * sum(sxy) - sum(sx) * sum(sy)) * 1000)
+          // (sum(n) * sum(sxx) - sum(sx) * sum(sx))
+          AS pooled_slope_milli
+        FROM m)
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+        CAST(slope_milli AS BIGINT) AS slope_milli,
+        CAST(pooled_slope_milli AS BIGINT) AS pooled_slope_milli,
+        CAST(CASE WHEN (slope_milli > 0 AND pooled_slope_milli < 0)
+          OR (slope_milli < 0 AND pooled_slope_milli > 0)
+          THEN 1 ELSE 0 END AS BIGINT) AS reversed
+      FROM sl CROSS JOIN p""")),
+
+    // Cohort lifetime-value curve: users grouped by first-seen week,
+    // cumulative value PER COHORT USER at each week offset — the
+    // LTV/payback readout q90's retention (a COUNT curve) doesn't
+    // give: two cohorts can retain identically while one monetizes 3×.
+    // Scale shape: ONE per-user first-seen agg (map-side-combined),
+    // one (cohort, week) value-mass agg onto the BOUNDED week×week
+    // grid, cum windows riding that grid (q110 argument), cohort
+    // sizes joined back registry-sized; per-user normalization is one
+    // integer division at the end. Values floor-milli before summing.
+    Q("q283_cohort_ltv", (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"user_id",
+          expr("datediff(to_date(cast(ts as timestamp)), '2024-01-01') div 7")
+            .cast("long").as("wk"),
+          floor($"value" * 1000).cast("long").as("vm"))
+        .persist()
+      val cohort = ev.groupBy($"user_id").agg(min($"wk").as("cw"))
+      val sizes = cohort.groupBy($"cw").agg(count(lit(1)).as("n_users"))
+      val mass = ev.join(cohort, "user_id")
+        .groupBy($"cw", $"wk").agg(sum($"vm").as("wv"))
+      val wC = Window.partitionBy($"cw").orderBy($"wk".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      mass.withColumn("cum", sum($"wv").over(wC))
+        .join(sizes, "cw")
+        .select($"cw".as("cohort_week"), ($"wk" - $"cw").as("week_offset"),
+          $"n_users", expr("cum div n_users").as("ltv_milli_per_user"))
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id,
+          date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk,
+          CAST(floor(value * 1000) AS BIGINT) AS vm
+        FROM events),
+      cohort AS (SELECT user_id, min(wk) AS cw FROM ev GROUP BY 1),
+      sizes AS (SELECT cw, count(*) AS n_users FROM cohort GROUP BY 1),
+      mass AS (
+        SELECT c.cw, e.wk, sum(e.vm) AS wv
+        FROM ev e JOIN cohort c USING (user_id)
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT cw, wk, sum(wv) OVER (PARTITION BY cw ORDER BY wk ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM mass)
+      SELECT cum.cw AS cohort_week, CAST(cum.wk - cum.cw AS BIGINT)
+          AS week_offset,
+        CAST(sizes.n_users AS BIGINT) AS n_users,
+        CAST(cum.cum // sizes.n_users AS BIGINT) AS ltv_milli_per_user
+      FROM cum JOIN sizes USING (cw)""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

@@ -676,5 +676,103 @@ object CleaningQueries extends QueryModule {
         CAST(sum(red_ppm) // count(*) AS BIGINT) AS avg_redund_ppm,
         CAST(max(red_ppm) AS BIGINT) AS max_redund_ppm
       FROM r GROUP BY 1""")),
+
+    // Lognormal distribution-fit audit on per-source doc lengths: fit
+    // μ, σ by moments on ln(n_chars), then compare the EMPIRICAL
+    // deciles of the log-length against the fitted normal's
+    // theoretical deciles (μ + σ·z_k, z_k the standard-normal decile
+    // constants embedded as identical integer-micro literals in both
+    // engines — the q165/poisT precomputed-literal pattern). Doc
+    // lengths are canonically near-lognormal; a large max |QQ
+    // deviation| flags a source whose length law is NOT (truncation,
+    // mixture, bot spam) — the distribution-SHAPE gate next to q143's
+    // two-sample KS (which needs a reference sample; this needs only
+    // the parametric family). Exactness: l = floor-milli ln; moments
+    // and deciles all-integer over the (source, l) value grid (q110
+    // argument); σ is one floor'd sqrt on an integer-fed double;
+    // int64 headroom to ~10^8 docs/source at the milli scale (then
+    // rescale to centi, q265-class note). Scale shape: ONE (source,
+    // l) agg collapses the corpus; cum windows and the 9-rank
+    // threshold join ride the bounded log-length grid; registry-sized
+    // rollups; the z frame is a literal local relation.
+    Q("q282_lognormal_qq", (s, d) => {
+      import s.implicits._
+      val zMicro = CleaningQueries.normalDecileZMicro
+      val grid = t(s, d, "documents")
+        .select($"source",
+          expr("cast(floor(ln(cast(n_chars as double)) * 1000) as long)")
+            .as("l"))
+        .groupBy($"source", $"l").agg(count(lit(1)).as("cnt"))
+        .persist()
+      val tot = grid.groupBy($"source")
+        .agg(sum($"cnt").as("n"), sum($"l" * $"cnt").as("sl"),
+          sum($"l" * $"l" * $"cnt").as("sll"))
+        .withColumn("mu", expr("sl div n"))
+        .withColumn("sigma",
+          expr("cast(floor(sqrt(cast(n * sll - sl * sl as double)) / n) as long)"))
+      val wS = Window.partitionBy($"source").orderBy($"l".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid.withColumn("cum", sum($"cnt").over(wS))
+        .join(tot.select($"source", $"n"), "source")
+      val zf = zMicro.zipWithIndex
+        .map { case (z, i) => (i + 1L, z) }.toDF("k", "z")
+      val emp = cum.crossJoin(broadcast(zf))
+        .filter($"cum" >= expr("(n * k + 9) div 10"))
+        .groupBy($"source", $"k", $"z").agg(min($"l").as("e"))
+      emp.join(broadcast(tot.select($"source", $"n", $"mu", $"sigma")),
+          "source")
+        .withColumn("dev", $"e" - ($"mu" + expr("(sigma * z) div 1000000")))
+        .groupBy($"source")
+        .agg(max($"n").as("n_docs"), max($"mu").as("mu_milli"),
+          max($"sigma").as("sigma_milli"),
+          max(abs($"dev")).as("max_qq_dev_milli"),
+          expr("sum(abs(dev)) div 9").as("mean_qq_dev_milli"))
+    }, Some(s"""
+      WITH g AS (
+        SELECT source,
+          CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1000) AS BIGINT) AS l,
+          count(*) AS cnt
+        FROM documents GROUP BY 1, 2),
+      tot AS (
+        SELECT source, sum(cnt) AS n, sum(l * cnt) AS sl,
+          sum(l * l * cnt) AS sll
+        FROM g GROUP BY 1),
+      fit AS (
+        SELECT source, n, sl // n AS mu,
+          CAST(floor(sqrt(CAST(n * sll - sl * sl AS DOUBLE)) / n)
+            AS BIGINT) AS sigma
+        FROM tot),
+      cum AS (
+        SELECT g.source, g.l, t.n,
+          sum(g.cnt) OVER (PARTITION BY g.source ORDER BY g.l ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM g JOIN tot t USING (source)),
+      z AS (SELECT CAST(k AS BIGINT) AS k, CAST(z AS BIGINT) AS z
+            FROM (VALUES ${CleaningQueries.normalDecileZMicro.zipWithIndex
+              .map { case (z, i) => s"(${i + 1}, $z)" }.mkString(", ")})
+              v(k, z)),
+      emp AS (
+        SELECT source, k, z, min(l) AS e
+        FROM cum CROSS JOIN z
+        WHERE cum >= (n * k + 9) // 10
+        GROUP BY 1, 2, 3),
+      dev AS (
+        SELECT emp.source, fit.n, fit.mu, fit.sigma,
+          emp.e - (fit.mu + (fit.sigma * emp.z) // 1000000) AS dev
+        FROM emp JOIN fit USING (source))
+      SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        CAST(max(mu) AS BIGINT) AS mu_milli,
+        CAST(max(sigma) AS BIGINT) AS sigma_milli,
+        CAST(max(abs(dev)) AS BIGINT) AS max_qq_dev_milli,
+        CAST(sum(abs(dev)) // 9 AS BIGINT) AS mean_qq_dev_milli
+      FROM dev GROUP BY 1""")),
   )
+
+  /** Standard-normal decile quantiles Φ⁻¹(k/10), k = 1..9, floor-
+    * quantized to integer micro and embedded as identical literals in
+    * BOTH engines (q165/poisT precomputed-literal pattern — no runtime
+    * inverse-CDF exists in either engine to diverge). */
+  private[operators] val normalDecileZMicro: Seq[Long] = Seq(
+    -1281552L, -841622L, -524401L, -253348L, 0L,
+    253347L, 524400L, 841621L, 1281551L)
 }

@@ -79,6 +79,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q223_ndcg_eval" -> "1-row corpus-stats (N, avgdl) broadcasts for the BM25 score (q112 class)",
     "q278_loo_target_encoding" -> "1-row global-mean broadcast crossed onto the event stream (q92 scalar-threshold class)",
     "q279_psi_drift" -> "constant 9-rank and 10-bin literal frames crossed onto the value-domain grid / type registry (q110 constant-list class)",
+    "q281_simpsons_paradox" -> "1-row pooled-slope broadcast onto the type-registry slope frame (q92 scalar-threshold class)",
+    "q282_lognormal_qq" -> "constant 9-row z-literal frame crossed onto the bounded log-length grid (q279/q110 constant-list class)",
     "q224_importance_ess" -> "1-row (corpus total, lang count) broadcast onto the per-doc weight frame",
     "q226_loo_dedup_value" -> "1-row corpus dup/doc totals broadcast onto the source-registry LOO frame",
     "q228_ucb_readout" -> "1-row total-pulls broadcast onto the arm registry",
@@ -175,6 +177,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q212_knn_label_noise" -> "probe batch: vec_id < 100 constant probe set (q37 class)",
     "q221_ann_recall" -> "probe batch: vec_id < 50 constant probe set (q37 class)",
     "q271_dominant_supplier" -> "nation dimension table (25 rows, q91 class)",
+    "q282_lognormal_qq" -> "per-source moment fit: groupBy source (bounded source registry, q99/q143 class)",
     "q278_loo_target_encoding" -> "per-category target stats: groupBy event_type (bounded type registry, q99/q143 class)",
     "q279_psi_drift" -> "decile thresholds: groupBy (event_type, k<=9) — type registry x 9 rows (q110 class)",
     "q223_ndcg_eval" -> "query-term set of the 3 seed docs: doc-bounded, not corpus-growing (q112 class)",
