@@ -3912,6 +3912,78 @@ object AnalyticsQueries extends QueryModule {
         CAST(sizes.n_users AS BIGINT) AS n_users,
         CAST(cum.cum // sizes.n_users AS BIGINT) AS ltv_milli_per_user
       FROM cum JOIN sizes USING (cw)""")),
+
+    // Transition-TIME matrix over consecutive per-user events: p50/p90
+    // of the gap (minutes) for every (from, to) event-type pair — the
+    // timing complement to q169's Markov transition PROBABILITIES
+    // (q169 says users go click→purchase; this says how long that
+    // edge takes, the journey-latency input a nudge/timeout policy
+    // needs; q229 covers three funnel steps, this is the full
+    // type×type matrix from raw adjacency). Exact percentiles
+    // WITHOUT sorting event-cardinality rows: gaps bucket to the
+    // minute grid (value-domain bounded by the calendar horizon,
+    // q229/q110 argument), ONE (from, to, minute) agg, per-pair grid
+    // windows, a 2-row literal percentile frame inequality-joined to
+    // the grid. The per-user adjacency window orders (ts, event_id) —
+    // a total order, so lag() is engine-identical under ties.
+    Q("q285_transition_times", (s, d) => {
+      import s.implicits._
+      val wU = Window.partitionBy($"user_id")
+        .orderBy($"ep".asc, $"event_id".asc)
+      val tr = t(s, d, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          unix_micros($"ts".cast("timestamp")).as("ep"))
+        .withColumn("from_t", lag($"event_type", 1).over(wU))
+        .withColumn("pep", lag($"ep", 1).over(wU))
+        .filter($"from_t".isNotNull)
+        .select($"from_t", $"event_type".as("to_t"),
+          expr("(ep - pep) div 60000000").as("gm"))
+      val grid = tr.groupBy($"from_t", $"to_t", $"gm")
+        .agg(count(lit(1)).as("cnt")).persist()
+      val tot = grid.groupBy($"from_t", $"to_t").agg(sum($"cnt").as("n"))
+      val wP = Window.partitionBy($"from_t", $"to_t").orderBy($"gm".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pcts = Seq(50L, 90L).toDF("p")
+      grid.withColumn("cum", sum($"cnt").over(wP))
+        .join(tot, Seq("from_t", "to_t"))
+        .crossJoin(broadcast(pcts))
+        .filter($"cum" * 100 >= $"p" * $"n")
+        .groupBy($"from_t", $"to_t", $"p").agg(min($"gm").as("g"),
+          max($"n").as("n"))
+        .groupBy($"from_t", $"to_t")
+        .agg(max($"n").as("n_trans"),
+          max(when($"p" === 50, $"g")).as("p50_gap_min"),
+          max(when($"p" === 90, $"g")).as("p90_gap_min"))
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ep
+        FROM events),
+      tr AS (
+        SELECT lag(event_type, 1) OVER w AS from_t,
+          event_type AS to_t,
+          (ep - lag(ep, 1) OVER w) // 60000000 AS gm
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)),
+      g AS (SELECT from_t, to_t, gm, count(*) AS cnt FROM tr
+            WHERE from_t IS NOT NULL GROUP BY 1, 2, 3),
+      tot AS (SELECT from_t, to_t, sum(cnt) AS n FROM g GROUP BY 1, 2),
+      cum AS (
+        SELECT g.from_t, g.to_t, g.gm, t.n,
+          sum(g.cnt) OVER (PARTITION BY g.from_t, g.to_t
+            ORDER BY g.gm ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM g JOIN tot t USING (from_t, to_t)),
+      pc AS (SELECT CAST(p AS BIGINT) AS p
+             FROM (VALUES (50), (90)) v(p)),
+      hit AS (
+        SELECT from_t, to_t, p, min(gm) AS g, max(n) AS n
+        FROM cum CROSS JOIN pc
+        WHERE cum * 100 >= p * n
+        GROUP BY 1, 2, 3)
+      SELECT from_t, to_t, CAST(max(n) AS BIGINT) AS n_trans,
+        CAST(max(CASE WHEN p = 50 THEN g END) AS BIGINT) AS p50_gap_min,
+        CAST(max(CASE WHEN p = 90 THEN g END) AS BIGINT) AS p90_gap_min
+      FROM hit GROUP BY 1, 2""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

@@ -2062,7 +2062,79 @@ object GovernanceQueries extends QueryModule {
         CAST(max(cn) AS BIGINT) AS n_cur,
         CAST(sum((p - q) * CAST(floor(ln(CAST(p AS DOUBLE)
           / CAST(q AS DOUBLE)) * 1000) AS BIGINT)) AS BIGINT) AS psi_nano
-      FROM shares GROUP BY 1"""))
+      FROM shares GROUP BY 1""")),
+
+    // Functional-dependency discovery (constraint profiling): for each
+    // candidate A→B, the violation profile — how many A-groups see
+    // more than one distinct B — separating REAL keys/dependencies
+    // (o_orderkey→o_custkey, doc_id→source: 0 violations, usable as
+    // merge keys and pruning predicates) from folk assumptions
+    // (source→lang, user_id→event_type: heavily violated). q164
+    // checks DECLARED foreign keys hold across tables; this DISCOVERS
+    // which intra-table dependencies hold at all — the profiling
+    // input a schema-inference or CDC-merge layer needs. Scale shape:
+    // per candidate ONE map-side-combined (A, distinct-B) agg — the
+    // countDistinct is per-group, never global — then a scalar
+    // rollup; candidates union registry-sized 1-row frames.
+    Q("q284_fd_discovery", (s, d) => {
+      import s.implicits._
+      def fd(df: org.apache.spark.sql.DataFrame, lhs: String, rhs: String,
+             name: String) =
+        df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("nd"))
+          .agg(lit(name).as("fd"), count(lit(1)).as("n_keys"),
+            sum(($"nd" > 1).cast("long")).as("viol_keys"),
+            max($"nd").as("max_rhs"))
+          .withColumn("viol_ppm",
+            expr("(viol_keys * 1000000) div n_keys"))
+      fd(t(s, d, "orders"), "o_orderkey", "o_custkey",
+          "orders.o_orderkey->o_custkey")
+        .unionAll(fd(t(s, d, "lineitem"), "l_orderkey", "l_suppkey",
+          "lineitem.l_orderkey->l_suppkey"))
+        .unionAll(fd(t(s, d, "lineitem"), "l_partkey", "l_returnflag",
+          "lineitem.l_partkey->l_returnflag"))
+        .unionAll(fd(t(s, d, "documents"), "doc_id", "source",
+          "documents.doc_id->source"))
+        .unionAll(fd(t(s, d, "documents"), "source", "lang",
+          "documents.source->lang"))
+        .unionAll(fd(t(s, d, "events"), "user_id", "event_type",
+          "events.user_id->event_type"))
+    }, Some("""
+      WITH c1 AS (SELECT o_orderkey AS k, count(DISTINCT o_custkey) AS nd
+                  FROM orders GROUP BY 1),
+      c2 AS (SELECT l_orderkey AS k, count(DISTINCT l_suppkey) AS nd
+             FROM lineitem GROUP BY 1),
+      c3 AS (SELECT l_partkey AS k, count(DISTINCT l_returnflag) AS nd
+             FROM lineitem GROUP BY 1),
+      c4 AS (SELECT doc_id AS k, count(DISTINCT source) AS nd
+             FROM documents GROUP BY 1),
+      c5 AS (SELECT source AS k, count(DISTINCT lang) AS nd
+             FROM documents GROUP BY 1),
+      c6 AS (SELECT user_id AS k, count(DISTINCT event_type) AS nd
+             FROM events GROUP BY 1),
+      r AS (
+        SELECT 'orders.o_orderkey->o_custkey' AS fd, count(*) AS n_keys,
+          sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS viol_keys,
+          max(nd) AS max_rhs FROM c1
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->l_suppkey', count(*),
+          sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), max(nd) FROM c2
+        UNION ALL
+        SELECT 'lineitem.l_partkey->l_returnflag', count(*),
+          sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), max(nd) FROM c3
+        UNION ALL
+        SELECT 'documents.doc_id->source', count(*),
+          sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), max(nd) FROM c4
+        UNION ALL
+        SELECT 'documents.source->lang', count(*),
+          sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), max(nd) FROM c5
+        UNION ALL
+        SELECT 'events.user_id->event_type', count(*),
+          sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), max(nd) FROM c6)
+      SELECT fd, CAST(n_keys AS BIGINT) AS n_keys,
+        CAST(viol_keys AS BIGINT) AS viol_keys,
+        CAST(max_rhs AS BIGINT) AS max_rhs,
+        CAST((viol_keys * 1000000) // n_keys AS BIGINT) AS viol_ppm
+      FROM r"""))
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

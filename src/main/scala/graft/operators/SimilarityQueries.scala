@@ -1510,6 +1510,97 @@ object SimilarityQueries extends QueryModule {
         CAST(sum(n * dm * dm) AS BIGINT) AS between_milli2,
         CAST((sum(n * dm * dm) * 1000000) // greatest(sum(w), 1)
           AS BIGINT) AS fisher_ppm
-      FROM j GROUP BY 1"""))
+      FROM j GROUP BY 1""")),
+
+    // Johnson–Lindenstrauss projection distortion audit: project the
+    // 64-dim embeddings to K = 16 dims through the SEEDED Gaussian
+    // hyperplane family (the same deterministic matrix machinery the
+    // LSH stack signs with — here kept as real-valued projections) and
+    // measure the squared-distance distortion ratio
+    // (‖Pa−Pb‖²/K) / ‖a−b‖² over the deterministic consecutive-id
+    // pair sample. The histogram answers "can downstream switch to a
+    // 4× cheaper 16-dim index and keep distances within ±x%?" —
+    // the dimensionality-REDUCTION counterpart to q192's truncation
+    // (energy compaction keeps prefix coords; JL mixes all of them —
+    // far tighter distortion at the same K for non-axis-aligned
+    // mass). Exactness: all doubles flow through FIXED-order row-
+    // local expressions (projections per VECTOR, explicit 16-term
+    // sums, q37/q192 IEEE-tree convention), floor-ppm quantized
+    // BEFORE the histogram; planes interpolated into the oracle as
+    // %.17e literals (exact round-trip). Scale shape: per-vector
+    // projections are 17 codegen'd dot products in ONE pass; the
+    // pair sample is an id-keyed equi-join (never all-pairs); the
+    // rollup rides the bounded ratio-bucket domain.
+    Q("q286_jl_distortion", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val planes = SimilarityOps.hyperplanes(16, 64, seed = 7L)
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        call_function("dot_product", a, b)
+      val projCols = planes.zipWithIndex.map { case (pl, k) =>
+        dot($"e", array(pl.map(lit(_)): _*)).as(s"p$k")
+      }
+      val v = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        .select(Seq($"vec_id", $"e", dot($"e", $"e").as("nn")) ++
+          projCols: _*)
+        .persist()
+      val a = v.toDF(v.columns.map(c => s"a_$c").toIndexedSeq: _*)
+      val b = v.toDF(v.columns.map(c => s"b_$c").toIndexedSeq: _*)
+      val dy2 = (0 until 16).map(k =>
+        s"(a_p$k - b_p$k) * (a_p$k - b_p$k)").mkString(" + ")
+      a.join(b, $"a_vec_id" + 1 === $"b_vec_id")
+        .withColumn("sab", dot($"a_e", $"b_e"))
+        .withColumn("dx2", expr("a_nn + b_nn - 2 * sab"))
+        .withColumn("dy2", expr(dy2))
+        .filter($"dx2" > 0)
+        .withColumn("ratio_ppm",
+          expr("cast(floor(dy2 * 1000000 / (16 * dx2)) as long)"))
+        .groupBy(expr("ratio_ppm div 100000").as("ratio_bucket"))
+        .agg(count(lit(1)).as("n_pairs"), min($"ratio_ppm").as("min_ppm"),
+          max($"ratio_ppm").as("max_ppm"))
+    }, Some(s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      planes(k, pv) AS (VALUES
+        ${SimilarityOps.hyperplanes(16, 64, seed = 7L).zipWithIndex
+          .map { case (pl, k) =>
+            s"($k, CAST([${pl.map(x => f"$x%.17e").mkString(", ")}] AS DOUBLE[]))"
+          }.mkString(",\n        ")}),
+      proj AS (
+        SELECT v.vec_id, p.k,
+          list_sum(list_transform(range(1, 65), i -> v.e[i] * p.pv[i]))
+            AS pv
+        FROM v CROSS JOIN planes p),
+      pw AS (
+        SELECT vec_id,
+          ${(0 until 16).map(k =>
+            s"max(CASE WHEN k = $k THEN pv END) AS p$k").mkString(",\n          ")}
+        FROM proj GROUP BY 1),
+      nn AS (
+        SELECT vec_id,
+          list_sum(list_transform(range(1, 65), i -> e[i] * e[i])) AS nn
+        FROM v),
+      pr AS (
+        SELECT a.vec_id,
+          an.nn + bn.nn - 2 * list_sum(list_transform(range(1, 65),
+            i -> a.e[i] * b.e[i])) AS dx2,
+          ${(0 until 16).map(k =>
+            s"(pa.p$k - pb.p$k) * (pa.p$k - pb.p$k)").mkString(" + ")}
+            AS dy2
+        FROM v a JOIN v b ON a.vec_id + 1 = b.vec_id
+        JOIN nn an ON an.vec_id = a.vec_id
+        JOIN nn bn ON bn.vec_id = b.vec_id
+        JOIN pw pa ON pa.vec_id = a.vec_id
+        JOIN pw pb ON pb.vec_id = b.vec_id),
+      r AS (
+        SELECT CAST(floor(dy2 * 1000000 / (16 * dx2)) AS BIGINT)
+          AS ratio_ppm
+        FROM pr WHERE dx2 > 0)
+      SELECT ratio_ppm // 100000 AS ratio_bucket,
+        count(*) AS n_pairs,
+        CAST(min(ratio_ppm) AS BIGINT) AS min_ppm,
+        CAST(max(ratio_ppm) AS BIGINT) AS max_ppm
+      FROM r GROUP BY 1"""))
   )
 }

@@ -81,6 +81,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q279_psi_drift" -> "constant 9-rank and 10-bin literal frames crossed onto the value-domain grid / type registry (q110 constant-list class)",
     "q281_simpsons_paradox" -> "1-row pooled-slope broadcast onto the type-registry slope frame (q92 scalar-threshold class)",
     "q282_lognormal_qq" -> "constant 9-row z-literal frame crossed onto the bounded log-length grid (q279/q110 constant-list class)",
+    "q285_transition_times" -> "2-row literal percentile frame crossed onto the bounded minute grid (q229 class)",
     "q224_importance_ess" -> "1-row (corpus total, lang count) broadcast onto the per-doc weight frame",
     "q226_loo_dedup_value" -> "1-row corpus dup/doc totals broadcast onto the source-registry LOO frame",
     "q228_ucb_readout" -> "1-row total-pulls broadcast onto the arm registry",
