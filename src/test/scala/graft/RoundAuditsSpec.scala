@@ -1042,4 +1042,220 @@ class RoundAuditsSpec extends AnyFunSuite {
     assert(jaroWinklerMilli("hello world", "world hello") ==
       jaroWinklerMilli("world hello", "hello world"))
   }
+
+  test("q271: every dominated part implies at least one supplier per nation") {
+    run("q271_dominant_supplier").collect().foreach { r =>
+      val ns = r.getAs[Long]("n_suppliers")
+      val np = r.getAs[Long]("n_dominated_parts")
+      assert(ns >= 1 && np >= ns) // a supplier appears via >= 1 part
+    }
+  }
+
+  test("q272: top-20 wait counts are positive and ordered with unique keys") {
+    val rows = run("q272_lone_late_supplier").collect()
+    assert(rows.length <= 20)
+    val pairs = rows.map(r =>
+      (r.getAs[Long]("numwait"), r.getAs[Long]("suppkey")))
+    assert(pairs.forall(_._1 >= 1))
+    assert(pairs.map(_._2).distinct.length == pairs.length)
+  }
+
+  test("q273: min-label propagation only coarsens — labels shrink, communities grow") {
+    val rs = run("q273_label_propagation").collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_changed"),
+        r.getAs[Long]("n_labels"), r.getAs[Long]("max_comm")))
+      .sortBy(_._1)
+    assert(rs.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(rs(0)._3 >= rs(1)._3 && rs(1)._3 >= rs(2)._3)
+    assert(rs(0)._4 <= rs(1)._4 && rs(1)._4 <= rs(2)._4)
+    rs.foreach { case (_, ch, nl, mc) =>
+      assert(ch >= 0 && nl >= 1 && mc >= 1)
+    }
+  }
+
+  test("q274: BFS partitions the node set — 4 seeds, disjoint hop counts sum to |V|") {
+    val rows = run("q274_multi_source_bfs").collect()
+      .map(r => (r.getAs[Long]("hop"), r.getAs[Long]("n_nodes"))).toMap
+    assert(rows(0L) == 4L) // the seed frontier
+    assert(rows.keySet.subsetOf(Set(-1L, 0L, 1L, 2L, 3L)))
+    // recompute |V| from the same derivation to close the partition
+    import org.apache.spark.sql.functions._
+    def hv(salt: String) =
+      s"cast(conv(substr(md5(concat('$salt', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+    val hx = hv("e"); val hy = hv("f")
+    val ed = graft.catalog.Tables.t(spark, sf, "documents")
+      .select(expr(s"$hx % 128").as("x"), expr(s"$hy % 128").as("y"))
+      .filter(col("x") =!= col("y")).distinct()
+    val nV = ed.select(col("x").as("n")).unionAll(ed.select(col("y").as("n")))
+      .distinct().count()
+    assert(rows.values.sum == nV)
+  }
+
+  test("q275: two-level sweep equals the single-window sweep (scan decomposition proof)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = run("q275_interval_concurrency").collect()
+      .map(r => (r.getAs[String]("day"), (r.getAs[Long]("n_spans"),
+        r.getAs[Long]("peak_concurrency")))).toMap
+    // naive single global-window sweep on the same spans
+    val spans = graft.catalog.Tables.t(spark, sf, "events")
+      .select(col("user_id"),
+        date_format(to_date(col("ts").cast("timestamp")), "yyyy-MM-dd")
+          .as("day"),
+        unix_micros(col("ts").cast("timestamp")).as("ep"))
+      .groupBy("user_id", "day")
+      .agg(min(col("ep")).as("lo"), max(col("ep")).as("hi"))
+    val pts = spans.select(col("day"), col("lo").as("t"),
+        lit(1L).as("delta"), col("user_id"))
+      .unionAll(spans.select(col("day"), (col("hi") + 1).as("t"),
+        lit(-1L).as("delta"), col("user_id")))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("t").asc, col("delta").desc, col("user_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = pts.withColumn("c", sum(col("delta")).over(w))
+      .groupBy("day")
+      .agg((count(lit(1)) / 2).cast("long").as("n"),
+        max(col("c")).as("p"))
+      .collect()
+      .map(r => (r.getAs[String]("day"),
+        (r.getAs[Long]("n"), r.getAs[Long]("p")))).toMap
+    assert(got == naive)
+    got.values.foreach { case (n, p) => assert(p >= 1 && p <= n) }
+  }
+
+  test("q276: streak mass conserves the distinct (user, day) count") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q276_activity_streaks").collect()
+    val mass = rows.map(r => r.getAs[Long]("streak_len") *
+      r.getAs[Long]("n_streaks")).sum
+    val userDays = graft.catalog.Tables.t(spark, sf, "events")
+      .select(col("user_id"),
+        to_date(col("ts").cast("timestamp")).as("day"))
+      .distinct().count()
+    assert(mass == userDays)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_streaks"))
+    }
+  }
+
+  test("q277: bin count matches the closed form when every doc fits a bin") {
+    run("q277_compaction_planner").collect().foreach { r =>
+      val total = r.getAs[Long]("total_chars")
+      val bins = r.getAs[Long]("n_bins")
+      // doc sizes << target here, so next-fit never skips a bin:
+      // the last started bin index is (total - lastSize) div target
+      assert(bins >= (total - 1) / 16384 && bins <= total / 16384 + 1)
+      assert(r.getAs[Long]("fill_ppm") > 0)
+      assert(r.getAs[Long]("max_bin_chars") <= 16384 + 553) // straddle bound
+    }
+  }
+
+  test("q278: encoding summary is internally ordered and smoothing-bounded") {
+    run("q278_loo_target_encoding").collect().foreach { r =>
+      val lo = r.getAs[Long]("enc_min_micro")
+      val mid = r.getAs[Long]("enc_mean_micro")
+      val hi = r.getAs[Long]("enc_max_micro")
+      assert(lo <= mid && mid <= hi)
+      assert(r.getAs[Long]("n_rows") >= 1)
+    }
+  }
+
+  test("q279: PSI is non-negative by construction (sign-aligned terms)") {
+    run("q279_psi_drift").collect().foreach { r =>
+      assert(r.getAs[Long]("psi_nano") >= 0)
+      assert(r.getAs[Long]("n_ref") > 0 && r.getAs[Long]("n_cur") > 0)
+    }
+  }
+
+  test("q280: Damerau never exceeds Levenshtein (kernel property + query rows)") {
+    import graft.functions.TextNormOps.damerauLevenshtein
+    // kernel: DL <= Lev on adversarial swap-heavy strings
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) {
+        (i, j) => if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for ((a, b) <- Seq(("abcd", "badc"), ("xyz", "zyx"), ("spark", "sprak"),
+      ("transpose", "transopse"), ("aa", "aaa"))) {
+      val dl = damerauLevenshtein(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      assert(dl <= lev(a, b), s"($a, $b)")
+    }
+    run("q280_damerau_typo_profile").collect().foreach { r =>
+      assert(r.getAs[Long]("n_transp_wins") <= r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("max_gain") >= 0)
+      assert(r.getAs[Long]("min_dl") <= r.getAs[Long]("max_dl"))
+    }
+  }
+
+  test("q281: the reversal flag replays the sign comparison") {
+    run("q281_simpsons_paradox").collect().foreach { r =>
+      val sl = r.getAs[Long]("slope_milli")
+      val ps = r.getAs[Long]("pooled_slope_milli")
+      val exp = if ((sl > 0 && ps < 0) || (sl < 0 && ps > 0)) 1L else 0L
+      assert(r.getAs[Long]("reversed") == exp)
+    }
+  }
+
+  test("q282: fit and deviations are internally consistent") {
+    run("q282_lognormal_qq").collect().foreach { r =>
+      assert(r.getAs[Long]("sigma_milli") >= 0)
+      val mx = r.getAs[Long]("max_qq_dev_milli")
+      val mn = r.getAs[Long]("mean_qq_dev_milli")
+      assert(mx >= mn && mn >= 0)
+      assert(r.getAs[Long]("mu_milli") > 0) // lengths >= 48 chars
+    }
+  }
+
+  test("q283: cohort LTV is non-decreasing in the week offset") {
+    val rows = run("q283_cohort_ltv").collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset"),
+        r.getAs[Long]("ltv_milli_per_user")))
+    rows.groupBy(_._1).values.foreach { g =>
+      val curve = g.sortBy(_._2).map(_._3)
+      assert(curve.zip(curve.drop(1)).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("q284: known keys hold, known non-dependencies are violated") {
+    val rows = run("q284_fd_discovery").collect()
+      .map(r => r.getAs[String]("fd") -> r.getAs[Long]("viol_keys")).toMap
+    assert(rows("orders.o_orderkey->o_custkey") == 0L)
+    assert(rows("documents.doc_id->source") == 0L)
+    assert(rows("events.user_id->event_type") > 0L)
+  }
+
+  test("q285: percentiles are ordered and transitions conserve adjacency count") {
+    val rows = run("q285_transition_times").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p50_gap_min") <= r.getAs[Long]("p90_gap_min"))
+      assert(r.getAs[Long]("n_trans") >= 1)
+    }
+    // sum of matrix cells = (#events - #users-with-events)
+    import org.apache.spark.sql.functions._
+    val ev = graft.catalog.Tables.t(spark, sf, "events")
+    val nEv = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_trans")).sum == nEv - nUsers)
+  }
+
+  test("q286: JL distortion concentrates around 1 and covers all pairs") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q286_jl_distortion").collect()
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    val n = graft.catalog.Tables.t(spark, sf, "embeddings").count()
+    assert(total >= n - 2 && total <= n - 1) // consecutive-id pairs
+    // weighted center within [0.4, 2.5]x — K=16 Gaussian JL bound,
+    // far tighter than chance for 64-dim inputs
+    val wsum = rows.map(r => r.getAs[Long]("ratio_bucket") *
+      100000L * r.getAs[Long]("n_pairs")).sum
+    val center = wsum / total
+    assert(center >= 400000L && center <= 2500000L, s"center=$center")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_ppm") >= r.getAs[Long]("ratio_bucket") * 100000L)
+      assert(r.getAs[Long]("max_ppm") < (r.getAs[Long]("ratio_bucket") + 1) * 100000L)
+    }
+  }
 }
