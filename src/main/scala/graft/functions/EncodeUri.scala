@@ -82,6 +82,8 @@ object GraftFunctions {
     add("char_entropy_nano_sum", exprs => CharEntropyNanoSum(exprs.head))
     add("char_ngram_distinct", exprs => CharNgramDistinct(exprs.head,
       exprs(1).eval().asInstanceOf[Int]))
+    add("char_ngram_max_count", exprs => CharNgramMaxCount(exprs.head,
+      exprs(1).eval().asInstanceOf[Int]))
     add("jaro_winkler_milli", exprs => JaroWinklerMilli(exprs.head, exprs(1)))
     add("damerau_levenshtein", exprs => DamerauLevenshtein(exprs.head, exprs(1)))
   }

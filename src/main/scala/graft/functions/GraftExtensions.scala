@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => CharNgramDistinct(exprs.head,
         exprs(1).eval().asInstanceOf[Int])))
     e.injectFunction((
+      FunctionIdentifier("char_ngram_max_count"),
+      new ExpressionInfo(classOf[CharNgramMaxCount].getName, "char_ngram_max_count"),
+      (exprs: Seq[Expression]) => CharNgramMaxCount(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
+    e.injectFunction((
       FunctionIdentifier("jaro_winkler_milli"),
       new ExpressionInfo(classOf[JaroWinklerMilli].getName, "jaro_winkler_milli"),
       (exprs: Seq[Expression]) => JaroWinklerMilli(exprs.head, exprs(1))))

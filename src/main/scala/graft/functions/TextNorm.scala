@@ -173,6 +173,32 @@ object TextNormOps {
     }
     count
   }
+
+  /** Maximum multiplicity of any codepoint n-gram — the MODE of the
+    * per-doc gram distribution, behind `char_ngram_max_count(text, n)`
+    * (q291). A single dominant gram (one 4-gram covering 5%+ of the
+    * stream) is the looped-generation / repeated-template signature
+    * that [[charNgramDistinct]]'s distinct-RATIO can miss when the
+    * rest of the doc is diverse. Same codepoint-window semantics as
+    * the distinct kernel, so SQL `substr` explode replays it exactly.
+    * Strings shorter than n return 0. */
+  def charNgramMaxCount(s: String, n: Int): Long = {
+    val cps = s.codePoints().toArray
+    if (cps.length < n) return 0L
+    val m = new java.util.HashMap[String, Int]()
+    val sb = new java.lang.StringBuilder(n + 1)
+    var i = 0
+    var best = 0
+    while (i + n <= cps.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { sb.appendCodePoint(cps(i + j)); j += 1 }
+      val c = m.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
 }
 
 /** Unicode NFC normalization as a codegen'd Catalyst expression —
@@ -232,6 +258,28 @@ case class CharNgramDistinct(child: Expression, n: Int)
       s"graft.functions.TextNormOps.charNgramDistinct($c.toString(), $n)")
 
   override protected def withNewChildInternal(newChild: Expression): CharNgramDistinct =
+    copy(child = newChild)
+}
+
+/** Max codepoint-n-gram multiplicity as a codegen'd Catalyst expression —
+  * `char_ngram_max_count(text, n)` with a FOLDABLE gram width. The
+  * row-local HashMap kernel keeps the gram stream inside whole-stage
+  * codegen (the q256 A/B lesson: explode + (doc, gram) shuffle is 5×
+  * the kernel's cost), and per-doc gram maps are bounded by doc length
+  * so the map fits task memory at any corpus size. */
+case class CharNgramMaxCount(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_ngram_max_count"
+
+  override def nullSafeEval(input: Any): Any =
+    TextNormOps.charNgramMaxCount(input.asInstanceOf[UTF8String].toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextNormOps.charNgramMaxCount($c.toString(), $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramMaxCount =
     copy(child = newChild)
 }
 

@@ -3984,6 +3984,185 @@ object AnalyticsQueries extends QueryModule {
         CAST(max(CASE WHEN p = 50 THEN g END) AS BIGINT) AS p50_gap_min,
         CAST(max(CASE WHEN p = 90 THEN g END) AS BIGINT) AS p90_gap_min
       FROM hit GROUP BY 1, 2""")),
+
+    // Weighted single-source shortest paths, 3 Bellman-Ford relaxation
+    // rounds from the top-out-degree hub — the COST-distance companion
+    // to q274's hop-count BFS (a CDN/routing/crawl-budget question is
+    // "how cheap", not "how few hops"; a 3-hop path can undercut a
+    // 1-hop edge). Deterministic integer edge weights 1..9 ride the
+    // same salted-md5 device as the topology, so both engines relax
+    // the identical graph. Scale shape: pure node-keyed BSP — each
+    // round is ONE edges⋈dist equi-join + a map-side-combined min agg
+    // + a full-outer merge on the node key; dist frames are
+    // node-registry-sized and persisted round-to-round (q193's
+    // 2-consumer rule); fixed rounds = bounded shuffle count at any
+    // graph size. The null-safe merge spells coalesce on BOTH sides
+    // (least() null semantics differ across engines — never relied on).
+    Q("q287_weighted_sssp", (s, d) => {
+      import s.implicits._
+      val hx = DedupOps.hv32FromHexSql("md5(concat('g', cast(doc_id as string)))")
+      val hy = DedupOps.hv32FromHexSql("md5(concat('h', cast(doc_id as string)))")
+      val hw = DedupOps.hv32FromHexSql("md5(concat('i', cast(doc_id as string)))")
+      val ed = t(s, d, "documents")
+        .select(expr(s"$hx % 128").as("x"), expr(s"$hy % 128").as("y"),
+          expr(s"1 + $hw % 9").as("w"))
+        .filter($"x" =!= $"y")
+        .groupBy($"x", $"y").agg(min($"w").as("w")).persist()
+      val nodes = ed.select($"x".as("node"))
+        .unionAll(ed.select($"y".as("node"))).distinct()
+      val seed = ed.groupBy($"x").agg(count(lit(1)).as("outd"))
+        .orderBy($"outd".desc, $"x".asc).limit(1)
+        .select($"x".as("node"), lit(0L).as("dist"))
+      val d0 = seed.persist()
+      def relax(dist: org.apache.spark.sql.DataFrame) = {
+        val upd = ed.join(dist.select($"node".as("x"), $"dist"), "x")
+          .select($"y".as("node"), ($"dist" + $"w").as("cand"))
+          .groupBy($"node").agg(min($"cand").as("cand"))
+        dist.join(upd, Seq("node"), "full_outer")
+          .select($"node",
+            least(coalesce($"dist", $"cand"), coalesce($"cand", $"dist"))
+              .as("dist"))
+          .persist()
+      }
+      val d3 = relax(relax(relax(d0)))
+      d3.groupBy($"dist").agg(count(lit(1)).as("n_nodes"))
+        .unionByName(nodes.join(d3, Seq("node"), "left_anti")
+          .agg(count(lit(1)).as("n_nodes"))
+          .select(lit(-1L).as("dist"), $"n_nodes"))
+    }, Some(s"""
+      WITH raw AS (
+        SELECT
+          (${DedupQueries.hvDuckOf("'g' || CAST(doc_id AS VARCHAR)")}) % 128
+            AS x,
+          (${DedupQueries.hvDuckOf("'h' || CAST(doc_id AS VARCHAR)")}) % 128
+            AS y,
+          1 + (${DedupQueries.hvDuckOf("'i' || CAST(doc_id AS VARCHAR)")}) % 9
+            AS w
+        FROM documents),
+      ed AS (SELECT x, y, min(w) AS w FROM raw WHERE x <> y GROUP BY 1, 2),
+      nodes AS (SELECT x AS node FROM ed UNION SELECT y FROM ed),
+      d0 AS (SELECT x AS node, CAST(0 AS BIGINT) AS dist FROM ed
+             GROUP BY 1 ORDER BY count(*) DESC, x ASC LIMIT 1),
+      u1 AS (SELECT ed.y AS node, min(d0.dist + ed.w) AS cand
+             FROM ed JOIN d0 ON ed.x = d0.node GROUP BY 1),
+      d1 AS (SELECT coalesce(d0.node, u1.node) AS node,
+               least(coalesce(d0.dist, u1.cand), coalesce(u1.cand, d0.dist))
+                 AS dist
+             FROM d0 FULL OUTER JOIN u1 ON d0.node = u1.node),
+      u2 AS (SELECT ed.y AS node, min(d1.dist + ed.w) AS cand
+             FROM ed JOIN d1 ON ed.x = d1.node GROUP BY 1),
+      d2 AS (SELECT coalesce(d1.node, u2.node) AS node,
+               least(coalesce(d1.dist, u2.cand), coalesce(u2.cand, d1.dist))
+                 AS dist
+             FROM d1 FULL OUTER JOIN u2 ON d1.node = u2.node),
+      u3 AS (SELECT ed.y AS node, min(d2.dist + ed.w) AS cand
+             FROM ed JOIN d2 ON ed.x = d2.node GROUP BY 1),
+      d3 AS (SELECT coalesce(d2.node, u3.node) AS node,
+               least(coalesce(d2.dist, u3.cand), coalesce(u3.cand, d2.dist))
+                 AS dist
+             FROM d2 FULL OUTER JOIN u3 ON d2.node = u3.node)
+      SELECT dist, count(*) AS n_nodes FROM d3 GROUP BY 1
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), count(*) FROM nodes
+      WHERE node NOT IN (SELECT node FROM d3)""")),
+
+    // EWMA control chart over the daily event count per type
+    // (lambda = 1/4, 3-sigma asymptotic limits — the SPC operator a
+    // metric-quality oncall runs before paging on a raw daily spike;
+    // q246's changepoint finds ONE structural break, q119 flags rate
+    // anomalies hour-by-hour, THIS tracks the smoothed level against
+    // control limits day-by-day). Exactness: smoothing weights
+    // floor(2^20 · (3/4)^k) are EXACT binary rationals precomputed as
+    // identical integer literals in both engines (ewmaQ20, decayQ20
+    // convention); the EWMA is a weighted integer sum normalized by
+    // the PARTIAL available mass (no warm-up bias at the series
+    // start); the 3-sigma test runs in SQUARED integer form —
+    // 7·dev² > 9·var (sigma_ewma² = sigma²·lambda/(2-lambda) = sigma²/7)
+    // — so no sqrt appears anywhere. Scale shape: the dense
+    // type×day series lives on the BOUNDED calendar×registry grid
+    // (q110 argument); the 32-step lookback is a ≤32× fan-out
+    // grid-to-grid range join; corpus touched ONCE by the
+    // map-side-combined (type, day) count agg.
+    Q("q289_ewma_control", (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"event_type",
+          datediff(to_date($"ts".cast("timestamp")), lit("2024-01-01"))
+            .cast("long").as("di"))
+      val cnt = ev.groupBy($"event_type", $"di")
+        .agg(count(lit(1)).as("y"))
+      val days = cnt.select($"di").distinct()
+      val types = cnt.select($"event_type").distinct()
+      val dense = types.crossJoin(days)
+        .join(cnt, Seq("event_type", "di"), "left_outer")
+        .select($"event_type", $"di", coalesce($"y", lit(0L)).as("y"))
+        .persist()
+      val wts = ewmaQ20.zipWithIndex
+        .map { case (w, k) => (k.toLong, w) }.toDF("k", "w")
+      val ew = dense.as("c")
+        .join(dense.as("p"),
+          $"c.event_type" === $"p.event_type" &&
+            $"p.di" <= $"c.di" && $"p.di" > $"c.di" - 32)
+        .select($"c.event_type".as("event_type"), $"c.di".as("di"),
+          ($"c.di" - $"p.di").as("k"), $"p.y".as("py"))
+        .join(broadcast(wts), "k")
+        .groupBy($"event_type", $"di")
+        .agg(sum($"w" * $"py").as("num"), sum($"w").as("mass"))
+        .select($"event_type", $"di",
+          expr("(num * 1000) div mass").as("ewma_milli"))
+      val st = dense.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"y").as("sy"),
+          sum($"y" * $"y").as("syy"))
+        .select($"event_type", $"n",
+          expr("(sy * 1000) div n").as("mu_milli"),
+          expr("((n * syy - sy * sy) * 1000000) div (n * n)")
+            .as("var_milli2"))
+      ew.join(st, "event_type")
+        .select($"event_type", $"n", $"mu_milli", $"var_milli2",
+          ($"ewma_milli" - $"mu_milli").as("dev"))
+        .groupBy($"event_type")
+        .agg(max($"n").as("n_days"), max($"mu_milli").as("mu_milli"),
+          max($"var_milli2").as("var_milli2"),
+          sum(when($"dev" * $"dev" * 7 > $"var_milli2" * 9, 1L)
+            .otherwise(0L)).as("n_flagged"),
+          max(greatest($"dev", -$"dev")).as("max_dev_milli"))
+    }, Some(s"""
+      WITH cnt AS (
+        SELECT event_type,
+          date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+          count(*) AS y
+        FROM events GROUP BY 1, 2),
+      dense AS (
+        SELECT t.event_type, dd.di, coalesce(c.y, 0) AS y
+        FROM (SELECT DISTINCT event_type FROM cnt) t
+        CROSS JOIN (SELECT DISTINCT di FROM cnt) dd
+        LEFT JOIN cnt c ON c.event_type = t.event_type AND c.di = dd.di),
+      wts AS (SELECT CAST(k AS BIGINT) AS k, CAST(w AS BIGINT) AS w
+              FROM (VALUES ${ewmaQ20.zipWithIndex
+                .map { case (w, k) => s"($k, $w)" }.mkString(", ")}) v(k, w)),
+      ew AS (
+        SELECT c.event_type, c.di,
+          (sum(w.w * p.y) * 1000) // sum(w.w) AS ewma_milli
+        FROM dense c
+        JOIN dense p ON p.event_type = c.event_type
+          AND p.di <= c.di AND p.di > c.di - 32
+        JOIN wts w ON w.k = c.di - p.di
+        GROUP BY 1, 2),
+      st AS (
+        SELECT event_type, count(*) AS n,
+          (sum(y) * 1000) // count(*) AS mu_milli,
+          ((count(*) * sum(y * y) - sum(y) * sum(y)) * 1000000)
+            // (count(*) * count(*)) AS var_milli2
+        FROM dense GROUP BY 1)
+      SELECT st.event_type, CAST(max(st.n) AS BIGINT) AS n_days,
+        CAST(max(st.mu_milli) AS BIGINT) AS mu_milli,
+        CAST(max(st.var_milli2) AS BIGINT) AS var_milli2,
+        CAST(sum(CASE WHEN (ew.ewma_milli - st.mu_milli) *
+            (ew.ewma_milli - st.mu_milli) * 7 > st.var_milli2 * 9
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        CAST(max(greatest(ew.ewma_milli - st.mu_milli,
+          st.mu_milli - ew.ewma_milli)) AS BIGINT) AS max_dev_milli
+      FROM ew JOIN st USING (event_type) GROUP BY 1""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user
@@ -4015,4 +4194,11 @@ object AnalyticsQueries extends QueryModule {
     * ndcgDiscMicro convention). */
   private[operators] val decayQ20: Seq[Long] = (0 to 30).map(o =>
     math.floor(1048576.0 * math.pow(2.0, -o / 7.0)).toLong)
+
+  /** q289's EWMA smoothing weights floor(2^20 · (3/4)^k), k = 0..31 —
+    * exact binary rationals (3^k · 2^20 >> 2k) computed in BigInt so
+    * no float pow() appears; both engines consume the identical
+    * integer literals. */
+  private[operators] val ewmaQ20: Seq[Long] = (0 to 31).map(k =>
+    ((BigInt(3).pow(k) * BigInt(2).pow(20)) >> (2 * k)).toLong)
 }

@@ -766,6 +766,51 @@ object CleaningQueries extends QueryModule {
         CAST(max(abs(dev)) AS BIGINT) AS max_qq_dev_milli,
         CAST(sum(abs(dev)) // 9 AS BIGINT) AS mean_qq_dev_milli
       FROM dev GROUP BY 1""")),
+
+    // Dominant-gram profile: the MODE of each doc's character-4-gram
+    // distribution (max multiplicity of any single gram) as a
+    // dominance share of the gram stream — the looped-generation /
+    // repeated-template signature q256's distinct-RATIO can miss: a
+    // doc that is 90% diverse but loops one 20-char template scores
+    // low redundancy yet has one wildly dominant gram. Per source:
+    // docs where one gram covers >= 5% of the stream, plus the worst
+    // dominance. Scale shape: the gram stream never leaves the scan's
+    // whole-stage codegen (char_ngram_max_count row-local HashMap
+    // kernel, the q256 A/B lesson — explode + shuffle is 5x); ONE
+    // registry-sized rollup after. Docs under 4 codepoints excluded
+    // in BOTH engines. Exactness: ppm integer division on counts.
+    Q("q291_dominant_gram", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val perDoc = t(s, d, "documents")
+        .filter(length($"text") >= 4)
+        .select($"source", expr(
+          """(char_ngram_max_count(text, 4) * 1000000)
+            div (length(text) - 3)""").as("dom_ppm"))
+      perDoc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"dom_ppm" >= 50000, 1L).otherwise(0L))
+            .as("n_dominated"),
+          expr("sum(dom_ppm) div count(1)").as("avg_dom_ppm"),
+          max($"dom_ppm").as("max_dom_ppm"))
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id, source,
+          unnest(list_transform(range(1, length(text) - 2),
+            i -> substr(text, CAST(i AS INT), 4))) AS gram
+        FROM documents WHERE length(text) >= 4),
+      pd AS (
+        SELECT doc_id, source, max(k) AS mc, sum(k) AS total
+        FROM (SELECT doc_id, source, gram, count(*) AS k
+              FROM g GROUP BY 1, 2, 3)
+        GROUP BY 1, 2),
+      r AS (SELECT source, (mc * 1000000) // total AS dom_ppm FROM pd)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN dom_ppm >= 50000 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_dominated,
+        CAST(sum(dom_ppm) // count(*) AS BIGINT) AS avg_dom_ppm,
+        CAST(max(dom_ppm) AS BIGINT) AS max_dom_ppm
+      FROM r GROUP BY 1""")),
   )
 
   /** Standard-normal decile quantiles Φ⁻¹(k/10), k = 1..9, floor-

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.catalog.{Q, QueryModule, Tables}
+import graft.catalog.{Q, QueryModule, Stats, Tables}
 
 /** Round-11 data-governance operators (SURVEY.md §2.12 X121-X123): the
   * release-side audits a corpus owner runs before training or shipping
@@ -2134,7 +2134,158 @@ object GovernanceQueries extends QueryModule {
         CAST(viol_keys AS BIGINT) AS viol_keys,
         CAST(max_rhs AS BIGINT) AS max_rhs,
         CAST((viol_keys * 1000000) // n_keys AS BIGINT) AS viol_ppm
-      FROM r"""))
+      FROM r""")),
+
+    // Capture-recapture estimate of the TRUE near-duplicate pair
+    // population (Chapman's bias-corrected Lincoln-Petersen estimator
+    // over two independent detectors: q69's text-simhash pair set as
+    // capture 1, its embedding-LSH pair set as capture 2, their
+    // intersection as the recapture) — the coverage-GOVERNANCE number
+    // no single detector can give: "we found U pairs, the overlap says
+    // roughly N exist, so each detector sees n_i/N of the problem".
+    // The independence assumption is the method's documented caveat
+    // (text and embedding similarity correlate); the estimator is the
+    // standard ecology/record-linkage one (Chapman 1951). Exactness:
+    // pure integer counts; Chapman (n1+1)(n2+1)//(m+1) - 1 never
+    // divides by zero; coverage ppm guarded for the empty-estimate
+    // corner in both engines. Scale shape: exactly q69's two
+    // linear-candidate pair frames (banded simhash self-join; bucketed
+    // LSH — never all-pairs) collapsed by ONE 1-row aggregate.
+    Q("q290_capture_recapture", (s, d) => {
+      import s.implicits._
+      val tokRows = t(s, d, "documents")
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      val sigs = DedupOps
+        .simhash32FromTokenRows(tokRows, "doc_id", "tok", "simhash")
+        .select($"doc_id", $"simhash").persist()
+      val textPairs = DedupOps
+        .simhashPairsBanded(sigs, "doc_id", "simhash", maxHamming = 1)
+        .select($"doc_a".as("id_a"), $"doc_b".as("id_b"),
+          lit(true).as("bt"))
+      val n = Stats.parquetRowCount(s, s"$d/embeddings.parquet")
+      val cfg = SimilarityOps.lshSizing(n)
+      val tables = SimilarityOps.lshTables(cfg.planes, cfg.tables, dim = 64)
+      val embPairs = SimilarityOps
+        .lshNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          tables, threshold = 0.4, probes = cfg.probes)
+        .select($"id_a", $"id_b", lit(true).as("be"))
+      textPairs.join(embPairs, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(when(coalesce($"bt", lit(false)), 1L).otherwise(0L))
+            .as("n_text"),
+          sum(when(coalesce($"be", lit(false)), 1L).otherwise(0L))
+            .as("n_emb"),
+          sum(when(coalesce($"bt", lit(false)) &&
+            coalesce($"be", lit(false)), 1L).otherwise(0L)).as("n_both"),
+          count(lit(1)).as("n_union"))
+        .select($"n_text", $"n_emb", $"n_both", $"n_union",
+          expr("((n_text + 1) * (n_emb + 1)) div (n_both + 1) - 1")
+            .as("chapman_est"))
+        .select($"n_text", $"n_emb", $"n_both", $"n_union", $"chapman_est",
+          expr("""CASE WHEN chapman_est <= 0 THEN 1000000
+            ELSE (n_text * 1000000) div chapman_est END""")
+            .as("cov_text_ppm"),
+          expr("""CASE WHEN chapman_est <= 0 THEN 1000000
+            ELSE (n_emb * 1000000) div chapman_est END""")
+            .as("cov_emb_ppm"))
+    }, Some(GovernanceQueries.captureRecaptureOracleSql(500)),
+      oracleDyn = Some((s, d) => GovernanceQueries.captureRecaptureOracleSql(
+        Stats.parquetRowCount(s, s"$d/embeddings.parquet")))),
+
+    // Mutual information between declared language and source (exact,
+    // from the registry-squared contingency table) plus the marginal
+    // entropies and min-normalized NMI — the dependence STRENGTH
+    // readout in information units that completes the association
+    // family: q266's chi-square answers "is the dependence
+    // significant", Cramér's V gives a [0,1] effect size, q202's IV
+    // scores features against ONE binary label; MI is the
+    // model-agnostic quantity that transfers to mixture design
+    // ("knowing the source gives X nats about language" — how much
+    // per-source language balancing can matter at all). Exactness:
+    // each cell/margin term is count · floor(ln(ratio)·1e9) with the
+    // ratio formed as EXPLICIT double products before one ln (q121
+    // PMI convention — no int64 product overflow); one div by T at
+    // the end; NMI one ppm div, zero-entropy corner guarded the same
+    // CASE in both engines. Scale shape: ONE map-side-combined
+    // (lang, source) agg collapses the corpus; margins are windows
+    // over the registry² frame; the final agg is 1-row.
+    Q("q292_mutual_information", (s, d) => {
+      import s.implicits._
+      val cells = t(s, d, "documents")
+        .groupBy($"lang", $"source").agg(count(lit(1)).as("c"))
+      val wL = Window.partitionBy($"lang")
+      val wS = Window.partitionBy($"source")
+      val tot = cells.agg(sum($"c").as("tt"))
+      val mi = cells
+        .withColumn("r", sum($"c").over(wL))
+        .withColumn("cl", sum($"c").over(wS))
+        .crossJoin(broadcast(tot))
+        .select($"c", $"r", $"cl", $"tt",
+          ($"c" * expr("""cast(floor(ln((cast(c as double) * cast(tt as double))
+            / (cast(r as double) * cast(cl as double))) * 1000000000)
+            as bigint)""")).as("mi_term"))
+        .agg(max($"tt").as("tt"), count(lit(1)).as("n_cells"),
+          sum($"mi_term").as("mi_sum"))
+      val hx = t(s, d, "documents").groupBy($"lang")
+        .agg(count(lit(1)).as("r"))
+        .agg(sum($"r").as("t1"), sum($"r" *
+          expr("cast(floor(ln(cast(r as double)) * 1000000000) as bigint)"))
+          .as("hr_sum"))
+      val hy = t(s, d, "documents").groupBy($"source")
+        .agg(count(lit(1)).as("cl"))
+        .agg(sum($"cl").as("t2"), sum($"cl" *
+          expr("cast(floor(ln(cast(cl as double)) * 1000000000) as bigint)"))
+          .as("hc_sum"))
+      mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+        .select($"tt", $"n_cells",
+          expr("mi_sum div tt").as("mi_nano"),
+          expr("""cast(floor(ln(cast(tt as double)) * 1000000000) as bigint)
+            - hr_sum div tt""").as("h_lang_nano"),
+          expr("""cast(floor(ln(cast(tt as double)) * 1000000000) as bigint)
+            - hc_sum div tt""").as("h_source_nano"))
+        .select($"tt", $"n_cells", $"mi_nano", $"h_lang_nano",
+          $"h_source_nano",
+          expr("""CASE WHEN least(h_lang_nano, h_source_nano) <= 0 THEN 0
+            ELSE (mi_nano * 1000000) div least(h_lang_nano, h_source_nano)
+            END""").as("nmi_ppm"))
+    }, Some("""
+      WITH cells AS (
+        SELECT lang, source, count(*) AS c
+        FROM documents GROUP BY 1, 2),
+      e AS (
+        SELECT c, sum(c) OVER (PARTITION BY lang) AS r,
+          sum(c) OVER (PARTITION BY source) AS cl,
+          sum(c) OVER () AS tt
+        FROM cells),
+      mi AS (
+        SELECT max(tt) AS tt, count(*) AS n_cells,
+          sum(c * CAST(floor(ln((CAST(c AS DOUBLE) * CAST(tt AS DOUBLE))
+            / (CAST(r AS DOUBLE) * CAST(cl AS DOUBLE))) * 1000000000)
+            AS BIGINT)) AS mi_sum
+        FROM e),
+      hx AS (
+        SELECT sum(r * CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000000)
+            AS BIGINT)) AS hr_sum
+        FROM (SELECT count(*) AS r FROM documents GROUP BY lang)),
+      hy AS (
+        SELECT sum(cl * CAST(floor(ln(CAST(cl AS DOUBLE)) * 1000000000)
+            AS BIGINT)) AS hc_sum
+        FROM (SELECT count(*) AS cl FROM documents GROUP BY source)),
+      f AS (
+        SELECT tt, n_cells, mi_sum // tt AS mi_nano,
+          CAST(floor(ln(CAST(tt AS DOUBLE)) * 1000000000) AS BIGINT)
+            - hr_sum // tt AS h_lang_nano,
+          CAST(floor(ln(CAST(tt AS DOUBLE)) * 1000000000) AS BIGINT)
+            - hc_sum // tt AS h_source_nano
+        FROM mi CROSS JOIN hx CROSS JOIN hy)
+      SELECT CAST(tt AS BIGINT) AS tt, CAST(n_cells AS BIGINT) AS n_cells,
+        CAST(mi_nano AS BIGINT) AS mi_nano,
+        CAST(h_lang_nano AS BIGINT) AS h_lang_nano,
+        CAST(h_source_nano AS BIGINT) AS h_source_nano,
+        CAST(CASE WHEN least(h_lang_nano, h_source_nano) <= 0 THEN 0
+          ELSE (mi_nano * 1000000) // least(h_lang_nano, h_source_nano)
+          END AS BIGINT) AS nmi_ppm
+      FROM f""")),
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed
@@ -2147,4 +2298,34 @@ object GovernanceQueries extends QueryModule {
     Seq(1.0, 2.0, 2.5, 8.0 / 3, 65.0 / 24)
       .map(c => math.floor(c * e * 1048576).toLong)
   }
+
+  /** q290's oracle: Chapman capture-recapture over q69's two detector
+    * pair sets — the ensemble SQL (which replays the banded simhash
+    * self-join and the seeded-LSH candidate join exactly) runs as a
+    * subquery; everything after is 1-row integer arithmetic. Sized by
+    * the live embeddings row count via oracleDyn (q69 convention). */
+  private[operators] def captureRecaptureOracleSql(n: Long): String =
+    s"""WITH agg AS (
+       |  SELECT
+       |    sum(CASE WHEN by_text THEN 1 ELSE 0 END) AS n_text,
+       |    sum(CASE WHEN by_embedding THEN 1 ELSE 0 END) AS n_emb,
+       |    sum(CASE WHEN by_both THEN 1 ELSE 0 END) AS n_both,
+       |    count(*) AS n_union
+       |  FROM (${CorpusQueries.ensembleOracleSql(n)}) p),
+       |c AS (
+       |  SELECT *,
+       |    ((n_text + 1) * (n_emb + 1)) // (n_both + 1) - 1 AS chapman_est
+       |  FROM agg)
+       |SELECT CAST(n_text AS BIGINT) AS n_text,
+       |  CAST(n_emb AS BIGINT) AS n_emb,
+       |  CAST(n_both AS BIGINT) AS n_both,
+       |  CAST(n_union AS BIGINT) AS n_union,
+       |  CAST(chapman_est AS BIGINT) AS chapman_est,
+       |  CAST(CASE WHEN chapman_est <= 0 THEN 1000000
+       |    ELSE (n_text * 1000000) // chapman_est END AS BIGINT)
+       |    AS cov_text_ppm,
+       |  CAST(CASE WHEN chapman_est <= 0 THEN 1000000
+       |    ELSE (n_emb * 1000000) // chapman_est END AS BIGINT)
+       |    AS cov_emb_ppm
+       |FROM c""".stripMargin
 }

