@@ -1307,4 +1307,40 @@ class RoundAuditsSpec extends AnyFunSuite {
       .select(col("event_type")).distinct().count()
     assert(rows.length == nTypes)
   }
+
+  test("q290: Chapman estimator replays and dominates each capture") {
+    val r = run("q290_capture_recapture").collect().head
+    val n1 = r.getAs[Long]("n_text"); val n2 = r.getAs[Long]("n_emb")
+    val m = r.getAs[Long]("n_both"); val u = r.getAs[Long]("n_union")
+    val est = r.getAs[Long]("chapman_est")
+    assert(est == (n1 + 1) * (n2 + 1) / (m + 1) - 1)
+    assert(m <= math.min(n1, n2) && u == n1 + n2 - m)
+    // the estimate can't fall below either single capture
+    assert(est >= n1 && est >= n2)
+    assert(r.getAs[Long]("cov_text_ppm") <= 1000000L)
+    assert(r.getAs[Long]("cov_emb_ppm") <= 1000000L)
+  }
+
+  test("q291: dominance is a share in (0, 1] and dominated docs are counted consistently") {
+    run("q291_dominant_gram").collect().foreach { r =>
+      assert(r.getAs[Long]("n_dominated") <= r.getAs[Long]("n_docs"))
+      val avg = r.getAs[Long]("avg_dom_ppm")
+      val mx = r.getAs[Long]("max_dom_ppm")
+      assert(avg >= 1 && avg <= mx && mx <= 1000000L)
+      if (r.getAs[Long]("n_dominated") > 0) assert(mx >= 50000L)
+    }
+  }
+
+  test("q292: information inequalities — 0 <= MI <= min entropy, NMI in [0, 1]") {
+    val r = run("q292_mutual_information").collect().head
+    val mi = r.getAs[Long]("mi_nano")
+    val hl = r.getAs[Long]("h_lang_nano"); val hs = r.getAs[Long]("h_source_nano")
+    // floor quantization can push each by ~1 nano-nat per cell; allow
+    // the n_cells-scaled slack, nothing more
+    val slack = r.getAs[Long]("n_cells") + 2
+    assert(mi >= -slack && mi <= math.min(hl, hs) + slack)
+    assert(hl >= 0 && hs >= 0)
+    val nmi = r.getAs[Long]("nmi_ppm")
+    assert(nmi >= -1 && nmi <= 1000000L + 1)
+  }
 }

@@ -122,6 +122,38 @@ class ScalarFnSpec extends AnyFunSuite {
     assert(graft.functions.TextNormOps.charNgramDistinct("abc", 4) == 0L)
   }
 
+  test("char_ngram_max_count codegen equals the explode composition") {
+    GraftFunctions.register(spark)
+    val data = Seq("abcdefg", "aaaaaa", "abcabcabc", "abc", "",
+      "über straße über", "xyxyxyxyxy")
+    val df = data.toDF("a")
+    val got = df
+      .select(call_function("char_ngram_max_count", $"a", lit(4)))
+      .as[Long].collect()
+    val want = df.selectExpr(
+      """CASE WHEN length(a) < 4 THEN CAST(0 AS BIGINT)
+         ELSE CAST(array_max(transform(
+           array_distinct(transform(sequence(1, length(a) - 3),
+             i -> substring(a, i, 4))),
+           g -> size(filter(transform(sequence(1, length(a) - 3),
+             i -> substring(a, i, 4)), x -> x = g)))) AS BIGINT)
+         END""").as[Long].collect()
+    assert(got.toSeq == want.toSeq)
+    // kernel sanity: MODE of the gram stream, bounded by total grams
+    assert(graft.functions.TextNormOps.charNgramMaxCount("aaaaaa", 4) == 3L)
+    assert(graft.functions.TextNormOps.charNgramMaxCount("abcabcabc", 4) == 2L)
+    assert(graft.functions.TextNormOps.charNgramMaxCount("abcdef", 4) == 1L)
+    assert(graft.functions.TextNormOps.charNgramMaxCount("abc", 4) == 0L)
+    // max-count >= 2 implies distinct < total (the two kernels agree)
+    for (s <- data if s.length >= 4) {
+      val tot = s.codePoints().toArray.length - 3
+      val mc = graft.functions.TextNormOps.charNgramMaxCount(s, 4)
+      val dc = graft.functions.TextNormOps.charNgramDistinct(s, 4)
+      assert(mc >= 1 && mc <= tot && dc <= tot)
+      assert((mc >= 2) == (dc < tot))
+    }
+  }
+
   test("jaro_winkler_milli matches the published vectors and DuckDB probes") {
     import graft.functions.TextNormOps.jaroWinklerMilli
     // classic literature vectors (DuckDB's native function returns the
