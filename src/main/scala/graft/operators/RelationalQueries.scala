@@ -617,6 +617,89 @@ object RelationalQueries extends QueryModule {
       SELECT s_name, l_suppkey AS suppkey, CAST(numwait AS BIGINT) AS numwait
       FROM waits JOIN supplier ON l_suppkey = s_suppkey
       ORDER BY numwait DESC, suppkey ASC
+      LIMIT 20""")),
+
+    // TPC-H Q17-shape correlated-average subquery ("small-quantity
+    // revenue": lost revenue from lineitems ordering under 20% of
+    // their part's average quantity, over one brand's small parts) —
+    // the per-group-threshold-then-probe classic. The correlation is
+    // restructured (q271 convention): ONE filtered scan persisted,
+    // per-part (sum, count) agg joined back, the 0.2·avg test spelled
+    // EXACT-integer by cross-multiplication (5·qty·cnt < sum — no
+    // division, no float avg), revenue summed in integer cents.
+    // Scale shape: the part filter is a broadcast-ready semi-side
+    // (brand slice of the part registry); two passes over the SAME
+    // persisted slice (agg + probe) joined on the part key; AQE
+    // adjudicates the join sides, no hints.
+    Q("q293_small_qty_revenue", (s, d) => {
+      import s.implicits._
+      val parts = t(s, d, "part")
+        .filter($"p_brand" === "Brand#13" && $"p_size" < 25)
+        .select($"p_partkey")
+      val li = t(s, d, "lineitem")
+        .join(parts, $"l_partkey" === $"p_partkey")
+        .select($"l_partkey", $"l_quantity".cast("long").as("qty"),
+          floor($"l_extendedprice" * 100).cast("long").as("cents"))
+        .persist()
+      val avgq = li.groupBy($"l_partkey")
+        .agg(sum($"qty").as("sq"), count(lit(1)).as("nq"))
+      li.join(avgq, "l_partkey")
+        .filter($"qty" * 5 * $"nq" < $"sq")
+        .agg(count(lit(1)).as("n_small"),
+          sum($"cents").as("revenue_cents"))
+        .select($"n_small",
+          coalesce($"revenue_cents", lit(0L)).as("revenue_cents"),
+          coalesce(expr("revenue_cents div 7"), lit(0L))
+            .as("avg_yearly_cents"))
+    }, Some("""
+      WITH li AS (
+        SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+          CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13' AND p_size < 25),
+      avgq AS (
+        SELECT l_partkey, sum(qty) AS sq, count(*) AS nq
+        FROM li GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_small,
+        CAST(coalesce(sum(cents), 0) AS BIGINT) AS revenue_cents,
+        CAST(coalesce(sum(cents) // 7, 0) AS BIGINT) AS avg_yearly_cents
+      FROM li JOIN avgq USING (l_partkey)
+      WHERE qty * 5 * nq < sq""")),
+
+    // TPC-H Q18-shape large-volume customers (orders whose total
+    // quantity exceeds 150, top-20 by order value) — the
+    // agg-HAVING-then-enrich classic: ONE map-side-combined lineitem
+    // agg with the HAVING filter collapses the big table BEFORE any
+    // join; orders and customer attach to the (rare) qualifying keys;
+    // top-20 rides TakeOrderedAndProject on the
+    // (o_totalprice desc, o_orderkey asc) total order — engine-
+    // identical under price ties. Money in integer cents (q293
+    // convention).
+    Q("q294_large_volume_orders", (s, d) => {
+      import s.implicits._
+      val big = t(s, d, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity".cast("long")).as("total_qty"))
+        .filter($"total_qty" > 150)
+      big.join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"o_orderkey",
+          floor($"o_totalprice" * 100).cast("long").as("price_cents"),
+          $"total_qty")
+        .orderBy($"price_cents".desc, $"o_orderkey".asc)
+        .limit(20)
+    }, Some("""
+      WITH big AS (
+        SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+          AS total_qty
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+      SELECT c_custkey, o_orderkey,
+        CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+        total_qty
+      FROM big JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      ORDER BY price_cents DESC, o_orderkey ASC
       LIMIT 20"""))
   )
 }

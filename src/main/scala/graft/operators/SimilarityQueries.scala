@@ -1601,6 +1601,106 @@ object SimilarityQueries extends QueryModule {
         count(*) AS n_pairs,
         CAST(min(ratio_ppm) AS BIGINT) AS min_ppm,
         CAST(max(ratio_ppm) AS BIGINT) AS max_ppm
-      FROM r GROUP BY 1"""))
+      FROM r GROUP BY 1""")),
+
+    // Top-eigenvector power iteration on the embedding covariance
+    // (3 fixed matrix-vector rounds on q203's 8-dim covariance block,
+    // per-round max-normalization, Rayleigh-quotient eigenvalue) —
+    // the SPECTRAL-direction readout the scalar summaries can't give:
+    // q198's participation ratio says HOW MANY directions carry
+    // variance, q192/q286 score FIXED bases (prefix, random); this
+    // finds the data's own dominant axis and its per-dim loadings —
+    // the "one component explains the space, index along it" signal.
+    // Exactness: the covariance is q203's integer frame; each round
+    // normalizes v to ±1024 by integer division against max|u| (a
+    // scalar — no ordering dependence); the Rayleigh quotient is one
+    // integer division of two exact int64 bilinear forms (headroom:
+    // |u| <= 8·|cov|·1024 ~ 3e10, v·u <= 8·1024·3e10 ~ 2.7e14).
+    // Scale shape: ONE corpus pass builds the (i, j) covariance
+    // (vec-keyed <= 64-pair fan-out, two map-side-combined aggs);
+    // every round after is matrix-sized (64-row) joins + 1-row
+    // broadcasts — iteration cost is INDEPENDENT of corpus size.
+    Q("q295_power_iteration", (s, d) => {
+      import s.implicits._
+      val ex = t(s, d, "embeddings")
+        .select($"vec_id", posexplode($"embedding").as(Seq("i", "comp")))
+        .filter($"i" < 8)
+        .select($"vec_id", $"i".cast("long").as("dim"),
+          floor($"comp".cast("double") * 1000).cast("long").as("c"))
+      val mu = ex.groupBy($"dim")
+        .agg(count(lit(1)).as("n"), sum($"c").as("sc"))
+        .select($"dim", $"n", expr("sc div n").as("mu"))
+      val cex = ex.join(mu, "dim")
+        .select($"vec_id", $"dim", ($"c" - $"mu").as("cc"), $"n")
+      val m = cex.select($"vec_id", $"dim".as("i"), $"cc".as("ca"), $"n")
+        .join(cex.select($"vec_id", $"dim".as("j"), $"cc".as("cb")),
+          "vec_id")
+        .groupBy($"i", $"j")
+        .agg(expr("sum(ca * cb) div max(n)").as("m"))
+        .persist()
+      val v0 = (0L to 7L).map(i => (i, 1024L)).toDF("dim", "v")
+      def mul(v: org.apache.spark.sql.DataFrame) =
+        m.join(v.select($"dim".as("jj"), $"v".as("vj")), $"j" === $"jj")
+          .groupBy($"i").agg(sum($"m" * $"vj").as("u"))
+          .select($"i".as("dim"), $"u")
+      def norm(u: org.apache.spark.sql.DataFrame) = {
+        val mx = u.agg(max(greatest($"u", -$"u")).as("mx"))
+        u.crossJoin(broadcast(mx))
+          .select($"dim", expr("""CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+            ELSE (u * 1024) div mx END""").as("v"))
+      }
+      val v3 = norm(mul(norm(mul(norm(mul(v0)))))).persist()
+      val u4 = mul(v3)
+      val ray = v3.join(u4, "dim")
+        .agg(sum($"v" * $"u").as("vu"), sum($"v" * $"v").as("vv"))
+        .select(expr("vu div vv").as("eig_m"))
+      val load = v3.agg(sum($"v" * $"v").as("tot"))
+      v3.crossJoin(broadcast(ray)).crossJoin(broadcast(load))
+        .select($"dim", $"v".as("v_q10"),
+          expr("(v * v * 1000000) div tot").as("load_ppm"), $"eig_m")
+    }, Some("""
+      WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+            AS c
+        FROM embeddings),
+      e8 AS (SELECT * FROM ex WHERE dim < 8),
+      mu AS (SELECT dim, count(*) AS n, sum(c) // count(*) AS mu
+             FROM e8 GROUP BY 1),
+      cex AS (SELECT e8.vec_id, e8.dim, e8.c - mu.mu AS cc, mu.n
+              FROM e8 JOIN mu USING (dim)),
+      m AS (
+        SELECT a.dim AS i, b.dim AS j, sum(a.cc * b.cc) // max(a.n) AS m
+        FROM cex a JOIN cex b ON b.vec_id = a.vec_id
+        GROUP BY 1, 2),
+      v0 AS (SELECT CAST(d AS BIGINT) AS dim, CAST(1024 AS BIGINT) AS v
+             FROM range(0, 8) t(d)),
+      u1 AS (SELECT m.i AS dim, sum(m.m * v0.v) AS u
+             FROM m JOIN v0 ON v0.dim = m.j GROUP BY 1),
+      x1 AS (SELECT max(greatest(u, -u)) AS mx FROM u1),
+      v1 AS (SELECT dim, CASE WHEN mx = 0 THEN 0
+               ELSE (u * 1024) // mx END AS v
+             FROM u1 CROSS JOIN x1),
+      u2 AS (SELECT m.i AS dim, sum(m.m * v1.v) AS u
+             FROM m JOIN v1 ON v1.dim = m.j GROUP BY 1),
+      x2 AS (SELECT max(greatest(u, -u)) AS mx FROM u2),
+      v2 AS (SELECT dim, CASE WHEN mx = 0 THEN 0
+               ELSE (u * 1024) // mx END AS v
+             FROM u2 CROSS JOIN x2),
+      u3 AS (SELECT m.i AS dim, sum(m.m * v2.v) AS u
+             FROM m JOIN v2 ON v2.dim = m.j GROUP BY 1),
+      x3 AS (SELECT max(greatest(u, -u)) AS mx FROM u3),
+      v3 AS (SELECT dim, CASE WHEN mx = 0 THEN 0
+               ELSE (u * 1024) // mx END AS v
+             FROM u3 CROSS JOIN x3),
+      u4 AS (SELECT m.i AS dim, sum(m.m * v3.v) AS u
+             FROM m JOIN v3 ON v3.dim = m.j GROUP BY 1),
+      ray AS (SELECT sum(v3.v * u4.u) // sum(v3.v * v3.v) AS eig_m
+              FROM v3 JOIN u4 USING (dim)),
+      ld AS (SELECT sum(v * v) AS tot FROM v3)
+      SELECT v3.dim, CAST(v3.v AS BIGINT) AS v_q10,
+        CAST((v3.v * v3.v * 1000000) // ld.tot AS BIGINT) AS load_ppm,
+        CAST(ray.eig_m AS BIGINT) AS eig_m
+      FROM v3 CROSS JOIN ray CROSS JOIN ld"""))
   )
 }

