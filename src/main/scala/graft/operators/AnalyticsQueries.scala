@@ -4163,6 +4163,173 @@ object AnalyticsQueries extends QueryModule {
         CAST(max(greatest(ew.ewma_milli - st.mu_milli,
           st.mu_milli - ew.ewma_milli)) AS BIGINT) AS max_dev_milli
       FROM ew JOIN st USING (event_type) GROUP BY 1""")),
+
+    // Exponential distribution-fit QQ audit on per-user inter-event
+    // gaps, per event type (fit the rate by moments — mean gap — then
+    // compare EMPIRICAL gap deciles against the exponential's
+    // theoretical ones, mean·(−ln(1−k/10)) with the quantile
+    // constants embedded as identical integer-micro literals in both
+    // engines) — the Poisson-process SHAPE gate for arrivals: q200's
+    // Fano factor scores dispersion in one number, q282 fits
+    // lognormal LENGTHS; this asks "are arrival gaps memoryless?",
+    // the assumption behind every queueing/staffing readout. A heavy
+    // QQ tail deviation = bursty sessions (and invalidates
+    // exponential-backoff style rate models). Exactness: gaps bucket
+    // to the minute grid (calendar-bounded, q285 argument); deciles
+    // via the q282 cum + lower-rank device; theoretical deciles ONE
+    // integer (sum·qk) div (n·1e6) each; per-user adjacency windows
+    // ride (user, type) partitions ordered by the (ts, event_id)
+    // total order.
+    Q("q297_exponential_qq", (s, d) => {
+      import s.implicits._
+      val wU = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ep".asc, $"event_id".asc)
+      val gaps = t(s, d, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          unix_micros($"ts".cast("timestamp")).as("ep"))
+        .withColumn("pep", lag($"ep", 1).over(wU))
+        .filter($"pep".isNotNull)
+        .select($"event_type", expr("(ep - pep) div 60000000").as("gm"))
+      val grid = gaps.groupBy($"event_type", $"gm")
+        .agg(count(lit(1)).as("cnt")).persist()
+      val st = grid.groupBy($"event_type")
+        .agg(sum($"cnt").as("n"), sum($"cnt" * $"gm").as("sg"))
+      val wC = Window.partitionBy($"event_type").orderBy($"gm".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ks = expQMicro.zipWithIndex
+        .map { case (q, i) => (i.toLong + 1, q) }.toDF("k", "qk")
+      val emp = grid.withColumn("cum", sum($"cnt").over(wC))
+        .join(st, "event_type")
+        .crossJoin(broadcast(ks))
+        .filter($"cum" * 10 >= $"k" * $"n")
+        .groupBy($"event_type", $"k")
+        .agg(min($"gm").as("e"), max($"n").as("n"), max($"sg").as("sg"),
+          max($"qk").as("qk"))
+      emp
+        .select($"event_type", $"n", $"sg", $"k",
+          ($"e" - expr("(sg * qk) div (n * 1000000)")).as("dev"))
+        .groupBy($"event_type")
+        .agg(max($"n").as("n_gaps"),
+          expr("max((sg * 1000) div n)").as("mean_gap_min_milli"),
+          max(greatest($"dev", -$"dev")).as("max_qq_dev_min"),
+          expr("sum(greatest(dev, -dev)) div 9").as("mean_qq_dev_min"))
+    }, Some(s"""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ep
+        FROM events),
+      gaps AS (
+        SELECT event_type,
+          (ep - lag(ep, 1) OVER (PARTITION BY user_id, event_type
+            ORDER BY ep ASC, event_id ASC)) // 60000000 AS gm
+        FROM ev),
+      grid AS (SELECT event_type, gm, count(*) AS cnt FROM gaps
+               WHERE gm IS NOT NULL GROUP BY 1, 2),
+      st AS (SELECT event_type, sum(cnt) AS n, sum(cnt * gm) AS sg
+             FROM grid GROUP BY 1),
+      ks AS (SELECT CAST(k AS BIGINT) AS k, CAST(qk AS BIGINT) AS qk
+             FROM (VALUES ${expQMicro.zipWithIndex
+               .map { case (q, i) => s"(${i + 1}, $q)" }.mkString(", ")})
+             v(k, qk)),
+      cum AS (
+        SELECT g.event_type, g.gm, st.n, st.sg,
+          sum(g.cnt) OVER (PARTITION BY g.event_type ORDER BY g.gm ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM grid g JOIN st USING (event_type)),
+      emp AS (
+        SELECT event_type, k, min(gm) AS e, max(n) AS n, max(sg) AS sg,
+          max(qk) AS qk
+        FROM cum CROSS JOIN ks
+        WHERE cum * 10 >= k * n
+        GROUP BY 1, 2),
+      dev AS (
+        SELECT event_type, n, sg,
+          e - (sg * qk) // (n * 1000000) AS dv
+        FROM emp)
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+        CAST(max((sg * 1000) // n) AS BIGINT) AS mean_gap_min_milli,
+        CAST(max(greatest(dv, -dv)) AS BIGINT) AS max_qq_dev_min,
+        CAST(sum(greatest(dv, -dv)) // 9 AS BIGINT) AS mean_qq_dev_min
+      FROM dev GROUP BY 1""")),
+
+    // Haar wavelet energy decomposition of the first-32-day daily
+    // activity series per event type (unnormalized integer Haar detail
+    // coefficients at scales 2,4,8,16,32 days, Parseval-weighted
+    // energies, per-scale share) — "at WHAT timescale does activity
+    // vary": a day-scale spike profile (level 1 heavy) asks for
+    // day-level capacity, a week-scale swing (levels 3-4) for weekly
+    // staffing; q263's ACF measures correlation at fixed lags, q178
+    // extracts ONE weekly shape — this allocates total variance across
+    // ALL dyadic timescales at once. Exactness: coefficients are ±1
+    // signed integer sums over the zero-filled dyadic grid; Parseval
+    // weights 2^(5-level) keep every energy an EXACT integer (the
+    // orthonormal 1/sqrt(2^level) squared, rescaled by 32 — shares are
+    // invariant to the common factor). Scale shape: ONE map-side-
+    // combined (type, day) count agg touches the corpus; the dense
+    // 32-day grid, the 5-level crossJoin (constant), and all rollups
+    // are registry×32-sized.
+    Q("q298_haar_energy", (s, d) => {
+      import s.implicits._
+      val cnt = t(s, d, "events")
+        .select($"event_type",
+          datediff(to_date($"ts".cast("timestamp")), lit("2024-01-01"))
+            .cast("long").as("di"))
+        .filter($"di" >= 0 && $"di" < 32)
+        .groupBy($"event_type", $"di").agg(count(lit(1)).as("y"))
+      val days = (0L to 31L).toDF("di")
+      val dense = cnt.select($"event_type").distinct()
+        .crossJoin(broadcast(days))
+        .join(cnt, Seq("event_type", "di"), "left_outer")
+        .select($"event_type", $"di", coalesce($"y", lit(0L)).as("y"))
+      val levels = (1 to 5).map(l =>
+        (l.toLong, 1L << l, 1L << (l - 1), 1L << (5 - l)))
+        .toDF("level", "s", "h", "pw")
+      val coef = dense.crossJoin(broadcast(levels))
+        .groupBy($"event_type", $"level", $"pw",
+          expr("di div s").as("blk"))
+        .agg(sum($"y" * (lit(1L) - lit(2L) * expr("(di div h) % 2")))
+          .as("c"))
+      val en = coef.groupBy($"event_type", $"level")
+        .agg(sum($"c" * $"c" * $"pw").as("energy_u"))
+      val tot = en.groupBy($"event_type")
+        .agg(sum($"energy_u").as("te"))
+      en.join(tot, "event_type")
+        .select($"event_type", $"level", $"energy_u",
+          expr("""CASE WHEN te = 0 THEN 0
+            ELSE (energy_u * 1000000) div te END""").as("share_ppm"))
+    }, Some("""
+      WITH cnt AS (
+        SELECT event_type,
+          date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+          count(*) AS y
+        FROM events
+        WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= 0
+          AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 32
+        GROUP BY 1, 2),
+      dense AS (
+        SELECT t.event_type, dd.di, coalesce(c.y, 0) AS y
+        FROM (SELECT DISTINCT event_type FROM cnt) t
+        CROSS JOIN (SELECT CAST(d AS BIGINT) AS di FROM range(0, 32) r(d)) dd
+        LEFT JOIN cnt c ON c.event_type = t.event_type AND c.di = dd.di),
+      levels AS (
+        SELECT CAST(level AS BIGINT) AS level, CAST(s AS BIGINT) AS s,
+          CAST(h AS BIGINT) AS h, CAST(pw AS BIGINT) AS pw
+        FROM (VALUES (1, 2, 1, 16), (2, 4, 2, 8), (3, 8, 4, 4),
+          (4, 16, 8, 2), (5, 32, 16, 1)) v(level, s, h, pw)),
+      coef AS (
+        SELECT d.event_type, l.level, l.pw, d.di // l.s AS blk,
+          sum(d.y * (1 - 2 * ((d.di // l.h) % 2))) AS c
+        FROM dense d CROSS JOIN levels l
+        GROUP BY 1, 2, 3, 4),
+      en AS (
+        SELECT event_type, level, sum(c * c * pw) AS energy_u
+        FROM coef GROUP BY 1, 2),
+      tot AS (SELECT event_type, sum(energy_u) AS te FROM en GROUP BY 1)
+      SELECT en.event_type, en.level, CAST(en.energy_u AS BIGINT)
+          AS energy_u,
+        CAST(CASE WHEN tot.te = 0 THEN 0
+          ELSE (en.energy_u * 1000000) // tot.te END AS BIGINT)
+          AS share_ppm
+      FROM en JOIN tot USING (event_type)""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user
@@ -4201,4 +4368,11 @@ object AnalyticsQueries extends QueryModule {
     * integer literals. */
   private[operators] val ewmaQ20: Seq[Long] = (0 to 31).map(k =>
     ((BigInt(3).pow(k) * BigInt(2).pow(20)) >> (2 * k)).toLong)
+
+  /** q297's exponential decile quantile constants
+    * floor(−ln(1 − k/10) · 1e6) for k = 1..9 — precomputed once so
+    * both engines consume identical integer literals (normalDecileZMicro
+    * convention; no runtime ln() in the constant path). */
+  private[operators] val expQMicro: Seq[Long] = (1 to 9).map(k =>
+    math.floor(-math.log(1.0 - k / 10.0) * 1e6).toLong)
 }

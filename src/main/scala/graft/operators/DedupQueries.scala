@@ -1585,6 +1585,77 @@ object DedupQueries extends QueryModule {
         CAST(sum(CASE WHEN dl < lev THEN 1 ELSE 0 END) AS BIGINT)
           AS n_transp_wins,
         CAST(max(lev - dl) AS BIGINT) AS max_gain
-      FROM pr GROUP BY 1"""))
+      FROM pr GROUP BY 1""")),
+
+    // Transitivity audit of the near-dup pair graph (wedge closure
+    // rate over the hamming<=3 simhash pairs): a~b and b~c — how often
+    // does a~c also hold? The connected-components merge (q53) treats
+    // similarity as transitive; THIS measures how wrong that is
+    // before the merge (closure near 1 = clean clusters, low closure
+    // = chaining risk: CC will glue non-duplicates through bridge
+    // docs). Scale shape: pairs from the banded equi-join (linear,
+    // never all-pairs); wedge enumeration restricted to centers of
+    // degree <= 20 (fan-out <= C(20,2) = 190 per center — the df-cap
+    // convention, excluded hub count REPORTED so the cap is visible);
+    // closure check is one (a, b)-keyed left join back to the pair
+    // set; 1-row scalar rollups after.
+    Q("q296_transitivity_audit", (s, d) => {
+      import s.implicits._
+      val tokRows = t(s, d, "documents")
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      val sigs = DedupOps
+        .simhash32FromTokenRows(tokRows, "doc_id", "tok", "simhash")
+        .select($"doc_id", $"simhash")
+      val pr = DedupOps
+        .simhashPairsBanded(sigs, "doc_id", "simhash", maxHamming = 3)
+        .select($"doc_a", $"doc_b").persist()
+      val adj = pr.select($"doc_a".as("c"), $"doc_b".as("x"))
+        .unionAll(pr.select($"doc_b".as("c"), $"doc_a".as("x")))
+      val deg = adj.groupBy($"c").agg(count(lit(1)).as("deg")).persist()
+      val aok = adj.join(deg.filter($"deg" <= 20).select($"c"), "c")
+      val wed = aok.select($"c", $"x".as("xa"))
+        .join(aok.select($"c", $"x".as("xb")), "c")
+        .filter($"xa" < $"xb")
+      val wf = wed.join(pr.select($"doc_a".as("xa"), $"doc_b".as("xb"),
+          lit(1L).as("cl")), Seq("xa", "xb"), "left_outer")
+        .agg(count(lit(1)).as("n_wedges"),
+          sum(coalesce($"cl", lit(0L))).as("n_closed"))
+      val np = pr.agg(count(lit(1)).as("n_pairs"))
+      val nh = deg.agg(sum(when($"deg" > 20, 1L).otherwise(0L))
+        .as("n_hubs_excluded"))
+      wf.crossJoin(broadcast(np)).crossJoin(broadcast(nh))
+        .select($"n_pairs", $"n_hubs_excluded", $"n_wedges",
+          coalesce($"n_closed", lit(0L)).as("n_closed"),
+          expr("""CASE WHEN n_wedges = 0 THEN 0
+            ELSE (coalesce(n_closed, 0) * 1000000) div n_wedges END""")
+            .as("closure_ppm"))
+    }, Some(
+      s"""WITH sh AS ($simhashDuckSql),
+         |pr AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |adj AS (SELECT da AS c, db AS x FROM pr
+         |        UNION ALL SELECT db, da FROM pr),
+         |deg AS (SELECT c, count(*) AS deg FROM adj GROUP BY 1),
+         |aok AS (SELECT adj.c, adj.x FROM adj
+         |        JOIN deg USING (c) WHERE deg <= 20),
+         |wed AS (SELECT l.x AS xa, r.x AS xb
+         |        FROM aok l JOIN aok r ON r.c = l.c AND l.x < r.x),
+         |wf AS (
+         |  SELECT count(*) AS n_wedges,
+         |    sum(CASE WHEN p.da IS NOT NULL THEN 1 ELSE 0 END) AS n_closed
+         |  FROM wed w LEFT JOIN pr p ON p.da = w.xa AND p.db = w.xb),
+         |np AS (SELECT count(*) AS n_pairs FROM pr),
+         |nh AS (SELECT sum(CASE WHEN deg > 20 THEN 1 ELSE 0 END)
+         |         AS n_hubs_excluded FROM deg)
+         |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(n_hubs_excluded AS BIGINT) AS n_hubs_excluded,
+         |  CAST(n_wedges AS BIGINT) AS n_wedges,
+         |  CAST(coalesce(n_closed, 0) AS BIGINT) AS n_closed,
+         |  CAST(CASE WHEN n_wedges = 0 THEN 0
+         |    ELSE (coalesce(n_closed, 0) * 1000000) // n_wedges END
+         |    AS BIGINT) AS closure_ppm
+         |FROM wf CROSS JOIN np CROSS JOIN nh""".stripMargin))
   )
 }

@@ -48,6 +48,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q137_split_parity" -> "1-row corpus-doc-total broadcast onto the registry-sized (split, lang) frame",
     "q292_mutual_information" -> "1-row total + 1-row marginal-entropy broadcasts onto the registry-squared contingency frame",
     "q295_power_iteration" -> "1-row normalizer/Rayleigh/loading broadcasts onto the constant 8-row eigenvector frame (iteration cost independent of corpus size)",
+    "q296_transitivity_audit" -> "1-row pair-count + hub-count scalar broadcasts onto the 1-row wedge rollup",
+    "q297_exponential_qq" -> "constant 9-row exponential-decile frame broadcast over the bounded gap-minute grid (q110 argument)",
+    "q298_haar_energy" -> "constant 32-day grid + 5-level wavelet frame broadcasts onto the registry-sized series (grid build and decomposition, all constant-size sides)",
     "q108_tfidf_keywords" -> "1-row corpus-doc-count broadcast for idf",
     "q110_quantile_sketch" -> "constant 4-row quantile-list broadcast",
     "q112_bm25_retrieval" -> "1-row corpus-stats (N, avgdl) broadcast",

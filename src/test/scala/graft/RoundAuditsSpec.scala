@@ -1377,4 +1377,42 @@ class RoundAuditsSpec extends AnyFunSuite {
     // (trace/8); both are in the same matrix units — cheap dominance check
     assert(eig.head >= 0)
   }
+
+  test("q296: closure rate replays and wedge counts respect the degree cap") {
+    val r = run("q296_transitivity_audit").collect().head
+    val w = r.getAs[Long]("n_wedges"); val c = r.getAs[Long]("n_closed")
+    assert(c >= 0 && c <= w)
+    val exp = if (w == 0) 0L else c * 1000000L / w
+    assert(r.getAs[Long]("closure_ppm") == exp)
+    // a wedge needs two pairs, so the degree-capped wedge count is
+    // bounded by pairs * (cap - 1): each of a center's <= 20 edges
+    // pairs with at most 19 siblings
+    assert(w <= r.getAs[Long]("n_pairs") * 19)
+    assert(r.getAs[Long]("n_hubs_excluded") >= 0)
+  }
+
+  test("q297: QQ deviations are consistent and the mean gap is positive") {
+    run("q297_exponential_qq").collect().foreach { r =>
+      assert(r.getAs[Long]("n_gaps") >= 1)
+      assert(r.getAs[Long]("mean_gap_min_milli") >= 0)
+      val mx = r.getAs[Long]("max_qq_dev_min")
+      val mn = r.getAs[Long]("mean_qq_dev_min")
+      assert(mx >= mn && mn >= 0)
+    }
+  }
+
+  test("q298: Parseval shares sum to ~1 per type, 5 levels each, energies nonneg") {
+    val rows = run("q298_haar_energy").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("level"),
+        r.getAs[Long]("energy_u"), r.getAs[Long]("share_ppm")))
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      g.foreach { case (_, _, e, _) => assert(e >= 0) }
+      val tot = g.map(_._3).sum
+      if (tot > 0) {
+        val s = g.map(_._4).sum
+        assert(s <= 1000000L && s >= 1000000L - 5)
+      } else g.foreach { case (_, _, _, sh) => assert(sh == 0L) }
+    }
+  }
 }
