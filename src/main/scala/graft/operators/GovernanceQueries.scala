@@ -2286,6 +2286,77 @@ object GovernanceQueries extends QueryModule {
           ELSE (mi_nano * 1000000) // least(h_lang_nano, h_source_nano)
           END AS BIGINT) AS nmi_ppm
       FROM f""")),
+
+    // Isotonic (PAV) calibration of the quality forecast — the
+    // monotone-regression repair of q176's calibration curve, computed
+    // EXACTLY via the minimax closed form iso(k) = max_{i<=k}
+    // min_{j>=k} wavg(bins i..j): q176 SHOWS the miscalibration,
+    // q252 decomposes the Brier score, THIS produces the corrected
+    // monotone mapping a downstream thresholder would actually apply
+    // (the sklearn-isotonic / Zadrozny-Elkan step, which Spark has no
+    // operator for). The minimax construction is order-free — no
+    // sequential pool-adjacent scan — so it distributes trivially.
+    // Exactness: interval averages are ppm floor divisions of exact
+    // integer (successes, count) interval sums; min/max over them are
+    // exact; the result is monotone by construction regardless of
+    // floor noise. Scale shape: the corpus collapses to the <=10-row
+    // decile frame in ONE map-side-combined agg; the 55-interval
+    // triangle, the minimax joins, and the rollups are all
+    // constant-size frames.
+    Q("q299_isotonic_calibration", (s, d) => {
+      import s.implicits._
+      val bins = t(s, d, "documents")
+        .select($"doc_id",
+          floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("qm"))
+        .withColumn("label",
+          when(CorpusOps.hashMix($"doc_id", 1000L) < $"qm", 1L)
+            .otherwise(0L))
+        .withColumn("decile", least(expr("qm div 100"), lit(9L)))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n"), sum($"label").as("k"))
+        .persist()
+      val keys = bins.select($"decile".as("i"))
+        .crossJoin(bins.select($"decile".as("j")))
+        .filter($"i" <= $"j")
+      val iv = keys.join(bins, $"decile".between($"i", $"j"))
+        .groupBy($"i", $"j")
+        .agg(expr("(sum(k) * 1000000) div sum(n)").as("avg_ppm"))
+      bins.select($"decile".as("kk"), $"n", $"k")
+        .join(iv, $"i" <= $"kk" && $"j" >= $"kk")
+        .groupBy($"kk", $"n", $"k", $"i").agg(min($"avg_ppm").as("mn"))
+        .groupBy($"kk", $"n", $"k").agg(max($"mn").as("iso_ppm"))
+        .select($"kk".as("decile"), $"n",
+          expr("(k * 1000000) div n").as("raw_ppm"), $"iso_ppm")
+    }, Some("""
+      WITH q AS (
+        SELECT doc_id,
+          CAST(floor((least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2)
+            * 1000) AS BIGINT) AS qm
+        FROM documents),
+      l AS (SELECT qm,
+              CASE WHEN ((doc_id % 1000003) * 2654435761 + 40503) % 1000
+                   < qm THEN 1 ELSE 0 END AS label,
+              least(qm // 100, 9) AS decile
+            FROM q),
+      bins AS (SELECT decile, count(*) AS n, sum(label) AS k
+               FROM l GROUP BY 1),
+      keys AS (SELECT a.decile AS i, b.decile AS j
+               FROM bins a, bins b WHERE a.decile <= b.decile),
+      iv AS (
+        SELECT keys.i, keys.j,
+          (sum(t.k) * 1000000) // sum(t.n) AS avg_ppm
+        FROM keys JOIN bins t ON t.decile BETWEEN keys.i AND keys.j
+        GROUP BY 1, 2),
+      mn AS (
+        SELECT b.decile, b.n, b.k, iv.i, min(iv.avg_ppm) AS mn
+        FROM bins b JOIN iv ON iv.i <= b.decile AND iv.j >= b.decile
+        GROUP BY 1, 2, 3, 4)
+      SELECT decile, CAST(n AS BIGINT) AS n,
+        CAST((k * 1000000) // n AS BIGINT) AS raw_ppm,
+        CAST(max(mn) AS BIGINT) AS iso_ppm
+      FROM mn GROUP BY decile, n, k""")),
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

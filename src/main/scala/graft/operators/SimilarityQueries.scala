@@ -1701,6 +1701,101 @@ object SimilarityQueries extends QueryModule {
       SELECT v3.dim, CAST(v3.v AS BIGINT) AS v_q10,
         CAST((v3.v * v3.v * 1000000) // ld.tot AS BIGINT) AS load_ppm,
         CAST(ray.eig_m AS BIGINT) AS eig_m
-      FROM v3 CROSS JOIN ray CROSS JOIN ld"""))
+      FROM v3 CROSS JOIN ray CROSS JOIN ld""")),
+
+    // Greedy k-center seeding (Gonzalez farthest-point traversal, 4
+    // rounds from vec 0) with the coverage-radius curve — the
+    // 2-approximation COVERAGE guarantee none of the clustering family
+    // gives: Lloyd (q118/q123) minimizes the MEAN distance and can
+    // strand outliers arbitrarily far; the k-center radius says "every
+    // vector is within r of a seed", the number an index-cell or
+    // cache-placement design actually needs, and the radius-vs-k curve
+    // is the diminishing-returns readout for choosing k. Exactness:
+    // dots are the fixed-order dot_product kernel floor-ppm quantized
+    // BEFORE any min/max (q37/q286 IEEE convention), so every
+    // comparison — including the (simmax asc, vec_id asc) argmin total
+    // order — is integer. Scale shape: each round is ONE corpus pass
+    // against the <=4-row center broadcast (k·n, q37 shape) + a k=1
+    // TakeOrderedAndProject; per-round sim frames persisted (each
+    // feeds the radius agg AND the argmin — q193's 2-consumer rule);
+    // round count fixed, so total cost is 4 linear passes at any
+    // corpus size.
+    Q("q300_kcenter_seeds", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        .persist()
+      val dq = expr(
+        "cast(floor(dot_product(e, cemb) * 1000000) as bigint)")
+      var centers = emb.filter($"vec_id" === 0)
+        .select($"vec_id".as("cid"), $"e".as("cemb"))
+      var lastAdded = centers.select($"cid")
+      var out: Option[org.apache.spark.sql.DataFrame] = None
+      for (k <- 1 to 4) {
+        val sims = emb.crossJoin(broadcast(centers))
+          .select($"vec_id", dq.as("dqv"))
+          .groupBy($"vec_id").agg(max($"dqv").as("simmax"))
+          .persist()
+        val rad = sims.agg((lit(1000000L) - min($"simmax"))
+          .as("radius_ppm"))
+        val row = lastAdded.crossJoin(broadcast(rad))
+          .select(lit(k.toLong).as("k"), $"cid".as("center_id"),
+            $"radius_ppm")
+        out = Some(out.map(_.unionAll(row)).getOrElse(row))
+        if (k < 4) {
+          val next = sims.orderBy($"simmax".asc, $"vec_id".asc).limit(1)
+            .join(emb, "vec_id")
+            .select($"vec_id".as("cid"), $"e".as("cemb")).persist()
+          lastAdded = next.select($"cid")
+          centers = centers.unionAll(next)
+        }
+      }
+      out.get
+    }, Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+                 FROM embeddings),
+      c1 AS (SELECT vec_id AS cid, ev AS ce FROM e WHERE vec_id = 0),
+      m1 AS (SELECT x.vec_id,
+               max(CAST(floor(list_sum(list_transform(range(1, 65),
+                 i -> x.ev[i] * c.ce[i])) * 1000000) AS BIGINT)) AS simmax
+             FROM e x CROSS JOIN c1 c GROUP BY 1),
+      r1 AS (SELECT 1000000 - min(simmax) AS radius FROM m1),
+      n1 AS (SELECT vec_id FROM m1 ORDER BY simmax ASC, vec_id ASC
+             LIMIT 1),
+      cf2 AS (SELECT cid, ce FROM c1
+              UNION ALL SELECT e.vec_id, e.ev FROM e JOIN n1 USING (vec_id)),
+      m2 AS (SELECT x.vec_id,
+               max(CAST(floor(list_sum(list_transform(range(1, 65),
+                 i -> x.ev[i] * c.ce[i])) * 1000000) AS BIGINT)) AS simmax
+             FROM e x CROSS JOIN cf2 c GROUP BY 1),
+      r2 AS (SELECT 1000000 - min(simmax) AS radius FROM m2),
+      n2 AS (SELECT vec_id FROM m2 ORDER BY simmax ASC, vec_id ASC
+             LIMIT 1),
+      cf3 AS (SELECT cid, ce FROM cf2
+              UNION ALL SELECT e.vec_id, e.ev FROM e JOIN n2 USING (vec_id)),
+      m3 AS (SELECT x.vec_id,
+               max(CAST(floor(list_sum(list_transform(range(1, 65),
+                 i -> x.ev[i] * c.ce[i])) * 1000000) AS BIGINT)) AS simmax
+             FROM e x CROSS JOIN cf3 c GROUP BY 1),
+      r3 AS (SELECT 1000000 - min(simmax) AS radius FROM m3),
+      n3 AS (SELECT vec_id FROM m3 ORDER BY simmax ASC, vec_id ASC
+             LIMIT 1),
+      cf4 AS (SELECT cid, ce FROM cf3
+              UNION ALL SELECT e.vec_id, e.ev FROM e JOIN n3 USING (vec_id)),
+      m4 AS (SELECT x.vec_id,
+               max(CAST(floor(list_sum(list_transform(range(1, 65),
+                 i -> x.ev[i] * c.ce[i])) * 1000000) AS BIGINT)) AS simmax
+             FROM e x CROSS JOIN cf4 c GROUP BY 1),
+      r4 AS (SELECT 1000000 - min(simmax) AS radius FROM m4)
+      SELECT CAST(1 AS BIGINT) AS k,
+        (SELECT cid FROM c1) AS center_id,
+        CAST((SELECT radius FROM r1) AS BIGINT) AS radius_ppm
+      UNION ALL SELECT 2, (SELECT vec_id FROM n1),
+        CAST((SELECT radius FROM r2) AS BIGINT)
+      UNION ALL SELECT 3, (SELECT vec_id FROM n2),
+        CAST((SELECT radius FROM r3) AS BIGINT)
+      UNION ALL SELECT 4, (SELECT vec_id FROM n3),
+        CAST((SELECT radius FROM r4) AS BIGINT)"""))
   )
 }

@@ -51,6 +51,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q296_transitivity_audit" -> "1-row pair-count + hub-count scalar broadcasts onto the 1-row wedge rollup",
     "q297_exponential_qq" -> "constant 9-row exponential-decile frame broadcast over the bounded gap-minute grid (q110 argument)",
     "q298_haar_energy" -> "constant 32-day grid + 5-level wavelet frame broadcasts onto the registry-sized series (grid build and decomposition, all constant-size sides)",
+    "q299_isotonic_calibration" -> "<= 10-row decile frame triangle joins (55 intervals) for the order-free PAV minimax — all constant-size sides",
+    "q300_kcenter_seeds" -> "<= 4-row center-frame broadcast per round (k*n scan, q37 shape) + 1-row radius broadcasts",
     "q108_tfidf_keywords" -> "1-row corpus-doc-count broadcast for idf",
     "q110_quantile_sketch" -> "constant 4-row quantile-list broadcast",
     "q112_bm25_retrieval" -> "1-row corpus-stats (N, avgdl) broadcast",
@@ -159,6 +161,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q09_parent_lookup" -> "region dimension (5 rows)",
     "q10_point_lookup" -> "nation dimension filtered to one region (<= 25 rows)",
     "q37_knn_brute" -> "query batch: vec_id < 20 constant probe set",
+    "q300_kcenter_seeds" -> "center frame: one key-filtered seed row unioned with three limit-1 argmin rows — <= 4 rows by construction at any corpus size",
     "q61_knn_sq8" -> "query batch (vec_id < 10) + dim-range model (64 rows)",
     "q64_knn_pq" -> "query batch (vec_id < 10) + PQ anchor rows (16)",
     "q68_knn_ivfpq" -> "query batch (vec_id < 10) + coarse/PQ model frames (sqrt-n / 16 rows)",

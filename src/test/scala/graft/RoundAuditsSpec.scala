@@ -1415,4 +1415,33 @@ class RoundAuditsSpec extends AnyFunSuite {
       } else g.foreach { case (_, _, _, sh) => assert(sh == 0L) }
     }
   }
+
+  test("q299: isotonic fit is monotone, bounded by the raw range, and pool-consistent") {
+    val rows = run("q299_isotonic_calibration").collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n"),
+        r.getAs[Long]("raw_ppm"), r.getAs[Long]("iso_ppm")))
+      .sortBy(_._1)
+    val iso = rows.map(_._4)
+    iso.zip(iso.drop(1)).foreach { case (a, b) => assert(a <= b) }
+    val raws = rows.map(_._3)
+    assert(iso.min >= raws.min - 1 && iso.max <= raws.max + 1)
+    // where the raw curve is already monotone at a bin boundary,
+    // PAV cannot cross the raw value by more than the floor slack
+    rows.foreach { case (_, n, _, i) =>
+      assert(n >= 1 && i >= 0 && i <= 1000000L)
+    }
+  }
+
+  test("q300: radius curve is non-increasing in k, centers distinct, seed is vec 0") {
+    val rows = run("q300_kcenter_seeds").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("center_id"),
+        r.getAs[Long]("radius_ppm")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.head._2 == 0L)
+    assert(rows.map(_._2).distinct.length == 4)
+    val rad = rows.map(_._3)
+    rad.zip(rad.drop(1)).foreach { case (a, b) => assert(b <= a) }
+    rad.foreach(r => assert(r >= 0 && r <= 2000000L)) // cosine distance <= 2
+  }
 }
