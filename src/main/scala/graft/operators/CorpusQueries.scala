@@ -1627,6 +1627,73 @@ object CorpusQueries extends QueryModule {
           AS cum_tokens,
         CAST((((cumt - k * v) + (need - (cumd - k)) * v) * 1000000) // tt
           AS BIGINT) AS share_ppm
-      FROM j"""))
+      FROM j""")),
+
+    // Held-out cross-entropy per split (val/test docs scored under the
+    // Laplace-smoothed unigram LM fitted on the TRAIN split only) —
+    // the actual language-model eval number: q73 scores docs under a
+    // corpus-wide LM (no held-out separation), q120 counts n-gram
+    // COVERAGE; this is the train/eval protocol end-to-end, the gate
+    // a data-mixture change is judged by. OOV handling is the Laplace
+    // floor: an unseen token costs ln(N+V) exactly (c=0 -> (0+1)/(N+V)
+    // -- V = TRAIN vocabulary, the add-1 denominator convention).
+    // Exactness: per-token nll = floor(ln((N+V)/(c+1))*1e9) on an
+    // integer-fed double ratio (q207 convention); eval mass integer-
+    // weighted; ONE div per split row. Scale shape: splits are the
+    // q84 pure-hash row function (rerun/engine/repartition-stable);
+    // train LM is ONE (token) map-side-combined agg; eval tokens
+    // collapse to (split, token) BEFORE the vocabulary-keyed left
+    // join (never row-per-token joins); 1-row (N, V) broadcast.
+    Q("q301_heldout_perplexity", (s, d) => {
+      import s.implicits._
+      val h = CorpusOps.hashMix($"doc_id", 1000L)
+      val docs = t(s, d, "documents").select($"doc_id",
+        when(h < 980, "train").when(h < 990, "val").otherwise("test")
+          .as("split"),
+        explode(TextOps.tokens($"text")).as("tok"))
+      val train = docs.filter($"split" === "train")
+        .groupBy($"tok").agg(count(lit(1)).as("c")).persist()
+      val nv = train.agg(sum($"c").as("nn"), count(lit(1)).as("v"))
+      val ev = docs.filter($"split" =!= "train")
+        .groupBy($"split", $"tok").agg(count(lit(1)).as("m"))
+      ev.join(train, Seq("tok"), "left_outer")
+        .crossJoin(broadcast(nv))
+        .select($"split", $"m", coalesce($"c", lit(0L)).as("c"), $"nn",
+          $"v",
+          ($"m" * expr("""cast(floor(ln((cast(nn as double) + cast(v as double))
+            / (cast(coalesce(c, 0) as double) + 1.0)) * 1000000000)
+            as bigint)""")).as("nll"),
+          when($"c".isNull || $"c" === 0, $"m").otherwise(0L).as("oovm"))
+        .groupBy($"split")
+        .agg(sum($"m").as("n_tokens"),
+          expr("(sum(oovm) * 1000000) div sum(m)").as("oov_ppm"),
+          expr("sum(nll) div sum(m)").as("xent_nano"))
+    }, Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          CASE WHEN ((((doc_id % 1000003) + 1000003) % 1000003
+                 * 2654435761 + 40503) % 1000 + 1000) % 1000 < 980
+               THEN 'train'
+               WHEN ((((doc_id % 1000003) + 1000003) % 1000003
+                 * 2654435761 + 40503) % 1000 + 1000) % 1000 < 990
+               THEN 'val' ELSE 'test' END AS split,
+          unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents),
+      train AS (SELECT tok, count(*) AS c FROM tok
+                WHERE split = 'train' GROUP BY 1),
+      nv AS (SELECT sum(c) AS nn, count(*) AS v FROM train),
+      ev AS (SELECT split, tok, count(*) AS m FROM tok
+             WHERE split <> 'train' GROUP BY 1, 2),
+      sc AS (
+        SELECT ev.split, ev.m, coalesce(train.c, 0) AS c, nv.nn, nv.v,
+          ev.m * CAST(floor(ln((CAST(nv.nn AS DOUBLE) + CAST(nv.v AS DOUBLE))
+            / (CAST(coalesce(train.c, 0) AS DOUBLE) + 1.0)) * 1000000000)
+            AS BIGINT) AS nll,
+          CASE WHEN coalesce(train.c, 0) = 0 THEN ev.m ELSE 0 END AS oovm
+        FROM ev LEFT JOIN train USING (tok) CROSS JOIN nv)
+      SELECT split, CAST(sum(m) AS BIGINT) AS n_tokens,
+        CAST((sum(oovm) * 1000000) // sum(m) AS BIGINT) AS oov_ppm,
+        CAST(sum(nll) // sum(m) AS BIGINT) AS xent_nano
+      FROM sc GROUP BY 1"""))
   )
 }

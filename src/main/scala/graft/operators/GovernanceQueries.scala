@@ -2357,6 +2357,74 @@ object GovernanceQueries extends QueryModule {
         CAST((k * 1000000) // n AS BIGINT) AS raw_ppm,
         CAST(max(mn) AS BIGINT) AS iso_ppm
       FROM mn GROUP BY decile, n, k""")),
+
+    // ROC AUC of the quality forecast against the planted label (the
+    // tie-corrected rank statistic AUC = U/(n1*n0) = P(score_pos >
+    // score_neg) + P(tie)/2) — the DISCRIMINATION number completing
+    // the forecast-eval family: q176 shows calibration, q252
+    // decomposes Brier, q299 repairs monotonicity; AUC answers "can
+    // the score rank at all", the first gate before any threshold
+    // discussion. Exactness: q257's DOUBLED-rank device on the
+    // bounded quality-milli value grid — tied-group average rank
+    // 2·cumBefore + n + 1 is ALWAYS integral in doubled units, so
+    // U = (sum_pos dr - n1(n1+1)) / 2 is exact; AUC one ppm floor
+    // div (int64 note: numerator*1e6 overflows past n ~ 2e6 docs —
+    // rescale to permille there). Scale shape: corpus collapses to
+    // the <= 1001-row (qm, n, k) grid in ONE map-side-combined agg;
+    // the cum window rides the grid (q110 argument); 1-row rollup.
+    Q("q302_quality_auc", (s, d) => {
+      import s.implicits._
+      val grid = t(s, d, "documents")
+        .select($"doc_id",
+          floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("qm"))
+        .withColumn("label",
+          when(CorpusOps.hashMix($"doc_id", 1000L) < $"qm", 1L)
+            .otherwise(0L))
+        .groupBy($"qm")
+        .agg(count(lit(1)).as("n"), sum($"label").as("k"))
+      val wQ = Window.orderBy($"qm".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.withColumn("cum", sum($"n").over(wQ))
+        .select($"n", $"k", (lit(2L) * ($"cum" - $"n") + $"n" + 1L)
+          .as("dr"))
+        .agg(sum($"n").as("nt"), sum($"k").as("n1"),
+          sum($"k" * $"dr").as("sdr"))
+        .select($"n1", ($"nt" - $"n1").as("n0"),
+          expr("""CASE WHEN n1 = 0 OR nt - n1 = 0 THEN 0
+            ELSE ((sdr - n1 * (n1 + 1)) * 500000) div (n1 * (nt - n1))
+            END""").as("auc_ppm"))
+        .select($"n1", $"n0", $"auc_ppm",
+          ($"auc_ppm" * 2 - 1000000L).as("gini_ppm"))
+    }, Some("""
+      WITH q AS (
+        SELECT doc_id,
+          CAST(floor((least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2)
+            * 1000) AS BIGINT) AS qm
+        FROM documents),
+      l AS (SELECT qm,
+              CASE WHEN ((doc_id % 1000003) * 2654435761 + 40503) % 1000
+                   < qm THEN 1 ELSE 0 END AS label
+            FROM q),
+      g AS (SELECT qm, count(*) AS n, sum(label) AS k FROM l GROUP BY 1),
+      c AS (
+        SELECT n, k,
+          2 * (sum(n) OVER (ORDER BY qm ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
+            + n + 1 AS dr
+        FROM g),
+      u AS (SELECT sum(n) AS nt, sum(k) AS n1, sum(k * dr) AS sdr FROM c),
+      a AS (
+        SELECT n1, nt - n1 AS n0,
+          CASE WHEN n1 = 0 OR nt - n1 = 0 THEN 0
+            ELSE ((sdr - n1 * (n1 + 1)) * 500000) // (n1 * (nt - n1))
+            END AS auc_ppm
+        FROM u)
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+        CAST(auc_ppm AS BIGINT) AS auc_ppm,
+        CAST(auc_ppm * 2 - 1000000 AS BIGINT) AS gini_ppm
+      FROM a""")),
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

@@ -173,6 +173,70 @@ object MultimodalQueries extends QueryModule {
         CAST(containment_ppm AS BIGINT) AS containment_ppm
       FROM (SELECT *, row_number() OVER (ORDER BY containment_ppm DESC,
               doc_a ASC, doc_b ASC) AS rk FROM sc)
-      WHERE rk <= 20"""))
+      WHERE rk <= 20""")),
+
+    // Payload header/body entropy-split audit per declared format (the
+    // media-lake corruption screen BEYOND q231's magic bytes: a
+    // well-formed media payload has a STRUCTURED low-entropy header
+    // region and a compressed high-entropy body; a blank/filler/
+    // truncated payload shows a flat body) — header = first 64 bytes,
+    // body = the rest, per-format average entropies + suspect count
+    // (body entropy under 1 nat/char: repeated-filler territory for
+    // this corpus). Declared formats ride q231's doc_id % 4 tagging.
+    // Scale shape: both entropies are the codegen'd
+    // char_entropy_nano_sum kernel on row-local substrings (payload
+    // == text bytes per the q40/q76 ASCII convention — no explode, no
+    // shuffle); ONE map-side-combined 4-row registry agg.
+    Q("q303_payload_entropy", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val fmt = when($"doc_id" % 4 === 0, lit("jpeg"))
+        .when($"doc_id" % 4 === 1, lit("png"))
+        .when($"doc_id" % 4 === 2, lit("riff")).otherwise(lit("raw"))
+      Tables.t(s, d, "documents")
+        .filter(length($"text") > 64)
+        .select(fmt.as("declared"),
+          expr("""char_entropy_nano_sum(substring(text, 1, 64)) div 64""")
+            .as("hent"),
+          expr("""char_entropy_nano_sum(substring(text, 65))
+            div (length(text) - 64)""").as("bent"))
+        .groupBy($"declared")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(hent) div count(1)").as("avg_header_nano"),
+          expr("sum(bent) div count(1)").as("avg_body_nano"),
+          sum(when($"bent" < 1000000000L, 1L).otherwise(0L))
+            .as("n_suspect"))
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 4 = 0 THEN 'jpeg'
+               WHEN doc_id % 4 = 1 THEN 'png'
+               WHEN doc_id % 4 = 2 THEN 'riff' ELSE 'raw' END AS declared,
+          substr(text, 1, 64) AS hd, substr(text, 65) AS bd,
+          length(text) - 64 AS blen
+        FROM documents WHERE length(text) > 64),
+      hch AS (SELECT doc_id, unnest(string_split(hd, '')) AS c FROM base),
+      htf AS (SELECT doc_id, c, count(*) AS k FROM hch GROUP BY 1, 2),
+      hent AS (
+        SELECT doc_id,
+          sum(k * CAST(floor(ln(64.0 / k) * 1000000000) AS BIGINT)) // 64
+            AS hent
+        FROM htf GROUP BY 1),
+      bch AS (SELECT doc_id, blen, unnest(string_split(bd, '')) AS c
+              FROM base),
+      btf AS (SELECT doc_id, blen, c, count(*) AS k FROM bch GROUP BY 1, 2, 3),
+      bent AS (
+        SELECT doc_id,
+          sum(k * CAST(floor(ln(blen * 1.0 / k) * 1000000000) AS BIGINT))
+            // max(blen) AS bent
+        FROM btf GROUP BY 1)
+      SELECT base.declared, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(hent.hent) // count(*) AS BIGINT) AS avg_header_nano,
+        CAST(sum(bent.bent) // count(*) AS BIGINT) AS avg_body_nano,
+        CAST(sum(CASE WHEN bent.bent < 1000000000 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_suspect
+      FROM base JOIN hent USING (doc_id) JOIN bent USING (doc_id)
+      GROUP BY 1"""))
   )
 }

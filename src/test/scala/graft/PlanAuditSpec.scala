@@ -53,6 +53,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q298_haar_energy" -> "constant 32-day grid + 5-level wavelet frame broadcasts onto the registry-sized series (grid build and decomposition, all constant-size sides)",
     "q299_isotonic_calibration" -> "<= 10-row decile frame triangle joins (55 intervals) for the order-free PAV minimax — all constant-size sides",
     "q300_kcenter_seeds" -> "<= 4-row center-frame broadcast per round (k*n scan, q37 shape) + 1-row radius broadcasts",
+    "q301_heldout_perplexity" -> "1-row train-LM (N, V) broadcast onto the vocabulary-keyed eval frame",
     "q108_tfidf_keywords" -> "1-row corpus-doc-count broadcast for idf",
     "q110_quantile_sketch" -> "constant 4-row quantile-list broadcast",
     "q112_bm25_retrieval" -> "1-row corpus-stats (N, avgdl) broadcast",
@@ -137,6 +138,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q181_skew_report" -> "cum/total windows over the DISTINCT per-key-frequency grid — value-domain bounded (q110 argument), never key-cardinality rows",
     "q185_lateness_histogram" -> "cum/total windows over the <= 61-row capped lateness-minute bucket grid",
     "q196_variance_alloc" -> "largest-remainder rank over the language-registry frame (bounded registry, q166 class)",
+    "q302_quality_auc" -> "doubled-rank cum over the DISTINCT quality-milli grid — value-domain bounded (<= 1001 rows by construction, q110/q170 argument)",
     "q216_watermark_advisor" -> "cum/total windows over the <= 61-row capped lateness-minute bucket grid (q185 class)",
     "q227_vocab_coverage" -> "cumulative types/mass over the DISTINCT token-frequency class grid — value-domain bounded (q110/q181 argument), never vocabulary cardinality",
     "q236_hill_tail_index" -> "cumulative types over the DISTINCT token-frequency class grid (q227 class — value-domain bounded)",

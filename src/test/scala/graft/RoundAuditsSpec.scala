@@ -1444,4 +1444,65 @@ class RoundAuditsSpec extends AnyFunSuite {
     rad.zip(rad.drop(1)).foreach { case (a, b) => assert(b <= a) }
     rad.foreach(r => assert(r >= 0 && r <= 2000000L)) // cosine distance <= 2
   }
+
+  test("q301: OOV costs the Laplace floor — xent bounded by ln(N+V), OOV share sane") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q301_heldout_perplexity").collect()
+    assert(rows.map(_.getAs[String]("split")).toSet == Set("val", "test"))
+    // recompute the train-LM bound from the same derivation
+    val docs = graft.catalog.Tables.t(spark, sf, "documents")
+    val h = graft.operators.CorpusOps.hashMix(col("doc_id"), 1000L)
+    val train = docs.filter(h < 980)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).cast("long").as("nn"),
+        count(lit(1)).cast("long").as("v"))
+      .collect().head
+    val lnMax = (math.log(train.getAs[Long]("nn").toDouble +
+      train.getAs[Long]("v")) * 1e9).toLong
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") >= 1)
+      val x = r.getAs[Long]("xent_nano")
+      assert(x >= 0 && x <= lnMax + 1)
+      val oov = r.getAs[Long]("oov_ppm")
+      assert(oov >= 0 && oov <= 1000000L)
+    }
+  }
+
+  test("q302: AUC replays against a driver-side brute-force rank computation") {
+    import org.apache.spark.sql.functions._
+    val r = run("q302_quality_auc").collect().head
+    val auc = r.getAs[Long]("auc_ppm")
+    assert(auc >= 0 && auc <= 1000000L)
+    assert(r.getAs[Long]("gini_ppm") == auc * 2 - 1000000L)
+    // brute force on sf0.001: P(pos > neg) + P(tie)/2 over all pairs
+    val qm = graft.operators.TextOps.qualityRaw(col("text"))
+    val scored = graft.catalog.Tables.t(spark, sf, "documents")
+      .select((floor(qm * 1000)).cast("long").as("qm"),
+        when(graft.operators.CorpusOps.hashMix(col("doc_id"), 1000L) <
+          floor(qm * 1000).cast("long"), 1L).otherwise(0L).as("label"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val pos = scored.filter(_._2 == 1L).map(_._1)
+    val neg = scored.filter(_._2 == 0L).map(_._1)
+    assert(r.getAs[Long]("n1") == pos.length.toLong)
+    assert(r.getAs[Long]("n0") == neg.length.toLong)
+    if (pos.nonEmpty && neg.nonEmpty) {
+      var num = 0L
+      for (p <- pos; q <- neg)
+        num += (if (p > q) 2L else if (p == q) 1L else 0L)
+      val brute = num * 500000L / (pos.length.toLong * neg.length)
+      assert(auc == brute)
+    }
+  }
+
+  test("q303: entropy split is bounded by ln(alphabet) and suspects subset docs") {
+    run("q303_payload_entropy").collect().foreach { r =>
+      val h = r.getAs[Long]("avg_header_nano")
+      val b = r.getAs[Long]("avg_body_nano")
+      // entropy of a 64-char window <= ln 64 ≈ 4.159 nats
+      assert(h >= 0 && h <= 4159000000L)
+      assert(b >= 0 && b <= 6000000000L) // printable-ASCII ceiling < ln 128
+      assert(r.getAs[Long]("n_suspect") <= r.getAs[Long]("n_docs"))
+    }
+  }
 }
