@@ -1694,6 +1694,102 @@ object CorpusQueries extends QueryModule {
       SELECT split, CAST(sum(m) AS BIGINT) AS n_tokens,
         CAST((sum(oovm) * 1000000) // sum(m) AS BIGINT) AS oov_ppm,
         CAST(sum(nll) // sum(m) AS BIGINT) AS xent_nano
+      FROM sc GROUP BY 1""")),
+
+    // Stupid-backoff bigram LM, held-out (the Brants et al. 2007
+    // web-scale scoring rule: p = c2/c1(w1) when the bigram was seen
+    // in TRAIN, else 0.4 · Laplace-unigram(w2) — no discounting mass
+    // to renormalize, which is exactly why it scales) — the next rung
+    // above q301's unigram protocol: the bigram-vs-unigram xent DROP
+    // on the same splits is the "is there sequence signal worth a
+    // bigger model" readout. Exactness: seen-path nll =
+    // floor(ln(c1/c2)·1e9), backoff nll = floor(ln(2.5·(N+V)/(c+1))
+    // ·1e9) — each ONE ln on an integer-fed double expression spelled
+    // identically in both engines (q207 convention; 2.5 = 1/0.4 is
+    // exact binary). Scale shape: splits row-local (q84 hash); train
+    // bigram/unigram tables are vocabulary-keyed aggs (model grows
+    // with the corpus — joined, never broadcast); eval collapses to
+    // (split, bigram) BEFORE the three vocabulary-keyed left joins;
+    // the only broadcast is the 1-row (N, V) frame.
+    Q("q305_backoff_xent", (s, d) => {
+      import s.implicits._
+      val h = CorpusOps.hashMix($"doc_id", 1000L)
+      val docs = t(s, d, "documents").select($"doc_id", $"text",
+        when(h < 980, "train").when(h < 990, "val").otherwise("test")
+          .as("split"))
+      val bgAll = TextOps.shingleRows(docs, "doc_id", "text", n = 2)
+        .join(docs.select($"doc_id", $"split"), "doc_id")
+        .select($"split", $"shingle".as("bg"))
+      val c2 = bgAll.filter($"split" === "train")
+        .groupBy($"bg").agg(count(lit(1)).as("c2"))
+      val c1 = docs.filter($"split" === "train")
+        .select(explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("c1")).persist()
+      val nv = c1.agg(sum($"c1").as("nn"), count(lit(1)).as("v"))
+      val ev = bgAll.filter($"split" =!= "train")
+        .groupBy($"split", $"bg").agg(count(lit(1)).as("m"))
+        .withColumn("w1", substring_index($"bg", " ", 1))
+        .withColumn("w2", substring_index($"bg", " ", -1))
+      ev.join(c2, Seq("bg"), "left_outer")
+        .join(c1.select($"tok".as("w1"), $"c1".as("c1a")), Seq("w1"),
+          "left_outer")
+        .join(c1.select($"tok".as("w2"), $"c1".as("c1b")), Seq("w2"),
+          "left_outer")
+        .crossJoin(broadcast(nv))
+        .select($"split", $"m",
+          when($"c2".isNotNull, 0L).otherwise($"m").as("bkm"),
+          ($"m" * when($"c2".isNotNull,
+            expr("""cast(floor(ln(cast(c1a as double) / cast(c2 as double))
+              * 1000000000) as bigint)"""))
+            .otherwise(expr("""cast(floor(ln(2.5 *
+              (cast(nn as double) + cast(v as double))
+              / (cast(coalesce(c1b, 0) as double) + 1.0)) * 1000000000)
+              as bigint)"""))).as("nll"))
+        .groupBy($"split")
+        .agg(sum($"m").as("n_bigrams"),
+          expr("(sum(bkm) * 1000000) div sum(m)").as("backoff_ppm"),
+          expr("sum(nll) div sum(m)").as("xent_nano"))
+    }, Some("""
+      WITH dd AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+          CASE WHEN ((((doc_id % 1000003) + 1000003) % 1000003
+                 * 2654435761 + 40503) % 1000 + 1000) % 1000 < 980
+               THEN 'train'
+               WHEN ((((doc_id % 1000003) + 1000003) % 1000003
+                 * 2654435761 + 40503) % 1000 + 1000) % 1000 < 990
+               THEN 'val' ELSE 'test' END AS split
+        FROM documents),
+      bg AS (
+        SELECT split,
+          unnest(list_transform(range(1, greatest(len(toks), 2)),
+            i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM dd WHERE len(toks) >= 2),
+      c2 AS (SELECT bg, count(*) AS c2 FROM bg
+             WHERE split = 'train' GROUP BY 1),
+      tk AS (SELECT unnest(toks) AS tok FROM dd WHERE split = 'train'),
+      c1 AS (SELECT tok, count(*) AS c1 FROM tk GROUP BY 1),
+      nv AS (SELECT sum(c1) AS nn, count(*) AS v FROM c1),
+      ev AS (SELECT split, bg, count(*) AS m,
+               string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+             FROM bg WHERE split <> 'train' GROUP BY 1, 2),
+      sc AS (
+        SELECT ev.split, ev.m,
+          CASE WHEN c2.c2 IS NOT NULL THEN 0 ELSE ev.m END AS bkm,
+          ev.m * CASE WHEN c2.c2 IS NOT NULL THEN
+            CAST(floor(ln(CAST(ca.c1 AS DOUBLE) / CAST(c2.c2 AS DOUBLE))
+              * 1000000000) AS BIGINT)
+          ELSE
+            CAST(floor(ln(2.5 * (CAST(nv.nn AS DOUBLE) + CAST(nv.v AS DOUBLE))
+              / (CAST(coalesce(cb.c1, 0) AS DOUBLE) + 1.0)) * 1000000000)
+              AS BIGINT)
+          END AS nll
+        FROM ev LEFT JOIN c2 USING (bg)
+        LEFT JOIN c1 ca ON ca.tok = ev.w1
+        LEFT JOIN c1 cb ON cb.tok = ev.w2
+        CROSS JOIN nv)
+      SELECT split, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        CAST((sum(bkm) * 1000000) // sum(m) AS BIGINT) AS backoff_ppm,
+        CAST(sum(nll) // sum(m) AS BIGINT) AS xent_nano
       FROM sc GROUP BY 1"""))
   )
 }

@@ -1796,6 +1796,92 @@ object SimilarityQueries extends QueryModule {
       UNION ALL SELECT 3, (SELECT vec_id FROM n2),
         CAST((SELECT radius FROM r3) AS BIGINT)
       UNION ALL SELECT 4, (SELECT vec_id FROM n3),
-        CAST((SELECT radius FROM r4) AS BIGINT)"""))
+        CAST((SELECT radius FROM r4) AS BIGINT)""")),
+
+    // Dimension-truncation rank fidelity (Kendall tau between the
+    // full-64-dim cosine ranking and the prefix-32-dim ranking of each
+    // probe's top-20 neighbor set) — the RANK-level answer to the
+    // question q192's energy share only answers in L2 terms: energy
+    // says "32 dims keep X% of variance", tau says whether the ORDER
+    // a retriever actually returns survives the truncation (the
+    // decision input for halving index cost). Exactness: both sims
+    // floor-ppm quantized fixed-order dots (q37/q286 IEEE convention);
+    // ranks are row_number on (sim desc, id asc) TOTAL orders, so the
+    // 190 pair comparisons per probe are pure integer. Scale shape:
+    // probes are a constant-3 broadcast (k·n scan, q37 shape); the
+    // top-20 rides the (probe, hash-bucket) prefilter + bounded final
+    // window (q141 pattern); the pair join is within-probe over 20
+    // rows (≤190 pairs/probe, constant).
+    Q("q306_truncation_tau", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      val probes = broadcast(emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("query_id"), $"e".as("qe")))
+      val scored = emb.join(probes, $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          expr("cast(floor(dot_product(qe, e) * 1000000) as bigint)")
+            .as("s64"),
+          expr("""cast(floor(dot_product(slice(qe, 1, 32), slice(e, 1, 32))
+            * 1000000) as bigint)""").as("s32"))
+      val wB = Window.partitionBy($"query_id", pmod(hash($"vec_id"), lit(64)))
+        .orderBy($"s64".desc, $"vec_id".asc)
+      val wF = Window.partitionBy($"query_id")
+        .orderBy($"s64".desc, $"vec_id".asc)
+      val w32 = Window.partitionBy($"query_id")
+        .orderBy($"s32".desc, $"vec_id".asc)
+      val top = scored
+        .withColumn("rb", row_number().over(wB)).filter($"rb" <= 20)
+        .withColumn("r64", row_number().over(wF)).filter($"r64" <= 20)
+        .withColumn("r32", row_number().over(w32))
+        .select($"query_id", $"vec_id", $"r64", $"r32")
+      val l = top.select($"query_id", $"r64".as("a64"), $"r32".as("a32"),
+        $"vec_id".as("ia"))
+      val r = top.select($"query_id", $"r64".as("b64"), $"r32".as("b32"),
+        $"vec_id".as("ib"))
+      l.join(r, "query_id").filter($"ia" < $"ib")
+        .select($"query_id",
+          when(($"a64" - $"b64") * ($"a32" - $"b32") > 0, 1L)
+            .otherwise(0L).as("conc"))
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("n_pairs"), sum($"conc").as("concordant"))
+        .select($"query_id", $"n_pairs", $"concordant",
+          ($"n_pairs" - $"concordant").as("discordant"),
+          expr("((2 * concordant - n_pairs) * 1000) div n_pairs")
+            .as("tau_milli"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, ev AS qe FROM e WHERE vec_id < 3),
+      s AS (
+        SELECT q.query_id, e.vec_id,
+          CAST(floor(list_sum(list_transform(range(1, 65),
+            i -> q.qe[i] * e.ev[i])) * 1000000) AS BIGINT) AS s64,
+          CAST(floor(list_sum(list_transform(range(1, 33),
+            i -> q.qe[i] * e.ev[i])) * 1000000) AS BIGINT) AS s32
+        FROM q, e WHERE e.vec_id <> q.query_id),
+      top AS (
+        SELECT query_id, vec_id, s32,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY s64 DESC, vec_id ASC) AS r64
+        FROM s QUALIFY r64 <= 20),
+      rr AS (
+        SELECT query_id, vec_id, r64,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY s32 DESC, vec_id ASC) AS r32
+        FROM top),
+      pairs AS (
+        SELECT a.query_id,
+          CASE WHEN (a.r64 - b.r64) * (a.r32 - b.r32) > 0
+            THEN 1 ELSE 0 END AS conc
+        FROM rr a JOIN rr b
+          ON b.query_id = a.query_id AND a.vec_id < b.vec_id)
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(conc) AS BIGINT) AS concordant,
+        CAST(count(*) - sum(conc) AS BIGINT) AS discordant,
+        CAST(((2 * sum(conc) - count(*)) * 1000) // count(*) AS BIGINT)
+          AS tau_milli
+      FROM pairs GROUP BY 1"""))
   )
 }

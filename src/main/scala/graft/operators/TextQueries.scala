@@ -1313,7 +1313,81 @@ object TextQueries extends QueryModule {
         CAST((n1 * 1000000) // n_tokens AS BIGINT) AS p0_ppm,
         CAST(CASE WHEN n1 = 0 THEN 0 ELSE (2000 * n2) // n1 END
           AS BIGINT) AS r1_star_milli
-      FROM g"""))
+      FROM g""")),
+
+    // Positional proximity search (the search-engine operator BM25
+    // can't express): for the corpus's top bigram, how many docs match
+    // it as an exact PHRASE (adjacent positions), within a 5-token
+    // proximity window, and as a bag-of-words AND — the
+    // phrase-vs-AND precision gap that quantifies exactly how lossy
+    // q112's bag-of-words scoring is for multi-word queries. Scale
+    // shape: the probe bigram is a k=1 TakeOrderedAndProject on the
+    // (count, shingle) total order; the positional index is ONE
+    // posexplode (linear); both occurrence lists are FILTERED scans
+    // (probe words only) joined per doc — fan-out bounded by per-doc
+    // occurrence counts (doc-length bounded, never corpus-sized);
+    // distinct-doc rollups after.
+    Q("q304_proximity_search", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val top = TextOps.shingleRows(docs, "doc_id", "text", n = 2)
+        .groupBy($"shingle").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"shingle".asc).limit(1)
+        .select(substring_index($"shingle", " ", 1).as("w1"),
+          substring_index($"shingle", " ", -1).as("w2"))
+      val pos = docs.select($"doc_id",
+        posexplode(TextOps.tokens($"text")).as(Seq("p", "tok")))
+      val occ = pos.crossJoin(broadcast(top))
+      val a = occ.filter($"tok" === $"w1")
+        .select($"doc_id", $"p".as("pa"), $"w1", $"w2")
+      val b = occ.filter($"tok" === $"w2")
+        .select($"doc_id", $"p".as("pb"))
+      val j = a.join(b, "doc_id")
+        .groupBy($"doc_id", $"w1", $"w2")
+        .agg(max(when($"pb" === $"pa" + 1, 1L).otherwise(0L)).as("ph"),
+          max(when(greatest($"pb" - $"pa", $"pa" - $"pb") <= 5, 1L)
+            .otherwise(0L)).as("px"))
+      j.groupBy($"w1", $"w2")
+        .agg(sum($"ph").as("n_phrase"), sum($"px").as("n_prox5"),
+          count(lit(1)).as("n_and"))
+        .select($"w1", $"w2", $"n_phrase", $"n_prox5", $"n_and",
+          expr("(n_phrase * 1000000) div n_and").as("phrase_share_ppm"))
+    }, Some("""
+      WITH tk AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, greatest(len(toks), 2)),
+            i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]))
+            AS shingle
+        FROM tk WHERE len(toks) >= 2),
+      top AS (
+        SELECT string_split(shingle, ' ')[1] AS w1,
+          string_split(shingle, ' ')[2] AS w2
+        FROM (SELECT shingle, count(*) AS c FROM sh GROUP BY 1
+              ORDER BY c DESC, shingle ASC LIMIT 1)),
+      pos AS (
+        SELECT doc_id, unnest(toks) AS tok,
+          generate_subscripts(toks, 1) - 1 AS p
+        FROM tk),
+      a AS (SELECT pos.doc_id, pos.p AS pa, top.w1, top.w2
+            FROM pos CROSS JOIN top WHERE pos.tok = top.w1),
+      b AS (SELECT pos.doc_id, pos.p AS pb
+            FROM pos CROSS JOIN top WHERE pos.tok = top.w2),
+      j AS (
+        SELECT a.doc_id, a.w1, a.w2,
+          max(CASE WHEN b.pb = a.pa + 1 THEN 1 ELSE 0 END) AS ph,
+          max(CASE WHEN greatest(b.pb - a.pa, a.pa - b.pb) <= 5
+            THEN 1 ELSE 0 END) AS px
+        FROM a JOIN b USING (doc_id)
+        GROUP BY 1, 2, 3)
+      SELECT w1, w2, CAST(sum(ph) AS BIGINT) AS n_phrase,
+        CAST(sum(px) AS BIGINT) AS n_prox5,
+        CAST(count(*) AS BIGINT) AS n_and,
+        CAST((sum(ph) * 1000000) // count(*) AS BIGINT)
+          AS phrase_share_ppm
+      FROM j GROUP BY 1, 2"""))
   )
 
   /** The 10 nDCG position discounts floor(1e6 / log2(i + 1)),

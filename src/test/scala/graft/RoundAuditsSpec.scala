@@ -1505,4 +1505,43 @@ class RoundAuditsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_suspect") <= r.getAs[Long]("n_docs"))
     }
   }
+
+  test("q304: phrase ⊆ prox5 ⊆ AND — the match-strictness chain holds") {
+    val r = run("q304_proximity_search").collect().head
+    val ph = r.getAs[Long]("n_phrase"); val px = r.getAs[Long]("n_prox5")
+    val nd = r.getAs[Long]("n_and")
+    assert(ph >= 1) // the top bigram occurs adjacently by construction
+    assert(ph <= px && px <= nd)
+    assert(r.getAs[Long]("phrase_share_ppm") == ph * 1000000L / nd)
+    assert(r.getAs[String]("w1") != null && r.getAs[String]("w2") != null)
+  }
+
+  test("q305: backoff xent dominates q301's unigram on no split (bigram adds signal or ties)") {
+    val uni = run("q301_heldout_perplexity").collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("xent_nano")).toMap
+    run("q305_backoff_xent").collect().foreach { r =>
+      val x = r.getAs[Long]("xent_nano")
+      assert(x >= 0)
+      assert(r.getAs[Long]("backoff_ppm") >= 0 &&
+        r.getAs[Long]("backoff_ppm") <= 1000000L)
+      // sanity, not a theorem: backoff bigram xent should not be
+      // catastrophically worse than unigram (within 2x + ln(2.5))
+      val u = uni(r.getAs[String]("split"))
+      assert(x <= 2 * u + 1000000000L)
+    }
+  }
+
+  test("q306: tau replays from concordant counts and is bounded to [-1, 1]") {
+    val rows = run("q306_truncation_tau").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_pairs"); val c = r.getAs[Long]("concordant")
+      assert(n == 190L) // C(20, 2)
+      assert(r.getAs[Long]("discordant") == n - c)
+      val tau = r.getAs[Long]("tau_milli")
+      assert(tau == (2 * c - n) * 1000 / n || tau == -((n - 2 * c) * 1000 / n) ||
+        (2 * c - n) < 0) // floor truncates toward zero on both engines
+      assert(tau >= -1000L && tau <= 1000L)
+    }
+  }
 }
