@@ -4330,6 +4330,84 @@ object AnalyticsQueries extends QueryModule {
           ELSE (en.energy_u * 1000000) // tot.te END AS BIGINT)
           AS share_ppm
       FROM en JOIN tot USING (event_type)""")),
+
+    // Seasonal-naive forecast backtest per event type (predict day t
+    // as day t−7; MAE, signed bias, sMAPE, and the MASE-style ratio
+    // vs the naive-1 baseline y_{t−1}) — THE forecasting floor every
+    // model must beat before it ships: q178 finds the weekly shape,
+    // q183/q244 fit trends, q289 monitors the level; none of them
+    // BACKTESTS a prediction rule. mase_milli < 1000 certifies the
+    // weekly structure is real out-of-sample (seasonal-naive beats
+    // last-value); > 1000 says the weekly signal doesn't generalize.
+    // Exactness: all-integer on the zero-filled calendar grid; sMAPE
+    // per-day one ppm div on a guarded denominator; the two lag
+    // windows ride (type)-partitioned VALUE-DOMAIN day grids (q110
+    // argument — never event-cardinality rows). Scale shape: ONE
+    // map-side-combined (type, day) count agg touches the corpus;
+    // everything after is registry×calendar-sized.
+    Q("q307_seasonal_backtest", (s, d) => {
+      import s.implicits._
+      val cnt = t(s, d, "events")
+        .select($"event_type",
+          datediff(to_date($"ts".cast("timestamp")), lit("2024-01-01"))
+            .cast("long").as("di"))
+        .groupBy($"event_type", $"di").agg(count(lit(1)).as("y"))
+      val days = cnt.select($"di").distinct()
+      val dense = cnt.select($"event_type").distinct()
+        .crossJoin(days)
+        .join(cnt, Seq("event_type", "di"), "left_outer")
+        .select($"event_type", $"di", coalesce($"y", lit(0L)).as("y"))
+      val wT = Window.partitionBy($"event_type").orderBy($"di".asc)
+      val sc = dense
+        .withColumn("f7", lag($"y", 7).over(wT))
+        .withColumn("f1", lag($"y", 1).over(wT))
+        .filter($"f7".isNotNull && $"f1".isNotNull)
+        .select($"event_type", $"y", $"f7", $"f1",
+          greatest($"y" - $"f7", $"f7" - $"y").as("ae7"),
+          greatest($"y" - $"f1", $"f1" - $"y").as("ae1"),
+          ($"y" - $"f7").as("e7"))
+        .withColumn("smape_ppm",
+          when($"y" + $"f7" === 0, 0L)
+            .otherwise(expr("(2 * ae7 * 1000000) div (y + f7)")))
+      sc.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          expr("(sum(ae7) * 1000) div count(1)").as("mae7_milli"),
+          expr("(sum(e7) * 1000) div count(1)").as("bias_milli"),
+          expr("sum(smape_ppm) div count(1)").as("smape_ppm"),
+          expr("""CASE WHEN sum(ae1) = 0 THEN 0
+            ELSE (sum(ae7) * 1000) div sum(ae1) END""").as("mase_milli"))
+    }, Some("""
+      WITH cnt AS (
+        SELECT event_type,
+          date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+          count(*) AS y
+        FROM events GROUP BY 1, 2),
+      dense AS (
+        SELECT t.event_type, dd.di, coalesce(c.y, 0) AS y
+        FROM (SELECT DISTINCT event_type FROM cnt) t
+        CROSS JOIN (SELECT DISTINCT di FROM cnt) dd
+        LEFT JOIN cnt c ON c.event_type = t.event_type AND c.di = dd.di),
+      lagd AS (
+        SELECT event_type, y,
+          lag(y, 7) OVER w AS f7, lag(y, 1) OVER w AS f1
+        FROM dense
+        WINDOW w AS (PARTITION BY event_type ORDER BY di ASC)),
+      sc AS (
+        SELECT event_type, y, f7, f1,
+          greatest(y - f7, f7 - y) AS ae7,
+          greatest(y - f1, f1 - y) AS ae1,
+          y - f7 AS e7,
+          CASE WHEN y + f7 = 0 THEN 0
+            ELSE (2 * greatest(y - f7, f7 - y) * 1000000) // (y + f7)
+            END AS smape_ppm
+        FROM lagd WHERE f7 IS NOT NULL AND f1 IS NOT NULL)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        CAST((sum(ae7) * 1000) // count(*) AS BIGINT) AS mae7_milli,
+        CAST((sum(e7) * 1000) // count(*) AS BIGINT) AS bias_milli,
+        CAST(sum(smape_ppm) // count(*) AS BIGINT) AS smape_ppm,
+        CAST(CASE WHEN sum(ae1) = 0 THEN 0
+          ELSE (sum(ae7) * 1000) // sum(ae1) END AS BIGINT) AS mase_milli
+      FROM sc GROUP BY 1""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

@@ -1882,6 +1882,106 @@ object SimilarityQueries extends QueryModule {
         CAST(count(*) - sum(conc) AS BIGINT) AS discordant,
         CAST(((2 * sum(conc) - count(*)) * 1000) // count(*) AS BIGINT)
           AS tau_milli
-      FROM pairs GROUP BY 1"""))
+      FROM pairs GROUP BY 1""")),
+
+    // Geometric median per label (2 fixed Weiszfeld rounds from the
+    // mean on the q203 8-dim block) with the robustness readout: mean
+    // distance to the MEAN vs to the geometric MEDIAN, and how far
+    // the two centers sit apart — the outlier-robust centroid the
+    // Lloyd family (q118/q123) never produces: one corrupted
+    // embedding drags a mean arbitrarily; the L1-of-L2 center barely
+    // moves, and the mean→median shift is itself the contamination
+    // signal (q135 flags outlier VECTORS; this measures their pull on
+    // the CENTER). Exactness: milli components; squared distances
+    // exact int64; each ||·|| is ONE floor'd sqrt on an integer-fed
+    // double (q282 convention); Weiszfeld weights 1e9 div (dist+1)
+    // integer; every weighted mean an integer div. Scale shape: the
+    // (vec, dim<8) explode is a constant 8× fan-out persisted ONCE;
+    // each round is one model-sized (label, dim) join + one
+    // map-side-combined agg; centers are model frames (labels × 8).
+    Q("q308_geometric_median", (s, d) => {
+      import s.implicits._
+      val ex = t(s, d, "embeddings")
+        .select($"vec_id", $"label".cast("long").as("label"),
+          posexplode($"embedding").as(Seq("i", "comp")))
+        .filter($"i" < 8)
+        .select($"vec_id", $"label", $"i".cast("long").as("dim"),
+          floor($"comp".cast("double") * 1000).cast("long").as("x"))
+        .persist()
+      def distTo(c: org.apache.spark.sql.DataFrame) =
+        ex.join(c, Seq("label", "dim"))
+          .groupBy($"label", $"vec_id")
+          .agg(sum(($"x" - $"m") * ($"x" - $"m")).as("d2"))
+          .select($"label", $"vec_id",
+            expr("cast(floor(sqrt(cast(d2 as double))) as bigint)")
+              .as("dist"))
+      def step(c: org.apache.spark.sql.DataFrame) = {
+        val w = distTo(c)
+          .select($"label", $"vec_id",
+            expr("1000000000 div (dist + 1)").as("w"))
+        ex.join(w, Seq("label", "vec_id"))
+          .groupBy($"label", $"dim")
+          .agg(expr("sum(w * x) div sum(w)").as("m")).persist()
+      }
+      val m0 = ex.groupBy($"label", $"dim")
+        .agg(expr("sum(x) div count(1)").as("m")).persist()
+      val m2 = step(step(m0))
+      val shift = m0.join(m2.select($"label", $"dim", $"m".as("m2")),
+          Seq("label", "dim"))
+        .groupBy($"label")
+        .agg(sum(($"m" - $"m2") * ($"m" - $"m2")).as("s2"))
+        .select($"label",
+          expr("cast(floor(sqrt(cast(s2 as double))) as bigint)")
+            .as("center_shift_milli"))
+      val dm = distTo(m0).groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("sum(dist) div count(1)").as("mean_dist_mean_milli"))
+      val dg = distTo(m2).groupBy($"label")
+        .agg(expr("sum(dist) div count(1)").as("mean_dist_gm_milli"))
+      dm.join(dg, "label").join(shift, "label")
+        .select($"label", $"n_vecs", $"mean_dist_mean_milli",
+          $"mean_dist_gm_milli", $"center_shift_milli")
+    }, Some("""
+      WITH ex AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+          generate_subscripts(embedding, 1) - 1 AS dim,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+            AS x
+        FROM embeddings),
+      e8 AS (SELECT * FROM ex WHERE dim < 8),
+      m0 AS (SELECT label, dim, sum(x) // count(*) AS m
+             FROM e8 GROUP BY 1, 2),
+      d0 AS (SELECT e8.label, e8.vec_id,
+               CAST(floor(sqrt(CAST(sum((e8.x - m0.m) * (e8.x - m0.m))
+                 AS DOUBLE))) AS BIGINT) AS dist
+             FROM e8 JOIN m0 USING (label, dim) GROUP BY 1, 2),
+      w0 AS (SELECT label, vec_id, 1000000000 // (dist + 1) AS w FROM d0),
+      m1 AS (SELECT e8.label, e8.dim, sum(w0.w * e8.x) // sum(w0.w) AS m
+             FROM e8 JOIN w0 USING (label, vec_id) GROUP BY 1, 2),
+      d1 AS (SELECT e8.label, e8.vec_id,
+               CAST(floor(sqrt(CAST(sum((e8.x - m1.m) * (e8.x - m1.m))
+                 AS DOUBLE))) AS BIGINT) AS dist
+             FROM e8 JOIN m1 USING (label, dim) GROUP BY 1, 2),
+      w1 AS (SELECT label, vec_id, 1000000000 // (dist + 1) AS w FROM d1),
+      m2 AS (SELECT e8.label, e8.dim, sum(w1.w * e8.x) // sum(w1.w) AS m
+             FROM e8 JOIN w1 USING (label, vec_id) GROUP BY 1, 2),
+      d2 AS (SELECT e8.label, e8.vec_id,
+               CAST(floor(sqrt(CAST(sum((e8.x - m2.m) * (e8.x - m2.m))
+                 AS DOUBLE))) AS BIGINT) AS dist
+             FROM e8 JOIN m2 USING (label, dim) GROUP BY 1, 2),
+      sh AS (SELECT m0.label,
+               CAST(floor(sqrt(CAST(sum((m0.m - m2.m) * (m0.m - m2.m))
+                 AS DOUBLE))) AS BIGINT) AS center_shift_milli
+             FROM m0 JOIN m2 USING (label, dim) GROUP BY 1),
+      sm AS (SELECT label, count(*) AS n_vecs,
+               sum(dist) // count(*) AS mean_dist_mean_milli
+             FROM d0 GROUP BY 1),
+      sg AS (SELECT label, sum(dist) // count(*) AS mean_dist_gm_milli
+             FROM d2 GROUP BY 1)
+      SELECT sm.label, CAST(sm.n_vecs AS BIGINT) AS n_vecs,
+        CAST(sm.mean_dist_mean_milli AS BIGINT) AS mean_dist_mean_milli,
+        CAST(sg.mean_dist_gm_milli AS BIGINT) AS mean_dist_gm_milli,
+        CAST(sh.center_shift_milli AS BIGINT) AS center_shift_milli
+      FROM sm JOIN sg USING (label) JOIN sh USING (label)"""))
   )
 }

@@ -1544,4 +1544,35 @@ class RoundAuditsSpec extends AnyFunSuite {
       assert(tau >= -1000L && tau <= 1000L)
     }
   }
+
+  test("q307: error metrics internally consistent — |bias| <= mae, smape bounded") {
+    run("q307_seasonal_backtest").collect().foreach { r =>
+      assert(r.getAs[Long]("n_days") >= 1)
+      val mae = r.getAs[Long]("mae7_milli")
+      val bias = r.getAs[Long]("bias_milli")
+      // bias is the signed mean error; its magnitude cannot exceed the
+      // MAE beyond the two independent floor truncations
+      assert(math.abs(bias) <= mae + 2)
+      assert(r.getAs[Long]("smape_ppm") >= 0 &&
+        r.getAs[Long]("smape_ppm") <= 2000000L)
+      assert(r.getAs[Long]("mase_milli") >= 0)
+    }
+  }
+
+  test("q308: geometric median is at least as central as the mean (robustness direction)") {
+    run("q308_geometric_median").collect().foreach { r =>
+      assert(r.getAs[Long]("n_vecs") >= 1)
+      val dm = r.getAs[Long]("mean_dist_mean_milli")
+      val dg = r.getAs[Long]("mean_dist_gm_milli")
+      val sh = r.getAs[Long]("center_shift_milli")
+      assert(dm >= 0 && dg >= 0 && sh >= 0)
+      // Weiszfeld minimizes the SUM of distances: after two rounds the
+      // mean distance to the new center must not blow past the mean's
+      // (allow quantization slack of the shift's floor errors)
+      assert(dg <= dm + sh / math.max(r.getAs[Long]("n_vecs"), 1L) + 3)
+      // triangle inequality: centers can't be farther apart than the
+      // two mean distances combined
+      assert(sh <= dm + dg + 3)
+    }
+  }
 }
