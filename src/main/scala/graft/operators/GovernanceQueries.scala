@@ -2425,6 +2425,97 @@ object GovernanceQueries extends QueryModule {
         CAST(auc_ppm AS BIGINT) AS auc_ppm,
         CAST(auc_ppm * 2 - 1000000 AS BIGINT) AS gini_ppm
       FROM a""")),
+
+    // Decision-threshold tuning over the quality-score grid (the step
+    // AFTER q302 says the score can rank: sweep every achievable
+    // threshold, report the best-F1 and best-Youden-J operating
+    // points with their confusion masses) — the number a filtering
+    // pipeline actually deploys; F1 picks the precision/recall
+    // balance, J = TPR − FPR picks the calibration-free screening
+    // cut. Exactness: TP/FP/FN at every threshold derive from ONE
+    // cumulative pass over the value grid (exact integers); F1/J ppm
+    // floor divs; both argmaxes ride (metric desc, threshold asc)
+    // TOTAL orders. Scale shape: corpus → ≤1001-row grid in ONE
+    // map-side-combined agg; the sweep IS the grid (no per-threshold
+    // jobs — the q217 lesson); two k=1 TakeOrderedAndProject picks.
+    Q("q309_threshold_tuning", (s, d) => {
+      import s.implicits._
+      val grid = t(s, d, "documents")
+        .select($"doc_id",
+          floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("qm"))
+        .withColumn("label",
+          when(CorpusOps.hashMix($"doc_id", 1000L) < $"qm", 1L)
+            .otherwise(0L))
+        .groupBy($"qm")
+        .agg(count(lit(1)).as("n"), sum($"label").as("k"))
+      val wQ = Window.orderBy($"qm".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = grid.agg(sum($"n").as("nt"), sum($"k").as("kt"))
+      val sweep = grid
+        .withColumn("cn", sum($"n").over(wQ) - $"n")
+        .withColumn("ck", sum($"k").over(wQ) - $"k")
+        .crossJoin(broadcast(tot))
+        .select($"qm".as("threshold"),
+          ($"kt" - $"ck").as("tp"),
+          ($"nt" - $"kt" - ($"cn" - $"ck")).as("fp"),
+          $"ck".as("fn"), $"kt", $"nt")
+        .select($"threshold", $"tp", $"fp", $"fn",
+          expr("(2 * tp * 1000000) div (2 * tp + fp + fn)").as("f1_ppm"),
+          expr("""CASE WHEN nt - kt = 0 THEN 0 ELSE
+            (tp * 1000000) div kt - (fp * 1000000) div (nt - kt)
+            END""").as("j_ppm"))
+        .persist()
+      val bestF1 = sweep.orderBy($"f1_ppm".desc, $"threshold".asc).limit(1)
+        .select(lit("f1").as("criterion"), $"threshold", $"tp", $"fp",
+          $"fn", $"f1_ppm", $"j_ppm")
+      val bestJ = sweep.orderBy($"j_ppm".desc, $"threshold".asc).limit(1)
+        .select(lit("youden_j").as("criterion"), $"threshold", $"tp",
+          $"fp", $"fn", $"f1_ppm", $"j_ppm")
+      bestF1.unionAll(bestJ)
+    }, Some("""
+      WITH q AS (
+        SELECT doc_id,
+          CAST(floor((least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2)
+            * 1000) AS BIGINT) AS qm
+        FROM documents),
+      l AS (SELECT qm,
+              CASE WHEN ((doc_id % 1000003) * 2654435761 + 40503) % 1000
+                   < qm THEN 1 ELSE 0 END AS label
+            FROM q),
+      g AS (SELECT qm, count(*) AS n, sum(label) AS k FROM l GROUP BY 1),
+      tot AS (SELECT sum(n) AS nt, sum(k) AS kt FROM g),
+      c AS (
+        SELECT qm,
+          sum(n) OVER w - n AS cn, sum(k) OVER w - k AS ck
+        FROM g
+        WINDOW w AS (ORDER BY qm ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      sw AS (
+        SELECT c.qm AS threshold, tot.kt - c.ck AS tp,
+          tot.nt - tot.kt - (c.cn - c.ck) AS fp, c.ck AS fn,
+          tot.kt, tot.nt
+        FROM c CROSS JOIN tot),
+      m AS (
+        SELECT threshold, tp, fp, fn,
+          (2 * tp * 1000000) // (2 * tp + fp + fn) AS f1_ppm,
+          CASE WHEN nt - kt = 0 THEN 0 ELSE
+            (tp * 1000000) // kt - (fp * 1000000) // (nt - kt)
+            END AS j_ppm
+        FROM sw),
+      bf AS (SELECT 'f1' AS criterion, threshold, tp, fp, fn, f1_ppm,
+               j_ppm
+             FROM m ORDER BY f1_ppm DESC, threshold ASC LIMIT 1),
+      bj AS (SELECT 'youden_j' AS criterion, threshold, tp, fp, fn,
+               f1_ppm, j_ppm
+             FROM m ORDER BY j_ppm DESC, threshold ASC LIMIT 1),
+      u AS (SELECT * FROM bf UNION ALL SELECT * FROM bj)
+      SELECT criterion, CAST(threshold AS BIGINT) AS threshold,
+        CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        CAST(fn AS BIGINT) AS fn, CAST(f1_ppm AS BIGINT) AS f1_ppm,
+        CAST(j_ppm AS BIGINT) AS j_ppm
+      FROM u""")),
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

@@ -1982,6 +1982,78 @@ object SimilarityQueries extends QueryModule {
         CAST(sm.mean_dist_mean_milli AS BIGINT) AS mean_dist_mean_milli,
         CAST(sg.mean_dist_gm_milli AS BIGINT) AS mean_dist_gm_milli,
         CAST(sh.center_shift_milli AS BIGINT) AS center_shift_milli
-      FROM sm JOIN sg USING (label) JOIN sh USING (label)"""))
+      FROM sm JOIN sg USING (label) JOIN sh USING (label)""")),
+
+    // Retrieval result-list diversity (intra-list distance + redundant
+    // pair share of each probe's top-10) — the recsys/RAG eval axis
+    // ORTHOGONAL to relevance: q223's nDCG scores how RIGHT the list
+    // is, this scores how REDUNDANT it is (10 near-identical hits
+    // answer one question once; the MMR/diversity literature's ILD
+    // measure). A list can max nDCG and still fail a user. Exactness:
+    // result-pair sims floor-ppm quantized fixed-order dots; ILD =
+    // mean (1e6 − sim) over the 45 pairs, exact integer; redundancy =
+    // pairs above 0.9 cosine. Scale shape: constant-3 probe broadcast
+    // (k·n scan), top-10 via the bucketed prefilter + bounded window
+    // (q141 pattern); the pair join is within-probe over 10 rows
+    // (45 pairs, constant).
+    Q("q310_result_diversity", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      val probes = broadcast(emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("query_id"), $"e".as("qe")))
+      val wB = Window.partitionBy($"query_id", pmod(hash($"vec_id"), lit(64)))
+        .orderBy($"s".desc, $"vec_id".asc)
+      val wF = Window.partitionBy($"query_id")
+        .orderBy($"s".desc, $"vec_id".asc)
+      val top = emb.join(probes, $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id", $"e",
+          expr("cast(floor(dot_product(qe, e) * 1000000) as bigint)")
+            .as("s"))
+        .withColumn("rb", row_number().over(wB)).filter($"rb" <= 10)
+        .withColumn("rk", row_number().over(wF)).filter($"rk" <= 10)
+        .select($"query_id", $"vec_id", $"e")
+      val l = top.select($"query_id", $"vec_id".as("ia"), $"e".as("ea"))
+      val r = top.select($"query_id", $"vec_id".as("ib"), $"e".as("eb"))
+      l.join(r, "query_id").filter($"ia" < $"ib")
+        .select($"query_id",
+          expr("cast(floor(dot_product(ea, eb) * 1000000) as bigint)")
+            .as("ps"))
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(1000000 - ps) div count(1)").as("ild_ppm"),
+          sum(when($"ps" > 900000, 1L).otherwise(0L))
+            .as("n_redundant"))
+        .select($"query_id", $"n_pairs", $"ild_ppm", $"n_redundant",
+          expr("(n_redundant * 1000000) div n_pairs")
+            .as("redundancy_ppm"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, ev AS qe FROM e WHERE vec_id < 3),
+      s AS (
+        SELECT q.query_id, e.vec_id, e.ev,
+          CAST(floor(list_sum(list_transform(range(1, 65),
+            i -> q.qe[i] * e.ev[i])) * 1000000) AS BIGINT) AS s
+        FROM q, e WHERE e.vec_id <> q.query_id),
+      top AS (
+        SELECT query_id, vec_id, ev,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY s DESC, vec_id ASC) AS rk
+        FROM s QUALIFY rk <= 10),
+      pr AS (
+        SELECT a.query_id,
+          CAST(floor(list_sum(list_transform(range(1, 65),
+            i -> a.ev[i] * b.ev[i])) * 1000000) AS BIGINT) AS ps
+        FROM top a JOIN top b
+          ON b.query_id = a.query_id AND a.vec_id < b.vec_id)
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(1000000 - ps) // count(*) AS BIGINT) AS ild_ppm,
+        CAST(sum(CASE WHEN ps > 900000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_redundant,
+        CAST((sum(CASE WHEN ps > 900000 THEN 1 ELSE 0 END) * 1000000)
+          // count(*) AS BIGINT) AS redundancy_ppm
+      FROM pr GROUP BY 1"""))
   )
 }

@@ -56,6 +56,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q301_heldout_perplexity" -> "1-row train-LM (N, V) broadcast onto the vocabulary-keyed eval frame",
     "q305_backoff_xent" -> "1-row train-LM (N, V) broadcast onto the bigram-vocabulary-keyed eval frame (q301 class)",
     "q306_truncation_tau" -> "constant-3 probe batch broadcast against the corpus (k*n scan, q37/q141 shape)",
+    "q310_result_diversity" -> "constant-3 probe batch broadcast against the corpus (k*n scan, q37/q141 shape)",
     "q108_tfidf_keywords" -> "1-row corpus-doc-count broadcast for idf",
     "q110_quantile_sketch" -> "constant 4-row quantile-list broadcast",
     "q112_bm25_retrieval" -> "1-row corpus-stats (N, avgdl) broadcast",
@@ -167,6 +168,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q37_knn_brute" -> "query batch: vec_id < 20 constant probe set",
     "q300_kcenter_seeds" -> "center frame: one key-filtered seed row unioned with three limit-1 argmin rows — <= 4 rows by construction at any corpus size",
     "q306_truncation_tau" -> "probe batch: vec_id < 3 constant probe set (q37 class)",
+    "q310_result_diversity" -> "probe batch: vec_id < 3 constant probe set (q37 class)",
     "q61_knn_sq8" -> "query batch (vec_id < 10) + dim-range model (64 rows)",
     "q64_knn_pq" -> "query batch (vec_id < 10) + PQ anchor rows (16)",
     "q68_knn_ivfpq" -> "query batch (vec_id < 10) + coarse/PQ model frames (sqrt-n / 16 rows)",

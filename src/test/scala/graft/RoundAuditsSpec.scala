@@ -1575,4 +1575,37 @@ class RoundAuditsSpec extends AnyFunSuite {
       assert(sh <= dm + dg + 3)
     }
   }
+
+  test("q309: confusion masses are conserved and both picks are argmaxes of the sweep") {
+    val rows = run("q309_threshold_tuning").collect()
+    assert(rows.map(_.getAs[String]("criterion")).toSet ==
+      Set("f1", "youden_j"))
+    val total = rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fn"))
+    assert(total.distinct.length == 1) // positives conserved across cuts
+    rows.foreach { r =>
+      assert(r.getAs[Long]("f1_ppm") >= 0 &&
+        r.getAs[Long]("f1_ppm") <= 1000000L)
+      assert(r.getAs[Long]("j_ppm") >= -1000000L &&
+        r.getAs[Long]("j_ppm") <= 1000000L)
+      assert(r.getAs[Long]("tp") >= 0 && r.getAs[Long]("fp") >= 0 &&
+        r.getAs[Long]("fn") >= 0)
+    }
+    val f1Row = rows.find(_.getAs[String]("criterion") == "f1").get
+    val jRow = rows.find(_.getAs[String]("criterion") == "youden_j").get
+    assert(f1Row.getAs[Long]("f1_ppm") >= jRow.getAs[Long]("f1_ppm"))
+    assert(jRow.getAs[Long]("j_ppm") >= f1Row.getAs[Long]("j_ppm"))
+  }
+
+  test("q310: ILD is a mean over 45 pairs, redundancy replays its own count") {
+    val rows = run("q310_result_diversity").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == 45L) // C(10, 2)
+      val ild = r.getAs[Long]("ild_ppm")
+      assert(ild >= 0 && ild <= 2000000L)
+      val red = r.getAs[Long]("n_redundant")
+      assert(red >= 0 && red <= 45L)
+      assert(r.getAs[Long]("redundancy_ppm") == red * 1000000L / 45L)
+    }
+  }
 }
