@@ -4408,6 +4408,90 @@ object AnalyticsQueries extends QueryModule {
         CAST(CASE WHEN sum(ae1) = 0 THEN 0
           ELSE (sum(ae7) * 1000) // sum(ae1) END AS BIGINT) AS mase_milli
       FROM sc GROUP BY 1""")),
+
+    // Group-sequential A/B monitoring with an O'Brien-Fleming-style
+    // boundary (daily looks at the cumulative two-arm count difference
+    // under a hash A/A split; z²_k crosses when z²_k > z²_alpha·K/k —
+    // the OBF shape that spends almost no alpha early and relaxes to
+    // the fixed-horizon z at the final look) — the PEEKING-SAFE
+    // monitor every daily-refreshed A/B dashboard needs: q174 is the
+    // one-shot readout, q264 validates arms once; THIS is the
+    // look-every-day protocol, run here as a negative control (null
+    // effect by construction, so crossings measure the boundary's
+    // actual false-alarm behavior). Exactness: z²_k for a count diff
+    // is (nA−nB)²/(nA+nB); the crossing test is cross-multiplied to
+    // ONE integer comparison (nA−nB)²·k·1e6 > z²_alpha_micro·K·(nA+nB)
+    // — no division, no sqrt; z²_alpha = 3.841459 micro literal.
+    // Scale shape: arm assignment is the q84 pure-hash row function;
+    // ONE (day) agg with per-arm conditional sums; cumulative looks
+    // ride the bounded calendar grid (q110 argument); 1-row rollup.
+    Q("q311_sequential_probe", (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select(
+          datediff(to_date($"ts".cast("timestamp")), lit("2024-01-01"))
+            .cast("long").as("di"),
+          CorpusOps.hashMix($"user_id", 2L).as("arm"))
+      val daily = ev.groupBy($"di")
+        .agg(sum(when($"arm" === 0, 1L).otherwise(0L)).as("a"),
+          sum(when($"arm" === 1, 1L).otherwise(0L)).as("b"))
+      val wD = Window.orderBy($"di".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val looks = daily
+        .withColumn("na", sum($"a").over(wD))
+        .withColumn("nb", sum($"b").over(wD))
+        .withColumn("k", count(lit(1)).over(wD))
+        .select($"di", $"k", $"na", $"nb")
+      val kTot = looks.agg(max($"k").as("kk"))
+      looks.crossJoin(broadcast(kTot))
+        .select($"di", $"k", $"kk", $"na", $"nb",
+          (($"na" - $"nb") * ($"na" - $"nb") * $"k" * 1000000L)
+            .as("lhs"),
+          (lit(3841459L) * $"kk" * ($"na" + $"nb")).as("rhs"))
+        .select($"di", $"kk",
+          when($"lhs" > $"rhs", 1L).otherwise(0L).as("crossed"),
+          expr("""CASE WHEN na + nb = 0 THEN 0
+            ELSE (lhs div greatest(na + nb, 1)) div kk END""")
+            .as("stat_ppm"))
+        .agg(max($"kk").as("n_looks"), sum($"crossed").as("n_crossings"),
+          coalesce(min(when($"crossed" === 1, $"di")), lit(-1L))
+            .as("first_crossing_day"),
+          max($"stat_ppm").as("max_stat_ppm"))
+        .select($"n_looks", $"n_crossings", $"first_crossing_day",
+          $"max_stat_ppm", lit(3841459L).as("z2_alpha_micro"))
+    }, Some("""
+      WITH ev AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+          ((((user_id % 1000003) + 1000003) % 1000003
+            * 2654435761 + 40503) % 2 + 2) % 2 AS arm
+        FROM events),
+      daily AS (
+        SELECT di,
+          sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS a,
+          sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS b
+        FROM ev GROUP BY 1),
+      looks AS (
+        SELECT di,
+          count(*) OVER w AS k, sum(a) OVER w AS na, sum(b) OVER w AS nb
+        FROM daily
+        WINDOW w AS (ORDER BY di ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      kt AS (SELECT max(k) AS kk FROM looks),
+      st AS (
+        SELECT di, kk,
+          CASE WHEN (na - nb) * (na - nb) * k * 1000000
+            > 3841459 * kk * (na + nb) THEN 1 ELSE 0 END AS crossed,
+          CASE WHEN na + nb = 0 THEN 0
+            ELSE (((na - nb) * (na - nb) * k * 1000000)
+              // greatest(na + nb, 1)) // kk END AS stat_ppm
+        FROM looks CROSS JOIN kt)
+      SELECT CAST(max(kk) AS BIGINT) AS n_looks,
+        CAST(sum(crossed) AS BIGINT) AS n_crossings,
+        CAST(coalesce(min(CASE WHEN crossed = 1 THEN di END), -1)
+          AS BIGINT) AS first_crossing_day,
+        CAST(max(stat_ppm) AS BIGINT) AS max_stat_ppm,
+        CAST(3841459 AS BIGINT) AS z2_alpha_micro
+      FROM st""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

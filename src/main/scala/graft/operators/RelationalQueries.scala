@@ -700,6 +700,42 @@ object RelationalQueries extends QueryModule {
       FROM big JOIN orders ON o_orderkey = l_orderkey
       JOIN customer ON c_custkey = o_custkey
       ORDER BY price_cents DESC, o_orderkey ASC
-      LIMIT 20"""))
+      LIMIT 20""")),
+
+    // TPC-H Q15-shape top supplier(s) by discounted revenue — the
+    // agg-then-max-then-filter classic, DISTINCT from top-k (q12/q294
+    // return k rows; Q15 returns ALL suppliers achieving the maximum,
+    // however many tie — the semantics a LIMIT cannot express).
+    // Exactness: per-line revenue floor(price·(1−disc)·100) cents —
+    // ONE identically-spelled double product per row, floored before
+    // the sum so aggregation order is irrelevant. Scale shape: ONE
+    // map-side-combined supplier agg collapses lineitem; the max is a
+    // 1-row broadcast joined back (no second scan, no global window);
+    // the supplier dimension attaches to the (rare) maximal keys.
+    Q("q312_top_supplier", (s, d) => {
+      import s.implicits._
+      val rev = t(s, d, "lineitem")
+        .select($"l_suppkey",
+          expr("cast(floor(l_extendedprice * (1.0 - l_discount) * 100) as bigint)")
+            .as("cents"))
+        .groupBy($"l_suppkey").agg(sum($"cents").as("revenue_cents"))
+      val mx = rev.agg(max($"revenue_cents").as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter($"revenue_cents" === $"mx")
+        .join(t(s, d, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .select($"l_suppkey".as("suppkey"), $"s_name",
+          $"revenue_cents")
+    }, Some("""
+      WITH rev AS (
+        SELECT l_suppkey,
+          sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+            AS BIGINT)) AS revenue_cents
+        FROM lineitem GROUP BY 1),
+      mx AS (SELECT max(revenue_cents) AS mx FROM rev)
+      SELECT l_suppkey AS suppkey, s_name,
+        CAST(revenue_cents AS BIGINT) AS revenue_cents
+      FROM rev CROSS JOIN mx
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE revenue_cents = mx"""))
   )
 }

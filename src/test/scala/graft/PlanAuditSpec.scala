@@ -57,6 +57,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q305_backoff_xent" -> "1-row train-LM (N, V) broadcast onto the bigram-vocabulary-keyed eval frame (q301 class)",
     "q306_truncation_tau" -> "constant-3 probe batch broadcast against the corpus (k*n scan, q37/q141 shape)",
     "q310_result_diversity" -> "constant-3 probe batch broadcast against the corpus (k*n scan, q37/q141 shape)",
+    "q311_sequential_probe" -> "1-row look-count broadcast onto the bounded calendar-grid look frame",
     "q108_tfidf_keywords" -> "1-row corpus-doc-count broadcast for idf",
     "q110_quantile_sketch" -> "constant 4-row quantile-list broadcast",
     "q112_bm25_retrieval" -> "1-row corpus-stats (N, avgdl) broadcast",

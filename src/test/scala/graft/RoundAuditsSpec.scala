@@ -1608,4 +1608,24 @@ class RoundAuditsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("redundancy_ppm") == red * 1000000L / 45L)
     }
   }
+
+  test("q311: null-effect A/A control — crossings consistent with the max statistic") {
+    val r = run("q311_sequential_probe").collect().head
+    val k = r.getAs[Long]("n_looks"); val c = r.getAs[Long]("n_crossings")
+    assert(k >= 1 && c >= 0 && c <= k)
+    val fc = r.getAs[Long]("first_crossing_day")
+    if (c == 0) assert(fc == -1L) else assert(fc >= 0L)
+    // if the max normalized statistic never exceeded alpha, there can
+    // be no crossing (the two readouts must agree)
+    if (r.getAs[Long]("max_stat_ppm") <= r.getAs[Long]("z2_alpha_micro"))
+      assert(c == 0)
+  }
+
+  test("q312: every returned supplier achieves the global max revenue") {
+    val rows = run("q312_top_supplier").collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Long]("revenue_cents")).distinct
+    assert(revs.length == 1 && revs.head > 0)
+    assert(rows.map(_.getAs[Long]("suppkey")).distinct.length == rows.length)
+  }
 }
