@@ -143,6 +143,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q185_lateness_histogram" -> "cum/total windows over the <= 61-row capped lateness-minute bucket grid",
     "q196_variance_alloc" -> "largest-remainder rank over the language-registry frame (bounded registry, q166 class)",
     "q302_quality_auc" -> "doubled-rank cum over the DISTINCT quality-milli grid — value-domain bounded (<= 1001 rows by construction, q110/q170 argument)",
+    "q311_sequential_probe" -> "cumulative-look windows over the DISTINCT day grid — calendar-bounded (q110 argument), never event-cardinality rows",
     "q216_watermark_advisor" -> "cum/total windows over the <= 61-row capped lateness-minute bucket grid (q185 class)",
     "q227_vocab_coverage" -> "cumulative types/mass over the DISTINCT token-frequency class grid — value-domain bounded (q110/q181 argument), never vocabulary cardinality",
     "q236_hill_tail_index" -> "cumulative types over the DISTINCT token-frequency class grid (q227 class — value-domain bounded)",
