@@ -2516,6 +2516,233 @@ object GovernanceQueries extends QueryModule {
         CAST(fn AS BIGINT) AS fn, CAST(f1_ppm AS BIGINT) AS f1_ppm,
         CAST(j_ppm AS BIGINT) AS j_ppm
       FROM u""")),
+
+    // Wilson 95% score interval for each source's positive-label rate
+    // (the interval that stays inside [0,1] and behaves at k=0/k=n,
+    // unlike the naive Wald ±1.96·se every dashboard mistakenly
+    // ships) — the error bar a per-source release table should carry:
+    // q184 bootstraps a MEAN's CI; this is the closed-form binomial
+    // PROPORTION interval, exact from (k, n) alone. Exactness: with
+    // z² = 3.841459 micro (q311's literal), center and half-width are
+    // integer-ppm arithmetic plus ONE floor'd sqrt on an integer-fed
+    // double per side (q282 convention); lo/hi clamped to [0, 1e6]
+    // identically. Scale shape: ONE map-side-combined (source) agg;
+    // everything after is registry-sized row-local math.
+    Q("q313_wilson_interval", (s, d) => {
+      import s.implicits._
+      val z2 = 3841459L // 1.959964^2 in micro
+      val g = t(s, d, "documents")
+        .select($"doc_id", $"source",
+          floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("qm"))
+        .withColumn("label",
+          when(CorpusOps.hashMix($"doc_id", 1000L) < $"qm", 1L)
+            .otherwise(0L))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"label").as("k"))
+      // Wilson: (k + z²/2) / (n + z²) ± z·sqrt(k(n−k)/n + z²/4)/(n + z²)
+      // in ppm: denom_u = n·1e6 + z2; center/halfwidth scaled by 1e6.
+      g.select($"source", $"n", $"k",
+          expr("(k * 1000000) div n").as("rate_ppm"),
+          expr(s"""((k * 1000000 + $z2 div 2) * 1000000)
+            div (n * 1000000 + $z2)""").as("center_ppm"),
+          expr(s"""cast(floor(1959964.0 *
+              sqrt((cast(k as double) * cast(n - k as double)
+                / cast(n as double) + ${z2 / 4}.0 / 1000000.0))
+              * 1000000.0 / (cast(n as double) * 1000000.0 + $z2.0))
+            as bigint)""").as("hw_ppm"))
+        .select($"source", $"n", $"k", $"rate_ppm",
+          greatest($"center_ppm" - $"hw_ppm", lit(0L)).as("wilson_lo_ppm"),
+          least($"center_ppm" + $"hw_ppm", lit(1000000L))
+            .as("wilson_hi_ppm"))
+    }, Some(s"""
+      WITH q AS (
+        SELECT doc_id, source,
+          CAST(floor((least(1.0, len(string_split_regex(trim(text), '\\s+')) / 50.0) * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\\b(the|a|of|and|to)\\b')) / 10.0) * 0.2)
+            * 1000) AS BIGINT) AS qm
+        FROM documents),
+      l AS (SELECT source,
+              CASE WHEN ((doc_id % 1000003) * 2654435761 + 40503) % 1000
+                   < qm THEN 1 ELSE 0 END AS label
+            FROM q),
+      g AS (SELECT source, count(*) AS n, sum(label) AS k
+            FROM l GROUP BY 1),
+      w AS (
+        SELECT source, n, k,
+          (k * 1000000) // n AS rate_ppm,
+          ((k * 1000000 + 3841459 // 2) * 1000000)
+            // (n * 1000000 + 3841459) AS center_ppm,
+          CAST(floor(1959964.0 *
+              sqrt((CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE)
+                / CAST(n AS DOUBLE) + ${3841459L / 4}.0 / 1000000.0))
+              * 1000000.0 / (CAST(n AS DOUBLE) * 1000000.0 + 3841459.0))
+            AS BIGINT) AS hw_ppm
+        FROM g)
+      SELECT source, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        CAST(rate_ppm AS BIGINT) AS rate_ppm,
+        CAST(greatest(center_ppm - hw_ppm, 0) AS BIGINT) AS wilson_lo_ppm,
+        CAST(least(center_ppm + hw_ppm, 1000000) AS BIGINT)
+          AS wilson_hi_ppm
+      FROM w""")),
+
+    // Cumulative-gains table over score deciles (what share of all
+    // positives does the top-k% of the ranking capture; per-decile
+    // lift vs random) — the business-facing companion to q302's AUC:
+    // AUC is one number, the gains curve is the "send the top 20%"
+    // decision table a campaign/filter budget is actually set
+    // against. Exactness: rank deciles cut by exact integer
+    // cumulative masses over the score value grid (descending — the
+    // top decile is the HIGHEST scores); captures/lift integer ppm.
+    // Scale shape: corpus → ≤1001-row value grid in ONE map-side-
+    // combined agg; decile assignment is a 10-row literal frame
+    // inequality-joined to the grid (q217 class); registry rollups.
+    Q("q314_gains_table", (s, d) => {
+      import s.implicits._
+      val grid = t(s, d, "documents")
+        .select($"doc_id",
+          floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("qm"))
+        .withColumn("label",
+          when(CorpusOps.hashMix($"doc_id", 1000L) < $"qm", 1L)
+            .otherwise(0L))
+        .groupBy($"qm")
+        .agg(count(lit(1)).as("n"), sum($"label").as("k"))
+      val wD = Window.orderBy($"qm".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = grid.agg(sum($"n").as("nt"), sum($"k").as("kt"))
+      val cum = grid
+        .withColumn("cn", sum($"n").over(wD))
+        .withColumn("ck", sum($"k").over(wD))
+        .crossJoin(broadcast(tot))
+      val dec = (1L to 10L).toDF("decile")
+      cum.crossJoin(broadcast(dec))
+        .filter($"cn" * 10 >= $"decile" * $"nt")
+        .groupBy($"decile")
+        .agg(min($"cn").as("cum_n"), max($"nt").as("nt"),
+          max($"kt").as("kt"))
+        .join(cum.select($"cn".as("cum_n"), $"ck"), "cum_n")
+        .select($"decile", $"cum_n", $"ck".as("cum_pos"),
+          expr("(ck * 1000000) div kt").as("capture_ppm"),
+          expr("((ck * 1000000) div kt) * 10 div decile").as("lift_permille"))
+    }, Some("""
+      WITH q AS (
+        SELECT doc_id,
+          CAST(floor((least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2)
+            * 1000) AS BIGINT) AS qm
+        FROM documents),
+      l AS (SELECT qm,
+              CASE WHEN ((doc_id % 1000003) * 2654435761 + 40503) % 1000
+                   < qm THEN 1 ELSE 0 END AS label
+            FROM q),
+      g AS (SELECT qm, count(*) AS n, sum(label) AS k FROM l GROUP BY 1),
+      tot AS (SELECT sum(n) AS nt, sum(k) AS kt FROM g),
+      cum AS (
+        SELECT qm,
+          sum(n) OVER w AS cn, sum(k) OVER w AS ck
+        FROM g
+        WINDOW w AS (ORDER BY qm DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      dec AS (SELECT CAST(d AS BIGINT) AS decile
+              FROM range(1, 11) t(d)),
+      hit AS (
+        SELECT dec.decile, min(cum.cn) AS cum_n,
+          max(tot.nt) AS nt, max(tot.kt) AS kt
+        FROM cum CROSS JOIN tot CROSS JOIN dec
+        WHERE cum.cn * 10 >= dec.decile * tot.nt
+        GROUP BY 1)
+      SELECT hit.decile, CAST(hit.cum_n AS BIGINT) AS cum_n,
+        CAST(cum.ck AS BIGINT) AS cum_pos,
+        CAST((cum.ck * 1000000) // hit.kt AS BIGINT) AS capture_ppm,
+        CAST(((cum.ck * 1000000) // hit.kt) * 10 // hit.decile
+          AS BIGINT) AS lift_permille
+      FROM hit JOIN cum ON cum.cn = hit.cum_n""")),
+
+    // CUPED variance reduction for the A/B metric (Deng et al. 2013:
+    // adjust each user's experiment-period value by theta times their
+    // PRE-period covariate; report the variance-reduction share
+    // theta²·var(x)/var(y) = rho² — the sample-size multiplier every
+    // mature experimentation platform applies before q237's MDE
+    // math). Split: first 7 days = pre-period covariate x, the rest =
+    // metric y, per user; theta = cov(x,y)/var(x) exactly as integer
+    // moment forms. Run against the q311/q264 hash arms as an A/A
+    // negative control — the adjusted and raw arm gaps must both be
+    // near zero while the variance shrinks. Exactness: all moments
+    // n·Σxy−Σx·Σy integer forms (q281 class); theta milli one signed
+    // div; reduction ppm one div; int64 headroom documented (Σxy at
+    // count scale ~ 1e12 at sf0.1). Scale shape: ONE map-side-
+    // combined per-user agg (x, y in one pass via conditional sums);
+    // 1-row moment rollup; arm gaps ride the same frame.
+    Q("q315_cuped", (s, d) => {
+      import s.implicits._
+      val per = t(s, d, "events")
+        .select($"user_id",
+          when(datediff(to_date($"ts".cast("timestamp")),
+            lit("2024-01-01")) < 7, 1L).otherwise(0L).as("pre"))
+        .groupBy($"user_id")
+        .agg(sum($"pre").as("x"), sum(lit(1L) - $"pre").as("y"))
+        .withColumn("arm", CorpusOps.hashMix($"user_id", 2L))
+      val m = per.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+        sum($"x" * $"y").as("sxy"), sum($"y" * $"y").as("syy"))
+        .select($"n", $"sx", $"sy",
+          ($"n" * $"sxx" - $"sx" * $"sx").as("vx"),
+          ($"n" * $"sxy" - $"sx" * $"sy").as("cxy"),
+          ($"n" * $"syy" - $"sy" * $"sy").as("vy"))
+        .select($"n",
+          expr("CASE WHEN vx = 0 THEN 0 ELSE (cxy * 1000) div vx END")
+            .as("theta_milli"),
+          expr("""CASE WHEN vx = 0 OR vy = 0 THEN 0
+            ELSE ((cxy div 1000) * (cxy div 1000) * 1000000)
+              div ((vx div 1000) * (vy div 1000)) END""")
+            .as("var_reduction_ppm"))
+      val arms = per.groupBy($"arm")
+        .agg(count(lit(1)).as("nu"), sum($"y").as("sy"),
+          sum($"x").as("sx"))
+      val gap = arms.agg(
+        (max(when($"arm" === 0, expr("(sy * 1000) div nu")))
+          - max(when($"arm" === 1, expr("(sy * 1000) div nu"))))
+          .as("raw_gap_milli"))
+      m.crossJoin(broadcast(gap))
+        .select($"n".as("n_users"), $"theta_milli",
+          $"var_reduction_ppm", $"raw_gap_milli")
+    }, Some("""
+      WITH per AS (
+        SELECT user_id,
+          sum(CASE WHEN date_diff('day', DATE '2024-01-01',
+            CAST(ts AS DATE)) < 7 THEN 1 ELSE 0 END) AS x,
+          sum(CASE WHEN date_diff('day', DATE '2024-01-01',
+            CAST(ts AS DATE)) < 7 THEN 0 ELSE 1 END) AS y,
+          ((((user_id % 1000003) + 1000003) % 1000003
+            * 2654435761 + 40503) % 2 + 2) % 2 AS arm
+        FROM events GROUP BY user_id),
+      m AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+          count(*) * sum(x * x) - sum(x) * sum(x) AS vx,
+          count(*) * sum(x * y) - sum(x) * sum(y) AS cxy,
+          count(*) * sum(y * y) - sum(y) * sum(y) AS vy
+        FROM per),
+      r AS (
+        SELECT n,
+          CASE WHEN vx = 0 THEN 0 ELSE (cxy * 1000) // vx END
+            AS theta_milli,
+          CASE WHEN vx = 0 OR vy = 0 THEN 0
+            ELSE ((cxy // 1000) * (cxy // 1000) * 1000000)
+              // ((vx // 1000) * (vy // 1000)) END AS var_reduction_ppm
+        FROM m),
+      arms AS (
+        SELECT arm, count(*) AS nu, sum(y) AS sy FROM per GROUP BY 1),
+      gap AS (
+        SELECT max(CASE WHEN arm = 0 THEN (sy * 1000) // nu END)
+          - max(CASE WHEN arm = 1 THEN (sy * 1000) // nu END)
+          AS raw_gap_milli
+        FROM arms)
+      SELECT CAST(n AS BIGINT) AS n_users,
+        CAST(theta_milli AS BIGINT) AS theta_milli,
+        CAST(var_reduction_ppm AS BIGINT) AS var_reduction_ppm,
+        CAST(raw_gap_milli AS BIGINT) AS raw_gap_milli
+      FROM r CROSS JOIN gap""")),
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

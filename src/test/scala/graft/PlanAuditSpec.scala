@@ -58,6 +58,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q306_truncation_tau" -> "constant-3 probe batch broadcast against the corpus (k*n scan, q37/q141 shape)",
     "q310_result_diversity" -> "constant-3 probe batch broadcast against the corpus (k*n scan, q37/q141 shape)",
     "q311_sequential_probe" -> "1-row look-count broadcast onto the bounded calendar-grid look frame",
+    "q314_gains_table" -> "1-row totals + constant 10-row decile frame broadcasts onto the bounded score grid (q217 class)",
+    "q315_cuped" -> "1-row arm-gap broadcast onto the 1-row moment rollup",
     "q108_tfidf_keywords" -> "1-row corpus-doc-count broadcast for idf",
     "q110_quantile_sketch" -> "constant 4-row quantile-list broadcast",
     "q112_bm25_retrieval" -> "1-row corpus-stats (N, avgdl) broadcast",
@@ -144,6 +146,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q196_variance_alloc" -> "largest-remainder rank over the language-registry frame (bounded registry, q166 class)",
     "q302_quality_auc" -> "doubled-rank cum over the DISTINCT quality-milli grid — value-domain bounded (<= 1001 rows by construction, q110/q170 argument)",
     "q311_sequential_probe" -> "cumulative-look windows over the DISTINCT day grid — calendar-bounded (q110 argument), never event-cardinality rows",
+    "q314_gains_table" -> "descending cum over the DISTINCT quality-milli grid — value-domain bounded (<= 1001 rows, q110/q302 argument)",
     "q216_watermark_advisor" -> "cum/total windows over the <= 61-row capped lateness-minute bucket grid (q185 class)",
     "q227_vocab_coverage" -> "cumulative types/mass over the DISTINCT token-frequency class grid — value-domain bounded (q110/q181 argument), never vocabulary cardinality",
     "q236_hill_tail_index" -> "cumulative types over the DISTINCT token-frequency class grid (q227 class — value-domain bounded)",

@@ -1628,4 +1628,41 @@ class RoundAuditsSpec extends AnyFunSuite {
     assert(revs.length == 1 && revs.head > 0)
     assert(rows.map(_.getAs[Long]("suppkey")).distinct.length == rows.length)
   }
+
+  test("q313: Wilson interval brackets the rate, stays in [0, 1], shrinks with n") {
+    run("q313_wilson_interval").collect().foreach { r =>
+      val rate = r.getAs[Long]("rate_ppm")
+      val lo = r.getAs[Long]("wilson_lo_ppm")
+      val hi = r.getAs[Long]("wilson_hi_ppm")
+      assert(lo >= 0 && hi <= 1000000L && lo <= hi)
+      // Wilson interval always contains the point estimate (allow the
+      // independent floor truncations a few ppm of slack)
+      assert(rate >= lo - 5 && rate <= hi + 5)
+      assert(r.getAs[Long]("k") <= r.getAs[Long]("n"))
+    }
+  }
+
+  test("q314: gains curve is monotone, ends at full capture, lift decays") {
+    val rows = run("q314_gains_table").collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("cum_n"),
+        r.getAs[Long]("capture_ppm"), r.getAs[Long]("lift_permille")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 10L).toSeq)
+    val caps = rows.map(_._3)
+    caps.zip(caps.drop(1)).foreach { case (a, b) => assert(a <= b) }
+    assert(caps.last >= 999999L - 1) // decile 10 captures everything
+    val ns = rows.map(_._2)
+    ns.zip(ns.drop(1)).foreach { case (a, b) => assert(a <= b) }
+    // a ranking at least as good as random: top-decile lift >= ~1x
+    assert(rows.head._4 >= 900L)
+  }
+
+  test("q315: A/A control — variance reduction in [0,1], theta consistent sign") {
+    val r = run("q315_cuped").collect().head
+    assert(r.getAs[Long]("n_users") >= 1)
+    val vr = r.getAs[Long]("var_reduction_ppm")
+    assert(vr >= 0 && vr <= 1000000L + 5) // rho^2 <= 1 (floor slack)
+    // pre- and post-period activity correlate positively for users
+    assert(r.getAs[Long]("theta_milli") >= 0)
+  }
 }
