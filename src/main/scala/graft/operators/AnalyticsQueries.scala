@@ -4492,6 +4492,77 @@ object AnalyticsQueries extends QueryModule {
         CAST(max(stat_ppm) AS BIGINT) AS max_stat_ppm,
         CAST(3841459 AS BIGINT) AS z2_alpha_micro
       FROM st""")),
+
+    // Weekly growth accounting (new / retained / resurrected /
+    // churned user decomposition + the quick ratio (new +
+    // resurrected) / churned) — THE startup-metrics identity:
+    // active(w) = new + retained + resurrected, and churned(w) =
+    // active(w−1) − retained(w); q90's retention matrix and q255's
+    // DAU/WAU count ACTIVITY, this explains each week's CHANGE in it.
+    // Exactness: pure distinct counts on the (user, week) frame; the
+    // identity is pinned in RoundAuditsSpec; quick ratio one guarded
+    // integer div. Scale shape: ONE (user, week) distinct collapses
+    // the stream; first-seen is a per-user min agg; retention/
+    // resurrection are user-keyed self-joins of the distinct frame
+    // (linear); weekly rollups registry×weeks-sized.
+    Q("q317_growth_accounting", (s, d) => {
+      import s.implicits._
+      val uw = t(s, d, "events")
+        .select($"user_id",
+          expr("datediff(to_date(cast(ts as timestamp)), '2024-01-01') div 7")
+            .cast("long").as("w"))
+        .distinct().persist()
+      val first = uw.groupBy($"user_id").agg(min($"w").as("fw"))
+      val prev = uw.select($"user_id", ($"w" + 1).as("w"),
+        lit(1L).as("wasActive"))
+      val j = uw.join(first, "user_id")
+        .join(prev, Seq("user_id", "w"), "left_outer")
+        .select($"w",
+          when($"fw" === $"w", 1L).otherwise(0L).as("isNew"),
+          when($"wasActive".isNotNull, 1L).otherwise(0L).as("isRet"),
+          when($"fw" < $"w" && $"wasActive".isNull, 1L).otherwise(0L)
+            .as("isRes"))
+      val weekly = j.groupBy($"w")
+        .agg(count(lit(1)).as("active"), sum($"isNew").as("n_new"),
+          sum($"isRet").as("retained"), sum($"isRes").as("resurrected"))
+        .persist()
+      val ch = weekly.select(($"w" + 1).as("w"),
+        $"active".as("prev_active"))
+      weekly.join(ch, Seq("w"), "left_outer")
+        .select($"w".as("week"), $"active", $"n_new", $"retained",
+          $"resurrected",
+          (coalesce($"prev_active", lit(0L)) - $"retained").as("churned"))
+        .withColumn("quick_ratio_milli",
+          expr("""CASE WHEN churned <= 0 THEN -1
+            ELSE ((n_new + resurrected) * 1000) div churned END"""))
+    }, Some("""
+      WITH uw AS (
+        SELECT DISTINCT user_id,
+          date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS w
+        FROM events),
+      f AS (SELECT user_id, min(w) AS fw FROM uw GROUP BY 1),
+      j AS (
+        SELECT uw.w,
+          CASE WHEN f.fw = uw.w THEN 1 ELSE 0 END AS isNew,
+          CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS isRet,
+          CASE WHEN f.fw < uw.w AND p.user_id IS NULL THEN 1 ELSE 0 END
+            AS isRes
+        FROM uw JOIN f USING (user_id)
+        LEFT JOIN uw p ON p.user_id = uw.user_id AND p.w = uw.w - 1),
+      weekly AS (
+        SELECT w, count(*) AS active, sum(isNew) AS n_new,
+          sum(isRet) AS retained, sum(isRes) AS resurrected
+        FROM j GROUP BY 1)
+      SELECT a.w AS week, CAST(a.active AS BIGINT) AS active,
+        CAST(a.n_new AS BIGINT) AS n_new,
+        CAST(a.retained AS BIGINT) AS retained,
+        CAST(a.resurrected AS BIGINT) AS resurrected,
+        CAST(coalesce(p.active, 0) - a.retained AS BIGINT) AS churned,
+        CAST(CASE WHEN coalesce(p.active, 0) - a.retained <= 0 THEN -1
+          ELSE ((a.n_new + a.resurrected) * 1000)
+            // (coalesce(p.active, 0) - a.retained) END AS BIGINT)
+          AS quick_ratio_milli
+      FROM weekly a LEFT JOIN weekly p ON p.w = a.w - 1""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

@@ -1656,6 +1656,113 @@ object DedupQueries extends QueryModule {
          |  CAST(CASE WHEN n_wedges = 0 THEN 0
          |    ELSE (coalesce(n_closed, 0) * 1000000) // n_wedges END
          |    AS BIGINT) AS closure_ppm
-         |FROM wf CROSS JOIN np CROSS JOIN nh""".stripMargin))
+         |FROM wf CROSS JOIN np CROSS JOIN nh""".stripMargin)),
+
+    // q-gram edit-distance similarity join (Gravano et al. 2001: the
+    // POSTING-LIST candidate generation every production fuzzy join
+    // uses — a length filter plus the count-filter pigeonhole "edit
+    // distance d destroys at most q·d grams", then exact verification
+    // on survivors) — the INDEXED fuzzy join next to the BLOCKED ones
+    // (q177 hashes a prefix block, q270/q280 pair within 2-token
+    // blocks; a q-gram index recalls pairs those blockings MISS when
+    // the typo hits the blocking key itself). Top-20 verified pairs
+    // on the (dist, a, b) total order. Scale shape: the bigram
+    // posting join is linear in posting mass with the df cap 2..50
+    // (q233 convention — capped fan-out <= df²/gram); the count
+    // filter prunes BEFORE the levenshtein verify; length filter ±1
+    // rides the same pair row.
+    Q("q316_qgram_ed_join", (s, d) => {
+      import s.implicits._
+      // the synthetic corpus has no natural near-miss lead excerpts,
+      // so the query PLANTS two probe classes one edit apart at a
+      // scale-free density (~5 docs/class at any SF via the live row
+      // count — q55/q70/q77 planting precedent, q69 oracleDyn sizing)
+      val m = math.max(
+        graft.catalog.Stats.parquetRowCount(s, s"$d/documents.parquet") / 5,
+        2L)
+      val ex = t(s, d, "documents")
+        .select($"doc_id",
+          when($"doc_id" % m === 0, lit("zq kwxj vzpy"))
+            .when($"doc_id" % m === 1, lit("zq kwxj vzp"))
+            .otherwise(
+              array_join(slice(TextOps.tokens($"text"), 1, 3), " "))
+            .as("s"))
+        .filter(length($"s") >= 4)
+        .persist()
+      val grams = ex
+        .select($"doc_id", $"s", explode(expr(
+          """array_distinct(transform(sequence(1, length(s) - 1),
+            i -> substring(s, i, 2)))""")).as("g"))
+      val df = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+        .filter($"df".between(2, 50))
+      val post = grams.join(df.select($"g"), "g")
+      // gram-set sizes POST df-cap: the count filter must compare
+      // shared capped grams against capped set sizes, or a single
+      // capped-out common gram silently fails every true pair (the
+      // cap trades recall for bounded fan-out, documented)
+      val gsz = post.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
+      val cand = post.select($"g", $"doc_id".as("a"), $"s".as("sa"))
+        .join(post.select($"g", $"doc_id".as("b"), $"s".as("sb")), "g")
+        .filter($"a" < $"b")
+        .groupBy($"a", $"b", $"sa", $"sb")
+        .agg(count(lit(1)).as("shared"))
+        .join(gsz.select($"doc_id".as("a"), $"ng".as("na")), "a")
+        .join(gsz.select($"doc_id".as("b"), $"ng".as("nb")), "b")
+        .filter($"shared" >= greatest($"na", $"nb") - 2 &&
+          greatest(length($"sa") - length($"sb"),
+            length($"sb") - length($"sa")) <= 1)
+      cand
+        .select($"a".as("doc_a"), $"b".as("doc_b"),
+          levenshtein($"sa", $"sb").cast("long").as("dist"))
+        .filter($"dist" <= 1)
+        .orderBy($"dist".asc, $"doc_a".asc, $"doc_b".asc)
+        .limit(20)
+    }, Some(DedupQueries.qgramEdOracleSql(100L)),
+      oracleDyn = Some((s, d) => DedupQueries.qgramEdOracleSql(math.max(
+        graft.catalog.Stats.parquetRowCount(s, s"$d/documents.parquet") / 5,
+        2L))))
   )
+
+  /** q316's oracle, parameterized by the planting modulus m (derived
+    * from the live corpus row count via oracleDyn — q69 convention). */
+  private[operators] def qgramEdOracleSql(m: Long): String = s"""
+      WITH ex0 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % $m = 0 THEN 'zq kwxj vzpy'
+               WHEN doc_id % $m = 1 THEN 'zq kwxj vzp'
+               ELSE array_to_string(
+                 string_split_regex(trim(text), '\\s+')[1:3], ' ')
+          END AS s
+        FROM documents),
+      ex AS (SELECT doc_id, s FROM ex0 WHERE length(s) >= 4),
+      grams AS (
+        SELECT doc_id, s,
+          unnest(list_distinct(list_transform(range(1, length(s)),
+            i -> substr(s, CAST(i AS INT), 2)))) AS g
+        FROM ex),
+      df AS (SELECT g FROM (SELECT g, count(*) AS df FROM grams
+             GROUP BY 1) WHERE df BETWEEN 2 AND 50),
+      post AS (SELECT grams.g, grams.doc_id, grams.s
+               FROM grams JOIN df USING (g)),
+      gsz AS (SELECT doc_id, count(*) AS ng FROM post GROUP BY 1),
+      cand AS (
+        SELECT p1.doc_id AS a, p2.doc_id AS b, p1.s AS sa, p2.s AS sb,
+          count(*) AS shared
+        FROM post p1 JOIN post p2
+          ON p2.g = p1.g AND p1.doc_id < p2.doc_id
+        GROUP BY 1, 2, 3, 4),
+      fil AS (
+        SELECT cand.a, cand.b, cand.sa, cand.sb
+        FROM cand
+        JOIN gsz ga ON ga.doc_id = cand.a
+        JOIN gsz gb ON gb.doc_id = cand.b
+        WHERE cand.shared >= greatest(ga.ng, gb.ng) - 2
+          AND greatest(length(cand.sa) - length(cand.sb),
+            length(cand.sb) - length(cand.sa)) <= 1)
+      SELECT a AS doc_a, b AS doc_b,
+        CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+      FROM fil
+      WHERE levenshtein(sa, sb) <= 1
+      ORDER BY dist ASC, doc_a ASC, doc_b ASC
+      LIMIT 20"""
 }

@@ -1665,4 +1665,37 @@ class RoundAuditsSpec extends AnyFunSuite {
     // pre- and post-period activity correlate positively for users
     assert(r.getAs[Long]("theta_milli") >= 0)
   }
+
+  test("q316: planted near-miss pairs surface; every pair verifies at dist <= 1") {
+    val rows = run("q316_qgram_ed_join").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("dist")))
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { case (a, b, dd) =>
+      assert(a < b); assert(dd >= 0 && dd <= 1)
+    }
+    // ordering is the (dist, a, b) total order
+    assert(rows.sameElements(rows.sortBy(x => (x._3, x._1, x._2))))
+    // either a planted cross-class pair (dist 1) survives, or the
+    // top-20 saturated with exact matches before any could appear
+    assert(rows.exists(_._3 == 1L) || rows.length == 20)
+  }
+
+  test("q317: the growth-accounting identity holds every week") {
+    val rows = run("q317_growth_accounting").collect()
+      .map(r => (r.getAs[Long]("week"), r.getAs[Long]("active"),
+        r.getAs[Long]("n_new"), r.getAs[Long]("retained"),
+        r.getAs[Long]("resurrected"), r.getAs[Long]("churned")))
+      .sortBy(_._1)
+    rows.foreach { case (_, act, nw, ret, res, ch) =>
+      assert(act == nw + ret + res) // the decomposition identity
+      assert(ch >= 0)
+    }
+    // churned(w) = active(w-1) - retained(w) replays across rows
+    rows.zip(rows.drop(1)).foreach { case ((_, actPrev, _, _, _, _),
+      (_, _, _, ret, _, ch)) => assert(ch == actPrev - ret)
+    }
+    // week 0: everyone is new, nobody churned yet
+    assert(rows.head._3 == rows.head._2 && rows.head._6 == 0L)
+  }
 }
