@@ -4563,6 +4563,113 @@ object AnalyticsQueries extends QueryModule {
             // (coalesce(p.active, 0) - a.retained) END AS BIGINT)
           AS quick_ratio_milli
       FROM weekly a LEFT JOIN weekly p ON p.w = a.w - 1""")),
+
+    // RFM segmentation (recency / frequency / monetary terciles per
+    // user, 27-cell segment table with user counts and value mass —
+    // the classic marketing/CRM operator: q90/q317 describe the
+    // population week by week, RFM SEGMENTS it into actionable cells:
+    // 333 = champions, 1xx = at-risk). Exactness: tercile cuts are
+    // exact lower-rank thresholds from cumulative masses over each
+    // metric's VALUE GRID (q110 argument — recency rides the calendar
+    // grid, frequency the count grid, monetary the milli-value grid);
+    // per-user cell assignment is three grid lookups; all-integer.
+    // Scale shape: ONE map-side-combined per-user agg; three bounded
+    // grids with cum windows; the user frame joins each ≤2-row
+    // threshold frame via broadcast; final rollup is ≤27 rows.
+    Q("q318_rfm_segments", (s, d) => {
+      import s.implicits._
+      val per = t(s, d, "events")
+        .select($"user_id",
+          datediff(to_date($"ts".cast("timestamp")), lit("2024-01-01"))
+            .cast("long").as("di"),
+          floor($"value" * 1000).cast("long").as("vm"))
+        .groupBy($"user_id")
+        .agg(max($"di").as("r"), count(lit(1)).as("f"),
+          sum($"vm").as("m"))
+        .persist()
+      val nTot = per.agg(count(lit(1)).as("n"))
+      def cuts(c: String) = {
+        val grid = per.groupBy(col(c).as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy($"v".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ks = Seq(1L, 2L).toDF("tk")
+        grid.withColumn("cum", sum($"cnt").over(w))
+          .crossJoin(broadcast(nTot))
+          .crossJoin(broadcast(ks))
+          .filter($"cum" * 3 >= $"tk" * $"n")
+          .groupBy($"tk").agg(min($"v").as("thr"))
+          .groupBy()
+          .agg(max(when($"tk" === 1, $"thr")).as(s"${c}1"),
+            max(when($"tk" === 2, $"thr")).as(s"${c}2"))
+      }
+      per.crossJoin(broadcast(cuts("r")))
+        .crossJoin(broadcast(cuts("f")))
+        .crossJoin(broadcast(cuts("m")))
+        .select(
+          (when($"r" <= $"r1", 1L).when($"r" <= $"r2", 2L).otherwise(3L))
+            .as("r_t"),
+          (when($"f" <= $"f1", 1L).when($"f" <= $"f2", 2L).otherwise(3L))
+            .as("f_t"),
+          (when($"m" <= $"m1", 1L).when($"m" <= $"m2", 2L).otherwise(3L))
+            .as("m_t"),
+          $"m")
+        .groupBy($"r_t", $"f_t", $"m_t")
+        .agg(count(lit(1)).as("n_users"), sum($"m").as("value_milli"))
+    }, Some("""
+      WITH per AS (
+        SELECT user_id,
+          max(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+            AS r,
+          count(*) AS f,
+          sum(CAST(floor(value * 1000) AS BIGINT)) AS m
+        FROM events GROUP BY 1),
+      nt AS (SELECT count(*) AS n FROM per),
+      tk AS (SELECT CAST(k AS BIGINT) AS tk FROM (VALUES (1), (2)) v(k)),
+      rcum AS (
+        SELECT v, sum(cnt) OVER (ORDER BY v ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM (SELECT r AS v, count(*) AS cnt FROM per GROUP BY 1)),
+      rth AS (
+        SELECT max(CASE WHEN tk = 1 THEN thr END) AS r1,
+          max(CASE WHEN tk = 2 THEN thr END) AS r2
+        FROM (SELECT tk.tk, min(rcum.v) AS thr
+              FROM rcum CROSS JOIN nt CROSS JOIN tk
+              WHERE rcum.cum * 3 >= tk.tk * nt.n GROUP BY 1)),
+      fcum AS (
+        SELECT v, sum(cnt) OVER (ORDER BY v ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM (SELECT f AS v, count(*) AS cnt FROM per GROUP BY 1)),
+      fth AS (
+        SELECT max(CASE WHEN tk = 1 THEN thr END) AS f1,
+          max(CASE WHEN tk = 2 THEN thr END) AS f2
+        FROM (SELECT tk.tk, min(fcum.v) AS thr
+              FROM fcum CROSS JOIN nt CROSS JOIN tk
+              WHERE fcum.cum * 3 >= tk.tk * nt.n GROUP BY 1)),
+      mcum AS (
+        SELECT v, sum(cnt) OVER (ORDER BY v ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM (SELECT m AS v, count(*) AS cnt FROM per GROUP BY 1)),
+      mth AS (
+        SELECT max(CASE WHEN tk = 1 THEN thr END) AS m1,
+          max(CASE WHEN tk = 2 THEN thr END) AS m2
+        FROM (SELECT tk.tk, min(mcum.v) AS thr
+              FROM mcum CROSS JOIN nt CROSS JOIN tk
+              WHERE mcum.cum * 3 >= tk.tk * nt.n GROUP BY 1)),
+      seg AS (
+        SELECT
+          CASE WHEN per.r <= rth.r1 THEN 1
+               WHEN per.r <= rth.r2 THEN 2 ELSE 3 END AS r_t,
+          CASE WHEN per.f <= fth.f1 THEN 1
+               WHEN per.f <= fth.f2 THEN 2 ELSE 3 END AS f_t,
+          CASE WHEN per.m <= mth.m1 THEN 1
+               WHEN per.m <= mth.m2 THEN 2 ELSE 3 END AS m_t,
+          per.m
+        FROM per CROSS JOIN rth CROSS JOIN fth CROSS JOIN mth)
+      SELECT CAST(r_t AS BIGINT) AS r_t, CAST(f_t AS BIGINT) AS f_t,
+        CAST(m_t AS BIGINT) AS m_t, count(*) AS n_users,
+        CAST(sum(m) AS BIGINT) AS value_milli
+      FROM seg GROUP BY 1, 2, 3""")),
   )
 
   /** q162's interval build, shared with its as-of probe q167: per-user

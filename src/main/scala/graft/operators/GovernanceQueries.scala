@@ -2743,6 +2743,87 @@ object GovernanceQueries extends QueryModule {
         CAST(var_reduction_ppm AS BIGINT) AS var_reduction_ppm,
         CAST(raw_gap_milli AS BIGINT) AS raw_gap_milli
       FROM r CROSS JOIN gap""")),
+
+    // Gini decision stump on document length (best single binary
+    // split n_chars <= t for the quality label, by weighted Gini
+    // impurity — the CART building block and the NUMERIC-feature
+    // answer the categorical family can't give: q202's IV and q292's
+    // MI bin or enumerate category values; a stump finds the exact
+    // cut point). Weighted Gini after a split collapses to
+    // sum_sides 2·k_s·(n_s−k_s)/(n·n_s) — exact integer numerators,
+    // one ppm floor div per side. Exactness: all candidate cuts come
+    // from ONE cumulative pass over the length value grid; argmin
+    // rides the (impurity asc, threshold asc) total order. Scale
+    // shape: corpus → bounded length grid in ONE map-side-combined
+    // agg (q110 argument); the sweep IS the grid; k=1
+    // TakeOrderedAndProject.
+    Q("q319_gini_stump", (s, d) => {
+      import s.implicits._
+      val grid = t(s, d, "documents")
+        .select($"doc_id", $"n_chars".cast("long").as("v"),
+          floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("qm"))
+        .withColumn("label",
+          when(CorpusOps.hashMix($"doc_id", 1000L) < $"qm", 1L)
+            .otherwise(0L))
+        .groupBy($"v")
+        .agg(count(lit(1)).as("n"), sum($"label").as("k"))
+      val wV = Window.orderBy($"v".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = grid.agg(sum($"n").as("nt"), sum($"k").as("kt"))
+      grid
+        .withColumn("nl", sum($"n").over(wV))
+        .withColumn("kl", sum($"k").over(wV))
+        .crossJoin(broadcast(tot))
+        .filter($"nl" < $"nt") // both sides non-empty
+        .select($"v".as("threshold"), $"nl", ($"nt" - $"nl").as("nr"),
+          $"kl", ($"kt" - $"kl").as("kr"), $"nt", $"kt")
+        .select($"threshold", $"nl", $"nr",
+          (expr("(2 * kl * (nl - kl) * 1000000) div (nt * nl)") +
+            expr("(2 * kr * (nr - kr) * 1000000) div (nt * nr)"))
+            .as("split_gini_ppm"),
+          expr("(2 * kt * (nt - kt) * 1000000) div (nt * nt)")
+            .as("parent_gini_ppm"))
+        .orderBy($"split_gini_ppm".asc, $"threshold".asc).limit(1)
+        .select($"threshold", $"nl", $"nr", $"parent_gini_ppm",
+          $"split_gini_ppm",
+          ($"parent_gini_ppm" - $"split_gini_ppm").as("reduction_ppm"))
+    }, Some("""
+      WITH q AS (
+        SELECT doc_id, n_chars AS v,
+          CAST(floor((least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2)
+            * 1000) AS BIGINT) AS qm
+        FROM documents),
+      l AS (SELECT v,
+              CASE WHEN ((doc_id % 1000003) * 2654435761 + 40503) % 1000
+                   < qm THEN 1 ELSE 0 END AS label
+            FROM q),
+      g AS (SELECT v, count(*) AS n, sum(label) AS k FROM l GROUP BY 1),
+      tot AS (SELECT sum(n) AS nt, sum(k) AS kt FROM g),
+      c AS (
+        SELECT v,
+          sum(n) OVER w AS nl, sum(k) OVER w AS kl
+        FROM g
+        WINDOW w AS (ORDER BY v ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      sw AS (
+        SELECT c.v AS threshold, c.nl, tot.nt - c.nl AS nr, c.kl,
+          tot.kt - c.kl AS kr, tot.nt, tot.kt
+        FROM c CROSS JOIN tot WHERE c.nl < tot.nt),
+      m AS (
+        SELECT threshold, nl, nr,
+          (2 * kl * (nl - kl) * 1000000) // (nt * nl)
+            + (2 * kr * (nr - kr) * 1000000) // (nt * nr)
+            AS split_gini_ppm,
+          (2 * kt * (nt - kt) * 1000000) // (nt * nt) AS parent_gini_ppm
+        FROM sw)
+      SELECT CAST(threshold AS BIGINT) AS threshold,
+        CAST(nl AS BIGINT) AS nl, CAST(nr AS BIGINT) AS nr,
+        CAST(parent_gini_ppm AS BIGINT) AS parent_gini_ppm,
+        CAST(split_gini_ppm AS BIGINT) AS split_gini_ppm,
+        CAST(parent_gini_ppm - split_gini_ppm AS BIGINT) AS reduction_ppm
+      FROM m ORDER BY split_gini_ppm ASC, threshold ASC LIMIT 1""")),
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

@@ -60,6 +60,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q311_sequential_probe" -> "1-row look-count broadcast onto the bounded calendar-grid look frame",
     "q314_gains_table" -> "1-row totals + constant 10-row decile frame broadcasts onto the bounded score grid (q217 class)",
     "q315_cuped" -> "1-row arm-gap broadcast onto the 1-row moment rollup",
+    "q318_rfm_segments" -> "1-row tercile-threshold and user-total broadcasts onto the per-user frame and the bounded value grids",
+    "q319_gini_stump" -> "1-row (n, k) totals broadcast onto the bounded length grid",
     "q108_tfidf_keywords" -> "1-row corpus-doc-count broadcast for idf",
     "q110_quantile_sketch" -> "constant 4-row quantile-list broadcast",
     "q112_bm25_retrieval" -> "1-row corpus-stats (N, avgdl) broadcast",
@@ -147,6 +149,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q302_quality_auc" -> "doubled-rank cum over the DISTINCT quality-milli grid — value-domain bounded (<= 1001 rows by construction, q110/q170 argument)",
     "q311_sequential_probe" -> "cumulative-look windows over the DISTINCT day grid — calendar-bounded (q110 argument), never event-cardinality rows",
     "q314_gains_table" -> "descending cum over the DISTINCT quality-milli grid — value-domain bounded (<= 1001 rows, q110/q302 argument)",
+    "q318_rfm_segments" -> "tercile cums over the DISTINCT recency/frequency/monetary value grids — value-domain bounded (q110 argument)",
+    "q319_gini_stump" -> "split-sweep cum over the DISTINCT length grid — value-domain bounded (q110 argument)",
     "q216_watermark_advisor" -> "cum/total windows over the <= 61-row capped lateness-minute bucket grid (q185 class)",
     "q227_vocab_coverage" -> "cumulative types/mass over the DISTINCT token-frequency class grid — value-domain bounded (q110/q181 argument), never vocabulary cardinality",
     "q236_hill_tail_index" -> "cumulative types over the DISTINCT token-frequency class grid (q227 class — value-domain bounded)",

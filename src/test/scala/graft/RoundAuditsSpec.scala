@@ -1698,4 +1698,35 @@ class RoundAuditsSpec extends AnyFunSuite {
     // week 0: everyone is new, nobody churned yet
     assert(rows.head._3 == rows.head._2 && rows.head._6 == 0L)
   }
+
+  test("q318: tercile cells partition the user base, value conserved") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q318_rfm_segments").collect()
+    rows.foreach { r =>
+      Seq("r_t", "f_t", "m_t").foreach(c =>
+        assert(r.getAs[Long](c) >= 1 && r.getAs[Long](c) <= 3))
+      assert(r.getAs[Long]("n_users") >= 1)
+    }
+    val nUsers = graft.catalog.Tables.t(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers)
+    // terciles are lower-rank cuts: the lowest cell of each axis is
+    // non-empty by construction
+    assert(rows.exists(_.getAs[Long]("r_t") == 1L))
+    assert(rows.exists(_.getAs[Long]("f_t") == 1L))
+    assert(rows.exists(_.getAs[Long]("m_t") == 1L))
+  }
+
+  test("q319: the stump can only reduce impurity, sides partition the corpus") {
+    import org.apache.spark.sql.functions._
+    val r = run("q319_gini_stump").collect().head
+    val red = r.getAs[Long]("reduction_ppm")
+    // splitting never increases weighted Gini (allow floor slack)
+    assert(red >= -4)
+    assert(r.getAs[Long]("split_gini_ppm") >= 0 &&
+      r.getAs[Long]("parent_gini_ppm") <= 500000L) // gini <= 1/2 binary
+    val nDocs = graft.catalog.Tables.t(spark, sf, "documents").count()
+    assert(r.getAs[Long]("nl") + r.getAs[Long]("nr") == nDocs)
+    assert(r.getAs[Long]("nl") >= 1 && r.getAs[Long]("nr") >= 1)
+  }
 }
