@@ -2824,6 +2824,134 @@ object GovernanceQueries extends QueryModule {
         CAST(split_gini_ppm AS BIGINT) AS split_gini_ppm,
         CAST(parent_gini_ppm - split_gini_ppm AS BIGINT) AS reduction_ppm
       FROM m ORDER BY split_gini_ppm ASC, threshold ASC LIMIT 1""")),
+
+    // Calibration slope and intercept (weak-calibration test: OLS of
+    // the observed log-odds on the predicted log-odds over the decile
+    // frame — slope 1 and intercept 0 is perfect weak calibration;
+    // slope < 1 says the score is overconfident at the extremes, an
+    // intercept shift says the base rate moved; the clinical-ML
+    // standard companion to q176's curve, q252's decomposition and
+    // q299's repair, and the cheapest Platt-style recalibration: the
+    // fitted (a, b) IS the corrective map). Exactness: logits are
+    // floor(ln(odds)·1e6) on integer-fed ratios (MICRO, not nano —
+    // the OLS cross-products must stay inside int64 over 10 rows);
+    // degenerate deciles (k=0 or k=n) excluded identically in both
+    // engines; slope/intercept exact integer moment forms (q281).
+    // Scale shape: corpus → ≤10-row decile frame in ONE map-side-
+    // combined agg; everything after is 10-row math.
+    Q("q320_calibration_slope", (s, d) => {
+      import s.implicits._
+      val bins = t(s, d, "documents")
+        .select($"doc_id",
+          floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("qm"))
+        .withColumn("label",
+          when(CorpusOps.hashMix($"doc_id", 1000L) < $"qm", 1L)
+            .otherwise(0L))
+        .withColumn("decile", least(expr("qm div 100"), lit(9L)))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n"), sum($"qm").as("sq"),
+          sum($"label").as("k"))
+        .filter($"k" > 0 && $"k" < $"n" &&
+          $"sq" > 0 && $"sq" < $"n" * 1000)
+      val pts = bins.select(
+        expr("""cast(floor(ln(cast(sq as double)
+          / (cast(n as double) * 1000.0 - cast(sq as double))) * 1000000)
+          as bigint)""").as("x"),
+        expr("""cast(floor(ln(cast(k as double)
+          / (cast(n as double) - cast(k as double))) * 1000000)
+          as bigint)""").as("y"))
+      pts.agg(count(lit(1)).as("nb"), sum($"x").as("sx"),
+          sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+          sum($"x" * $"y").as("sxy"))
+        .select($"nb",
+          expr("((nb * sxy - sx * sy) * 1000) div (nb * sxx - sx * sx)")
+            .as("slope_milli"))
+        .crossJoin(broadcast(pts.agg(sum($"x").as("tx"), sum($"y").as("ty"),
+          count(lit(1)).as("tn"))))
+        .select($"nb".as("n_bins"), $"slope_milli",
+          expr("(ty * 1000 - slope_milli * tx) div (tn * 1000)")
+            .as("intercept_micro"))
+    }, Some("""
+      WITH q AS (
+        SELECT doc_id,
+          CAST(floor((least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2)
+            * 1000) AS BIGINT) AS qm
+        FROM documents),
+      l AS (SELECT qm,
+              CASE WHEN ((doc_id % 1000003) * 2654435761 + 40503) % 1000
+                   < qm THEN 1 ELSE 0 END AS label,
+              least(qm // 100, 9) AS decile
+            FROM q),
+      bins AS (
+        SELECT decile, count(*) AS n, sum(qm) AS sq, sum(label) AS k
+        FROM l GROUP BY 1
+        HAVING sum(label) > 0 AND sum(label) < count(*)
+          AND sum(qm) > 0 AND sum(qm) < count(*) * 1000),
+      pts AS (
+        SELECT
+          CAST(floor(ln(CAST(sq AS DOUBLE)
+            / (CAST(n AS DOUBLE) * 1000.0 - CAST(sq AS DOUBLE)))
+            * 1000000) AS BIGINT) AS x,
+          CAST(floor(ln(CAST(k AS DOUBLE)
+            / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) * 1000000)
+            AS BIGINT) AS y
+        FROM bins),
+      m AS (
+        SELECT count(*) AS nb, sum(x) AS sx, sum(y) AS sy,
+          sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM pts),
+      r AS (
+        SELECT nb, sx, sy,
+          ((nb * sxy - sx * sy) * 1000) // (nb * sxx - sx * sx)
+            AS slope_milli
+        FROM m)
+      SELECT CAST(nb AS BIGINT) AS n_bins,
+        CAST(slope_milli AS BIGINT) AS slope_milli,
+        CAST((sy * 1000 - slope_milli * sx) // (nb * 1000) AS BIGINT)
+          AS intercept_micro
+      FROM r""")),
+
+    // Bloom-filter sizing advisor per source (optimal bits m =
+    // −n·ln p/(ln 2)² and hash count k = (m/n)·ln 2 for three target
+    // false-positive rates — the capacity-planning table behind the
+    // q81 decontamination filter and every shuffle-pruning bloom
+    // (q149): "this source's dedup filter costs X MiB at 0.1% FPR").
+    // The ops-advisory family member (q215 salt, q216 watermark,
+    // q240 join order) for membership structures. Exactness: the
+    // bits-per-key and k constants are precomputed once in Scala and
+    // embedded as identical integer literals (micro bpk, integer k —
+    // the ndcgDiscMicro convention); m = (n·bpk) div 1e6 + 1.
+    // Scale shape: ONE map-side-combined per-source count; the FPR
+    // frame is a 3-row literal; output registry×3.
+    Q("q321_bloom_advisor", (s, d) => {
+      import s.implicits._
+      val fprs = GovernanceQueries.bloomFprRows
+        .toDF("fpr_label", "bpk_micro", "k_hashes")
+      t(s, d, "documents")
+        .groupBy($"source").agg(count(lit(1)).as("n_keys"))
+        .crossJoin(broadcast(fprs))
+        .select($"source", $"fpr_label", $"n_keys", $"k_hashes",
+          (expr("(n_keys * bpk_micro) div 1000000") + 1L).as("m_bits"))
+        .select($"source", $"fpr_label", $"n_keys", $"k_hashes",
+          $"m_bits", expr("m_bits div 8192").as("m_kib"))
+    }, Some(s"""
+      WITH src AS (SELECT source, count(*) AS n_keys
+                   FROM documents GROUP BY 1),
+      fpr AS (SELECT fpr_label, CAST(bpk AS BIGINT) AS bpk_micro,
+                CAST(k AS BIGINT) AS k_hashes
+              FROM (VALUES ${GovernanceQueries.bloomFprRows
+                .map { case (l, b, k) => s"('$l', $b, $k)" }
+                .mkString(", ")}) v(fpr_label, bpk, k)),
+      j AS (
+        SELECT source, fpr_label, n_keys, k_hashes,
+          (n_keys * bpk_micro) // 1000000 + 1 AS m_bits
+        FROM src CROSS JOIN fpr)
+      SELECT source, fpr_label, CAST(n_keys AS BIGINT) AS n_keys,
+        k_hashes, CAST(m_bits AS BIGINT) AS m_bits,
+        CAST(m_bits // 8192 AS BIGINT) AS m_kib
+      FROM j""")),
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed
@@ -2835,6 +2963,19 @@ object GovernanceQueries extends QueryModule {
     val e = math.exp(-1.0)
     Seq(1.0, 2.0, 2.5, 8.0 / 3, 65.0 / 24)
       .map(c => math.floor(c * e * 1048576).toLong)
+  }
+
+  /** q321's Bloom sizing constants, precomputed once so both engines
+    * consume identical integer literals: bits-per-key micro =
+    * floor(−ln p/(ln 2)² · 1e6), k = round((bits/key)·ln 2). */
+  private[operators] val bloomFprRows: Seq[(String, Long, Long)] = {
+    val ln2sq = math.log(2.0) * math.log(2.0)
+    Seq("p0.1pct" -> 0.001, "p1pct" -> 0.01, "p5pct" -> 0.05).map {
+      case (label, p) =>
+        val bpk = -math.log(p) / ln2sq
+        (label, math.floor(bpk * 1e6).toLong,
+          math.round(bpk * math.log(2.0)))
+    }
   }
 
   /** q290's oracle: Chapman capture-recapture over q69's two detector

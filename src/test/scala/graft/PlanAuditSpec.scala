@@ -62,6 +62,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q315_cuped" -> "1-row arm-gap broadcast onto the 1-row moment rollup",
     "q318_rfm_segments" -> "1-row tercile-threshold and user-total broadcasts onto the per-user frame and the bounded value grids",
     "q319_gini_stump" -> "1-row (n, k) totals broadcast onto the bounded length grid",
+    "q320_calibration_slope" -> "1-row logit-sum broadcast onto the 1-row OLS rollup (<= 10-bin frame)",
+    "q321_bloom_advisor" -> "constant 3-row FPR frame broadcast onto the source registry",
     "q108_tfidf_keywords" -> "1-row corpus-doc-count broadcast for idf",
     "q110_quantile_sketch" -> "constant 4-row quantile-list broadcast",
     "q112_bm25_retrieval" -> "1-row corpus-stats (N, avgdl) broadcast",

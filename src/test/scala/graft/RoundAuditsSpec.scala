@@ -1729,4 +1729,31 @@ class RoundAuditsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("nl") + r.getAs[Long]("nr") == nDocs)
     assert(r.getAs[Long]("nl") >= 1 && r.getAs[Long]("nr") >= 1)
   }
+
+  test("q320: the planted label is calibrated by construction — slope near 1") {
+    val r = run("q320_calibration_slope").collect().head
+    assert(r.getAs[Long]("n_bins") >= 3)
+    val slope = r.getAs[Long]("slope_milli")
+    // the label IS drawn with P(1) = qm/1000, so weak calibration
+    // holds up to sampling noise on tiny sf0.001 — generous band
+    assert(slope > 200 && slope < 3000)
+  }
+
+  test("q321: Bloom advisory monotone in strictness, k consistent with bpk") {
+    val rows = run("q321_bloom_advisor").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("fpr_label"),
+        r.getAs[Long]("n_keys"), r.getAs[Long]("k_hashes"),
+        r.getAs[Long]("m_bits")))
+    assert(rows.map(_._2).toSet == Set("p0.1pct", "p1pct", "p5pct"))
+    rows.groupBy(_._1).values.foreach { g =>
+      val byFpr = g.map(x => x._2 -> x._5).toMap
+      // stricter FPR costs more bits
+      assert(byFpr("p0.1pct") > byFpr("p1pct"))
+      assert(byFpr("p1pct") > byFpr("p5pct"))
+      g.foreach { case (_, _, n, k, m) =>
+        assert(m > n) // always more bits than keys at these FPRs
+        assert(k >= 4 && k <= 10)
+      }
+    }
+  }
 }

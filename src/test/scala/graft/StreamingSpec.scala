@@ -176,6 +176,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog in bounded batches and self-terminates") {
+    // the operational backfill mode: process everything that exists
+    // NOW (in rate-limited micro-batches), then stop — the contract a
+    // scheduled catch-up job relies on, vs processAllAvailable (a test
+    // util) or a never-ending continuous query
+    val stream = EventsStreaming.readEventsStream(
+      spark, "/root/testdata/sf0.001")
+    val q = EventsStreaming.hourlyCounts(stream)
+      .writeStream.outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("backfill").start()
+    assert(q.awaitTermination(120000)) // self-terminates after draining
+    assert(!q.isActive)
+    val got = spark.table("backfill").count()
+    assert(got > 0)
+    // the bounded backfill computes exactly the unbounded replay's result
+    val replay = EventsStreaming.hourlyCounts(
+      EventsStreaming.readEventsStream(spark, "/root/testdata/sf0.001"))
+    val q2 = replay.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("backfill_ref").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("backfill_ref").count() == got)
+    } finally q2.stop()
+  }
+
   test("checkpointed aggregation recovers state across a query restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
