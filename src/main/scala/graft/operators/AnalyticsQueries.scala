@@ -4670,7 +4670,185 @@ object AnalyticsQueries extends QueryModule {
         CAST(m_t AS BIGINT) AS m_t, count(*) AS n_users,
         CAST(sum(m) AS BIGINT) AS value_milli
       FROM seg GROUP BY 1, 2, 3""")),
+
+    // Newman modularity of the q273 label-propagation partition
+    // (Q = Σ_c [e_c/m − (d_c/2m)²] — the standard "is this community
+    // structure real" score; Q near 0 says the partition is no better
+    // than a random degree-preserving wiring, so the communities the
+    // label prop found shouldn't drive any routing/curation decision)
+    // — the QUALITY gate for the community-seeding primitive, which
+    // q273's convergence telemetry alone can't certify. Exactness:
+    // e_c (intra-community edges) and d_c (community degree mass) are
+    // exact integers; Q in ppm = Σ_c (e_c·4m − d_c²)·1e6 div (4m²) —
+    // one integer div, int64-safe at the registry scale. Scale shape:
+    // exactly q273's three BSP rounds (node-keyed joins, registry
+    // frames persisted) + ONE edge⋈labels join for e_c and ONE degree
+    // agg for d_c; the rollup is community-count-sized.
+    Q("q322_modularity", (s, d) => {
+      import s.implicits._
+      val hx = DedupOps.hv32FromHexSql("md5(concat('c', cast(doc_id as string)))")
+      val hy = DedupOps.hv32FromHexSql("md5(concat('d', cast(doc_id as string)))")
+      val ed = t(s, d, "documents")
+        .select(expr(s"$hx % 96").as("x"), expr(s"$hy % 96").as("y"))
+        .filter($"x" =!= $"y")
+        .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+        .distinct().persist()
+      val adj = ed.select($"a".as("node"), $"b".as("nbr"))
+        .unionAll(ed.select($"b".as("node"), $"a".as("nbr")))
+      val l0 = adj.select($"node").distinct()
+        .select($"node", $"node".as("lab")).persist()
+      def step(lab: org.apache.spark.sql.DataFrame) = {
+        val nbrMin = adj
+          .join(lab.select($"node".as("nbr"), $"lab".as("nlab")), "nbr")
+          .groupBy($"node").agg(min($"nlab").as("nl"))
+        lab.join(nbrMin, Seq("node"), "left_outer")
+          .select($"node",
+            least($"lab", coalesce($"nl", $"lab")).as("lab"))
+          .persist()
+      }
+      val l3 = step(step(step(l0)))
+      val mEdges = ed.agg(count(lit(1)).as("m"))
+      val intra = ed
+        .join(l3.select($"node".as("a"), $"lab".as("la")), "a")
+        .join(l3.select($"node".as("b"), $"lab".as("lb")), "b")
+        .filter($"la" === $"lb")
+        .groupBy($"la".as("lab")).agg(count(lit(1)).as("ec"))
+      val degs = adj.groupBy($"node").agg(count(lit(1)).as("deg"))
+        .join(l3, "node")
+        .groupBy($"lab").agg(sum($"deg").as("dc"))
+      val perC = degs.join(intra, Seq("lab"), "left_outer")
+        .select($"lab", coalesce($"ec", lit(0L)).as("ec"), $"dc")
+        .persist()
+      perC.crossJoin(broadcast(mEdges))
+        .select((($"ec" * 4 * $"m" - $"dc" * $"dc") * 1000000L)
+          .as("contrib"), $"m")
+        .agg(count(lit(1)).as("n_communities"),
+          expr("sum(contrib) div (4 * max(m) * max(m))")
+            .as("modularity_ppm"), max($"m").as("n_edges"))
+    }, Some(s"""
+      WITH ed AS (
+        SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM (
+          SELECT
+            (${DedupQueries.hvDuckOf("'c' || CAST(doc_id AS VARCHAR)")}) % 96
+              AS x,
+            (${DedupQueries.hvDuckOf("'d' || CAST(doc_id AS VARCHAR)")}) % 96
+              AS y
+          FROM documents)
+        WHERE x <> y),
+      adj AS (SELECT a AS node, b AS nbr FROM ed
+              UNION ALL SELECT b, a FROM ed),
+      l0 AS (SELECT DISTINCT node, node AS lab FROM adj),
+      p1 AS (SELECT adj.node, min(l.lab) AS nl FROM adj
+             JOIN l0 l ON l.node = adj.nbr GROUP BY 1),
+      l1 AS (SELECT l0.node, least(l0.lab, coalesce(p1.nl, l0.lab)) AS lab
+             FROM l0 LEFT JOIN p1 ON p1.node = l0.node),
+      p2 AS (SELECT adj.node, min(l.lab) AS nl FROM adj
+             JOIN l1 l ON l.node = adj.nbr GROUP BY 1),
+      l2 AS (SELECT l1.node, least(l1.lab, coalesce(p2.nl, l1.lab)) AS lab
+             FROM l1 LEFT JOIN p2 ON p2.node = l1.node),
+      p3 AS (SELECT adj.node, min(l.lab) AS nl FROM adj
+             JOIN l2 l ON l.node = adj.nbr GROUP BY 1),
+      l3 AS (SELECT l2.node, least(l2.lab, coalesce(p3.nl, l2.lab)) AS lab
+             FROM l2 LEFT JOIN p3 ON p3.node = l2.node),
+      me AS (SELECT count(*) AS m FROM ed),
+      intra AS (
+        SELECT la.lab, count(*) AS ec
+        FROM ed JOIN l3 la ON la.node = ed.a
+        JOIN l3 lb ON lb.node = ed.b
+        WHERE la.lab = lb.lab GROUP BY 1),
+      degs AS (
+        SELECT l3.lab, sum(dd.deg) AS dc
+        FROM (SELECT node, count(*) AS deg FROM adj GROUP BY 1) dd
+        JOIN l3 ON l3.node = dd.node GROUP BY 1),
+      perc AS (
+        SELECT degs.lab, coalesce(intra.ec, 0) AS ec, degs.dc
+        FROM degs LEFT JOIN intra USING (lab))
+      SELECT CAST(count(*) AS BIGINT) AS n_communities,
+        CAST(sum((ec * 4 * me.m - dc * dc) * 1000000)
+          // (4 * max(me.m) * max(me.m)) AS BIGINT) AS modularity_ppm,
+        CAST(max(me.m) AS BIGINT) AS n_edges
+      FROM perc CROSS JOIN me""")),
+
+    // Common-neighbor link prediction (top-10 NON-edges by Jaccard of
+    // neighborhoods — the classic "you may also link" primitive:
+    // q296 asks whether EXISTING wedges close; this RANKS the open
+    // ones as candidates, the crawl-frontier / recommendation readout
+    // of the same structure). Exactness: |Γa∩Γb| from the wedge join,
+    // |Γa∪Γb| = deg(a)+deg(b)−common, Jaccard integer ppm, top-10 on
+    // the (score, a, b) total order. Scale shape: wedge enumeration
+    // on degree<=20 centers (q296's cap, excluded hubs counted
+    // there); existing edges removed by ONE (a, b)-keyed anti-join;
+    // degree frames registry-sized.
+    Q("q323_link_prediction", (s, d) => {
+      import s.implicits._
+      // node space scales with the corpus (~8 docs/node at any SF —
+      // q69's oracleDyn sizing convention) so the synthetic graph
+      // keeps a bounded average degree; a FIXED node count would
+      // densify at scale until the degree cap excludes every center
+      val nn = math.max(
+        graft.catalog.Stats.parquetRowCount(s, s"$d/documents.parquet") / 8,
+        128L)
+      val hx = DedupOps.hv32FromHexSql("md5(concat('e', cast(doc_id as string)))")
+      val hy = DedupOps.hv32FromHexSql("md5(concat('f', cast(doc_id as string)))")
+      val ed = t(s, d, "documents")
+        .select(expr(s"$hx % $nn").as("x"), expr(s"$hy % $nn").as("y"))
+        .filter($"x" =!= $"y")
+        .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+        .distinct().persist()
+      val adj = ed.select($"a".as("c"), $"b".as("x"))
+        .unionAll(ed.select($"b".as("c"), $"a".as("x")))
+      val deg = adj.groupBy($"c").agg(count(lit(1)).as("deg")).persist()
+      val aok = adj.join(deg.filter($"deg" <= 20).select($"c"), "c")
+      val common = aok.select($"c", $"x".as("xa"))
+        .join(aok.select($"c", $"x".as("xb")), "c")
+        .filter($"xa" < $"xb")
+        .groupBy($"xa", $"xb").agg(count(lit(1)).as("cn"))
+      val open = common
+        .join(ed.select($"a".as("xa"), $"b".as("xb")), Seq("xa", "xb"),
+          "left_anti")
+        .join(deg.select($"c".as("xa"), $"deg".as("da")), "xa")
+        .join(deg.select($"c".as("xb"), $"deg".as("db")), "xb")
+        .select($"xa".as("node_a"), $"xb".as("node_b"), $"cn",
+          expr("(cn * 1000000) div (da + db - cn)").as("jaccard_ppm"))
+      open.orderBy($"jaccard_ppm".desc, $"node_a".asc, $"node_b".asc)
+        .limit(10)
+    }, Some(AnalyticsQueries.linkPredOracleSql(128L)),
+      oracleDyn = Some((s, d) => AnalyticsQueries.linkPredOracleSql(
+        math.max(graft.catalog.Stats
+          .parquetRowCount(s, s"$d/documents.parquet") / 8, 128L)))),
   )
+
+  /** q323's oracle, parameterized by the scale-adaptive node count. */
+  private[operators] def linkPredOracleSql(nn: Long): String = s"""
+      WITH ed AS (
+        SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM (
+          SELECT
+            (${DedupQueries.hvDuckOf("'e' || CAST(doc_id AS VARCHAR)")}) % $nn
+              AS x,
+            (${DedupQueries.hvDuckOf("'f' || CAST(doc_id AS VARCHAR)")}) % $nn
+              AS y
+          FROM documents)
+        WHERE x <> y),
+      adj AS (SELECT a AS c, b AS x FROM ed UNION ALL SELECT b, a FROM ed),
+      deg AS (SELECT c, count(*) AS deg FROM adj GROUP BY 1),
+      aok AS (SELECT adj.c, adj.x FROM adj JOIN deg USING (c)
+              WHERE deg <= 20),
+      com AS (
+        SELECT l.x AS xa, r.x AS xb, count(*) AS cn
+        FROM aok l JOIN aok r ON r.c = l.c AND l.x < r.x
+        GROUP BY 1, 2),
+      open_p AS (
+        SELECT com.xa, com.xb, com.cn, da.deg AS da, db.deg AS db
+        FROM com
+        LEFT JOIN ed ON ed.a = com.xa AND ed.b = com.xb
+        JOIN deg da ON da.c = com.xa
+        JOIN deg db ON db.c = com.xb
+        WHERE ed.a IS NULL)
+      SELECT xa AS node_a, xb AS node_b, CAST(cn AS BIGINT) AS cn,
+        CAST((cn * 1000000) // (da + db - cn) AS BIGINT) AS jaccard_ppm
+      FROM open_p
+      ORDER BY jaccard_ppm DESC, node_a ASC, node_b ASC
+      LIMIT 10"""
 
   /** q162's interval build, shared with its as-of probe q167: per-user
     * last-observed daily value collapsed into [valid_from, valid_to)

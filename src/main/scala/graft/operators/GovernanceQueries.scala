@@ -2952,6 +2952,79 @@ object GovernanceQueries extends QueryModule {
         k_hashes, CAST(m_bits AS BIGINT) AS m_bits,
         CAST(m_bits // 8192 AS BIGINT) AS m_kib
       FROM j""")),
+
+    // Consistent-hashing balance audit (8 nodes × 32 virtual nodes on
+    // a 2³²-point ring vs plain mod-8 — the cache/shard-placement
+    // design readout: consistent hashing moves only ~1/n of keys on
+    // membership change, but costs some balance; this measures HOW
+    // MUCH on the real key population, per node, against the mod
+    // baseline). Exactness: the 256 ring points are md5-derived
+    // integers precomputed ONCE in Scala and embedded as identical
+    // literals in both engines (the weights-literal convention); key
+    // hashes ride the shared hv32 device; successor = min point ≥ h
+    // with wraparound to the global min — pure integer comparisons.
+    // Scale shape: the ring is a constant 256-row broadcast; the
+    // successor lookup is one bounded inequality join + a per-doc min
+    // agg; rollups are 8-row.
+    Q("q324_consistent_hashing", (s, d) => {
+      import s.implicits._
+      val ring = GovernanceQueries.hashRing.toDF("node", "pt")
+      val minPt = GovernanceQueries.hashRing.minBy(_._2)
+      val hv = DedupOps.hv32FromHexSql("md5(cast(doc_id as string))")
+      val keys = t(s, d, "documents")
+        .select($"doc_id", expr(hv).as("h"),
+          expr(s"($hv) % 8").as("mod_node"))
+      val assigned = keys
+        .join(broadcast(ring), $"pt" >= $"h", "left_outer")
+        .groupBy($"doc_id", $"mod_node").agg(min($"pt").as("succ"))
+        .join(broadcast(ring.select($"node", $"pt".as("succ"))),
+          Seq("succ"), "left_outer")
+        .select($"doc_id", $"mod_node",
+          coalesce($"node", lit(minPt._1)).as("ring_node"))
+        .persist()
+      val nTot = assigned.agg(count(lit(1)).as("n"))
+      val byRing = assigned.groupBy($"ring_node".as("node"))
+        .agg(count(lit(1)).as("n_ring"))
+      val byMod = assigned.groupBy($"mod_node".as("node"))
+        .agg(count(lit(1)).as("n_mod"))
+      byRing.join(byMod, Seq("node"), "full_outer")
+        .crossJoin(broadcast(nTot))
+        .select($"node", coalesce($"n_ring", lit(0L)).as("n_ring"),
+          coalesce($"n_mod", lit(0L)).as("n_mod"),
+          expr("(coalesce(n_ring, 0) * 1000000) div n").as("ring_ppm"),
+          expr("(coalesce(n_mod, 0) * 1000000) div n").as("mod_ppm"))
+    }, Some(s"""
+      WITH ring AS (
+        SELECT CAST(node AS BIGINT) AS node, CAST(pt AS BIGINT) AS pt
+        FROM (VALUES ${GovernanceQueries.hashRing
+          .map { case (n, p) => s"($n, $p)" }.mkString(", ")}) v(node, pt)),
+      keys AS (
+        SELECT doc_id,
+          (${DedupQueries.hvDuckOf("CAST(doc_id AS VARCHAR)")}) AS h,
+          (${DedupQueries.hvDuckOf("CAST(doc_id AS VARCHAR)")}) % 8
+            AS mod_node
+        FROM documents),
+      succ AS (
+        SELECT keys.doc_id, keys.mod_node, min(ring.pt) AS succ
+        FROM keys LEFT JOIN ring ON ring.pt >= keys.h
+        GROUP BY 1, 2),
+      asg AS (
+        SELECT succ.doc_id, succ.mod_node,
+          coalesce(ring.node, ${minRingNode}) AS ring_node
+        FROM succ LEFT JOIN ring ON ring.pt = succ.succ),
+      nt AS (SELECT count(*) AS n FROM asg),
+      br AS (SELECT ring_node AS node, count(*) AS n_ring
+             FROM asg GROUP BY 1),
+      bm AS (SELECT mod_node AS node, count(*) AS n_mod
+             FROM asg GROUP BY 1)
+      SELECT coalesce(br.node, bm.node) AS node,
+        CAST(coalesce(br.n_ring, 0) AS BIGINT) AS n_ring,
+        CAST(coalesce(bm.n_mod, 0) AS BIGINT) AS n_mod,
+        CAST((coalesce(br.n_ring, 0) * 1000000) // nt.n AS BIGINT)
+          AS ring_ppm,
+        CAST((coalesce(bm.n_mod, 0) * 1000000) // nt.n AS BIGINT)
+          AS mod_ppm
+      FROM br FULL OUTER JOIN bm ON bm.node = br.node CROSS JOIN nt""")),
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed
@@ -2964,6 +3037,22 @@ object GovernanceQueries extends QueryModule {
     Seq(1.0, 2.0, 2.5, 8.0 / 3, 65.0 / 24)
       .map(c => math.floor(c * e * 1048576).toLong)
   }
+
+  /** q324's consistent-hash ring: 8 nodes x 32 virtual nodes, point =
+    * hv32(md5("n<i>:v<j>")) — the same positional-md5 parse as the
+    * query-side hv32 device, computed once here so both engines
+    * consume identical (node, point) literals. */
+  private[operators] val hashRing: Seq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (i <- 0L until 8L; j <- 0L until 32L) yield {
+      val hex = md.digest(s"n$i:v$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (i, java.lang.Long.parseLong(hex.substring(0, 8), 16))
+    }
+  }
+
+  /** The wraparound target: node owning the smallest ring point. */
+  private[operators] def minRingNode: Long = hashRing.minBy(_._2)._1
 
   /** q321's Bloom sizing constants, precomputed once so both engines
     * consume identical integer literals: bits-per-key micro =

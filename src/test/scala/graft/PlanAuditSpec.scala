@@ -64,6 +64,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q319_gini_stump" -> "1-row (n, k) totals broadcast onto the bounded length grid",
     "q320_calibration_slope" -> "1-row logit-sum broadcast onto the 1-row OLS rollup (<= 10-bin frame)",
     "q321_bloom_advisor" -> "constant 3-row FPR frame broadcast onto the source registry",
+    "q322_modularity" -> "1-row edge-count broadcast onto the community-count-sized per-community frame",
+    "q324_consistent_hashing" -> "constant 256-row ring broadcast: successor inequality join + point->node lookup (bounded fan-out)",
     "q108_tfidf_keywords" -> "1-row corpus-doc-count broadcast for idf",
     "q110_quantile_sketch" -> "constant 4-row quantile-list broadcast",
     "q112_bm25_retrieval" -> "1-row corpus-stats (N, avgdl) broadcast",

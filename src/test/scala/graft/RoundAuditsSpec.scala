@@ -1756,4 +1756,47 @@ class RoundAuditsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q322: modularity is bounded and the partition covers all edges") {
+    val r = run("q322_modularity").collect().head
+    val q = r.getAs[Long]("modularity_ppm")
+    // Q in [-1/2, 1] for any partition
+    assert(q >= -500000L - 2 && q <= 1000000L)
+    assert(r.getAs[Long]("n_communities") >= 1)
+    assert(r.getAs[Long]("n_edges") >= 1)
+  }
+
+  test("q323: predictions are strictly non-edges with positive common support") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q323_link_prediction").collect()
+      .map(r => (r.getAs[Long]("node_a"), r.getAs[Long]("node_b"),
+        r.getAs[Long]("cn"), r.getAs[Long]("jaccard_ppm")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, cn, j) =>
+      assert(a < b && cn >= 1)
+      assert(j >= 1 && j <= 1000000L)
+    }
+    // replay the non-edge property against the same graph derivation
+    def hv(salt: String) =
+      s"cast(conv(substr(md5(concat('$salt', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+    val nn = math.max(graft.catalog.Stats
+      .parquetRowCount(spark, s"$sf/documents.parquet") / 8, 128L)
+    val edges = graft.catalog.Tables.t(spark, sf, "documents")
+      .select(expr(s"${hv("e")} % $nn").as("x"), expr(s"${hv("f")} % $nn").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (a, b, _, _) => assert(!edges.contains((a, b))) }
+  }
+
+  test("q324: both schemes partition the corpus; the ring uses every node") {
+    val rows = run("q324_consistent_hashing").collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("n_ring"),
+        r.getAs[Long]("n_mod")))
+    assert(rows.map(_._1).sorted.toSeq == (0L to 7L).toSeq)
+    val nDocs = graft.catalog.Tables.t(spark, sf, "documents").count()
+    assert(rows.map(_._2).sum == nDocs)
+    assert(rows.map(_._3).sum == nDocs)
+  }
 }
