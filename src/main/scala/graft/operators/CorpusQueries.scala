@@ -1790,6 +1790,114 @@ object CorpusQueries extends QueryModule {
       SELECT split, CAST(sum(m) AS BIGINT) AS n_bigrams,
         CAST((sum(bkm) * 1000000) // sum(m) AS BIGINT) AS backoff_ppm,
         CAST(sum(nll) // sum(m) AS BIGINT) AS xent_nano
-      FROM sc GROUP BY 1"""))
+      FROM sc GROUP BY 1""")),
+
+    // Feature-hashing collision audit (the hashing-trick cost table:
+    // hash the token vocabulary into 2^k buckets for k = 8, 10, 12;
+    // per size, the share of TYPES that collide and — the number that
+    // actually hurts a linear model — the share of token MASS landing
+    // in buckets contaminated by >1 type) — the dimensioning readout
+    // for every hashed feature space (vowpal-style models, hashed
+    // embedding tables): types collide fast by birthday math, but the
+    // mass view says whether FREQUENT features stay clean. Exactness:
+    // pure integer counts off the shared hv32 device; ppm floors.
+    // Scale shape: ONE (token) map-side-combined agg collapses the
+    // corpus; per size ONE vocabulary-keyed bucket agg + registry
+    // rollup; the 3-row size frame is literal.
+    Q("q325_feature_hashing", (s, d) => {
+      import s.implicits._
+      val hv = DedupOps.hv32Sql("tok")
+      val vocab = t(s, d, "documents")
+        .select(explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("f"))
+        .select($"tok", $"f", expr(hv).as("h"))
+        .persist()
+      val sizes = Seq(256L, 1024L, 4096L).toDF("b")
+      vocab.crossJoin(broadcast(sizes))
+        .select($"b", expr("h % b").as("bucket"), $"f")
+        .groupBy($"b", $"bucket")
+        .agg(count(lit(1)).as("types"), sum($"f").as("mass"))
+        .groupBy($"b")
+        .agg(sum($"types").as("n_types"),
+          count(lit(1)).as("buckets_used"),
+          sum(when($"types" > 1, $"types").otherwise(0L))
+            .as("collided_types"),
+          sum($"mass").as("total_mass"),
+          sum(when($"types" > 1, $"mass").otherwise(0L))
+            .as("collided_mass"))
+        .select($"b".as("n_buckets"), $"n_types", $"buckets_used",
+          expr("(collided_types * 1000000) div n_types")
+            .as("type_collision_ppm"),
+          expr("(collided_mass * 1000000) div total_mass")
+            .as("mass_collision_ppm"))
+    }, Some(s"""
+      WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents),
+      vocab AS (
+        SELECT tok, count(*) AS f,
+          (${DedupQueries.hvDuckOf("tok")}) AS h
+        FROM tok GROUP BY 1),
+      sizes AS (SELECT CAST(b AS BIGINT) AS b
+                FROM (VALUES (256), (1024), (4096)) v(b)),
+      bk AS (
+        SELECT sizes.b, vocab.h % sizes.b AS bucket,
+          count(*) AS types, sum(vocab.f) AS mass
+        FROM vocab CROSS JOIN sizes
+        GROUP BY 1, 2)
+      SELECT b AS n_buckets, CAST(sum(types) AS BIGINT) AS n_types,
+        CAST(count(*) AS BIGINT) AS buckets_used,
+        CAST((sum(CASE WHEN types > 1 THEN types ELSE 0 END) * 1000000)
+          // sum(types) AS BIGINT) AS type_collision_ppm,
+        CAST((sum(CASE WHEN types > 1 THEN mass ELSE 0 END) * 1000000)
+          // sum(mass) AS BIGINT) AS mass_collision_ppm
+      FROM bk GROUP BY 1""")),
+
+    // Seeded-hash uniformity gate (chi-square of hashMix doc buckets
+    // against uniform, plus the max bucket deviation) — the
+    // self-audit for the ONE hash function every deterministic device
+    // in this catalog rides (splits q84, arms q264/q311/q315, samples
+    // q56/q122, labels q176): if hashMix were biased, every one of
+    // those results would be silently skewed. 64 buckets; chi² =
+    // Σ(o−e)²/e spelled integer as Σ(64·o−n)² div (64·n). Exactness:
+    // all-integer; the per-bucket deviation ppm exact. Scale shape:
+    // ONE map-side-combined 64-bucket agg; 1-row rollup.
+    Q("q326_hash_uniformity", (s, d) => {
+      import s.implicits._
+      val b = t(s, d, "documents")
+        .select(CorpusOps.hashMix($"doc_id", 64L).as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("o"))
+      val tot = b.agg(sum($"o").as("n"))
+      b.crossJoin(broadcast(tot))
+        .select($"bucket", $"o", $"n",
+          ((lit(64L) * $"o" - $"n") * (lit(64L) * $"o" - $"n"))
+            .as("dev2"))
+        .agg(count(lit(1)).as("buckets_hit"), max($"n").as("n"),
+          expr("sum(dev2) div (64 * max(n))").as("chi2_milli64"),
+          max(expr("greatest(64 * o - n, n - 64 * o) * 1000000 div n"))
+            .as("max_dev_ppm"))
+        .select($"buckets_hit", $"n".as("n_docs"),
+          // df = 63, alpha = .05 critical value 82.529 — integer floor
+          $"chi2_milli64".as("chi2_raw"), $"max_dev_ppm",
+          when($"chi2_milli64" > 82L, 1L).otherwise(0L).as("biased_flag"))
+    }, Some("""
+      WITH b AS (
+        SELECT ((((doc_id % 1000003) + 1000003) % 1000003
+          * 2654435761 + 40503) % 64 + 64) % 64 AS bucket,
+          count(*) AS o
+        FROM documents GROUP BY 1),
+      t AS (SELECT sum(o) AS n FROM b),
+      s AS (
+        SELECT b.bucket, b.o, t.n,
+          (64 * b.o - t.n) * (64 * b.o - t.n) AS dev2
+        FROM b CROSS JOIN t)
+      SELECT CAST(count(*) AS BIGINT) AS buckets_hit,
+        CAST(max(n) AS BIGINT) AS n_docs,
+        CAST(sum(dev2) // (64 * max(n)) AS BIGINT) AS chi2_raw,
+        CAST(max(greatest(64 * o - n, n - 64 * o) * 1000000 // n)
+          AS BIGINT) AS max_dev_ppm,
+        CAST(CASE WHEN sum(dev2) // (64 * max(n)) > 82 THEN 1
+          ELSE 0 END AS BIGINT) AS biased_flag
+      FROM s""")),
   )
 }

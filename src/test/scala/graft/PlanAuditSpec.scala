@@ -66,6 +66,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q321_bloom_advisor" -> "constant 3-row FPR frame broadcast onto the source registry",
     "q322_modularity" -> "1-row edge-count broadcast onto the community-count-sized per-community frame",
     "q324_consistent_hashing" -> "constant 256-row ring broadcast: successor inequality join + point->node lookup (bounded fan-out)",
+    "q325_feature_hashing" -> "constant 3-row bucket-size frame broadcast onto the vocabulary frame",
+    "q326_hash_uniformity" -> "1-row total broadcast onto the constant 64-bucket frame",
     "q108_tfidf_keywords" -> "1-row corpus-doc-count broadcast for idf",
     "q110_quantile_sketch" -> "constant 4-row quantile-list broadcast",
     "q112_bm25_retrieval" -> "1-row corpus-stats (N, avgdl) broadcast",

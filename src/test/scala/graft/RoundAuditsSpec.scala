@@ -1799,4 +1799,28 @@ class RoundAuditsSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == nDocs)
     assert(rows.map(_._3).sum == nDocs)
   }
+
+  test("q325: collisions monotone in table size — more buckets, fewer collisions") {
+    val rows = run("q325_feature_hashing").collect()
+      .map(r => (r.getAs[Long]("n_buckets"), r.getAs[Long]("n_types"),
+        r.getAs[Long]("buckets_used"), r.getAs[Long]("type_collision_ppm"),
+        r.getAs[Long]("mass_collision_ppm")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(256L, 1024L, 4096L))
+    assert(rows.map(_._2).distinct.length == 1) // same vocabulary
+    rows.foreach { case (b, n, used, tc, mc) =>
+      assert(used <= math.min(b, n))
+      assert(tc >= 0 && tc <= 1000000L && mc >= 0 && mc <= 1000000L)
+    }
+    val tcs = rows.map(_._4)
+    tcs.zip(tcs.drop(1)).foreach { case (a, bb) => assert(bb <= a) }
+  }
+
+  test("q326: hashMix passes its own uniformity gate on the doc population") {
+    val r = run("q326_hash_uniformity").collect().head
+    assert(r.getAs[Long]("buckets_hit") <= 64L)
+    assert(r.getAs[Long]("biased_flag") == 0L) // the devices are safe
+    assert(r.getAs[Long]("chi2_raw") >= 0)
+    assert(r.getAs[Long]("max_dev_ppm") >= 0)
+  }
 }
