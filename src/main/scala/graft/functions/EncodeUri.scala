@@ -84,6 +84,8 @@ object GraftFunctions {
       exprs(1).eval().asInstanceOf[Int]))
     add("char_ngram_max_count", exprs => CharNgramMaxCount(exprs.head,
       exprs(1).eval().asInstanceOf[Int]))
+    add("winnow_distinct", exprs => WinnowDistinct(exprs.head,
+      exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
     add("jaro_winkler_milli", exprs => JaroWinklerMilli(exprs.head, exprs(1)))
     add("damerau_levenshtein", exprs => DamerauLevenshtein(exprs.head, exprs(1)))
   }

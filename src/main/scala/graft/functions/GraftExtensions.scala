@@ -48,6 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => CharNgramMaxCount(exprs.head,
         exprs(1).eval().asInstanceOf[Int])))
     e.injectFunction((
+      FunctionIdentifier("winnow_distinct"),
+      new ExpressionInfo(classOf[WinnowDistinct].getName, "winnow_distinct"),
+      (exprs: Seq[Expression]) => WinnowDistinct(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+    e.injectFunction((
       FunctionIdentifier("jaro_winkler_milli"),
       new ExpressionInfo(classOf[JaroWinklerMilli].getName, "jaro_winkler_milli"),
       (exprs: Seq[Expression]) => JaroWinklerMilli(exprs.head, exprs(1))))

@@ -174,6 +174,47 @@ object TextNormOps {
     count
   }
 
+  /** Winnowing fingerprint count (Schleimer et al. 2003, the MOSS
+    * local fingerprinting algorithm): hash every codepoint k-gram with
+    * the engine-portable hv32 (first 4 md5 bytes, exactly the
+    * positional-md5 parse the DuckDB oracles replay), slide a window
+    * of w consecutive gram hashes, keep each window's minimum, and
+    * return the DISTINCT count of kept fingerprints. The winnowing
+    * guarantee: any shared substring of length >= k + w - 1 yields at
+    * least one shared fingerprint — the principled version of the
+    * fixed-stride sampling in q30/q77. Strings with fewer than w
+    * k-grams return 0. */
+  def winnowDistinct(s: String, k: Int, w: Int): Long = {
+    val cps = s.codePoints().toArray
+    val ng = cps.length - k + 1
+    if (ng < w) return 0L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](ng)
+    val sb = new java.lang.StringBuilder(k + 1)
+    var i = 0
+    while (i < ng) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) { sb.appendCodePoint(cps(i + j)); j += 1 }
+      val dig = md.digest(sb.toString.getBytes("UTF-8"))
+      hs(i) = java.lang.Integer.toUnsignedLong(
+        ((dig(0) & 0xff) << 24) | ((dig(1) & 0xff) << 16) |
+          ((dig(2) & 0xff) << 8) | (dig(3) & 0xff))
+      md.reset()
+      i += 1
+    }
+    val set = new java.util.HashSet[java.lang.Long]()
+    var p = 0
+    while (p + w <= ng) {
+      var m = Long.MaxValue
+      var q = 0
+      while (q < w) { if (hs(p + q) < m) m = hs(p + q); q += 1 }
+      set.add(m)
+      p += 1
+    }
+    set.size.toLong
+  }
+
   /** Maximum multiplicity of any codepoint n-gram — the MODE of the
     * per-doc gram distribution, behind `char_ngram_max_count(text, n)`
     * (q291). A single dominant gram (one 4-gram covering 5%+ of the
@@ -280,6 +321,28 @@ case class CharNgramMaxCount(child: Expression, n: Int)
       s"graft.functions.TextNormOps.charNgramMaxCount($c.toString(), $n)")
 
   override protected def withNewChildInternal(newChild: Expression): CharNgramMaxCount =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprint count as a codegen'd Catalyst expression —
+  * `winnow_distinct(text, k, w)` with FOLDABLE k and w. Row-local:
+  * gram hashing, the sliding-window minimum scan, and the distinct
+  * set all stay inside whole-stage codegen; the hash is the shared
+  * hv32 (positional md5) so the DuckDB oracle replays it exactly via
+  * list_transform + list_min + list_distinct. */
+case class WinnowDistinct(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "winnow_distinct"
+
+  override def nullSafeEval(input: Any): Any =
+    TextNormOps.winnowDistinct(input.asInstanceOf[UTF8String].toString, k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextNormOps.winnowDistinct($c.toString(), $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowDistinct =
     copy(child = newChild)
 }
 

@@ -811,6 +811,53 @@ object CleaningQueries extends QueryModule {
         CAST(sum(dom_ppm) // count(*) AS BIGINT) AS avg_dom_ppm,
         CAST(max(dom_ppm) AS BIGINT) AS max_dom_ppm
       FROM r GROUP BY 1""")),
+
+    // Winnowing fingerprint density per source (Schleimer et al. 2003
+    // MOSS: min-hash of each w=8 window of 4-gram hashes, DISTINCT
+    // kept fingerprints over window count) — the PRINCIPLED local
+    // fingerprinting with the guarantee q30/q77's fixed-stride
+    // sampling lacks: any shared substring of length >= k+w-1 = 11
+    // yields at least one shared fingerprint, so a winnowed index has
+    // NO false-negative window. Expected density 2/(w+1) ~ 222 milli;
+    // a source far above it has pathologically diverse grams (random
+    // text), far below it repeated content. The gram hash is the
+    // shared hv32 so the SQL oracle replays the kernel exactly.
+    // Scale shape: the whole algorithm is ONE row-local codegen'd
+    // kernel call (winnow_distinct — gram stream, window minima, and
+    // the distinct set never leave the scan); ONE registry rollup.
+    Q("q327_winnowing", (s, d) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      t(s, d, "documents")
+        .filter(length($"text") >= 11)
+        .select($"source",
+          expr("winnow_distinct(text, 4, 8)").as("cnt"),
+          (length($"text") - 10).cast("long").as("wn"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"cnt").as("n_fingerprints"),
+          sum($"wn").as("n_windows"),
+          expr("(sum(cnt) * 1000) div sum(wn)").as("density_milli"))
+    }, Some(s"""
+      WITH ex AS (
+        SELECT source, text AS s, length(text) - 3 AS ng
+        FROM documents WHERE length(text) >= 11),
+      hx AS (
+        SELECT source, ng,
+          list_transform(range(1, ng + 1),
+            i -> ${DedupQueries.hvDuckOf("substr(s, CAST(i AS INT), 4)")})
+            AS hs
+        FROM ex),
+      wn AS (
+        SELECT source, ng - 7 AS wn,
+          len(list_distinct(list_transform(range(1, ng - 6),
+            j -> list_min(list_slice(hs, CAST(j AS INT),
+              CAST(j + 7 AS INT)))))) AS cnt
+        FROM hx)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(cnt) AS BIGINT) AS n_fingerprints,
+        CAST(sum(wn) AS BIGINT) AS n_windows,
+        CAST((sum(cnt) * 1000) // sum(wn) AS BIGINT) AS density_milli
+      FROM wn GROUP BY 1""")),
   )
 
   /** Standard-normal decile quantiles Φ⁻¹(k/10), k = 1..9, floor-

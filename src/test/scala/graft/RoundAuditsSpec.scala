@@ -1823,4 +1823,14 @@ class RoundAuditsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("chi2_raw") >= 0)
     assert(r.getAs[Long]("max_dev_ppm") >= 0)
   }
+
+  test("q327: winnowing density sits in the theoretical band around 2/(w+1)") {
+    run("q327_winnowing").collect().foreach { r =>
+      assert(r.getAs[Long]("n_fingerprints") <= r.getAs[Long]("n_windows"))
+      val dens = r.getAs[Long]("density_milli")
+      // window minima repeat, so density << 1; expected ~2/(w+1) = 222
+      // for random-ish grams — generous band for structured text
+      assert(dens >= 50 && dens <= 1000)
+    }
+  }
 }

@@ -154,6 +154,33 @@ class ScalarFnSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow_distinct codegen equals the HOF composition and honors the guarantee") {
+    GraftFunctions.register(spark)
+    val data = Seq("the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaa", "abcdefghijklmnop", "short", "",
+      "über straße über straße über straße")
+    val df = data.toDF("a")
+    val got = df.selectExpr("winnow_distinct(a, 4, 8)").as[Long].collect()
+    // replay with Spark built-ins: hv32 gram hashes -> window minima
+    val want = df.selectExpr(
+      """CASE WHEN length(a) < 11 THEN CAST(0 AS BIGINT) ELSE
+         CAST(size(array_distinct(transform(
+           sequence(1, length(a) - 10),
+           j -> array_min(transform(sequence(j, j + 7),
+             i -> cast(conv(substr(md5(substring(a, i, 4)), 1, 8), 16, 10)
+               as bigint))))))
+           AS BIGINT) END""").as[Long].collect()
+    assert(got.toSeq == want.toSeq)
+    // winnowing guarantee on a repeated string: one fingerprint only
+    assert(graft.functions.TextNormOps.winnowDistinct("aaaaaaaaaaaaaaaa", 4, 8) == 1L)
+    // density bounds: between 1/w and 1 fingerprint per window
+    val s = "the quick brown fox jumps over the lazy dog"
+    val cnt = graft.functions.TextNormOps.winnowDistinct(s, 4, 8)
+    val windows = s.length - 3 - 8 + 1
+    assert(cnt >= math.max(windows / 8, 1) && cnt <= windows)
+    assert(graft.functions.TextNormOps.winnowDistinct("short", 4, 8) == 0L)
+  }
+
   test("jaro_winkler_milli matches the published vectors and DuckDB probes") {
     import graft.functions.TextNormOps.jaroWinklerMilli
     // classic literature vectors (DuckDB's native function returns the
