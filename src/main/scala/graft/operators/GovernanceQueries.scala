@@ -3025,6 +3025,87 @@ object GovernanceQueries extends QueryModule {
         CAST((coalesce(bm.n_mod, 0) * 1000000) // nt.n AS BIGINT)
           AS mod_ppm
       FROM br FULL OUTER JOIN bm ON bm.node = br.node CROSS JOIN nt""")),
+
+    // Rebalancing churn, 8 -> 9 nodes (the POINT of consistent
+    // hashing that q324's balance table sets up: adding one node
+    // moves only the keys the new node's vnode arcs capture — ~1/9
+    // of them — while mod-hash reshuffles ~8/9 of everything;
+    // measured here on the real key population, against the 1/9
+    // ideal). Additive membership means every ring-moved key moves TO
+    // the new node, so ring churn = keys owned by node 8 under the
+    // 9-ring. Exactness: same literal rings + hv32 keys as q324; all
+    // counts integer ppm. Scale shape: two bounded successor
+    // inequality joins (256- and 288-row constant rings) + per-doc
+    // min aggs; 1-row rollup.
+    Q("q329_rebalance_churn", (s, d) => {
+      import s.implicits._
+      val hv = DedupOps.hv32FromHexSql("md5(cast(doc_id as string))")
+      val keys = t(s, d, "documents")
+        .select($"doc_id", expr(hv).as("h")).persist()
+      def assign(ringRows: Seq[(Long, Long)], fallback: Long) = {
+        val ring = ringRows.toDF("node", "pt")
+        keys.join(broadcast(ring), $"pt" >= $"h", "left_outer")
+          .groupBy($"doc_id", $"h").agg(min($"pt").as("succ"))
+          .join(broadcast(ring.select($"node", $"pt".as("succ"))),
+            Seq("succ"), "left_outer")
+          .select($"doc_id", $"h",
+            coalesce($"node", lit(fallback)).as("node"))
+      }
+      val a8 = assign(GovernanceQueries.hashRing,
+        GovernanceQueries.minRingNode)
+        .select($"doc_id", $"h", $"node".as("n8"))
+      val a9 = assign(GovernanceQueries.hashRing9,
+        GovernanceQueries.minRing9Node)
+        .select($"doc_id", $"node".as("n9"))
+      a8.join(a9, "doc_id")
+        .select(
+          when($"n8" =!= $"n9", 1L).otherwise(0L).as("ring_moved"),
+          when($"h" % 8 =!= $"h" % 9, 1L).otherwise(0L).as("mod_moved"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum($"ring_moved").as("ring_moved"),
+          sum($"mod_moved").as("mod_moved"))
+        .select($"n_keys", $"ring_moved", $"mod_moved",
+          expr("(ring_moved * 1000000) div n_keys").as("ring_moved_ppm"),
+          expr("(mod_moved * 1000000) div n_keys").as("mod_moved_ppm"),
+          lit(111111L).as("ideal_ppm"))
+    }, Some(s"""
+      WITH ring8 AS (
+        SELECT CAST(node AS BIGINT) AS node, CAST(pt AS BIGINT) AS pt
+        FROM (VALUES ${GovernanceQueries.hashRing
+          .map { case (n, p) => s"($n, $p)" }.mkString(", ")}) v(node, pt)),
+      ring9 AS (
+        SELECT CAST(node AS BIGINT) AS node, CAST(pt AS BIGINT) AS pt
+        FROM (VALUES ${GovernanceQueries.hashRing9
+          .map { case (n, p) => s"($n, $p)" }.mkString(", ")}) v(node, pt)),
+      keys AS (
+        SELECT doc_id,
+          (${DedupQueries.hvDuckOf("CAST(doc_id AS VARCHAR)")}) AS h
+        FROM documents),
+      s8 AS (SELECT keys.doc_id, keys.h, min(ring8.pt) AS succ
+             FROM keys LEFT JOIN ring8 ON ring8.pt >= keys.h
+             GROUP BY 1, 2),
+      a8 AS (SELECT s8.doc_id, s8.h,
+               coalesce(ring8.node, ${minRingNode}) AS n8
+             FROM s8 LEFT JOIN ring8 ON ring8.pt = s8.succ),
+      s9 AS (SELECT keys.doc_id, min(ring9.pt) AS succ
+             FROM keys LEFT JOIN ring9 ON ring9.pt >= keys.h
+             GROUP BY 1),
+      a9 AS (SELECT s9.doc_id,
+               coalesce(ring9.node, ${minRing9Node}) AS n9
+             FROM s9 LEFT JOIN ring9 ON ring9.pt = s9.succ),
+      j AS (
+        SELECT CASE WHEN a8.n8 <> a9.n9 THEN 1 ELSE 0 END AS ring_moved,
+          CASE WHEN a8.h % 8 <> a8.h % 9 THEN 1 ELSE 0 END AS mod_moved
+        FROM a8 JOIN a9 USING (doc_id))
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        CAST(sum(ring_moved) AS BIGINT) AS ring_moved,
+        CAST(sum(mod_moved) AS BIGINT) AS mod_moved,
+        CAST((sum(ring_moved) * 1000000) // count(*) AS BIGINT)
+          AS ring_moved_ppm,
+        CAST((sum(mod_moved) * 1000000) // count(*) AS BIGINT)
+          AS mod_moved_ppm,
+        CAST(111111 AS BIGINT) AS ideal_ppm
+      FROM j""")),
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed
@@ -3053,6 +3134,21 @@ object GovernanceQueries extends QueryModule {
 
   /** The wraparound target: node owning the smallest ring point. */
   private[operators] def minRingNode: Long = hashRing.minBy(_._2)._1
+
+  /** q329's 9-node ring: the SAME 8 nodes' vnode points plus node 8's
+    * 32 — consistent hashing's membership change is purely additive,
+    * which is exactly what the churn measurement exercises. */
+  private[operators] val hashRing9: Seq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val extra = (0L until 32L).map { j =>
+      val hex = md.digest(s"n8:v$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (8L, java.lang.Long.parseLong(hex.substring(0, 8), 16))
+    }
+    hashRing ++ extra
+  }
+
+  private[operators] def minRing9Node: Long = hashRing9.minBy(_._2)._1
 
   /** q321's Bloom sizing constants, precomputed once so both engines
     * consume identical integer literals: bits-per-key micro =

@@ -736,6 +736,32 @@ object RelationalQueries extends QueryModule {
         CAST(revenue_cents AS BIGINT) AS revenue_cents
       FROM rev CROSS JOIN mx
       JOIN supplier ON s_suppkey = l_suppkey
-      WHERE revenue_cents = mx"""))
+      WHERE revenue_cents = mx""")),
+
+    // TPC-H Q13-shape customer order-count distribution ("custdist":
+    // how many customers placed exactly k orders, INCLUDING the
+    // zero-order customers a plain join would drop) — the
+    // outer-join-then-double-aggregate classic: the first agg counts
+    // orders per customer THROUGH a left outer join (null orders
+    // count 0), the second histograms the counts. Scale shape: the
+    // orders side collapses to (custkey, cnt) in ONE map-side-
+    // combined agg BEFORE the outer join with the customer registry
+    // (never a row-level customer x order join output); the histogram
+    // is a second small agg on the bounded count domain.
+    Q("q328_custdist", (s, d) => {
+      import s.implicits._
+      val perCust = t(s, d, "orders")
+        .groupBy($"o_custkey").agg(count(lit(1)).as("cnt"))
+      t(s, d, "customer")
+        .join(perCust, $"c_custkey" === $"o_custkey", "left_outer")
+        .select(coalesce($"cnt", lit(0L)).as("c_count"))
+        .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+    }, Some("""
+      WITH pc AS (SELECT o_custkey, count(*) AS cnt
+                  FROM orders GROUP BY 1)
+      SELECT coalesce(pc.cnt, 0) AS c_count,
+        count(*) AS custdist
+      FROM customer LEFT JOIN pc ON pc.o_custkey = c_custkey
+      GROUP BY 1"""))
   )
 }

@@ -1833,4 +1833,27 @@ class RoundAuditsSpec extends AnyFunSuite {
       assert(dens >= 50 && dens <= 1000)
     }
   }
+
+  test("q328: custdist conserves the customer registry and the order mass") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q328_custdist").collect()
+      .map(r => (r.getAs[Long]("c_count"), r.getAs[Long]("custdist")))
+    val nCust = graft.catalog.Tables.t(spark, sf, "customer").count()
+    val nOrd = graft.catalog.Tables.t(spark, sf, "orders")
+      .join(graft.catalog.Tables.t(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"), "left_semi").count()
+    assert(rows.map(_._2).sum == nCust)
+    assert(rows.map(x => x._1 * x._2).sum == nOrd)
+  }
+
+  test("q329: ring churn near the 1/9 ideal, mod churn near 8/9 — the whole point") {
+    val r = run("q329_rebalance_churn").collect().head
+    val ring = r.getAs[Long]("ring_moved_ppm")
+    val mod = r.getAs[Long]("mod_moved_ppm")
+    // ring should be within a loose band of 1/9 and ALWAYS far below mod
+    assert(ring < mod / 3)
+    assert(ring >= 10000L && ring <= 400000L)
+    assert(mod >= 600000L) // mod-hash reshuffles most keys
+    assert(r.getAs[Long]("ring_moved") <= r.getAs[Long]("n_keys"))
+  }
 }
