@@ -3106,6 +3106,96 @@ object GovernanceQueries extends QueryModule {
           AS mod_moved_ppm,
         CAST(111111 AS BIGINT) AS ideal_ppm
       FROM j""")),
+
+    // Difference-in-differences readout (hash arms x pre/post periods
+    // on per-user daily activity: DiD = (T_post - T_pre) - (C_post -
+    // C_pre), plus the parallel-trends PRE-period slope gap that
+    // licenses the design — run as an A/A negative control, so DiD
+    // must sit near zero and the pre-trend gap says how parallel
+    // "parallel" really is on this population) — the quasi-
+    // experimental capstone of the experimentation family: q174
+    // one-shot, q264 A/A, q311 sequential, q315 CUPED; DiD is what
+    // you run when assignment WASN'T randomized. Exactness: the four
+    // cell means are integer micro (count mass over user-days); the
+    // pre-slopes ride q281's integer OLS forms on the (arm, day)
+    // grid. Scale shape: ONE map-side-combined (arm, period) agg +
+    // ONE (arm, day) grid agg; everything after is 1-row/grid math.
+    Q("q330_diff_in_diff", (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select(CorpusOps.hashMix($"user_id", 2L).as("arm"),
+          datediff(to_date($"ts".cast("timestamp")), lit("2024-01-01"))
+            .cast("long").as("di"),
+          $"user_id")
+        .persist()
+      val users = ev.groupBy($"arm")
+        .agg(countDistinct($"user_id").as("nu"))
+      val cells = ev
+        .select($"arm", when($"di" < 15, 0L).otherwise(1L).as("post"))
+        .groupBy($"arm", $"post").agg(count(lit(1)).as("c"))
+        .join(users, "arm")
+        .select($"arm", $"post",
+          expr("(c * 1000000) div nu").as("mean_micro"))
+      val did = cells.groupBy()
+        .agg(
+          (max(when($"arm" === 1 && $"post" === 1, $"mean_micro")) -
+            max(when($"arm" === 1 && $"post" === 0, $"mean_micro")) -
+            max(when($"arm" === 0 && $"post" === 1, $"mean_micro")) +
+            max(when($"arm" === 0 && $"post" === 0, $"mean_micro")))
+            .as("did_micro"))
+      val pre = ev.filter($"di" < 15)
+        .groupBy($"arm", $"di").agg(count(lit(1)).as("y"))
+        .groupBy($"arm")
+        .agg(count(lit(1)).as("n"), sum($"di").as("sx"),
+          sum($"y").as("sy"), sum($"di" * $"di").as("sxx"),
+          sum($"di" * $"y").as("sxy"))
+        .select($"arm",
+          expr("((n * sxy - sx * sy) * 1000) div (n * sxx - sx * sx)")
+            .as("slope_milli"))
+      val trend = pre.groupBy()
+        .agg((max(when($"arm" === 1, $"slope_milli")) -
+          max(when($"arm" === 0, $"slope_milli")))
+          .as("pretrend_gap_milli"))
+      did.crossJoin(broadcast(trend))
+        .select($"did_micro", $"pretrend_gap_milli")
+    }, Some("""
+      WITH ev AS (
+        SELECT ((((user_id % 1000003) + 1000003) % 1000003
+            * 2654435761 + 40503) % 2 + 2) % 2 AS arm,
+          date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+          user_id
+        FROM events),
+      users AS (SELECT arm, count(DISTINCT user_id) AS nu
+                FROM ev GROUP BY 1),
+      cells AS (
+        SELECT e.arm, CASE WHEN e.di < 15 THEN 0 ELSE 1 END AS post,
+          (count(*) * 1000000) // max(u.nu) AS mean_micro
+        FROM ev e JOIN users u ON u.arm = e.arm
+        GROUP BY 1, 2),
+      did AS (
+        SELECT
+          max(CASE WHEN arm = 1 AND post = 1 THEN mean_micro END)
+          - max(CASE WHEN arm = 1 AND post = 0 THEN mean_micro END)
+          - max(CASE WHEN arm = 0 AND post = 1 THEN mean_micro END)
+          + max(CASE WHEN arm = 0 AND post = 0 THEN mean_micro END)
+            AS did_micro
+        FROM cells),
+      pg AS (SELECT arm, di, count(*) AS y FROM ev
+             WHERE di < 15 GROUP BY 1, 2),
+      pre AS (
+        SELECT arm,
+          ((count(*) * sum(di * y) - sum(di) * sum(y)) * 1000)
+            // (count(*) * sum(di * di) - sum(di) * sum(di))
+            AS slope_milli
+        FROM pg GROUP BY 1),
+      tr AS (
+        SELECT max(CASE WHEN arm = 1 THEN slope_milli END)
+          - max(CASE WHEN arm = 0 THEN slope_milli END)
+          AS pretrend_gap_milli
+        FROM pre)
+      SELECT CAST(did_micro AS BIGINT) AS did_micro,
+        CAST(pretrend_gap_milli AS BIGINT) AS pretrend_gap_milli
+      FROM did CROSS JOIN tr""")),
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

@@ -69,6 +69,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q325_feature_hashing" -> "constant 3-row bucket-size frame broadcast onto the vocabulary frame",
     "q326_hash_uniformity" -> "1-row total broadcast onto the constant 64-bucket frame",
     "q329_rebalance_churn" -> "constant 256/288-row ring broadcasts: successor inequality joins (q324 class)",
+    "q330_diff_in_diff" -> "1-row pretrend-gap broadcast onto the 1-row DiD cell rollup",
     "q108_tfidf_keywords" -> "1-row corpus-doc-count broadcast for idf",
     "q110_quantile_sketch" -> "constant 4-row quantile-list broadcast",
     "q112_bm25_retrieval" -> "1-row corpus-stats (N, avgdl) broadcast",

@@ -1856,4 +1856,18 @@ class RoundAuditsSpec extends AnyFunSuite {
     assert(mod >= 600000L) // mod-hash reshuffles most keys
     assert(r.getAs[Long]("ring_moved") <= r.getAs[Long]("n_keys"))
   }
+
+  test("q330: A/A DiD sits near zero relative to the cell scale") {
+    import org.apache.spark.sql.functions._
+    val r = run("q330_diff_in_diff").collect().head
+    val did = r.getAs[Long]("did_micro")
+    // null effect by construction: |DiD| far below the per-user
+    // activity scale (events/user in micro units)
+    val ev = graft.catalog.Tables.t(spark, sf, "events")
+    val scale = ev.count() * 1000000L /
+      math.max(ev.select(col("user_id")).distinct().count(), 1L)
+    assert(math.abs(did) < scale / 2)
+    // pretrend gap exists as a readout (no sign constraint under A/A)
+    assert(math.abs(r.getAs[Long]("pretrend_gap_milli")) < 1000000L)
+  }
 }
