@@ -75,12 +75,18 @@ object Bench {
             if (!failed.contains(name)) failed += name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release persist()'d frames BETWEEN REPS, not only between
+        // queries: each rep builds a FRESH plan whose persist()
+        // registers new cache entries, so without this a persist-heavy
+        // query's rep 2 runs against rep 1's resident blocks and rep 3
+        // against both — a monotone degradation that inflates the
+        // median (measured: q193_kcore reps 2.2/11.8/17.4 s in a
+        // 326-query window; independent reps read 1.4 s flat). The
+        // cleanup runs inside the unmeasured gap.
+        spark.catalog.clearCache()
+        dt
       }.sorted
-      // release any frame the query persist()'d (shared multi-consumer
-      // subplans cache themselves); without this, blocks accumulate across
-      // the 101-query run and later medians become order-dependent.
-      spark.catalog.clearCache()
       // clearCache's block removal and ContextCleaner's shuffle-file
       // deletion are ASYNC: without a quiesce they contend with the next
       // measurement (observed as a probe elevation pinned to the
