@@ -3196,6 +3196,66 @@ object GovernanceQueries extends QueryModule {
       SELECT CAST(did_micro AS BIGINT) AS did_micro,
         CAST(pretrend_gap_milli AS BIGINT) AS pretrend_gap_milli
       FROM did CROSS JOIN tr""")),
+
+    // Average precision of the quality forecast (tie-aware AP over
+    // the descending score grid: at each distinct score, the
+    // precision of everything at-or-above it, weighted by the
+    // positives found AT that score — the PR-curve area that, unlike
+    // q302's ROC AUC, does NOT reward ranking easy negatives last:
+    // the eval of record for imbalanced filtering). Exactness: the
+    // descending cum pass gives (cum positives, cum total) per
+    // distinct score; AP_ppm = Σ k_row·prec_ppm(row) div K with
+    // prec_ppm one floor div per GRID row (≤1001 of them — the
+    // blocked tie-aware form, deterministic under ties by
+    // construction since whole tie groups contribute atomically).
+    // Scale shape: corpus → value grid in ONE map-side-combined agg;
+    // cum window rides the grid (q110 argument); 1-row rollup.
+    Q("q331_average_precision", (s, d) => {
+      import s.implicits._
+      val grid = t(s, d, "documents")
+        .select($"doc_id",
+          floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("qm"))
+        .withColumn("label",
+          when(CorpusOps.hashMix($"doc_id", 1000L) < $"qm", 1L)
+            .otherwise(0L))
+        .groupBy($"qm")
+        .agg(count(lit(1)).as("n"), sum($"label").as("k"))
+      val wD = Window.orderBy($"qm".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("cn", sum($"n").over(wD))
+        .withColumn("ck", sum($"k").over(wD))
+        .select($"k", ($"k" * expr("(ck * 1000000) div cn")).as("contrib"))
+        .agg(sum($"k").as("n_pos"), sum($"contrib").as("csum"))
+        .select($"n_pos",
+          expr("""CASE WHEN n_pos = 0 THEN 0
+            ELSE csum div n_pos END""").as("ap_ppm"))
+    }, Some("""
+      WITH q AS (
+        SELECT doc_id,
+          CAST(floor((least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2)
+            * 1000) AS BIGINT) AS qm
+        FROM documents),
+      l AS (SELECT qm,
+              CASE WHEN ((doc_id % 1000003) * 2654435761 + 40503) % 1000
+                   < qm THEN 1 ELSE 0 END AS label
+            FROM q),
+      g AS (SELECT qm, count(*) AS n, sum(label) AS k FROM l GROUP BY 1),
+      c AS (
+        SELECT k,
+          sum(n) OVER w AS cn, sum(k) OVER w AS ck
+        FROM g
+        WINDOW w AS (ORDER BY qm DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      a AS (SELECT sum(k) AS n_pos,
+              sum(k * ((ck * 1000000) // cn)) AS csum
+            FROM c)
+      SELECT CAST(n_pos AS BIGINT) AS n_pos,
+        CAST(CASE WHEN n_pos = 0 THEN 0 ELSE csum // n_pos END
+          AS BIGINT) AS ap_ppm
+      FROM a""")),
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

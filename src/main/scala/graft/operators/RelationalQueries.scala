@@ -762,6 +762,50 @@ object RelationalQueries extends QueryModule {
       SELECT coalesce(pc.cnt, 0) AS c_count,
         count(*) AS custdist
       FROM customer LEFT JOIN pc ON pc.o_custkey = c_custkey
-      GROUP BY 1"""))
+      GROUP BY 1""")),
+
+    // TPC-H Q3-shape shipping priority (top-10 unshipped BUILDING-
+    // segment orders by discounted revenue as of a cutoff date — the
+    // classic 3-way selective join + computed-measure top-k). Scale
+    // shape: both date filters and the segment filter PUSH DOWN to
+    // their scans before any join (verified in the plan audit's scan
+    // inspection conventions); the customer slice broadcasts (AQE
+    // adjudicates); revenue floors per line BEFORE summing (q312
+    // convention); top-10 rides TakeOrderedAndProject on the
+    // (revenue desc, odate asc, orderkey asc) total order.
+    Q("q332_shipping_priority", (s, d) => {
+      import s.implicits._
+      val cust = t(s, d, "customer")
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val ord = t(s, d, "orders")
+        .filter(to_date($"o_orderdate") < lit("1998-06-01"))
+        .select($"o_orderkey", $"o_custkey",
+          date_format(to_date($"o_orderdate"), "yyyy-MM-dd").as("odate"),
+          $"o_orderpriority")
+      val li = t(s, d, "lineitem")
+        .filter(to_date($"l_shipdate") > lit("1998-06-01"))
+        .select($"l_orderkey",
+          expr("cast(floor(l_extendedprice * (1.0 - l_discount) * 100) as bigint)")
+            .as("cents"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"odate", $"o_orderpriority")
+        .agg(sum($"cents").as("revenue_cents"))
+        .orderBy($"revenue_cents".desc, $"odate".asc, $"l_orderkey".asc)
+        .limit(10)
+    }, Some("""
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        o_orderpriority,
+        CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+          AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+        AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue_cents DESC, odate ASC, l_orderkey ASC
+      LIMIT 10"""))
   )
 }

@@ -157,6 +157,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q302_quality_auc" -> "doubled-rank cum over the DISTINCT quality-milli grid — value-domain bounded (<= 1001 rows by construction, q110/q170 argument)",
     "q311_sequential_probe" -> "cumulative-look windows over the DISTINCT day grid — calendar-bounded (q110 argument), never event-cardinality rows",
     "q314_gains_table" -> "descending cum over the DISTINCT quality-milli grid — value-domain bounded (<= 1001 rows, q110/q302 argument)",
+    "q331_average_precision" -> "descending cum over the DISTINCT quality-milli grid — value-domain bounded (<= 1001 rows, q110/q302 argument)",
     "q318_rfm_segments" -> "tercile cums over the DISTINCT recency/frequency/monetary value grids — value-domain bounded (q110 argument)",
     "q319_gini_stump" -> "split-sweep cum over the DISTINCT length grid — value-domain bounded (q110 argument)",
     "q216_watermark_advisor" -> "cum/total windows over the <= 61-row capped lateness-minute bucket grid (q185 class)",

@@ -1870,4 +1870,37 @@ class RoundAuditsSpec extends AnyFunSuite {
     // pretrend gap exists as a readout (no sign constraint under A/A)
     assert(math.abs(r.getAs[Long]("pretrend_gap_milli")) < 1000000L)
   }
+
+  test("q331: AP is bounded by [base rate, 1] for a better-than-random ranker") {
+    val r = run("q331_average_precision").collect().head
+    val ap = r.getAs[Long]("ap_ppm")
+    assert(ap >= 0 && ap <= 1000000L)
+    // the planted label correlates positively with the score, so AP
+    // must beat the base rate (random ranker's AP ~ prevalence)
+    import org.apache.spark.sql.functions._
+    val docs = graft.catalog.Tables.t(spark, sf, "documents")
+    val qm = floor(graft.operators.TextOps.qualityRaw(col("text")) * 1000)
+      .cast("long")
+    val prev = docs.select(
+      when(graft.operators.CorpusOps.hashMix(col("doc_id"), 1000L) < qm,
+        1L).otherwise(0L).as("l"))
+      .agg(sum(col("l")), count(lit(1))).collect().head
+    val basePpm = prev.getLong(0) * 1000000L / prev.getLong(1)
+    assert(ap > basePpm)
+    assert(r.getAs[Long]("n_pos") == prev.getLong(0))
+  }
+
+  test("q332: top-10 ordering is total and every row postdates the cutoff logic") {
+    val rows = run("q332_shipping_priority").collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[String]("odate"),
+        r.getAs[Long]("revenue_cents")))
+    assert(rows.length == 10)
+    val sorted = rows.sortBy(x => (-x._3, x._2, x._1))
+    assert(rows.sameElements(sorted))
+    rows.foreach { case (_, odate, rev) =>
+      assert(odate < "1998-06-01") // order placed before the cutoff
+      assert(rev > 0)
+    }
+    assert(rows.map(_._1).distinct.length == 10)
+  }
 }
