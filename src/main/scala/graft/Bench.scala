@@ -63,9 +63,37 @@ object Bench {
       .map(_.trim).filter(_.nonEmpty)
     val names = SparkEntry.benchQueries
       .filter(n => only.isEmpty || only.exists(n.contains))
+    // per-query JVM diagnostics to stderr (codecache/metaspace/GC/local
+    // dir growth) — the round-10 accumulation investigation's instrument;
+    // cheap enough to leave available behind an env flag.
+    val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG").contains("1")
+    lazy val localDirs = spark.sparkContext.getConf
+      .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
+      .split(",").toSeq
+    def diagLine(tag: String): Unit = if (diag) {
+      import java.lang.management.ManagementFactory
+      import scala.jdk.CollectionConverters._
+      def pool(p: String) = ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith(p)).map(_.getUsage.getUsed).sum / 1e6
+      val gc = ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+      val shuf = localDirs.map { d =>
+        val f = new java.io.File(d)
+        Option(f.listFiles()).map(_.count(x =>
+          x.getName.startsWith("blockmgr-") || x.getName.startsWith("spark-")))
+          .getOrElse(0)
+      }.sum
+      System.err.println(f"[diag] $tag codecache=${pool("CodeHeap")}%.1fMB " +
+        f"meta=${pool("Metaspace")}%.1fMB gc=${gc}ms sparkdirs=$shuf " +
+        f"heap=${(Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / 1e6}%.0fMB")
+    }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val probes = scala.collection.mutable.ListBuffer[Double](probeOnce())
     val results = names.zipWithIndex.map { case (name, i) =>
+      // `times` preserves TEMPORAL order (rep 1 first): the round-10
+      // artifact sorted reps ascending, which made a monotone-rising rep
+      // curve indistinguishable from one-rep variance. Median is taken
+      // over a sorted copy.
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir)
@@ -84,9 +112,13 @@ object Bench {
         // median (measured: q193_kcore reps 2.2/11.8/17.4 s in a
         // 326-query window; independent reps read 1.4 s flat). The
         // cleanup runs inside the unmeasured gap.
+        // NOTE (round 11): this release also makes the median HONEST for
+        // persist-heavy queries — every rep pays the full recompute — so
+        // canonical medians recorded before commit 92c1501 (cache-reusing
+        // reps) are flattered ~2x for that class; see BASELINE.md r11.
         spark.catalog.clearCache()
         dt
-      }.sorted
+      }
       // clearCache's block removal and ContextCleaner's shuffle-file
       // deletion are ASYNC: without a quiesce they contend with the next
       // measurement (observed as a probe elevation pinned to the
@@ -96,18 +128,21 @@ object Bench {
       System.gc()
       Thread.sleep(settleMs)
       if ((i + 1) % 5 == 0) probes += probeOnce()
+      val med = times.sorted.apply(times.length / 2)
       // stderr progress (the driver parses only the final stdout JSON):
       // makes a pathological query attributable while the run is live
       System.err.println(
-        f"[bench] $name ${times(times.length / 2)}%.3f s (${times.mkString(", ")})")
-      (name, times(times.length / 2), times)
+        f"[bench] $name $med%.3f s (${times.mkString(", ")})")
+      diagLine(s"after[${i + 1}] $name")
+      (name, med, times)
     }
     probes += probeOnce()
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    // per-rep times (sorted ascending, as measured then ordered) so a
-    // round artifact can distinguish a one-rep host stall from a
-    // sustained elevation without a judge re-run (round-9 VERDICT #2)
+    // per-rep times in TEMPORAL order (rep 1 first) so a round artifact
+    // can distinguish a one-rep host stall from a sustained elevation —
+    // and a monotone-rising curve from variance — without a judge re-run
+    // (round-9 VERDICT #2; round-10 VERDICT #1 note on sorted reps)
     val repsDetail = results.map { case (k, _, ts) =>
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -130,12 +165,15 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")),
       (fullLine + "\n").getBytes("UTF-8"))
     println(fullLine)
-    // LAST stdout line: a contract-shaped JSON compact enough (~1 KB) to
-    // survive a 2000-char tail capture intact. "queries" carries the
-    // slowest 25 (the ones a grader reads); the full map is in the file
-    // and the line above.
+    // LAST stdout line: a contract-shaped JSON compact enough (~2 KB) to
+    // survive a tail capture intact. "queries" carries the slowest 25
+    // (the ones a grader reads) as TEMPORAL rep arrays — round-10 VERDICT
+    // #4: the driver's tail capture truncated the full line, losing
+    // exactly the rep curves adjudication needed. Full map in the file.
     val slow = results.sortBy(-_._2).take(25)
-      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, _, ts) =>
+        "\"" + k + "\":" + ts.map(t => f"$t%.2f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val pMed = f"${pSorted(pSorted.length / 2)}%.3f"
     val pMax = f"${pSorted.last}%.3f"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow,"n_queries":${results.length},"n_failed":${failed.length},"failed":$failedJson,"probe_median":$pMed,"probe_max":$pMax,"reps":$reps,"sf":"$sfDir"}""")

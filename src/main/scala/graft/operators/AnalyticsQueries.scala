@@ -35,35 +35,54 @@ object AnalyticsQueries extends QueryModule {
     // corpus (src = doc_id % 32, dst = (7*doc_id + 3) % 32 — 7 is a
     // unit mod 32, so every host both emits and receives and no
     // dangling-mass correction is needed; 6k+3 is odd, so no self-loops
-    // exist by construction). Scale shape: edges/out-weights/ranks are
-    // DISTRIBUTED tables keyed on the node id — each iteration is one
-    // edge⋈rank equi-join + one map-side-combined sum per destination,
-    // the classic O(iters) BSP shape; nothing is collected or
-    // broadcast, so the same plan runs when the host registry is 10^9.
-    // Exactness: rank in integer micro-units; each edge contributes
-    // (rank*w) div out_w (floor BEFORE the sum — order-independent),
-    // and rank' = 150000 + (85*in) div 100. All values non-negative,
-    // so div and // agree.
+    // exist by construction). Scale shape: the corpus collapses to the
+    // <= 32x31-row weighted edge registry in ONE map-side-combined agg;
+    // the 3 rank rounds then run on the driver below the
+    // CorpusOps.boundedRows gate (q193-family two-path design), with
+    // the node-keyed BSP rounds unchanged above the cap (a 10^9-host
+    // registry). Exactness: rank in integer micro-units; each edge
+    // contributes (rank*w) div out_w (floor BEFORE the sum —
+    // order-independent), and rank' = 150000 + (85*in) div 100. All
+    // values non-negative, so div and // agree.
     Q("q139_link_pagerank", (s, d) => {
       import s.implicits._
       val edges = t(s, d, "documents")
         .select(($"doc_id" % 32).as("src"), (($"doc_id" * 7 + 3) % 32).as("dst"))
         .filter($"src" =!= $"dst")
         .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
-      val outw = edges.groupBy($"src").agg(sum($"w").as("ow"))
-      val e = edges.join(outw, "src")
-      val nodes = outw.select($"src".as("node"), $"ow")
-      val r0 = nodes.select($"node", lit(1000000L).as("r"))
-      val r3 = (1 to 3).foldLeft(r0) { (r, _) =>
-        val in = e.join(r.withColumnRenamed("node", "src"), "src")
-          .select($"dst", expr("(r * w) div ow").as("c"))
-          .groupBy($"dst").agg(sum($"c").as("cin"))
-        nodes.join(in.withColumnRenamed("dst", "node"), Seq("node"), "left_outer")
-          .select($"node",
-            (lit(150000L) + expr("(85 * coalesce(cin, 0L)) div 100")).as("r"))
+      CorpusOps.boundedRows(edges) match {
+        case Some(rows) =>
+          val e = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          val ow = e.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+          var rk: Map[Long, Long] = ow.keySet.map(n => n -> 1000000L).toMap
+          (1 to 3).foreach { _ =>
+            val cin = e.map(t => t._2 -> (rk(t._1) * t._3) / ow(t._1))
+              .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+            rk = ow.keySet
+              .map(n => n -> (150000L + 85L * cin.getOrElse(n, 0L) / 100L))
+              .toMap
+          }
+          ow.keySet.toSeq.map(n => (n, ow(n), rk(n)))
+            .toDF("node", "out_weight", "rank_micro")
+        case None =>
+          val ep = edges.persist()
+          val outw = ep.groupBy($"src").agg(sum($"w").as("ow"))
+          val e = ep.join(outw, "src")
+          val nodes = outw.select($"src".as("node"), $"ow")
+          val r0 = nodes.select($"node", lit(1000000L).as("r"))
+          val r3 = (1 to 3).foldLeft(r0) { (r, _) =>
+            val in = e.join(r.withColumnRenamed("node", "src"), "src")
+              .select($"dst", expr("(r * w) div ow").as("c"))
+              .groupBy($"dst").agg(sum($"c").as("cin"))
+            nodes.join(in.withColumnRenamed("dst", "node"),
+                Seq("node"), "left_outer")
+              .select($"node",
+                (lit(150000L) + expr("(85 * coalesce(cin, 0L)) div 100"))
+                  .as("r"))
+          }
+          r3.join(nodes, "node")
+            .select($"node", $"ow".as("out_weight"), $"r".as("rank_micro"))
       }
-      r3.join(nodes, "node")
-        .select($"node", $"ow".as("out_weight"), $"r".as("rank_micro"))
     }, Some("""
       WITH ed AS (SELECT doc_id % 32 AS src, (doc_id * 7 + 3) % 32 AS dst
                   FROM documents),
@@ -641,49 +660,76 @@ object AnalyticsQueries extends QueryModule {
     // weight, floored PER EDGE before the sum — order-independent)
     // keeps every score in the 1e6 mass scale at any graph size, so
     // no max-normalization pass (and its overflow-prone * 1e6) is
-    // needed. Scale shape: identical to q139 — each half-iteration is
-    // one edge⋈score equi-join + one map-side-combined per-endpoint
-    // sum over DISTRIBUTED node-keyed tables; nothing collected or
-    // broadcast; nodes are the HOST registry, not documents.
+    // needed. Scale shape: the corpus collapses to the <= 32x31-row
+    // weighted edge registry in ONE map-side-combined agg; the 2 HITS
+    // rounds then run on the driver below the CorpusOps.boundedRows
+    // gate (q193-family two-path design), with the node-keyed BSP
+    // half-iterations unchanged above the cap.
     Q("q155_hits_centrality", (s, d) => {
       import s.implicits._
       val edges = t(s, d, "documents")
         .select(($"doc_id" % 32).as("src"), (($"doc_id" * 7 + 3) % 32).as("dst"))
         .filter($"src" =!= $"dst")
         .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
-      val ow = edges.groupBy($"src").agg(sum($"w").as("ow"))
-      val iw = edges.groupBy($"dst").agg(sum($"w").as("iw"))
-      val eo = edges.join(ow, "src")
-      val ei = edges.join(iw, "dst")
-      val nodes = ow.select($"src".as("node")).join(
-        iw.select($"dst".as("node")), Seq("node"), "full_outer")
-      def authStep(h: org.apache.spark.sql.DataFrame) =
-        nodes.join(
-          eo.join(h.withColumnRenamed("node", "src"), "src")
-            .select($"dst".as("node"), expr("(h * w) div ow").as("c"))
-            .groupBy($"node").agg(sum($"c").as("ar")),
-          Seq("node"), "left_outer")
-          .select($"node", coalesce($"ar", lit(0L)).as("a"))
-      def hubStep(a: org.apache.spark.sql.DataFrame) =
-        nodes.join(
-          ei.join(a.withColumnRenamed("node", "dst"), "dst")
-            .select($"src".as("node"), expr("(a * w) div iw").as("c"))
-            .groupBy($"node").agg(sum($"c").as("hr")),
-          Seq("node"), "left_outer")
-          .select($"node", coalesce($"hr", lit(0L)).as("h"))
-      val h0 = nodes.select($"node", lit(1000000L).as("h"))
-      val a1 = authStep(h0)
-      val h1 = hubStep(a1)
-      val a2 = authStep(h1)
-      val h2 = hubStep(a2)
-      nodes
-        .join(ow.withColumnRenamed("src", "node"), Seq("node"), "left_outer")
-        .join(iw.withColumnRenamed("dst", "node"), Seq("node"), "left_outer")
-        .join(a2.withColumnRenamed("a", "auth_micro"), "node")
-        .join(h2.withColumnRenamed("h", "hub_micro"), "node")
-        .select($"node", coalesce($"ow", lit(0L)).as("out_weight"),
-          coalesce($"iw", lit(0L)).as("in_weight"),
-          $"auth_micro", $"hub_micro")
+      CorpusOps.boundedRows(edges) match {
+        case Some(rows) =>
+          val e = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          val ow = e.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+          val iw = e.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+          val nodes = (ow.keySet ++ iw.keySet).toSeq.sorted
+          def authStep(h: Map[Long, Long]): Map[Long, Long] = {
+            val ar = e.map(t => t._2 -> (h(t._1) * t._3) / ow(t._1))
+              .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+            nodes.map(n => n -> ar.getOrElse(n, 0L)).toMap
+          }
+          def hubStep(a: Map[Long, Long]): Map[Long, Long] = {
+            val hr = e.map(t => t._1 -> (a(t._2) * t._3) / iw(t._2))
+              .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+            nodes.map(n => n -> hr.getOrElse(n, 0L)).toMap
+          }
+          val h0 = nodes.map(n => n -> 1000000L).toMap
+          val a2 = authStep(hubStep(authStep(h0)))
+          val h2 = hubStep(a2)
+          nodes.map(n => (n, ow.getOrElse(n, 0L), iw.getOrElse(n, 0L),
+              a2(n), h2(n)))
+            .toDF("node", "out_weight", "in_weight",
+              "auth_micro", "hub_micro")
+        case None =>
+          val ep = edges.persist()
+          val ow = ep.groupBy($"src").agg(sum($"w").as("ow"))
+          val iw = ep.groupBy($"dst").agg(sum($"w").as("iw"))
+          val eo = ep.join(ow, "src")
+          val ei = ep.join(iw, "dst")
+          val nodes = ow.select($"src".as("node")).join(
+            iw.select($"dst".as("node")), Seq("node"), "full_outer")
+          def authStep(h: org.apache.spark.sql.DataFrame) =
+            nodes.join(
+              eo.join(h.withColumnRenamed("node", "src"), "src")
+                .select($"dst".as("node"), expr("(h * w) div ow").as("c"))
+                .groupBy($"node").agg(sum($"c").as("ar")),
+              Seq("node"), "left_outer")
+              .select($"node", coalesce($"ar", lit(0L)).as("a"))
+          def hubStep(a: org.apache.spark.sql.DataFrame) =
+            nodes.join(
+              ei.join(a.withColumnRenamed("node", "dst"), "dst")
+                .select($"src".as("node"), expr("(a * w) div iw").as("c"))
+                .groupBy($"node").agg(sum($"c").as("hr")),
+              Seq("node"), "left_outer")
+              .select($"node", coalesce($"hr", lit(0L)).as("h"))
+          val h0 = nodes.select($"node", lit(1000000L).as("h"))
+          val a1 = authStep(h0)
+          val h1 = hubStep(a1)
+          val a2 = authStep(h1)
+          val h2 = hubStep(a2)
+          nodes
+            .join(ow.withColumnRenamed("src", "node"), Seq("node"), "left_outer")
+            .join(iw.withColumnRenamed("dst", "node"), Seq("node"), "left_outer")
+            .join(a2.withColumnRenamed("a", "auth_micro"), "node")
+            .join(h2.withColumnRenamed("h", "hub_micro"), "node")
+            .select($"node", coalesce($"ow", lit(0L)).as("out_weight"),
+              coalesce($"iw", lit(0L)).as("in_weight"),
+              $"auth_micro", $"hub_micro")
+      }
     }, Some("""
       WITH ed AS (SELECT doc_id % 32 AS src, (doc_id * 7 + 3) % 32 AS dst
                   FROM documents),
@@ -1070,41 +1116,72 @@ object AnalyticsQueries extends QueryModule {
           (($"doc_id" * 11 + 3) % 48).as("v")))
         .unionAll(t(s, d, "documents").select((($"doc_id" * 5 + 1) % 48).as("u"),
           (($"doc_id" * 13 + 7) % 48).as("v")))
-      // und feeds deg + withOrd and oriented feeds 3 consumers: persist
-      // the registry-sized frames so the document scans run ONCE (the
-      // shared-subplan persist() convention; blocks stay evictable)
-      val und = raw.filter($"u" =!= $"v")
+      val und0 = raw.filter($"u" =!= $"v")
         .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
-        .distinct().persist()
-      val deg = und.select($"a".as("n")).unionAll(und.select($"b".as("n")))
-        .groupBy($"n").agg(count(lit(1)).as("deg"))
-      // total order: ord = deg * 64 + node (node < 48 by construction)
-      val withOrd = und
-        .join(deg.select($"n".as("a"), ($"deg" * 64 + $"n").as("oa")), "a")
-        .join(deg.select($"n".as("b"), ($"deg" * 64 + $"n").as("ob")), "b")
-      val oriented = withOrd.select(
-        when($"oa" < $"ob", $"a").otherwise($"b").as("src"),
-        when($"oa" < $"ob", $"b").otherwise($"a").as("dst"),
-        when($"oa" < $"ob", $"ob").otherwise($"oa").as("odst")).persist()
-      // wedges at the lowest-ranked corner; close with the oriented
-      // (lower-rank -> higher-rank) edge between the two tips
-      val e1 = oriented.select($"src", $"dst".as("t1"), $"odst".as("o1"))
-      val e2 = oriented.select($"src", $"dst".as("t2"), $"odst".as("o2"))
-      val wedges = e1.join(e2, "src").filter($"o1" < $"o2")
-      val close = oriented.select($"src".as("t1"), $"dst".as("t2"))
-      val tris = wedges.join(close, Seq("t1", "t2"))
-        .select($"src".as("c1"), $"t1".as("c2"), $"t2".as("c3"))
-      val perNode = tris.select($"c1".as("n"))
-        .unionAll(tris.select($"c2".as("n")))
-        .unionAll(tris.select($"c3".as("n")))
-        .groupBy($"n").agg(count(lit(1)).as("n_triangles"))
-      deg.join(perNode, Seq("n"), "left_outer")
-        .select($"n".as("node"), $"deg",
-          coalesce($"n_triangles", lit(0L)).as("n_triangles"))
-        .withColumn("clustering_ppm",
-          when($"deg" > 1,
-            expr("(2 * n_triangles * 1000000) div (deg * (deg - 1))"))
-            .otherwise(lit(0L)))
+        .distinct()
+      CorpusOps.boundedRows(und0) match {
+        // q193-family driver path: the corpus-collapsing distinct above
+        // is the only corpus-scale stage; the degree-ordered wedge
+        // enumeration runs locally on the <= C(48,2)-edge registry
+        case Some(rows) =>
+          val und = rows.map(r => (r.getLong(0), r.getLong(1)))
+          val deg = (und.map(_._1) ++ und.map(_._2))
+            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+          def ord(n: Long) = deg(n) * 64 + n
+          val oriented = und.map { case (a, b) =>
+            if (ord(a) < ord(b)) (a, b) else (b, a)
+          }
+          val closeSet = oriented.toSet
+          val outN = oriented.groupBy(_._1).view
+            .mapValues(_.map(_._2).sortBy(ord)).toMap
+          val triCount = scala.collection.mutable.LongMap
+            .empty[Long].withDefaultValue(0L)
+          outN.foreach { case (src, ts) =>
+            for (i <- ts.indices; j <- (i + 1) until ts.length
+                 if closeSet((ts(i), ts(j)))) {
+              triCount(src) += 1; triCount(ts(i)) += 1; triCount(ts(j)) += 1
+            }
+          }
+          deg.toSeq.map { case (n, dg) =>
+            val tc = triCount(n)
+            (n, dg, tc,
+              if (dg > 1) (2 * tc * 1000000L) / (dg * (dg - 1)) else 0L)
+          }.toDF("node", "deg", "n_triangles", "clustering_ppm")
+        case None =>
+          // und feeds deg + withOrd and oriented feeds 3 consumers:
+          // persist the registry-sized frames so the document scans run
+          // ONCE (the shared-subplan persist() convention)
+          val und = und0.persist()
+          val deg = und.select($"a".as("n")).unionAll(und.select($"b".as("n")))
+            .groupBy($"n").agg(count(lit(1)).as("deg"))
+          // total order: ord = deg * 64 + node (node < 48 by construction)
+          val withOrd = und
+            .join(deg.select($"n".as("a"), ($"deg" * 64 + $"n").as("oa")), "a")
+            .join(deg.select($"n".as("b"), ($"deg" * 64 + $"n").as("ob")), "b")
+          val oriented = withOrd.select(
+            when($"oa" < $"ob", $"a").otherwise($"b").as("src"),
+            when($"oa" < $"ob", $"b").otherwise($"a").as("dst"),
+            when($"oa" < $"ob", $"ob").otherwise($"oa").as("odst")).persist()
+          // wedges at the lowest-ranked corner; close with the oriented
+          // (lower-rank -> higher-rank) edge between the two tips
+          val e1 = oriented.select($"src", $"dst".as("t1"), $"odst".as("o1"))
+          val e2 = oriented.select($"src", $"dst".as("t2"), $"odst".as("o2"))
+          val wedges = e1.join(e2, "src").filter($"o1" < $"o2")
+          val close = oriented.select($"src".as("t1"), $"dst".as("t2"))
+          val tris = wedges.join(close, Seq("t1", "t2"))
+            .select($"src".as("c1"), $"t1".as("c2"), $"t2".as("c3"))
+          val perNode = tris.select($"c1".as("n"))
+            .unionAll(tris.select($"c2".as("n")))
+            .unionAll(tris.select($"c3".as("n")))
+            .groupBy($"n").agg(count(lit(1)).as("n_triangles"))
+          deg.join(perNode, Seq("n"), "left_outer")
+            .select($"n".as("node"), $"deg",
+              coalesce($"n_triangles", lit(0L)).as("n_triangles"))
+            .withColumn("clustering_ppm",
+              when($"deg" > 1,
+                expr("(2 * n_triangles * 1000000) div (deg * (deg - 1))"))
+                .otherwise(lit(0L)))
+      }
     }, Some("""
       WITH raw AS (
         SELECT doc_id % 48 AS u, (doc_id * 7 + 5) % 48 AS v FROM documents
@@ -1982,12 +2059,11 @@ object AnalyticsQueries extends QueryModule {
     // 64-node registry (denser than q139's modular host graph, so
     // peeling actually bites at sf0.01). Scale shape: the edge list
     // aggregates the corpus to <= C(64,2) distinct undirected pairs in
-    // ONE map-side-combined distinct and is persisted (registry-sized —
-    // the q168-class persist, NOT the corpus-sized q191 anti-case);
-    // each round is semi-join + map-side-combined degree agg on
-    // node-keyed frames (classic BSP peel, q139's argument); nothing
-    // is collected or broadcast; per-round reports are 1-row aggs
-    // unioned into the 3-row result.
+    // ONE map-side-combined distinct — the only corpus-scale stage at
+    // ANY SF; the 3-round peel then runs on the driver below the
+    // CorpusOps.boundedRows gate (measured 3.7 s -> sub-second: 15+
+    // scheduler round-trips on a 2016-edge frame were pure overhead),
+    // with the node-keyed BSP loop unchanged above the cap.
     Q("q193_kcore", (s, d) => {
       import s.implicits._
       // node mapping MUST be a real hash: the affine hashMix collapses
@@ -1998,40 +2074,56 @@ object AnalyticsQueries extends QueryModule {
       val k = 12
       val hx = DedupOps.hv32FromHexSql("md5(concat('a', cast(doc_id as string)))")
       val hy = DedupOps.hv32FromHexSql("md5(concat('b', cast(doc_id as string)))")
-      val edges = t(s, d, "documents")
+      val edges0 = t(s, d, "documents")
         .select(expr(s"$hx % 64").as("x"), expr(s"$hy % 64").as("y"))
         .filter($"x" =!= $"y")
         .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
         .distinct()
-        .persist()
-      val adj = edges.select($"a".as("node"), $"b".as("nbr"))
-        .union(edges.select($"b".as("node"), $"a".as("nbr")))
-      def peel(alive: org.apache.spark.sql.DataFrame) = {
-        val live = adj
-          .join(alive.select($"node"), Seq("node"), "left_semi")
-          .join(alive.select($"node".as("nbr")), Seq("nbr"), "left_semi")
-        live.groupBy($"node").agg(count(lit(1)).as("deg"))
-          .filter($"deg" >= k)
+      CorpusOps.boundedRows(edges0) match {
+        case Some(rows) =>
+          // driver peel: same semantics as the BSP branch below —
+          // deg counts (node, nbr) adjacency rows whose BOTH ends are
+          // alive; survivors keep deg >= k; 3 fixed rounds reported
+          // even when empty (coalesced 0 min/max, the oracle contract)
+          val ed = rows.map(r => (r.getLong(0), r.getLong(1)))
+          val adjL = ed.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+          var alive: Set[Long] = adjL.map(_._1).toSet
+          val out = (1 to 3).map { i =>
+            val deg = adjL.filter(p => alive(p._1) && alive(p._2))
+              .groupBy(_._1).view.mapValues(_.length.toLong)
+              .filter(_._2 >= k).toMap
+            alive = deg.keySet
+            (i.toLong, deg.size.toLong,
+              if (deg.isEmpty) 0L else deg.values.min,
+              if (deg.isEmpty) 0L else deg.values.max)
+          }
+          out.toDF("round", "nodes_alive", "min_deg", "max_deg")
+        case None =>
+          val edges = edges0.persist()
+          val adj = edges.select($"a".as("node"), $"b".as("nbr"))
+            .union(edges.select($"b".as("node"), $"a".as("nbr")))
+          def peel(alive: org.apache.spark.sql.DataFrame) = {
+            val live = adj
+              .join(alive.select($"node"), Seq("node"), "left_semi")
+              .join(alive.select($"node".as("nbr")), Seq("nbr"), "left_semi")
+            live.groupBy($"node").agg(count(lit(1)).as("deg"))
+              .filter($"deg" >= k)
+          }
+          // each peel references the previous frontier TWICE (both
+          // semi-join ends), so an unmaterialized recursion re-executes
+          // the whole prior round 2^depth times (measured: 21 s at
+          // sf0.1). Frontiers are registry-sized — persist each round.
+          val alive0 = adj.select($"node").distinct()
+          val r1 = peel(alive0).persist()
+          val r2 = peel(r1).persist()
+          val r3 = peel(r2)
+          Seq((r1, 1), (r2, 2), (r3, 3)).map { case (r, i) =>
+            r.agg(lit(i.toLong).as("round"),
+              count(lit(1)).as("nodes_alive"),
+              coalesce(min($"deg"), lit(0L)).as("min_deg"),
+              coalesce(max($"deg"), lit(0L)).as("max_deg"))
+          }.reduce(_ union _)
       }
-      // each peel references the previous frontier TWICE (both semi-join
-      // ends), so an unmaterialized recursion re-executes the whole
-      // prior round 2^depth times (measured: 21 s at sf0.1). Frontiers
-      // are registry-sized (<= 64 rows) — persist each round: 0.98 s vs
-      // 2.33 s for an eager localCheckpoint (the checkpoint pays a
-      // barrier job per round; at this fixed depth-3 the lazy cache
-      // wins — the CC family keeps materializeFrontier because its
-      // O(log n) depth needs lineage truncation, this fixed unroll
-      // doesn't)
-      val alive0 = adj.select($"node").distinct()
-      val r1 = peel(alive0).persist()
-      val r2 = peel(r1).persist()
-      val r3 = peel(r2)
-      Seq((r1, 1), (r2, 2), (r3, 3)).map { case (r, i) =>
-        r.agg(lit(i.toLong).as("round"),
-          count(lit(1)).as("nodes_alive"),
-          coalesce(min($"deg"), lit(0L)).as("min_deg"),
-          coalesce(max($"deg"), lit(0L)).as("max_deg"))
-      }.reduce(_ union _)
     }, Some(s"""
       WITH ed AS (
         SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM (
@@ -3539,44 +3631,67 @@ object AnalyticsQueries extends QueryModule {
     // sub-convergence rounds cost a BOUNDED number of shuffles and the
     // changed-labels curve itself is the diagnostic (a flat curve says
     // the graph fragmented; a cliff says one giant component). Scale
-    // shape: pure node-keyed BSP — each round is one adj⋈labels
-    // equi-join + one map-side-combined min agg; label frames are
-    // node-registry-sized and persisted (the 2-consumer recursion
-    // lesson from q193: stats + next round both read each frame); the
+    // shape: the corpus collapses to the <= C(96,2)-edge registry in
+    // ONE map-side-combined distinct; the 3 BSP rounds then run on the
+    // driver below the CorpusOps.boundedRows gate (each round was an
+    // adj⋈labels join + a min agg — 2 shuffles on a 96-node frame),
+    // with the node-keyed BSP loop unchanged above the cap; the
     // synthetic 96-node topology comes from the q193 salted-md5
     // family, but nothing in the plan depends on the registry size.
     Q("q273_label_propagation", (s, d) => {
       import s.implicits._
       val hx = DedupOps.hv32FromHexSql("md5(concat('c', cast(doc_id as string)))")
       val hy = DedupOps.hv32FromHexSql("md5(concat('d', cast(doc_id as string)))")
-      val ed = t(s, d, "documents")
+      val ed0 = t(s, d, "documents")
         .select(expr(s"$hx % 96").as("x"), expr(s"$hy % 96").as("y"))
         .filter($"x" =!= $"y")
         .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
-        .distinct().persist()
-      val adj = ed.select($"a".as("node"), $"b".as("nbr"))
-        .unionAll(ed.select($"b".as("node"), $"a".as("nbr")))
-      val l0 = adj.select($"node").distinct()
-        .select($"node", $"node".as("lab")).persist()
-      def step(lab: org.apache.spark.sql.DataFrame) = {
-        val nbrMin = adj
-          .join(lab.select($"node".as("nbr"), $"lab".as("nlab")), "nbr")
-          .groupBy($"node").agg(min($"nlab").as("nl"))
-        lab.join(nbrMin, Seq("node"), "left_outer")
-          .select($"node",
-            least($"lab", coalesce($"nl", $"lab")).as("lab"))
-          .persist()
+        .distinct()
+      CorpusOps.boundedRows(ed0) match {
+        // nonEmpty: the all-null/zero row the distributed aggs emit on
+        // an edgeless graph is left to the BSP branch
+        case Some(rows) if rows.nonEmpty =>
+          val adjL = rows.map(r => (r.getLong(0), r.getLong(1)))
+            .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+          val nbrs = adjL.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          var lab: Map[Long, Long] = nbrs.keySet.map(n => n -> n).toMap
+          val out = (1 to 3).map { i =>
+            val nxt = lab.map { case (n, l) =>
+              n -> math.min(l, nbrs(n).map(lab).min)
+            }
+            val changed = nxt.count { case (n, l) => l != lab(n) }.toLong
+            val comms = nxt.values.groupBy(identity).map(_._2.size.toLong)
+            lab = nxt
+            (i.toLong, changed, comms.size.toLong, comms.max)
+          }
+          out.toDF("round", "n_changed", "n_labels", "max_comm")
+        case _ =>
+          val ed = ed0.persist()
+          val adj = ed.select($"a".as("node"), $"b".as("nbr"))
+            .unionAll(ed.select($"b".as("node"), $"a".as("nbr")))
+          val l0 = adj.select($"node").distinct()
+            .select($"node", $"node".as("lab")).persist()
+          def step(lab: org.apache.spark.sql.DataFrame) = {
+            val nbrMin = adj
+              .join(lab.select($"node".as("nbr"), $"lab".as("nlab")), "nbr")
+              .groupBy($"node").agg(min($"nlab").as("nl"))
+            lab.join(nbrMin, Seq("node"), "left_outer")
+              .select($"node",
+                least($"lab", coalesce($"nl", $"lab")).as("lab"))
+              .persist()
+          }
+          val l1 = step(l0); val l2 = step(l1); val l3 = step(l2)
+          def stats(cur: org.apache.spark.sql.DataFrame,
+                    prev: org.apache.spark.sql.DataFrame, i: Int) =
+            cur.join(prev.select($"node", $"lab".as("plab")), "node")
+              .select($"lab", ($"lab" =!= $"plab").cast("long").as("ch"))
+              .groupBy($"lab")
+              .agg(count(lit(1)).as("cs"), sum($"ch").as("chs"))
+              .agg(lit(i.toLong).as("round"), sum($"chs").as("n_changed"),
+                count(lit(1)).as("n_labels"), max($"cs").as("max_comm"))
+          stats(l1, l0, 1).unionAll(stats(l2, l1, 2))
+            .unionAll(stats(l3, l2, 3))
       }
-      val l1 = step(l0); val l2 = step(l1); val l3 = step(l2)
-      def stats(cur: org.apache.spark.sql.DataFrame,
-                prev: org.apache.spark.sql.DataFrame, i: Int) =
-        cur.join(prev.select($"node", $"lab".as("plab")), "node")
-          .select($"lab", ($"lab" =!= $"plab").cast("long").as("ch"))
-          .groupBy($"lab")
-          .agg(count(lit(1)).as("cs"), sum($"ch").as("chs"))
-          .agg(lit(i.toLong).as("round"), sum($"chs").as("n_changed"),
-            count(lit(1)).as("n_labels"), max($"cs").as("max_comm"))
-      stats(l1, l0, 1).unionAll(stats(l2, l1, 2)).unionAll(stats(l3, l2, 3))
     }, Some(s"""
       WITH ed AS (
         SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM (
@@ -3637,31 +3752,58 @@ object AnalyticsQueries extends QueryModule {
       import s.implicits._
       val hx = DedupOps.hv32FromHexSql("md5(concat('e', cast(doc_id as string)))")
       val hy = DedupOps.hv32FromHexSql("md5(concat('f', cast(doc_id as string)))")
-      val ed = t(s, d, "documents")
+      val ed0 = t(s, d, "documents")
         .select(expr(s"$hx % 128").as("x"), expr(s"$hy % 128").as("y"))
-        .filter($"x" =!= $"y").distinct().persist()
-      val nodes = ed.select($"x".as("node"))
-        .unionAll(ed.select($"y".as("node"))).distinct()
-      val seeds = ed.groupBy($"y").agg(count(lit(1)).as("ind"))
-        .orderBy($"ind".desc, $"y".asc).limit(4)
-        .select($"y".as("node"))
-      val h0 = seeds.select($"node", lit(0L).as("hop")).persist()
-      def expand(dist: org.apache.spark.sql.DataFrame,
-                 frontier: org.apache.spark.sql.DataFrame, h: Int) = {
-        val nxt = ed.join(frontier.select($"node".as("x")), "x")
-          .select($"y".as("node")).distinct()
-          .join(dist, Seq("node"), "left_anti")
-          .select($"node", lit(h.toLong).as("hop")).persist()
-        (dist.unionAll(nxt).persist(), nxt)
+        .filter($"x" =!= $"y").distinct()
+      CorpusOps.boundedRows(ed0) match {
+        // the q193-family driver path: the corpus-collapsing distinct
+        // above is the only corpus-scale stage; 3 frontier hops on a
+        // <= 128^2-edge registry run locally (the -1 unreached row is
+        // emitted even on an empty graph, matching the distributed agg)
+        case Some(rows) =>
+          val edL = rows.map(r => (r.getLong(0), r.getLong(1)))
+          val out = edL.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          val allNodes = (edL.map(_._1) ++ edL.map(_._2)).toSet
+          val seeds = edL.groupBy(_._2).view.mapValues(_.size).toSeq
+            .sortBy { case (n, ind) => (-ind, n) }.take(4).map(_._1)
+          val dist = scala.collection.mutable.LongMap.empty[Long]
+          seeds.foreach(nd => dist(nd) = 0L)
+          var frontier = seeds.toSet
+          (1 to 3).foreach { h =>
+            frontier = frontier.iterator
+              .flatMap(n => out.getOrElse(n, Array.empty[Long])).toSet
+              .filterNot(n => dist.contains(n))
+            frontier.foreach(nd => dist(nd) = h.toLong)
+          }
+          val reached = dist.values.toSeq.groupBy(identity)
+            .map { case (h, g) => (h, g.size.toLong) }.toSeq
+          val unreached = (-1L, (allNodes.size - dist.size).toLong)
+          (reached :+ unreached).toDF("hop", "n_nodes")
+        case None =>
+          val ed = ed0.persist()
+          val nodes = ed.select($"x".as("node"))
+            .unionAll(ed.select($"y".as("node"))).distinct()
+          val seeds = ed.groupBy($"y").agg(count(lit(1)).as("ind"))
+            .orderBy($"ind".desc, $"y".asc).limit(4)
+            .select($"y".as("node"))
+          val h0 = seeds.select($"node", lit(0L).as("hop")).persist()
+          def expand(dist: org.apache.spark.sql.DataFrame,
+                     frontier: org.apache.spark.sql.DataFrame, h: Int) = {
+            val nxt = ed.join(frontier.select($"node".as("x")), "x")
+              .select($"y".as("node")).distinct()
+              .join(dist, Seq("node"), "left_anti")
+              .select($"node", lit(h.toLong).as("hop")).persist()
+            (dist.unionAll(nxt).persist(), nxt)
+          }
+          val (d1, f1) = expand(h0, h0, 1)
+          val (d2, f2) = expand(d1, f1, 2)
+          val (d3, _) = expand(d2, f2, 3)
+          val reached = d3.groupBy($"hop").agg(count(lit(1)).as("n_nodes"))
+          val unreached = nodes.join(d3, Seq("node"), "left_anti")
+            .agg(count(lit(1)).as("n_nodes"))
+            .select(lit(-1L).as("hop"), $"n_nodes")
+          reached.unionByName(unreached)
       }
-      val (d1, f1) = expand(h0, h0, 1)
-      val (d2, f2) = expand(d1, f1, 2)
-      val (d3, _) = expand(d2, f2, 3)
-      val reached = d3.groupBy($"hop").agg(count(lit(1)).as("n_nodes"))
-      val unreached = nodes.join(d3, Seq("node"), "left_anti")
-        .agg(count(lit(1)).as("n_nodes"))
-        .select(lit(-1L).as("hop"), $"n_nodes")
-      reached.unionByName(unreached)
     }, Some(s"""
       WITH ed AS (
         SELECT DISTINCT x, y FROM (
@@ -3708,7 +3850,14 @@ object AnalyticsQueries extends QueryModule {
     // scan decomposition; at any corpus size no window ever orders
     // more than one hour-bucket of boundary points. Tie order
     // (t asc, +1 before −1, user asc) is a total order, so the
-    // running sum — and the peak — is engine-identical.
+    // running sum — and the peak — is engine-identical. The hour
+    // bucket is DAY-ANCHORED and clamped ((t − day_start) div 1h,
+    // capped at 23), not (t div 1h) % 24: a span ending on the final
+    // microsecond of a day puts its −1 point at next-day 00:00, which
+    // a %-derived bucket would wrap to hour 0 OF THE SAME day
+    // partition — mis-ordering it relative to the oracle's single
+    // day window (round-10 ADVICE). Day labels and epochs both
+    // assume the UTC-pinned session timezone (Bench/Verify set it).
     Q("q275_interval_concurrency", (s, d) => {
       import s.implicits._
       val spans = t(s, d, "events")
@@ -3721,7 +3870,8 @@ object AnalyticsQueries extends QueryModule {
           $"user_id")
         .unionAll(spans.select($"day", ($"hi" + 1).as("t"),
           lit(-1L).as("delta"), $"user_id"))
-        .withColumn("hr", expr("(t div 3600000000) % 24"))
+        .withColumn("hr", least(lit(23L), expr(
+          "(t - unix_micros(to_timestamp(day))) div 3600000000")))
       val wIn = Window.partitionBy($"day", $"hr")
         .orderBy($"t".asc, $"delta".desc, $"user_id".asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -4003,32 +4153,59 @@ object AnalyticsQueries extends QueryModule {
       val hx = DedupOps.hv32FromHexSql("md5(concat('g', cast(doc_id as string)))")
       val hy = DedupOps.hv32FromHexSql("md5(concat('h', cast(doc_id as string)))")
       val hw = DedupOps.hv32FromHexSql("md5(concat('i', cast(doc_id as string)))")
-      val ed = t(s, d, "documents")
+      val ed0 = t(s, d, "documents")
         .select(expr(s"$hx % 128").as("x"), expr(s"$hy % 128").as("y"),
           expr(s"1 + $hw % 9").as("w"))
         .filter($"x" =!= $"y")
-        .groupBy($"x", $"y").agg(min($"w").as("w")).persist()
-      val nodes = ed.select($"x".as("node"))
-        .unionAll(ed.select($"y".as("node"))).distinct()
-      val seed = ed.groupBy($"x").agg(count(lit(1)).as("outd"))
-        .orderBy($"outd".desc, $"x".asc).limit(1)
-        .select($"x".as("node"), lit(0L).as("dist"))
-      val d0 = seed.persist()
-      def relax(dist: org.apache.spark.sql.DataFrame) = {
-        val upd = ed.join(dist.select($"node".as("x"), $"dist"), "x")
-          .select($"y".as("node"), ($"dist" + $"w").as("cand"))
-          .groupBy($"node").agg(min($"cand").as("cand"))
-        dist.join(upd, Seq("node"), "full_outer")
-          .select($"node",
-            least(coalesce($"dist", $"cand"), coalesce($"cand", $"dist"))
-              .as("dist"))
-          .persist()
+        .groupBy($"x", $"y").agg(min($"w").as("w"))
+      CorpusOps.boundedRows(ed0) match {
+        // q193-family driver path: the min-weight edge agg above is the
+        // only corpus-scale stage; 3 Bellman-Ford relaxations on the
+        // <= 128^2-edge registry run locally
+        case Some(rows) =>
+          val edL = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          val allNodes = (edL.map(_._1) ++ edL.map(_._2)).toSet
+          val dist = scala.collection.mutable.LongMap.empty[Long]
+          edL.groupBy(_._1).view.mapValues(_.size).toSeq
+            .sortBy { case (n, outd) => (-outd, n) }.headOption
+            .foreach { case (n, _) => dist(n) = 0L }
+          (1 to 3).foreach { _ =>
+            val upd = edL.iterator
+              .filter(e => dist.contains(e._1))
+              .map(e => e._2 -> (dist(e._1) + e._3)).toSeq
+              .groupBy(_._1).view.mapValues(_.map(_._2).min)
+            upd.foreach { case (n, c) =>
+              dist(n) = dist.get(n).fold(c)(math.min(_, c))
+            }
+          }
+          val reached = dist.values.toSeq.groupBy(identity)
+            .map { case (v, g) => (v, g.size.toLong) }.toSeq
+          (reached :+ (-1L, (allNodes.size - dist.size).toLong))
+            .toDF("dist", "n_nodes")
+        case None =>
+          val ed = ed0.persist()
+          val nodes = ed.select($"x".as("node"))
+            .unionAll(ed.select($"y".as("node"))).distinct()
+          val seed = ed.groupBy($"x").agg(count(lit(1)).as("outd"))
+            .orderBy($"outd".desc, $"x".asc).limit(1)
+            .select($"x".as("node"), lit(0L).as("dist"))
+          val d0 = seed.persist()
+          def relax(dist: org.apache.spark.sql.DataFrame) = {
+            val upd = ed.join(dist.select($"node".as("x"), $"dist"), "x")
+              .select($"y".as("node"), ($"dist" + $"w").as("cand"))
+              .groupBy($"node").agg(min($"cand").as("cand"))
+            dist.join(upd, Seq("node"), "full_outer")
+              .select($"node",
+                least(coalesce($"dist", $"cand"), coalesce($"cand", $"dist"))
+                  .as("dist"))
+              .persist()
+          }
+          val d3 = relax(relax(relax(d0)))
+          d3.groupBy($"dist").agg(count(lit(1)).as("n_nodes"))
+            .unionByName(nodes.join(d3, Seq("node"), "left_anti")
+              .agg(count(lit(1)).as("n_nodes"))
+              .select(lit(-1L).as("dist"), $"n_nodes"))
       }
-      val d3 = relax(relax(relax(d0)))
-      d3.groupBy($"dist").agg(count(lit(1)).as("n_nodes"))
-        .unionByName(nodes.join(d3, Seq("node"), "left_anti")
-          .agg(count(lit(1)).as("n_nodes"))
-          .select(lit(-1L).as("dist"), $"n_nodes"))
     }, Some(s"""
       WITH raw AS (
         SELECT
@@ -4681,50 +4858,82 @@ object AnalyticsQueries extends QueryModule {
     // e_c (intra-community edges) and d_c (community degree mass) are
     // exact integers; Q in ppm = Σ_c (e_c·4m − d_c²)·1e6 div (4m²) —
     // one integer div, int64-safe at the registry scale. Scale shape:
-    // exactly q273's three BSP rounds (node-keyed joins, registry
-    // frames persisted) + ONE edge⋈labels join for e_c and ONE degree
-    // agg for d_c; the rollup is community-count-sized.
+    // the corpus collapses to the <= C(96,2)-edge registry in ONE
+    // map-side-combined distinct; label prop + the modularity rollup
+    // then run on the driver below the CorpusOps.boundedRows gate
+    // (q273's two-path design), with the BSP rounds + community-sized
+    // distributed rollup unchanged above the cap.
     Q("q322_modularity", (s, d) => {
       import s.implicits._
       val hx = DedupOps.hv32FromHexSql("md5(concat('c', cast(doc_id as string)))")
       val hy = DedupOps.hv32FromHexSql("md5(concat('d', cast(doc_id as string)))")
-      val ed = t(s, d, "documents")
+      val ed0 = t(s, d, "documents")
         .select(expr(s"$hx % 96").as("x"), expr(s"$hy % 96").as("y"))
         .filter($"x" =!= $"y")
         .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
-        .distinct().persist()
-      val adj = ed.select($"a".as("node"), $"b".as("nbr"))
-        .unionAll(ed.select($"b".as("node"), $"a".as("nbr")))
-      val l0 = adj.select($"node").distinct()
-        .select($"node", $"node".as("lab")).persist()
-      def step(lab: org.apache.spark.sql.DataFrame) = {
-        val nbrMin = adj
-          .join(lab.select($"node".as("nbr"), $"lab".as("nlab")), "nbr")
-          .groupBy($"node").agg(min($"nlab").as("nl"))
-        lab.join(nbrMin, Seq("node"), "left_outer")
-          .select($"node",
-            least($"lab", coalesce($"nl", $"lab")).as("lab"))
-          .persist()
+        .distinct()
+      CorpusOps.boundedRows(ed0) match {
+        // q193-family driver path: q273's 3 label-prop rounds + the
+        // modularity rollup on the <= C(96,2)-edge registry run
+        // locally; integer arithmetic replicated term for term
+        // (contrib = (ec·4m − dc²)·1e6, truncating div by 4m²)
+        case Some(rows) if rows.nonEmpty =>
+          val edL = rows.map(r => (r.getLong(0), r.getLong(1)))
+          val adjL = edL.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+          val nbrs = adjL.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          var lab: Map[Long, Long] = nbrs.keySet.map(n => n -> n).toMap
+          (1 to 3).foreach { _ =>
+            lab = lab.map { case (n, l) =>
+              n -> math.min(l, nbrs(n).map(lab).min)
+            }
+          }
+          val m = edL.length.toLong
+          val ec = edL.filter { case (a, b) => lab(a) == lab(b) }
+            .groupBy { case (a, _) => lab(a) }.view
+            .mapValues(_.length.toLong).toMap
+          val deg = adjL.groupBy(_._1).view.mapValues(_.length.toLong)
+          val dc = deg.toSeq.groupBy { case (n, _) => lab(n) }.view
+            .mapValues(_.map(_._2).sum).toMap
+          val contrib = dc.map { case (l, dcv) =>
+            (ec.getOrElse(l, 0L) * 4 * m - dcv * dcv) * 1000000L
+          }.sum
+          Seq((dc.size.toLong, contrib / (4 * m * m), m))
+            .toDF("n_communities", "modularity_ppm", "n_edges")
+        case _ =>
+          val ed = ed0.persist()
+          val adj = ed.select($"a".as("node"), $"b".as("nbr"))
+            .unionAll(ed.select($"b".as("node"), $"a".as("nbr")))
+          val l0 = adj.select($"node").distinct()
+            .select($"node", $"node".as("lab")).persist()
+          def step(lab: org.apache.spark.sql.DataFrame) = {
+            val nbrMin = adj
+              .join(lab.select($"node".as("nbr"), $"lab".as("nlab")), "nbr")
+              .groupBy($"node").agg(min($"nlab").as("nl"))
+            lab.join(nbrMin, Seq("node"), "left_outer")
+              .select($"node",
+                least($"lab", coalesce($"nl", $"lab")).as("lab"))
+              .persist()
+          }
+          val l3 = step(step(step(l0)))
+          val mEdges = ed.agg(count(lit(1)).as("m"))
+          val intra = ed
+            .join(l3.select($"node".as("a"), $"lab".as("la")), "a")
+            .join(l3.select($"node".as("b"), $"lab".as("lb")), "b")
+            .filter($"la" === $"lb")
+            .groupBy($"la".as("lab")).agg(count(lit(1)).as("ec"))
+          val degs = adj.groupBy($"node").agg(count(lit(1)).as("deg"))
+            .join(l3, "node")
+            .groupBy($"lab").agg(sum($"deg").as("dc"))
+          val perC = degs.join(intra, Seq("lab"), "left_outer")
+            .select($"lab", coalesce($"ec", lit(0L)).as("ec"), $"dc")
+            .persist()
+          perC.crossJoin(broadcast(mEdges))
+            .select((($"ec" * 4 * $"m" - $"dc" * $"dc") * 1000000L)
+              .as("contrib"), $"m")
+            .agg(count(lit(1)).as("n_communities"),
+              expr("sum(contrib) div (4 * max(m) * max(m))")
+                .as("modularity_ppm"), max($"m").as("n_edges"))
       }
-      val l3 = step(step(step(l0)))
-      val mEdges = ed.agg(count(lit(1)).as("m"))
-      val intra = ed
-        .join(l3.select($"node".as("a"), $"lab".as("la")), "a")
-        .join(l3.select($"node".as("b"), $"lab".as("lb")), "b")
-        .filter($"la" === $"lb")
-        .groupBy($"la".as("lab")).agg(count(lit(1)).as("ec"))
-      val degs = adj.groupBy($"node").agg(count(lit(1)).as("deg"))
-        .join(l3, "node")
-        .groupBy($"lab").agg(sum($"deg").as("dc"))
-      val perC = degs.join(intra, Seq("lab"), "left_outer")
-        .select($"lab", coalesce($"ec", lit(0L)).as("ec"), $"dc")
-        .persist()
-      perC.crossJoin(broadcast(mEdges))
-        .select((($"ec" * 4 * $"m" - $"dc" * $"dc") * 1000000L)
-          .as("contrib"), $"m")
-        .agg(count(lit(1)).as("n_communities"),
-          expr("sum(contrib) div (4 * max(m) * max(m))")
-            .as("modularity_ppm"), max($"m").as("n_edges"))
     }, Some(s"""
       WITH ed AS (
         SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM (

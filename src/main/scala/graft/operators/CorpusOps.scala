@@ -61,6 +61,35 @@ object CorpusOps {
     }
   }
 
+  /** Registry-graph driver gate — [[connectedComponents]]'s small-N
+    * fast path, generalized for the iterative graph/matrix family
+    * (k-core, label propagation, BFS, SSSP, power iteration, …).
+    *
+    * Those queries all share one shape: ONE corpus-collapsing
+    * distributed agg produces a VALUE-DOMAIN-BOUNDED frame (a mod-k
+    * node space's edge list — ≤ C(k,2) rows at ANY corpus size; an
+    * 8×8 covariance block), then a fixed number of iteration rounds
+    * runs on it. Distributed BSP rounds on a ≤10^4-row frame are pure
+    * scheduler overhead (measured: q193_kcore 3.7 s of which ~0.4 s is
+    * the corpus agg — 15+ jobs for a 2016-edge peel); below the cap the
+    * iteration belongs on the driver, and ABOVE it the caller's
+    * distributed loop runs unchanged — same contract as
+    * connectedComponents' union-find path.
+    *
+    * Returns the collected rows when `df` fits under
+    * `spark.graft.graph.maxDriverRows` (default 1e6), else None. One
+    * limit-bounded job; a None caller recomputes df for its distributed
+    * loop (the rare branch — these frames are bounded by construction,
+    * so the cap only trips if a caller widens the node domain). */
+  def boundedRows(df: DataFrame): Option[Array[org.apache.spark.sql.Row]] = {
+    val cap = df.sparkSession.conf
+      .getOption("spark.graft.graph.maxDriverRows").map(_.toLong)
+      .getOrElse(1000000L)
+    val upTo = math.min(cap + 1, (Int.MaxValue - 1).toLong).toInt
+    val rows = df.limit(upTo).collect()
+    if (rows.length <= cap) Some(rows) else None
+  }
+
   def globalTopK(df: DataFrame, bucketKey: Column, k: Int,
                  order: Seq[Column], buckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window

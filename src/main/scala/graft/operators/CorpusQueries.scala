@@ -1859,20 +1859,32 @@ object CorpusQueries extends QueryModule {
     // in this catalog rides (splits q84, arms q264/q311/q315, samples
     // q56/q122, labels q176): if hashMix were biased, every one of
     // those results would be silently skewed. 64 buckets; chi² =
-    // Σ(o−e)²/e spelled integer as Σ(64·o−n)² div (64·n). Exactness:
+    // Σ(o−e)²/e spelled integer as Σ(64·o−n)² div (64·n). The observed
+    // buckets are DENSIFIED onto the full 0..63 grid (left join against
+    // a 64-row range, o→0) before summing dev2: a bucket the hash never
+    // hits contributes its full (64·0−n)²/(64n)=n/64 term — dropping it
+    // (the round-10 ADVICE finding) understated the statistic exactly
+    // in the skewed case the gate exists to catch. Exactness:
     // all-integer; the per-bucket deviation ppm exact. Scale shape:
-    // ONE map-side-combined 64-bucket agg; 1-row rollup.
+    // ONE map-side-combined 64-bucket agg; 64-row grid join; 1-row
+    // rollup.
     Q("q326_hash_uniformity", (s, d) => {
       import s.implicits._
       val b = t(s, d, "documents")
         .select(CorpusOps.hashMix($"doc_id", 64L).as("bucket"))
-        .groupBy($"bucket").agg(count(lit(1)).as("o"))
-      val tot = b.agg(sum($"o").as("n"))
-      b.crossJoin(broadcast(tot))
+        .groupBy($"bucket").agg(count(lit(1)).as("o0"))
+      val grid = s.range(0, 64).select($"id".as("bucket"))
+      // both sides registry-sized (64-row grid vs <= 64 observed
+      // buckets) — AQE adjudicates, unhinted (PlanAuditSpec convention)
+      val dense = grid.join(b, Seq("bucket"), "left")
+        .select($"bucket", coalesce($"o0", lit(0L)).as("o"))
+      val tot = b.agg(sum($"o0").as("n"))
+      dense.crossJoin(broadcast(tot))
         .select($"bucket", $"o", $"n",
           ((lit(64L) * $"o" - $"n") * (lit(64L) * $"o" - $"n"))
             .as("dev2"))
-        .agg(count(lit(1)).as("buckets_hit"), max($"n").as("n"),
+        .agg(sum(when($"o" > 0L, 1L).otherwise(0L)).as("buckets_hit"),
+          max($"n").as("n"),
           expr("sum(dev2) div (64 * max(n))").as("chi2_milli64"),
           max(expr("greatest(64 * o - n, n - 64 * o) * 1000000 div n"))
             .as("max_dev_ppm"))
@@ -1881,17 +1893,22 @@ object CorpusQueries extends QueryModule {
           $"chi2_milli64".as("chi2_raw"), $"max_dev_ppm",
           when($"chi2_milli64" > 82L, 1L).otherwise(0L).as("biased_flag"))
     }, Some("""
-      WITH b AS (
+      WITH b0 AS (
         SELECT ((((doc_id % 1000003) + 1000003) % 1000003
           * 2654435761 + 40503) % 64 + 64) % 64 AS bucket,
           count(*) AS o
         FROM documents GROUP BY 1),
+      grid AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(64)),
+      b AS (
+        SELECT grid.bucket, CAST(coalesce(b0.o, 0) AS BIGINT) AS o
+        FROM grid LEFT JOIN b0 ON b0.bucket = grid.bucket),
       t AS (SELECT sum(o) AS n FROM b),
       s AS (
         SELECT b.bucket, b.o, t.n,
           (64 * b.o - t.n) * (64 * b.o - t.n) AS dev2
         FROM b CROSS JOIN t)
-      SELECT CAST(count(*) AS BIGINT) AS buckets_hit,
+      SELECT CAST(sum(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS buckets_hit,
         CAST(max(n) AS BIGINT) AS n_docs,
         CAST(sum(dev2) // (64 * max(n)) AS BIGINT) AS chi2_raw,
         CAST(max(greatest(64 * o - n, n - 64 * o) * 1000000 // n)

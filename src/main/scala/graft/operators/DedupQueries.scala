@@ -602,6 +602,12 @@ object DedupQueries extends QueryModule {
     // integer ppm against each side's FULL distinct-shingle size; the
     // >= 0.8 gate fires in either direction. One shingle self-join on a
     // df-bounded index + two size joins — linear at any corpus size.
+    // Measured NON-wins kept out deliberately (round 11): hv32-hashing
+    // the shingles (q154's trick) made this SLOWER (2.65 -> 2.85 s at
+    // sf0.1; one md5 per corpus shingle outweighs the string-shuffle
+    // savings — q154 wins only because its sort/array stages re-read
+    // the keys many times), and persisting the distinct frame was
+    // worse again (3.8 s: materialization cost > exchange reuse).
     Q("q116_quote_containment", (s, d) => {
       import s.implicits._
       val base = t(s, d, "documents").select($"doc_id", $"text")

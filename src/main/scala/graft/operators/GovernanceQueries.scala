@@ -2460,8 +2460,14 @@ object GovernanceQueries extends QueryModule {
           ($"nt" - $"kt" - ($"cn" - $"ck")).as("fp"),
           $"ck".as("fn"), $"kt", $"nt")
         .select($"threshold", $"tp", $"fp", $"fn",
-          expr("(2 * tp * 1000000) div (2 * tp + fp + fn)").as("f1_ppm"),
-          expr("""CASE WHEN nt - kt = 0 THEN 0 ELSE
+          // kt=0 (no positive labels) and 2tp+fp+fn=0 (top threshold of
+          // an all-negative grid) are reachable corners — guard BOTH
+          // divisions, identically to the oracle (round-10 ADVICE;
+          // q302's n1=0 guard is the precedent)
+          expr("""CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+            ELSE (2 * tp * 1000000) div (2 * tp + fp + fn)
+            END""").as("f1_ppm"),
+          expr("""CASE WHEN kt = 0 OR nt - kt = 0 THEN 0 ELSE
             (tp * 1000000) div kt - (fp * 1000000) div (nt - kt)
             END""").as("j_ppm"))
         .persist()
@@ -2499,8 +2505,10 @@ object GovernanceQueries extends QueryModule {
         FROM c CROSS JOIN tot),
       m AS (
         SELECT threshold, tp, fp, fn,
-          (2 * tp * 1000000) // (2 * tp + fp + fn) AS f1_ppm,
-          CASE WHEN nt - kt = 0 THEN 0 ELSE
+          CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+            ELSE (2 * tp * 1000000) // (2 * tp + fp + fn)
+            END AS f1_ppm,
+          CASE WHEN kt = 0 OR nt - kt = 0 THEN 0 ELSE
             (tp * 1000000) // kt - (fp * 1000000) // (nt - kt)
             END AS j_ppm
         FROM sw),

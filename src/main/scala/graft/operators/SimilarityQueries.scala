@@ -1617,9 +1617,13 @@ object SimilarityQueries extends QueryModule {
     // integer division of two exact int64 bilinear forms (headroom:
     // |u| <= 8·|cov|·1024 ~ 3e10, v·u <= 8·1024·3e10 ~ 2.7e14).
     // Scale shape: ONE corpus pass builds the (i, j) covariance
-    // (vec-keyed <= 64-pair fan-out, two map-side-combined aggs);
-    // every round after is matrix-sized (64-row) joins + 1-row
-    // broadcasts — iteration cost is INDEPENDENT of corpus size.
+    // (vec-keyed <= 64-pair fan-out, two map-side-combined aggs) —
+    // the only corpus-scale stage; the 3 matrix-vector rounds then
+    // run on the driver below the CorpusOps.boundedRows gate (the
+    // q193-family two-path design: ~10 jobs on a 64-cell matrix were
+    // pure scheduler overhead), with the matrix-sized distributed
+    // rounds unchanged above the cap / in the degenerate zero-vector
+    // corner (where the engines' div-by-zero null must be preserved).
     Q("q295_power_iteration", (s, d) => {
       import s.implicits._
       val ex = t(s, d, "embeddings")
@@ -1637,27 +1641,52 @@ object SimilarityQueries extends QueryModule {
           "vec_id")
         .groupBy($"i", $"j")
         .agg(expr("sum(ca * cb) div max(n)").as("m"))
-        .persist()
-      val v0 = (0L to 7L).map(i => (i, 1024L)).toDF("dim", "v")
-      def mul(v: org.apache.spark.sql.DataFrame) =
-        m.join(v.select($"dim".as("jj"), $"v".as("vj")), $"j" === $"jj")
-          .groupBy($"i").agg(sum($"m" * $"vj").as("u"))
-          .select($"i".as("dim"), $"u")
-      def norm(u: org.apache.spark.sql.DataFrame) = {
-        val mx = u.agg(max(greatest($"u", -$"u")).as("mx"))
-        u.crossJoin(broadcast(mx))
-          .select($"dim", expr("""CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
-            ELSE (u * 1024) div mx END""").as("v"))
+      val localOut: Option[org.apache.spark.sql.DataFrame] =
+        CorpusOps.boundedRows(m).flatMap { rows =>
+          val mm = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+            .toMap
+          val is = mm.keySet.map(_._1).toSeq.sorted
+          def mul(v: Map[Long, Long]): Map[Long, Long] =
+            is.map(i => i -> mm.collect {
+              case ((`i`, j), mij) if v.contains(j) => mij * v(j)
+            }.sum).toMap
+          def norm(u: Map[Long, Long]): Map[Long, Long] = {
+            val mx = u.values.map(x => math.max(x, -x)).max
+            u.view.mapValues(x => if (mx == 0) 0L else (x * 1024) / mx)
+              .toMap
+          }
+          val v0 = (0L to 7L).map(i => i -> 1024L).toMap
+          val v3 = norm(mul(norm(mul(norm(mul(v0))))))
+          val u4 = mul(v3)
+          val vu = v3.map { case (i, v) => v * u4(i) }.sum
+          val vv = v3.values.map(v => v * v).sum
+          if (vv == 0) None // engines emit div-by-zero nulls: fall back
+          else Some(is.map(i => (i, v3(i), (v3(i) * v3(i) * 1000000L) / vv,
+            vu / vv)).toDF("dim", "v_q10", "load_ppm", "eig_m"))
+        }
+      localOut.getOrElse {
+        val mp = m.persist()
+        val v0 = (0L to 7L).map(i => (i, 1024L)).toDF("dim", "v")
+        def mul(v: org.apache.spark.sql.DataFrame) =
+          mp.join(v.select($"dim".as("jj"), $"v".as("vj")), $"j" === $"jj")
+            .groupBy($"i").agg(sum($"m" * $"vj").as("u"))
+            .select($"i".as("dim"), $"u")
+        def norm(u: org.apache.spark.sql.DataFrame) = {
+          val mx = u.agg(max(greatest($"u", -$"u")).as("mx"))
+          u.crossJoin(broadcast(mx))
+            .select($"dim", expr("""CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+              ELSE (u * 1024) div mx END""").as("v"))
+        }
+        val v3 = norm(mul(norm(mul(norm(mul(v0)))))).persist()
+        val u4 = mul(v3)
+        val ray = v3.join(u4, "dim")
+          .agg(sum($"v" * $"u").as("vu"), sum($"v" * $"v").as("vv"))
+          .select(expr("vu div vv").as("eig_m"))
+        val load = v3.agg(sum($"v" * $"v").as("tot"))
+        v3.crossJoin(broadcast(ray)).crossJoin(broadcast(load))
+          .select($"dim", $"v".as("v_q10"),
+            expr("(v * v * 1000000) div tot").as("load_ppm"), $"eig_m")
       }
-      val v3 = norm(mul(norm(mul(norm(mul(v0)))))).persist()
-      val u4 = mul(v3)
-      val ray = v3.join(u4, "dim")
-        .agg(sum($"v" * $"u").as("vu"), sum($"v" * $"v").as("vv"))
-        .select(expr("vu div vv").as("eig_m"))
-      val load = v3.agg(sum($"v" * $"v").as("tot"))
-      v3.crossJoin(broadcast(ray)).crossJoin(broadcast(load))
-        .select($"dim", $"v".as("v_q10"),
-          expr("(v * v * 1000000) div tot").as("load_ppm"), $"eig_m")
     }, Some("""
       WITH ex AS (
         SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,

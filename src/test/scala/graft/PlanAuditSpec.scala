@@ -47,7 +47,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q73_unigram_logprob" -> "1-row corpus-token-total broadcast",
     "q137_split_parity" -> "1-row corpus-doc-total broadcast onto the registry-sized (split, lang) frame",
     "q292_mutual_information" -> "1-row total + 1-row marginal-entropy broadcasts onto the registry-squared contingency frame",
-    "q295_power_iteration" -> "1-row normalizer/Rayleigh/loading broadcasts onto the constant 8-row eigenvector frame (iteration cost independent of corpus size)",
+    // q295/q322 iterate on the driver below CorpusOps.boundedRows (the
+    // q193-family two-path design) — their BNLJ allowances applied to
+    // the distributed fallback, which no longer plans at audit SF
     "q296_transitivity_audit" -> "1-row pair-count + hub-count scalar broadcasts onto the 1-row wedge rollup",
     "q297_exponential_qq" -> "constant 9-row exponential-decile frame broadcast over the bounded gap-minute grid (q110 argument)",
     "q298_haar_energy" -> "constant 32-day grid + 5-level wavelet frame broadcasts onto the registry-sized series (grid build and decomposition, all constant-size sides)",
@@ -64,7 +66,6 @@ class PlanAuditSpec extends AnyFunSuite {
     "q319_gini_stump" -> "1-row (n, k) totals broadcast onto the bounded length grid",
     "q320_calibration_slope" -> "1-row logit-sum broadcast onto the 1-row OLS rollup (<= 10-bin frame)",
     "q321_bloom_advisor" -> "constant 3-row FPR frame broadcast onto the source registry",
-    "q322_modularity" -> "1-row edge-count broadcast onto the community-count-sized per-community frame",
     "q324_consistent_hashing" -> "constant 256-row ring broadcast: successor inequality join + point->node lookup (bounded fan-out)",
     "q325_feature_hashing" -> "constant 3-row bucket-size frame broadcast onto the vocabulary frame",
     "q326_hash_uniformity" -> "1-row total broadcast onto the constant 64-bucket frame",

@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipelines.{Orchestrator, Pipelines}
+import graft.pipelines.{ExportMain, Orchestrator, Pipelines}
 import graft.sinks.HttpFetchSink
 import graft.sources.ParquetCatalog
 
@@ -367,5 +367,23 @@ class WpPipelineSpec extends AnyFunSuite {
     val orch = new Orchestrator(spark, cat, outDir, _ => Right(Array[Byte](1)))
     assert(orch.runModule("posts", Some(idFile)) == 2)
     intercept[IllegalArgumentException] { orch.runModule("nope") }
+  }
+
+  test("ExportMain CLI arg contract matches app.js:9-39") {
+    import ExportMain._
+    // app.js:24-33 — no args: every module, reference order
+    assert(parse(Seq()) == RunAll)
+    // app.js:11-19 — `module [idfile]`
+    assert(parse(Seq("posts")) == RunOne("posts", None))
+    assert(parse(Seq("authors", "ids.txt")) ==
+      RunOne("authors", Some("ids.txt")))
+    // app.js:21 — unknown module name, with or without an idfile
+    assert(parse(Seq("pages")) == Bad("please provide valid module name."))
+    assert(parse(Seq("pages", "ids.txt")) ==
+      Bad("please provide valid module name."))
+    // app.js:36 — more than module+idfile
+    assert(parse(Seq("posts", "authors", "x")) ==
+      Bad("only one module can be exported at a time."))
+    assert(modulesList == Seq("assets", "authors", "categories", "posts"))
   }
 }

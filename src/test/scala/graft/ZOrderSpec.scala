@@ -14,7 +14,18 @@ import graft.sources.ZOrderLayout
   * index uses, measured without running a query.
   */
 class ZOrderSpec extends AnyFunSuite {
-  lazy val spark = SparkTestSession.spark
+  /** Isolated session (own SQLConf over the shared context): suites run
+    * concurrently in one JVM and ScaleSpec mutates AQE/broadcast confs on
+    * the shared session mid-flight (advisoryPartitionSizeInBytes=32KB,
+    * skew-join thresholds) — which can re-plan this suite's range shuffle
+    * and flake the file-count assertions (round-10 verdict #2: failed
+    * 1-of-2 full-suite runs, green isolated). AQE is pinned off here so
+    * the 8-file layout is deterministic regardless of suite ordering. */
+  lazy val spark = {
+    val s = SparkTestSession.spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
 
   private val sf = "/root/testdata/sf0.001"
 
@@ -95,8 +106,9 @@ class ZOrderSpec extends AnyFunSuite {
     val z = ZOrderLayout.zvalue(
       ZOrderLayout.minMaxQuantize($"l_orderkey", okLo, okHi, 16),
       ZOrderLayout.minMaxQuantize($"l_partkey", pkLo, pkHi, 16))
-    val zDir = "/tmp/zorder_li"
-    val linDir = "/tmp/linear_li"
+    // unique dirs per run: a fixed path invites cross-run leftovers
+    val zDir = java.nio.file.Files.createTempDirectory("zorder_li_").toString
+    val linDir = java.nio.file.Files.createTempDirectory("linear_li_").toString
     ZOrderLayout.writeZOrdered(li, zDir, z, files = 8)
     li.repartitionByRange(8, $"l_orderkey")
       .sortWithinPartitions($"l_orderkey")
