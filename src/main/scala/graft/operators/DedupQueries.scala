@@ -1726,7 +1726,54 @@ object DedupQueries extends QueryModule {
     }, Some(DedupQueries.qgramEdOracleSql(100L)),
       oracleDyn = Some((s, d) => DedupQueries.qgramEdOracleSql(math.max(
         graft.catalog.Stats.parquetRowCount(s, s"$d/documents.parquet") / 5,
-        2L))))
+        2L)))),
+
+    // Cross-document repeated-SPAN detector (the sliding-window
+    // approximation of suffix-array exact-substring dedup from the
+    // public training-data dedup literature): every 8-token window at
+    // EVERY stride-1 position fingerprints row-locally, so spans that
+    // straddle q126's fixed paragraph boundaries — the case paragraph
+    // dedup structurally misses — still collide corpus-wide. Reports
+    // the top-20 most-duplicated spans by (distinct docs desc,
+    // occurrences desc, fp asc) — a total order. Scale shape: window
+    // fingerprints are a row-local transform over each doc's token
+    // array (no self-join, no explode-then-window); ONE
+    // map-side-combined fp agg collapses the corpus; the top-20 is the
+    // bucketed-prefilter globalTopK (never a global sort of the span
+    // vocabulary). Exactness: md5 over space-joined tokens, identical
+    // string semantics both engines; counts exact.
+    Q("q338_span_dedup", (s, d) => {
+      import s.implicits._
+      val spans = t(s, d, "documents")
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 8)
+        .select($"doc_id", explode(expr(
+          """transform(sequence(1, size(toks) - 7),
+            |  i -> md5(array_join(slice(toks, i, 8), ' ')))""".stripMargin))
+          .as("fp"))
+      val agg = spans.groupBy($"fp")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter($"n_docs" >= 2)
+      CorpusOps.globalTopK(agg, $"fp", 20,
+        Seq($"n_docs".desc, $"n_occurrences".desc, $"fp".asc))
+        .select($"fp", $"n_docs", $"n_occurrences")
+    }, Some("""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents),
+      sp AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(toks) - 6),
+            i -> md5(array_to_string(toks[i:i+7], ' ')))) AS fp
+        FROM d WHERE len(toks) >= 8),
+      a AS (
+        SELECT fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+        FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+      SELECT fp, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(n_occurrences AS BIGINT) AS n_occurrences
+      FROM a
+      ORDER BY n_docs DESC, n_occurrences DESC, fp ASC
+      LIMIT 20"""))
   )
 
   /** q316's oracle, parameterized by the planting modulus m (derived

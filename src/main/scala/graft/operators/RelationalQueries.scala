@@ -806,6 +806,272 @@ object RelationalQueries extends QueryModule {
         AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
       GROUP BY 1, 2, 3
       ORDER BY revenue_cents DESC, odate ASC, l_orderkey ASC
-      LIMIT 10"""))
+      LIMIT 10""")),
+
+    // Min-cost supplier (the TPC-H Q2 shape, adapted: no partsupp table
+    // in the testdata star, so the part-supplier cost book derives from
+    // observed lineitem trades — min unit price in exact cents per
+    // (part, supplier)). Per LARGE part, the cheapest EUROPE supplier
+    // wins on the (cost asc, suppkey asc) total order — the classic
+    // correlated min-subquery DECORRELATED to one row_number window
+    // (q12's top-k convention, not a per-part subquery). Exactness:
+    // unit cost = extendedprice cents div quantity, all-integer; the
+    // top-20 rides (s_acctbal desc, p_partkey asc) with acctbal an
+    // untouched parquet double — identical bits both engines. Scale:
+    // the cost book is one map-side-combined (part, supp) agg off the
+    // lineitem scan; dims broadcast; ONE bounded window on the
+    // part-keyed frame (partition = part, never global).
+    Q("q333_mincost_supplier", (s, d) => {
+      import s.implicits._
+      // the LARGE-part restriction joins BEFORE the (part, supp) cost
+      // agg — it prunes ~5/6 of the fact rows ahead of the shuffle
+      // (Catalyst can't hoist a filter above an agg on its own;
+      // measured 2.8 -> ~1.4 s at sf0.1) — and the part dim broadcasts
+      val parts = t(s, d, "part").filter($"p_type" === "LARGE")
+        .select($"p_partkey", $"p_size")
+      val cost = t(s, d, "lineitem")
+        // part grows with the corpus (unlike nation/region), so the
+        // hint is runtime-guarded: above the cap it degrades to a
+        // shuffled join instead of pinning an unbounded side
+        .join(CorpusOps.boundedBroadcast(parts, what = "LARGE part slice"),
+          $"l_partkey" === $"p_partkey")
+        .select($"l_partkey", $"l_suppkey", $"p_size",
+          expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint)")
+            .as("cents"),
+          $"l_quantity".cast("long").as("qty"))
+        .groupBy($"l_partkey", $"l_suppkey", $"p_size")
+        .agg(min(expr("cents div qty")).as("unit_cost_cents"))
+      val euro = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "EUROPE")
+        .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      val w = Window.partitionBy($"l_partkey")
+        .orderBy($"unit_cost_cents".asc, $"l_suppkey".asc)
+      cost.join(euro, $"l_suppkey" === $"s_suppkey")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"l_partkey".as("p_partkey"), $"p_size", $"s_name",
+          $"n_name", $"s_acctbal", $"unit_cost_cents")
+        .orderBy($"s_acctbal".desc, $"p_partkey".asc)
+        .limit(20)
+    }, Some("""
+      WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+          min(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+              // CAST(l_quantity AS BIGINT)) AS unit_cost_cents
+        FROM lineitem GROUP BY 1, 2),
+      euro AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+      ranked AS (
+        SELECT p.p_partkey, p.p_size, e.s_name, e.n_name, e.s_acctbal,
+          c.unit_cost_cents,
+          row_number() OVER (PARTITION BY c.l_partkey
+            ORDER BY c.unit_cost_cents ASC, c.l_suppkey ASC) AS rn
+        FROM cost c
+        JOIN euro e ON c.l_suppkey = e.s_suppkey
+        JOIN part p ON c.l_partkey = p.p_partkey
+        WHERE p.p_type = 'LARGE')
+      SELECT p_partkey, p_size, s_name, n_name, s_acctbal, unit_cost_cents
+      FROM ranked WHERE rn = 1
+      ORDER BY s_acctbal DESC, p_partkey ASC
+      LIMIT 20""")),
+
+    // Promo revenue share by ship month (the TPC-H Q14 shape): what
+    // fraction of 1997's discounted revenue each month came from PROMO
+    // parts — the merchandising-effect monitor. Exactness: per-row
+    // discounted revenue in scale-4 integer units (DECIMAL(12,2) *
+    // DECIMAL(12,2) is exact scale-4; * 10000 -> integral BIGINT), so
+    // the ppm share is one integer floor division — no double ratio
+    // ever forms. Scale: ONE lineitem⋈part equi-join (part side is the
+    // dim, AQE adjudicates), ONE map-side-combined month agg; the
+    // month grid is value-bounded (12 rows).
+    Q("q334_promo_revenue", (s, d) => {
+      import s.implicits._
+      val rev4 = expr("""cast(cast(l_extendedprice as decimal(12,2)) *
+        (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))
+        * 10000 as bigint)""")
+      t(s, d, "lineitem")
+        .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType) &&
+                $"l_shipdate" < lit("1998-01-01").cast(TimestampType))
+        .join(t(s, d, "part"), $"l_partkey" === $"p_partkey")
+        .select(date_format($"l_shipdate", "yyyy-MM").as("ship_month"),
+          rev4.as("rev4"),
+          when($"p_type" === "PROMO", rev4).otherwise(0L).as("promo4"))
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_items"), sum($"rev4").as("rev4"),
+          sum($"promo4").as("promo4"))
+        // share masses quantized to whole currency units BEFORE the ppm
+        // multiply: sum(rev4) * 1e6 would pass 2^63 past ~10^14 scale-4
+        // units (reachable at sf1); whole-unit masses carry headroom to
+        // ~sf10^5 and the quantization is the same floor in both engines
+        .select($"ship_month", $"n_items",
+          expr("((promo4 div 10000) * 1000000) div (rev4 div 10000)")
+            .as("promo_ppm"),
+          expr("rev4 div 10000").as("revenue_whole"))
+    }, Some("""
+      WITH l AS (
+        SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+               * 10000 AS BIGINT) AS rev4,
+          p_type
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01')
+      SELECT ship_month, count(*) AS n_items,
+        CAST((sum(CASE WHEN p_type = 'PROMO' THEN rev4 ELSE 0 END) // 10000)
+             * 1000000 // (sum(rev4) // 10000) AS BIGINT) AS promo_ppm,
+        CAST(sum(rev4) // 10000 AS BIGINT) AS revenue_whole
+      FROM l GROUP BY 1""")),
+
+    // Bracketed discount revenue (the TPC-H Q19 shape): revenue from
+    // three OR'd (brand, size-range, quantity-range) brackets — the
+    // classic multi-predicate disjunction that must stay INSIDE one
+    // codegen'd scan+join (a UNION of three scans would read the fact
+    // table three times; the disjunction reads it once and the bracket
+    // label is a row-local CASE). Exactness: scale-4 integer revenue
+    // (q334 convention). Scale: one lineitem⋈part equi-join; the OR
+    // collapses to a residual filter on the joined row; 3-row rollup.
+    Q("q335_bracket_revenue", (s, d) => {
+      import s.implicits._
+      val rev4 = expr("""cast(cast(l_extendedprice as decimal(12,2)) *
+        (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))
+        * 10000 as bigint)""")
+      val b1 = $"p_brand" === "Brand#1" && $"p_size".between(1, 10) &&
+        $"l_quantity" >= 1 && $"l_quantity" <= 15
+      val b2 = $"p_brand" === "Brand#7" && $"p_size".between(5, 25) &&
+        $"l_quantity" >= 10 && $"l_quantity" <= 30
+      val b3 = $"p_brand" === "Brand#13" && $"p_size".between(10, 50) &&
+        $"l_quantity" >= 25 && $"l_quantity" <= 50
+      t(s, d, "lineitem")
+        .join(t(s, d, "part"), $"l_partkey" === $"p_partkey")
+        .filter(b1 || b2 || b3)
+        .select(when(b1, "bracket1").when(b2, "bracket2")
+          .otherwise("bracket3").as("bracket"), rev4.as("rev4"))
+        .groupBy($"bracket")
+        .agg(count(lit(1)).as("n_items"),
+          expr("sum(rev4) div 10000").as("revenue_whole"))
+    }, Some("""
+      WITH j AS (
+        SELECT CASE
+            WHEN p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 1 AND 15 THEN 'bracket1'
+            WHEN p_brand = 'Brand#7' AND p_size BETWEEN 5 AND 25
+                 AND l_quantity BETWEEN 10 AND 30 THEN 'bracket2'
+            WHEN p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 50
+                 AND l_quantity BETWEEN 25 AND 50 THEN 'bracket3'
+            END AS bracket,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+               * 10000 AS BIGINT) AS rev4
+        FROM lineitem JOIN part ON l_partkey = p_partkey)
+      SELECT bracket, count(*) AS n_items,
+        CAST(sum(rev4) // 10000 AS BIGINT) AS revenue_whole
+      FROM j WHERE bracket IS NOT NULL GROUP BY 1""")),
+
+    // National market share (the TPC-H Q8 shape): the focus supply
+    // nation's share of ASIA customers' discounted revenue, per order
+    // year — the competitive-position readout. Exactness: scale-4
+    // integer revenue, share as one ppm floor division per year.
+    // Scale: the 5-way star join shuffles only fact-keyed equi-joins
+    // (lineitem⋈orders on orderkey, ⋈customer on custkey); nation and
+    // region broadcast; supplier-side nation lookup is a second
+    // broadcast of the same dim under a different alias; ONE
+    // map-side-combined year agg ends it (the year grid is bounded).
+    Q("q336_market_share", (s, d) => {
+      import s.implicits._
+      val rev4 = expr("""cast(cast(l_extendedprice as decimal(12,2)) *
+        (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))
+        * 10000 as bigint)""")
+      val custAsia = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA")
+        .select($"c_custkey")
+      val suppNation = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").select($"n_nationkey".as("sn_key"),
+          $"n_name".as("supp_nation"))), $"s_nationkey" === $"sn_key")
+        .select($"s_suppkey", $"supp_nation")
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(custAsia, $"o_custkey" === $"c_custkey")
+        .join(suppNation, $"l_suppkey" === $"s_suppkey")
+        .select(year($"o_orderdate").cast("long").as("o_year"),
+          rev4.as("rev4"),
+          when($"supp_nation" === "NATION_3", rev4).otherwise(0L)
+            .as("focus4"))
+        .groupBy($"o_year")
+        .agg(count(lit(1)).as("n_items"),
+          // whole-unit masses before the ppm multiply (q334 overflow note)
+          expr("((sum(focus4) div 10000) * 1000000) div (sum(rev4) div 10000)")
+            .as("share_ppm"),
+          expr("sum(rev4) div 10000").as("market_whole"))
+    }, Some("""
+      WITH j AS (
+        SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+               * 10000 AS BIGINT) AS rev4,
+          sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA')
+      SELECT CAST(o_year AS BIGINT) AS o_year, count(*) AS n_items,
+        CAST((sum(CASE WHEN supp_nation = 'NATION_3' THEN rev4 ELSE 0 END)
+              // 10000) * 1000000 // (sum(rev4) // 10000) AS BIGINT)
+          AS share_ppm,
+        CAST(sum(rev4) // 10000 AS BIGINT) AS market_whole
+      FROM j GROUP BY 1""")),
+
+    // Parts-supplier relationship count (the TPC-H Q16 shape, adapted:
+    // the (part, supplier) relationship book derives from observed
+    // lineitem trades; suppliers in deficit — negative account balance,
+    // the complaint stand-in — are excluded by an ANTI join before
+    // counting). Per (brand, type, size octet): how many DISTINCT
+    // eligible suppliers serve it — the supply-diversity number a
+    // procurement risk review reads. Top-20 on (cnt desc, brand, type,
+    // bucket) — a total order. Scale: the relationship book is one
+    // (part, supp) distinct off the fact scan; the deficit exclusion
+    // is a broadcast-able anti join against the supplier dim; the
+    // count-distinct rides the bounded attribute grid.
+    Q("q337_supplier_diversity", (s, d) => {
+      import s.implicits._
+      val rel = t(s, d, "lineitem")
+        .select($"l_partkey", $"l_suppkey").distinct()
+      val deficit = t(s, d, "supplier").filter($"s_acctbal" < 0)
+        .select($"s_suppkey")
+      rel.join(deficit, $"l_suppkey" === $"s_suppkey", "left_anti")
+        .join(t(s, d, "part"), $"l_partkey" === $"p_partkey")
+        .select($"p_brand", $"p_type",
+          expr("cast(p_size as bigint) div 8").as("size_bucket"),
+          $"l_suppkey")
+        .groupBy($"p_brand", $"p_type", $"size_bucket")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand".asc, $"p_type".asc,
+          $"size_bucket".asc)
+        .limit(20)
+    }, Some("""
+      WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      ok AS (
+        SELECT rel.l_partkey, rel.l_suppkey FROM rel
+        WHERE rel.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+      SELECT p_brand, p_type,
+        CAST(p_size AS BIGINT) // 8 AS size_bucket,
+        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM ok JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, size_bucket ASC
+      LIMIT 20"""))
   )
 }

@@ -196,6 +196,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q81_bloom_decontam" -> "bloom words (1024/32 = 32 rows, x3 probes); the benchmark-fingerprint join is unhinted (AQE-adjudicated)",
     "q83_topp_select" -> "per-(stratum, permille-bucket) priors + per-stratum totals: langs x 1000 cap",
     "q91_regional_revenue" -> "nation + region dimension tables",
+    "q333_mincost_supplier" -> "nation + region dimension tables; the LARGE part slice is runtime-guarded by boundedBroadcast (q101 class)",
+    "q336_market_share" -> "nation (x2 aliases) + region dimension tables",
     "q92_idle_rich_customers" -> "nation dimension (the avg-balance scalar auto-classifies)",
     "q99_source_overlap" -> "per-source vocab sizes: groupBy source (bounded source registry)",
     "q101_sorted_neighborhood" -> "SNM hot-prefix set: runtime-guarded by boundedBroadcast (<= n/blockCap rows under the cap)",
