@@ -858,6 +858,64 @@ object CleaningQueries extends QueryModule {
         CAST(sum(wn) AS BIGINT) AS n_windows,
         CAST((sum(cnt) * 1000) // sum(wn) AS BIGINT) AS density_milli
       FROM wn GROUP BY 1""")),
+
+    // Metadata-consistency audit for exact-duplicate groups: the SAME
+    // text carried under DIFFERENT lang or source labels — the
+    // metadata-quality failure exact dedup silently launders (the
+    // kept doc's labels win and the disagreement disappears). Planted
+    // (q116 donor convention): docs with id % 10 == 0 carry their
+    // successor's text but keep their OWN lang/source labels, so every
+    // plant forms a 2-doc group whose label agreement is data-driven.
+    // Reports group counts and the label-disagreement split — the
+    // triage number that says whether dedup survivorship can trust
+    // labels at all. Scale: one row-local md5 fingerprint, ONE
+    // map-side-combined fp agg (count + exact distinct over the
+    // bounded lang/source registries), 1-row rollup.
+    Q("q341_metadata_consistency", (s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents")
+      val donors = base.select(($"doc_id" - 1).as("doc_id"),
+        $"text".as("donor"))
+      val planted = base.join(donors, Seq("doc_id"), "left")
+        .select($"doc_id", $"lang", $"source",
+          when($"doc_id" % 10 === 0 && $"donor".isNotNull, $"donor")
+            .otherwise($"text").as("text"))
+      planted.select(md5($"text").as("fp"), $"lang", $"source")
+        .groupBy($"fp")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"lang").as("dl"),
+          countDistinct($"source").as("ds"))
+        .filter($"n" >= 2)
+        .agg(count(lit(1)).as("n_dup_groups"),
+          sum($"n").as("n_dup_docs"),
+          sum(when($"dl" > 1, 1L).otherwise(0L)).as("lang_conflicts"),
+          sum(when($"ds" > 1, 1L).otherwise(0L)).as("source_conflicts"),
+          sum(when($"dl" > 1 || $"ds" > 1, 1L).otherwise(0L))
+            .as("any_conflict"),
+          max($"n").as("max_group"))
+    }, Some("""
+      WITH base AS (SELECT doc_id, lang, source, text FROM documents),
+      pl AS (
+        SELECT b.doc_id, b.lang, b.source,
+          CASE WHEN b.doc_id % 10 = 0 AND d.donor IS NOT NULL
+               THEN d.donor ELSE b.text END AS text
+        FROM base b
+        LEFT JOIN (SELECT doc_id - 1 AS doc_id, text AS donor FROM base) d
+          USING (doc_id)),
+      g AS (
+        SELECT md5(text) AS fp, count(*) AS n,
+          count(DISTINCT lang) AS dl, count(DISTINCT source) AS ds
+        FROM pl GROUP BY 1 HAVING count(*) >= 2)
+      SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+        CAST(sum(n) AS BIGINT) AS n_dup_docs,
+        CAST(sum(CASE WHEN dl > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS lang_conflicts,
+        CAST(sum(CASE WHEN ds > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS source_conflicts,
+        CAST(sum(CASE WHEN dl > 1 OR ds > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS any_conflict,
+        CAST(max(n) AS BIGINT) AS max_group
+      FROM g""")),
   )
 
   /** Standard-normal decile quantiles Φ⁻¹(k/10), k = 1..9, floor-

@@ -1916,5 +1916,50 @@ object CorpusQueries extends QueryModule {
         CAST(CASE WHEN sum(dev2) // (64 * max(n)) > 82 THEN 1
           ELSE 0 END AS BIGINT) AS biased_flag
       FROM s""")),
+
+    // Context-length packing-efficiency sweep: for each candidate
+    // training context length L (128/256/512/1024 tokens), the padding
+    // the one-doc-per-sequence baseline wastes (each doc occupies
+    // ceil(toks/L) sequences) and how many docs must split — the
+    // number that PICKS L before q57's packer runs at it (q57 packs at
+    // ONE budget; q114 buckets by length; THIS sweeps the budget and
+    // prices the naive baseline the packer must beat). Exactness:
+    // all-integer ceil division ((toks + L − 1) div L) and ppm floors.
+    // Scale: one corpus pass for token counts; the ×4 sweep is a
+    // row-local explode of a LITERAL length array (no join, no second
+    // scan); ONE map-side-combined agg per (L) — 4-row result.
+    Q("q342_packing_sweep", (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select(TextOps.tokenCount($"text").cast("long").as("toks"))
+        .select($"toks", explode(lit(Array(128L, 256L, 512L, 1024L)))
+          .as("ctx_len"))
+        .select($"ctx_len", $"toks",
+          expr("(toks + ctx_len - 1) div ctx_len").as("seqs"))
+        .groupBy($"ctx_len")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"toks").as("total_tokens"),
+          sum($"seqs").as("total_seqs"),
+          sum(when($"toks" > $"ctx_len", 1L).otherwise(0L))
+            .as("n_docs_split"),
+          expr("""((sum(seqs) * max(ctx_len) - sum(toks)) * 1000000)
+            div (sum(seqs) * max(ctx_len))""").as("padding_ppm"))
+    }, Some("""
+      WITH tk AS (
+        SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+          AS toks
+        FROM documents),
+      sw AS (
+        SELECT ctx_len, toks, (toks + ctx_len - 1) // ctx_len AS seqs
+        FROM tk CROSS JOIN (
+          SELECT CAST(unnest([128, 256, 512, 1024]) AS BIGINT) AS ctx_len))
+      SELECT ctx_len, count(*) AS n_docs,
+        CAST(sum(toks) AS BIGINT) AS total_tokens,
+        CAST(sum(seqs) AS BIGINT) AS total_seqs,
+        CAST(sum(CASE WHEN toks > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_docs_split,
+        CAST((sum(seqs) * max(ctx_len) - sum(toks)) * 1000000
+             // (sum(seqs) * max(ctx_len)) AS BIGINT) AS padding_ppm
+      FROM sw GROUP BY 1""")),
   )
 }

@@ -3264,6 +3264,64 @@ object GovernanceQueries extends QueryModule {
         CAST(CASE WHEN n_pos = 0 THEN 0 ELSE csum // n_pos END
           AS BIGINT) AS ap_ppm
       FROM a""")),
+
+    // pass@k eval rollup (the unbiased combinatorial estimator from
+    // the public code-eval literature: pass@k = 1 − C(n−c,k)/C(n,k)
+    // over n samples with c correct — the POINT is that the naive
+    // "fraction of tasks with a hit in the first k" is biased when
+    // samples are subsampled; this form is exact): per source, mean
+    // pass@1/4/8 ppm over n=16 samples per task. Each doc is a task;
+    // its correct-count c derives deterministically from the quality
+    // score (c = min(16, quality_milli div 60) — data-driven, engine-
+    // replayable, q309's label convention). Exactness: C(n−c,k)/C(n,k)
+    // evaluated as EXPLICIT falling-factorial chains (k <= 8 keeps
+    // num·1e6 <= 5.2e14 — int64-safe; a zero factor appears whenever
+    // n−c < k, so the ratio collapses to 0 before any negative factor
+    // can contribute); ppm floors identical both engines. Scale: one
+    // corpus pass, all row-local arithmetic, ONE map-side-combined
+    // source agg.
+    Q("q343_pass_at_k", (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"source",
+          floor(TextOps.qualityRaw($"text") * 1000).cast("long").as("qm"))
+        .select($"source", expr("least(16L, qm div 60)").as("c"))
+        .withColumn("f", lit(16L) - $"c")
+        .select($"source", $"c",
+          (lit(1000000L) - expr("(f * 1000000) div 16")).as("p1"),
+          (lit(1000000L) - expr(
+            "(f * (f-1) * (f-2) * (f-3) * 1000000) div 43680")).as("p4"),
+          (lit(1000000L) - expr(
+            """(f * (f-1) * (f-2) * (f-3) * (f-4) * (f-5) * (f-6) * (f-7)
+              | * 1000000) div 518918400""".stripMargin)).as("p8"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_tasks"),
+          expr("sum(c) div count(1)").as("mean_correct"),
+          expr("sum(p1) div count(1)").as("pass1_ppm"),
+          expr("sum(p4) div count(1)").as("pass4_ppm"),
+          expr("sum(p8) div count(1)").as("pass8_ppm"))
+    }, Some("""
+      WITH q AS (
+        SELECT source,
+          least(16, CAST(floor((least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0) * 0.5 +
+            (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text)) * 0.3 +
+            least(1.0, len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) / 10.0) * 0.2)
+            * 1000) AS BIGINT) // 60) AS c
+        FROM documents),
+      f AS (SELECT source, c, 16 - c AS f FROM q),
+      p AS (
+        SELECT source, c,
+          1000000 - (f * 1000000) // 16 AS p1,
+          1000000 - (f * (f-1) * (f-2) * (f-3) * 1000000) // 43680 AS p4,
+          1000000 - (f * (f-1) * (f-2) * (f-3) * (f-4) * (f-5) * (f-6)
+            * (f-7) * 1000000) // 518918400 AS p8
+        FROM f)
+      SELECT source, count(*) AS n_tasks,
+        CAST(sum(c) // count(*) AS BIGINT) AS mean_correct,
+        CAST(sum(p1) // count(*) AS BIGINT) AS pass1_ppm,
+        CAST(sum(p4) // count(*) AS BIGINT) AS pass4_ppm,
+        CAST(sum(p8) // count(*) AS BIGINT) AS pass8_ppm
+      FROM p GROUP BY 1""")),
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

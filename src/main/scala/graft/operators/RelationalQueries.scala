@@ -1072,6 +1072,87 @@ object RelationalQueries extends QueryModule {
       FROM ok JOIN part ON l_partkey = p_partkey
       GROUP BY 1, 2, 3
       ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, size_bucket ASC
+      LIMIT 20""")),
+
+    // Order-priority checking (the TPC-H Q4 shape, adapted: no
+    // commitdate/receiptdate columns in the star, so "late" = at least
+    // one line shipped 90+ days after the order was placed): per
+    // priority in one order quarter, how many orders slipped — the SLA
+    // scorecard. The EXISTS subquery is a LEFT SEMI join (never a
+    // count-then-filter of the fact table). Exactness: date arithmetic
+    // on whole days, counts exact. Scale: the quarter filter pushes to
+    // the orders scan; ONE orderkey-keyed semi join against the
+    // pre-filtered late-lines side; map-side-combined priority agg
+    // (priority registry is value-bounded).
+    Q("q339_order_priority_check", (s, d) => {
+      import s.implicits._
+      val ord = t(s, d, "orders")
+        .filter($"o_orderdate" >= lit("1997-01-01").cast(TimestampType) &&
+                $"o_orderdate" < lit("1997-04-01").cast(TimestampType))
+      val late = t(s, d, "lineitem")
+        .join(ord.select($"o_orderkey".as("ok"), $"o_orderdate".as("od")),
+          $"l_orderkey" === $"ok")
+        .filter(datediff(to_date($"l_shipdate"), to_date($"od")) >= 90)
+        .select($"l_orderkey")
+      ord.join(late, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("late_orders"))
+    }, Some("""
+      WITH ord AS (
+        SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(o_orderdate AS DATE) <  DATE '1997-04-01')
+      SELECT o_orderpriority, count(*) AS late_orders
+      FROM ord
+      WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = ord.o_orderkey
+          AND date_diff('day', CAST(ord.o_orderdate AS DATE),
+                CAST(l_shipdate AS DATE)) >= 90)
+      GROUP BY 1""")),
+
+    // Returned-item customer report (the TPC-H Q10 shape): top-20
+    // customers by revenue lost to returns in a quarter — the
+    // churn-risk outreach list. Exactness: revenue in exact cents
+    // (DECIMAL scale-2 × 100 per line, floor'd by construction —
+    // integral), the top-20 on (revenue desc, custkey asc) — a total
+    // order. Scale: date filter pushes to the orders scan and the
+    // returnflag filter to the lineitem scan BEFORE their join;
+    // customer join is custkey-keyed; nation broadcasts; the top-20 is
+    // one TakeOrderedAndProject.
+    Q("q340_returned_items", (s, d) => {
+      import s.implicits._
+      val rev4 = expr("""cast(cast(l_extendedprice as decimal(12,2)) *
+        (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))
+        * 10000 as bigint)""")
+      t(s, d, "lineitem").filter($"l_returnflag" === "R")
+        .join(t(s, d, "orders")
+          .filter($"o_orderdate" >= lit("1997-01-01").cast(TimestampType) &&
+                  $"o_orderdate" < lit("1997-04-01").cast(TimestampType)),
+          $"l_orderkey" === $"o_orderkey")
+        .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"n_name", rev4.as("rev4"))
+        .groupBy($"c_custkey", $"n_name")
+        .agg(expr("sum(rev4) div 10000").as("lost_revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"lost_revenue".desc, $"c_custkey".asc)
+        .limit(20)
+    }, Some("""
+      SELECT c_custkey, n_name,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+              (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+              * 10000 AS BIGINT)) // 10000 AS BIGINT) AS lost_revenue,
+        count(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(o_orderdate AS DATE) <  DATE '1997-04-01'
+      GROUP BY 1, 2
+      ORDER BY lost_revenue DESC, c_custkey ASC
       LIMIT 20"""))
   )
 }

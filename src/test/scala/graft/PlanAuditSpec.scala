@@ -198,6 +198,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q91_regional_revenue" -> "nation + region dimension tables",
     "q333_mincost_supplier" -> "nation + region dimension tables; the LARGE part slice is runtime-guarded by boundedBroadcast (q101 class)",
     "q336_market_share" -> "nation (x2 aliases) + region dimension tables",
+    "q340_returned_items" -> "nation dimension table",
     "q92_idle_rich_customers" -> "nation dimension (the avg-balance scalar auto-classifies)",
     "q99_source_overlap" -> "per-source vocab sizes: groupBy source (bounded source registry)",
     "q101_sorted_neighborhood" -> "SNM hot-prefix set: runtime-guarded by boundedBroadcast (<= n/blockCap rows under the cap)",

@@ -1950,6 +1950,73 @@ class RoundAuditsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("share_ppm") < 400000L))
   }
 
+  test("q343: pass@k is ppm-bounded and monotone in k") {
+    val rows = run("q343_pass_at_k").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p1 = r.getAs[Long]("pass1_ppm"); val p4 = r.getAs[Long]("pass4_ppm")
+      val p8 = r.getAs[Long]("pass8_ppm")
+      assert(p1 >= 0 && p8 <= 1000000L)
+      assert(p1 <= p4 && p4 <= p8) // more samples can only help
+      val mc = r.getAs[Long]("mean_correct")
+      assert(mc >= 0 && mc <= 16)
+      assert(r.getAs[Long]("n_tasks") > 0)
+    }
+  }
+
+  test("q339: late-order counts never exceed the quarter's order volume") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q339_order_priority_check").collect()
+    assert(rows.nonEmpty)
+    val total = graft.catalog.Tables.t(spark, sf, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp")).count()
+    assert(rows.map(_.getAs[Long]("late_orders")).sum <= total)
+    assert(rows.forall(_.getAs[Long]("late_orders") > 0))
+  }
+
+  test("q340: returned-item list is totally ordered with positive losses") {
+    val rows = run("q340_returned_items").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val key = rows.map(r => (-r.getAs[Long]("lost_revenue"),
+      r.getAs[Long]("c_custkey")))
+    assert(key.sameElements(key.sorted))
+    rows.foreach(r => assert(r.getAs[Long]("lost_revenue") > 0 &&
+      r.getAs[Long]("n_lines") > 0))
+  }
+
+  test("q341: planted label conflicts are found and internally consistent") {
+    val r = run("q341_metadata_consistency").collect().head
+    val groups = r.getAs[Long]("n_dup_groups")
+    assert(groups > 0) // the %10 plants guarantee dup groups at any SF
+    assert(r.getAs[Long]("n_dup_docs") >= 2 * groups)
+    val lc = r.getAs[Long]("lang_conflicts")
+    val sc = r.getAs[Long]("source_conflicts")
+    val any = r.getAs[Long]("any_conflict")
+    assert(any <= groups && lc <= any && sc <= any)
+    assert(any >= math.max(lc, sc))
+    assert(r.getAs[Long]("max_group") >= 2)
+  }
+
+  test("q342: padding shrinks as context length grows; seq counts conserve") {
+    val rows = run("q342_packing_sweep").collect()
+      .sortBy(_.getAs[Long]("ctx_len"))
+    assert(rows.map(_.getAs[Long]("ctx_len")).toSeq ==
+      Seq(128L, 256L, 512L, 1024L))
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("padding_ppm")
+      assert(ppm >= 0 && ppm < 1000000L)
+      // seqs * L covers the token mass
+      assert(r.getAs[Long]("total_seqs") * r.getAs[Long]("ctx_len") >=
+        r.getAs[Long]("total_tokens"))
+    }
+    // larger context -> never MORE sequences, never FEWER split docs
+    val seqs = rows.map(_.getAs[Long]("total_seqs"))
+    assert(seqs.zip(seqs.tail).forall { case (a, b) => b <= a })
+    val splits = rows.map(_.getAs[Long]("n_docs_split"))
+    assert(splits.zip(splits.tail).forall { case (a, b) => b <= a })
+  }
+
   test("q338: every reported span is genuinely cross-document and ordered") {
     val rows = run("q338_span_dedup").collect()
     assert(rows.nonEmpty && rows.length <= 20)
