@@ -1773,7 +1773,64 @@ object DedupQueries extends QueryModule {
         CAST(n_occurrences AS BIGINT) AS n_occurrences
       FROM a
       ORDER BY n_docs DESC, n_occurrences DESC, fp ASC
-      LIMIT 20"""))
+      LIMIT 20""")),
+
+    // Shard-local dedup leakage audit: if dedup ran WITHIN each of 8
+    // hash shards independently (the cheap scale-out shortcut every
+    // 100 TB pipeline is tempted by — no cross-shard shuffle), what
+    // fraction of the true near-dup pairs would it MISS? Near-dup
+    // truth = the q34/q296 banded SimHash pairs (hamming <= 3 —
+    // banding is exact-recall at that radius by pigeonhole); shards =
+    // the q56-family hashMix(doc_id, 8). Random sharding strands
+    // ~7/8 of pairs cross-shard, and THIS measures it on the real
+    // pair population — the number that justifies (or kills) global
+    // dedup. Scale: the pair generator is the established linear
+    // banded join; shard labels are two doc-keyed equi-joins; 1-row
+    // rollup. Exactness: counts + one ppm floor.
+    Q("q344_shard_leakage", (s, d) => {
+      import s.implicits._
+      val tokRows = t(s, d, "documents")
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      val sigs = DedupOps
+        .simhash32FromTokenRows(tokRows, "doc_id", "tok", "simhash")
+        .select($"doc_id", $"simhash")
+      val pr = DedupOps
+        .simhashPairsBanded(sigs, "doc_id", "simhash", maxHamming = 3)
+        .select($"doc_a", $"doc_b")
+      val sh = t(s, d, "documents")
+        .select($"doc_id", CorpusOps.hashMix($"doc_id", 8L).as("shard"))
+      pr.join(sh.select($"doc_id".as("doc_a"), $"shard".as("sa")), "doc_a")
+        .join(sh.select($"doc_id".as("doc_b"), $"shard".as("sb")), "doc_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when($"sa" === $"sb", 1L).otherwise(0L)).as("n_within"),
+          sum(when($"sa" =!= $"sb", 1L).otherwise(0L)).as("n_cross"))
+        .select($"n_pairs", $"n_within", $"n_cross",
+          expr("""CASE WHEN n_pairs = 0 THEN 0
+            ELSE (n_cross * 1000000) div n_pairs END""").as("leakage_ppm"))
+    }, Some(
+      s"""WITH sh AS ($simhashDuckSql),
+         |pr AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |sd AS (
+         |  SELECT doc_id,
+         |    ((((doc_id % 1000003) + 1000003) % 1000003
+         |      * 2654435761 + 40503) % 8 + 8) % 8 AS shard
+         |  FROM documents),
+         |j AS (
+         |  SELECT sa.shard AS sa, sb.shard AS sb
+         |  FROM pr JOIN sd sa ON sa.doc_id = pr.da
+         |  JOIN sd sb ON sb.doc_id = pr.db)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_within,
+         |  CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cross,
+         |  CAST(CASE WHEN count(*) = 0 THEN 0
+         |    ELSE sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) * 1000000
+         |      // count(*) END AS BIGINT) AS leakage_ppm
+         |FROM j""".stripMargin))
   )
 
   /** q316's oracle, parameterized by the planting modulus m (derived

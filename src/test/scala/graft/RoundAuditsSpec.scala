@@ -1950,6 +1950,17 @@ class RoundAuditsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("share_ppm") < 400000L))
   }
 
+  test("q344: leakage partitions the pair set and sits near 7/8 theory") {
+    val r = run("q344_shard_leakage").collect().head
+    val np = r.getAs[Long]("n_pairs")
+    assert(np > 0)
+    assert(r.getAs[Long]("n_within") + r.getAs[Long]("n_cross") == np)
+    val ppm = r.getAs[Long]("leakage_ppm")
+    // random 8-way sharding strands 7/8 = 875000 ppm in expectation;
+    // a correlated (or broken) shard function would sit far away
+    assert(ppm > 700000L && ppm < 990000L)
+  }
+
   test("q343: pass@k is ppm-bounded and monotone in k") {
     val rows = run("q343_pass_at_k").collect()
     assert(rows.nonEmpty)
