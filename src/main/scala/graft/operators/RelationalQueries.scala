@@ -1153,6 +1153,60 @@ object RelationalQueries extends QueryModule {
         AND CAST(o_orderdate AS DATE) <  DATE '1997-04-01'
       GROUP BY 1, 2
       ORDER BY lost_revenue DESC, c_custkey ASC
-      LIMIT 20"""))
+      LIMIT 20""")),
+
+    // Bi-nation trade volume (the TPC-H Q7 shape): discounted revenue
+    // shipped between two focus nations, both directions, per ship
+    // year — the bilateral-flow readout q336's one-sided market share
+    // doesn't give. Exactness: scale-4 integer revenue (q334
+    // convention), whole-unit rollups. Scale: the nation pair filter
+    // collapses supplier/customer to two TINY key slices BEFORE the
+    // fact joins (both broadcast-eligible, AQE adjudicates — the
+    // filters push into the dim scans); lineitem⋈orders stays
+    // fact-keyed; bounded (direction, year) grid agg.
+    Q("q345_binat_volume", (s, d) => {
+      import s.implicits._
+      val rev4 = expr("""cast(cast(l_extendedprice as decimal(12,2)) *
+        (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))
+        * 10000 as bigint)""")
+      val nat = t(s, d, "nation")
+        .filter($"n_name".isin("NATION_3", "NATION_7"))
+      val supp = t(s, d, "supplier")
+        .join(nat.select($"n_nationkey", $"n_name".as("supp_nation")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"supp_nation")
+      val cust = t(s, d, "customer")
+        .join(nat.select($"n_nationkey".as("cnk"),
+          $"n_name".as("cust_nation")), $"c_nationkey" === $"cnk")
+        .select($"c_custkey", $"cust_nation")
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(supp, $"l_suppkey" === $"s_suppkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .filter($"supp_nation" =!= $"cust_nation")
+        .select($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast("long").as("ship_year"),
+          rev4.as("rev4"))
+        .groupBy($"supp_nation", $"cust_nation", $"ship_year")
+        .agg(count(lit(1)).as("n_lines"),
+          expr("sum(rev4) div 10000").as("volume_whole"))
+    }, Some("""
+      WITH nat AS (
+        SELECT n_nationkey, n_name FROM nation
+        WHERE n_name IN ('NATION_3', 'NATION_7'))
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_year,
+        count(*) AS n_lines,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+              (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+              * 10000 AS BIGINT)) // 10000 AS BIGINT) AS volume_whole
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nat sn ON s_nationkey = sn.n_nationkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nat cn ON c_nationkey = cn.n_nationkey
+      WHERE sn.n_name <> cn.n_name
+      GROUP BY 1, 2, 3"""))
   )
 }

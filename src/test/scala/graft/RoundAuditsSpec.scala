@@ -1950,6 +1950,18 @@ class RoundAuditsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("share_ppm") < 400000L))
   }
 
+  test("q345: both trade directions appear and volumes are positive") {
+    val rows = run("q345_binat_volume").collect()
+    assert(rows.nonEmpty)
+    val dirs = rows.map(r => (r.getAs[String]("supp_nation"),
+      r.getAs[String]("cust_nation"))).distinct
+    assert(dirs.forall { case (a, b) => a != b })
+    assert(dirs.toSet.subsetOf(Set(("NATION_3", "NATION_7"),
+      ("NATION_7", "NATION_3"))))
+    rows.foreach(r => assert(r.getAs[Long]("volume_whole") > 0 &&
+      r.getAs[Long]("n_lines") > 0))
+  }
+
   test("q344: leakage partitions the pair set and sits near 7/8 theory") {
     val r = run("q344_shard_leakage").collect().head
     val np = r.getAs[Long]("n_pairs")
