@@ -1207,6 +1207,37 @@ object RelationalQueries extends QueryModule {
       JOIN customer ON o_custkey = c_custkey
       JOIN nat cn ON c_nationkey = cn.n_nationkey
       WHERE sn.n_name <> cn.n_name
-      GROUP BY 1, 2, 3"""))
+      GROUP BY 1, 2, 3""")),
+
+    // Forecast revenue change (the TPC-H Q6 shape): the revenue a
+    // blanket discount-elimination would have added in one year, over
+    // the mid-band discounted small-quantity lines — the classic
+    // ALL-pushdown single-scan aggregate: every predicate (date range,
+    // discount band, quantity cap) must reach the parquet scan and the
+    // whole plan is one WholeStageCodegen span over a scalar agg.
+    // Exactness: extendedprice*discount is exact DECIMAL(12,2) scale-4;
+    // summed as scale-4 integers, reported in whole units.
+    Q("q346_forecast_revenue", (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType) &&
+                $"l_shipdate" < lit("1998-01-01").cast(TimestampType) &&
+                $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+                $"l_quantity" < 24)
+        .select(expr("""cast(cast(l_extendedprice as decimal(12,2)) *
+          cast(l_discount as decimal(12,2)) * 10000 as bigint)""")
+          .as("rev4"))
+        .agg(count(lit(1)).as("n_lines"),
+          expr("sum(rev4) div 10000").as("forecast_revenue_whole"))
+    }, Some("""
+      SELECT count(*) AS n_lines,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+              CAST(l_discount AS DECIMAL(12,2)) * 10000 AS BIGINT))
+             // 10000 AS BIGINT) AS forecast_revenue_whole
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24"""))
   )
 }

@@ -1950,6 +1950,22 @@ class RoundAuditsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("share_ppm") < 400000L))
   }
 
+  test("q346: forecast revenue is positive and bounded by raw discounted mass") {
+    import org.apache.spark.sql.functions._
+    val r = run("q346_forecast_revenue").collect().head
+    val n = r.getAs[Long]("n_lines"); val f = r.getAs[Long]("forecast_revenue_whole")
+    assert(n > 0 && f > 0)
+    // each line contributes at most 7% of its extendedprice: the total
+    // must sit under 7% of the band's raw price mass
+    val raw = graft.catalog.Tables.t(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice"))).collect().head.getDouble(0)
+    assert(f <= raw * 0.07 + 1)
+  }
+
   test("q345: both trade directions appear and volumes are positive") {
     val rows = run("q345_binat_volume").collect()
     assert(rows.nonEmpty)
