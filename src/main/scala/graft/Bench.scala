@@ -13,12 +13,33 @@ import org.apache.spark.sql.SparkSession
   * single-shot bench lets one stall masquerade as a plan regression.
   * The median also absorbs first-run codegen compilation.
   *
-  * A fixed CALIBRATION PROBE (a constant `spark.range` aggregation whose
-  * plan never changes across rounds) runs between every 5 queries; its
-  * per-run times are reported under "probe" in the JSON. A stalled host
-  * window is then machine-detectable — probe spread >> probe median says
-  * the wall clock, not the plans, moved — instead of being argued from
-  * priors when a round-over-round query time jumps on an untouched plan.
+  * SELF-ADJUDICATION (round-12): the artifact must be able to say on its
+  * own whether an elevated query is a plan regression, a host stall, or
+  * in-JVM degradation — two rounds of driver-window elevations
+  * (q222/q36) were unattributable from the artifact alone. Three probes
+  * now run, each isolating one failure mode:
+  *
+  *  - STATIC probe: a fixed 64M-row range-sum whose codegen is compiled
+  *    once and stays hot. Slow static probe = the HOST is stalled
+  *    (CPU steal, clock trouble) — nothing in-JVM can slow this.
+  *  - CODEGEN probe: a tiny plan with a per-call unique literal, so its
+  *    generated source is NEW every time — a fresh Janino compile + a
+  *    cold (interpreted until JIT'd) execution. Slow codegen probe with
+  *    a fast static probe = the JVM's compilation path degraded — the
+  *    JIT code cache saturating (default -XX:ReservedCodeCacheSize=240M;
+  *    measured ~182 MB by query 221 of a 342-query catalog, i.e. the
+  *    cap lands exactly in the late-catalog stretch where the driver's
+  *    rising-rep elevations sit) — and NOT a plan problem.
+  *  - SHUFFLE probe: a fixed 4M-row repartition+agg that writes and
+  *    reads real shuffle files through spark.local.dir. Slow shuffle
+  *    probe with fast static probe = local-disk contention — again not
+  *    a plan problem (the CPU-only static probe is blind to disk).
+  *
+  * A CANONICAL MAP (BENCH_CANON.json, recorded from clean focused
+  * windows) arms the trigger: any query whose median exceeds 3x its
+  * canonical (and 0.5 s absolute) immediately gets all three probes
+  * plus ONE extra rep, recorded under "adjudication" in the artifact —
+  * the probe straddle turns "host or accumulation?" into data.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,15 +68,59 @@ object Bench {
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
 
-    // fixed-cost calibration plan: 64M-row range sum, identical every
-    // round. ~0.1 s on an idle host; a 10x outlier marks a stall window.
+    // STATIC probe: fixed-cost 64M-row range sum, identical every round.
+    // ~0.1 s on an idle host; a 10x outlier marks a host stall window.
     def probeOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(0, 64L << 20, 1, 32).agg(org.apache.spark.sql.functions.sum("id"))
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    probeOnce() // warm the probe's own codegen before recording
+    // CODEGEN probe: the unique literal makes the generated source new
+    // on every call — always a fresh Janino compile + cold execution.
+    // Its baseline (recorded below) is ~0.1-0.3 s; late-run inflation
+    // against a FLAT static probe fingerprints JIT/codecache degradation.
+    var codegenSeq = 0L
+    def codegenProbeOnce(): Double = {
+      codegenSeq += 1
+      val salt = 1000003L + codegenSeq // unique per call, folded into codegen
+      val t0 = System.nanoTime()
+      spark.range(0, 1L << 20, 1, 8)
+        .selectExpr(s"sum(id * $salt + ${salt % 97}) as s",
+          s"count(if(id % $salt = 7, 1, null)) as c")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // SHUFFLE probe: fixed 4M-row hash repartition + agg — real shuffle
+    // write + fetch through spark.local.dir; isolates disk contention.
+    def shuffleProbeOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0, 4L << 20, 1, 32)
+        .withColumn("k", org.apache.spark.sql.functions.pmod(col("id") * 2654435761L, lit(4096)))
+        .repartition(32, col("k"))
+        .groupBy("k").agg(sum("id").as("s"), count(lit(1)).as("n"))
+        .agg(sum("s"), sum("n"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probeOnce() // warm the static probe's plan before recording
+    shuffleProbeOnce() // warm the shuffle probe's SHAPE (codegen differs per call? no — fixed plan)
+    val codegenBase = { codegenProbeOnce(); codegenProbeOnce() } // 2nd = steady
+
+    // canonical medians from clean focused windows — arms the 3x trigger.
+    // Missing file or query => no trigger (new queries gain canon next
+    // round). Flat {"q_name": seconds} JSON, hand-maintained in-repo.
+    val canon: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_CANON", "BENCH_CANON.json")
+      val f = new java.io.File(path)
+      if (!f.exists()) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
 
     // optional comma-separated substring filter for focused re-measures
     // (e.g. SPARK_GRAFT_BENCH_ONLY=q81,q83); empty = full catalog
@@ -64,71 +129,97 @@ object Bench {
     val names = SparkEntry.benchQueries
       .filter(n => only.isEmpty || only.exists(n.contains))
     // per-query JVM diagnostics to stderr (codecache/metaspace/GC/local
-    // dir growth) — the round-10 accumulation investigation's instrument;
-    // cheap enough to leave available behind an env flag.
-    val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG").contains("1")
+    // dir growth) — DEFAULT ON since round 12 (stderr is free; the two
+    // rounds of unattributed driver-window elevations are exactly the
+    // runs where this line was missing). SPARK_GRAFT_BENCH_DIAG=0 disables.
+    val diag = !sys.env.get("SPARK_GRAFT_BENCH_DIAG").contains("0")
     lazy val localDirs = spark.sparkContext.getConf
       .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
       .split(",").toSeq
-    def diagLine(tag: String): Unit = if (diag) {
+    def jvmStats(): (Double, Double, Long) = {
       import java.lang.management.ManagementFactory
       import scala.jdk.CollectionConverters._
       def pool(p: String) = ManagementFactory.getMemoryPoolMXBeans.asScala
         .filter(_.getName.startsWith(p)).map(_.getUsage.getUsed).sum / 1e6
       val gc = ManagementFactory.getGarbageCollectorMXBeans.asScala
         .map(_.getCollectionTime).sum
+      (pool("CodeHeap"), pool("Metaspace"), gc)
+    }
+    def diagLine(tag: String): Unit = if (diag) {
+      val (cc, meta, gc) = jvmStats()
       val shuf = localDirs.map { d =>
         val f = new java.io.File(d)
         Option(f.listFiles()).map(_.count(x =>
           x.getName.startsWith("blockmgr-") || x.getName.startsWith("spark-")))
           .getOrElse(0)
       }.sum
-      System.err.println(f"[diag] $tag codecache=${pool("CodeHeap")}%.1fMB " +
-        f"meta=${pool("Metaspace")}%.1fMB gc=${gc}ms sparkdirs=$shuf " +
+      System.err.println(f"[diag] $tag codecache=$cc%.1fMB " +
+        f"meta=$meta%.1fMB gc=${gc}ms sparkdirs=$shuf " +
         f"heap=${(Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / 1e6}%.0fMB")
     }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val probes = scala.collection.mutable.ListBuffer[Double](probeOnce())
+    // name -> (extraRep, staticProbe, codegenProbe, shuffleProbe)
+    val adjudications =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double, Double)]
+    def runOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          if (!failed.contains(name)) failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release persist()'d frames BETWEEN REPS, not only between
+      // queries: each rep builds a FRESH plan whose persist()
+      // registers new cache entries, so without this a persist-heavy
+      // query's rep 2 runs against rep 1's resident blocks and rep 3
+      // against both — a monotone degradation that inflates the
+      // median (measured: q193_kcore reps 2.2/11.8/17.4 s in a
+      // 326-query window; independent reps read 1.4 s flat). The
+      // cleanup runs inside the unmeasured gap.
+      // NOTE (round 11): this release also makes the median HONEST for
+      // persist-heavy queries — every rep pays the full recompute — so
+      // canonical medians recorded before commit 92c1501 (cache-reusing
+      // reps) are flattered ~2x for that class; see BASELINE.md r11.
+      spark.catalog.clearCache()
+      dt
+    }
     val results = names.zipWithIndex.map { case (name, i) =>
       // `times` preserves TEMPORAL order (rep 1 first): the round-10
       // artifact sorted reps ascending, which made a monotone-rising rep
       // curve indistinguishable from one-rep variance. Median is taken
       // over a sorted copy.
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch {
-          case e: Throwable =>
-            if (!failed.contains(name)) failed += name
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // release persist()'d frames BETWEEN REPS, not only between
-        // queries: each rep builds a FRESH plan whose persist()
-        // registers new cache entries, so without this a persist-heavy
-        // query's rep 2 runs against rep 1's resident blocks and rep 3
-        // against both — a monotone degradation that inflates the
-        // median (measured: q193_kcore reps 2.2/11.8/17.4 s in a
-        // 326-query window; independent reps read 1.4 s flat). The
-        // cleanup runs inside the unmeasured gap.
-        // NOTE (round 11): this release also makes the median HONEST for
-        // persist-heavy queries — every rep pays the full recompute — so
-        // canonical medians recorded before commit 92c1501 (cache-reusing
-        // reps) are flattered ~2x for that class; see BASELINE.md r11.
-        spark.catalog.clearCache()
+      val times = (1 to reps).map { r =>
+        val dt = runOnce(name)
+        // a heavy rep leaves async cleanup (cache release, shuffle-file
+        // deletion via ContextCleaner-after-GC) in flight: force it into
+        // the unmeasured inter-REP gap, not under the next rep — the
+        // between-query settle alone lets a heavy query's OWN reps ride
+        // each other's cleanup (rising in-query curves, round-11 driver
+        // artifact). Cheap queries skip it.
+        if (dt > 1.0 && r < reps) { System.gc(); Thread.sleep(settleMs) }
         dt
       }
-      // clearCache's block removal and ContextCleaner's shuffle-file
-      // deletion are ASYNC: without a quiesce they contend with the next
-      // measurement (observed as a probe elevation pinned to the
-      // heavy-shuffle stretch across 4 runs at two heap sizes on an idle
-      // host). JMH-style settle — force the deferred cleanup to run NOW,
-      // inside the unmeasured gap, not under the next query's reps.
       System.gc()
       Thread.sleep(settleMs)
       if ((i + 1) % 5 == 0) probes += probeOnce()
       val med = times.sorted.apply(times.length / 2)
+      // 3x-canonical trigger: straddle the elevated query with all three
+      // probes + one extra rep NOW, while whatever elevated it is live.
+      canon.get(name).foreach { c =>
+        if (med > 3 * c && med > 0.5) {
+          val extra = runOnce(name)
+          val sp = probeOnce(); val cp = codegenProbeOnce()
+          val shp = shuffleProbeOnce()
+          adjudications(name) = (extra, sp, cp, shp)
+          System.err.println(f"[adjudicate] $name med=$med%.2f canon=$c%.2f " +
+            f"extra_rep=$extra%.2f static=$sp%.2f codegen=$cp%.2f shuffle=$shp%.2f")
+          System.gc(); Thread.sleep(settleMs)
+        }
+      }
       // stderr progress (the driver parses only the final stdout JSON):
       // makes a pathological query attributable while the run is live
       System.err.println(
@@ -137,14 +228,14 @@ object Bench {
       (name, med, times)
     }
     probes += probeOnce()
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    // per-rep times in TEMPORAL order (rep 1 first) so a round artifact
-    // can distinguish a one-rep host stall from a sustained elevation —
-    // and a monotone-rising curve from variance — without a judge re-run
-    // (round-9 VERDICT #2; round-10 VERDICT #1 note on sorted reps)
-    val repsDetail = results.map { case (k, _, ts) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val codegenEnd = codegenProbeOnce()
+    val (ccEnd, metaEnd, gcEnd) = jvmStats()
+    // med + temporal reps per query ("schema":2 — round-11 ADVICE: the
+    // bare rep-array shape silently broke {name: number} consumers; the
+    // median is now carried alongside so both readings survive).
+    val qs = results.map { case (k, med, ts) =>
+      "\"" + k + "\":{\"med\":" + f"$med%.3f" + ",\"reps\":" +
+        ts.map(t => f"$t%.3f").mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
     val pSorted = probes.toSeq.sorted
@@ -154,10 +245,15 @@ object Bench {
       val max = f"${pSorted.last}%.3f"
       s"""{"times":$ts,"median":$med,"max":$max}"""
     }
+    val adjJson = adjudications.map { case (k, (e, sp, cp, shp)) =>
+      "\"" + k + "\":" +
+        f"""{"extra_rep":$e%.3f,"static_probe":$sp%.3f,"codegen_probe":$cp%.3f,"shuffle_probe":$shp%.3f}"""
+    }.mkString("{", ",", "}")
+    val jvmJson = f"""{"codecache_mb":$ccEnd%.1f,"metaspace_mb":$metaEnd%.1f,"gc_ms":$gcEnd,"codegen_probe_base":$codegenBase%.3f,"codegen_probe_end":$codegenEnd%.3f}"""
     // a failed query's near-zero elapsed time must not read as a speedup:
     // failures are listed explicitly and the process exits nonzero.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_detail":$repsDetail,"failed":$failedJson,"probe":$probeJson,"reps":$reps,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","schema":2,"queries":$qs,"failed":$failedJson,"probe":$probeJson,"adjudication":$adjJson,"jvm":$jvmJson,"reps":$reps,"sf":"$sfDir"}"""
     // the full line exceeds tail-capture budgets (~2000 chars), so it is
     // ALSO written to a file — the durable per-round record.
     java.nio.file.Files.write(
@@ -167,16 +263,17 @@ object Bench {
     println(fullLine)
     // LAST stdout line: a contract-shaped JSON compact enough (~2 KB) to
     // survive a tail capture intact. "queries" carries the slowest 25
-    // (the ones a grader reads) as TEMPORAL rep arrays — round-10 VERDICT
-    // #4: the driver's tail capture truncated the full line, losing
-    // exactly the rep curves adjudication needed. Full map in the file.
+    // (the ones a grader reads) as {"med":…,"reps":[…]} objects; the
+    // adjudication + jvm blocks ride along — they ARE the attribution
+    // evidence the last two rounds lacked. Full map in the file.
     val slow = results.sortBy(-_._2).take(25)
-      .map { case (k, _, ts) =>
-        "\"" + k + "\":" + ts.map(t => f"$t%.2f").mkString("[", ",", "]")
+      .map { case (k, med, ts) =>
+        "\"" + k + "\":{\"med\":" + f"$med%.2f" + ",\"reps\":" +
+          ts.map(t => f"$t%.2f").mkString("[", ",", "]") + "}"
       }.mkString("{", ",", "}")
     val pMed = f"${pSorted(pSorted.length / 2)}%.3f"
     val pMax = f"${pSorted.last}%.3f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow,"n_queries":${results.length},"n_failed":${failed.length},"failed":$failedJson,"probe_median":$pMed,"probe_max":$pMax,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","schema":2,"queries":$slow,"n_queries":${results.length},"n_failed":${failed.length},"failed":$failedJson,"probe_median":$pMed,"probe_max":$pMax,"adjudication":$adjJson,"jvm":$jvmJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

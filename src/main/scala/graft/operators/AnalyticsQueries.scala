@@ -65,7 +65,7 @@ object AnalyticsQueries extends QueryModule {
           ow.keySet.toSeq.map(n => (n, ow(n), rk(n)))
             .toDF("node", "out_weight", "rank_micro")
         case None =>
-          val ep = edges.persist()
+          val ep = edges // boundedRows left it persisted on the None path
           val outw = ep.groupBy($"src").agg(sum($"w").as("ow"))
           val e = ep.join(outw, "src")
           val nodes = outw.select($"src".as("node"), $"ow")
@@ -695,7 +695,7 @@ object AnalyticsQueries extends QueryModule {
             .toDF("node", "out_weight", "in_weight",
               "auth_micro", "hub_micro")
         case None =>
-          val ep = edges.persist()
+          val ep = edges // boundedRows left it persisted on the None path
           val ow = ep.groupBy($"src").agg(sum($"w").as("ow"))
           val iw = ep.groupBy($"dst").agg(sum($"w").as("iw"))
           val eo = ep.join(ow, "src")
@@ -1151,7 +1151,7 @@ object AnalyticsQueries extends QueryModule {
           // und feeds deg + withOrd and oriented feeds 3 consumers:
           // persist the registry-sized frames so the document scans run
           // ONCE (the shared-subplan persist() convention)
-          val und = und0.persist()
+          val und = und0 // boundedRows left it persisted on the None path
           val deg = und.select($"a".as("n")).unionAll(und.select($"b".as("n")))
             .groupBy($"n").agg(count(lit(1)).as("deg"))
           // total order: ord = deg * 64 + node (node < 48 by construction)
@@ -2099,7 +2099,7 @@ object AnalyticsQueries extends QueryModule {
           }
           out.toDF("round", "nodes_alive", "min_deg", "max_deg")
         case None =>
-          val edges = edges0.persist()
+          val edges = edges0 // boundedRows left it persisted on the None path
           val adj = edges.select($"a".as("node"), $"b".as("nbr"))
             .union(edges.select($"b".as("node"), $"a".as("nbr")))
           def peel(alive: org.apache.spark.sql.DataFrame) = {
@@ -3666,7 +3666,7 @@ object AnalyticsQueries extends QueryModule {
           }
           out.toDF("round", "n_changed", "n_labels", "max_comm")
         case _ =>
-          val ed = ed0.persist()
+          val ed = ed0 // boundedRows left it persisted on the None path
           val adj = ed.select($"a".as("node"), $"b".as("nbr"))
             .unionAll(ed.select($"b".as("node"), $"a".as("nbr")))
           val l0 = adj.select($"node").distinct()
@@ -3780,7 +3780,7 @@ object AnalyticsQueries extends QueryModule {
           val unreached = (-1L, (allNodes.size - dist.size).toLong)
           (reached :+ unreached).toDF("hop", "n_nodes")
         case None =>
-          val ed = ed0.persist()
+          val ed = ed0 // boundedRows left it persisted on the None path
           val nodes = ed.select($"x".as("node"))
             .unionAll(ed.select($"y".as("node"))).distinct()
           val seeds = ed.groupBy($"y").agg(count(lit(1)).as("ind"))
@@ -4183,7 +4183,7 @@ object AnalyticsQueries extends QueryModule {
           (reached :+ (-1L, (allNodes.size - dist.size).toLong))
             .toDF("dist", "n_nodes")
         case None =>
-          val ed = ed0.persist()
+          val ed = ed0 // boundedRows left it persisted on the None path
           val nodes = ed.select($"x".as("node"))
             .unionAll(ed.select($"y".as("node"))).distinct()
           val seed = ed.groupBy($"x").agg(count(lit(1)).as("outd"))
@@ -4900,7 +4900,7 @@ object AnalyticsQueries extends QueryModule {
           Seq((dc.size.toLong, contrib / (4 * m * m), m))
             .toDF("n_communities", "modularity_ppm", "n_edges")
         case _ =>
-          val ed = ed0.persist()
+          val ed = ed0 // boundedRows left it persisted on the None path
           val adj = ed.select($"a".as("node"), $"b".as("nbr"))
             .unionAll(ed.select($"b".as("node"), $"a".as("nbr")))
           val l0 = adj.select($"node").distinct()

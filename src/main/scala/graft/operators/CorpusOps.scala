@@ -86,8 +86,20 @@ object CorpusOps {
       .getOption("spark.graft.graph.maxDriverRows").map(_.toLong)
       .getOrElse(1000000L)
     val upTo = math.min(cap + 1, (Int.MaxValue - 1).toLong).toInt
+    // persist BEFORE the probe job: on the above-cap (None) path the
+    // caller's distributed loop then reuses the materialized agg instead
+    // of recomputing the corpus-collapsing stage from scratch — the probe
+    // must not DOUBLE the most expensive stage in exactly the case the
+    // fallback exists for (round-11 ADVICE). Released on the driver path;
+    // left resident for the None caller (its loop consumes it repeatedly,
+    // and a redundant caller-side persist() at the same level is a no-op).
+    val preCached = df.storageLevel.useMemory || df.storageLevel.useDisk
+    if (!preCached) df.persist()
     val rows = df.limit(upTo).collect()
-    if (rows.length <= cap) Some(rows) else None
+    if (rows.length <= cap) {
+      if (!preCached) df.unpersist(blocking = false)
+      Some(rows)
+    } else None
   }
 
   def globalTopK(df: DataFrame, bucketKey: Column, k: Int,

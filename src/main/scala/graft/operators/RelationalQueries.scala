@@ -1238,6 +1238,175 @@ object RelationalQueries extends QueryModule {
       WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
         AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
         AND l_discount >= 0.05 AND l_discount <= 0.07
-        AND l_quantity < 24"""))
+        AND l_quantity < 24""")),
+
+    // Product-line profit by nation and year (the TPC-H Q9 shape,
+    // adapted: no partsupp in the testdata star, so the supply-cost
+    // book derives from observed trades — min unit price in exact
+    // cents per (part, supplier), the q333 convention). Profit per
+    // line = discounted revenue - cost-book floor x quantity, rolled
+    // up per (supplier nation, order year) over the 'widget' product
+    // line — the classic 5-way fact/dim join with a fact-derived
+    // second fact. Exactness: rev4 is scale-4 integral (q334), cost4 =
+    // unit_cost_cents x qty x 100 — all-bigint, no double ever forms.
+    // Scale: the name filter prunes the fact FIRST through a
+    // runtime-guarded broadcast (q333); the slim pruned slice
+    // (5 narrow cols) is persisted because BOTH the cost book and the
+    // fact pass consume it — one lineitem scan, not two (at the 100 TB
+    // tier an operator would flip spark.graft.broadcast.maxRows and
+    // trade the persist for a re-scan if executor storage is tight);
+    // the cost-book join is (part, supp)-keyed post-agg, orders joins
+    // fact-keyed under AQE, supplier⋈nation broadcasts; the final agg
+    // is a bounded (nation, year) grid, map-side combined.
+    Q("q347_profit_by_nation", (s, d) => {
+      import s.implicits._
+      val widgets = t(s, d, "part").filter($"p_name".like("%widget%"))
+        .select($"p_partkey")
+      val wli = t(s, d, "lineitem")
+        .join(CorpusOps.boundedBroadcast(widgets, what = "widget part slice"),
+          $"l_partkey" === $"p_partkey")
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+          expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint)")
+            .as("cents"),
+          $"l_quantity".cast("long").as("qty"),
+          expr("""cast(cast(l_extendedprice as decimal(12,2)) *
+            (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))
+            * 10000 as bigint)""").as("rev4"))
+        .persist()
+      val cost = wli.groupBy($"l_partkey", $"l_suppkey")
+        .agg(min(expr("cents div qty")).as("unit_cost_cents"))
+      val suppNat = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name")
+      wli.join(cost, Seq("l_partkey", "l_suppkey"))
+        .join(t(s, d, "orders").select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(suppNat), $"l_suppkey" === $"s_suppkey")
+        .select($"n_name".as("nation"),
+          year($"o_orderdate").cast("long").as("o_year"),
+          ($"rev4" - $"unit_cost_cents" * $"qty" * lit(100L)).as("profit4"))
+        .groupBy($"nation", $"o_year")
+        .agg(count(lit(1)).as("n_lines"),
+          expr("sum(profit4) div 10000").as("profit_whole"))
+    }, Some("""
+      WITH wli AS (
+        SELECT l_orderkey, l_partkey, l_suppkey,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+            AS cents,
+          CAST(l_quantity AS BIGINT) AS qty,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+              (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+              * 10000 AS BIGINT) AS rev4
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%widget%'),
+      cost AS (
+        SELECT l_partkey, l_suppkey, min(cents // qty) AS unit_cost_cents
+        FROM wli GROUP BY 1, 2)
+      SELECT n_name AS nation,
+        CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+        count(*) AS n_lines,
+        CAST(sum(wli.rev4 - cost.unit_cost_cents * wli.qty * 100) // 10000
+          AS BIGINT) AS profit_whole
+      FROM wli
+      JOIN cost USING (l_partkey, l_suppkey)
+      JOIN orders ON wli.l_orderkey = o_orderkey
+      JOIN supplier ON wli.l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2""")),
+
+    // Important parts by traded value (the TPC-H Q11 shape, adapted:
+    // value per part = total traded cents through ONE nation's
+    // suppliers, kept only where it exceeds 2x the MEAN part value —
+    // the global-threshold scalar subquery, decorrelated to a
+    // broadcast 1-row agg. TPC-H's fixed fraction is scale-hostile:
+    // part cardinality grows with SF, so 1/1000-of-total empties at
+    // sf0.1 and would keep everything at sf1000; the mean-relative cut
+    // selects the same tail at ANY corpus size). Exactness: the
+    // compare is value_cents x n_parts > 2 x total_cents — one
+    // all-bigint cross-multiply, no fraction ever forms (headroom:
+    // total cents at sf1000 ~ 1.2e15, n_parts ~ 1.3e8 only if BOTH
+    // maxed — value x n_parts stays < 2^63 because value x n <=
+    // total x n holds only for the max part; realistic value ~ 1e10 x
+    // 1.3e8 exceeds 2^63, so the compare is done in DECIMAL(38,0) —
+    // exact integer arithmetic with 2^127 headroom, still no double,
+    // identical in both engines). Scale: the nation slice collapses
+    // supplier to a tiny broadcast side BEFORE the fact join; ONE
+    // map-side-combined part agg; the 1-row total broadcasts back over
+    // the part-sized frame (never a second corpus pass); ordered
+    // output is part-cardinality post-HAVING — bounded, and the sort
+    // is range-partitioned, not single-task.
+    Q("q348_important_parts", (s, d) => {
+      import s.implicits._
+      val natSupp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").filter($"n_name" === "NATION_7")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey")
+      val value = t(s, d, "lineitem")
+        .join(broadcast(natSupp), $"l_suppkey" === $"s_suppkey")
+        .select($"l_partkey",
+          expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint)")
+            .as("cents"))
+        .groupBy($"l_partkey").agg(sum($"cents").as("value_cents"))
+      val total = value.agg(sum($"value_cents").as("total_cents"),
+        count(lit(1)).as("n_parts"))
+      value.crossJoin(broadcast(total))
+        .filter($"value_cents".cast(DecimalType(38, 0)) * $"n_parts" >
+          $"total_cents".cast(DecimalType(38, 0)) * lit(2L))
+        .select($"l_partkey".as("p_partkey"), $"value_cents")
+        .orderBy($"value_cents".desc, $"p_partkey".asc)
+    }, Some("""
+      WITH value AS (
+        SELECT l_partkey,
+          sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS value_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY 1)
+      SELECT l_partkey AS p_partkey, CAST(value_cents AS BIGINT)
+          AS value_cents
+      FROM value
+      WHERE CAST(value_cents AS DECIMAL(38,0)) *
+            (SELECT count(*) FROM value) >
+            (SELECT CAST(sum(value_cents) AS DECIMAL(38,0)) FROM value) * 2
+      ORDER BY value_cents DESC, p_partkey ASC""")),
+
+    // Priority split by return class (the TPC-H Q12 shape, adapted:
+    // no l_shipmode/l_receiptdate in the testdata star, so the
+    // mode-analog is the A/R return class and the date window rides
+    // l_shipdate). Per class, how many 1997 lines belong to
+    // critical-priority orders vs not — the canonical conditional agg
+    // (SUM over CASE) across the ONE big-big join. Exactness: pure
+    // integer 0/1 sums. Scale: the date+class filters push to the
+    // lineitem parquet scan BEFORE the orders join (fact-keyed, AQE
+    // adjudicates); the agg grid is value-bounded (2 classes).
+    Q("q349_priority_class", (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType) &&
+                $"l_shipdate" < lit("1998-01-01").cast(TimestampType) &&
+                $"l_returnflag".isin("A", "R"))
+        .select($"l_orderkey", $"l_returnflag")
+        .join(t(s, d, "orders").select($"o_orderkey", $"o_orderpriority"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(
+          sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_lines"),
+          sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_lines"))
+    }, Some("""
+      SELECT l_returnflag,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+        AND l_returnflag IN ('A', 'R')
+      GROUP BY 1"""))
   )
 }

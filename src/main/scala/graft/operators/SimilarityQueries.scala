@@ -1646,26 +1646,40 @@ object SimilarityQueries extends QueryModule {
           val mm = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
             .toMap
           val is = mm.keySet.map(_._1).toSeq.sorted
+          // mirror the distributed mul's INNER-join semantics: a dim i
+          // with no surviving (i, j, vj) contribution is DROPPED, not
+          // emitted as 0 — on a structurally sparse matrix the two
+          // paths' row sets must agree (round-11 ADVICE)
           def mul(v: Map[Long, Long]): Map[Long, Long] =
-            is.map(i => i -> mm.collect {
-              case ((`i`, j), mij) if v.contains(j) => mij * v(j)
-            }.sum).toMap
-          def norm(u: Map[Long, Long]): Map[Long, Long] = {
-            val mx = u.values.map(x => math.max(x, -x)).max
-            u.view.mapValues(x => if (mx == 0) 0L else (x * 1024) / mx)
-              .toMap
-          }
+            is.flatMap { i =>
+              val c = mm.collect {
+                case ((`i`, j), mij) if v.contains(j) => mij * v(j)
+              }
+              if (c.isEmpty) None else Some(i -> c.sum)
+            }.toMap
+          def norm(u: Map[Long, Long]): Map[Long, Long] =
+            if (u.isEmpty) u else {
+              val mx = u.values.map(x => math.max(x, -x)).max
+              u.view.mapValues(x => if (mx == 0) 0L else (x * 1024) / mx)
+                .toMap
+            }
           val v0 = (0L to 7L).map(i => i -> 1024L).toMap
           val v3 = norm(mul(norm(mul(norm(mul(v0))))))
           val u4 = mul(v3)
-          val vu = v3.map { case (i, v) => v * u4(i) }.sum
-          val vv = v3.values.map(v => v * v).sum
-          if (vv == 0) None // engines emit div-by-zero nulls: fall back
-          else Some(is.map(i => (i, v3(i), (v3(i) * v3(i) * 1000000L) / vv,
-            vu / vv)).toDF("dim", "v_q10", "load_ppm", "eig_m"))
+          // Rayleigh quotient over the v3 ⋈ u4 join (distributed `ray`
+          // aggregates the joined frame); the loading total is over ALL
+          // of v3 (distributed `load`) — two different denominators
+          val joined = v3.keySet & u4.keySet
+          val vu = joined.toSeq.map(i => v3(i) * u4(i)).sum
+          val vvJ = joined.toSeq.map(i => v3(i) * v3(i)).sum
+          val tot = v3.values.map(v => v * v).sum
+          if (vvJ == 0 || tot == 0) None // div-by-zero corner: fall back
+          else Some(v3.keys.toSeq.sorted
+            .map(i => (i, v3(i), (v3(i) * v3(i) * 1000000L) / tot, vu / vvJ))
+            .toDF("dim", "v_q10", "load_ppm", "eig_m"))
         }
       localOut.getOrElse {
-        val mp = m.persist()
+        val mp = m // boundedRows left it persisted on the None path
         val v0 = (0L to 7L).map(i => (i, 1024L)).toDF("dim", "v")
         def mul(v: org.apache.spark.sql.DataFrame) =
           mp.join(v.select($"dim".as("jj"), $"v".as("vj")), $"j" === $"jj")

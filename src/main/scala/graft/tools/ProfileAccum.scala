@@ -36,11 +36,14 @@ object ProfileAccum {
     if (!Files.exists(p)) (0L, 0L)
     else {
       var bytes = 0L; var n = 0L
-      val it = Files.walk(p).iterator()
-      while (it.hasNext) {
-        val f = it.next()
-        if (Files.isRegularFile(f)) { bytes += Files.size(f); n += 1 }
-      }
+      val st = Files.walk(p) // stream holds directory handles: must close
+      try {
+        val it = st.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (Files.isRegularFile(f)) { bytes += Files.size(f); n += 1 }
+        }
+      } finally st.close()
       (bytes, n)
     }
 
