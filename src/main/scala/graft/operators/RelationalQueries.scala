@@ -1275,13 +1275,17 @@ object RelationalQueries extends QueryModule {
         .persist()
       val cost = wli.groupBy($"l_partkey", $"l_suppkey")
         .agg(min(expr("cents div qty")).as("unit_cost_cents"))
+      // supplier grows with the corpus: runtime-guarded broadcast only
+      // (degrades to a shuffled join past the cap — the 100x behavior);
+      // nation is the fixed 25-row dimension
       val suppNat = t(s, d, "supplier")
         .join(broadcast(t(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
         .select($"s_suppkey", $"n_name")
       wli.join(cost, Seq("l_partkey", "l_suppkey"))
         .join(t(s, d, "orders").select($"o_orderkey", $"o_orderdate"),
           $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(suppNat), $"l_suppkey" === $"s_suppkey")
+        .join(CorpusOps.boundedBroadcast(suppNat, what = "supplier-nation map"),
+          $"l_suppkey" === $"s_suppkey")
         .select($"n_name".as("nation"),
           year($"o_orderdate").cast("long").as("o_year"),
           ($"rev4" - $"unit_cost_cents" * $"qty" * lit(100L)).as("profit4"))
@@ -1337,12 +1341,15 @@ object RelationalQueries extends QueryModule {
     // is range-partitioned, not single-task.
     Q("q348_important_parts", (s, d) => {
       import s.implicits._
+      // the one-nation supplier slice still grows with the corpus
+      // (~1/25 of suppliers): runtime-guarded broadcast, not a bare hint
       val natSupp = t(s, d, "supplier")
         .join(broadcast(t(s, d, "nation").filter($"n_name" === "NATION_7")),
           $"s_nationkey" === $"n_nationkey")
         .select($"s_suppkey")
       val value = t(s, d, "lineitem")
-        .join(broadcast(natSupp), $"l_suppkey" === $"s_suppkey")
+        .join(CorpusOps.boundedBroadcast(natSupp, what = "NATION_7 suppliers"),
+          $"l_suppkey" === $"s_suppkey")
         .select($"l_partkey",
           expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint)")
             .as("cents"))

@@ -57,6 +57,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q300_kcenter_seeds" -> "<= 4-row center-frame broadcast per round (k*n scan, q37 shape) + 1-row radius broadcasts",
     "q301_heldout_perplexity" -> "1-row train-LM (N, V) broadcast onto the vocabulary-keyed eval frame",
     "q305_backoff_xent" -> "1-row train-LM (N, V) broadcast onto the bigram-vocabulary-keyed eval frame (q301 class)",
+    "q348_important_parts" -> "1-row (total, n_parts) scalar broadcast onto the part-sized value frame (q66 class)",
     "q306_truncation_tau" -> "constant-3 probe batch broadcast against the corpus (k*n scan, q37/q141 shape)",
     "q310_result_diversity" -> "constant-3 probe batch broadcast against the corpus (k*n scan, q37/q141 shape)",
     "q311_sequential_probe" -> "1-row look-count broadcast onto the bounded calendar-grid look frame",
@@ -199,6 +200,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q333_mincost_supplier" -> "nation + region dimension tables; the LARGE part slice is runtime-guarded by boundedBroadcast (q101 class)",
     "q336_market_share" -> "nation (x2 aliases) + region dimension tables",
     "q340_returned_items" -> "nation dimension table",
+    "q347_profit_by_nation" -> "nation dimension table; the supplier-nation map is runtime-guarded by boundedBroadcast (q333 class)",
+    "q348_important_parts" -> "nation dimension (filtered to one row); the one-nation supplier slice is runtime-guarded by boundedBroadcast; the 1-row total auto-classifies as a scalar agg",
     "q92_idle_rich_customers" -> "nation dimension (the avg-balance scalar auto-classifies)",
     "q99_source_overlap" -> "per-source vocab sizes: groupBy source (bounded source registry)",
     "q101_sorted_neighborhood" -> "SNM hot-prefix set: runtime-guarded by boundedBroadcast (<= n/blockCap rows under the cap)",
