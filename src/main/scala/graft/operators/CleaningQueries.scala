@@ -916,6 +916,47 @@ object CleaningQueries extends QueryModule {
           AS any_conflict,
         CAST(max(n) AS BIGINT) AS max_group
       FROM g""")),
+
+    // Lexicon risk screen (the blocklist pass every production corpus
+    // runs before release — toxicity/profanity/brand-safety term lists;
+    // the lexicon here is a 3-term stand-in over the synthetic vocab,
+    // including one zero-hit term so the absent case is exercised).
+    // Per source: docs screened, docs flagged (ANY lexicon hit), flag
+    // rate ppm, total hits, and the worst single doc's hit count —
+    // the triage row a release gate reads. Built-ins only: the token
+    // array is filtered against an array literal (no UDF, stays in
+    // codegen). Scale: row-local tokenize+filter, ONE map-side-combined
+    // source agg (registry-sized); the lexicon is a plan literal —
+    // a 10k-term production list would ride a broadcast semi-join
+    // against the exploded token frame instead (q11/q81 pattern).
+    Q("q351_lexicon_screen", (s, d) => {
+      import s.implicits._
+      val lex = array(lit("slow"), lit("dup"), lit("crash"))
+      t(s, d, "documents")
+        .select($"source",
+          size(filter(split(trim($"text"), "\\s+"),
+            w => array_contains(lex, w))).cast("long").as("hits"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"hits" > 0, 1L).otherwise(0L)).as("n_flagged"),
+          expr("sum(if(hits > 0, 1, 0)) * 1000000 div count(1)")
+            .as("flag_ppm"),
+          sum($"hits").as("total_hits"),
+          max($"hits").as("max_doc_hits"))
+    }, Some("""
+      WITH h AS (
+        SELECT source,
+          len(list_filter(string_split_regex(trim(text), '\s+'),
+            w -> list_contains(['slow', 'dup', 'crash'], w))) AS hits
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_flagged,
+        CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 1000000
+          // count(*) AS BIGINT) AS flag_ppm,
+        CAST(sum(hits) AS BIGINT) AS total_hits,
+        CAST(max(hits) AS BIGINT) AS max_doc_hits
+      FROM h GROUP BY 1""")),
   )
 
   /** Standard-normal decile quantiles Φ⁻¹(k/10), k = 1..9, floor-

@@ -1414,6 +1414,58 @@ object RelationalQueries extends QueryModule {
       WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
         AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
         AND l_returnflag IN ('A', 'R')
-      GROUP BY 1"""))
+      GROUP BY 1""")),
+
+    // Full TPC-H Q1 parity (q01 carries the sums; this adds the charge
+    // sum and the three averages, completing the literal Q1 column set
+    // so all 22 TPC-H shapes have full-fidelity counterparts).
+    // Exactness: charge = extendedprice x (1-disc) x (1+tax) is exact
+    // DECIMAL scale-6 (12,2 x 12,2 x 12,2); summed as scale-6 integers;
+    // the averages are floor divisions of exact integer sums by the
+    // group count (centi-units for qty/price, basis points for disc) —
+    // no double ever forms, so the hash gate is engine-order-free.
+    // Scale: ONE pushed-filter scan, ONE map-side-combined agg on the
+    // value-bounded (returnflag, linestatus) grid.
+    Q("q350_pricing_summary_full", (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_shipdate" <= lit("2001-09-02").cast(TimestampType))
+        .select($"l_returnflag", $"l_linestatus",
+          $"l_quantity".cast("long").as("qty"),
+          expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint)")
+            .as("price_c"),
+          expr("""cast(cast(l_extendedprice as decimal(12,2)) *
+            (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2))) *
+            (cast(1 as decimal(12,2)) + cast(l_tax as decimal(12,2)))
+            * 1000000 as bigint)""").as("charge6"),
+          expr("cast(cast(l_discount as decimal(12,2)) * 10000 as bigint)")
+            .as("disc_bp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"qty").as("sum_qty"),
+          expr("sum(price_c) div 100").as("sum_base_price_whole"),
+          expr("sum(charge6) div 1000000").as("sum_charge_whole"),
+          expr("sum(qty * 100) div count(1)").as("avg_qty_centi"),
+          expr("sum(price_c) div count(1)").as("avg_price_cents"),
+          expr("sum(disc_bp) div count(1)").as("avg_disc_bp"),
+          count(lit(1)).as("count_order"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+          AS BIGINT)) // 100 AS BIGINT) AS sum_base_price_whole,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) *
+          (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))
+          * 1000000 AS BIGINT)) // 1000000 AS BIGINT) AS sum_charge_whole,
+        CAST(sum(CAST(l_quantity AS BIGINT) * 100) // count(*) AS BIGINT)
+          AS avg_qty_centi,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+          AS BIGINT)) // count(*) AS BIGINT) AS avg_price_cents,
+        CAST(sum(CAST(CAST(l_discount AS DECIMAL(12,2)) * 10000
+          AS BIGINT)) // count(*) AS BIGINT) AS avg_disc_bp,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE CAST(l_shipdate AS TIMESTAMP) <= TIMESTAMP '2001-09-02 00:00:00'
+      GROUP BY 1, 2"""))
   )
 }
