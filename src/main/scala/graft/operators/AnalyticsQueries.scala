@@ -5025,6 +5025,86 @@ object AnalyticsQueries extends QueryModule {
       oracleDyn = Some((s, d) => AnalyticsQueries.linkPredOracleSql(
         math.max(graft.catalog.Stats
           .parquetRowCount(s, s"$d/documents.parquet") / 8, 128L)))),
+
+    // k-truss peel (the triangle-support sibling of q193's k-core: an
+    // edge survives only while it closes >= k-2 triangles among the
+    // surviving edges — the denser-than-core community definition used
+    // for spam-farm / cohesive-subgraph extraction). 3 fixed rounds of
+    // support-filtered peeling (sup >= 24, 4-truss-style on the mod-128
+    // registry graph), per round: edges alive, min/max support.
+    // Two-path (q193 family): ONE corpus-collapsing distinct agg builds
+    // the <= C(128,2) edge frame; below CorpusOps.boundedRows the peel
+    // runs driver-local (neighbor-set intersections); above it the
+    // distributed loop enumerates each round's triangles via the
+    // oriented wedge join (a<b<c once) + closing-edge equi-join — never
+    // an all-pairs product — and unions the 3 per-edge projections for
+    // support. Exactness: pure integer counts; salted-md5 endpoints
+    // (q193's anti-affine lesson).
+    Q("q352_ktruss", (s, d) => {
+      import s.implicits._
+      // support threshold scales with the registry graph's density
+      // (fixed 128-node space + corpus-proportional draws → expected
+      // support grows ~(1-e^(-n/8128))²·126; a FIXED threshold either
+      // kills everything at small SF or peels nothing at large SF —
+      // q323's oracleDyn sizing convention, replayed here for k)
+      val kk = AnalyticsQueries.ktrussK(
+        graft.catalog.Stats.parquetRowCount(s, s"$d/documents.parquet"))
+      val hx = DedupOps.hv32FromHexSql("md5(concat('a', cast(doc_id as string)))")
+      val hy = DedupOps.hv32FromHexSql("md5(concat('b', cast(doc_id as string)))")
+      val ed0 = t(s, d, "documents")
+        .select(expr(s"$hx % 128").as("x"), expr(s"$hy % 128").as("y"))
+        .filter($"x" =!= $"y")
+        .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+        .distinct()
+      CorpusOps.boundedRows(ed0) match {
+        case Some(rows) =>
+          var es: Set[(Long, Long)] =
+            rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+          val out = (1 to 3).map { i =>
+            val adj = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+              .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+            val sup = es.toSeq.map { case (a, b) =>
+              (a, b, (adj(a) & adj(b)).size.toLong)
+            }
+            val kept = sup.filter(_._3 >= kk)
+            es = kept.map(t3 => (t3._1, t3._2)).toSet
+            (i.toLong, kept.size.toLong,
+              if (kept.isEmpty) 0L else kept.map(_._3).min,
+              if (kept.isEmpty) 0L else kept.map(_._3).max)
+          }
+          out.toDF("round", "edges_alive", "min_sup", "max_sup")
+        case None =>
+          val e0 = ed0 // boundedRows left it persisted on the None path
+          def peel(e: org.apache.spark.sql.DataFrame) = {
+            // oriented wedges (a, y, z) with y < z, closed by (y, z) ∈ e:
+            // each triangle a<y<z found exactly once
+            val tri = e.select($"a".as("x"), $"b".as("y"))
+              .join(e.select($"a".as("x"), $"b".as("z")), "x")
+              .filter($"y" < $"z")
+              .join(e.select($"a".as("y"), $"b".as("z")), Seq("y", "z"),
+                "left_semi")
+            val sup = tri.select($"x".as("a"), $"y".as("b"))
+              .unionAll(tri.select($"x".as("a"), $"z".as("b")))
+              .unionAll(tri.select($"y".as("a"), $"z".as("b")))
+              .groupBy($"a", $"b").agg(count(lit(1)).as("sup"))
+            sup.filter($"sup" >= kk)
+          }
+          // frontiers are <= C(128,2) rows; persist each round (the peel
+          // reads its input three times — q193's materialization lesson)
+          val r1 = peel(e0).persist()
+          val r2 = peel(r1.select($"a", $"b")).persist()
+          val r3 = peel(r2.select($"a", $"b"))
+          Seq((r1, 1), (r2, 2), (r3, 3)).map { case (r, i) =>
+            r.agg(lit(i.toLong).as("round"),
+              count(lit(1)).as("edges_alive"),
+              coalesce(min($"sup"), lit(0L)).as("min_sup"),
+              coalesce(max($"sup"), lit(0L)).as("max_sup"))
+          }.reduce(_ unionAll _)
+      }
+    }, Some(AnalyticsQueries.ktrussOracleSql(AnalyticsQueries.ktrussK(500L))),
+      oracleDyn = Some((s, d) => AnalyticsQueries.ktrussOracleSql(
+        AnalyticsQueries.ktrussK(graft.catalog.Stats
+          .parquetRowCount(s, s"$d/documents.parquet"))))),
   )
 
   /** q323's oracle, parameterized by the scale-adaptive node count. */
@@ -5102,4 +5182,58 @@ object AnalyticsQueries extends QueryModule {
     * convention; no runtime ln() in the constant path). */
   private[operators] val expQMicro: Seq[Long] = (1 to 9).map(k =>
     math.floor(-math.log(1.0 - k / 10.0) * 1e6).toLong)
+
+  /** q352's support threshold from the live corpus count: expected
+    * support on the fixed 128-node registry graph is ~(1-e^(-n/8128))^2
+    * x 126; the peel cut sits at 90% of it (>= 1). Both engines consume
+    * the identical precomputed integer (oracleDyn convention). */
+  private[operators] def ktrussK(n: Long): Long = {
+    val pp = 1.0 - math.exp(-n / 8128.0)
+    math.max(1L, math.floor(126.0 * pp * pp * 0.9).toLong)
+  }
+
+  /** q352's fixed-round k-truss oracle at threshold kk. */
+  private[operators] def ktrussOracleSql(kk: Long): String = s"""
+      WITH ed AS (
+        SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM (
+          SELECT
+            (${DedupQueries.hvDuckOf("'a' || CAST(doc_id AS VARCHAR)")}) % 128
+              AS x,
+            (${DedupQueries.hvDuckOf("'b' || CAST(doc_id AS VARCHAR)")}) % 128
+              AS y
+          FROM documents)
+        WHERE x <> y),
+      t1 AS (SELECT p.a AS x, p.b AS y, q.b AS z
+             FROM ed p JOIN ed q ON p.a = q.a AND p.b < q.b
+             JOIN ed r ON r.a = p.b AND r.b = q.b),
+      s1 AS (SELECT a, b, count(*) AS sup FROM (
+               SELECT x AS a, y AS b FROM t1
+               UNION ALL SELECT x, z FROM t1
+               UNION ALL SELECT y, z FROM t1) GROUP BY 1, 2),
+      e1 AS (SELECT a, b, sup FROM s1 WHERE sup >= $kk),
+      t2 AS (SELECT p.a AS x, p.b AS y, q.b AS z
+             FROM e1 p JOIN e1 q ON p.a = q.a AND p.b < q.b
+             JOIN e1 r ON r.a = p.b AND r.b = q.b),
+      s2 AS (SELECT a, b, count(*) AS sup FROM (
+               SELECT x AS a, y AS b FROM t2
+               UNION ALL SELECT x, z FROM t2
+               UNION ALL SELECT y, z FROM t2) GROUP BY 1, 2),
+      e2 AS (SELECT a, b, sup FROM s2 WHERE sup >= $kk),
+      t3 AS (SELECT p.a AS x, p.b AS y, q.b AS z
+             FROM e2 p JOIN e2 q ON p.a = q.a AND p.b < q.b
+             JOIN e2 r ON r.a = p.b AND r.b = q.b),
+      s3 AS (SELECT a, b, count(*) AS sup FROM (
+               SELECT x AS a, y AS b FROM t3
+               UNION ALL SELECT x, z FROM t3
+               UNION ALL SELECT y, z FROM t3) GROUP BY 1, 2),
+      e3 AS (SELECT a, b, sup FROM s3 WHERE sup >= $kk)
+      SELECT CAST(1 AS BIGINT) AS round,
+        CAST(count(*) AS BIGINT) AS edges_alive,
+        CAST(coalesce(min(sup), 0) AS BIGINT) AS min_sup,
+        CAST(coalesce(max(sup), 0) AS BIGINT) AS max_sup FROM e1
+      UNION ALL
+      SELECT 2, count(*), coalesce(min(sup), 0), coalesce(max(sup), 0) FROM e2
+      UNION ALL
+      SELECT 3, count(*), coalesce(min(sup), 0), coalesce(max(sup), 0) FROM e3"""
+
 }

@@ -30,7 +30,8 @@ class GraphTwoPathSpec extends AnyFunSuite {
     "q274_multi_source_bfs",
     "q287_weighted_sssp",
     "q295_power_iteration",
-    "q322_modularity")
+    "q322_modularity",
+    "q352_ktruss")
 
   /** Run the query with the driver-rows cap forced, restoring after. */
   private def withMaxDriverRows[T](n: Long)(f: => T): T = {
