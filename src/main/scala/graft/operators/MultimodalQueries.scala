@@ -237,6 +237,61 @@ object MultimodalQueries extends QueryModule {
         CAST(sum(CASE WHEN bent.bent < 1000000000 THEN 1 ELSE 0 END)
           AS BIGINT) AS n_suspect
       FROM base JOIN hent USING (doc_id) JOIN bent USING (doc_id)
-      GROUP BY 1"""))
+      GROUP BY 1""")),
+
+    // Modality storage accounting (the lake-ops capacity dashboard:
+    // per (source, declared format) — payload count, byte mass, avg
+    // payload, and each cell's share of its source's total byte mass).
+    // The row a storage planner reads before deciding per-modality
+    // tiering / compression policy. Payload + declared-format tagging
+    // follow q231's conventions. Exactness: byte counts and one ppm
+    // floor division per cell — all integer. Scale: row-local byte
+    // length, ONE map-side-combined (source, fmt) agg; the source-total
+    // share rides a window over the REGISTRY-SIZED agg grid (sources x
+    // 4 formats — bounded at any corpus size), never over payload rows.
+    Q("q353_modality_accounting", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val hdr = when($"doc_id" % 4 === 0, lit("JFIF"))
+        .when($"doc_id" % 4 === 1, lit("PNG:"))
+        .when($"doc_id" % 4 === 2, lit("RIFF")).otherwise(lit(""))
+      val declared = when($"doc_id" % 4 === 0, lit("jpeg"))
+        .when($"doc_id" % 4 === 1, lit("png"))
+        .when($"doc_id" % 4 === 2, lit("wav")).otherwise(lit("none"))
+      val cells = Tables.t(s, d, "documents")
+        .select($"source", declared.as("fmt"),
+          length(concat(hdr, $"text").cast("binary")).cast("long").as("nb"))
+        .groupBy($"source", $"fmt")
+        .agg(count(lit(1)).as("n_payloads"), sum($"nb").as("total_bytes"),
+          expr("sum(nb) div count(1)").as("avg_bytes"))
+      val wS = Window.partitionBy($"source")
+      cells
+        .withColumn("__src_total", sum($"total_bytes").over(wS))
+        .withColumn("src_share_ppm",
+          expr("(total_bytes * 1000000) div __src_total"))
+        .drop("__src_total")
+    }, Some("""
+      WITH p AS (
+        SELECT source,
+          CASE WHEN doc_id % 4 = 0 THEN 'jpeg'
+               WHEN doc_id % 4 = 1 THEN 'png'
+               WHEN doc_id % 4 = 2 THEN 'wav' ELSE 'none' END AS fmt,
+          length(CASE WHEN doc_id % 4 = 0 THEN 'JFIF'
+                      WHEN doc_id % 4 = 1 THEN 'PNG:'
+                      WHEN doc_id % 4 = 2 THEN 'RIFF' ELSE '' END || text)
+            AS nb
+        FROM documents),
+      cells AS (
+        SELECT source, fmt, count(*) AS n_payloads,
+          sum(nb) AS total_bytes, sum(nb) // count(*) AS avg_bytes
+        FROM p GROUP BY 1, 2)
+      SELECT source, fmt, CAST(n_payloads AS BIGINT) AS n_payloads,
+        CAST(total_bytes AS BIGINT) AS total_bytes,
+        CAST(avg_bytes AS BIGINT) AS avg_bytes,
+        CAST(total_bytes * 1000000 //
+          sum(total_bytes) OVER (PARTITION BY source) AS BIGINT)
+          AS src_share_ppm
+      FROM cells"""))
   )
 }
