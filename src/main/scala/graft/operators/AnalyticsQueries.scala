@@ -3666,7 +3666,11 @@ object AnalyticsQueries extends QueryModule {
           }
           out.toDF("round", "n_changed", "n_labels", "max_comm")
         case _ =>
-          val ed = ed0 // boundedRows left it persisted on the None path
+          // persisted by boundedRows on its None path, but this `case _`
+          // arm is ALSO reachable via Some(empty) — where boundedRows already
+          // RELEASED the frame; re-pin it (no-op when still cached)
+          val ed = if (ed0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            ed0.persist() else ed0
           val adj = ed.select($"a".as("node"), $"b".as("nbr"))
             .unionAll(ed.select($"b".as("node"), $"a".as("nbr")))
           val l0 = adj.select($"node").distinct()
@@ -4900,7 +4904,11 @@ object AnalyticsQueries extends QueryModule {
           Seq((dc.size.toLong, contrib / (4 * m * m), m))
             .toDF("n_communities", "modularity_ppm", "n_edges")
         case _ =>
-          val ed = ed0 // boundedRows left it persisted on the None path
+          // persisted by boundedRows on its None path, but this `case _`
+          // arm is ALSO reachable via Some(empty) — where boundedRows already
+          // RELEASED the frame; re-pin it (no-op when still cached)
+          val ed = if (ed0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            ed0.persist() else ed0
           val adj = ed.select($"a".as("node"), $"b".as("nbr"))
             .unionAll(ed.select($"b".as("node"), $"a".as("nbr")))
           val l0 = adj.select($"node").distinct()

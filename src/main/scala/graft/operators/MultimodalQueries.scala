@@ -261,7 +261,10 @@ object MultimodalQueries extends QueryModule {
         .when($"doc_id" % 4 === 2, lit("wav")).otherwise(lit("none"))
       val cells = Tables.t(s, d, "documents")
         .select($"source", declared.as("fmt"),
-          length(concat(hdr, $"text").cast("binary")).cast("long").as("nb"))
+          // octet_length = UTF-8 BYTES in Spark; the oracle's strlen()
+          // is DuckDB's byte count — byte-true in BOTH engines (a char
+          // count would silently diverge on any non-ASCII corpus)
+          octet_length(concat(hdr, $"text")).cast("long").as("nb"))
         .groupBy($"source", $"fmt")
         .agg(count(lit(1)).as("n_payloads"), sum($"nb").as("total_bytes"),
           expr("sum(nb) div count(1)").as("avg_bytes"))
@@ -277,7 +280,7 @@ object MultimodalQueries extends QueryModule {
           CASE WHEN doc_id % 4 = 0 THEN 'jpeg'
                WHEN doc_id % 4 = 1 THEN 'png'
                WHEN doc_id % 4 = 2 THEN 'wav' ELSE 'none' END AS fmt,
-          length(CASE WHEN doc_id % 4 = 0 THEN 'JFIF'
+          strlen(CASE WHEN doc_id % 4 = 0 THEN 'JFIF'
                       WHEN doc_id % 4 = 1 THEN 'PNG:'
                       WHEN doc_id % 4 = 2 THEN 'RIFF' ELSE '' END || text)
             AS nb

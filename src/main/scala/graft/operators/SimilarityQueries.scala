@@ -1679,7 +1679,12 @@ object SimilarityQueries extends QueryModule {
             .toDF("dim", "v_q10", "load_ppm", "eig_m"))
         }
       localOut.getOrElse {
-        val mp = m // boundedRows left it persisted on the None path
+        // persisted by boundedRows on its None path, but this arm is ALSO
+        // reachable when boundedRows returned Some and the driver math hit
+        // the div-by-zero corner (localOut None) — in that route boundedRows
+        // already RELEASED the frame, so re-pin it (no-op when still cached)
+        val mp = if (m.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          m.persist() else m
         val v0 = (0L to 7L).map(i => (i, 1024L)).toDF("dim", "v")
         def mul(v: org.apache.spark.sql.DataFrame) =
           mp.join(v.select($"dim".as("jj"), $"v".as("vj")), $"j" === $"jj")

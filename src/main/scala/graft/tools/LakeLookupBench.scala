@@ -72,6 +72,7 @@ object LakeLookupBench {
     require(total == n, s"lake holds $total of $n entries")
 
     println(f"""{"metric":"lake_point_lookup","n_entries":$n,"shards":$shards,"pruned_partitions":$pruned,"write_sec":$tWrite%.2f,"point_lookup_sec":$tPoint%.3f,"full_scan_lookup_sec":$tScan%.2f,"count_sec":$tCount%.2f}""")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     spark.stop()
   }
 }
