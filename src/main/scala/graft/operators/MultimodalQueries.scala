@@ -98,7 +98,7 @@ object MultimodalQueries extends QueryModule {
                WHEN substr(payload, 1, 4) = 'PNG:' THEN 'png'
                WHEN substr(payload, 1, 4) = 'RIFF' THEN 'wav'
                ELSE 'unknown' END AS sniffed,
-          length(payload) AS nb
+          strlen(payload) AS nb
         FROM p)
       SELECT declared, sniffed, CAST(count(*) AS BIGINT) AS n,
         CAST(sum(nb) AS BIGINT) AS total_bytes,
