@@ -1961,76 +1961,5 @@ object CorpusQueries extends QueryModule {
         CAST((sum(seqs) * max(ctx_len) - sum(toks)) * 1000000
              // (sum(seqs) * max(ctx_len)) AS BIGINT) AS padding_ppm
       FROM sw GROUP BY 1""")),
-
-    // Source datasheet (the "datasheets for datasets" release artifact:
-    // ONE row per source with the numbers a data statement publishes —
-    // volume, token mass, average length, within-source exact-dup rate,
-    // language spread and the dominant language's share). Everything
-    // the release gate reads in one place, composed from three
-    // registry-keyed aggregates joined on source. Exactness: counts +
-    // ppm floor divisions — all integer. Scale: one fingerprint-keyed
-    // corpus agg (md5-partitioned, linear), one (source, lang) agg,
-    // one source agg; all joins and windows ride REGISTRY-sized frames
-    // (sources x langs), never corpus rows.
-    Q("q354_source_datasheet", (s, d) => {
-      import s.implicits._
-      val docs = t(s, d, "documents")
-        .select($"source", $"lang", $"doc_id", $"n_chars",
-          TextOps.tokenCount($"text").cast("long").as("toks"),
-          TextOps.fingerprint($"text").as("fp"))
-        .persist() // three consumers below (shared-subplan convention)
-      val base = docs.groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"), sum($"toks").as("total_tokens"),
-          expr("sum(n_chars) div count(1)").as("avg_chars"))
-      val dup = docs.groupBy($"source", $"fp")
-        .agg(count(lit(1)).as("nf"))
-        .groupBy($"source")
-        .agg(sum(when($"nf" >= 2, $"nf").otherwise(0L)).as("dup_docs"))
-      val lx = docs.groupBy($"source", $"lang")
-        .agg(count(lit(1)).as("nl"))
-      val wTop = Window.partitionBy($"source")
-        .orderBy($"nl".desc, $"lang".asc)
-      val langs = lx
-        .withColumn("rn", row_number().over(wTop))
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_langs"),
-          max(when($"rn" === 1, $"lang")).as("top_lang"),
-          max(when($"rn" === 1, $"nl")).as("top_n"))
-      base.join(dup, "source").join(langs, "source")
-        .select($"source", $"n_docs", $"total_tokens", $"avg_chars",
-          expr("(dup_docs * 1000000) div n_docs").as("dup_doc_ppm"),
-          $"n_langs", $"top_lang",
-          expr("(top_n * 1000000) div n_docs").as("top_lang_ppm"))
-    }, Some("""
-      WITH dd AS (
-        SELECT source, lang, n_chars,
-          len(string_split_regex(trim(text), '\s+')) AS toks,
-          md5(text) AS fp
-        FROM documents),
-      base AS (
-        SELECT source, count(*) AS n_docs, sum(toks) AS total_tokens,
-          sum(n_chars) // count(*) AS avg_chars
-        FROM dd GROUP BY 1),
-      dup AS (
-        SELECT source, sum(CASE WHEN nf >= 2 THEN nf ELSE 0 END) AS dup_docs
-        FROM (SELECT source, fp, count(*) AS nf FROM dd GROUP BY 1, 2)
-        GROUP BY 1),
-      lx AS (SELECT source, lang, count(*) AS nl FROM dd GROUP BY 1, 2),
-      lr AS (SELECT source, lang, nl,
-               row_number() OVER (PARTITION BY source
-                 ORDER BY nl DESC, lang ASC) AS rn
-             FROM lx),
-      langs AS (
-        SELECT source, count(*) AS n_langs,
-          max(CASE WHEN rn = 1 THEN lang END) AS top_lang,
-          max(CASE WHEN rn = 1 THEN nl END) AS top_n
-        FROM lr GROUP BY 1)
-      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-        CAST(total_tokens AS BIGINT) AS total_tokens,
-        CAST(avg_chars AS BIGINT) AS avg_chars,
-        CAST(dup_docs * 1000000 // n_docs AS BIGINT) AS dup_doc_ppm,
-        CAST(n_langs AS BIGINT) AS n_langs, top_lang,
-        CAST(top_n * 1000000 // n_docs AS BIGINT) AS top_lang_ppm
-      FROM base JOIN dup USING (source) JOIN langs USING (source)""")),
   )
 }

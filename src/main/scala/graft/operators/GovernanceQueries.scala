@@ -3322,6 +3322,113 @@ object GovernanceQueries extends QueryModule {
         CAST(sum(p4) // count(*) AS BIGINT) AS pass4_ppm,
         CAST(sum(p8) // count(*) AS BIGINT) AS pass8_ppm
       FROM p GROUP BY 1""")),
+
+    // Benjamini-Hochberg FDR gate (the MULTIPLE-TESTING correction the
+    // per-source test family — MW-U q257, chi-square q265, Wasserstein
+    // q243 — has been missing: screening ~20 sources at alpha=.05 each
+    // expects a false alarm per release; BH's step-up controls the
+    // false-discovery RATE across the whole screen). Per source: a
+    // one-sample length-anomaly statistic z² = (S_s·N − S·n_s)² /
+    // (n_s·(Q·N − S²)) vs the corpus (all-integer; DECIMAL(38,0)
+    // headroom for the squared term, q348 convention), a p-value from
+    // the chi-square(1) critical-value LADDER embedded as identical
+    // literals in both engines (normalDecileZMicro convention — no
+    // runtime CDF to diverge), then the BH step-up: rank by p asc,
+    // reject ranks <= max{k : p_k·m <= alpha_micro·k}. Scale: ONE
+    // map-side-combined (source) agg + a 1-row corpus agg broadcast;
+    // the rank/step-up windows ride the SOURCE REGISTRY (~20 rows at
+    // any corpus size — the documented bounded global window).
+    Q("q354_fdr_gate", (s, d) => {
+      import s.implicits._
+      val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val src = t(s, d, "documents")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_s"), sum($"n_chars").as("s_s"))
+      val tot = t(s, d, "documents")
+        .agg(count(lit(1)).as("nn"), sum($"n_chars").as("ss"),
+          sum($"n_chars" * $"n_chars").as("qq"))
+      val z2 = src.crossJoin(broadcast(tot))
+        .select($"source", $"n_s",
+          // z² in micro: (s_s·N − S·n_s)²·1e6 / (n_s·(Q·N − S²))
+          // explicit floor: Spark's decimal->long cast TRUNCATES while
+          // DuckDB's CAST rounds — floor() pins identical semantics
+          floor(($"s_s".cast(D38) * $"nn" - $"ss".cast(D38) * $"n_s") *
+            ($"s_s".cast(D38) * $"nn" - $"ss".cast(D38) * $"n_s") *
+            lit(1000000L) divide
+            ($"n_s".cast(D38) * ($"qq".cast(D38) * $"nn" -
+              $"ss".cast(D38) * $"ss"))).cast("long").as("z2_micro"))
+      // chi-square(1) upper-tail ladder (crit in micro -> p in micro)
+      val p = z2.withColumn("p_micro",
+        when($"z2_micro" >= 10828000L, 1000L)
+          .when($"z2_micro" >= 9550000L, 2000L)
+          .when($"z2_micro" >= 7879000L, 5000L)
+          .when($"z2_micro" >= 6635000L, 10000L)
+          .when($"z2_micro" >= 5412000L, 20000L)
+          .when($"z2_micro" >= 3841000L, 50000L)
+          .when($"z2_micro" >= 2706000L, 100000L)
+          .when($"z2_micro" >= 1642000L, 200000L)
+          .when($"z2_micro" >= 455000L, 500000L)
+          .otherwise(1000000L))
+      val wAll = Window.orderBy($"p_micro".asc, $"source".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ranked = p
+        .withColumn("rk", row_number().over(
+          Window.orderBy($"p_micro".asc, $"source".asc)))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("sat",
+          when($"p_micro" * $"m" <= lit(50000L) * $"rk", $"rk"))
+        .withColumn("k_max", coalesce(max($"sat").over(wAll), lit(0L)))
+      ranked.select($"source", $"n_s".as("n_docs"), $"z2_micro",
+        $"p_micro", $"rk".cast("long").as("rank"),
+        expr("(50000 * rk) div m").as("bh_cut_micro"),
+        when($"rk" <= $"k_max", 1L).otherwise(0L).as("rejected"))
+    }, Some("""
+      WITH src AS (
+        SELECT source, count(*) AS n_s, sum(n_chars) AS s_s
+        FROM documents GROUP BY 1),
+      tot AS (
+        SELECT count(*) AS nn, sum(n_chars) AS ss,
+          sum(n_chars * n_chars) AS qq
+        FROM documents),
+      z2 AS (
+        SELECT source, n_s,
+          CAST(floor((CAST(s_s AS DECIMAL(38,0)) * nn
+                - CAST(ss AS DECIMAL(38,0)) * n_s) *
+               (CAST(s_s AS DECIMAL(38,0)) * nn
+                - CAST(ss AS DECIMAL(38,0)) * n_s) * 1000000 /
+               (CAST(n_s AS DECIMAL(38,0)) *
+                (CAST(qq AS DECIMAL(38,0)) * nn
+                 - CAST(ss AS DECIMAL(38,0)) * ss))) AS BIGINT)
+            AS z2_micro
+        FROM src CROSS JOIN tot),
+      p AS (
+        SELECT *,
+          CASE WHEN z2_micro >= 10828000 THEN 1000
+               WHEN z2_micro >= 9550000 THEN 2000
+               WHEN z2_micro >= 7879000 THEN 5000
+               WHEN z2_micro >= 6635000 THEN 10000
+               WHEN z2_micro >= 5412000 THEN 20000
+               WHEN z2_micro >= 3841000 THEN 50000
+               WHEN z2_micro >= 2706000 THEN 100000
+               WHEN z2_micro >= 1642000 THEN 200000
+               WHEN z2_micro >= 455000 THEN 500000
+               ELSE 1000000 END AS p_micro
+        FROM z2),
+      rkd AS (
+        SELECT *,
+          row_number() OVER (ORDER BY p_micro ASC, source ASC) AS rk,
+          count(*) OVER () AS m
+        FROM p),
+      km AS (
+        SELECT *, coalesce(max(CASE WHEN p_micro * m <= 50000 * rk
+                                    THEN rk END) OVER (), 0) AS k_max
+        FROM rkd)
+      SELECT source, CAST(n_s AS BIGINT) AS n_docs, z2_micro,
+        CAST(p_micro AS BIGINT) AS p_micro, CAST(rk AS BIGINT) AS rank,
+        CAST(50000 * rk // m AS BIGINT) AS bh_cut_micro,
+        CAST(CASE WHEN rk <= k_max THEN 1 ELSE 0 END AS BIGINT)
+          AS rejected
+      FROM km""")),
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

@@ -58,6 +58,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q301_heldout_perplexity" -> "1-row train-LM (N, V) broadcast onto the vocabulary-keyed eval frame",
     "q305_backoff_xent" -> "1-row train-LM (N, V) broadcast onto the bigram-vocabulary-keyed eval frame (q301 class)",
     "q348_important_parts" -> "1-row (total, n_parts) scalar broadcast onto the part-sized value frame (q66 class)",
+    "q354_fdr_gate" -> "1-row corpus-moments (N, S, Q) scalar broadcast onto the source registry frame (q66 class)",
     "q306_truncation_tau" -> "constant-3 probe batch broadcast against the corpus (k*n scan, q37/q141 shape)",
     "q310_result_diversity" -> "constant-3 probe batch broadcast against the corpus (k*n scan, q37/q141 shape)",
     "q311_sequential_probe" -> "1-row look-count broadcast onto the bounded calendar-grid look frame",
@@ -145,6 +146,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * per-partition prefilters + bounded finals in round 7.) */
   private val globalWindowOk: Map[String, String] = Map(
     "q75_budget_select" -> "running sum over the <=1001-row quality-bucket histogram (doc-level window is bucket-partitioned)",
+    "q354_fdr_gate" -> "BH rank / m / step-up windows over the SOURCE REGISTRY frame (~20 rows at any corpus size), after one map-side-combined source agg",
     "q143_ks_drift" -> "global CDF cum over DISTINCT token counts — bounded by the value domain (max doc length), not the corpus (q110 argument)",
     "q145_distribution_match" -> "row_number over the language-registry share frame (bounded registry)",
     "q146_rare_group_suppress" -> "octile cum over DISTINCT token counts — value-domain bounded (q110 argument), appears in both the build and lookup branches",
