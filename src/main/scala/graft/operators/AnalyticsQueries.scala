@@ -5113,6 +5113,66 @@ object AnalyticsQueries extends QueryModule {
       oracleDyn = Some((s, d) => AnalyticsQueries.ktrussOracleSql(
         AnalyticsQueries.ktrussK(graft.catalog.Stats
           .parquetRowCount(s, s"$d/documents.parquet"))))),
+
+    // Harmonic closeness centrality (the "how near is everyone" axis the
+    // graph family lacked: pagerank/HITS rank INFLUENCE, k-core/truss
+    // rank DENSITY — closeness ranks REACH; harmonic form handles
+    // disconnected graphs without infinities). Per node: peers reached
+    // within 8 hops and sum(1e6 div d) — all-integer, order-free.
+    // Distances come from THREE MIN-PLUS DOUBLINGS (1 → 2 → 4 → 8 hops)
+    // on the ≤64-node registry graph: the 8-hop horizon IS the
+    // construction, so both engines agree exactly (no BFS/convergence
+    // corner). Two-path (q193 family): driver BFS capped at 8 below the
+    // boundedRows gate; above it each doubling is a min-plus self-join
+    // on the ≤64²-row distance frame, persisted per round — frames are
+    // value-domain bounded at ANY corpus size, never corpus rows.
+    Q("q355_harmonic_closeness", (s, d) => {
+      import s.implicits._
+      val hx = DedupOps.hv32FromHexSql("md5(concat('a', cast(doc_id as string)))")
+      val hy = DedupOps.hv32FromHexSql("md5(concat('b', cast(doc_id as string)))")
+      val ed0 = t(s, d, "documents")
+        .select(expr(s"$hx % 64").as("x"), expr(s"$hy % 64").as("y"))
+        .filter($"x" =!= $"y")
+        .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+        .distinct()
+      CorpusOps.boundedRows(ed0) match {
+        case Some(rows) =>
+          val ed = rows.map(r => (r.getLong(0), r.getLong(1)))
+          val adj: Map[Long, Seq[Long]] =
+            ed.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+              .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          val nodes = adj.keySet.toSeq.sorted
+          nodes.map { s0 =>
+            val dist = scala.collection.mutable.Map(s0 -> 0L)
+            var frontier = Seq(s0)
+            (1 to 8).foreach { h => // cap = the doubling construction's horizon
+              frontier = frontier
+                .flatMap(n => adj.getOrElse(n, Seq.empty))
+                .distinct.filterNot(n => dist.contains(n))
+              frontier.foreach(dist(_) = h.toLong)
+            }
+            val rs = dist.view.filterKeys(_ != s0).values.toSeq
+            (s0, rs.size.toLong, rs.map(1000000L / _).sum)
+          }.toDF("node", "n_reached", "harmonic_micro")
+        case None =>
+          val e0 = ed0 // boundedRows left it persisted on the None path
+          val d1 = e0.select($"a".as("u"), $"b".as("v"), lit(1L).as("dd"))
+            .unionAll(e0.select($"b".as("u"), $"a".as("v"), lit(1L).as("dd")))
+            .persist()
+          def double(dk: org.apache.spark.sql.DataFrame) = {
+            val mp = dk.select($"u", $"v".as("w"), $"dd".as("d1"))
+              .join(dk.select($"u".as("w"), $"v", $"dd".as("d2")), "w")
+              .filter($"u" =!= $"v")
+              .select($"u", $"v", ($"d1" + $"d2").as("dd"))
+            dk.select($"u", $"v", $"dd").unionAll(mp)
+              .groupBy($"u", $"v").agg(min($"dd").as("dd")).persist()
+          }
+          val d8 = double(double(double(d1)))
+          d8.groupBy($"u".as("node"))
+            .agg(count(lit(1)).as("n_reached"),
+              expr("sum(1000000 div dd)").as("harmonic_micro"))
+      }
+    }, Some(AnalyticsQueries.closenessOracleSql)),
   )
 
   /** q323's oracle, parameterized by the scale-adaptive node count. */
@@ -5190,6 +5250,40 @@ object AnalyticsQueries extends QueryModule {
     * convention; no runtime ln() in the constant path). */
   private[operators] val expQMicro: Seq[Long] = (1 to 9).map(k =>
     math.floor(-math.log(1.0 - k / 10.0) * 1e6).toLong)
+
+  /** q355's min-plus doubling oracle: three unrolled doublings bound
+    * every reported distance by 8 hops — the HORIZON IS THE CONSTRUCTION
+    * (1 → 2 → 4 → 8), not a filter, so both engines agree exactly. */
+  private[operators] def closenessOracleSql: String = s"""
+      WITH ed AS (
+        SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM (
+          SELECT
+            (${DedupQueries.hvDuckOf("'a' || CAST(doc_id AS VARCHAR)")}) % 64
+              AS x,
+            (${DedupQueries.hvDuckOf("'b' || CAST(doc_id AS VARCHAR)")}) % 64
+              AS y
+          FROM documents)
+        WHERE x <> y),
+      d1 AS (SELECT a AS u, b AS v, 1 AS d FROM ed
+             UNION ALL SELECT b, a, 1 FROM ed),
+      d2 AS (SELECT u, v, min(d) AS d FROM (
+               SELECT u, v, d FROM d1
+               UNION ALL
+               SELECT p.u, q.v, p.d + q.d FROM d1 p JOIN d1 q ON p.v = q.u
+               WHERE p.u <> q.v) GROUP BY 1, 2),
+      d4 AS (SELECT u, v, min(d) AS d FROM (
+               SELECT u, v, d FROM d2
+               UNION ALL
+               SELECT p.u, q.v, p.d + q.d FROM d2 p JOIN d2 q ON p.v = q.u
+               WHERE p.u <> q.v) GROUP BY 1, 2),
+      d8 AS (SELECT u, v, min(d) AS d FROM (
+               SELECT u, v, d FROM d4
+               UNION ALL
+               SELECT p.u, q.v, p.d + q.d FROM d4 p JOIN d4 q ON p.v = q.u
+               WHERE p.u <> q.v) GROUP BY 1, 2)
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS n_reached,
+        CAST(sum(1000000 // d) AS BIGINT) AS harmonic_micro
+      FROM d8 GROUP BY 1"""
 
   /** q352's support threshold from the live corpus count: expected
     * support on the fixed 128-node registry graph is ~(1-e^(-n/8128))^2

@@ -31,7 +31,8 @@ class GraphTwoPathSpec extends AnyFunSuite {
     "q287_weighted_sssp",
     "q295_power_iteration",
     "q322_modularity",
-    "q352_ktruss")
+    "q352_ktruss",
+    "q355_harmonic_closeness")
 
   /** Run the query with the driver-rows cap forced, restoring after. */
   private def withMaxDriverRows[T](n: Long)(f: => T): T = {
