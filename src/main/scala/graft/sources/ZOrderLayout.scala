@@ -68,4 +68,52 @@ object ZOrderLayout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** DETERMINISTIC variant of [[writeZOrdered]]: identical byte layout
+    * on every run over the same data.
+    *
+    * `repartitionByRange` draws its boundaries from RangePartitioner's
+    * reservoir sketch, whose per-partition seed mixes in `rdd.id` — a
+    * GLOBAL SparkContext counter, so the boundaries (and therefore each
+    * file's min/max envelope) depend on how many RDDs the context
+    * created before this write. Fine for throughput layouts; wrong for
+    * a layout AUDIT (ZOrderSpec flaked ~1-in-15 full-suite runs on
+    * exactly this: green isolated, boundary jitter under concurrent
+    * suites). Here the boundaries come from a deterministic
+    * Greenwald-Khanna quantile pass (no sampling seed anywhere), and
+    * rows are routed by an EXPLICIT bucket->file partitioner, so the
+    * written envelopes are a pure function of the data.
+    *
+    * Cost/scale: one extra aggregation pass for the quantiles (the
+    * boundary list is `files - 1` scalars on the driver — model-sized)
+    * plus one RDD round-trip for the exact partitioner. Use the sampled
+    * variant for routine 100 TB re-clustering; use this one when the
+    * output layout must be reproducible (audits, golden files, tests).
+    */
+  def writeZOrderedExact(df: DataFrame, path: String, z: Column,
+                         files: Int): Unit = {
+    require(files > 1)
+    val spark = df.sparkSession
+    val withZ = df.withColumn("__z", z.cast("long"))
+    val probs = (1 until files).map(_.toDouble / files).toArray
+    val bounds = withZ.stat.approxQuantile("__z", probs, 1e-4)
+      .map(_.toLong)
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__z") > lit(b), 1).otherwise(0)
+    }
+    val bucketed = withZ.withColumn("__b", bucket)
+    val schema = bucketed.schema
+    val bIdx = schema.fieldIndex("__b")
+    val parted = bucketed.rdd
+      .map(r => (r.getInt(bIdx), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = files
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+    spark.createDataFrame(parted, schema)
+      .sortWithinPartitions(col("__z"))
+      .drop("__z", "__b")
+      .write.mode("overwrite").parquet(path)
+  }
 }

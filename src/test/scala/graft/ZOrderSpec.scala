@@ -109,10 +109,14 @@ class ZOrderSpec extends AnyFunSuite {
     // unique dirs per run: a fixed path invites cross-run leftovers
     val zDir = java.nio.file.Files.createTempDirectory("zorder_li_").toString
     val linDir = java.nio.file.Files.createTempDirectory("linear_li_").toString
-    ZOrderLayout.writeZOrdered(li, zDir, z, files = 8)
-    li.repartitionByRange(8, $"l_orderkey")
-      .sortWithinPartitions($"l_orderkey")
-      .write.mode("overwrite").parquet(linDir)
+    // EXACT writer on both sides: repartitionByRange's boundaries come
+    // from a sketch seeded by rdd.id (global context counter), so file
+    // envelopes jitter with suite-execution history — the residual
+    // source of this suite's rare full-suite-only flake (r10, recurred
+    // once in r12). The GK-quantile + explicit-partitioner variant is a
+    // pure function of the data.
+    ZOrderLayout.writeZOrderedExact(li, zDir, z, files = 8)
+    ZOrderLayout.writeZOrderedExact(li, linDir, $"l_orderkey", files = 8)
 
     // middle 1/8 band on each dimension
     def band(lo: Long, hi: Long): (Long, Long) = {
