@@ -245,7 +245,11 @@ object MultimodalQueries extends QueryModule {
     // The row a storage planner reads before deciding per-modality
     // tiering / compression policy. Payload + declared-format tagging
     // follow q231's conventions. Exactness: byte counts and one ppm
-    // floor division per cell — all integer. Scale: row-local byte
+    // floor division per cell — all integer, with the ppm
+    // cross-multiply done in DECIMAL(38,0) (q348's convention):
+    // BIGINT total_bytes * 1e6 would wrap silently once a source's
+    // payload mass exceeds ~9.2 TB — inside the 100 TB operating
+    // tier — while DuckDB's HUGEINT sum stays exact. Scale: row-local byte
     // length, ONE map-side-combined (source, fmt) agg; the source-total
     // share rides a window over the REGISTRY-SIZED agg grid (sources x
     // 4 formats — bounded at any corpus size), never over payload rows.
@@ -272,7 +276,8 @@ object MultimodalQueries extends QueryModule {
       cells
         .withColumn("__src_total", sum($"total_bytes").over(wS))
         .withColumn("src_share_ppm",
-          expr("(total_bytes * 1000000) div __src_total"))
+          expr("cast((cast(total_bytes as decimal(38,0)) * 1000000)" +
+            " div __src_total as bigint)"))
         .drop("__src_total")
     }, Some("""
       WITH p AS (
@@ -292,7 +297,7 @@ object MultimodalQueries extends QueryModule {
       SELECT source, fmt, CAST(n_payloads AS BIGINT) AS n_payloads,
         CAST(total_bytes AS BIGINT) AS total_bytes,
         CAST(avg_bytes AS BIGINT) AS avg_bytes,
-        CAST(total_bytes * 1000000 //
+        CAST(CAST(total_bytes AS DECIMAL(38,0)) * 1000000 //
           sum(total_bytes) OVER (PARTITION BY source) AS BIGINT)
           AS src_share_ppm
       FROM cells"""))

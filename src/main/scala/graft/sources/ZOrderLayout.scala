@@ -70,7 +70,16 @@ object ZOrderLayout {
       .write.mode("overwrite").parquet(path)
 
   /** DETERMINISTIC variant of [[writeZOrdered]]: identical byte layout
-    * on every run over the same data.
+    * on every run over the same data — AT AUDIT/TEST SCALE. The
+    * boundaries come from `approxQuantile`, whose Greenwald-Khanna
+    * per-partition summaries merge in task-completion order; while the
+    * summaries stay uncompressed (inputs small enough that no GK
+    * compression triggers — the audit/golden-file sizes this writer
+    * exists for) the merged result is order-insensitive and the layout
+    * is a pure function of the data. On inputs large enough to compress
+    * the sketch, boundaries can vary by merge order; use
+    * [[writeZOrdered]] there — jitter is acceptable on the routine
+    * throughput path.
     *
     * `repartitionByRange` draws its boundaries from RangePartitioner's
     * reservoir sketch, whose per-partition seed mixes in `rdd.id` — a

@@ -34,22 +34,25 @@ class GraphTwoPathSpec extends AnyFunSuite {
     "q352_ktruss",
     "q355_harmonic_closeness")
 
-  /** Run the query with the driver-rows cap forced, restoring after. */
-  private def withMaxDriverRows[T](n: Long)(f: => T): T = {
-    val key = "spark.graft.graph.maxDriverRows"
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.unset(key)
-  }
-
   /** Canonical sorted row-string dump — schema-order columns, null-safe. */
-  private def dump(name: String): Seq[String] =
-    SparkEntry.queries(name)(spark, sf)
+  private def dump(s: org.apache.spark.sql.SparkSession,
+                   name: String): Seq[String] =
+    SparkEntry.queries(name)(s, sf)
       .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
 
+  /** The BSP arm runs in a CHILD SESSION with the driver-rows cap set
+    * session-locally: `CorpusOps.boundedRows` reads
+    * `df.sparkSession.conf`, so a newSession() conf is fully isolated.
+    * Mutating the cap on the SHARED SparkTestSession (the round-12
+    * form) could route a concurrently-running suite's graph query down
+    * the BSP arm mid-test — exactly the cross-suite interference class
+    * the ZOrder flake analysis documented (round-12 ADVICE). */
   converted.foreach { name =>
     test(s"$name: driver-local and distributed BSP branches agree") {
-      val driver = dump(name)              // default cap 1e6 → Some branch
-      val bsp = withMaxDriverRows(0)(dump(name)) // cap 0 → None/BSP branch
+      val driver = dump(spark, name)       // default cap 1e6 → Some branch
+      val bspSession = spark.newSession()
+      bspSession.conf.set("spark.graft.graph.maxDriverRows", "0")
+      val bsp = dump(bspSession, name)     // cap 0 → None/BSP branch
       assert(driver.nonEmpty, s"$name produced no rows on the driver path")
       assert(bsp == driver,
         s"$name: BSP branch diverged from driver branch\n" +
