@@ -1387,8 +1387,68 @@ object TextQueries extends QueryModule {
         CAST(count(*) AS BIGINT) AS n_and,
         CAST((sum(ph) * 1000000) // count(*) AS BIGINT)
           AS phrase_share_ppm
-      FROM j GROUP BY 1, 2"""))
+      FROM j GROUP BY 1, 2""")),
+
+    // BPE merge-table induction (the canonical iterative LLM-pipeline
+    // text operator: learn the first 8 merge rules from the corpus —
+    // tokenizer TRAINING, where q147/q79 only apply or size a fixed
+    // tokenization). Semantics, the two-path design, and the
+    // double-space replace encoding that makes Spark, the driver loop,
+    // and DuckDB replay IDENTICAL greedy merges (including tie-breaks)
+    // are pinned on [[BpeOps.bpeMergeTable]]. k is FIXED at 8 so the
+    // oracle is expressible as 8 unrolled (MATERIALIZED — the chain is
+    // referenced twice per round, inlining would recompute
+    // exponentially) CTE rounds. Exactness: pure integer pair counts,
+    // total-order argmax. Scale: corpus collapses to the Heaps-bounded
+    // word-frequency table in ONE map-side-combined agg; every round
+    // after that touches vocabulary rows only.
+    Q("q356_bpe_merges", (s, d) => {
+      import s.implicits._
+      val words = t(s, d, "documents")
+        .select(explode(
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      BpeOps.bpeMergeTable(words, 8)
+    }, Some(bpeOracleSql(8)))
   )
+
+  /** DuckDB twin of [[BpeOps.bpeMergeTable]]: k unrolled rounds of
+    * pair-count -> argmax -> double-space-encoded greedy replace.
+    * MATERIALIZED is load-bearing: w{i} and p{i+1} both reference w{i-1}
+    * (and each w{i} reads m{i} twice), so DuckDB's default CTE inlining
+    * re-evaluates the whole chain ~4^k times (measured: >120 s at k=8
+    * on sf0.01; materialized: milliseconds). */
+  private[operators] def bpeOracleSql(k: Int): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS s, cnt
+        |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM (SELECT unnest(regexp_extract_all(lower(text),
+        |                '[a-z]+')) AS word FROM documents) u
+        |        GROUP BY 1) wc)""".stripMargin
+    val rounds = (1 to k).flatMap { i =>
+      val pm = Seq(
+        s"""p$i AS MATERIALIZED (
+           |  SELECT l[i] AS lft, l[i + 1] AS rgt, sum(cnt) AS c
+           |  FROM (SELECT l, cnt, unnest(generate_series(1, len(l) - 1)) AS i
+           |        FROM (SELECT string_split(trim(s), '  ') AS l, cnt
+           |              FROM w${i - 1}) q0) q1
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""m$i AS MATERIALIZED (
+           |  SELECT CAST($i AS BIGINT) AS round, lft, rgt, c FROM p$i
+           |  ORDER BY c DESC, lft ASC, rgt ASC LIMIT 1)""".stripMargin)
+      if (i == k) pm else pm :+
+        s"""w$i AS MATERIALIZED (
+           |  SELECT replace(s,
+           |    (SELECT ' ' || lft || '  ' || rgt || ' ' FROM m$i),
+           |    (SELECT ' ' || lft || rgt || ' ' FROM m$i)) AS s, cnt
+           |  FROM w${i - 1})""".stripMargin
+    }
+    val union = (1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    s"WITH ${(w0 +: rounds).mkString(",\n")}\n" +
+      "SELECT round, lft, rgt, lft || rgt AS merged," +
+      s" CAST(c AS BIGINT) AS pair_count FROM ($union) m"
+  }
 
   /** The 10 nDCG position discounts floor(1e6 / log2(i + 1)),
     * i = 1..10, precomputed once so both engines consume identical

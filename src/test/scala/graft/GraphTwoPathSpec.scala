@@ -32,7 +32,8 @@ class GraphTwoPathSpec extends AnyFunSuite {
     "q295_power_iteration",
     "q322_modularity",
     "q352_ktruss",
-    "q355_harmonic_closeness")
+    "q355_harmonic_closeness",
+    "q356_bpe_merges")
 
   /** Canonical sorted row-string dump — schema-order columns, null-safe. */
   private def dump(s: org.apache.spark.sql.SparkSession,
