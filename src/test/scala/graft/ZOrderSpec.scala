@@ -143,4 +143,44 @@ class ZOrderSpec extends AnyFunSuite {
     // and the balanced layout beats the linear one on the non-sort dim
     assert(zPk < linPk)
   }
+
+  test("SAMPLED z-order writer (the routine 100 TB path) also skips " +
+    "on both dimensions, within documented boundary-jitter tolerance") {
+    import spark.implicits._
+    val li = Tables.t(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    val (okLo, okHi, pkLo, pkHi) = {
+      val r = li.agg(
+        org.apache.spark.sql.functions.min($"l_orderkey"),
+        org.apache.spark.sql.functions.max($"l_orderkey"),
+        org.apache.spark.sql.functions.min($"l_partkey"),
+        org.apache.spark.sql.functions.max($"l_partkey")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val z = ZOrderLayout.zvalue(
+      ZOrderLayout.minMaxQuantize($"l_orderkey", okLo, okHi, 16),
+      ZOrderLayout.minMaxQuantize($"l_partkey", pkLo, pkHi, 16))
+    val zDir = java.nio.file.Files.createTempDirectory("zorder_smp_").toString
+    // writeZOrdered = repartitionByRange: boundaries come from a
+    // reservoir sketch seeded by rdd.id, so envelopes JITTER run to run
+    // (ZOrderLayout doc; the r10/r12 flake). The exact-writer test above
+    // pins the tight envelope; THIS test asserts the production path's
+    // skipping PROPERTY with tolerance wide enough for that jitter:
+    // a middle-1/8 band on either dimension must never need every file
+    // (theory ~4 of 8; jitter has only ever moved boundaries by one
+    // file's width, so <= 6 leaves two files of slack on each side).
+    ZOrderLayout.writeZOrdered(li, zDir, z, files = 8)
+    def band(lo: Long, hi: Long): (Long, Long) = {
+      val w = hi - lo + 1
+      (lo + w * 3 / 8, lo + w * 4 / 8 - 1)
+    }
+    val (obLo, obHi) = band(okLo, okHi)
+    val (pbLo, pbHi) = band(pkLo, pkHi)
+    val zOk = overlapping(fileRanges(zDir, "l_orderkey"), obLo, obHi)
+    val zPk = overlapping(fileRanges(zDir, "l_partkey"), pbLo, pbHi)
+    assert(zOk >= 1 && zOk <= 6,
+      s"sampled z-order orderkey band hit $zOk of 8 files (skip >= 2 expected)")
+    assert(zPk >= 1 && zPk <= 6,
+      s"sampled z-order partkey band hit $zPk of 8 files (skip >= 2 expected)")
+  }
 }
