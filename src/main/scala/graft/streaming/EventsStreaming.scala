@@ -80,6 +80,52 @@ object EventsStreaming {
       .withWatermark("ingest_ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming NEAR-duplicate gate — the streaming analog of q36's
+    * banded MinHash LSH, extending [[curateDocs]]'s exact-fingerprint
+    * dedup to near-dups. Each doc's k-MinHash signature (row-local HOF
+    * form, [[graft.operators.DedupOps.minhashSignature]] — the IDENTICAL
+    * hash family the batch q36/q222 pipeline uses, so batch and stream
+    * agree on what "near" means) is split into `bands` keys; the doc is
+    * admitted only if EVERY band key is first-seen inside the watermark
+    * horizon — any shared band is an LSH candidate and the doc is held.
+    *
+    * State model: `dropDuplicatesWithinWatermark` on (band_id,
+    * band_hash) — band keys are unbounded-cardinality, so dedup state
+    * MUST be watermark-evicted (the [[curateDocs]] argument, ×bands).
+    * Doc reassembly is a windowed count keeping docs whose `bands` rows
+    * ALL survived — a second stateful operator, append-emitted when the
+    * watermark passes the window (Spark's documented multi-stateful
+    * pipeline; results for a window arrive once it closes).
+    *
+    * LSH chaining property (documented, deliberate): a doc held as a
+    * near-dup still REGISTERS its unshared bands, so a later doc
+    * overlapping only those is also held — transitive first-copy-wins
+    * clustering, the streaming approximation of the batch q53
+    * connected-components closure. Cross-horizon near-dups are the
+    * batch pass's job, exactly as with exact dups.
+    */
+  def nearDedupDocs(docs: DataFrame, k: Int = 16,
+                    bands: Int = 4, rows: Int = 4): DataFrame = {
+    require(bands * rows == k, "bands * rows must equal signature length")
+    val sig = graft.operators.DedupOps.minhashSignature(
+      graft.operators.TextOps.shingleSet(col("text")), k)
+    docs
+      .withColumn("sig", sig)
+      .select(col("doc_id"), col("ingest_ts"), col("text"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band_id"), col("sig"))
+      .withColumn("band_hash", concat_ws(",", expr(
+        s"transform(slice(sig, band_id * $rows + 1, $rows)," +
+          " x -> cast(x AS string))")))
+      .drop("sig")
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("band_id", "band_hash")
+      .groupBy(window(col("ingest_ts"), "1 hour"),
+        col("doc_id"), col("text"))
+      .agg(count(lit(1)).as("bands_new"))
+      .filter(col("bands_new") === bands)
+      .select(col("doc_id"), col("text"))
+  }
+
   /** Stream-static enrichment join: the unbounded stream joins a bounded
     * dimension table, broadcast per micro-batch (dimensions are tiny
     * next to a 100 TB/day stream, and broadcasting keeps the stream side

@@ -140,6 +140,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming NEAR-dedup holds a cross-batch MinHash-band collision " +
+    "within the watermark, admits genuinely new content") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the river bank where a crowd of small animals gathers to watch " +
+      "the evening show unfold under a warm summer sky"
+    // near-dup: ONE word changed mid-text — most 3-shingles survive;
+    // with this fixed deterministic hash family this specific edit
+    // keeps 3 of the 4 band keys identical (empirically probed — a
+    // different edit can flip all 4 bands and legitimately escape LSH)
+    val near = base.replace("brown", "brownx")
+    val fresh = "completely different content about database engines " +
+      "partitioning shuffles and the optimizer choosing a broadcast " +
+      "join over a sort merge join for a small dimension table"
+    val input = MemoryStream[EventsStreaming.Doc]
+    val q = EventsStreaming.nearDedupDocs(input.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("neardedup").start()
+    try {
+      input.addData(EventsStreaming.Doc(1, ts("2024-01-01 10:00:00"), base))
+      q.processAllAvailable()
+      // SEPARATE micro-batches: the near-dup and the fresh doc arrive
+      // after doc 1's bands are already in state
+      input.addData(EventsStreaming.Doc(2, ts("2024-01-01 10:05:00"), near))
+      q.processAllAvailable()
+      input.addData(EventsStreaming.Doc(3, ts("2024-01-01 10:06:00"), fresh))
+      q.processAllAvailable()
+      // advance the watermark past the 10:00-11:00 window so the
+      // append-mode reassembly aggregation emits it
+      input.addData(EventsStreaming.Doc(9, ts("2024-01-01 12:30:00"), fresh))
+      q.processAllAvailable()
+      val ids = spark.table("neardedup")
+        .select($"doc_id").as[Long].collect().toSeq.sorted
+      // 1 admitted (first copy); 2 held (shares >=1 band with 1);
+      // 3 admitted (no shared bands); 9's window hasn't closed
+      assert(ids == Seq(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("foreachBatch merges streaming aggregates into the keyed-JSON sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
