@@ -204,6 +204,36 @@ object Bench {
       }
       (iowait, bytes, nFiles)
     }
+    // Per-query executor resource accounting (round-13): total shuffle
+    // write/read bytes, scan input bytes, and disk spill summed over all
+    // tasks a query's reps ran — the SCALE signal the wall-clock median
+    // can't give. A query whose time grows 3x at 10x data while its
+    // shuffle bytes grow 30x is a latent 100 TB hazard that a warm window
+    // absorbs; comparing these counters across SF artifacts turns the
+    // linearity claim per query into data (tools/scale_report.py reads
+    // them when both artifacts carry metrics). Counters are snapshotted
+    // around a query's reps and the delta is divided by reps; the
+    // listener bus is async, so the post-query gc+settle gap doubles as
+    // the event drain — per-query attribution is ~exact at the MB grain
+    // reported (residual cross-query drift lands in the next query's
+    // scan noise, never in totals).
+    val mShufW = new java.util.concurrent.atomic.AtomicLong
+    val mShufR = new java.util.concurrent.atomic.AtomicLong
+    val mInput = new java.util.concurrent.atomic.AtomicLong
+    val mSpill = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            mShufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            mShufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            mInput.addAndGet(m.inputMetrics.bytesRead)
+            mSpill.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val probes = scala.collection.mutable.ListBuffer[Double](probeOnce())
     // name -> pre-rendered adjudication JSON object
@@ -235,6 +265,8 @@ object Bench {
       dt
     }
     val results = names.zipWithIndex.map { case (name, i) =>
+      val (w0, r0, in0, sp0) =
+        (mShufW.get, mShufR.get, mInput.get, mSpill.get)
       // `times` preserves TEMPORAL order (rep 1 first): the round-10
       // artifact sorted reps ascending, which made a monotone-rising rep
       // curve indistinguishable from one-rep variance. Median is taken
@@ -252,6 +284,12 @@ object Bench {
       }
       System.gc()
       Thread.sleep(settleMs)
+      // metrics delta AFTER the settle gap (listener-bus drain) and
+      // BEFORE any probe/adjudication traffic lands in the counters;
+      // per-rep average so artifacts at different rep counts compare.
+      val qMetrics = (
+        (mShufW.get - w0) / reps, (mShufR.get - r0) / reps,
+        (mInput.get - in0) / reps, (mSpill.get - sp0) / reps)
       if ((i + 1) % 5 == 0) probes += probeOnce()
       val med = times.sorted.apply(times.length / 2)
       // 3x-canonical trigger: straddle the elevated query with all three
@@ -282,7 +320,7 @@ object Bench {
       System.err.println(
         f"[bench] $name $med%.3f s (${times.mkString(", ")})")
       diagLine(s"after[${i + 1}] $name")
-      (name, med, times)
+      (name, med, times, qMetrics)
     }
     probes += probeOnce()
     val codegenEnd = codegenProbeOnce()
@@ -290,9 +328,11 @@ object Bench {
     // med + temporal reps per query ("schema":2 — round-11 ADVICE: the
     // bare rep-array shape silently broke {name: number} consumers; the
     // median is now carried alongside so both readings survive).
-    val qs = results.map { case (k, med, ts) =>
+    val qs = results.map { case (k, med, ts, (sw, sr, ib, sp)) =>
       "\"" + k + "\":{\"med\":" + f"$med%.3f" + ",\"reps\":" +
-        ts.map(t => f"$t%.3f").mkString("[", ",", "]") + "}"
+        ts.map(t => f"$t%.3f").mkString("[", ",", "]") +
+        f""","shw_mb":${sw / 1e6}%.1f,"shr_mb":${sr / 1e6}%.1f""" +
+        f""","in_mb":${ib / 1e6}%.1f,"spill_mb":${sp / 1e6}%.1f}"""
     }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
     val pSorted = probes.toSeq.sorted
@@ -322,9 +362,10 @@ object Bench {
     // adjudication + jvm blocks ride along — they ARE the attribution
     // evidence the last two rounds lacked. Full map in the file.
     val slow = results.sortBy(-_._2).take(25)
-      .map { case (k, med, ts) =>
+      .map { case (k, med, ts, (sw, _, _, sp)) =>
         "\"" + k + "\":{\"med\":" + f"$med%.2f" + ",\"reps\":" +
-          ts.map(t => f"$t%.2f").mkString("[", ",", "]") + "}"
+          ts.map(t => f"$t%.2f").mkString("[", ",", "]") +
+          f""","shw_mb":${sw / 1e6}%.1f,"spill_mb":${sp / 1e6}%.1f}"""
       }.mkString("{", ",", "}")
     val pMed = f"${pSorted(pSorted.length / 2)}%.3f"
     val pMax = f"${pSorted.last}%.3f"

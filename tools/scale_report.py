@@ -40,3 +40,26 @@ for sf, med, c, name in known[:25]:
 nocanon = [r for r in rows if r[0] != r[0]]
 if nocanon:
     print(f"\nno canon ({len(nocanon)}): " + ", ".join(r[3] for r in nocanon))
+
+# Shuffle-growth accounting (round 13): when a BASE artifact with
+# per-query metrics is supplied (4th arg, e.g. a metrics-bearing sf0.1
+# window), compare shuffle-write bytes at the two SFs. Wall-clock can
+# hide super-linear data movement inside a warm window; bytes cannot.
+if len(sys.argv) > 4:
+    base = json.load(open(sys.argv[4]))["queries"]
+    grow = []
+    for name, rec in qs.items():
+        b = base.get(name)
+        if not (isinstance(rec, dict) and isinstance(b, dict)):
+            continue
+        hi, lo = rec.get("shw_mb"), b.get("shw_mb")
+        if hi is None or lo is None or lo < 0.5:  # sub-MB base = noise
+            continue
+        grow.append((hi / lo, lo, hi, name))
+    grow.sort(reverse=True)
+    over = [g for g in grow if g[0] > 15.0]  # 10x data: >15x bytes flagged
+    print(f"\nshuffle-write growth (n={len(grow)} with >=0.5MB base): "
+          f"median {statistics.median([g[0] for g in grow]):.1f}x; "
+          f"{len(over)} over 15x")
+    for g, lo, hi, name in grow[:20]:
+        print(f"  {g:6.1f}x  {lo:8.1f}MB -> {hi:9.1f}MB  {name}")
