@@ -145,7 +145,12 @@ object Bench {
     // (e.g. SPARK_GRAFT_BENCH_ONLY=q81,q83); empty = full catalog
     val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "").split(",")
       .map(_.trim).filter(_.nonEmpty)
-    val names = SparkEntry.benchQueries
+    // focused-subset support (comma-separated names): single-query A/B
+    // with the FULL artifact instrumentation (metrics, probes, canon
+    // adjudication) that BenchOne's bare timing loop lacks.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(SparkEntry.benchQueries)
       .filter(n => only.isEmpty || only.exists(n.contains))
     // per-query JVM diagnostics to stderr (codecache/metaspace/GC/local
     // dir growth) — DEFAULT ON since round 12 (stderr is free; the two
@@ -265,6 +270,11 @@ object Bench {
       dt
     }
     val results = names.zipWithIndex.map { case (name, i) =>
+      // deterministic bus drain at BOTH snapshot points: without it a fast
+      // query's task-end events linger in the async listener queue and its
+      // bytes land in the next slow query's delta (first window: q01 read
+      // 0.0 MB, q36 absorbed ~3 queries' backlog).
+      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
       val (w0, r0, in0, sp0) =
         (mShufW.get, mShufR.get, mInput.get, mSpill.get)
       // `times` preserves TEMPORAL order (rep 1 first): the round-10
@@ -284,9 +294,10 @@ object Bench {
       }
       System.gc()
       Thread.sleep(settleMs)
-      // metrics delta AFTER the settle gap (listener-bus drain) and
-      // BEFORE any probe/adjudication traffic lands in the counters;
-      // per-rep average so artifacts at different rep counts compare.
+      // metrics delta AFTER an explicit bus drain and BEFORE any
+      // probe/adjudication traffic lands in the counters; per-rep
+      // average so artifacts at different rep counts compare.
+      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
       val qMetrics = (
         (mShufW.get - w0) / reps, (mShufR.get - r0) / reps,
         (mInput.get - in0) / reps, (mSpill.get - sp0) / reps)

@@ -44,6 +44,11 @@ object DedupOps {
     // (round-10: q149's 3-hash probe over 600k lineitem rows)
     s"cast(conv(substr($hexVar, 1, 8), 16, 10) as bigint)"
 
+  /** 60-bit widening of the positional-md5 value (15 hex chars — see
+    * [[simhash60FromTokenRows]] for why 60 and not 64). */
+  private[operators] def hv60Sql(tokenVar: String): String =
+    s"cast(conv(substr(md5($tokenVar), 1, 15), 16, 10) as bigint)"
+
   /** Append k salted positional-md5 bucket columns `b0..b{k-1}` =
     * `hv32(md5(col || ':' || j)) % mod` — the ONE definition of the
     * hash-position family shared by the Bloom filter (q81) and
@@ -77,17 +82,37 @@ object DedupOps {
     * functions are interpreted per element) — this is both the local-bench
     * and the 100 TB shape. Docs with zero tokens produce no output row. */
   def simhash32FromTokenRows(tokenRows: DataFrame, idCol: String,
-                             tokCol: String, out: String): DataFrame = {
-    val withHv = tokenRows.withColumn("__hv", expr(hv32Sql(tokCol)))
-    val bitSums = (0 until 32).map(i =>
+                             tokCol: String, out: String): DataFrame =
+    simhashFromTokenRows(tokenRows, idCol, tokCol, out, 32, hv32Sql(tokCol))
+
+  /** 60-bit SimHash — the band-saturation fix for the wide-hamming pair
+    * family. Pigeonhole banding gives a hamming≤3 join maxHamming+1 = 4
+    * bands; on a 32-bit signature that is 8-bit bands with only 256
+    * possible values, so band-bucket occupancy — and candidate pairs,
+    * QUADRATICALLY — grows with corpus size once n >> 4·256 (the sf1
+    * byte accounting measured q296's candidate shuffle at 124× for 10×
+    * data: textbook saturation). 60 bits = 15 md5 hex chars, the widest
+    * prefix exact in SIGNED 64-bit arithmetic in every engine (DuckDB
+    * BIGINT refuses to wrap, so the full digest is out); 15-bit bands
+    * give 32768 values each — occupancy stays ~1 to ~10⁷ docs, and past
+    * that the same construction widens again (holdout: 124-bit/31-bit
+    * bands via two BIGINT lanes) rather than changing shape. */
+  def simhash60FromTokenRows(tokenRows: DataFrame, idCol: String,
+                             tokCol: String, out: String): DataFrame =
+    simhashFromTokenRows(tokenRows, idCol, tokCol, out, 60, hv60Sql(tokCol))
+
+  private def simhashFromTokenRows(tokenRows: DataFrame, idCol: String,
+      tokCol: String, out: String, bits: Int, hvSql: String): DataFrame = {
+    val withHv = tokenRows.withColumn("__hv", expr(hvSql))
+    val bitSums = (0 until bits).map(i =>
       sum(expr(s"if((shiftright(__hv, $i) & 1L) = 1L, 1L, -1L)")).as(s"__b$i"))
     withHv.groupBy(col(idCol))
       .agg(bitSums.head, bitSums.tail: _*)
       .withColumn(out,
-        (0 until 32).map(i =>
+        (0 until bits).map(i =>
           when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _))
-      .drop((0 until 32).map("__b" + _): _*)
+      .drop((0 until bits).map("__b" + _): _*)
   }
 
   /** All pairs within hamming distance `maxHamming` of their SimHash.

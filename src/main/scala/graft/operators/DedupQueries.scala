@@ -36,6 +36,36 @@ object DedupQueries extends QueryModule {
       s"(instr('0123456789abcdef', substr(md5($v), $p, 1)) - 1) * $coef"
     }.mkString(" + ")
 
+  /** 60-bit twin of [[hvDuckOf]] over a PRE-COMPUTED md5 hex var (15
+    * positional terms; 16^14 = 2^56, every coefficient and the sum stay
+    * exact in BIGINT). The digest is materialized ONCE in a CTE before
+    * this parses it — 15 inline `md5(t)` repeats would be 15 digests per
+    * token in DuckDB (no CSE across the chain). */
+  private[operators] def hvDuck60OfHex(m: String): String =
+    (1 to 15).map { p =>
+      val coef = math.pow(16, 15 - p).toLong
+      s"(instr('0123456789abcdef', substr($m, $p, 1)) - 1) * $coef"
+    }.mkString(" + ")
+
+  /** 60-bit SimHash in DuckDB SQL — twin of
+    * [[DedupOps.simhash60FromTokenRows]] (the band-saturation fix; see
+    * that Scaladoc for the 60-vs-64 arithmetic argument). */
+  private[operators] def simhash60DuckSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |  FROM documents),
+       |hm AS (SELECT doc_id, md5(t) AS m FROM tok),
+       |h AS (SELECT doc_id, ${hvDuck60OfHex("m")} AS hv FROM hm),
+       |bits AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN 1 ELSE 0 END AS b
+       |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS i) ii
+       |  GROUP BY doc_id, i)
+       |SELECT doc_id,
+       |  CAST(sum(b * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id""".stripMargin
+
   /** Engine-independent SimHash in DuckDB SQL (explode + group-by form of
     * the row-local Spark computation). Shared with [[CorpusQueries]]'s
     * cluster-resolution oracle so both replay the identical signature. */
@@ -1121,11 +1151,15 @@ object DedupQueries extends QueryModule {
       import s.implicits._
       val tokRows = t(s, d, "documents")
         .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      // 60-bit signature + 15-bit bands (round 13, with q296/q344):
+      // the 32-bit form's 8-bit band domain saturates with corpus size
+      // — see DedupOps.simhash60FromTokenRows.
       val sigs = DedupOps
-        .simhash32FromTokenRows(tokRows, "doc_id", "tok", "simhash")
+        .simhash60FromTokenRows(tokRows, "doc_id", "tok", "simhash")
         .select($"doc_id", $"simhash")
       val pairs = DedupOps
-        .simhashPairsBanded(sigs, "doc_id", "simhash", maxHamming = 3)
+        .simhashPairsBanded(sigs, "doc_id", "simhash", maxHamming = 3,
+          bits = 60)
         .persist()
       // ONE pass per report column instead of a job per threshold:
       // pairs collapse to a <= 4-row hamming histogram; docs collapse
@@ -1147,7 +1181,7 @@ object DedupQueries extends QueryModule {
           .agg(coalesce(sum($"ndoc"), lit(0L)).as("n_docs_touched")),
           "threshold")
     }, Some(
-      s"""WITH sh AS ($simhashDuckSql),
+      s"""WITH sh AS ($simhash60DuckSql),
          |p AS (
          |  SELECT a.doc_id AS da, b.doc_id AS db,
          |    bit_count(xor(a.simhash, b.simhash)) AS h
@@ -1609,11 +1643,19 @@ object DedupQueries extends QueryModule {
       import s.implicits._
       val tokRows = t(s, d, "documents")
         .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      // 60-bit signature (round 13): at hamming<=3 the 4 pigeonhole
+      // bands of a 32-bit simhash carry 8 bits = 256 values each, so
+      // candidate pairs grow QUADRATICALLY once the corpus outgrows the
+      // band domain — the sf1 byte accounting measured this query's
+      // candidate shuffle at 124x for 10x data (1.0 -> 124.3 MB). The
+      // 15-bit bands (32768 values) restore ~constant bucket occupancy
+      // through ~10^7 docs; see DedupOps.simhash60FromTokenRows.
       val sigs = DedupOps
-        .simhash32FromTokenRows(tokRows, "doc_id", "tok", "simhash")
+        .simhash60FromTokenRows(tokRows, "doc_id", "tok", "simhash")
         .select($"doc_id", $"simhash")
       val pr = DedupOps
-        .simhashPairsBanded(sigs, "doc_id", "simhash", maxHamming = 3)
+        .simhashPairsBanded(sigs, "doc_id", "simhash", maxHamming = 3,
+          bits = 60)
         .select($"doc_a", $"doc_b").persist()
       val adj = pr.select($"doc_a".as("c"), $"doc_b".as("x"))
         .unionAll(pr.select($"doc_b".as("c"), $"doc_a".as("x")))
@@ -1636,7 +1678,7 @@ object DedupQueries extends QueryModule {
             ELSE (coalesce(n_closed, 0) * 1000000) div n_wedges END""")
             .as("closure_ppm"))
     }, Some(
-      s"""WITH sh AS ($simhashDuckSql),
+      s"""WITH sh AS ($simhash60DuckSql),
          |pr AS (
          |  SELECT a.doc_id AS da, b.doc_id AS db
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1791,11 +1833,16 @@ object DedupQueries extends QueryModule {
       import s.implicits._
       val tokRows = t(s, d, "documents")
         .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      // 60-bit signature + 15-bit bands (round 13, with q296/q217):
+      // the 32-bit form's 8-bit band domain saturates with corpus size
+      // and the candidate join goes quadratic — see
+      // DedupOps.simhash60FromTokenRows.
       val sigs = DedupOps
-        .simhash32FromTokenRows(tokRows, "doc_id", "tok", "simhash")
+        .simhash60FromTokenRows(tokRows, "doc_id", "tok", "simhash")
         .select($"doc_id", $"simhash")
       val pr = DedupOps
-        .simhashPairsBanded(sigs, "doc_id", "simhash", maxHamming = 3)
+        .simhashPairsBanded(sigs, "doc_id", "simhash", maxHamming = 3,
+          bits = 60)
         .select($"doc_a", $"doc_b")
       val sh = t(s, d, "documents")
         .select($"doc_id", CorpusOps.hashMix($"doc_id", 8L).as("shard"))
@@ -1808,7 +1855,7 @@ object DedupQueries extends QueryModule {
           expr("""CASE WHEN n_pairs = 0 THEN 0
             ELSE (n_cross * 1000000) div n_pairs END""").as("leakage_ppm"))
     }, Some(
-      s"""WITH sh AS ($simhashDuckSql),
+      s"""WITH sh AS ($simhash60DuckSql),
          |pr AS (
          |  SELECT a.doc_id AS da, b.doc_id AS db
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
