@@ -187,10 +187,25 @@ object ExtensionQueries extends QueryModule {
     // raw per-group error so a trip is diagnosable at a glance.
     Q("q43_approx_distinct", (s, d) => {
       import s.implicits._
-      t(s, d, "lineitem")
-        .groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_partkey").as("approx"),
-             countDistinct($"l_partkey").as("exact_parts"))
+      // The sketch and the exact count run as SEPARATE aggregations
+      // joined on the 3-row group key, NOT one mixed agg: Spark's
+      // mixed distinct+imperative-agg rewrite shuffles one row per
+      // DISTINCT (flag, partkey) with a ~400-byte HLL partial buffer
+      // attached — each buffer holding exactly one value (the group
+      // key it rides). The round-13 byte accounting measured that
+      // first shuffle at 96 MB at sf1 vs 3.8 MB for this split form:
+      // separately, the distinct shuffle is a bare 16-byte key row and
+      // the HLL partials collapse to 3 groups per map partition (KB).
+      val li = t(s, d, "lineitem")
+      val ex = li.groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("exact_parts"))
+      val ap = li.groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx"))
+      // no broadcast() hint: the agg output is value-domain bounded
+      // (distinct flags) but not STATICALLY bounded, so the hint sweep
+      // rejects it — AQE's runtime size adjudication broadcasts the
+      // 3-row side anyway (the q54/q81 convention).
+      ex.join(ap, "l_returnflag")
         .select($"l_returnflag", $"exact_parts",
           (abs($"approx" - $"exact_parts").cast("double")
             / $"exact_parts" <= lit(0.15)).as("within_bound"))
