@@ -1961,5 +1961,90 @@ object CorpusQueries extends QueryModule {
         CAST((sum(seqs) * max(ctx_len) - sum(toks)) * 1000000
              // (sum(seqs) * max(ctx_len)) AS BIGINT) AS padding_ppm
       FROM sw GROUP BY 1""")),
+
+    // DoReMi-style domain-reweighting ROUND (multiplicative-weights
+    // update over per-domain excess loss — the Xie et al. 2023 feedback
+    // step q72's STATIC temperature weights lack): per source, a proxy
+    // loss (OOV-token rate vs the top-256 corpus vocabulary — rare-token
+    // mass tracks LM loss), the corpus-wide reference loss, the positive
+    // excess, one multiplicative bump w' = w0·(1 + excess), a
+    // normalization, and 2% uniform smoothing — the next epoch's
+    // sampling weights. Exactness: every rate and weight is integer ppm
+    // arithmetic; corpus-sized counts go through DECIMAL(38,0) before
+    // the ppm multiply (q353 convention — HUGEINT mirrors it in the
+    // oracle). Scale shape: ONE corpus tokenize+tf pass; the vocabulary
+    // agg is Heaps-bounded and its exact top-K rides globalTopK's
+    // bucketed prefilter (q79 convention); the per-source agg map-side
+    // combines to the 20-row registry; the reference loss and the
+    // normalizer are 1-row broadcast cross joins — no corpus-side work
+    // after the tf shuffle at any scale.
+    Q("q358_doremi_reweight", (s, d) => {
+      import s.implicits._
+      val tf = t(s, d, "documents")
+        .select($"source", explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("tf"))
+        .persist() // consumed by the vocab build AND the per-source agg
+      val vocab = CorpusOps.globalTopK(
+          tf.groupBy($"tok").agg(sum($"tf").as("cnt")),
+          $"tok", k = 256, order = Seq($"cnt".desc, $"tok".asc))
+        .select($"tok", lit(true).as("in_vocab"))
+      val src = tf.join(broadcast(vocab), Seq("tok"), "left_outer")
+        .groupBy($"source")
+        .agg(sum($"tf").cast("long").as("n_tokens"),
+          sum(when($"in_vocab".isNull, $"tf").otherwise(0L)).cast("long")
+            .as("n_oov"))
+      val ref = src.agg(
+        expr("""cast(cast(sum(n_oov) as decimal(38,0)) * 1000000
+          div sum(n_tokens) as bigint)""").as("ref_ppm"),
+        count(lit(1)).as("n_src"))
+      val upd = src.crossJoin(broadcast(ref))
+        .withColumn("loss_ppm",
+          expr("""cast(cast(n_oov as decimal(38,0)) * 1000000
+            div n_tokens as bigint)"""))
+        .withColumn("excess_ppm",
+          greatest($"loss_ppm" - $"ref_ppm", lit(0L)))
+        .withColumn("w_raw", lit(1000000L) + $"excess_ppm")
+      val totw = upd.agg(sum($"w_raw").as("wsum"))
+      upd.crossJoin(broadcast(totw))
+        .withColumn("w_norm_ppm",
+          expr("""cast(cast(w_raw as decimal(38,0)) * 1000000
+            div wsum as bigint)"""))
+        .select($"source", $"n_tokens", $"n_oov", $"loss_ppm",
+          $"excess_ppm",
+          expr("""cast((980000 * w_norm_ppm
+            + 20000 * (1000000 div n_src)) div 1000000 as bigint)""")
+            .as("weight_ppm"))
+    }, Some("""
+      WITH tok AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents),
+      tf AS (SELECT source, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+      vc AS (SELECT tok, sum(tf) AS cnt FROM tf GROUP BY 1),
+      vocab AS (SELECT tok FROM vc
+                QUALIFY row_number() OVER (ORDER BY cnt DESC, tok ASC)
+                  <= 256),
+      src AS (SELECT source, sum(tf) AS n_tokens,
+                sum(CASE WHEN v.tok IS NULL THEN tf ELSE 0 END) AS n_oov
+              FROM tf LEFT JOIN vocab v USING (tok) GROUP BY 1),
+      ref AS (SELECT CAST(CAST(sum(n_oov) AS HUGEINT) * 1000000
+                  // sum(n_tokens) AS BIGINT) AS ref_ppm,
+                count(*) AS n_src
+              FROM src),
+      upd AS (SELECT s.source, s.n_tokens, s.n_oov,
+                CAST(CAST(s.n_oov AS HUGEINT) * 1000000 // s.n_tokens
+                  AS BIGINT) AS loss_ppm,
+                r.ref_ppm, r.n_src
+              FROM src s CROSS JOIN ref r),
+      u2 AS (SELECT *, greatest(loss_ppm - ref_ppm, 0) AS excess_ppm,
+               1000000 + greatest(loss_ppm - ref_ppm, 0) AS w_raw
+             FROM upd),
+      tw AS (SELECT sum(w_raw) AS wsum FROM u2)
+      SELECT u2.source, CAST(u2.n_tokens AS BIGINT) AS n_tokens,
+        CAST(u2.n_oov AS BIGINT) AS n_oov, u2.loss_ppm,
+        CAST(u2.excess_ppm AS BIGINT) AS excess_ppm,
+        CAST((980000 * (CAST(u2.w_raw AS HUGEINT) * 1000000 // tw.wsum)
+          + 20000 * (1000000 // u2.n_src)) // 1000000 AS BIGINT)
+          AS weight_ppm
+      FROM u2 CROSS JOIN tw""")),
   )
 }

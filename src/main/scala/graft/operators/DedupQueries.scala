@@ -1877,7 +1877,86 @@ object DedupQueries extends QueryModule {
          |  CAST(CASE WHEN count(*) = 0 THEN 0
          |    ELSE sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) * 1000000
          |      // count(*) END AS BIGINT) AS leakage_ppm
-         |FROM j""".stripMargin))
+         |FROM j""".stripMargin)),
+
+    // tf-WEIGHTED (multiset / generalized) Jaccard over the banded
+    // SimHash candidate pairs — the similarity axis the binary-set
+    // family (q33/q36/q154) is blind to: a token-stuffed or
+    // repetition-padded copy carries the same token SET (set-Jaccard
+    // ≈ 1) but a skewed token MULTISET; J_w = Σ_t min(tf_a, tf_b) /
+    // Σ_t max(tf_a, tf_b) scores the inflation. Both scores are
+    // emitted per pair, so the gap IS the readout. The identity
+    // Σ max = tot_a + tot_b − Σ min turns the union side into per-doc
+    // totals — only the shared-token INNER join is ever computed
+    // (pairs sharing zero tokens cannot be near-dups and drop out,
+    // mirrored in both engines). Scale shape: candidates come from the
+    // 60-bit / 15-bit-band pigeonhole equi-join (q344's linear
+    // generator — never all-pairs; the quadratic hamming join in the
+    // oracle is the q35-convention verification form with the
+    // IDENTICAL pair set by the pigeonhole guarantee); the tf frame is
+    // persisted once for its three consumers (per-doc totals + both
+    // pair sides); per-pair work is bounded by document length.
+    Q("q359_weighted_jaccard", (s, d) => {
+      import s.implicits._
+      val tokRows = t(s, d, "documents")
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      val sigs = DedupOps
+        .simhash60FromTokenRows(tokRows, "doc_id", "tok", "simhash")
+        .select($"doc_id", $"simhash")
+      val pairs = DedupOps
+        .simhashPairsBanded(sigs, "doc_id", "simhash", maxHamming = 3,
+          bits = 60)
+        .select($"doc_a", $"doc_b")
+      val tf = tokRows.groupBy($"doc_id", $"tok")
+        .agg(count(lit(1)).as("tf")).persist()
+      val tots = tf.groupBy($"doc_id")
+        .agg(sum($"tf").cast("long").as("tot"),
+          count(lit(1)).cast("long").as("ndist"))
+      val ov = pairs
+        .join(tf.select($"doc_id".as("doc_a"), $"tok", $"tf".as("tfa")),
+          "doc_a")
+        .join(tf.select($"doc_id".as("doc_b"), $"tok", $"tf".as("tfb")),
+          Seq("doc_b", "tok"))
+        .groupBy($"doc_a", $"doc_b")
+        .agg(sum(least($"tfa", $"tfb")).as("minsum"),
+          count(lit(1)).as("inter"))
+      ov
+        .join(tots.select($"doc_id".as("doc_a"), $"tot".as("tota"),
+          $"ndist".as("nda")), "doc_a")
+        .join(tots.select($"doc_id".as("doc_b"), $"tot".as("totb"),
+          $"ndist".as("ndb")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          expr("(minsum * 1000000) div (tota + totb - minsum)")
+            .as("jw_ppm"),
+          expr("(inter * 1000000) div (nda + ndb - inter)")
+            .as("jset_ppm"))
+    }, Some(
+      s"""WITH sh AS ($simhash60DuckSql),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |tok AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+         |       GROUP BY 1, 2),
+         |tots AS (SELECT doc_id, sum(tf) AS tot, count(*) AS ndist
+         |         FROM tf GROUP BY 1),
+         |ov AS (
+         |  SELECT pr.doc_a, pr.doc_b, sum(least(a.tf, b.tf)) AS minsum,
+         |    count(*) AS inter
+         |  FROM pr JOIN tf a ON a.doc_id = pr.doc_a
+         |  JOIN tf b ON b.doc_id = pr.doc_b AND b.tok = a.tok
+         |  GROUP BY 1, 2)
+         |SELECT ov.doc_a, ov.doc_b,
+         |  CAST(ov.minsum * 1000000 // (ta.tot + tb.tot - ov.minsum)
+         |    AS BIGINT) AS jw_ppm,
+         |  CAST(ov.inter * 1000000 // (ta.ndist + tb.ndist - ov.inter)
+         |    AS BIGINT) AS jset_ppm
+         |FROM ov JOIN tots ta ON ta.doc_id = ov.doc_a
+         |JOIN tots tb ON tb.doc_id = ov.doc_b""".stripMargin))
   )
 
   /** q316's oracle, parameterized by the planting modulus m (derived

@@ -2102,6 +2102,88 @@ object SimilarityQueries extends QueryModule {
           AS n_redundant,
         CAST((sum(CASE WHEN ps > 900000 THEN 1 ELSE 0 END) * 1000000)
           // count(*) AS BIGINT) AS redundancy_ppm
-      FROM pr GROUP BY 1"""))
+      FROM pr GROUP BY 1""")),
+
+    // Lloyd k-means TRAINING rounds — the E+M alternation the clustering
+    // family only half-covers: q118 is ONE M-step over given labels,
+    // q123 classifies against FIXED centroids, q300 picks seeds; none
+    // iterates. k = 4 data-independent seeds (vec_id 0..3), two full
+    // assign→update rounds, reporting per (step, cluster) the membership
+    // count and mean squared distance — the convergence readout (inertia
+    // must not rise between rounds). Exactness: components are milli-
+    // quantized row-locally then scaled to micro units (q118
+    // convention), so the seeds, the M-step means (integral div —
+    // Spark `div` and DuckDB `//` both truncate toward zero), and every
+    // distance term are pure BIGINT; the argmin is the (d2 asc, cid asc)
+    // total order; per-member d2 is floor-divided to milli² units BEFORE
+    // the DECIMAL(38,0) sum (q353's overflow convention — a raw BIGINT
+    // sum wraps silently past ~9.2e18). Scale shape: the centroid frame
+    // is k×64 rows — model-sized, broadcast on the dim join (q123
+    // shape); each round is ONE corpus pass with map-side-combined
+    // (vec, cid) partial aggs; the M-step agg is (k×dim)-sized; the
+    // round count is FIXED, so total cost is two linear passes at any
+    // corpus size. The exploded corpus frame is persisted once for its
+    // four consumers (seed slice, both assignment passes, M-step).
+    Q("q357_kmeans_lloyd", (s, d) => {
+      import s.implicits._
+      val eq = t(s, d, "embeddings")
+        .select($"vec_id", posexplode($"embedding").as(Seq("i", "comp")))
+        .select($"vec_id", $"i".cast("long").as("dim"),
+          (floor($"comp".cast("double") * 1000).cast("long") * 1000L)
+            .as("x"))
+        .persist()
+      val c0 = eq.filter($"vec_id" < 4)
+        .select($"vec_id".as("cid"), $"dim", $"x".as("c"))
+      def assign(cent: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cid".asc)
+        eq.join(broadcast(cent), "dim")
+          .groupBy($"vec_id", $"cid")
+          .agg(sum(($"x" - $"c") * ($"x" - $"c")).as("d2"))
+          .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"vec_id", $"cid", $"d2")
+      }
+      val a1 = assign(c0).persist() // round-1 report + the M-step reuse it
+      val c1 = a1.select($"vec_id", $"cid").join(eq, "vec_id")
+        .groupBy($"cid", $"dim")
+        .agg(expr("sum(x) div count(1)").as("c"))
+      val a2 = assign(c1)
+      def report(a: org.apache.spark.sql.DataFrame, r: Int) =
+        a.groupBy($"cid")
+          .agg(count(lit(1)).cast("long").as("n_members"),
+            expr("""cast(sum(cast(d2 div 1000000 as decimal(38,0)))
+              div count(1) as bigint)""").as("mean_d2m"))
+          .select(lit(r.toLong).as("step"), $"cid", $"n_members",
+            $"mean_d2m")
+      report(a1, 1).unionAll(report(a2, 2))
+    }, Some("""
+      WITH eq AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+            * 1000 AS x
+        FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, dim, x AS c FROM eq WHERE vec_id < 4),
+      d1 AS (SELECT eq.vec_id, c.cid,
+               CAST(sum((eq.x - c.c) * (eq.x - c.c)) AS BIGINT) AS d2
+             FROM eq JOIN c0 c USING (dim) GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, cid, d2 FROM d1
+             QUALIFY row_number() OVER (PARTITION BY vec_id
+               ORDER BY d2 ASC, cid ASC) = 1),
+      c1 AS (SELECT a1.cid, eq.dim,
+               CAST(sum(eq.x) // count(*) AS BIGINT) AS c
+             FROM a1 JOIN eq USING (vec_id) GROUP BY 1, 2),
+      d2r AS (SELECT eq.vec_id, c.cid,
+                CAST(sum((eq.x - c.c) * (eq.x - c.c)) AS BIGINT) AS d2
+              FROM eq JOIN c1 c USING (dim) GROUP BY 1, 2),
+      a2 AS (SELECT vec_id, cid, d2 FROM d2r
+             QUALIFY row_number() OVER (PARTITION BY vec_id
+               ORDER BY d2 ASC, cid ASC) = 1)
+      SELECT CAST(1 AS BIGINT) AS step, cid,
+        CAST(count(*) AS BIGINT) AS n_members,
+        CAST(sum(d2 // 1000000) // count(*) AS BIGINT) AS mean_d2m
+      FROM a1 GROUP BY 2
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), cid, CAST(count(*) AS BIGINT),
+        CAST(sum(d2 // 1000000) // count(*) AS BIGINT)
+      FROM a2 GROUP BY 2"""))
   )
 }

@@ -44,6 +44,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q64_knn_pq" -> "PQ codebook-as-literals rerank: broadcast side is the model (constant)",
     "q66_mixture_report" -> "1-row grand-total broadcast for mixture shares",
     "q72_mixture_weights" -> "1-row normalizer broadcast",
+    "q358_doremi_reweight" -> "1-row reference-loss + 1-row weight-normalizer scalar broadcasts onto the 20-row source registry (q66/q72 class)",
     "q73_unigram_logprob" -> "1-row corpus-token-total broadcast",
     "q137_split_parity" -> "1-row corpus-doc-total broadcast onto the registry-sized (split, lang) frame",
     "q292_mutual_information" -> "1-row total + 1-row marginal-entropy broadcasts onto the registry-squared contingency frame",
@@ -196,6 +197,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q68_knn_ivfpq" -> "query batch (vec_id < 10) + coarse/PQ model frames (sqrt-n / 16 rows)",
     "q75_budget_select" -> "per-quality-bucket priors: qb in [0, 1000] — <= 1001 rows by construction",
     "q79_vocab_oov" -> "top-50 vocabulary from bucketed-prefilter top-K: constant k rows",
+    "q357_kmeans_lloyd" -> "centroid frames: the key-filtered seed slice and the M-step (cid, dim) agg grid — both k x 64 rows, model-sized at any corpus size (q123 class)",
+    "q358_doremi_reweight" -> "top-256 vocabulary from bucketed-prefilter top-K: constant k rows (q79 class)",
     "q81_bloom_decontam" -> "bloom words (1024/32 = 32 rows, x3 probes); the benchmark-fingerprint join is unhinted (AQE-adjudicated)",
     "q83_topp_select" -> "per-(stratum, permille-bucket) priors + per-stratum totals: langs x 1000 cap",
     "q91_regional_revenue" -> "nation + region dimension tables",
