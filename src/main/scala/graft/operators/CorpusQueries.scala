@@ -2046,5 +2046,113 @@ object CorpusQueries extends QueryModule {
           + 20000 * (1000000 // u2.n_src)) // 1000000 AS BIGINT)
           AS weight_ppm
       FROM u2 CROSS JOIN tw""")),
+
+    // greedy maximum-coverage selection (the Nemhauser-Wolsey-Fisher
+    // (1-1/e) submodular greedy — the data-SELECTION primitive beside
+    // q75's budget filter and q56's stratified sample: pick the k
+    // documents that jointly cover the most distinct 3-token shingles,
+    // the coreset/eval-set construction step): 4 rounds of marginal-
+    // gain argmax over the uncovered-shingle frame, reporting per step
+    // the chosen doc, its marginal gain, and cumulative coverage ppm —
+    // the diminishing-returns curve that decides k. The coverage
+    // universe is SHINGLES, not tokens (the corpus vocabulary is ~31
+    // words — token coverage saturates at one document; the shingle
+    // universe is Heaps-bounded but meaningful). Exactness: pure
+    // counting; argmax is the (gain desc, doc_id asc) total order via
+    // TakeOrderedAndProject (q300 convention). Scale shape: per round
+    // ONE anti-join of the persisted distinct (doc, shingle) frame
+    // against the persisted covered frame (both shuffle on the shingle
+    // key — the covered side is vocabulary-sized, NEVER broadcast) +
+    // one map-side-combined per-doc gain agg + a k=1 TakeOrdered; the
+    // per-round frontier (covered set) is persisted (q193/q356
+    // pattern); round count fixed at 4, so total cost is 4 linear
+    // passes at any corpus size.
+    Q("q360_greedy_coverage", (s, d) => {
+      import s.implicits._
+      val dt = TextOps
+        .shingleRows(t(s, d, "documents"), "doc_id", "text")
+        .select($"doc_id", $"shingle").distinct().persist()
+      val vocab = dt.agg(countDistinct($"shingle").as("v"))
+      // the loop carries the SHRINKING remainder forward and anti-joins
+      // each round against only the PREVIOUS pick's shingles (a frame
+      // bounded by one document's length — AQE broadcasts it, so the
+      // corpus-sized remainder is never reshuffled), instead of
+      // re-anti-joining the full corpus frame against the GROWING
+      // covered union each round. A/B at sf0.1: covered-union form with
+      // per-round covered-count broadcasts 9.3 s (the 4 broadcast
+      // exchanges materialize as concurrent jobs and race through the
+      // shared chain), running-sum form over the growing union 7.1 s,
+      // this form 4.6 s cold-window median with declining reps (3.2 s
+      // floor). Each remainder is persisted: it feeds the gain
+      // agg, the pick's new-shingle slice, and the next round's
+      // anti-join.
+      var rem = dt
+      var out: Option[org.apache.spark.sql.DataFrame] = None
+      for (r <- 1 to 4) {
+        val pick = rem.groupBy($"doc_id").agg(count(lit(1)).as("gain"))
+          .orderBy($"gain".desc, $"doc_id".asc).limit(1)
+          .select(lit(r.toLong).as("step"), $"doc_id", $"gain")
+          .persist()
+        out = Some(out.map(_.unionAll(pick)).getOrElse(pick))
+        if (r < 4) {
+          val newShingles = rem.join(pick.select($"doc_id"), "doc_id")
+            .select($"shingle")
+          rem = rem.join(newShingles, Seq("shingle"), "left_anti")
+            .persist()
+        }
+      }
+      // cumulative coverage = running sum of the (disjoint) marginal
+      // gains — one window over the 4-row step frame + ONE scalar
+      // vocab broadcast
+      val w = Window.orderBy($"step")
+      out.get.crossJoin(broadcast(vocab))
+        .withColumn("cum", sum($"gain").over(w))
+        .select($"step", $"doc_id", $"gain".cast("long").as("gain"),
+          expr("cum * 1000000 div v").as("cum_cov_ppm"))
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
+                      AS toks
+                    FROM documents),
+      dt AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tok
+        FROM toks),
+      vn AS (SELECT count(DISTINCT tok) AS v FROM dt),
+      g1 AS (SELECT doc_id, count(*) AS gain FROM dt GROUP BY 1),
+      p1 AS (SELECT doc_id, gain FROM g1
+             ORDER BY gain DESC, doc_id ASC LIMIT 1),
+      c1 AS (SELECT dt.tok FROM dt JOIN p1 USING (doc_id)),
+      r2 AS (SELECT dt.doc_id, dt.tok FROM dt ANTI JOIN c1 USING (tok)),
+      g2 AS (SELECT doc_id, count(*) AS gain FROM r2 GROUP BY 1),
+      p2 AS (SELECT doc_id, gain FROM g2
+             ORDER BY gain DESC, doc_id ASC LIMIT 1),
+      c2 AS (SELECT tok FROM c1
+             UNION ALL SELECT r2.tok FROM r2 JOIN p2 USING (doc_id)),
+      r3 AS (SELECT dt.doc_id, dt.tok FROM dt ANTI JOIN c2 USING (tok)),
+      g3 AS (SELECT doc_id, count(*) AS gain FROM r3 GROUP BY 1),
+      p3 AS (SELECT doc_id, gain FROM g3
+             ORDER BY gain DESC, doc_id ASC LIMIT 1),
+      c3 AS (SELECT tok FROM c2
+             UNION ALL SELECT r3.tok FROM r3 JOIN p3 USING (doc_id)),
+      r4 AS (SELECT dt.doc_id, dt.tok FROM dt ANTI JOIN c3 USING (tok)),
+      g4 AS (SELECT doc_id, count(*) AS gain FROM r4 GROUP BY 1),
+      p4 AS (SELECT doc_id, gain FROM g4
+             ORDER BY gain DESC, doc_id ASC LIMIT 1),
+      c4 AS (SELECT tok FROM c3
+             UNION ALL SELECT r4.tok FROM r4 JOIN p4 USING (doc_id))
+      SELECT CAST(1 AS BIGINT) AS step, p1.doc_id,
+        CAST(p1.gain AS BIGINT) AS gain,
+        CAST((SELECT count(*) FROM c1) * 1000000 // vn.v AS BIGINT)
+          AS cum_cov_ppm
+      FROM p1 CROSS JOIN vn
+      UNION ALL SELECT 2, p2.doc_id, CAST(p2.gain AS BIGINT),
+        CAST((SELECT count(*) FROM c2) * 1000000 // vn.v AS BIGINT)
+      FROM p2 CROSS JOIN vn
+      UNION ALL SELECT 3, p3.doc_id, CAST(p3.gain AS BIGINT),
+        CAST((SELECT count(*) FROM c3) * 1000000 // vn.v AS BIGINT)
+      FROM p3 CROSS JOIN vn
+      UNION ALL SELECT 4, p4.doc_id, CAST(p4.gain AS BIGINT),
+        CAST((SELECT count(*) FROM c4) * 1000000 // vn.v AS BIGINT)
+      FROM p4 CROSS JOIN vn""")),
   )
 }

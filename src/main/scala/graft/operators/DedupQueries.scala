@@ -1956,7 +1956,85 @@ object DedupQueries extends QueryModule {
          |  CAST(ov.inter * 1000000 // (ta.ndist + tb.ndist - ov.inter)
          |    AS BIGINT) AS jset_ppm
          |FROM ov JOIN tots ta ON ta.doc_id = ov.doc_a
-         |JOIN tots tb ON tb.doc_id = ov.doc_b""".stripMargin))
+         |JOIN tots tb ON tb.doc_id = ov.doc_b""".stripMargin)),
+
+    // canonicalization ladder: the same corpus fingerprinted at three
+    // normalization levels — L0 raw bytes, L1 lowercase + whitespace
+    // collapse, L2 lowercase + strip non-alphanumerics + collapse —
+    // reporting per level the distinct-fingerprint count, duplicate
+    // groups, and duplicate-doc ppm. This is the DESIGN readout for
+    // q32's exact dedup: how much duplication each normalization level
+    // unlocks decides which canonical key the pipeline should dedup on
+    // (too weak misses case/punct variants, too strong merges distinct
+    // docs). Planted variants make the ladder non-degenerate at any SF:
+    // doc_id % 30 == 5 becomes an UPPERCASED copy of its successor
+    // (invisible to L0, merged by L1+), % 30 == 17 a punctuation-padded
+    // copy (merged only by L2) — plant frequency is scale-invariant
+    // (q117 convention). Scale shape: all three fingerprints are
+    // row-local md5s over regexp chains with NO capture-group
+    // replacements ($1 vs \1 is not engine-portable — q109 convention),
+    // unpivoted to (level, fp) rows inside codegen; ONE map-side-
+    // combined agg on (level, fp) then a 3-row rollup — linear, no
+    // joins beyond the donor lookup, no windows.
+    Q("q361_canonical_ladder", (s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents").select($"doc_id", $"text")
+      val donors = base.select(($"doc_id" - 1).as("doc_id"),
+        $"text".as("donor"))
+      val planted = base.join(donors, Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"doc_id" % 30 === 5 && $"donor".isNotNull, upper($"donor"))
+            .when($"doc_id" % 30 === 17 && $"donor".isNotNull,
+              concat($"donor", lit(" !!!")))
+            .otherwise($"text").as("text"))
+      val fps = planted.select(
+        md5($"text").as("fp0"),
+        md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp1"),
+        md5(trim(regexp_replace(regexp_replace(lower($"text"),
+          "[^a-z0-9 ]", ""), " +", " "))).as("fp2"))
+      fps.select(expr(
+          "stack(3, 'L0', fp0, 'L1', fp1, 'L2', fp2) as (level, fp)"))
+        .groupBy($"level", $"fp").agg(count(lit(1)).as("cnt"))
+        .groupBy($"level")
+        .agg(sum($"cnt").cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_distinct"),
+          sum(when($"cnt" >= 2, 1L).otherwise(0L)).cast("long")
+            .as("n_dup_groups"))
+        .select($"level", $"n_docs", $"n_distinct", $"n_dup_groups",
+          ($"n_docs" - $"n_distinct").as("dup_docs"),
+          expr("(n_docs - n_distinct) * 1000000 div n_docs")
+            .as("dup_ppm"))
+    }, Some("""
+      WITH base AS (SELECT doc_id, text FROM documents),
+      pl AS (
+        SELECT b.doc_id,
+          CASE WHEN b.doc_id % 30 = 5 AND d.donor IS NOT NULL
+                 THEN upper(d.donor)
+               WHEN b.doc_id % 30 = 17 AND d.donor IS NOT NULL
+                 THEN d.donor || ' !!!'
+               ELSE b.text END AS text
+        FROM base b
+        LEFT JOIN (SELECT doc_id - 1 AS doc_id, text AS donor FROM base) d
+          USING (doc_id)),
+      f AS (
+        SELECT md5(text) AS fp0,
+          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp1,
+          md5(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp2
+        FROM pl),
+      lv AS (
+        SELECT 'L0' AS level, fp0 AS fp FROM f
+        UNION ALL SELECT 'L1', fp1 FROM f
+        UNION ALL SELECT 'L2', fp2 FROM f),
+      g AS (SELECT level, fp, count(*) AS cnt FROM lv GROUP BY 1, 2)
+      SELECT level, CAST(sum(cnt) AS BIGINT) AS n_docs,
+        CAST(count(*) AS BIGINT) AS n_distinct,
+        CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_groups,
+        CAST(sum(cnt) - count(*) AS BIGINT) AS dup_docs,
+        CAST((sum(cnt) - count(*)) * 1000000 // sum(cnt) AS BIGINT)
+          AS dup_ppm
+      FROM g GROUP BY 1"""))
   )
 
   /** q316's oracle, parameterized by the planting modulus m (derived

@@ -45,6 +45,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q66_mixture_report" -> "1-row grand-total broadcast for mixture shares",
     "q72_mixture_weights" -> "1-row normalizer broadcast",
     "q358_doremi_reweight" -> "1-row reference-loss + 1-row weight-normalizer scalar broadcasts onto the 20-row source registry (q66/q72 class)",
+    "q360_greedy_coverage" -> "1-row vocab-total scalar broadcast onto the 4-row step frame (q300 class)",
     "q73_unigram_logprob" -> "1-row corpus-token-total broadcast",
     "q137_split_parity" -> "1-row corpus-doc-total broadcast onto the registry-sized (split, lang) frame",
     "q292_mutual_information" -> "1-row total + 1-row marginal-entropy broadcasts onto the registry-squared contingency frame",
@@ -147,6 +148,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * per-partition prefilters + bounded finals in round 7.) */
   private val globalWindowOk: Map[String, String] = Map(
     "q75_budget_select" -> "running sum over the <=1001-row quality-bucket histogram (doc-level window is bucket-partitioned)",
+    "q360_greedy_coverage" -> "running coverage sum over the 4-row step frame (k rows by construction)",
     "q354_fdr_gate" -> "BH rank / m / step-up windows over the SOURCE REGISTRY frame (~20 rows at any corpus size), after one map-side-combined source agg",
     "q143_ks_drift" -> "global CDF cum over DISTINCT token counts — bounded by the value domain (max doc length), not the corpus (q110 argument)",
     "q145_distribution_match" -> "row_number over the language-registry share frame (bounded registry)",
