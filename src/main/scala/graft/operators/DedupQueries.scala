@@ -2034,8 +2034,92 @@ object DedupQueries extends QueryModule {
         CAST(sum(cnt) - count(*) AS BIGINT) AS dup_docs,
         CAST((sum(cnt) - count(*)) * 1000000 // sum(cnt) AS BIGINT)
           AS dup_ppm
-      FROM g GROUP BY 1"""))
+      FROM g GROUP BY 1""")),
+
+    // LSH banding-parameter advisor: for every (bands, rows) split of
+    // the SAME 16-hash MinHash signature, the two numbers that decide
+    // the config — the THEORY threshold (S-curve midpoint J50 =
+    // (1/b)^(1/r), where a pair's candidate probability crosses 1/2)
+    // and the MEASURED cost (band-bucket occupancy on the live corpus:
+    // bucket count, max bucket, exact candidate-pair volume
+    // Σ c·(c−1)/2). q36/q222 run ONE config and verify its recall;
+    // this is the advisor that PICKS the config (q215/q216/q321
+    // advisor family) — theory says where the J cutoff lands, the
+    // occupancy says what the candidate join costs at this corpus.
+    // J50 literals are computed ONCE in the plan builder and spliced
+    // into both engines (no cross-engine pow). Scale shape: the
+    // signature frame is built once (one shingle pass + 16 min-aggs,
+    // q36 shape) and persisted for the four configs; each config is
+    // one band explode + ONE map-side-combined (band, hash) agg
+    // collapsing to bucket counts + a 1-row rollup; candidate volume
+    // sums in DECIMAL(38,0) (c·(c−1)/2 is corpus-quadratic per bucket
+    // by design — that is the quantity being measured, not shipped).
+    Q("q363_lsh_advisor", (s, d) => {
+      import s.implicits._
+      val sr = TextOps.shingleRows(t(s, d, "documents"), "doc_id", "text")
+        .select($"doc_id", $"shingle").distinct()
+      val sigs = DedupOps.minhashSignatures(sr, "doc_id", "shingle", k = 16)
+        .persist()
+      val configs = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+      configs.map { case (b, r) =>
+        val j50 = (math.pow(1.0 / b, 1.0 / r) * 1e6).toLong
+        DedupOps.lshBands(sigs, "doc_id", "sig", bands = b, rows = r)
+          .groupBy($"band_id", $"band_hash")
+          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).cast("long").as("n_buckets"),
+            max($"c").cast("long").as("max_bucket"),
+            expr("""cast(sum(cast(c as decimal(38,0)) * (c - 1) div 2)
+              as bigint)""").as("cand_pairs"))
+          .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("n_rows"),
+            $"n_buckets", $"max_bucket", $"cand_pairs",
+            lit(j50).as("j50_ppm"))
+      }.reduce(_ unionAll _)
+    }, Some(DedupQueries.lshAdvisorOracleSql))
   )
+
+  /** q363's oracle: the q36 MinHash CTE chain, then per (bands, rows)
+    * config a band table + bucket-count rollup; J50 literals computed
+    * by the same Scala expression the Spark plan splices in. */
+  private[operators] def lshAdvisorOracleSql: String = {
+    val mh =
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |      AS shingle
+         |  FROM toks),
+         |hv AS (SELECT doc_id, (${hvDuckOf("shingle")}) % 2147483647 AS hv
+         |       FROM sh),
+         |mh AS (
+         |  SELECT doc_id, i,
+         |    min((hv * ((i * 2654435761) % 2147483646 + 1)
+         |         + (i * 40503 + 17) % 2147483647) % 2147483647) AS h
+         |  FROM hv CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ii
+         |  GROUP BY doc_id, i)""".stripMargin
+    val cfgs = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+    val bandCtes = cfgs.map { case (b, r) =>
+      s"""b$b AS (SELECT CAST(i // $r AS INT) AS band_id,
+         |        string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bk
+         |      FROM mh GROUP BY doc_id, i // $r),
+         |c$b AS (SELECT band_id, bk, count(*) AS c FROM b$b
+         |      GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val selects = cfgs.map { case (b, r) =>
+      val j50 = (math.pow(1.0 / b, 1.0 / r) * 1e6).toLong
+      s"""SELECT CAST($b AS BIGINT) AS n_bands,
+         |  CAST($r AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(max(c) AS BIGINT) AS max_bucket,
+         |  CAST(sum(CAST(c AS HUGEINT) * (c - 1) // 2) AS BIGINT)
+         |    AS cand_pairs,
+         |  CAST($j50 AS BIGINT) AS j50_ppm
+         |FROM c$b""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$mh,\n$bandCtes\n$selects"
+  }
 
   /** q316's oracle, parameterized by the planting modulus m (derived
     * from the live corpus row count via oracleDyn — q69 convention). */

@@ -3429,6 +3429,67 @@ object GovernanceQueries extends QueryModule {
         CAST(CASE WHEN rk <= k_max THEN 1 ELSE 0 END AS BIGINT)
           AS rejected
       FROM km""")),
+
+    // k-anonymity generalization ladder: the privacy DESIGN readout
+    // beside q146's single-level suppression and q247's l-diversity —
+    // the same corpus bucketed under three quasi-identifier
+    // generalization levels (G0 = (lang, source, char-centile-bucket),
+    // G1 = (lang, source), G2 = (lang)), reporting per level the group
+    // count, the minimum group size (the k in k-anonymity), and the
+    // record mass in groups below k = 5 (the re-identifiable ppm a
+    // release policy must suppress). Climbing the ladder trades
+    // utility (coarser buckets) for smaller suppression mass — the 3
+    // rows ARE the trade-off curve. Exactness: pure integer counting.
+    // Scale shape: ONE map-side-combined agg on the finest key; the
+    // coarser levels re-aggregate the G0 GROUP table (registry-sized:
+    // langs x sources x 10), not the corpus — the rollup trick without
+    // grouping-sets' null-marker rows; final rollups are 3 one-row
+    // aggs unioned.
+    Q("q362_kanon_ladder", (s, d) => {
+      import s.implicits._
+      val g0 = t(s, d, "documents")
+        .select($"lang", $"source",
+          least(expr("n_chars div 100"), lit(9L)).as("lb"))
+        .groupBy($"lang", $"source", $"lb")
+        .agg(count(lit(1)).as("k")).persist()
+      val g1 = g0.groupBy($"lang", $"source").agg(sum($"k").as("k"))
+      val g2 = g0.groupBy($"lang").agg(sum($"k").as("k"))
+      def lvl(name: String, g: org.apache.spark.sql.DataFrame) =
+        g.agg(count(lit(1)).cast("long").as("n_groups"),
+          min($"k").cast("long").as("k_min"),
+          sum($"k").cast("long").as("n_docs"),
+          sum(when($"k" < 5, $"k").otherwise(0L)).cast("long")
+            .as("n_below5"))
+          .select(lit(name).as("level"), $"n_groups", $"k_min",
+            $"n_below5",
+            expr("(n_below5 * 1000000) div n_docs").as("below5_ppm"))
+      lvl("G0", g0).unionAll(lvl("G1", g1)).unionAll(lvl("G2", g2))
+    }, Some("""
+      WITH g0 AS (
+        SELECT lang, source, least(n_chars // 100, 9) AS lb,
+          count(*) AS k
+        FROM documents GROUP BY 1, 2, 3),
+      g1 AS (SELECT lang, source, sum(k) AS k FROM g0 GROUP BY 1, 2),
+      g2 AS (SELECT lang, sum(k) AS k FROM g0 GROUP BY 1)
+      SELECT 'G0' AS level, CAST(count(*) AS BIGINT) AS n_groups,
+        CAST(min(k) AS BIGINT) AS k_min,
+        CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+          AS n_below5,
+        CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) * 1000000
+          // sum(k) AS BIGINT) AS below5_ppm
+      FROM g0
+      UNION ALL
+      SELECT 'G1', CAST(count(*) AS BIGINT), CAST(min(k) AS BIGINT),
+        CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT),
+        CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) * 1000000
+          // sum(k) AS BIGINT)
+      FROM g1
+      UNION ALL
+      SELECT 'G2', CAST(count(*) AS BIGINT), CAST(min(k) AS BIGINT),
+        CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT),
+        CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) * 1000000
+          // sum(k) AS BIGINT)
+      FROM g2""")),
   )
 
   /** Poisson(1) inverse-CDF thresholds on a 20-bit uniform, computed

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-13 training-loop / advisor
+  * operators (q357-q363) — properties the DuckDB hash gate cannot
+  * express because they relate ROWS of one result to each other
+  * (monotonicity, conservation, submodular diminishing returns),
+  * pinned against the smallest testdata SF. Each is a THEOREM of the
+  * operator's semantics, not a data accident, so a failure is always
+  * an implementation bug.
+  */
+class TrainingOpsInvariantSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q357 Lloyd: the update round never increases inertia, and both rounds partition the same corpus") {
+    val rows = SparkEntry.queries("q357_kmeans_lloyd")(spark, sf).collect()
+    val byStep = rows.groupBy(_.getLong(0))
+    assert(byStep.keySet == Set(1L, 2L))
+    // membership conservation: every vector is assigned exactly once
+    // in each round
+    def n(step: Long) = byStep(step).map(_.getLong(2)).sum
+    assert(n(1L) == n(2L) && n(1L) > 0)
+    // Lloyd's descent property: total inertia (sum over clusters of
+    // members x mean d2 — exact up to the per-cluster floor, whose
+    // error is dominated by the true decrease) must not rise after an
+    // assign+update round
+    def inertia(step: Long) =
+      byStep(step).map(r => r.getLong(2) * r.getLong(3)).sum
+    assert(inertia(2L) <= inertia(1L),
+      s"inertia rose: round1=${inertia(1L)} round2=${inertia(2L)}")
+  }
+
+  test("q358 DoReMi: weights are a smoothed distribution favoring excess loss") {
+    val rows = SparkEntry.queries("q358_doremi_reweight")(spark, sf).collect()
+    val n = rows.length
+    assert(n > 1)
+    val w = rows.map(_.getLong(5))
+    // normalization: ppm weights sum to 1e6 up to one floor per source
+    assert(w.sum <= 1000000L && w.sum >= 1000000L - 3L * n,
+      s"weight sum ${w.sum} outside the floor-rounding envelope")
+    // smoothing floor: eps = 2% of uniform survives for EVERY source
+    val floor = (20000L * (1000000L / n)) / 1000000L
+    w.foreach(x => assert(x >= floor))
+    // monotone in excess: sources sorted by excess_ppm have
+    // non-decreasing weights (w_raw = 1e6 + excess is monotone and the
+    // affine smoothing preserves order up to the div-floor)
+    val byExcess = rows.sortBy(_.getLong(4)).map(_.getLong(5))
+    byExcess.sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a - 1, s"weight order violates excess order: $a -> $b")
+    }
+  }
+
+  test("q359 weighted Jaccard: scores are valid ppm and pairs are canonical") {
+    val rows =
+      SparkEntry.queries("q359_weighted_jaccard")(spark, sf).collect()
+    assert(rows.nonEmpty) // natural hamming<=3 pairs exist at every SF
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1)) // doc_a < doc_b
+      Seq(r.getLong(2), r.getLong(3)).foreach(p =>
+        assert(p >= 0L && p <= 1000000L))
+    }
+  }
+
+  test("q360 greedy coverage: diminishing returns and strictly growing coverage") {
+    val rows = SparkEntry.queries("q360_greedy_coverage")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 4)
+    // submodularity: marginal gains are non-increasing in step order
+    rows.map(_.getLong(2)).sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"marginal gain rose: $a -> $b")
+    }
+    // coverage strictly increases while gains are positive
+    rows.map(_.getLong(3)).sliding(2).foreach { case Array(a, b) =>
+      assert(b > a)
+    }
+    // no document picked twice
+    assert(rows.map(_.getLong(1)).distinct.length == 4)
+  }
+
+  test("q361 canonicalization ladder: coarser levels only merge, never split") {
+    val rows = SparkEntry.queries("q361_canonical_ladder")(spark, sf)
+      .collect().sortBy(_.getString(0))
+    assert(rows.map(_.getString(0)).toSeq == Seq("L0", "L1", "L2"))
+    // each level's fingerprint is a refinement: distinct counts
+    // non-increasing, duplicate mass non-decreasing up the ladder
+    rows.map(_.getLong(2)).sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a)
+    }
+    rows.map(_.getLong(4)).sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a)
+    }
+    // planted case-variants are invisible at L0 but merged by L1
+    assert(rows(1).getLong(4) > rows(0).getLong(4))
+  }
+
+  test("q362 k-anonymity ladder: generalizing merges groups, grows k_min, shrinks sub-k mass") {
+    val rows = SparkEntry.queries("q362_kanon_ladder")(spark, sf)
+      .collect().sortBy(_.getString(0))
+    assert(rows.map(_.getString(0)).toSeq == Seq("G0", "G1", "G2"))
+    rows.map(_.getLong(1)).sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a) // group count non-increasing
+    }
+    rows.map(_.getLong(2)).sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a) // k_min non-decreasing
+    }
+    rows.map(_.getLong(3)).sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a) // sub-5 record mass non-increasing
+    }
+  }
+
+  test("q363 LSH advisor: J50 rises with rows-per-band, candidate volume falls") {
+    val rows = SparkEntry.queries("q363_lsh_advisor")(spark, sf)
+      .collect().sortBy(_.getLong(1)) // by n_rows: 1, 2, 4, 8
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((16L, 1L), (8L, 2L), (4L, 4L), (2L, 8L)))
+    // theory column: the S-curve midpoint is strictly increasing in r
+    rows.map(_.getLong(5)).sliding(2).foreach { case Array(a, b) =>
+      assert(b > a)
+    }
+    // measured column: stricter bands can only drop bucket collisions
+    rows.map(_.getLong(4)).sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"candidate volume rose with stricter bands: $a -> $b")
+    }
+  }
+}
