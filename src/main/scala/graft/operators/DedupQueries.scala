@@ -2074,7 +2074,65 @@ object DedupQueries extends QueryModule {
             $"n_buckets", $"max_bucket", $"cand_pairs",
             lit(j50).as("j50_ppm"))
       }.reduce(_ unionAll _)
-    }, Some(DedupQueries.lshAdvisorOracleSql))
+    }, Some(DedupQueries.lshAdvisorOracleSql)),
+
+    // near-dup pair EVIDENCE: for every banded SimHash candidate pair
+    // (q359's generator), the three RAREST shared tokens by global
+    // document frequency — the "why are these two docs flagged"
+    // column a human review queue or an appeals process needs (rare
+    // shared tokens are discriminative evidence; frequent ones are
+    // chrome). Completes the dedup family's OBSERVABILITY story: q104
+    // reports rates, q359 scores pairs, this EXPLAINS them. Exactness:
+    // df is an exact distinct-doc count; the top-3 is the (df asc,
+    // token asc) total order via a per-pair window (bounded by shared
+    // vocabulary per pair, never global). Scale shape: candidates from
+    // the linear 60-bit band join; the distinct (doc, token) frame is
+    // persisted once (both pair sides + the df agg); the df table is
+    // Heaps-bounded and joined on the token key (one shuffle, NOT
+    // broadcast — it grows with the corpus).
+    Q("q365_pair_evidence", (s, d) => {
+      import s.implicits._
+      val tokRows = t(s, d, "documents")
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      val sigs = DedupOps
+        .simhash60FromTokenRows(tokRows, "doc_id", "tok", "simhash")
+        .select($"doc_id", $"simhash")
+      val pairs = DedupOps
+        .simhashPairsBanded(sigs, "doc_id", "simhash", maxHamming = 3,
+          bits = 60)
+        .select($"doc_a", $"doc_b")
+      val dt = tokRows.distinct().persist()
+      val dfTab = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val shared = pairs
+        .join(dt.select($"doc_id".as("doc_a"), $"tok"), "doc_a")
+        .join(dt.select($"doc_id".as("doc_b"), $"tok"), Seq("doc_b", "tok"))
+        .join(dfTab, "tok")
+      val w = Window.partitionBy($"doc_a", $"doc_b")
+        .orderBy($"df".asc, $"tok".asc)
+      shared.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+        .select($"doc_a", $"doc_b", $"rk".cast("long").as("rk"),
+          $"tok".as("evidence_tok"), $"df".cast("long").as("df"))
+    }, Some(
+      s"""WITH sh AS ($simhash60DuckSql),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |dt AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |dfr AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+         |ev AS (
+         |  SELECT pr.doc_a, pr.doc_b, a.tok, dfr.df,
+         |    row_number() OVER (PARTITION BY pr.doc_a, pr.doc_b
+         |      ORDER BY dfr.df ASC, a.tok ASC) AS rk
+         |  FROM pr JOIN dt a ON a.doc_id = pr.doc_a
+         |  JOIN dt b ON b.doc_id = pr.doc_b AND b.tok = a.tok
+         |  JOIN dfr ON dfr.tok = a.tok)
+         |SELECT doc_a, doc_b, CAST(rk AS BIGINT) AS rk,
+         |  tok AS evidence_tok, CAST(df AS BIGINT) AS df
+         |FROM ev WHERE rk <= 3""".stripMargin))
   )
 
   /** q363's oracle: the q36 MinHash CTE chain, then per (bands, rows)

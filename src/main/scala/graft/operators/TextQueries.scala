@@ -1409,7 +1409,69 @@ object TextQueries extends QueryModule {
           expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
         .groupBy($"word").agg(count(lit(1)).as("cnt"))
       BpeOps.bpeMergeTable(words, 8)
-    }, Some(bpeOracleSql(8)))
+    }, Some(bpeOracleSql(8))),
+
+    // T5/UL2 span-corruption masking statistics: the pretraining-
+    // objective preparation step — every token position gets a
+    // deterministic mask decision (15% rate via the hashMix family, so
+    // both engines and every rerun mask the SAME positions), and the
+    // per-source report gives masked-token ppm, span count, and mean
+    // span length — the numbers that calibrate a denoising objective
+    // (mean span vs the target ~3, mask rate vs the configured 15%)
+    // before a single training batch is cut. Span boundaries come from
+    // a lag over (doc, pos) — the window is per-document (bounded by
+    // doc length, the q26/q97 sequence convention), never global.
+    // Scale shape: one posexplode pass, row-local mask decisions, one
+    // per-doc window, ONE map-side-combined source agg.
+    Q("q364_span_corruption", (s, d) => {
+      import s.implicits._
+      val pos = t(s, d, "documents")
+        .select($"doc_id", $"source",
+          posexplode(TextOps.tokens($"text")).as(Seq("p", "tok")))
+        .select($"doc_id", $"source", $"p".cast("long").as("pos"),
+          (CorpusOps.hashMix($"doc_id" * 1009L + $"p".cast("long"),
+            1000L) < 150).as("m"))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+      pos.withColumn("pm", lag($"m", 1, false).over(w))
+        .groupBy($"source")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          sum(when($"m", 1L).otherwise(0L)).cast("long").as("n_masked"),
+          sum(when($"m" && !$"pm", 1L).otherwise(0L)).cast("long")
+            .as("n_spans"))
+        .select($"source", $"n_tokens", $"n_masked",
+          expr("(n_masked * 1000000) div n_tokens").as("masked_ppm"),
+          $"n_spans",
+          expr("""CASE WHEN n_spans = 0 THEN CAST(0 AS BIGINT)
+            ELSE (n_masked * 1000) div n_spans END""")
+            .as("mean_span_milli"))
+    }, Some("""
+      WITH p AS (
+        SELECT doc_id, source,
+          unnest(range(0,
+            len(string_split_regex(trim(text), '\s+')))) AS pos
+        FROM documents),
+      pm AS (
+        SELECT doc_id, source, pos,
+          ((((((doc_id * 1009 + pos) % 1000003) + 1000003) % 1000003)
+            * 2654435761 + 40503) % 1000 + 1000) % 1000 < 150 AS m
+        FROM p),
+      pl AS (
+        SELECT source, m,
+          coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY pos ASC),
+            false) AS pmv
+        FROM pm)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) * 1000000 // count(*)
+          AS BIGINT) AS masked_ppm,
+        CAST(sum(CASE WHEN m AND NOT pmv THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_spans,
+        CAST(CASE WHEN sum(CASE WHEN m AND NOT pmv THEN 1 ELSE 0 END) = 0
+          THEN 0
+          ELSE sum(CASE WHEN m THEN 1 ELSE 0 END) * 1000
+            // sum(CASE WHEN m AND NOT pmv THEN 1 ELSE 0 END) END
+          AS BIGINT) AS mean_span_milli
+      FROM pl GROUP BY 1"""))
   )
 
   /** DuckDB twin of [[BpeOps.bpeMergeTable]]: k unrolled rounds of

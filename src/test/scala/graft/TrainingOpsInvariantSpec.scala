@@ -110,6 +110,36 @@ class TrainingOpsInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("q364 span corruption: mask rate near the configured 15%, spans cohere") {
+    val rows =
+      SparkEntry.queries("q364_span_corruption")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nTok = rows.map(_.getLong(1)).sum
+    val nMask = rows.map(_.getLong(2)).sum
+    // corpus-level rate: a uniform hash at threshold 150/1000 must land
+    // near 15% (wide tolerance — per-source cells are small at sf0.001)
+    val ratePpm = nMask * 1000000L / nTok
+    assert(ratePpm > 100000L && ratePpm < 200000L, s"rate $ratePpm ppm")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2)) // spans <= masked tokens
+      if (r.getLong(4) > 0) assert(r.getLong(5) >= 1000L) // mean span >= 1
+    }
+  }
+
+  test("q365 pair evidence: at most 3 rows per pair, shared tokens have df >= 2") {
+    val rows = SparkEntry.queries("q365_pair_evidence")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getLong(0), r.getLong(1))).foreach {
+      case ((a, b), g) =>
+        assert(a < b)
+        assert(g.length <= 3)
+        assert(g.map(_.getLong(2)).sorted.toSeq == (1L to g.length).toSeq)
+    }
+    // a SHARED token is in both docs by construction, so its global
+    // document frequency is at least 2
+    rows.foreach(r => assert(r.getLong(4) >= 2L))
+  }
+
   test("q363 LSH advisor: J50 rises with rows-per-band, candidate volume falls") {
     val rows = SparkEntry.queries("q363_lsh_advisor")(spark, sf)
       .collect().sortBy(_.getLong(1)) // by n_rows: 1, 2, 4, 8
