@@ -54,6 +54,16 @@ object BpeOps {
   def bpeMergeTable(words: DataFrame, k: Int): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
+    val merges = learnMerges(words, k)
+    merges.map(m => (m.round, m.lft, m.rgt, m.lft + m.rgt, m.count))
+      .toDF("round", "lft", "rgt", "merged", "pair_count")
+  }
+
+  /** The learning loop itself, returning the merges as VALUES — for
+    * callers that apply the learned table inside the same plan (q366's
+    * compression readout splices them as replace literals; the merge
+    * table is k rows, the ANN-centroid model-sized precedent). */
+  def learnMerges(words: DataFrame, k: Int): Seq[Merge] = {
     val merges: Seq[Merge] = CorpusOps.boundedRows(words) match {
       case Some(rows) =>
         // driver arm: classic greedy loop on the collected (word, cnt)
@@ -113,7 +123,6 @@ object BpeOps {
         words.unpersist(blocking = false)
         out
     }
-    merges.map(m => (m.round, m.lft, m.rgt, m.lft + m.rgt, m.count))
-      .toDF("round", "lft", "rgt", "merged", "pair_count")
+    merges
   }
 }

@@ -1471,7 +1471,52 @@ object TextQueries extends QueryModule {
           ELSE sum(CASE WHEN m THEN 1 ELSE 0 END) * 1000
             // sum(CASE WHEN m AND NOT pmv THEN 1 ELSE 0 END) END
           AS BIGINT) AS mean_span_milli
-      FROM pl GROUP BY 1"""))
+      FROM pl GROUP BY 1""")),
+
+    // BPE compression readout — the learn → APPLY → measure loop
+    // closed end-to-end: learn the first 8 merges on the corpus-wide
+    // word-frequency table (q356's exact learner, identical argmax
+    // tie-breaks), apply them to every source's word table, and report
+    // per source the character mass, the post-merge symbol count, and
+    // the compression ratio — the fertility-after-training number that
+    // decides whether a tokenizer's merges transfer across domains
+    // (a source whose compression lags the corpus needs its own merges
+    // or more weight in the training mix). The learned table is k = 8
+    // rows — model-sized — so the application is 8 chained literal
+    // `replace`s over the double-space encoding (the q356 greedy-pass
+    // equivalence), all inside codegen. Scale shape: corpus collapses
+    // to Heaps-bounded (source, word) and (word) frequency tables in
+    // one pass each; the learner is q356's two-path loop; application
+    // + the final agg never touch corpus rows again.
+    Q("q366_bpe_compression", (s, d) => {
+      import s.implicits._
+      val srcWords = t(s, d, "documents")
+        .select($"source", explode(
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        .groupBy($"source", $"word")
+        .agg(count(lit(1)).as("cnt")).persist()
+      val globalWords = srcWords.groupBy($"word")
+        .agg(sum($"cnt").cast("long").as("cnt"))
+      val merges = BpeOps.learnMerges(globalWords, 8)
+      val enc = srcWords.select($"source", $"cnt",
+        length($"word").cast("long").as("wlen"),
+        regexp_replace($"word", "(.)", " $1 ").as("s"))
+      val applied = merges.foldLeft(enc) { (acc, m) =>
+        // symbols are [a-z]+-derived — no escaping hazard (q356)
+        acc.withColumn("s",
+          expr(s"replace(s, ' ${m.lft}  ${m.rgt} ', ' ${m.lft}${m.rgt} ')"))
+      }
+      applied
+        .select($"source", $"cnt", $"wlen",
+          size(split(trim($"s"), "  ")).cast("long").as("nsym"))
+        .groupBy($"source")
+        .agg(sum($"cnt").cast("long").as("n_words"),
+          sum($"wlen" * $"cnt").cast("long").as("n_chars"),
+          sum($"nsym" * $"cnt").cast("long").as("n_symbols"))
+        .select($"source", $"n_words", $"n_chars", $"n_symbols",
+          expr("(n_symbols * 1000000) div n_chars")
+            .as("compression_ppm"))
+    }, Some(bpeCompressionOracleSql(8)))
   )
 
   /** DuckDB twin of [[BpeOps.bpeMergeTable]]: k unrolled rounds of
@@ -1510,6 +1555,61 @@ object TextQueries extends QueryModule {
     s"WITH ${(w0 +: rounds).mkString(",\n")}\n" +
       "SELECT round, lft, rgt, lft || rgt AS merged," +
       s" CAST(c AS BIGINT) AS pair_count FROM ($union) m"
+  }
+
+  /** q366's oracle: q356's learn chain (w0/p_i/m_i CTEs, identical
+    * argmax tie-breaks) INCLUDING the intermediate w_i tables, then the
+    * per-source word table pushed through the same k merges and rolled
+    * up to the compression report. */
+  private[operators] def bpeCompressionOracleSql(k: Int): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS s, cnt
+        |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM (SELECT unnest(regexp_extract_all(lower(text),
+        |                '[a-z]+')) AS word FROM documents) u
+        |        GROUP BY 1) wc)""".stripMargin
+    val rounds = (1 to k).flatMap { i =>
+      val pm = Seq(
+        s"""p$i AS MATERIALIZED (
+           |  SELECT l[i] AS lft, l[i + 1] AS rgt, sum(cnt) AS c
+           |  FROM (SELECT l, cnt, unnest(generate_series(1, len(l) - 1)) AS i
+           |        FROM (SELECT string_split(trim(s), '  ') AS l, cnt
+           |              FROM w${i - 1}) q0) q1
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""m$i AS MATERIALIZED (
+           |  SELECT lft, rgt FROM p$i
+           |  ORDER BY c DESC, lft ASC, rgt ASC LIMIT 1)""".stripMargin)
+      if (i == k) pm else pm :+
+        s"""w$i AS MATERIALIZED (
+           |  SELECT replace(s,
+           |    (SELECT ' ' || lft || '  ' || rgt || ' ' FROM m$i),
+           |    (SELECT ' ' || lft || rgt || ' ' FROM m$i)) AS s, cnt
+           |  FROM w${i - 1})""".stripMargin
+    }
+    val ws0 =
+      """ws0 AS MATERIALIZED (
+        |  SELECT source, cnt, length(word) AS wlen,
+        |    regexp_replace(word, '(.)', ' \1 ', 'g') AS s
+        |  FROM (SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM (SELECT source, unnest(regexp_extract_all(lower(text),
+        |                '[a-z]+')) AS word FROM documents) u
+        |        GROUP BY 1, 2) wc)""".stripMargin
+    val appls = (1 to k).map { i =>
+      s"""ws$i AS (
+         |  SELECT source, cnt, wlen, replace(s,
+         |    (SELECT ' ' || lft || '  ' || rgt || ' ' FROM m$i),
+         |    (SELECT ' ' || lft || rgt || ' ' FROM m$i)) AS s
+         |  FROM ws${i - 1})""".stripMargin
+    }
+    s"WITH ${((w0 +: rounds) ++ (ws0 +: appls)).mkString(",\n")}\n" +
+      s"""SELECT source, CAST(sum(cnt) AS BIGINT) AS n_words,
+         |  CAST(sum(wlen * cnt) AS BIGINT) AS n_chars,
+         |  CAST(sum(len(string_split(trim(s), '  ')) * cnt) AS BIGINT)
+         |    AS n_symbols,
+         |  CAST(sum(len(string_split(trim(s), '  ')) * cnt) * 1000000
+         |    // sum(wlen * cnt) AS BIGINT) AS compression_ppm
+         |FROM ws$k GROUP BY 1""".stripMargin
   }
 
   /** The 10 nDCG position discounts floor(1e6 / log2(i + 1)),

@@ -140,6 +140,19 @@ class TrainingOpsInvariantSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(4) >= 2L))
   }
 
+  test("q366 BPE compression: merges only ever shrink the symbol stream") {
+    val rows =
+      SparkEntry.queries("q366_bpe_compression")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2)) // n_symbols <= n_chars
+      assert(r.getLong(4) <= 1000000L)
+      assert(r.getLong(3) >= r.getLong(1)) // a word is >= 1 symbol
+    }
+    // 8 learned merges must actually fire somewhere in the corpus
+    assert(rows.map(_.getLong(3)).sum < rows.map(_.getLong(2)).sum)
+  }
+
   test("q363 LSH advisor: J50 rises with rows-per-band, candidate volume falls") {
     val rows = SparkEntry.queries("q363_lsh_advisor")(spark, sf)
       .collect().sortBy(_.getLong(1)) // by n_rows: 1, 2, 4, 8
