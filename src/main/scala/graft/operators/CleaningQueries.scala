@@ -957,6 +957,88 @@ object CleaningQueries extends QueryModule {
         CAST(sum(hits) AS BIGINT) AS total_hits,
         CAST(max(hits) AS BIGINT) AS max_doc_hits
       FROM h GROUP BY 1""")),
+
+    // pipeline ORDER-OF-OPERATIONS audit: sample∘dedup vs dedup∘sample.
+    // The two orders are NOT equivalent — dedup-first picks the global
+    // canonical (min id) per fingerprint group and then samples it
+    // (losing the whole group when the canonical is unsampled), while
+    // sample-first dedups among survivors (keeping the min SAMPLED
+    // copy). The per-source divergence ppm is the readout that decides
+    // whether a pipeline may cheaply sample early or must dedup first
+    // — the canonical curation ordering question. Planted exact copies
+    // (doc_id % 20 == 9 duplicates its successor — q117 convention)
+    // guarantee multi-doc groups at any SF; the 80% gate is the
+    // deterministic hashMix sample (engine-replayable, q56
+    // convention). Exactness: group reductions are min-of-struct total
+    // orders on the unique doc_id (arg_min/FILTER in the oracle).
+    // Scale shape: ONE map-side-combined agg on the fingerprint, then
+    // three registry-sized attribution streams unioned and re-agged —
+    // no joins, no windows, linear at any corpus size.
+    Q("q367_sample_dedup_order", (s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents").select($"doc_id", $"source", $"text")
+      val donors = base.select(($"doc_id" - 1).as("doc_id"),
+        $"text".as("donor"))
+      val planted = base.join(donors, Seq("doc_id"), "left")
+        .select($"doc_id", $"source",
+          when($"doc_id" % 20 === 9 && $"donor".isNotNull, $"donor")
+            .otherwise($"text").as("text"))
+      val f = planted.select($"doc_id", $"source",
+        md5($"text").as("fp"),
+        (CorpusOps.hashMix($"doc_id", 1000L) < 800).as("ok"))
+      val g = f.groupBy($"fp").agg(
+        min(struct($"doc_id", $"ok", $"source")).as("a"),
+        min(when($"ok", struct($"doc_id", $"source"))).as("b"))
+      val sA = g.filter($"a.ok")
+        .select($"a.source".as("source"), lit(1L).as("na"),
+          lit(0L).as("nb"), lit(0L).as("nd"))
+      val sB = g.filter($"b".isNotNull)
+        .select($"b.source".as("source"), lit(0L).as("na"),
+          lit(1L).as("nb"), lit(0L).as("nd"))
+      val sD = g.filter(!$"a.ok" && $"b".isNotNull)
+        .select($"b.source".as("source"), lit(0L).as("na"),
+          lit(0L).as("nb"), lit(1L).as("nd"))
+      sA.unionAll(sB).unionAll(sD)
+        .groupBy($"source")
+        .agg(sum($"na").cast("long").as("n_dedup_first"),
+          sum($"nb").cast("long").as("n_sample_first"),
+          sum($"nd").cast("long").as("n_divergent"))
+        .select($"source", $"n_dedup_first", $"n_sample_first",
+          $"n_divergent",
+          expr("(n_divergent * 1000000) div n_sample_first")
+            .as("divergent_ppm"))
+    }, Some("""
+      WITH base AS (SELECT doc_id, source, text FROM documents),
+      pl AS (
+        SELECT b.doc_id, b.source,
+          CASE WHEN b.doc_id % 20 = 9 AND d.donor IS NOT NULL
+               THEN d.donor ELSE b.text END AS text
+        FROM base b
+        LEFT JOIN (SELECT doc_id - 1 AS doc_id, text AS donor FROM base) d
+          USING (doc_id)),
+      f AS (
+        SELECT doc_id, source, md5(text) AS fp,
+          ((((doc_id % 1000003) + 1000003) % 1000003
+            * 2654435761 + 40503) % 1000 + 1000) % 1000 < 800 AS ok
+        FROM pl),
+      g AS (
+        SELECT fp,
+          arg_min(ok, doc_id) AS a_ok,
+          arg_min(source, doc_id) AS a_src,
+          min(doc_id) FILTER (WHERE ok) AS b_id,
+          arg_min(source, doc_id) FILTER (WHERE ok) AS b_src
+        FROM f GROUP BY 1),
+      u AS (
+        SELECT a_src AS source, 1 AS na, 0 AS nb, 0 AS nd
+        FROM g WHERE a_ok
+        UNION ALL SELECT b_src, 0, 1, 0 FROM g WHERE b_id IS NOT NULL
+        UNION ALL SELECT b_src, 0, 0, 1 FROM g
+        WHERE NOT a_ok AND b_id IS NOT NULL)
+      SELECT source, CAST(sum(na) AS BIGINT) AS n_dedup_first,
+        CAST(sum(nb) AS BIGINT) AS n_sample_first,
+        CAST(sum(nd) AS BIGINT) AS n_divergent,
+        CAST(sum(nd) * 1000000 // sum(nb) AS BIGINT) AS divergent_ppm
+      FROM u GROUP BY 1"""))
   )
 
   /** Standard-normal decile quantiles Φ⁻¹(k/10), k = 1..9, floor-

@@ -153,6 +153,22 @@ class TrainingOpsInvariantSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum < rows.map(_.getLong(2)).sum)
   }
 
+  test("q367 ordering audit: sample-first survivors = dedup-first + divergent, exactly") {
+    val rows =
+      SparkEntry.queries("q367_sample_dedup_order")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // a group A keeps is also kept by B (same doc, same source), so
+    // per source: n_sample_first = n_dedup_first + n_divergent, and
+    // dedup-first can never keep MORE than sample-first
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) + r.getLong(3),
+        s"${r.getString(0)}: ${r.getLong(2)} != ${r.getLong(1)} + ${r.getLong(3)}")
+    }
+    // the planted duplicate groups + 80% gate must produce SOME
+    // divergence corpus-wide (P[copy unsampled, donor sampled] = 16%)
+    assert(rows.map(_.getLong(3)).sum > 0)
+  }
+
   test("q363 LSH advisor: J50 rises with rows-per-band, candidate volume falls") {
     val rows = SparkEntry.queries("q363_lsh_advisor")(spark, sf)
       .collect().sortBy(_.getLong(1)) // by n_rows: 1, 2, 4, 8
