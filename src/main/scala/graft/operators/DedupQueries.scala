@@ -2132,7 +2132,129 @@ object DedupQueries extends QueryModule {
          |  JOIN dfr ON dfr.tok = a.tok)
          |SELECT doc_a, doc_b, CAST(rk AS BIGINT) AS rk,
          |  tok AS evidence_tok, CAST(df AS BIGINT) AS df
-         |FROM ev WHERE rk <= 3""".stripMargin))
+         |FROM ev WHERE rk <= 3""".stripMargin)),
+
+    // dedup-threshold policy sweep: for each Jaccard cutoff tau in
+    // {0.5 .. 0.9}, the numbers a dedup policy decision needs — how
+    // many near-dup pairs qualify, how many documents a pair-level
+    // remove-the-higher-id pass drops, and the token mass that removal
+    // costs — the aggressiveness-vs-data-loss trade curve (q36 runs
+    // ONE threshold and verifies recall; q80/q217/q309 sweep QUALITY
+    // thresholds; nothing swept the dedup cutoff). Candidates and
+    // exact Jaccard are q36's verified machinery (banded MinHash,
+    // capped buckets, candidate-restricted intersection join), priced
+    // once and re-read for all five cutoffs via a constant 5-row grid
+    // broadcast. Removal accounting is per (tau, doc): DISTINCT
+    // removed ids, then ONE join to the per-doc token counts; the
+    // corpus token total is a 1-row broadcast. Everything downstream
+    // of the candidate join is pairs-sized — linear at any corpus
+    // size by the banding argument.
+    Q("q368_dedup_threshold_sweep", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val sr = TextOps.shingleRows(docs, "doc_id", "text")
+        .select($"doc_id", $"shingle").distinct().persist()
+      val sigs = DedupOps.minhashSignatures(sr, "doc_id", "shingle", k = 16)
+      val bandTable = DedupOps.lshBands(sigs, "doc_id", "sig",
+        bands = 4, rows = 4)
+      val cands = DedupOps.lshCandidates(bandTable, "doc_id")
+      val sizes = sr.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val pairs = cands
+        .join(sr.select($"doc_id".as("doc_a"), $"shingle"), "doc_a")
+        .join(sr.select($"doc_id".as("doc_b"), $"shingle"),
+          Seq("doc_b", "shingle"))
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+        .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sza")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("szb")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          expr("(inter * 1000000) div (sza + szb - inter)").as("j_ppm"))
+      val taus = Seq(500000L, 600000L, 700000L, 800000L, 900000L)
+        .toDF("tau_ppm")
+      val qual = pairs.join(broadcast(taus), $"j_ppm" >= $"tau_ppm")
+        .persist() // pair counts AND the removed-doc accounting
+      val toks = docs.select($"doc_id",
+        TextOps.tokenCount($"text").cast("long").as("ntok"))
+      val total = toks.agg(sum($"ntok").as("tot"))
+      val removed = qual.select($"tau_ppm", $"doc_b").distinct()
+        .join(toks.select($"doc_id".as("doc_b"), $"ntok"), "doc_b")
+        .groupBy($"tau_ppm")
+        .agg(count(lit(1)).cast("long").as("n_docs_removed"),
+          sum($"ntok").cast("long").as("rt"))
+      qual.groupBy($"tau_ppm")
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+        .join(removed, Seq("tau_ppm"), "left_outer")
+        .crossJoin(broadcast(total))
+        .select($"tau_ppm", $"n_pairs",
+          coalesce($"n_docs_removed", lit(0L)).as("n_docs_removed"),
+          expr("""cast(cast(coalesce(rt, 0) as decimal(38,0)) * 1000000
+            div tot as bigint)""").as("removed_token_ppm"))
+    }, Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |      AS shingle
+         |  FROM toks),
+         |hv AS (SELECT doc_id, (${hvDuckOf("shingle")}) % 2147483647 AS hv
+         |       FROM sh),
+         |mh AS (
+         |  SELECT doc_id, i,
+         |    min((hv * ((i * 2654435761) % 2147483646 + 1)
+         |         + (i * 40503 + 17) % 2147483647) % 2147483647) AS h
+         |  FROM hv CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ii
+         |  GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, CAST(i // 4 AS INT) AS band_id,
+         |         string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bk
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |bsz AS (SELECT band_id, bk, count(*) AS c FROM bands GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x
+         |  JOIN bands y ON x.band_id = y.band_id AND x.bk = y.bk
+         |              AND x.doc_id < y.doc_id
+         |  JOIN bsz s ON s.band_id = x.band_id AND s.bk = x.bk
+         |  WHERE s.c BETWEEN 2 AND 1000),
+         |szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY c.doc_a, c.doc_b),
+         |pj AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    i.inter * 1000000 // (sa.sz + sb.sz - i.inter) AS j_ppm
+         |  FROM inter i
+         |  JOIN szs sa ON sa.doc_id = i.doc_a
+         |  JOIN szs sb ON sb.doc_id = i.doc_b),
+         |grid(tau_ppm) AS (VALUES (500000), (600000), (700000),
+         |  (800000), (900000)),
+         |qual AS (SELECT g.tau_ppm, pj.doc_a, pj.doc_b
+         |         FROM pj JOIN grid g ON pj.j_ppm >= g.tau_ppm),
+         |tk AS (SELECT doc_id,
+         |         len(string_split_regex(trim(text), '\\s+')) AS ntok
+         |       FROM documents),
+         |tt AS (SELECT sum(ntok) AS tot FROM tk),
+         |rem AS (
+         |  SELECT q.tau_ppm, count(*) AS n_docs_removed,
+         |    sum(tk.ntok) AS rt
+         |  FROM (SELECT DISTINCT tau_ppm, doc_b FROM qual) q
+         |  JOIN tk ON tk.doc_id = q.doc_b
+         |  GROUP BY 1)
+         |SELECT CAST(q.tau_ppm AS BIGINT) AS tau_ppm,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(any_value(rem.n_docs_removed), 0) AS BIGINT)
+         |    AS n_docs_removed,
+         |  CAST(CAST(coalesce(any_value(rem.rt), 0) AS HUGEINT) * 1000000
+         |    // any_value(tt.tot) AS BIGINT) AS removed_token_ppm
+         |FROM qual q
+         |LEFT JOIN rem ON rem.tau_ppm = q.tau_ppm
+         |CROSS JOIN tt
+         |GROUP BY q.tau_ppm""".stripMargin))
   )
 
   /** q363's oracle: the q36 MinHash CTE chain, then per (bands, rows)

@@ -46,6 +46,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q72_mixture_weights" -> "1-row normalizer broadcast",
     "q358_doremi_reweight" -> "1-row reference-loss + 1-row weight-normalizer scalar broadcasts onto the 20-row source registry (q66/q72 class)",
     "q360_greedy_coverage" -> "1-row vocab-total scalar broadcast onto the 4-row step frame (q300 class)",
+    "q368_dedup_threshold_sweep" -> "constant 5-row threshold-grid range join (q297/q321 class) + the 1-row corpus-token-total scalar broadcast",
     "q73_unigram_logprob" -> "1-row corpus-token-total broadcast",
     "q137_split_parity" -> "1-row corpus-doc-total broadcast onto the registry-sized (split, lang) frame",
     "q292_mutual_information" -> "1-row total + 1-row marginal-entropy broadcasts onto the registry-squared contingency frame",

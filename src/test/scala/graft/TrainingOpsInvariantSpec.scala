@@ -169,6 +169,18 @@ class TrainingOpsInvariantSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum > 0)
   }
 
+  test("q368 dedup sweep: tightening the cutoff never removes more") {
+    val rows = SparkEntry.queries("q368_dedup_threshold_sweep")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    Seq(1, 2, 3).foreach { c =>
+      rows.map(_.getLong(c)).sliding(2).foreach { case Array(a, b) =>
+        assert(b <= a, s"column $c rose with tau: $a -> $b")
+      }
+    }
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1))) // docs <= pairs
+  }
+
   test("q363 LSH advisor: J50 rises with rows-per-band, candidate volume falls") {
     val rows = SparkEntry.queries("q363_lsh_advisor")(spark, sf)
       .collect().sortBy(_.getLong(1)) // by n_rows: 1, 2, 4, 8
