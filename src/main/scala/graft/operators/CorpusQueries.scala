@@ -1988,11 +1988,16 @@ object CorpusQueries extends QueryModule {
           tf.groupBy($"tok").agg(sum($"tf").as("cnt")),
           $"tok", k = 256, order = Seq($"cnt".desc, $"tok".asc))
         .select($"tok", lit(true).as("in_vocab"))
+      // persisted: the 20-row registry frame feeds BOTH the `ref`
+      // scalar agg and the `upd` crossJoin — without it the
+      // tf→vocab-join→per-source agg chain executes twice (round-13
+      // ADVICE)
       val src = tf.join(broadcast(vocab), Seq("tok"), "left_outer")
         .groupBy($"source")
         .agg(sum($"tf").cast("long").as("n_tokens"),
           sum(when($"in_vocab".isNull, $"tf").otherwise(0L)).cast("long")
             .as("n_oov"))
+        .persist()
       val ref = src.agg(
         expr("""cast(cast(sum(n_oov) as decimal(38,0)) * 1000000
           div sum(n_tokens) as bigint)""").as("ref_ppm"),

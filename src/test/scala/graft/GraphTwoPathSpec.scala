@@ -33,7 +33,8 @@ class GraphTwoPathSpec extends AnyFunSuite {
     "q322_modularity",
     "q352_ktruss",
     "q355_harmonic_closeness",
-    "q356_bpe_merges")
+    "q356_bpe_merges",
+    "q369_suffix_dedup")
 
   /** Canonical sorted row-string dump — schema-order columns, null-safe. */
   private def dump(s: org.apache.spark.sql.SparkSession,

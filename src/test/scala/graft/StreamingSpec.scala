@@ -318,4 +318,62 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Map(1L -> Some("engagement"), 2L -> None))
     } finally q.stop()
   }
+
+  test("near-dedup gate agrees with its oracled batch twin (q370) on a " +
+    "deterministic one-doc-per-microbatch stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{DedupOps, TextOps}
+    import org.apache.spark.sql.functions.{col, min}
+    // a planted mix: an original, a near-dup (one-word edit), fresh
+    // content, an exact copy, and more fresh content — fed one doc per
+    // micro-batch in doc_id order, so the gate's first-seen-wins state
+    // evolution is exactly the twin's min-doc_id-claimant model
+    val base = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the river bank where a crowd of small animals gathers to watch " +
+      "the evening show unfold under a warm summer sky"
+    val fresh1 = "completely different content about database engines " +
+      "partitioning shuffles and the optimizer choosing a broadcast " +
+      "join over a sort merge join for a small dimension table"
+    val fresh2 = "yet another unrelated passage describing mountains " +
+      "rivers forests and the slow change of seasons across a wide " +
+      "landscape painted in morning light with quiet persistence"
+    val corpus = Seq(1L -> base, 2L -> base.replace("brown", "brownx"),
+      3L -> fresh1, 4L -> base, 5L -> fresh2,
+      6L -> fresh1.replace("shuffles", "shufflesx"))
+    val input = MemoryStream[EventsStreaming.Doc]
+    val q = EventsStreaming.nearDedupDocs(input.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("gate_twin").start()
+    try {
+      corpus.foreach { case (id, text) =>
+        input.addData(EventsStreaming.Doc(id,
+          ts(f"2024-01-01 10:0$id:00"), text))
+        q.processAllAvailable() // one micro-batch per doc
+      }
+      // close the 10:00-11:00 window so append mode emits it
+      input.addData(
+        EventsStreaming.Doc(9, ts("2024-01-01 12:30:00"), fresh2))
+      q.processAllAvailable()
+      val admitted = spark.table("gate_twin")
+        .select($"doc_id").as[Long].collect().toSet
+      // the batch twin (q370's held model): claimant = min doc_id per
+      // band key; held iff some band's claimant precedes the doc
+      val docsDf = corpus.toDF("doc_id", "text")
+      val sr = TextOps.shingleRows(docsDf, "doc_id", "text")
+        .select(col("doc_id"), col("shingle")).distinct()
+      val sigs = DedupOps.minhashSignatures(sr, "doc_id", "shingle", 16)
+      val bands = DedupOps.lshBands(sigs, "doc_id", "sig", 4, 4)
+      val first = bands.groupBy("band_id", "band_hash")
+        .agg(min("doc_id").as("first_id"))
+      val held = bands.join(first, Seq("band_id", "band_hash"))
+        .filter(col("first_id") < col("doc_id"))
+        .select($"doc_id").distinct().as[Long].collect().toSet
+      val twinAdmitted = corpus.map(_._1).toSet -- held
+      assert(admitted == twinAdmitted,
+        s"gate admitted $admitted, twin admits $twinAdmitted (held $held)")
+      // sanity on the mix itself: originals pass, the exact copy is held
+      assert(admitted.contains(1L) && !admitted.contains(4L))
+    } finally q.stop()
+  }
 }

@@ -6,9 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * operators (q357-q363) — properties the DuckDB hash gate cannot
   * express because they relate ROWS of one result to each other
   * (monotonicity, conservation, submodular diminishing returns),
-  * pinned against the smallest testdata SF. Each is a THEOREM of the
-  * operator's semantics, not a data accident, so a failure is always
-  * an implementation bug.
+  * pinned against the smallest testdata SF. Each is a theorem of the
+  * operator's EXACT-arithmetic semantics; where the implementation
+  * floor-quantizes (q357's integer centroids and d2 millis), the
+  * assertion is loosened by the quantization envelope rather than
+  * claimed as an exact theorem (round-13 ADVICE).
   */
 class TrainingOpsInvariantSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -22,14 +24,38 @@ class TrainingOpsInvariantSpec extends AnyFunSuite {
     // in each round
     def n(step: Long) = byStep(step).map(_.getLong(2)).sum
     assert(n(1L) == n(2L) && n(1L) > 0)
-    // Lloyd's descent property: total inertia (sum over clusters of
-    // members x mean d2 — exact up to the per-cluster floor, whose
-    // error is dominated by the true decrease) must not rise after an
-    // assign+update round
+    // Lloyd's descent property, loosened by the quantization envelope:
+    // with floor-quantized M-step centroids (floor(sum/n) per dim) and
+    // per-member d2 floored to millis, true monotonicity only holds up
+    // to the accumulated floor error — bounded by one unit per dim per
+    // member (64 * n_members) plus one milli-unit per member from the
+    // mean floor. On this data the true decrease dominates and the
+    // strict form also holds, but the ASSERTED bound is the envelope,
+    // not the exact theorem (round-13 ADVICE).
     def inertia(step: Long) =
       byStep(step).map(r => r.getLong(2) * r.getLong(3)).sum
-    assert(inertia(2L) <= inertia(1L),
-      s"inertia rose: round1=${inertia(1L)} round2=${inertia(2L)}")
+    val envelope = 64L * n(1L) + n(1L)
+    assert(inertia(2L) <= inertia(1L) + envelope,
+      s"inertia rose past the quantization envelope ($envelope): " +
+        s"round1=${inertia(1L)} round2=${inertia(2L)}")
+  }
+
+  test("q370 band-gate FP cost: the held rate is real, the FP share is bounded") {
+    val r = SparkEntry.queries("q370_band_gate_fp")(spark, sf).collect()
+    assert(r.length == 1)
+    val Seq(nDocs, nHeld, nFp, heldPpm, fpPpm) =
+      (0 to 4).map(r(0).getLong)
+    assert(nDocs > 0 && nHeld > 0, "gate held nothing — no near-dups?")
+    assert(nFp <= nHeld && fpPpm <= heldPpm)
+    assert(heldPpm == nHeld * 1000000L / nDocs)
+    assert(fpPpm == nFp * 1000000L / nDocs)
+    // the invariant BOUND (round-13 verdict #6): held-but-not-duplicate
+    // docs are at most 20% of all held docs — measured 0/24 at
+    // sf0.001/sf0.01 and 4/247 (1.6%) at sf0.1; the 20% ceiling is the
+    // data-pinned envelope with ~10x headroom, and crossing it means
+    // the gate's conservatism has become a real data-loss problem
+    assert(nFp * 5L <= nHeld,
+      s"FP share ${nFp}/$nHeld exceeds the 20% envelope")
   }
 
   test("q358 DoReMi: weights are a smoothed distribution favoring excess loss") {

@@ -63,3 +63,66 @@ if len(sys.argv) > 4:
           f"{len(over)} over 15x")
     for g, lo, hi, name in grow[:20]:
         print(f"  {g:6.1f}x  {lo:8.1f}MB -> {hi:9.1f}MB  {name}")
+
+    # Growth EXPONENTS (round-14, verdict #7 — the q296 band-saturation
+    # detector, mechanized): fit bytes ~ n^e from the two SFs
+    # (e = log(hi/lo) / log(sf_ratio)); e <= ~1.1 is linear, the CI
+    # threshold 1.3 flags anything super-linear enough to matter at
+    # 100 TB (10x data -> >20x bytes). Writes scale_exponents.json next
+    # to the sf1 artifact and EXITS NONZERO on unwaived flags, so the
+    # round bench can gate on it. Waivers must name their justification
+    # — an empty dict is the expected steady state.
+    import math, os
+    sf_ratio = float(os.environ.get("GRAFT_SF_RATIO", "10"))
+    exp_thr = float(os.environ.get("GRAFT_EXP_THRESHOLD", "1.3"))
+    # Waivers carry the BASELINE.md round-13 audit attributions; q296
+    # is deliberately ABSENT — its 60-bit fix must clear it on any
+    # post-fix artifact (it reads 2.14 only against the pre-fix sf1
+    # metrics window).
+    ENTROPY = ("distinct-key shuffle: growth is lz4 compression "
+               "entropy, bytes/row saturates at raw row size "
+               "(BASELINE.md round-13 audit, q43 focused measure)")
+    LSH_STEP = ("auto-sizing steps (bands/cells grow in log2 "
+                "increments with n) land a boundary between the SFs; "
+                "within-regime growth linear (round-13 audit)")
+    WAIVERS = {
+        "q43_approx_distinct": ENTROPY, "q181_skew_report": ENTROPY,
+        "q186_column_profile": ENTROPY,
+        "q210_multiplicity_audit": ENTROPY,
+        "q213_reconciliation": ENTROPY,
+        "q271_dominant_supplier": ENTROPY,
+        "q294_large_volume_orders": ENTROPY,
+        "q347_profit_by_nation":
+            ("boundedBroadcast refuses the 10x part slice and degrades "
+             "to a shuffle join BY DESIGN; bytes = the slice, linear "
+             "from there (round-13 audit)"),
+        "q36_minhash_lsh": LSH_STEP, "q39_knn_lsh": LSH_STEP,
+        "q173_lsh_forest": LSH_STEP, "q253_hubness": LSH_STEP,
+    }
+    exps = {}
+    for g, lo, hi, name in grow:
+        exps[name] = {
+            "shw_exp": round(math.log(g) / math.log(sf_ratio), 3),
+            "shw_mb_lo": round(lo, 1), "shw_mb_hi": round(hi, 1)}
+    for name, rec in qs.items():
+        b = base.get(name)
+        if not (isinstance(rec, dict) and isinstance(b, dict)):
+            continue
+        tl, th = b.get("med"), rec.get("med")
+        if tl and th and tl > 0.05:  # sub-50ms base = fixed-cost noise
+            exps.setdefault(name, {})["time_exp"] = round(
+                math.log(th / tl) / math.log(sf_ratio), 3)
+    flagged = sorted(
+        n for n, e in exps.items()
+        if e.get("shw_exp", 0) > exp_thr and n not in WAIVERS)
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(sys.argv[1])),
+                           "scale_exponents.json")
+    with open(sidecar, "w") as f:
+        json.dump({"sf_ratio": sf_ratio, "threshold": exp_thr,
+                   "flagged": flagged, "waivers": WAIVERS,
+                   "exponents": exps}, f, indent=1, sort_keys=True)
+    print(f"\nexponents -> {sidecar}; "
+          f"{len(flagged)} super-linear (shw_exp > {exp_thr}): "
+          + (", ".join(flagged) if flagged else "none"))
+    if flagged:
+        sys.exit(1)
