@@ -158,6 +158,26 @@ object DedupOps {
       .select(col(idCol), col(sigCol), col("b.band"), col("b.bv"))
   }
 
+  /** Band-saturation HEADROOM for a pigeonhole banding config: the
+    * ratio of a band's value space (2^bandWidth) to the corpus size.
+    * Expected bucket occupancy is its inverse, so headroom <= ~1 means
+    * every bucket holds >= 1 doc on average and the candidate
+    * equi-join's output grows QUADRATICALLY with the corpus — the
+    * q296 failure class the round-13 shuffle audit caught (32-bit /
+    * 8-bit bands saturating at n ~ 1k). Boundaries this implies:
+    * the 32-bit maxHamming=1 form (2 bands x 16 bits) saturates at
+    * n ~ 2^16 = 65,536 docs; the 60-bit form (2 bands x 30 bits) at
+    * n ~ 2^30 — 16,384x later. Catalog consumers of the 32-bit form
+    * run at corpus sizes with >= 12x headroom at sf1; a deployment
+    * past the boundary must switch to the 60-bit signature
+    * ([[simhash60FromTokenRows]]), which is shape-preserving.
+    * BandSaturationSpec pins both the arithmetic and the empirical
+    * regime crossing on a generated corpus. */
+  def bandHeadroom(nDocs: Long, bits: Int, maxHamming: Int): Double = {
+    val width = bits / (maxHamming + 1)
+    math.pow(2.0, width) / nDocs.toDouble
+  }
+
   def simhashPairsBanded(sigs: DataFrame, idCol: String, sigCol: String,
                          maxHamming: Int, bits: Int = 32): DataFrame = {
     // The band table feeds BOTH sides of the candidate equi-join below
