@@ -98,6 +98,18 @@ if len(sys.argv) > 4:
              "from there (round-13 audit)"),
         "q36_minhash_lsh": LSH_STEP, "q39_knn_lsh": LSH_STEP,
         "q173_lsh_forest": LSH_STEP, "q253_hubness": LSH_STEP,
+        # round-14 first-measurement attributions (BASELINE.md round-14
+        # sf1 section): rows PROVEN linear, growth is key-string entropy
+        "q370_band_gate_fp":
+            ("rows exactly linear (DuckDB recount: claims 248->2492, "
+             "intersection 12.2k->122.4k for 10x data); bytes/row 7.5->"
+             "18 on ~50-byte band-key/shingle strings — lz4 entropy, "
+             "capped by raw row size (q43 class)"),
+        "q360_greedy_coverage":
+            ("fixed 8 rounds over a shrinking remainder <= corpus "
+             "shingles — rows linear by construction; bytes/row 3.3->7 "
+             "vs ~45-byte raw shingle strings — lz4 entropy, capped by "
+             "raw row size (q43 class)"),
     }
     exps = {}
     for g, lo, hi, name in grow:
