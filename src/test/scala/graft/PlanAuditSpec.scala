@@ -118,6 +118,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q235_bloom_fpr_audit" -> "constant 32-word bloom broadcasts (q81 class) + 1-row bits-set/member-count broadcasts onto the 1-row rollup",
     "q238_negative_sampling" -> "1-row weight-total + 1-row leftover broadcasts onto the bounded frequency-class grid (q166/q196 class)",
     "q239_session_entropy" -> "1-row grand-total broadcast onto the state registry",
+    "q370_band_gate_fp" -> "1-row corpus-doc-count broadcast x 1-row held/fp summary agg (scalar aggs, q159 class)",
     "q241_hazard_curve" -> "1-row observation-horizon broadcast onto the per-user exit frame",
     "q240_join_order_advisor" -> "all sides are scalar count aggs / literal order frames (1-row each) — the advised join never runs",
     "q236_hill_tail_index" -> "1-row k-cutoff frame inequality-joined to the bounded frequency-class grid (q227 class)",
