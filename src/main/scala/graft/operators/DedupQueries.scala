@@ -2409,7 +2409,98 @@ object DedupQueries extends QueryModule {
          |  CAST(n_fp AS BIGINT) AS n_fp_held,
          |  CAST(n_held * 1000000 // n_docs AS BIGINT) AS held_ppm,
          |  CAST(n_fp * 1000000 // n_docs AS BIGINT) AS fp_ppm
-         |FROM agg CROSS JOIN tot""".stripMargin))
+         |FROM agg CROSS JOIN tot""".stripMargin)),
+
+    // Duplication DEPTH ladder — the policy readout q369's single
+    // threshold cannot give: per source, how many documents carry
+    // exactly-repeated spans of >= 8, >= 16, and >= 32 tokens (and how
+    // many such starts). An 8-token repeat is a phrase; a 32-token
+    // repeat is boilerplate or a syndicated passage — the depth
+    // profile decides per-source whether to trim spans (shallow) or
+    // drop documents (deep). ONE prefix-doubling chain serves all
+    // three widths (snapshots on the way up: 5 rounds total, then one
+    // class-count window per width — [[SuffixOps.dupDepthProfile]]);
+    // monotone by construction (a width-2w dup start is a width-w dup
+    // start), pinned in SuffixDedupSpec. Planted: q77's 12-token tail
+    // (width-8 regime only) + a 35-token tail on doc_id % 11 == 5
+    // (reaches width 32), so all three regimes are exercised at every
+    // SF. Oracle: the shared chain with snapshot joins, unrolled
+    // MATERIALIZED per the q356/q369 discipline.
+    Q("q371_dup_depth_ladder", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val planted = docs.select($"doc_id", $"source",
+        concat(
+          when($"doc_id" % 7 === 3, concat($"text", lit(tail12)))
+            .otherwise($"text"),
+          when($"doc_id" % 11 === 5, lit(tail35)).otherwise(lit("")))
+          .as("text"))
+      val pos = planted
+        .select($"doc_id",
+          posexplode(TextOps.tokens($"text")).as(Seq("p", "tok")))
+        .select($"doc_id", $"p".cast("long").as("pos"), $"tok")
+      val per = SuffixOps.dupDepthProfile(pos, Seq(8, 16, 32))
+      per.join(docs.select($"doc_id", $"source"), "doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when($"dup_starts_w8" > 0, 1L).otherwise(0L))
+            .cast("long").as("docs_w8"),
+          sum($"dup_starts_w8").cast("long").as("starts_w8"),
+          sum(when($"dup_starts_w16" > 0, 1L).otherwise(0L))
+            .cast("long").as("docs_w16"),
+          sum($"dup_starts_w16").cast("long").as("starts_w16"),
+          sum(when($"dup_starts_w32" > 0, 1L).otherwise(0L))
+            .cast("long").as("docs_w32"),
+          sum($"dup_starts_w32").cast("long").as("starts_w32"))
+        .select($"source", $"n_docs", $"docs_w8", $"starts_w8",
+          $"docs_w16", $"starts_w16", $"docs_w32", $"starts_w32")
+    }, Some(suffixDepthOracleSql(Seq(8, 16, 32)))),
+
+    // Cross-set EXACT-substring decontamination — the Lee et al. 2022
+    // decontamination use of the suffix machinery (q54/q81/q115
+    // decontaminate on exact fingerprints, Bloom membership, and
+    // fuzzy shingles; nothing caught verbatim >= 8-token OVERLAP with
+    // an eval set). doc_id % 31 == 7 designates the benchmark side; a
+    // corpus start is contaminated when its 8-token sequence also
+    // occurs at an eligible benchmark position (disjoint sets, so one
+    // bench-member count per rank class decides —
+    // [[SuffixOps.crossContamProfile]]). The q77 planted tail makes
+    // the planted family cross the bench/corpus split at every SF
+    // (CRT: doc_id % 217 has both residues populated). Per-source
+    // readout: corpus/bench doc counts, contaminated docs + ppm, and
+    // contaminated start mass — the trim-vs-drop decontamination
+    // decision inputs.
+    Q("q372_exact_decontam", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val planted = docs.select($"doc_id", $"source",
+        when($"doc_id" % 7 === 3, concat($"text", lit(tail12)))
+          .otherwise($"text").as("text"),
+        ($"doc_id" % 31 === 7).as("is_bench"))
+      val pos = planted
+        .select($"doc_id", $"is_bench",
+          posexplode(TextOps.tokens($"text")).as(Seq("p", "tok")))
+        .select($"doc_id", $"p".cast("long").as("pos"), $"tok",
+          $"is_bench")
+      val per = SuffixOps.crossContamProfile(pos, width = 8)
+      per.join(docs.select($"doc_id", $"source"), "doc_id")
+        .groupBy($"source")
+        .agg(
+          sum(when(!$"is_bench", 1L).otherwise(0L)).cast("long")
+            .as("n_corpus_docs"),
+          sum(when($"is_bench", 1L).otherwise(0L)).cast("long")
+            .as("n_bench_docs"),
+          sum(when(!$"is_bench" && $"n_contam_starts" > 0, 1L)
+            .otherwise(0L)).cast("long").as("n_contaminated_docs"),
+          sum(when(!$"is_bench", $"n_contam_starts").otherwise(0L))
+            .cast("long").as("n_contam_starts"))
+        .select($"source", $"n_corpus_docs", $"n_bench_docs",
+          $"n_contaminated_docs",
+          expr("""CASE WHEN n_corpus_docs = 0 THEN CAST(0 AS BIGINT)
+            ELSE n_contaminated_docs * 1000000 div n_corpus_docs
+            END""").as("contaminated_ppm"),
+          $"n_contam_starts")
+    }, Some(suffixContamOracleSql(8)))
   )
 
   /** q363's oracle: the q36 MinHash CTE chain, then per (bands, rows)
@@ -2520,6 +2611,150 @@ object DedupQueries extends QueryModule {
        |  CAST(floor(sum(cv) * 1.0 / count(*) * 1000000) AS BIGINT)
        |    AS dup_ppm
        |FROM cv2 GROUP BY 1""".stripMargin
+  }
+
+  /** The two planted tails shared by the q369/q371/q372 suffix family
+    * and their oracles: q77's 12-token tail (width-8 regime) and a
+    * 35-token tail (reaches the width-32 regime in q371's ladder). */
+  private[operators] val tail12 =
+    " the quick brown fox jumps over the lazy dog again and again"
+  private[operators] val tail35 =
+    " alpha beta gamma delta epsilon zeta eta theta iota kappa" +
+      " lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi" +
+      " omega one two three four five six seven eight nine ten eleven"
+
+  /** Shared CTE prefix for the suffix-family oracles: planted text,
+    * token positions with gid, and the prefix-doubling rounds to
+    * `width` with SNAPSHOT columns for each width in `snaps`
+    * (ascending; last must equal `width`). Emits CTEs `raw, tl, tok,
+    * r0..rK` where the final CTE carries `r_w<s>` for every snapshot
+    * plus doc_id, pos, n (and `is_bench` when `benchFlag`). */
+  private def suffixChainSql(snaps: Seq[Int], plant35: Boolean,
+                             benchFlag: Boolean): (String, String) = {
+    val width = snaps.last
+    val plant = "CASE WHEN doc_id % 7 = 3 THEN text || '" + tail12 +
+      "' ELSE text END" +
+      (if (plant35) " || CASE WHEN doc_id % 11 = 5 THEN '" + tail35 +
+        "' ELSE '' END" else "")
+    val bench = if (benchFlag) ", doc_id % 31 = 7 AS is_bench" else ""
+    val benchCol = if (benchFlag) ", is_bench" else ""
+    val gaps = Iterator.iterate(1)(_ * 2).takeWhile(_ < width).toSeq
+    val rounds = gaps.zipWithIndex.map { case (g, k) =>
+      val i = k + 1
+      s"""s$i AS MATERIALIZED (
+         |  SELECT doc_id, pos, n, gid$benchCol, r,
+         |    coalesce(lead(r, $g)
+         |      OVER (PARTITION BY doc_id ORDER BY pos), -1) AS r2
+         |  FROM r${i - 1}),
+         |r$i AS MATERIALIZED (
+         |  SELECT doc_id, pos, n, gid$benchCol,
+         |    min(gid) OVER (PARTITION BY r, r2) AS r
+         |  FROM s$i)""".stripMargin
+    }
+    // snapshots: the rank at width 2^i lives in round CTE r_i; `fin`
+    // joins the snapshot rounds on (doc_id, pos) — no column carrying
+    val roundAtWidth = gaps.zipWithIndex
+      .map { case (g, k) => (g * 2, k + 1) }.toMap
+    val last = s"r${roundAtWidth(width)}"
+    val snapSelect = snaps.map(s =>
+      s"r${roundAtWidth(s)}.r AS r_w$s").mkString(", ")
+    val joins = snaps.dropRight(1).map(s =>
+      s"  JOIN r${roundAtWidth(s)} USING (doc_id, pos)").mkString("\n")
+    val finBench = if (benchFlag) s", $last.is_bench" else ""
+    val fin =
+      s"""fin AS MATERIALIZED (
+         |  SELECT $last.doc_id, $last.pos, $last.n$finBench,
+         |    $snapSelect
+         |  FROM $last
+         |$joins)""".stripMargin
+    val chain =
+      s"""raw AS (
+         |  SELECT doc_id, source, $plant AS text FROM documents),
+         |tl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+         |       FROM raw),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, i AS pos, l[i + 1] AS tok, len(l) AS n,
+         |    doc_id * 1048576 + i AS gid$bench
+         |  FROM (SELECT doc_id, l, unnest(range(0, len(l))) AS i FROM tl) q),
+         |r0 AS MATERIALIZED (
+         |  SELECT doc_id, pos, n, gid$benchCol,
+         |    min(gid) OVER (PARTITION BY tok) AS r
+         |  FROM tok),
+         |${rounds.mkString(",\n")},
+         |$fin""".stripMargin
+    (chain, "fin")
+  }
+
+  /** q371's oracle: the shared chain snapshot at each ladder width,
+    * then per-width eligibility/class counts and the per-source
+    * rollup. */
+  private[operators] def suffixDepthOracleSql(widths: Seq[Int]): String = {
+    val (chain, fin) = suffixChainSql(widths, plant35 = true,
+      benchFlag = false)
+    val cnt = widths.map(w =>
+      s"""CASE WHEN pos + $w <= n THEN 1 ELSE 0 END AS e_w$w,
+         |    sum(CASE WHEN pos + $w <= n THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY r_w$w) AS c_w$w""".stripMargin)
+      .mkString(",\n    ")
+    val per = widths.map(w =>
+      s"sum(CASE WHEN e_w$w = 1 AND c_w$w >= 2 THEN 1 ELSE 0 END)" +
+        s" AS d_w$w").mkString(",\n    ")
+    val agg = widths.map(w =>
+      s"""CAST(sum(CASE WHEN pd.d_w$w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_w$w,
+         |  CAST(sum(pd.d_w$w) AS BIGINT) AS starts_w$w""".stripMargin)
+      .mkString(",\n  ")
+    s"""WITH $chain,
+       |cnt AS (
+       |  SELECT doc_id, pos, n,
+       |    $cnt
+       |  FROM $fin),
+       |pd AS (
+       |  SELECT doc_id,
+       |    $per
+       |  FROM cnt GROUP BY 1)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  $agg
+       |FROM pd JOIN documents d USING (doc_id)
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** q372's oracle: the width-8 chain with the is_bench flag, one
+    * bench-member count per class, the per-doc contamination counts,
+    * and the per-source corpus rollup. */
+  private[operators] def suffixContamOracleSql(width: Int): String = {
+    val (chain, fin) = suffixChainSql(Seq(width), plant35 = false,
+      benchFlag = true)
+    s"""WITH $chain,
+       |cls AS (
+       |  SELECT doc_id, pos, n, is_bench,
+       |    CASE WHEN pos + $width <= n THEN 1 ELSE 0 END AS e,
+       |    sum(CASE WHEN pos + $width <= n AND is_bench
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY r_w$width) AS bc
+       |  FROM $fin),
+       |pd AS (
+       |  SELECT doc_id, is_bench, sum(e) AS n_starts,
+       |    sum(CASE WHEN e = 1 AND NOT is_bench AND bc >= 1
+       |        THEN 1 ELSE 0 END) AS n_contam
+       |  FROM cls GROUP BY 1, 2)
+       |SELECT d.source,
+       |  CAST(sum(CASE WHEN NOT pd.is_bench THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_corpus_docs,
+       |  CAST(sum(CASE WHEN pd.is_bench THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bench_docs,
+       |  CAST(sum(CASE WHEN NOT pd.is_bench AND pd.n_contam > 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated_docs,
+       |  CAST(CASE WHEN sum(CASE WHEN NOT pd.is_bench THEN 1 ELSE 0 END) = 0
+       |    THEN 0
+       |    ELSE sum(CASE WHEN NOT pd.is_bench AND pd.n_contam > 0
+       |        THEN 1 ELSE 0 END) * 1000000
+       |      // sum(CASE WHEN NOT pd.is_bench THEN 1 ELSE 0 END) END
+       |    AS BIGINT) AS contaminated_ppm,
+       |  CAST(sum(CASE WHEN NOT pd.is_bench THEN pd.n_contam ELSE 0 END)
+       |    AS BIGINT) AS n_contam_starts
+       |FROM pd JOIN documents d USING (doc_id)
+       |GROUP BY 1""".stripMargin
   }
 
   /** q316's oracle, parameterized by the planting modulus m (derived

@@ -120,23 +120,9 @@ object SuffixOps {
       case None =>
         // distributed arm: prefix doubling on fixed-width rank rows.
         val wDoc = Window.partitionBy($"doc_id").orderBy($"pos".asc)
-        var cur = pos
-          .toDF("doc_id", "pos", "tok")
-          .withColumn("gid", $"doc_id" * lit(1048576L) + $"pos")
-          .withColumn("n",
-            count(lit(1)).over(Window.partitionBy($"doc_id")))
-          .withColumn("r",
-            min($"gid").over(Window.partitionBy($"tok")))
-          .drop("tok")
+        var cur = rankedBase(pos.toDF("doc_id", "pos", "tok"))
         var w = 1
-        while (w < width) {
-          cur = cur
-            .withColumn("r2", lead($"r", w, -1L).over(wDoc))
-            .withColumn("r",
-              min($"gid").over(Window.partitionBy($"r", $"r2")))
-            .drop("r2")
-          w *= 2
-        }
+        while (w < width) { cur = doubleRank(cur, w); w *= 2 }
         pos.unpersist(blocking = false) // boundedRows left it persisted
         val elig = $"pos" + lit(width.toLong) <= $"n"
         val covW = wDoc.rowsBetween(-(width - 1).toLong, 0L)
@@ -157,5 +143,183 @@ object SuffixOps {
             floor($"n_dup_positions".cast("double") / $"n_tokens"
               * 1000000d).cast("long").as("dup_ppm"))
     }
+  }
+
+  /** Per-document duplication DEPTH profile: for each width in
+    * `widths` (ascending powers of two), the number of eligible starts
+    * whose width-token sequence recurs corpus-wide. One prefix-doubling
+    * chain serves every width — the rank frame is SNAPSHOT at each
+    * requested width on the way up (ceil(log2 maxWidth) rounds total,
+    * not one chain per width), then each width costs exactly one more
+    * per-class count window. Output: (doc_id, n_tokens,
+    * dup_starts_w<w1>, dup_starts_w<w2>, ...). Monotone by
+    * construction: a width-2w dup start is also a width-w dup start,
+    * so the counts never increase with width (pinned in
+    * SuffixDedupSpec). Two-path per [[dupSpanProfile]]. */
+  def dupDepthProfile(pos: DataFrame, widths: Seq[Int]): DataFrame = {
+    require(widths.nonEmpty && widths == widths.sorted &&
+      widths.forall(w => w >= 2 && (w & (w - 1)) == 0))
+    val spark = pos.sparkSession
+    import spark.implicits._
+    val cols = widths.map(w => s"dup_starts_w$w")
+
+    CorpusOps.boundedRows(pos) match {
+      case Some(rows) =>
+        val docs = rows
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+          .groupBy(_._1)
+          .map { case (id, ps) =>
+            id -> ps.sortBy(_._2).map(_._3).toIndexedSeq }
+        val countsByW = widths.map(w => w -> windowCount(docs, w)).toMap
+        val out = docs.toSeq.map { case (id, toks) =>
+          id -> (toks.length.toLong +: widths.map { w =>
+            val counts = countsByW(w)
+            var i = 0; var c = 0L
+            while (i + w <= toks.length) {
+              if (counts.getOrElse(toks.slice(i, i + w), 0L) >= 2L)
+                c += 1
+              i += 1
+            }
+            c
+          })
+        }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(out.map { case (id, vs) =>
+            org.apache.spark.sql.Row.fromSeq(id +: vs) }),
+          org.apache.spark.sql.types.StructType(
+            (Seq("doc_id", "n_tokens") ++ cols).map(c =>
+              org.apache.spark.sql.types.StructField(c,
+                org.apache.spark.sql.types.LongType, nullable = false))))
+
+      case None =>
+        var cur = rankedBase(pos)
+        var w = 1
+        widths.foreach { target =>
+          while (w < target) {
+            cur = doubleRank(cur, w); w *= 2
+          }
+          cur = cur.withColumn(s"r_w$target", $"r")
+        }
+        pos.unpersist(blocking = false)
+        widths.foreach { tw =>
+          val elig = $"pos" + lit(tw.toLong) <= $"n"
+          cur = cur
+            .withColumn(s"c_w$tw",
+              sum(when(elig, 1L).otherwise(0L))
+                .over(Window.partitionBy(col(s"r_w$tw"))))
+            .withColumn(s"dup_w$tw",
+              when(elig && col(s"c_w$tw") >= 2L, 1L).otherwise(0L))
+        }
+        cur.groupBy($"doc_id")
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            widths.map(tw =>
+              sum(col(s"dup_w$tw")).cast("long").as(s"dup_starts_w$tw")): _*)
+          .select(($"doc_id" +: $"n_tokens" +: cols.map(col)): _*)
+    }
+  }
+
+  /** Cross-set EXACT-substring contamination (the Lee et al. 2022
+    * decontamination use of the suffix machinery): positions carry an
+    * `is_bench` flag partitioning the corpus into a benchmark/eval set
+    * and a training corpus; a corpus start is CONTAMINATED when its
+    * width-token sequence also occurs at an eligible benchmark
+    * position (the sets are disjoint, so any benchmark member of the
+    * rank class suffices). Input: (doc_id, pos, tok, is_bench).
+    * Output per doc: (doc_id, is_bench, n_tokens, n_starts,
+    * n_contam_starts) — benchmark docs report 0 contaminated starts
+    * (they are the reference side). Same rank chain and two-path
+    * structure as [[dupSpanProfile]]; the only addition is one
+    * bench-member count per class. */
+  def crossContamProfile(pos: DataFrame, width: Int): DataFrame = {
+    require(width >= 2 && (width & (width - 1)) == 0)
+    val spark = pos.sparkSession
+    import spark.implicits._
+
+    CorpusOps.boundedRows(pos) match {
+      case Some(rows) =>
+        val docs = rows
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getBoolean(3)))
+          .groupBy(_._1)
+          .map { case (id, ps) =>
+            id -> (ps.head._4, ps.sortBy(_._2).map(_._3).toIndexedSeq) }
+        val benchWins =
+          scala.collection.mutable.HashSet.empty[Seq[String]]
+        docs.valuesIterator.foreach { case (isBench, toks) =>
+          if (isBench) {
+            var i = 0
+            while (i + width <= toks.length) {
+              benchWins += toks.slice(i, i + width); i += 1
+            }
+          }
+        }
+        docs.toSeq.map { case (id, (isBench, toks)) =>
+          val nStarts = math.max(toks.length - width + 1, 0).toLong
+          var c = 0L
+          if (!isBench) {
+            var i = 0
+            while (i + width <= toks.length) {
+              if (benchWins.contains(toks.slice(i, i + width))) c += 1
+              i += 1
+            }
+          }
+          (id, isBench, toks.length.toLong, nStarts, c)
+        }.toDF("doc_id", "is_bench", "n_tokens", "n_starts",
+          "n_contam_starts")
+
+      case None =>
+        var cur = rankedBase(pos.toDF("doc_id", "pos", "tok", "is_bench"))
+        var w = 1
+        while (w < width) { cur = doubleRank(cur, w); w *= 2 }
+        pos.unpersist(blocking = false)
+        val elig = $"pos" + lit(width.toLong) <= $"n"
+        cur
+          .withColumn("bc",
+            sum(when(elig && $"is_bench", 1L).otherwise(0L))
+              .over(Window.partitionBy($"r")))
+          .withColumn("ct",
+            when(elig && !$"is_bench" && $"bc" >= 1L, 1L).otherwise(0L))
+          .groupBy($"doc_id", $"is_bench")
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            sum(when(elig, 1L).otherwise(0L)).cast("long").as("n_starts"),
+            sum($"ct").cast("long").as("n_contam_starts"))
+          .select($"doc_id", $"is_bench", $"n_tokens", $"n_starts",
+            $"n_contam_starts")
+    }
+  }
+
+  /** Driver-arm helper: corpus-wide width-window occurrence counts. */
+  private def windowCount(
+      docs: Map[Long, IndexedSeq[String]], w: Int)
+      : scala.collection.Map[Seq[String], Long] = {
+    val m = scala.collection.mutable.HashMap.empty[Seq[String], Long]
+    docs.valuesIterator.foreach { toks =>
+      var i = 0
+      while (i + w <= toks.length) {
+        val k = toks.slice(i, i + w)
+        m.update(k, m.getOrElse(k, 0L) + 1L); i += 1
+      }
+    }
+    m
+  }
+
+  /** Shared distributed seed: gid, per-doc length, width-1 ranks.
+    * Extra input columns (e.g. is_bench) ride along untouched. */
+  private def rankedBase(pos: DataFrame): DataFrame = {
+    import pos.sparkSession.implicits._
+    pos
+      .withColumn("gid", $"doc_id" * lit(1048576L) + $"pos")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .withColumn("r", min($"gid").over(Window.partitionBy($"tok")))
+      .drop("tok")
+  }
+
+  /** One prefix-doubling round: rank-by-2w from rank-by-w. */
+  private def doubleRank(cur: DataFrame, w: Int): DataFrame = {
+    import cur.sparkSession.implicits._
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+    cur.withColumn("r2", lead($"r", w, -1L).over(wDoc))
+      .withColumn("r", min($"gid").over(Window.partitionBy($"r", $"r2")))
+      .drop("r2")
   }
 }

@@ -34,7 +34,9 @@ class GraphTwoPathSpec extends AnyFunSuite {
     "q352_ktruss",
     "q355_harmonic_closeness",
     "q356_bpe_merges",
-    "q369_suffix_dedup")
+    "q369_suffix_dedup",
+    "q371_dup_depth_ladder",
+    "q372_exact_decontam")
 
   /** Canonical sorted row-string dump — schema-order columns, null-safe. */
   private def dump(s: org.apache.spark.sql.SparkSession,

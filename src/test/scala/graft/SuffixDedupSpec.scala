@@ -58,4 +58,49 @@ class SuffixDedupSpec extends AnyFunSuite {
           s"doc $id: hash approximation flagged it but the exact form did not")
     }
   }
+
+  test("q371 depth ladder: counts are monotone in width and every regime is planted") {
+    val rows =
+      SparkEntry.queries("q371_dup_depth_ladder")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var (d8, d16, d32) = (0L, 0L, 0L)
+    rows.foreach { r =>
+      val Seq(docs8, starts8, docs16, starts16, docs32, starts32) =
+        (2 to 7).map(r.getLong)
+      // THEOREM (construction, not data): a width-2w duplicated start
+      // is also a width-w duplicated start, so both docs and starts
+      // are non-increasing in width
+      assert(docs8 >= docs16 && docs16 >= docs32,
+        s"${r.getString(0)}: doc counts not monotone")
+      assert(starts8 >= starts16 && starts16 >= starts32,
+        s"${r.getString(0)}: start counts not monotone")
+      d8 += docs8; d16 += docs16; d32 += docs32
+    }
+    // planted regimes: the 12-token tail feeds width 8 only; the
+    // 35-token tail reaches width 32 — all three levels must be live
+    assert(d8 > d16 && d16 >= d32 && d32 > 0L,
+      s"ladder regimes not all planted: $d8/$d16/$d32")
+  }
+
+  test("q372 exact decontamination: the planted family crosses the bench split") {
+    val rows =
+      SparkEntry.queries("q372_exact_decontam")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val (corpus, bench, contam, starts) = rows.foldLeft((0L, 0L, 0L, 0L)) {
+      case ((c, b, k, st), r) =>
+        (c + r.getLong(1), b + r.getLong(2), k + r.getLong(3),
+          st + r.getLong(5))
+    }
+    assert(corpus > 0 && bench > 0, "bench split empty")
+    assert(contam > 0 && starts >= contam,
+      s"planted contamination not detected: docs=$contam starts=$starts")
+    // the q77 tail is shared by ~1/7 of docs and the bench side holds
+    // ~1/31 of them (CRT guarantees both residues are populated), so
+    // every NON-bench planted doc must be contaminated: corpus docs
+    // with doc_id % 7 == 3 are a lower bound on contaminated docs
+    val expected = (0L until 500L)
+      .count(id => id % 7 == 3 && id % 31 != 7).toLong
+    assert(contam >= expected,
+      s"contaminated $contam < planted lower bound $expected")
+  }
 }
