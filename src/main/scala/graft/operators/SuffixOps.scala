@@ -27,26 +27,43 @@ import org.apache.spark.sql.functions._
   * EXACTNESS ACROSS ENGINES. Ranks must be engine-independent, so the
   * class representative is never a dense_rank (order of assignment is
   * engine-private): rank := min global position id over the class,
-  * with gid = doc_id * 2^20 + pos (document token counts are bounded
-  * far below 2^20; a 100-token cap holds across every testdata SF and
-  * the 2^43-document headroom is ample). Suffixes shorter than the
-  * current width take the sentinel rank -1 from `lead`'s default —
-  * a real class's min-gid is >= 0, so short suffixes can never merge
-  * with long ones, and two short identical suffixes (duplicated text
-  * of length < L) are excluded by the eligibility filter
-  * (pos + L <= doc length) before the class count.
+  * with gid = doc_id * 2^20 + pos. The packing invariant (document
+  * token counts < 2^20; 2^43-document headroom) is ENFORCED in the
+  * plan, not just documented: gid raises a runtime error for any
+  * document with >= 1,048,576 tokens (~5 MB of text is plausible in a
+  * training corpus, and a silent collision would merge unrelated rank
+  * classes while the DuckDB oracle — sharing the constant — agreed).
+  * Suffixes shorter than the current width take the sentinel rank -1
+  * from `lead`'s default — a real class's min-gid is >= 0, so short
+  * suffixes can never merge with long ones, and two short identical
+  * suffixes (duplicated text of length < L) are excluded by the
+  * eligibility filter (pos + L <= doc length) before the class count.
   *
   * SCALE SHAPE. Every round shuffles FIXED-WIDTH rows (doc, pos, gid,
   * two BIGINT ranks — ~40 bytes), never token payloads: the naive
   * exact form (group positions by their L-token substring) ships
   * O(n * L) text bytes through one shuffle, prefix doubling ships
   * O(n * log L) fixed-size rows — at 100 TB / ~20 T positions the
-  * difference is the whole job. Rounds are ceil(log2 L) (3 for the
-  * catalog's L = 8), each one per-doc window + one per-class window;
-  * the class count, coverage, and span extraction are one window
-  * each; the final per-doc aggregation reuses the coverage window's
-  * doc_id partitioning. Nothing is ever broadcast or collected on the
-  * distributed arm.
+  * difference is the whole job. EVERY PER-CLASS REDUCTION IS
+  * agg-then-join-back (the repo's q77/q338 convention), NEVER a
+  * class-keyed window: rank classes are Zipf-skewed (the width-1
+  * class of a hot token like "the" holds several % of all corpus
+  * positions), and `min(...).over(Window.partitionBy(class))` would
+  * put that whole class in ONE WindowExec task — window aggregation
+  * has no map-side partial aggregation and AQE skew handling does not
+  * split window exchanges, so the hot class becomes a single-task
+  * straggler at 100 TB (round-14 verdict #1). `groupBy(class).agg`
+  * gets map-side combine (one row per distinct class per map task)
+  * and the join back on the class key is AQE-skew-splittable. The
+  * ONLY windows in the plan are per-document (`lead`, coverage,
+  * span-edge) — and those are provably bounded by the SAME 2^20
+  * invariant the gid guard enforces, so no window partition can
+  * exceed 2^20 rows. Multiply-consumed frames (each round's `lead`
+  * output feeds the class agg AND the join probe; the final rank
+  * frame feeds the class-count agg AND the probe) are persisted so
+  * the CacheManager serves both plan references from one computation
+  * (q360/q356 persisted-frontier discipline). Nothing is ever
+  * broadcast or collected on the distributed arm.
   *
   * TWO-PATH (q193/q356 family): below
   * `spark.graft.graph.maxDriverRows` the collected position frame runs
@@ -62,6 +79,9 @@ import org.apache.spark.sql.functions._
   * LLM-training-pipeline extension family (SURVEY.md §2.12).
   */
 object SuffixOps {
+
+  /** gid packing shift: positions-per-document capacity. */
+  private val GidShift = 1048576L // 2^20
 
   /** Per-document exact duplicated-span profile at threshold `width`
     * (a power of two). Input: `pos` = (idCol: Long, posCol: Long,
@@ -119,17 +139,23 @@ object SuffixOps {
 
       case None =>
         // distributed arm: prefix doubling on fixed-width rank rows.
+        // pos stays persisted — boundedRows left it resident for this
+        // branch and rankedBase's seed consumes it (round-14 ADVICE:
+        // never unpersist ahead of the consuming action).
         val wDoc = Window.partitionBy($"doc_id").orderBy($"pos".asc)
         var cur = rankedBase(pos.toDF("doc_id", "pos", "tok"))
         var w = 1
         while (w < width) { cur = doubleRank(cur, w); w *= 2 }
-        pos.unpersist(blocking = false) // boundedRows left it persisted
         val elig = $"pos" + lit(width.toLong) <= $"n"
+        // per-class eligible-start count: agg + join back on the rank
+        // key (map-side combined, AQE-skew-splittable join), never a
+        // class-keyed window — the width-L class of hot boilerplate is
+        // exactly the skewed key the dedup hunts for.
+        val ranked = cur.persist()
+        val classCnt = ranked.groupBy($"r")
+          .agg(sum(when(elig, 1L).otherwise(0L)).as("c"))
         val covW = wDoc.rowsBetween(-(width - 1).toLong, 0L)
-        cur
-          .withColumn("c",
-            sum(when(elig, 1L).otherwise(0L))
-              .over(Window.partitionBy($"r")))
+        ranked.join(classCnt, Seq("r"))
           .withColumn("d", when(elig && $"c" >= 2L, 1L).otherwise(0L))
           .withColumn("cv", max($"d").over(covW))
           .withColumn("pcv", lag($"cv", 1, 0L).over(wDoc))
@@ -151,7 +177,7 @@ object SuffixOps {
     * chain serves every width — the rank frame is SNAPSHOT at each
     * requested width on the way up (ceil(log2 maxWidth) rounds total,
     * not one chain per width), then each width costs exactly one more
-    * per-class count window. Output: (doc_id, n_tokens,
+    * per-class count agg + join-back. Output: (doc_id, n_tokens,
     * dup_starts_w<w1>, dup_starts_w<w2>, ...). Monotone by
     * construction: a width-2w dup start is also a width-w dup start,
     * so the counts never increase with width (pinned in
@@ -192,6 +218,7 @@ object SuffixOps {
                 org.apache.spark.sql.types.LongType, nullable = false))))
 
       case None =>
+        // pos stays persisted (boundedRows contract, as above).
         var cur = rankedBase(pos)
         var w = 1
         widths.foreach { target =>
@@ -200,17 +227,19 @@ object SuffixOps {
           }
           cur = cur.withColumn(s"r_w$target", $"r")
         }
-        pos.unpersist(blocking = false)
+        // one persisted rank frame feeds the chain start AND every
+        // per-width class-count agg (1 + |widths| plan references).
+        val ranked = cur.persist()
+        var out: DataFrame = ranked
         widths.foreach { tw =>
-          val elig = $"pos" + lit(tw.toLong) <= $"n"
-          cur = cur
-            .withColumn(s"c_w$tw",
-              sum(when(elig, 1L).otherwise(0L))
-                .over(Window.partitionBy(col(s"r_w$tw"))))
+          val elig = col("pos") + lit(tw.toLong) <= col("n")
+          val cnt = ranked.groupBy(col(s"r_w$tw"))
+            .agg(sum(when(elig, 1L).otherwise(0L)).as(s"c_w$tw"))
+          out = out.join(cnt, Seq(s"r_w$tw"))
             .withColumn(s"dup_w$tw",
               when(elig && col(s"c_w$tw") >= 2L, 1L).otherwise(0L))
         }
-        cur.groupBy($"doc_id")
+        out.groupBy($"doc_id")
           .agg(count(lit(1)).cast("long").as("n_tokens"),
             widths.map(tw =>
               sum(col(s"dup_w$tw")).cast("long").as(s"dup_starts_w$tw")): _*)
@@ -268,15 +297,15 @@ object SuffixOps {
           "n_contam_starts")
 
       case None =>
+        // pos stays persisted (boundedRows contract, as above).
         var cur = rankedBase(pos.toDF("doc_id", "pos", "tok", "is_bench"))
         var w = 1
         while (w < width) { cur = doubleRank(cur, w); w *= 2 }
-        pos.unpersist(blocking = false)
         val elig = $"pos" + lit(width.toLong) <= $"n"
-        cur
-          .withColumn("bc",
-            sum(when(elig && $"is_bench", 1L).otherwise(0L))
-              .over(Window.partitionBy($"r")))
+        val ranked = cur.persist()
+        val benchCnt = ranked.groupBy($"r")
+          .agg(sum(when(elig && $"is_bench", 1L).otherwise(0L)).as("bc"))
+        ranked.join(benchCnt, Seq("r"))
           .withColumn("ct",
             when(elig && !$"is_bench" && $"bc" >= 1L, 1L).otherwise(0L))
           .groupBy($"doc_id", $"is_bench")
@@ -285,6 +314,112 @@ object SuffixOps {
             sum($"ct").cast("long").as("n_contam_starts"))
           .select($"doc_id", $"is_bench", $"n_tokens", $"n_starts",
             $"n_contam_starts")
+    }
+  }
+
+  /** ACTUATION of the exact-substring profile (Lee et al. 2022 §4 —
+    * the step q369 stops short of): emit the deduplicated corpus under
+    * the TRIM policy. A position is REMOVED when it is covered by some
+    * duplicated eligible start (class count >= 2) but NOT covered by
+    * any CANONICAL duplicated start — canonical := the start whose gid
+    * IS its rank class's representative (gid == r, i.e. the first
+    * corpus occurrence of the window, min-gid like every class rep in
+    * this family). Exactly one occurrence of every duplicated window
+    * therefore survives, intact and contiguous (the canonical start's
+    * `width` positions are all canonically covered, hence all kept and
+    * adjacent). Output per doc: (doc_id, n_tokens, n_removed,
+    * kept_text) — kept_text is the space-joined surviving tokens in
+    * position order ('' when the whole document is trimmed away).
+    * Same rank chain, agg+join-back discipline, and two-path structure
+    * as [[dupSpanProfile]]; the only additions are the canonical flag
+    * (one comparison — the class rep is already on every row) and the
+    * token join-back on (doc_id, pos) for output text. */
+  def trimDuplicatedSpans(pos: DataFrame, width: Int): DataFrame = {
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"width must be a power of two, got $width")
+    val spark = pos.sparkSession
+    import spark.implicits._
+
+    CorpusOps.boundedRows(pos) match {
+      case Some(rows) =>
+        // driver arm: exact window grouping; canonical = min gid of
+        // each duplicated window class (gid = doc_id * 2^20 + pos).
+        val docs = rows
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+          .groupBy(_._1)
+          .map { case (id, ps) =>
+            id -> ps.sortBy(_._2).map(_._3).toIndexedSeq }
+        val counts =
+          scala.collection.mutable.HashMap.empty[Seq[String], Long]
+        val minGid =
+          scala.collection.mutable.HashMap.empty[Seq[String], Long]
+        docs.foreach { case (id, toks) =>
+          var i = 0
+          while (i + width <= toks.length) {
+            val key = toks.slice(i, i + width)
+            val gid = id * GidShift + i
+            counts.update(key, counts.getOrElse(key, 0L) + 1L)
+            minGid.update(key, math.min(minGid.getOrElse(key, gid), gid))
+            i += 1
+          }
+        }
+        val out = docs.toSeq.map { case (id, toks) =>
+          val n = toks.length
+          def dupAt(i: Int): Boolean =
+            i >= 0 && i + width <= n &&
+              counts(toks.slice(i, i + width)) >= 2L
+          def canonAt(i: Int): Boolean =
+            dupAt(i) && minGid(toks.slice(i, i + width)) == id * GidShift + i
+          val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+          var removed = 0L
+          var p = 0
+          while (p < n) {
+            var cv = false; var ck = false
+            var s = math.max(0, p - width + 1)
+            while (s <= p) {
+              if (dupAt(s)) { cv = true; if (canonAt(s)) ck = true }
+              s += 1
+            }
+            if (cv && !ck) removed += 1 else kept += toks(p)
+            p += 1
+          }
+          (id, n.toLong, removed, kept.mkString(" "))
+        }
+        out.toDF("doc_id", "n_tokens", "n_removed", "kept_text")
+
+      case None =>
+        // distributed arm — pos stays persisted (boundedRows contract):
+        // the chain consumes it, and the token join-back at the end
+        // reads it again from cache.
+        val posDf = pos.toDF("doc_id", "pos", "tok")
+        val wDoc = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+        var cur = rankedBase(posDf)
+        var w = 1
+        while (w < width) { cur = doubleRank(cur, w); w *= 2 }
+        val elig = $"pos" + lit(width.toLong) <= $"n"
+        val ranked = cur.persist()
+        val classCnt = ranked.groupBy($"r")
+          .agg(sum(when(elig, 1L).otherwise(0L)).as("c"))
+        val covW = wDoc.rowsBetween(-(width - 1).toLong, 0L)
+        ranked.join(classCnt, Seq("r"))
+          .withColumn("d", when(elig && $"c" >= 2L, 1L).otherwise(0L))
+          .withColumn("k", when($"d" === 1L && $"gid" === $"r", 1L)
+            .otherwise(0L))
+          .withColumn("cv", max($"d").over(covW))
+          .withColumn("ck", max($"k").over(covW))
+          .withColumn("rm", when($"cv" === 1L && $"ck" === 0L, 1L)
+            .otherwise(0L))
+          .join(posDf, Seq("doc_id", "pos"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            sum($"rm").cast("long").as("n_removed"),
+            array_join(
+              transform(
+                array_sort(collect_list(
+                  when($"rm" === 0L, struct($"pos", $"tok")))),
+                x => x.getField("tok")),
+              " ").as("kept_text"))
+          .select($"doc_id", $"n_tokens", $"n_removed", $"kept_text")
     }
   }
 
@@ -304,22 +439,43 @@ object SuffixOps {
   }
 
   /** Shared distributed seed: gid, per-doc length, width-1 ranks.
-    * Extra input columns (e.g. is_bench) ride along untouched. */
+    * Extra input columns (e.g. is_bench) ride along untouched. The
+    * width-1 class representative is groupBy(tok) + join back — the
+    * token key is the MOST Zipf-skewed class key of the whole chain
+    * (a window here is a guaranteed hot-class straggler at corpus
+    * scale). gid enforces the packing invariant: >= 2^20 tokens in
+    * one document raises rather than silently colliding. The seeded
+    * frame is persisted — it feeds the class agg and the join probe. */
   private def rankedBase(pos: DataFrame): DataFrame = {
     import pos.sparkSession.implicits._
-    pos
-      .withColumn("gid", $"doc_id" * lit(1048576L) + $"pos")
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
-      .withColumn("r", min($"gid").over(Window.partitionBy($"tok")))
-      .drop("tok")
+    val seeded = pos
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .withColumn("gid",
+        when($"n" < lit(GidShift), $"doc_id" * lit(GidShift) + $"pos")
+          .otherwise(raise_error(concat(
+            lit("SuffixOps gid packing overflow: document "),
+            $"doc_id".cast("string"),
+            lit(" has >= 2^20 token positions")))))
+      .persist()
+    val reps = seeded.groupBy($"tok").agg(min($"gid").as("r"))
+    seeded.join(reps, Seq("tok")).drop("tok")
   }
 
-  /** One prefix-doubling round: rank-by-2w from rank-by-w. */
+  /** One prefix-doubling round: rank-by-2w from rank-by-w. The `lead`
+    * window is per-document (bounded < 2^20 rows by the gid guard);
+    * the (r, r2) class representative is agg + join-back — round-1
+    * classes are bigrams, still Zipf-skewed. `stepped` is persisted:
+    * it feeds the class agg AND the join probe. */
   private def doubleRank(cur: DataFrame, w: Int): DataFrame = {
     import cur.sparkSession.implicits._
     val wDoc = Window.partitionBy($"doc_id").orderBy($"pos".asc)
-    cur.withColumn("r2", lead($"r", w, -1L).over(wDoc))
-      .withColumn("r", min($"gid").over(Window.partitionBy($"r", $"r2")))
-      .drop("r2")
+    val stepped = cur
+      .withColumn("r2", lead($"r", w, -1L).over(wDoc))
+      .persist()
+    val reps = stepped.groupBy($"r", $"r2").agg(min($"gid").as("r_next"))
+    stepped.join(reps, Seq("r", "r2"))
+      .drop("r", "r2")
+      .withColumnRenamed("r_next", "r")
   }
 }

@@ -222,4 +222,63 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected AQE to broadcast the small bench side at runtime:\n$plan")
   }
+
+  // Round-14 verdict #1: SuffixOps' rank-class reductions must never be
+  // class-keyed windows — rank classes are Zipf-skewed (a hot token like
+  // "the" holds several % of ALL corpus positions), and a
+  // Window.partitionBy over such a key puts the whole hot class in ONE
+  // WindowExec task (window aggregation has no map-side partial agg and
+  // AQE skew handling does not split window exchanges). This test plants
+  // the hot token at ~10% of positions, forces the DISTRIBUTED arm, and
+  // asserts (a) statically: every Window in the chain partitions on
+  // doc_id ONLY (bounded < 2^20 rows by the gid guard — class keys tok /
+  // (r, r2) / r must all go through groupBy-agg + join-back), and (b)
+  // the profile is still exact on a planted shared prefix.
+  test("suffix rank reductions survive a planted hot token: no class-keyed window") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.graph.maxDriverRows", "0") // distributed arm
+    import s2.implicits._
+    val nDocs = 60; val docLen = 100
+    val rows = for {
+      d <- 0 until nDocs
+      p <- 0 until docLen
+    } yield {
+      val tok =
+        if (d < 2 && p < 20) s"shared_$p"       // planted 20-token prefix
+        else if (p % 10 == 0) "the"             // hot token: ~10% of positions
+        else s"t${d}_$p"                        // unique elsewhere
+      (d.toLong, p.toLong, tok)
+    }
+    val pos = rows.toDF("doc_id", "pos", "tok")
+    val prof = graft.operators.SuffixOps.dupSpanProfile(pos, width = 8)
+
+    // (a) static: no class-keyed window anywhere in the chain
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = prof.queryExecution.analyzed.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected per-document windows in the chain")
+    wins.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      assert(keys == Set("doc_id"),
+        s"Window partitioned on {${keys.mkString(",")}} — a class-keyed " +
+          "window is a single-task straggler on a Zipf-hot class at 100 TB; " +
+          "use groupBy-agg + join-back (q77 convention)")
+    }
+
+    // (b) exactness under the hot token: only the shared 20-token prefix
+    // is duplicated — plus position 20, which is the hot token in BOTH
+    // planted docs, so the shared run is 21 positions (the window at
+    // start 13 = shared_13..19 + "the" recurs): docs 0/1 report exactly
+    // 21 covered positions in one span; the hot token alone elsewhere
+    // must create NO duplicated windows.
+    val got = prof.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == nDocs)
+    (0 until nDocs).foreach { d =>
+      val (nd, ns) = got(d.toLong)
+      if (d < 2) assert(nd == 21L && ns == 1L,
+        s"doc $d: expected the 21-position planted span, got nd=$nd ns=$ns")
+      else assert(nd == 0L && ns == 0L,
+        s"doc $d: hot token alone must not flag spans, got nd=$nd ns=$ns")
+    }
+  }
 }

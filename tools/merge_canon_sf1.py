@@ -15,10 +15,24 @@ import json, sys
 out_path = sys.argv[1]
 segs = [json.load(open(p)) for p in sys.argv[2:]]
 
+# Validation (round-14 ADVICE): a bad segment list must not silently
+# corrupt the canon — segments must cover DISJOINT query sets (last-
+# wins overwrite would hide a double-measured query) and agree on sf.
+sfs = {s.get("sf") for s in segs}
+assert len(sfs) == 1, f"segments disagree on sf: {sorted(map(str, sfs))}"
+seen = {}
+for p, s in zip(sys.argv[2:], segs):
+    dup = set(s["queries"]) & set(seen)
+    assert not dup, (f"overlapping query names between {p} and "
+                     f"{sorted(seen[q] for q in dup)}: {sorted(dup)[:5]}")
+    for q in s["queries"]:
+        seen[q] = p
+
 queries, failed = {}, []
 for s in segs:
     queries.update(s["queries"])
     failed += s.get("failed", [])
+failed = sorted(set(failed))
 
 total = round(sum(q["med"] if isinstance(q, dict) else q
                   for q in queries.values()), 1)

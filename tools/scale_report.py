@@ -48,12 +48,23 @@ if nocanon:
 if len(sys.argv) > 4:
     base = json.load(open(sys.argv[4]))["queries"]
     grow = []
+    # Sub-0.5MB-base queries are excluded from the exponent FIT (the
+    # ratio is dominated by fixed overhead), but NOT silently (round-14
+    # ADVICE): they are recorded in the sidecar, and any of them whose
+    # hi-side bytes exceed an absolute floor is flagged anyway — a
+    # 0.4MB -> 40MB query is super-linear no matter how noisy its base.
+    SUB_MB_HI_FLOOR = 40.0  # MB at 10x: >=80x growth from a sub-0.5MB base
+    excluded_sub_mb = {}
     for name, rec in qs.items():
         b = base.get(name)
         if not (isinstance(rec, dict) and isinstance(b, dict)):
             continue
         hi, lo = rec.get("shw_mb"), b.get("shw_mb")
-        if hi is None or lo is None or lo < 0.5:  # sub-MB base = noise
+        if hi is None or lo is None:
+            continue
+        if lo < 0.5:  # sub-MB base: excluded from the fit, recorded
+            excluded_sub_mb[name] = {"shw_mb_lo": round(lo, 2),
+                                     "shw_mb_hi": round(hi, 1)}
             continue
         grow.append((hi / lo, lo, hi, name))
     grow.sort(reverse=True)
@@ -127,13 +138,21 @@ if len(sys.argv) > 4:
     flagged = sorted(
         n for n, e in exps.items()
         if e.get("shw_exp", 0) > exp_thr and n not in WAIVERS)
+    # absolute-floor flag for the fit-excluded sub-MB-base queries
+    flagged += sorted(
+        n for n, e in excluded_sub_mb.items()
+        if e["shw_mb_hi"] >= SUB_MB_HI_FLOOR and n not in WAIVERS)
     sidecar = os.path.join(os.path.dirname(os.path.abspath(sys.argv[1])),
                            "scale_exponents.json")
     with open(sidecar, "w") as f:
         json.dump({"sf_ratio": sf_ratio, "threshold": exp_thr,
                    "flagged": flagged, "waivers": WAIVERS,
+                   "excluded_sub_mb": excluded_sub_mb,
+                   "excluded_hi_floor_mb": SUB_MB_HI_FLOOR,
                    "exponents": exps}, f, indent=1, sort_keys=True)
     print(f"\nexponents -> {sidecar}; "
+          f"{len(excluded_sub_mb)} sub-0.5MB-base excluded from fit "
+          f"(hi-floor {SUB_MB_HI_FLOOR}MB still applies); "
           f"{len(flagged)} super-linear (shw_exp > {exp_thr}): "
           + (", ".join(flagged) if flagged else "none"))
     if flagged:
