@@ -2500,7 +2500,34 @@ object DedupQueries extends QueryModule {
             ELSE n_contaminated_docs * 1000000 div n_corpus_docs
             END""").as("contaminated_ppm"),
           $"n_contam_starts")
-    }, Some(suffixContamOracleSql(8)))
+    }, Some(suffixContamOracleSql(8))),
+
+    // ACTUATION of the exact-substring profile (round-14 verdict #2 —
+    // the Lee et al. 2022 step q369 stops short of): emit the
+    // DEDUPLICATED CORPUS under the trim policy. Every other dedup
+    // family already has its actuation (q53 cluster resolution, q74
+    // drop labels, q67 anti-join); this closes the exact-substring
+    // family's. A position is removed when covered by a duplicated
+    // eligible start but by NO canonical one — canonical := the start
+    // whose gid IS its rank class representative (the first corpus
+    // occurrence, min-gid like every rep in the family), so exactly
+    // one occurrence of each duplicated window survives, intact and
+    // contiguous ([[SuffixOps.trimDuplicatedSpans]]; conservation and
+    // canonical-survival invariants pinned in SuffixDedupSpec). Same
+    // planted corpus as q369, so the two outputs cross-validate
+    // per-doc (n_removed <= n_dup_positions). Output is the full
+    // per-doc trimmed text — the oracle hash covers every kept token.
+    Q("q373_substr_trim", (s, d) => {
+      import s.implicits._
+      val planted = t(s, d, "documents").select($"doc_id",
+        when($"doc_id" % 7 === 3, concat($"text", lit(tail12)))
+          .otherwise($"text").as("text"))
+      val pos = planted
+        .select($"doc_id",
+          posexplode(TextOps.tokens($"text")).as(Seq("p", "tok")))
+        .select($"doc_id", $"p".cast("long").as("pos"), $"tok")
+      SuffixOps.trimDuplicatedSpans(pos, width = 8)
+    }, Some(suffixTrimOracleSql(8)))
   )
 
   /** q363's oracle: the q36 MinHash CTE chain, then per (bands, rows)
@@ -2754,6 +2781,44 @@ object DedupQueries extends QueryModule {
        |  CAST(sum(CASE WHEN NOT pd.is_bench THEN pd.n_contam ELSE 0 END)
        |    AS BIGINT) AS n_contam_starts
        |FROM pd JOIN documents d USING (doc_id)
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** q373's oracle: the width-`width` chain, per-class eligible counts
+    * AND the canonical flag (gid == class rep), coverage twice (any
+    * duplicated start / any canonical duplicated start), then the
+    * kept-token string per doc via ORDER BY pos string_agg — the exact
+    * twin of both [[SuffixOps.trimDuplicatedSpans]] arms. */
+  private[operators] def suffixTrimOracleSql(width: Int): String = {
+    val (chain, fin) = suffixChainSql(Seq(width), plant35 = false,
+      benchFlag = false)
+    s"""WITH $chain,
+       |cls AS (
+       |  SELECT doc_id, pos, n,
+       |    CASE WHEN pos + $width <= n THEN 1 ELSE 0 END AS e,
+       |    sum(CASE WHEN pos + $width <= n THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY r_w$width) AS c,
+       |    CASE WHEN doc_id * 1048576 + pos = r_w$width
+       |      THEN 1 ELSE 0 END AS canon
+       |  FROM $fin),
+       |flg AS (
+       |  SELECT doc_id, pos,
+       |    max(CASE WHEN e = 1 AND c >= 2 THEN 1 ELSE 0 END)
+       |      OVER covw AS cv,
+       |    max(CASE WHEN e = 1 AND c >= 2 AND canon = 1
+       |        THEN 1 ELSE 0 END) OVER covw AS ck
+       |  FROM cls
+       |  WINDOW covw AS (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN ${width - 1} PRECEDING AND CURRENT ROW)),
+       |rmv AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN cv = 1 AND ck = 0 THEN 1 ELSE 0 END AS rm
+       |  FROM flg)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(rm) AS BIGINT) AS n_removed,
+       |  coalesce(string_agg(CASE WHEN rm = 0 THEN t.tok END, ' '
+       |    ORDER BY t.pos), '') AS kept_text
+       |FROM tok t JOIN rmv USING (doc_id, pos)
        |GROUP BY 1""".stripMargin
   }
 

@@ -82,6 +82,45 @@ class SuffixDedupSpec extends AnyFunSuite {
       s"ladder regimes not all planted: $d8/$d16/$d32")
   }
 
+  test("q373 trim actuation: conservation, canonical survival, profile containment") {
+    val trim =
+      SparkEntry.queries("q373_substr_trim")(spark, sf).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+    assert(trim.keySet == exact.keySet,
+      "trim and profile must cover the same documents")
+    val tail = "the quick brown fox jumps over the lazy dog again and again"
+    val plantedIds = trim.keySet.filter(_ % 7 == 3)
+    val canonicalDoc = plantedIds.min // min gid = smallest planted doc_id
+    trim.foreach { case (id, (nt, rm, kept)) =>
+      val (ent, end, _, _) = exact(id)
+      assert(nt == ent, s"doc $id: token counts disagree with q369")
+      // CONSERVATION: tokens removed == covered positions minus the
+      // canonically-covered ones, so removed <= q369's covered count,
+      // and the kept text carries exactly n_tokens - n_removed tokens
+      assert(rm <= end,
+        s"doc $id: removed $rm exceeds q369's covered positions $end")
+      val keptCount =
+        if (kept.isEmpty) 0L else kept.split(" ").length.toLong
+      assert(keptCount == nt - rm,
+        s"doc $id: kept_text carries $keptCount tokens, expected ${nt - rm}")
+      // docs the profile clears must come through untouched
+      if (end == 0L) assert(rm == 0L, s"unduplicated doc $id was trimmed")
+      // CANONICAL SURVIVAL: the planted tail's rank classes are
+      // canonical in the min-gid planted doc — its trimmed text still
+      // ends with the tail, intact and contiguous; every other planted
+      // doc loses it (their tail positions are covered only by
+      // non-canonical duplicated starts)
+      if (id == canonicalDoc)
+        assert(kept.endsWith(tail),
+          s"canonical doc $id must keep the planted tail")
+      else if (plantedIds.contains(id))
+        assert(!kept.endsWith(tail),
+          s"non-canonical planted doc $id must lose the planted tail")
+    }
+  }
+
   test("q372 exact decontamination: the planted family crosses the bench split") {
     val rows =
       SparkEntry.queries("q372_exact_decontam")(spark, sf).collect()
