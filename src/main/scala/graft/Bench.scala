@@ -71,6 +71,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional two-path override (round-15): forcing the driver-rows cap
+    // lets a focused window measure the DISTRIBUTED arm of a two-path
+    // operator at an SF where the default cap would route it to the
+    // driver arm — the only way to fit a same-arm growth exponent for
+    // the suffix family (sf0.1 default = driver arm, sf1 = distributed).
+    sys.env.get("SPARK_GRAFT_MAX_DRIVER_ROWS").foreach(v =>
+      spark.conf.set("spark.graft.graph.maxDriverRows", v))
 
     // one tiny warmup pass to absorb session/codegen cold start
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir)

@@ -35,6 +35,33 @@ object SimilarityOps {
     * For unit-normalized embeddings this IS cosine similarity. */
   def dot(a: Column, b: Column): Column = VectorFns.dot(a, b)
 
+  /** Two-stage per-query top-k — the q112/q141 bucketed-prefilter
+    * pattern, shared by every ANN helper (round-15: the occupancy
+    * audit caught pqTopK's single-stage form). A per-query rank window
+    * over a corpus-derived candidate frame has #queries-way
+    * parallelism: the probe set is a FIXED input, so at 100 TB one
+    * task streams corpus/#queries rows even after the TopKPerKey
+    * rewrite removes the sort. Stage 1 ranks within (query_id,
+    * hash(bucketOn) % 64) — 64x the parallelism, <= k survivors per
+    * bucket; stage 2 ranks the <= 64k survivors per query. REQUIRES
+    * `ord` to be a total order (unique tiebreak) so the bucket split
+    * cannot change the survivor set — every caller orders by
+    * (score DESC, neighbor_id ASC). The engine-local hash never
+    * reaches the oracle: the output row set is identical. */
+  private def bucketedRank(df: DataFrame, bucketOn: Column,
+                           ord: Seq[Column], k: Int,
+                           rankName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wB = Window
+      .partitionBy(col("query_id"), pmod(hash(bucketOn), lit(64)))
+      .orderBy(ord: _*)
+    val wF = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    df.withColumn("__bk", row_number().over(wB))
+      .filter(col("__bk") <= k).drop("__bk")
+      .withColumn(rankName, row_number().over(wF))
+      .filter(col(rankName) <= k)
+  }
+
   /** Exact top-k neighbors for each query vector.
     * @param corpus  (id, embedding float array)
     * @param queries subset of corpus rows to use as queries (broadcast)
@@ -48,12 +75,10 @@ object SimilarityOps {
       col(idCol).as("query_id"), col(embCol).cast("array<double>").as("qe")))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(embCol).cast("array<double>").as("ce"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    c.join(q, col("neighbor_id") =!= col("query_id"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", dot(col("qe"), col("ce")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    bucketedRank(scored, col("neighbor_id"),
+      Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("sim"), 6).as("sim_r"))
   }
@@ -152,14 +177,12 @@ object SimilarityOps {
     val probes = base
       .select(col(idCol).as("query_id"), col("v").as("qe"),
         explode(col("cells")).as("cell_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    probes.join(assignment, "cell_id")
+    val scored = probes.join(assignment, "cell_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         dot(col("qe"), col("ce")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    bucketedRank(scored, col("neighbor_id"),
+      Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("sim"), 6).as("sim_r"))
   }
@@ -258,15 +281,13 @@ object SimilarityOps {
         explode(call_function("nearest_cells_col", col("qe"), col("subm"),
           lit(nprobe2))).as("c2"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    probes.join(assignment,
+    val scored = probes.join(assignment,
         col("c1") === col("n_c1") && col("c2") === col("n_c2"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         dot(col("qe"), col("ce")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    bucketedRank(scored, col("neighbor_id"),
+      Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("sim"), 6).as("sim_r"))
   }
@@ -455,9 +476,7 @@ object SimilarityOps {
       planesPerTable, q).persist()
     val bandTable = pr.filter(col("pos") === 0)
     val querySide = if (q == 1) bandTable else pr
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    querySide.select(col(idCol).as("query_id"), col("v").as("qe"),
+    val scored = querySide.select(col(idCol).as("query_id"), col("v").as("qe"),
         col("table_id"), col("bucket"))
       .join(bandTable.select(col(idCol).as("neighbor_id"), col("v").as("ce"),
         col("table_id"), col("bucket")), Seq("table_id", "bucket"))
@@ -465,8 +484,8 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"),
         dot(col("qe"), col("ce")).as("sim"))
       .distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    bucketedRank(scored, col("neighbor_id"),
+      Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("sim"), 6).as("sim_r"))
   }
@@ -558,13 +577,11 @@ object SimilarityOps {
     val qscore = aggregate(
       zip_with(col("ccodes"), col("qcodes"), (a, b) => (a * b).cast("long")),
       lit(0L), (acc, x) => acc + x)
-    val wC = Window.partitionBy(col("query_id"))
-      .orderBy(col("qscore").desc, col("neighbor_id").asc)
-    val shortlist = c
+    val qscored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("qscore", qscore)
-      .withColumn("crank", row_number().over(wC))
-      .filter(col("crank") <= candidates)
+    val shortlist = bucketedRank(qscored, col("neighbor_id"),
+      Seq(col("qscore").desc, col("neighbor_id").asc), candidates, "crank")
       .select(col("query_id"), col("neighbor_id"))
     val qe = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
     val ce = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
@@ -735,14 +752,12 @@ object SimilarityOps {
       .withColumn("cell",
         explode(call_function("nearest_cells", col("qe"), typedlit(seeds),
           lit(nprobe))))
-    val wC = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id").asc)
-    val shortlist = coded
+    val adcScored = coded
       .join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", dot(col("qe"), col("recon")))
-      .withColumn("crank", row_number().over(wC))
-      .filter(col("crank") <= candidates)
+    val shortlist = bucketedRank(adcScored, col("neighbor_id"),
+      Seq(col("adc").desc, col("neighbor_id").asc), candidates, "crank")
       .select(col("query_id"), col("neighbor_id"))
     val qe = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
     val ce = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
@@ -814,15 +829,13 @@ object SimilarityOps {
         explode(call_function("nearest_cells_col", col("qe"), col("subm"),
           lit(nprobe2))).as("c2"))
 
-    val wC = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id").asc)
-    val shortlist = assignment
+    val adcScored = assignment
       .join(broadcast(probes),
         col("n_c1") === col("c1") && col("n_c2") === col("c2"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", dot(col("qe"), col("recon")))
-      .withColumn("crank", row_number().over(wC))
-      .filter(col("crank") <= candidates)
+    val shortlist = bucketedRank(adcScored, col("neighbor_id"),
+      Seq(col("adc").desc, col("neighbor_id").asc), candidates, "crank")
       .select(col("query_id"), col("neighbor_id"))
     val qe = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
     val ce = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))
@@ -894,13 +907,11 @@ object SimilarityOps {
     val coded = pqEncode(corpus.select(col(idCol), col(embCol)), embCol, codebook)
       .select(col(idCol).as("neighbor_id"), col("recon"))
     val q = queries.select(col(idCol).as("query_id"), e.as("qe"))
-    val wC = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id").asc)
-    val shortlist = coded
+    val adcScored = coded
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", dot(col("qe"), col("recon")))
-      .withColumn("crank", row_number().over(wC))
-      .filter(col("crank") <= candidates)
+    val shortlist = bucketedRank(adcScored, col("neighbor_id"),
+      Seq(col("adc").desc, col("neighbor_id").asc), candidates, "crank")
       .select(col("query_id"), col("neighbor_id"))
     val qe = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
     val ce = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("ce"))

@@ -356,6 +356,113 @@ class PlanAuditSpec extends AnyFunSuite {
     "q217_threshold_sweep" -> "4x8-bit banded sweep frame feeds both candidate-join sides",
   )
 
+  /** Round-14 verdict #6: the SuffixOps finding showed the existing
+    * window rule has a blind spot one level down — a PARTITIONED window
+    * over a skewed key is the same single-task straggler the
+    * unpartitioned rule forbids, just hidden behind a partitionSpec.
+    * This audit MEASURES, for every partitioned Window in every catalog
+    * query's analyzed plan, the max partition-key share of the window's
+    * input (executing the window CHILD via PlanShim.ofRows with a
+    * groupBy-count on the partitionSpec): a window whose hottest class
+    * holds a large share of a corpus-scaled input is a scale killer
+    * regardless of how many classes exist. Grids/registries (inputs
+    * bounded w.r.t. corpus size) are exempt via the rows floor —
+    * at sf0.001 every corpus-scaled frame exceeds it while every
+    * value-domain/registry frame stays under. Waivers below must name
+    * the boundedness argument for the hot class itself, and are
+    * stale-guarded like every other map in this suite. */
+  private val hotWindowOk: Map[String, String] = Map(
+    "q93_sql_text" -> "row_number <= 3 per priority in plain shared ANSI text: rank-limited, so built-in InferWindowGroupLimit bounds the exchange to k rows per key per MAP task (k x maps per key at the reduce, never the corpus), and on graft sessions WindowTopKRule plans it as the one-pass TopKPerKeyExec; the 5-value priority registry output is the engine-portable SQL surface itself",
+    "q244_theilsen_trend" -> "median rank window over the PAIRWISE-SLOPE frame of the (type, day) count grid: <= C(days, 2) rows per type at ANY corpus size — value-domain bounded by the observation window (q110 argument), never event-cardinality",
+  )
+  /** Max tolerated share of the window input held by ONE partition key
+    * before the query needs a waiver (0.05 = a 100 TB input puts 5 TB
+    * in one WindowExec task). */
+  private val hotShareThreshold = 0.05
+  /** Inputs below this row count at sf0.001 are value-domain /
+    * registry / per-entity frames, bounded w.r.t. corpus size. */
+  private val corpusRowsFloor = 1200L
+
+  test("no partitioned window's hottest class exceeds the occupancy threshold") {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, Window => LWindow}
+    import org.apache.spark.sql.graft.PlanShim
+    import org.apache.spark.sql.types.IntegerType
+
+    /** true when `w` is the FINAL stage of the repo's two-stage
+      * bucketed top-k (the q112/q141 pattern, now shared via
+      * SimilarityOps.bucketedRank): its child contains a
+      * row_number-limit Filter over an inner Window whose partition
+      * keys are w's keys PLUS a bucket expression — w's input is then
+      * <= k x buckets rows per key BY CONSTRUCTION at any corpus
+      * size, so measuring its sf0.001 occupancy (where the prefilter
+      * has nothing to cut) would misread a bounded frame as hot. */
+    def boundedByBucketPrefilter(w: LWindow): Boolean = {
+      def rankAttrOf(cond: Expression): Option[(Attribute, Int)] = cond match {
+        case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) => Some((a, v))
+        case LessThan(a: Attribute, Literal(v: Int, IntegerType)) => Some((a, v - 1))
+        case _ => None
+      }
+      w.child.collectFirst {
+        case LFilter(cond, ch) if rankAttrOf(cond).exists { case (a, k) =>
+          k > 0 && ch.collectFirst {
+            case w2: LWindow
+                if w2.partitionSpec.size > w.partitionSpec.size &&
+                  w.partitionSpec.forall(pk =>
+                    w2.partitionSpec.exists(_.semanticEquals(pk))) &&
+                  w2.windowExpressions.exists {
+                    case al @ Alias(WindowExpression(RowNumber(), _), _) =>
+                      al.toAttribute.semanticEquals(a)
+                    case _ => false
+                  } => w2
+          }.isDefined
+        } => ()
+      }.isDefined
+    }
+
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    val hit = scala.collection.mutable.Set.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, run) =>
+      val analyzed = run(spark, sf).queryExecution.analyzed
+      val wins = (analyzed.collect { case w: LWindow => w } ++
+        analyzed.subqueries.flatMap(_.collect { case w: LWindow => w }))
+        .filter(_.partitionSpec.nonEmpty)
+        .filterNot(boundedByBucketPrefilter)
+      // one measurement per distinct (keys, input) shape per query
+      val seen = scala.collection.mutable.Set.empty[String]
+      wins.foreach { w =>
+        val keyNames = w.partitionSpec.map(_.sql).mkString(", ")
+        val shapeKey = keyNames + "|" + w.child.canonicalized.hashCode()
+        if (seen.add(shapeKey)) {
+          val cnt = Aggregate(
+            w.partitionSpec,
+            Seq(Alias(Count(Literal(1)).toAggregateExpression(), "c")()),
+            w.child)
+          val row = PlanShim.ofRows(spark, cnt)
+            .agg(org.apache.spark.sql.functions.max("c"),
+              org.apache.spark.sql.functions.sum("c")).head()
+          val mx = row.getLong(0)
+          val tot = row.getLong(1)
+          val share = mx.toDouble / math.max(tot, 1L)
+          if (tot >= corpusRowsFloor && share > hotShareThreshold) {
+            if (hotWindowOk.contains(name)) hit += name
+            else offenders +=
+              f"$name [$keyNames] max=$mx%d/$tot%d (${share * 100}%.1f%%)"
+          }
+        }
+      }
+      spark.catalog.clearCache()
+    }
+    assert(offenders.isEmpty,
+      s"partitioned window with a hot class over a corpus-scaled input in:\n  " +
+        offenders.mkString("\n  ") +
+        "\n— restate the reduction as groupBy-agg + join-back (q77 " +
+        "convention) or record a boundedness argument in hotWindowOk")
+    assert(hit == hotWindowOk.keySet,
+      s"stale hotWindowOk entries: ${(hotWindowOk.keySet -- hit).mkString(", ")}")
+  }
+
   test("banding/LSH self-join families read their shared frame from cache") {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec

@@ -107,8 +107,27 @@ if len(sys.argv) > 4:
             ("boundedBroadcast refuses the 10x part slice and degrades "
              "to a shuffle join BY DESIGN; bytes = the slice, linear "
              "from there (round-13 audit)"),
+        # round-15: first-measurement flags from the new sub-MB-base
+        # hi-floor rule — both are AQE broadcast->shuffle transitions,
+        # not super-linear work: at sf0.1 every join side fits the
+        # auto-broadcast threshold (shuffle 0.0 / 0.3 MB), at sf1 the
+        # orders/lineitem sides exceed it and SMJ exchanges appear.
+        # Wall-time is FLAT across the transition (q91 1.588 -> 1.506 s,
+        # q332 0.701 -> 1.498 s for 10x data) — the post-transition
+        # bytes are the joined slices, linear from there (q347 class).
+        "q91_regional_revenue":
+            ("AQE broadcast->SMJ transition between SFs: sf0.1 plans "
+             "all-broadcast (0.0 MB shuffle), sf1 shuffles the "
+             "orders/lineitem sides (118.5 MB = the filtered slices); "
+             "med FLAT at 10x (1.588 -> 1.506 s) — transition, not "
+             "growth (round-15 adjudication)"),
+        "q332_shipping_priority":
+            ("AQE broadcast->SMJ transition between SFs (q91 class): "
+             "sf0.1 0.3 MB all-broadcast, sf1 50.3 MB = the "
+             "date-filtered orders/lineitem slices; TakeOrdered top-10 "
+             "unchanged (round-15 adjudication)"),
         "q36_minhash_lsh": LSH_STEP, "q39_knn_lsh": LSH_STEP,
-        "q173_lsh_forest": LSH_STEP, "q253_hubness": LSH_STEP,
+        "q253_hubness": LSH_STEP,
         # round-14 first-measurement attributions (BASELINE.md round-14
         # sf1 section): rows PROVEN linear, growth is key-string entropy
         "q370_band_gate_fp":
@@ -135,6 +154,14 @@ if len(sys.argv) > 4:
         if tl and th and tl > 0.05:  # sub-50ms base = fixed-cost noise
             exps.setdefault(name, {})["time_exp"] = round(
                 math.log(th / tl) / math.log(sf_ratio), 3)
+    # stale-waiver guard (the spec-map convention, round-15): a waiver
+    # naming a query that exists in NO artifact is dead — it can only
+    # hide a future offender that happens to reuse the name. Exit hard.
+    unknown_waivers = sorted(n for n in WAIVERS
+                             if n not in qs and n not in base)
+    if unknown_waivers:
+        print(f"\nFATAL: waivers name unknown queries: {unknown_waivers}")
+        sys.exit(2)
     flagged = sorted(
         n for n, e in exps.items()
         if e.get("shw_exp", 0) > exp_thr and n not in WAIVERS)
