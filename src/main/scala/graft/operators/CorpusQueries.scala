@@ -2118,7 +2118,7 @@ object CorpusQueries extends QueryModule {
       WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
                       AS toks
                     FROM documents),
-      dt AS (SELECT DISTINCT doc_id,
+      dt AS MATERIALIZED (SELECT DISTINCT doc_id,
           unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tok
         FROM toks),
@@ -2126,24 +2126,24 @@ object CorpusQueries extends QueryModule {
       g1 AS (SELECT doc_id, count(*) AS gain FROM dt GROUP BY 1),
       p1 AS (SELECT doc_id, gain FROM g1
              ORDER BY gain DESC, doc_id ASC LIMIT 1),
-      c1 AS (SELECT dt.tok FROM dt JOIN p1 USING (doc_id)),
-      r2 AS (SELECT dt.doc_id, dt.tok FROM dt ANTI JOIN c1 USING (tok)),
+      c1 AS MATERIALIZED (SELECT dt.tok FROM dt JOIN p1 USING (doc_id)),
+      r2 AS MATERIALIZED (SELECT dt.doc_id, dt.tok FROM dt ANTI JOIN c1 USING (tok)),
       g2 AS (SELECT doc_id, count(*) AS gain FROM r2 GROUP BY 1),
       p2 AS (SELECT doc_id, gain FROM g2
              ORDER BY gain DESC, doc_id ASC LIMIT 1),
-      c2 AS (SELECT tok FROM c1
+      c2 AS MATERIALIZED (SELECT tok FROM c1
              UNION ALL SELECT r2.tok FROM r2 JOIN p2 USING (doc_id)),
-      r3 AS (SELECT dt.doc_id, dt.tok FROM dt ANTI JOIN c2 USING (tok)),
+      r3 AS MATERIALIZED (SELECT dt.doc_id, dt.tok FROM dt ANTI JOIN c2 USING (tok)),
       g3 AS (SELECT doc_id, count(*) AS gain FROM r3 GROUP BY 1),
       p3 AS (SELECT doc_id, gain FROM g3
              ORDER BY gain DESC, doc_id ASC LIMIT 1),
-      c3 AS (SELECT tok FROM c2
+      c3 AS MATERIALIZED (SELECT tok FROM c2
              UNION ALL SELECT r3.tok FROM r3 JOIN p3 USING (doc_id)),
-      r4 AS (SELECT dt.doc_id, dt.tok FROM dt ANTI JOIN c3 USING (tok)),
+      r4 AS MATERIALIZED (SELECT dt.doc_id, dt.tok FROM dt ANTI JOIN c3 USING (tok)),
       g4 AS (SELECT doc_id, count(*) AS gain FROM r4 GROUP BY 1),
       p4 AS (SELECT doc_id, gain FROM g4
              ORDER BY gain DESC, doc_id ASC LIMIT 1),
-      c4 AS (SELECT tok FROM c3
+      c4 AS MATERIALIZED (SELECT tok FROM c3
              UNION ALL SELECT r4.tok FROM r4 JOIN p4 USING (doc_id))
       SELECT CAST(1 AS BIGINT) AS step, p1.doc_id,
         CAST(p1.gain AS BIGINT) AS gain,
