@@ -88,13 +88,105 @@ object WindowTopKRule extends Rule[LogicalPlan] {
   }
 }
 
-/** Plans [[TopKPerKey]] to [[TopKPerKeyExec]]. */
+/** Plans [[TopKPerKey]] to partial + final [[TopKPerKeyExec]] — the
+  * aggregation-style two-phase shape, applied to top-k (round-15): the
+  * PARTIAL pass runs BEFORE the exchange with no distribution
+  * requirement and keeps at most k rows per key per input partition, so
+  * the shuffle ships k x maps rows per key instead of the full
+  * candidate set. For the fixed-probe-set ANN scans that is the
+  * difference between exchanging the whole corpus and exchanging a few
+  * KB per map task. The final pass (clustered on the keys — Spark
+  * inserts the hash exchange between the two) computes the true ranks;
+  * the partial pass only needs to emit a SUPERSET of each key's
+  * per-partition top-k, which makes its memory story trivial
+  * ([[PartialTopKPerKeyExec]]). */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, rankAttr, child) =>
-      TopKPerKeyExec(keys, order, k, rankAttr, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, order, k, rankAttr,
+        PartialTopKPerKeyExec(keys, order, k, planLater(child))) :: Nil
     case _ => Nil
   }
+}
+
+/** Map-side partial top-k: per input partition, keep at most k rows per
+  * key (the same bounded ordered insertion the final pass uses), emit
+  * them unchanged — no rank column, no distribution requirement. Rows
+  * dropped here are provably outside their key's top-k (>= k rows of
+  * the same key in the same partition order before them), so the final
+  * pass over the exchange computes identical ranks.
+  *
+  * MEMORY: ∝ distinct-keys-per-partition × k, capped by
+  * `spark.graft.topk.maxKeysInMemory`. Because a partial pass may emit
+  * ANY superset of the true per-partition top-k, overflow needs no
+  * spill machinery: past the budget the operator flushes its buffers
+  * and degrades to a VERBATIM PASSTHROUGH for the rest of the
+  * partition — worst case the plan behaves exactly as it did before
+  * this operator existed (the final pass's own hash/sort-spill path
+  * absorbs the full stream). High-cardinality-key shapes (dedup
+  * rank=1 over fingerprints) therefore lose nothing; low-cardinality
+  * top-k shapes (ANN probes, per-priority ranks) get map-side combine. */
+case class PartialTopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+                                 k: Int, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "passthroughPartitions" -> SQLMetrics.createMetric(sparkContext,
+      "partitions overflowing the key budget to verbatim passthrough"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val keyExprs = keys
+    val orderExprs = order
+    val childOutput = child.output
+    val maxKeys = conf.getConfString("spark.graft.topk.maxKeysInMemory",
+      (1 << 22).toString).toLong
+    val passthroughMetric = longMetric("passthroughPartitions")
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val rowProj = UnsafeProjection.create(childOutput, childOutput)
+      val ordering = new LazilyGeneratedOrdering(orderExprs, childOutput)
+
+      def insertBounded(buf: java.util.ArrayList[UnsafeRow], row: InternalRow): Unit =
+        if (buf.size < kLocal || ordering.compare(row, buf.get(buf.size - 1)) < 0) {
+          val copied = rowProj(row).copy()
+          var pos = buf.size
+          while (pos > 0 && ordering.compare(copied, buf.get(pos - 1)) < 0) pos -= 1
+          buf.add(pos, copied)
+          if (buf.size > kLocal) buf.remove(kLocal)
+        }
+
+      val groups = new java.util.LinkedHashMap[UnsafeRow, java.util.ArrayList[UnsafeRow]]()
+      var overflowRow: UnsafeRow = null
+      while (iter.hasNext && overflowRow == null) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var buf = groups.get(key)
+        if (buf == null) {
+          if (keyExprs.nonEmpty && groups.size() >= maxKeys) {
+            // key budget hit: superset semantics let us simply stop
+            // filtering — flush buffers, stream the rest verbatim.
+            passthroughMetric.add(1)
+            overflowRow = rowProj(row).copy()
+          } else {
+            buf = new java.util.ArrayList[UnsafeRow](kLocal)
+            groups.put(key.copy(), buf)
+            insertBounded(buf, row)
+          }
+        } else insertBounded(buf, row)
+      }
+      val buffered: Iterator[InternalRow] =
+        groups.values().iterator().asScala.flatMap(b =>
+          (0 until b.size()).iterator.map(b.get(_): InternalRow))
+      if (overflowRow == null) buffered
+      else buffered ++ Iterator(overflowRow: InternalRow) ++ iter
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKPerKeyExec =
+    copy(child = newChild)
 }
 
 /** One-pass grouped top-k: requires clustering on the keys (Spark

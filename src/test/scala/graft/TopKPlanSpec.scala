@@ -55,6 +55,72 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(q.as[(Int, String)].collect().toSet == Set((1, "y"), (2, "z")))
   }
 
+  test("partial top-k runs below the exchange and bounds map-side output") {
+    val s = installed
+    import s.implicits._
+    // 4000 rows, 4 keys, 8 input partitions: the partial pass must cut
+    // the exchange's input to <= k x keys x partitions rows.
+    val df = s.range(0, 4000, 1, 8)
+      .select(($"id" % 4).as("k"), $"id".as("v"),
+        concat(lit("r"), $"id").as("tag"))
+    val w = Window.partitionBy($"k").orderBy($"v".desc, $"tag".asc)
+    val q = df.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+    // exact results: global top-3 per key of 0..3999 by value desc
+    val got = q.select($"k", $"v", $"rank").as[(Long, Long, Int)]
+      .collect().toSet
+    val expect = (0L until 4L).flatMap { k =>
+      val vs = (0L until 4000L).filter(_ % 4 == k).sortBy(-_).take(3)
+      vs.zipWithIndex.map { case (v, i) => (k, v, i + 1) }
+    }.toSet
+    assert(got == expect)
+    // execute THIS dataframe's own plan (the select().collect() above
+    // ran a different QueryExecution), then walk the FINAL adaptive
+    // plan (exchanges materialize as query stages only after execution)
+    q.queryExecution.toRdd.count()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodes(qs.plan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val ns = nodes(q.queryExecution.executedPlan)
+    assert(ns.exists(_.getClass.getSimpleName.contains("PartialTopKPerKey")),
+      q.queryExecution.executedPlan.toString)
+    // the shuffle must carry only the partially-filtered rows:
+    // <= k(3) x keys(4) x partitions(8) = 96, not 4000. dataSize is
+    // bytes; a conservative bound: under 64 bytes/row x 200 rows.
+    val shuffleBytes = ns.collectFirst {
+      case e: ShuffleExchangeLike => e.metrics("dataSize").value
+    }
+    assert(shuffleBytes.nonEmpty, "no shuffle exchange found in the final plan")
+    assert(shuffleBytes.exists(b => b > 0 && b < 64L * 200),
+      s"exchange shipped $shuffleBytes bytes — partial filter not applied?")
+  }
+
+  test("partial top-k key-budget overflow degrades to passthrough, results exact") {
+    val s = installed
+    s.conf.set("spark.graft.topk.maxKeysInMemory", "2")
+    try {
+      import s.implicits._
+      // 64 distinct keys >> budget 2: most of each partition streams
+      // through verbatim; the final pass alone computes the ranks.
+      val df = s.range(0, 2000, 1, 4)
+        .select(($"id" % 64).as("k"), $"id".as("v"))
+      val w = Window.partitionBy($"k").orderBy($"v".desc)
+      val q = df.withColumn("rank", row_number().over(w)).filter($"rank" <= 2)
+      assert(q.queryExecution.executedPlan.toString.contains("PartialTopKPerKey"))
+      val got = q.select($"k", $"v", $"rank").as[(Long, Long, Int)]
+        .collect().toSet
+      val expect = (0L until 64L).flatMap { k =>
+        (0L until 2000L).filter(_ % 64 == k).sortBy(-_).take(2)
+          .zipWithIndex.map { case (v, i) => (k, v, i + 1) }
+      }.toSet
+      assert(got == expect)
+    } finally s.conf.unset("spark.graft.topk.maxKeysInMemory")
+  }
+
   test("non-rank-bounding predicates do not fire the rewrite") {
     val s = installed
     import s.implicits._
