@@ -116,16 +116,20 @@ object TopKStrategy extends SparkStrategy {
   * the same key in the same partition order before them), so the final
   * pass over the exchange computes identical ranks.
   *
-  * MEMORY: ∝ distinct-keys-per-partition × k, capped by
-  * `spark.graft.topk.maxKeysInMemory`. Because a partial pass may emit
-  * ANY superset of the true per-partition top-k, overflow needs no
-  * spill machinery: past the budget the operator flushes its buffers
-  * and degrades to a VERBATIM PASSTHROUGH for the rest of the
-  * partition — worst case the plan behaves exactly as it did before
-  * this operator existed (the final pass's own hash/sort-spill path
-  * absorbs the full stream). High-cardinality-key shapes (dedup
-  * rank=1 over fingerprints) therefore lose nothing; low-cardinality
-  * top-k shapes (ANN probes, per-priority ranks) get map-side combine. */
+  * MEMORY: ∝ distinct-keys-per-partition × k, capped BOTH by key count
+  * (`spark.graft.topk.maxKeysInMemory`) and by held bytes
+  * (`spark.graft.topk.partialMaxBytes`, default 64 MB) — the byte cap
+  * is what actually bounds heap when rows are wide (a 1 KB payload at
+  * 4M keys would be 4 GB under a count-only budget). Because a partial
+  * pass may emit ANY superset of the true per-partition top-k,
+  * overflow needs no spill machinery: past either budget the operator
+  * flushes its buffers and degrades to a VERBATIM PASSTHROUGH for the
+  * rest of the partition — worst case the plan behaves exactly as it
+  * did before this operator existed (the final pass's own
+  * hash/sort-spill path absorbs the full stream). High-cardinality-key
+  * shapes (dedup rank=1 over fingerprints) therefore lose nothing;
+  * low-cardinality top-k shapes (ANN probes, per-priority ranks) get
+  * map-side combine. */
 case class PartialTopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
                                  k: Int, child: SparkPlan) extends UnaryExecNode {
 
@@ -143,39 +147,54 @@ case class PartialTopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val childOutput = child.output
     val maxKeys = conf.getConfString("spark.graft.topk.maxKeysInMemory",
       (1 << 22).toString).toLong
+    val maxBytes = conf.getConfString("spark.graft.topk.partialMaxBytes",
+      (64L << 20).toString).toLong
     val passthroughMetric = longMetric("passthroughPartitions")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowProj = UnsafeProjection.create(childOutput, childOutput)
       val ordering = new LazilyGeneratedOrdering(orderExprs, childOutput)
 
+      var heldBytes = 0L
       def insertBounded(buf: java.util.ArrayList[UnsafeRow], row: InternalRow): Unit =
         if (buf.size < kLocal || ordering.compare(row, buf.get(buf.size - 1)) < 0) {
           val copied = rowProj(row).copy()
+          heldBytes += copied.getSizeInBytes
           var pos = buf.size
           while (pos > 0 && ordering.compare(copied, buf.get(pos - 1)) < 0) pos -= 1
           buf.add(pos, copied)
-          if (buf.size > kLocal) buf.remove(kLocal)
+          if (buf.size > kLocal) {
+            heldBytes -= buf.get(kLocal).getSizeInBytes
+            buf.remove(kLocal)
+          }
         }
 
       val groups = new java.util.LinkedHashMap[UnsafeRow, java.util.ArrayList[UnsafeRow]]()
       var overflowRow: UnsafeRow = null
       while (iter.hasNext && overflowRow == null) {
         val row = iter.next()
-        val key = keyProj(row)
-        var buf = groups.get(key)
-        if (buf == null) {
-          if (keyExprs.nonEmpty && groups.size() >= maxKeys) {
-            // key budget hit: superset semantics let us simply stop
-            // filtering — flush buffers, stream the rest verbatim.
-            passthroughMetric.add(1)
-            overflowRow = rowProj(row).copy()
-          } else {
-            buf = new java.util.ArrayList[UnsafeRow](kLocal)
-            groups.put(key.copy(), buf)
-            insertBounded(buf, row)
-          }
-        } else insertBounded(buf, row)
+        // either budget hit (too many keys, or wide rows filling the
+        // byte cap): superset semantics let us simply stop filtering —
+        // flush buffers, stream the rest verbatim.
+        if (keyExprs.nonEmpty && heldBytes >= maxBytes) {
+          passthroughMetric.add(1)
+          overflowRow = rowProj(row).copy()
+        } else {
+          val key = keyProj(row)
+          var buf = groups.get(key)
+          if (buf == null) {
+            if (keyExprs.nonEmpty && groups.size() >= maxKeys) {
+              passthroughMetric.add(1)
+              overflowRow = rowProj(row).copy()
+            } else {
+              buf = new java.util.ArrayList[UnsafeRow](kLocal)
+              val keyCopy = key.copy()
+              heldBytes += keyCopy.getSizeInBytes
+              groups.put(keyCopy, buf)
+              insertBounded(buf, row)
+            }
+          } else insertBounded(buf, row)
+        }
       }
       val buffered: Iterator[InternalRow] =
         groups.values().iterator().asScala.flatMap(b =>

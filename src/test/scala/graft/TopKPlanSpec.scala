@@ -121,6 +121,30 @@ class TopKPlanSpec extends AnyFunSuite {
     } finally s.conf.unset("spark.graft.topk.maxKeysInMemory")
   }
 
+  test("partial top-k byte-budget overflow degrades to passthrough, results exact") {
+    val s = installed
+    s.conf.set("spark.graft.topk.partialMaxBytes", "2048")
+    try {
+      import s.implicits._
+      // ~200-byte payload rows: the 2 KB byte cap trips after ~10 rows
+      // per partition even though only 4 distinct keys exist — the
+      // budget that matters for WIDE rows, not key count.
+      val df = s.range(0, 2000, 1, 4)
+        .select(($"id" % 4).as("k"), $"id".as("v"),
+          concat(lit("p"), lpad($"id".cast("string"), 200, "x")).as("pad"))
+      val w = Window.partitionBy($"k").orderBy($"v".desc)
+      val q = df.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      assert(q.queryExecution.executedPlan.toString.contains("PartialTopKPerKey"))
+      val got = q.select($"k", $"v", $"rank").as[(Long, Long, Int)]
+        .collect().toSet
+      val expect = (0L until 4L).flatMap { k =>
+        (0L until 2000L).filter(_ % 4 == k).sortBy(-_).take(3)
+          .zipWithIndex.map { case (v, i) => (k, v, i + 1) }
+      }.toSet
+      assert(got == expect)
+    } finally s.conf.unset("spark.graft.topk.partialMaxBytes")
+  }
+
   test("non-rank-bounding predicates do not fire the rewrite") {
     val s = installed
     import s.implicits._
