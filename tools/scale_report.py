@@ -128,6 +128,34 @@ if len(sys.argv) > 4:
              "unchanged (round-15 adjudication)"),
         "q36_minhash_lsh": LSH_STEP, "q39_knn_lsh": LSH_STEP,
         "q253_hubness": LSH_STEP,
+        # round-15: the partial top-k pass capped the rank exchange at
+        # k x keys x maps rows — a flat component REMOVED from q45's
+        # sub-MB-side base (9.5 -> 6.5 MB), which undiluted the IVF
+        # cell-count log2 step its siblings q39/q253 already carry
+        # (fitted 1.15 against the r14 base that still included the
+        # flat component; 1.33 against the capped base, hi side
+        # 134.0 -> 138.9 MB ~unchanged). Same auto-sizing regime class.
+        "q45_knn_ivf": LSH_STEP,
+        # round-15: two-path ARM SWITCH flags (hi-floor rule) — sf0.1
+        # runs the suffix family's driver arm (~0 shuffle), sf1 the
+        # distributed arm. SAME-ARM exponents measured with
+        # SPARK_GRAFT_MAX_DRIVER_ROWS=0 at sf0.1 (BASELINE.md round-15
+        # exponent-gate record): q369 14.3->136.2 MB (0.98),
+        # q371 27.6->262.5 (0.98), q372 14.5->135.9 (0.97),
+        # q373 14.3->167.9 (1.07) — the restated agg+join-back chain
+        # is LINEAR in bytes on its production arm.
+        "q369_suffix_dedup":
+            ("two-path arm switch between SFs; same-arm exponent 0.98 "
+             "(14.3 -> 136.2 MB forced-distributed, round-15 measure)"),
+        "q371_dup_depth_ladder":
+            ("two-path arm switch between SFs; same-arm exponent 0.98 "
+             "(27.6 -> 262.5 MB forced-distributed, round-15 measure)"),
+        "q372_exact_decontam":
+            ("two-path arm switch between SFs; same-arm exponent 0.97 "
+             "(14.5 -> 135.9 MB forced-distributed, round-15 measure)"),
+        "q373_substr_trim":
+            ("two-path arm switch between SFs; same-arm exponent 1.07 "
+             "(14.3 -> 167.9 MB forced-distributed, round-15 measure)"),
         # round-14 first-measurement attributions (BASELINE.md round-14
         # sf1 section): rows PROVEN linear, growth is key-string entropy
         "q370_band_gate_fp":
