@@ -2527,7 +2527,36 @@ object DedupQueries extends QueryModule {
           posexplode(TextOps.tokens($"text")).as(Seq("p", "tok")))
         .select($"doc_id", $"p".cast("long").as("pos"), $"tok")
       SuffixOps.trimDuplicatedSpans(pos, width = 8)
-    }, Some(suffixTrimOracleSql(8)))
+    }, Some(suffixTrimOracleSql(8))),
+
+    // INCREMENTAL exact-substring trim — the continual-pretraining
+    // data-refresh step (the cross-set complement of q373's
+    // within-corpus trim): a NEW batch is deduplicated against an
+    // already-trained REFERENCE corpus, removing every position
+    // covered by a >= 8-token window that occurs verbatim on the
+    // reference side. The reference copy is the canonical survivor,
+    // so there is no canonical exception on the new side — q373
+    // handles within-batch duplication, q67/q111 handle whole-doc
+    // incremental dedup on fingerprints; nothing actuated SPAN-level
+    // incremental dedup ([[SuffixOps.trimCrossSet]]). doc_id % 5 == 0
+    // designates the reference; the q77 planted tail crosses the split
+    // by CRT (residues 10 and 3 mod 35 both populated at every SF), so
+    // planted spans are trimmed from new docs at every SF. Output is
+    // the full per-new-doc surviving text — the oracle hash covers
+    // every kept token.
+    Q("q374_incr_trim", (s, d) => {
+      import s.implicits._
+      val planted = t(s, d, "documents").select($"doc_id",
+        when($"doc_id" % 7 === 3, concat($"text", lit(tail12)))
+          .otherwise($"text").as("text"),
+        ($"doc_id" % 5 === 0).as("is_ref"))
+      val pos = planted
+        .select($"doc_id", $"is_ref",
+          posexplode(TextOps.tokens($"text")).as(Seq("p", "tok")))
+        .select($"doc_id", $"p".cast("long").as("pos"), $"tok",
+          $"is_ref")
+      SuffixOps.trimCrossSet(pos, width = 8)
+    }, Some(suffixCrossTrimOracleSql(8)))
   )
 
   /** q363's oracle: the q36 MinHash CTE chain, then per (bands, rows)
@@ -2657,13 +2686,15 @@ object DedupQueries extends QueryModule {
     * r0..rK` where the final CTE carries `r_w<s>` for every snapshot
     * plus doc_id, pos, n (and `is_bench` when `benchFlag`). */
   private def suffixChainSql(snaps: Seq[Int], plant35: Boolean,
-                             benchFlag: Boolean): (String, String) = {
+                             benchFlag: Boolean,
+                             benchExpr: String = "doc_id % 31 = 7")
+      : (String, String) = {
     val width = snaps.last
     val plant = "CASE WHEN doc_id % 7 = 3 THEN text || '" + tail12 +
       "' ELSE text END" +
       (if (plant35) " || CASE WHEN doc_id % 11 = 5 THEN '" + tail35 +
         "' ELSE '' END" else "")
-    val bench = if (benchFlag) ", doc_id % 31 = 7 AS is_bench" else ""
+    val bench = if (benchFlag) s", $benchExpr AS is_bench" else ""
     val benchCol = if (benchFlag) ", is_bench" else ""
     val gaps = Iterator.iterate(1)(_ * 2).takeWhile(_ < width).toSeq
     val rounds = gaps.zipWithIndex.map { case (g, k) =>
@@ -2819,6 +2850,38 @@ object DedupQueries extends QueryModule {
        |  coalesce(string_agg(CASE WHEN rm = 0 THEN t.tok END, ' '
        |    ORDER BY t.pos), '') AS kept_text
        |FROM tok t JOIN rmv USING (doc_id, pos)
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** q374's oracle: the width-`width` chain with the reference flag,
+    * one reference-member count per class, coverage over the new side
+    * only (no canonical exception — the reference copy is the
+    * survivor), then the kept-token string per new doc — the exact
+    * twin of both [[SuffixOps.trimCrossSet]] arms. */
+  private[operators] def suffixCrossTrimOracleSql(width: Int): String = {
+    val (chain, fin) = suffixChainSql(Seq(width), plant35 = false,
+      benchFlag = true, benchExpr = "doc_id % 5 = 0")
+    s"""WITH $chain,
+       |cls AS (
+       |  SELECT doc_id, pos, n, is_bench,
+       |    CASE WHEN pos + $width <= n THEN 1 ELSE 0 END AS e,
+       |    sum(CASE WHEN pos + $width <= n AND is_bench
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY r_w$width) AS rc
+       |  FROM $fin),
+       |flg AS (
+       |  SELECT doc_id, pos,
+       |    max(CASE WHEN e = 1 AND rc >= 1 THEN 1 ELSE 0 END)
+       |      OVER covw AS cv
+       |  FROM cls
+       |  WHERE NOT is_bench
+       |  WINDOW covw AS (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN ${width - 1} PRECEDING AND CURRENT ROW))
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(cv) AS BIGINT) AS n_removed,
+       |  coalesce(string_agg(CASE WHEN cv = 0 THEN t.tok END, ' '
+       |    ORDER BY t.pos), '') AS kept_text
+       |FROM tok t JOIN flg USING (doc_id, pos)
        |GROUP BY 1""".stripMargin
   }
 

@@ -423,6 +423,103 @@ object SuffixOps {
     }
   }
 
+  /** INCREMENTAL actuation of the cross-set machinery (the continual-
+    * pretraining data-refresh step): trim from a NEW batch every
+    * width-token window that occurs verbatim in an already-trained
+    * REFERENCE corpus. Input: (doc_id, pos, tok, is_ref) — is_ref
+    * marks the reference side. A new-doc position is REMOVED when it
+    * is covered by some eligible start whose width-window class has
+    * >= 1 eligible reference occurrence; the reference copy IS the
+    * canonical survivor, so unlike [[trimDuplicatedSpans]] there is no
+    * canonical exception on the new side (windows duplicated only
+    * WITHIN the new batch are left for the within-batch trim — this
+    * operator's contract is strictly "nothing verbatim-repeated from
+    * the trained set"). Output per NEW doc: (doc_id, n_tokens,
+    * n_removed, kept_text); reference docs are not emitted. Same rank
+    * chain, agg+join-back discipline, and two-path structure as the
+    * rest of the family. */
+  def trimCrossSet(pos: DataFrame, width: Int): DataFrame = {
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"width must be a power of two, got $width")
+    val spark = pos.sparkSession
+    import spark.implicits._
+
+    CorpusOps.boundedRows(pos) match {
+      case Some(rows) =>
+        // driver arm: reference window set, then per-new-doc coverage.
+        val docs = rows
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getBoolean(3)))
+          .groupBy(_._1)
+          .map { case (id, ps) =>
+            id -> (ps.head._4, ps.sortBy(_._2).map(_._3).toIndexedSeq) }
+        val refWins =
+          scala.collection.mutable.HashSet.empty[Seq[String]]
+        docs.valuesIterator.foreach { case (isRef, toks) =>
+          if (isRef) {
+            var i = 0
+            while (i + width <= toks.length) {
+              refWins += toks.slice(i, i + width); i += 1
+            }
+          }
+        }
+        val out = docs.toSeq.collect { case (id, (false, toks)) =>
+          val n = toks.length
+          def hitAt(i: Int): Boolean =
+            i >= 0 && i + width <= n &&
+              refWins.contains(toks.slice(i, i + width))
+          val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+          var removed = 0L
+          var p = 0
+          while (p < n) {
+            var cv = false
+            var s = math.max(0, p - width + 1)
+            while (s <= p && !cv) { if (hitAt(s)) cv = true; s += 1 }
+            if (cv) removed += 1 else kept += toks(p)
+            p += 1
+          }
+          (id, n.toLong, removed, kept.mkString(" "))
+        }
+        out.toDF("doc_id", "n_tokens", "n_removed", "kept_text")
+
+      case None =>
+        // distributed arm — pos stays persisted (boundedRows contract):
+        // the chain consumes it, and the token join-back reads it again
+        // from cache.
+        val posDf = pos.toDF("doc_id", "pos", "tok", "is_ref")
+        val wDoc = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+        var cur = rankedBase(posDf)
+        var w = 1
+        while (w < width) { cur = doubleRank(cur, w); w *= 2 }
+        val elig = $"pos" + lit(width.toLong) <= $"n"
+        val ranked = cur.persist()
+        val refCnt = ranked.groupBy($"r")
+          .agg(sum(when(elig && $"is_ref", 1L).otherwise(0L)).as("rc"))
+        val covW = wDoc.rowsBetween(-(width - 1).toLong, 0L)
+        // docs are homogeneous (entirely ref or entirely new), so the
+        // new-side filter commutes with the per-doc coverage window —
+        // apply it before the class join so ref rows never enter the
+        // join or the window.
+        ranked.filter(!$"is_ref").join(refCnt, Seq("r"))
+          .withColumn("d",
+            when(elig && $"rc" >= 1L, 1L).otherwise(0L))
+          .withColumn("cv", max($"d").over(covW))
+          .withColumn("rm", when($"cv" === 1L, 1L).otherwise(0L))
+          .join(posDf.select($"doc_id", $"pos", $"tok"),
+            Seq("doc_id", "pos"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            sum($"rm").cast("long").as("n_removed"),
+            array_join(
+              transform(
+                array_sort(collect_list(
+                  when($"rm" === 0L, struct($"pos", $"tok")))),
+                x => x.getField("tok")),
+              " ").as("kept_text"))
+          .select($"doc_id", $"n_tokens", $"n_removed", $"kept_text")
+    }
+  }
+
   /** Driver-arm helper: corpus-wide width-window occurrence counts. */
   private def windowCount(
       docs: Map[Long, IndexedSeq[String]], w: Int)

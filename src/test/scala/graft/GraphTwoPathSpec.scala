@@ -37,7 +37,8 @@ class GraphTwoPathSpec extends AnyFunSuite {
     "q369_suffix_dedup",
     "q371_dup_depth_ladder",
     "q372_exact_decontam",
-    "q373_substr_trim")
+    "q373_substr_trim",
+    "q374_incr_trim")
 
   /** Canonical sorted row-string dump — schema-order columns, null-safe. */
   private def dump(s: org.apache.spark.sql.SparkSession,

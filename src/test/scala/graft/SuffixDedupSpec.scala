@@ -121,6 +121,43 @@ class SuffixDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q374 incremental trim: reference absent, conservation, planted spans removed") {
+    val rows =
+      SparkEntry.queries("q374_incr_trim")(spark, sf).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+    assert(rows.nonEmpty)
+    // only NEW-side docs are emitted, and all of them
+    assert(rows.keySet.forall(_ % 5 != 0), "reference docs in output")
+    assert(rows.keySet == exact.keySet.filter(_ % 5 != 0),
+      "output must cover exactly the new-side documents")
+    val tail = "the quick brown fox jumps over the lazy dog again and again"
+    rows.foreach { case (id, (nt, rm, kept)) =>
+      // conservation: kept text carries exactly n_tokens - n_removed
+      val keptCount =
+        if (kept.isEmpty) 0L else kept.split(" ").length.toLong
+      assert(keptCount == nt - rm,
+        s"doc $id: kept_text carries $keptCount tokens, expected ${nt - rm}")
+      assert(rm <= nt)
+      if (id % 7 == 3) {
+        // the planted tail exists on the reference side too (CRT:
+        // id % 35 == 10 is planted AND reference), so every planted
+        // NEW doc must lose all 12 tail positions
+        assert(rm >= 12L, s"planted new doc $id kept reference spans")
+        assert(!kept.endsWith(tail),
+          s"planted new doc $id must lose the reference tail")
+      }
+    }
+    // unlike q373 there is NO canonical survivor on the new side: the
+    // min-gid planted NEW doc also loses the tail (asserted above via
+    // the unconditional planted check) — pin it explicitly
+    val plantedNew = rows.keySet.filter(_ % 7 == 3)
+    assert(plantedNew.nonEmpty)
+    assert(!rows(plantedNew.min)._3.endsWith(tail),
+      "no canonical exception on the new side")
+  }
+
   test("q372 exact decontamination: the planted family crosses the bench split") {
     val rows =
       SparkEntry.queries("q372_exact_decontam")(spark, sf).collect()
