@@ -44,6 +44,7 @@ DOMINANT = {
     "q371_dup_depth_ladder": "prefix-doubling rank shuffles (5 rounds + 3 class-count aggs)",
     "q372_exact_decontam": "prefix-doubling rank shuffles (3 rounds + bench-member agg)",
     "q373_substr_trim": "prefix-doubling rank shuffles + (doc_id, pos) token join-back",
+    "q374_incr_trim": "prefix-doubling rank shuffles over the union + new-side token join-back",
     "q36_minhash_lsh": "MinHash signature agg over distinct shingles",
     "q74_semdedup": "IVF-bucketed embedding pair join",
     "q77_window_dedup": "rolling-window frequency agg + join-back",

@@ -156,6 +156,11 @@ if len(sys.argv) > 4:
         "q373_substr_trim":
             ("two-path arm switch between SFs; same-arm exponent 1.07 "
              "(14.3 -> 167.9 MB forced-distributed, round-15 measure)"),
+        "q374_incr_trim":
+            ("two-path arm switch between SFs; same-arm exponent 1.18 "
+             "(14.5 -> 219.4 MB forced-distributed, round-15 measure; "
+             "rows linear by construction — positions + per-new-doc "
+             "text, lz4 key entropy on the token join-back)"),
         # round-14 first-measurement attributions (BASELINE.md round-14
         # sf1 section): rows PROVEN linear, growth is key-string entropy
         "q370_band_gate_fp":
