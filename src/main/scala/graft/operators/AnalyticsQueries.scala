@@ -1258,28 +1258,41 @@ object AnalyticsQueries extends QueryModule {
     // Market-basket association (support / confidence / lift over
     // co-ordered part classes): the affinity analysis a retail-shaped
     // corpus runs before bundling or recommendation. Items are part
-    // classes (l_partkey % 100, a bounded registry); pairs come from a
-    // self-join ON THE ORDER KEY, so fan-out is C(basket, 2) per order
-    // — bounded by the per-order line cap (7 in TPC-H), NEVER corpus x
-    // corpus. Scale shape: distinct + pair aggs are order/pair-keyed
-    // map-side-combined; item counts join on the <= 100-row class
-    // registry (AQE-adjudicated); only the 1-row order total
-    // broadcasts. Lift's cross-multiplied form is cast to double
+    // classes (l_partkey % 100, a bounded registry); pairs explode
+    // from per-order sorted basket sets, so fan-out is C(basket, 2)
+    // per order — bounded by the per-order line cap (7 in TPC-H),
+    // NEVER corpus x corpus. Scale shape: ONE order-keyed map-side-
+    // combined basket agg feeds pair/item/order counts; item counts
+    // join on the <= 100-row class registry (AQE-adjudicated); only
+    // the 1-row order total broadcasts. Lift's cross-multiplied form
+    // is cast to double
     // per-count BEFORE multiplying (no int64 overflow at any scale;
     // identical IEEE tree both engines), floored once to milli.
     Q("q173_basket_lift", (s, d) => {
       import s.implicits._
-      // items feeds nOrders + itemN + both pair sides: persist the
-      // distinct basket frame so the lineitem scan + distinct run once
-      val items = t(s, d, "lineitem")
+      // ONE basket agg replaces distinct + self-join (q208's own
+      // explode convention, round-15 opt): collect_set dedups map-side,
+      // so the raw (ok, item) rows reach a SINGLE order-keyed exchange
+      // as partial sets — the self-join form shuffled the distinct
+      // frame three times (distinct + both join sides). Pairs explode
+      // from the sorted set (fan-out C(basket, 2), bounded by the
+      // per-order line cap) and map-side-combine into the <= C(100, 2)
+      // class-pair grid. Persisted: baskets feeds nOrders + itemN +
+      // the pair explode (3 consumers).
+      val baskets = t(s, d, "lineitem")
         .select($"l_orderkey".as("ok"), ($"l_partkey" % 100).as("item"))
-        .distinct().persist()
-      val nOrders = items.select($"ok").distinct()
-        .agg(count(lit(1)).as("n_orders"))
-      val itemN = items.groupBy($"item").agg(count(lit(1)).as("n_item"))
-      val a = items.select($"ok", $"item".as("item_a"))
-      val b = items.select($"ok", $"item".as("item_b"))
-      a.join(b, "ok").filter($"item_a" < $"item_b")
+        .groupBy($"ok").agg(sort_array(collect_set($"item")).as("its"))
+        .persist()
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+      val itemN = baskets.select(explode($"its").as("item"))
+        .groupBy($"item").agg(count(lit(1)).as("n_item"))
+      baskets
+        .select(explode(expr(
+          """flatten(transform(its, (a, i) ->
+            |  transform(slice(its, i + 2, size(its)),
+            |    b -> struct(a as item_a, b as item_b))))""".stripMargin))
+          .as("p"))
+        .select($"p.item_a".as("item_a"), $"p.item_b".as("item_b"))
         .groupBy($"item_a", $"item_b").agg(count(lit(1)).as("n_ab"))
         .filter($"n_ab" >= 5)
         .join(itemN.select($"item".as("item_a"), $"n_item".as("n_a")),

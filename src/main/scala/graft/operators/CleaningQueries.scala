@@ -493,19 +493,29 @@ object CleaningQueries extends QueryModule {
     // in any earlier doc — the diminishing-returns signal that tells a
     // crawl when more data stops adding value. Shape: distinct
     // (doc, shingle) (map-side combine), ONE min-aggregate per shingle
-    // for the first-seer, one shingle-keyed join back — all linear,
-    // keyed on the shingle hash; nothing broadcast, no windows.
+    // for the first-seer, then first-owner counts re-aggregated per
+    // doc and joined to per-doc sizes on the doc key — all linear,
+    // map-side-combined; nothing broadcast, no windows.
     Q("q136_novelty_curve", (s, d) => {
       import s.implicits._
-      val sh = TextOps.shingleRows(t(s, d, "documents"), "doc_id", "text")
-        .select($"doc_id", $"shingle").distinct()
-      val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
-      sh.join(first, "shingle")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when($"doc_id" === $"first_doc", 1L).otherwise(0L)).as("n_novel"))
-        .select($"doc_id", $"n_shingles", $"n_novel",
-          expr("(n_novel * 1000) div n_shingles").as("novelty_permille"))
+      // agg + doc-keyed join-back instead of a shingle-keyed join-back
+      // (round-15 opt): a doc's novel count is exactly the number of
+      // shingles whose min owner it is, so first-owner counts aggregate
+      // per doc directly — the corpus-sized (doc, shingle) string frame
+      // never re-crosses an exchange for the join (the old form
+      // re-shuffled it in full on the shingle key with no partial agg);
+      // both replacement aggs map-side-combine to narrow long rows and
+      // meet in a doc-keyed join of per-doc frames.
+      val sh = TextOps.distinctShingleRows(t(s, d, "documents"),
+        "doc_id", "text")
+      val szs = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      val novel = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
+        .groupBy($"first_doc").agg(count(lit(1)).as("n_novel"))
+      szs.join(novel, $"doc_id" === $"first_doc", "left_outer")
+        .select($"doc_id", $"n_shingles",
+          coalesce($"n_novel", lit(0L)).as("n_novel"),
+          expr("(coalesce(n_novel, 0) * 1000) div n_shingles")
+            .as("novelty_permille"))
     }, Some("""
       WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
                  FROM documents),

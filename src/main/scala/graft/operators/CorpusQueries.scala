@@ -87,8 +87,7 @@ object CorpusQueries extends QueryModule {
     Q("q54_decontam", (s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents")
-      val sh = TextOps.shingleRows(docs, "doc_id", "text")
-        .select($"doc_id", $"shingle").distinct()
+      val sh = TextOps.distinctShingleRows(docs, "doc_id", "text")
       val trainSh = sh.filter($"doc_id" % 20 =!= 0)
       val benchSh = sh.filter($"doc_id" % 20 === 0)
         .withColumnRenamed("doc_id", "bench_id")
@@ -788,9 +787,11 @@ object CorpusQueries extends QueryModule {
       val hm = CorpusOps.hashMix($"doc_id", 1000L)
       val docs = t(s, d, "documents")
         .select($"doc_id", $"lang", (hm < 980).as("is_train"), $"text")
-      val big = TextOps.shingleRows(docs, "doc_id", "text", n = 2)
-        .join(docs.select($"doc_id", $"lang", $"is_train"), "doc_id")
-        .select($"lang", $"is_train", $"shingle".as("bigram"))
+      // round-15 opt: grams assemble row-locally, so lang/is_train ride
+      // the SAME row — the doc-keyed join-back (an exchange of the full
+      // bigram stream plus one of docs) is gone
+      val big = docs.select($"lang", $"is_train",
+        explode(TextOps.shingles(TextOps.tokens($"text"), 2)).as("bigram"))
       val train = big.filter($"is_train")
         .select($"lang", $"bigram").distinct()
         .withColumn("in_train", lit(true))
@@ -1717,9 +1718,10 @@ object CorpusQueries extends QueryModule {
       val docs = t(s, d, "documents").select($"doc_id", $"text",
         when(h < 980, "train").when(h < 990, "val").otherwise("test")
           .as("split"))
-      val bgAll = TextOps.shingleRows(docs, "doc_id", "text", n = 2)
-        .join(docs.select($"doc_id", $"split"), "doc_id")
-        .select($"split", $"shingle".as("bg"))
+      // round-15 opt: split rides the row through the row-local gram
+      // explode — no doc-keyed join-back of the bigram stream
+      val bgAll = docs.select($"split",
+        explode(TextOps.shingles(TextOps.tokens($"text"), 2)).as("bg"))
       val c2 = bgAll.filter($"split" === "train")
         .groupBy($"bg").agg(count(lit(1)).as("c2"))
       val c1 = docs.filter($"split" === "train")
@@ -2075,8 +2077,8 @@ object CorpusQueries extends QueryModule {
     Q("q360_greedy_coverage", (s, d) => {
       import s.implicits._
       val dt = TextOps
-        .shingleRows(t(s, d, "documents"), "doc_id", "text")
-        .select($"doc_id", $"shingle").distinct().persist()
+        .distinctShingleRows(t(s, d, "documents"), "doc_id", "text")
+        .persist()
       val vocab = dt.agg(countDistinct($"shingle").as("v"))
       // the loop carries the SHRINKING remainder forward and anti-joins
       // each round against only the PREVIOUS pick's shingles (a frame

@@ -62,18 +62,15 @@ object DedupOps {
         .drop(s"__h$j")
     }
 
-  private val hexChars = array("0123456789abcdef".map(c => lit(c.toString)): _*)
-
   /** Column form of [[hv32Sql]] — usable inside higher-order-function
     * lambdas where SQL-string expressions can't capture the lambda
-    * variable. */
-  private[operators] def hv32Col(tok: Column): Column = {
-    val m = md5(tok)
-    (1 to 8).map { p =>
-      val coef = lit(math.pow(16, 8 - p).toLong)
-      (array_position(hexChars, substring(m, p, 1)) - 1) * coef
-    }.reduce(_ + _)
-  }
+    * variable. Single conv() parse of the 8-digit hex prefix (round-15
+    * opt): the previous positional array_position chain referenced
+    * `md5(tok)` once per hex digit, and HOF lambdas get no
+    * subexpression elimination — 8 digests per hash. Value-identical
+    * to [[hv32FromHexSql]] (same conv form). */
+  private[operators] def hv32Col(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
 
   /** 32-bit SimHash from a token-row stream (one row per (id, token),
     * duplicates kept — each occurrence votes): 32 codegen'd conditional

@@ -404,8 +404,8 @@ object DedupQueries extends QueryModule {
       // of the intersection join) project it differently, so
       // ReuseExchange can't canonicalize them — uncached, the
       // explode+distinct would run 4x (round-9 q69 lesson).
-      val sr = TextOps.shingleRows(docs, "doc_id", "text")
-        .select($"doc_id", $"shingle").distinct().persist()
+      val sr = TextOps.distinctShingleRows(docs, "doc_id", "text")
+        .persist()
       val sigs = DedupOps.minhashSignatures(sr, "doc_id", "shingle", k = 16)
       val bandTable = DedupOps.lshBands(sigs, "doc_id", "sig", bands = 4, rows = 4)
       val cands = DedupOps.lshCandidates(bandTable, "doc_id")
@@ -647,8 +647,7 @@ object DedupQueries extends QueryModule {
         .select($"doc_id",
           when($"doc_id" % 10 === 0 && $"donor".isNotNull,
             concat($"text", lit(" "), $"donor")).otherwise($"text").as("text"))
-      val sr = TextOps.shingleRows(planted, "doc_id", "text")
-        .select($"doc_id", $"shingle").distinct()
+      val sr = TextOps.distinctShingleRows(planted, "doc_id", "text")
       val sizes = sr.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
       val dfs = sr.groupBy($"shingle").agg(count(lit(1)).as("sdf"))
       val rare = sr.join(dfs.filter($"sdf" >= 2 && $"sdf" <= 20), "shingle")
@@ -778,9 +777,16 @@ object DedupQueries extends QueryModule {
       // engines) so every downstream stage — df agg, doc-keyed
       // collect, sort, posting explode, intersection — runs on longs,
       // not 30-char strings (string variant measured 3x slower).
-      val sh = TextOps.shingleRows(t(s, d, "documents"), "doc_id", "text")
-        .select($"doc_id", expr(DedupOps.hv32Sql("shingle")).as("tok"))
-        .distinct()
+      // round-15 opt: hashes + per-doc dedup assemble row-locally
+      // (distinct hv set per doc == corpus distinct on (doc, hv) since
+      // the doc id is part of the key) — the explode + corpus-wide
+      // .distinct() exchanged every (doc, hv) row; now the first
+      // exchange is the map-side-combined df agg
+      val sh = t(s, d, "documents")
+        .select($"doc_id",
+          TextOps.shingles(TextOps.tokens($"text")).as("__g"))
+        .select($"doc_id", explode(array_distinct(
+          transform($"__g", g => DedupOps.hv32Col(g)))).as("tok"))
       val df = sh.groupBy($"tok").agg(count(lit(1)).as("df"))
       // ONE (df, tok)-sorted struct array per doc carries everything
       // downstream: sz = its size (no separate size branch), the
@@ -1218,8 +1224,8 @@ object DedupQueries extends QueryModule {
     Q("q222_minhash_calibration", (s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents")
-      val sr = TextOps.shingleRows(docs, "doc_id", "text")
-        .select($"doc_id", $"shingle").distinct().persist()
+      val sr = TextOps.distinctShingleRows(docs, "doc_id", "text")
+        .persist()
       val sigs = DedupOps.minhashSignatures(sr, "doc_id", "shingle", k = 16)
       val bandTable = DedupOps.lshBands(sigs, "doc_id", "sig",
         bands = 4, rows = 4)
@@ -2060,8 +2066,8 @@ object DedupQueries extends QueryModule {
     // by design — that is the quantity being measured, not shipped).
     Q("q363_lsh_advisor", (s, d) => {
       import s.implicits._
-      val sr = TextOps.shingleRows(t(s, d, "documents"), "doc_id", "text")
-        .select($"doc_id", $"shingle").distinct()
+      val sr = TextOps.distinctShingleRows(t(s, d, "documents"),
+        "doc_id", "text")
       val sigs = DedupOps.minhashSignatures(sr, "doc_id", "shingle", k = 16)
         .persist()
       val configs = Seq((16, 1), (8, 2), (4, 4), (2, 8))
@@ -2159,8 +2165,8 @@ object DedupQueries extends QueryModule {
     Q("q368_dedup_threshold_sweep", (s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents")
-      val sr = TextOps.shingleRows(docs, "doc_id", "text")
-        .select($"doc_id", $"shingle").distinct().persist()
+      val sr = TextOps.distinctShingleRows(docs, "doc_id", "text")
+        .persist()
       val sigs = DedupOps.minhashSignatures(sr, "doc_id", "shingle", k = 16)
       val bandTable = DedupOps.lshBands(sigs, "doc_id", "sig",
         bands = 4, rows = 4)
@@ -2321,8 +2327,8 @@ object DedupQueries extends QueryModule {
     Q("q370_band_gate_fp", (s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents")
-      val sr = TextOps.shingleRows(docs, "doc_id", "text")
-        .select($"doc_id", $"shingle").distinct().persist()
+      val sr = TextOps.distinctShingleRows(docs, "doc_id", "text")
+        .persist()
       val sigs = DedupOps.minhashSignatures(sr, "doc_id", "shingle", k = 16)
       val bands = DedupOps.lshBands(sigs, "doc_id", "sig", bands = 4, rows = 4)
       val first = bands.groupBy($"band_id", $"band_hash")

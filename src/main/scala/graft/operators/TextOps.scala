@@ -23,12 +23,22 @@ object TextOps {
     regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
 
   /** Word n-gram shingles (1-based `element_at`); empty array when the
-    * document has fewer than `n` tokens. */
+    * document has fewer than `n` tokens.
+    *
+    * The token array is bound ONCE through a lambda variable before any
+    * element_at touches it. Callers pass an unmaterialized expression
+    * (usually `split(trim(text))`), and higher-order functions evaluate
+    * interpreted with NO subexpression elimination — referencing `toks`
+    * directly inside the gram lambda re-ran the full regex split for
+    * EVERY element_at (n splits of the whole document per gram,
+    * quadratic in doc length; measured 1.56 s -> 22.5 s on q77 at
+    * sf0.1 before the binding). */
   def shingles(toks: Column, n: Int = 3): Column = {
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
-    when(size(toks) < n, array().cast("array<string>")).otherwise(grams)
+    def grams(tk: Column) = transform(
+      sequence(lit(1), size(tk) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*))
+    flatten(transform(array(toks), tk =>
+      when(size(tk) < n, array().cast("array<string>")).otherwise(grams(tk))))
   }
 
   /** Distinct-shingle set — the unit for Jaccard/MinHash dedup. */
@@ -63,25 +73,35 @@ object TextOps {
                    stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")): Column =
     round(qualityRaw(text, stopwords), 6)
 
-  /** Relational shingle stream: one row per (id, pos, shingle), built with
-    * posexplode + window lead. This is the scale/bench path for
-    * shingle-heavy operators: higher-order array functions are interpreted
-    * per element, while this plan stays in whole-stage codegen (the window
-    * shuffles on the id, with ordered pos within each doc). */
+  /** Relational shingle stream: one row per (id, pos, shingle), built
+    * ROW-LOCALLY — grams assemble per document via [[shingles]] and
+    * posexplode, so the stream needs NO exchange at all. The round-1
+    * form computed the same grams with posexplode + lead() over a
+    * doc-keyed window, which shuffled and sorted the ENTIRE tokenized
+    * corpus once per consumer (~20 call sites; at the 100 TB grade
+    * that is a full corpus-sized exchange each) — the round-1 A/B
+    * that motivated it actually measured minhash/simhash-as-HOF, not
+    * the shingle assembly (BASELINE.md round-1 table; A/B numbers for
+    * THIS change alone are in OPTIMIZATION_r15.md). The transform
+    * lambda is interpreted per gram, but per-gram concat is cheap —
+    * orders of magnitude under the exchange + sort it replaces. */
   def shingleRows(df: org.apache.spark.sql.DataFrame, idCol: String,
-                  textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val toks = df.select(col(idCol),
-      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
-    val withLeads = (1 until n).foldLeft(toks) { (acc, o) =>
-      acc.withColumn(s"__t$o", lead(col("__tok"), o).over(w))
-    }
-    val parts = col("__tok") +: (1 until n).map(o => col(s"__t$o"))
-    withLeads.filter(parts.last.isNotNull)
-      .select(col(idCol), col("__pos"),
-        concat_ws(" ", parts: _*).as("shingle"))
-  }
+                  textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+      posexplode(shingles(tokens(col(textCol)), n)).as(Seq("__pos", "shingle")))
+
+  /** Distinct (id, shingle) stream with ZERO exchanges: the dedup key
+    * contains the doc id, so "distinct per corpus" IS "distinct per
+    * document" — array_distinct inside the row replaces the
+    * corpus-wide `.distinct()` whose exchange shipped every gram
+    * string to a shuffle (round-15 opt; the pre-r15 form additionally
+    * paid the shingleRows window exchange). Consumers that aggregate
+    * downstream (per-doc sizes, per-shingle dfs, MinHash signatures)
+    * now meet their FIRST exchange only at a map-side-combined agg. */
+  def distinctShingleRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("shingle"))
 
   /** Distinct rolling n-token windows per document — the shared frame
     * behind the substring-dedup family (q77 profile, q100's gate,
@@ -89,8 +109,7 @@ object TextOps {
     * drift between the three. */
   def distinctWindows(df: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String, n: Int = 8): org.apache.spark.sql.DataFrame =
-    shingleRows(df, idCol, textCol, n)
-      .select(col(idCol), col("shingle")).distinct()
+    distinctShingleRows(df, idCol, textCol, n)
 
   /** Corpus frequency of each window, attached to the window rows via
     * count() over a window-key partition: ONE shuffle yields the

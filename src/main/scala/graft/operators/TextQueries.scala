@@ -133,19 +133,23 @@ object TextQueries extends QueryModule {
         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       FROM documents""")),
 
-    // word-trigram shingling stats (the dedup unit), via the relational
-    // shingle stream (codegen agg; the array-HOF form benched 18 s/5k docs).
+    // word-trigram shingling stats (the dedup unit). Round-15 opt: both
+    // stats are PER-DOC facts, so the whole query is one row-local
+    // projection — gram count from the token-array size, distinct count
+    // via array_distinct (hash-set per row) — no explode, no agg, no
+    // join, ZERO exchanges. (The round-1 "array-HOF form benched
+    // 18 s/5k docs" pathology was the unbound split re-evaluated per
+    // element_at, fixed in TextOps.shingles this round.)
     Q("q31_shingle_stats", (s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents")
-      val stats = TextOps.shingleRows(docs, "doc_id", "text")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("ns"), countDistinct($"shingle").as("nd"))
-      docs.select($"doc_id")
-        .join(stats, Seq("doc_id"), "left_outer")
+      // two-step select: the gram array materializes once per row
+      // (CollapseProject keeps a non-cheap alias referenced twice)
+      docs.select($"doc_id",
+          TextOps.shingles(TextOps.tokens($"text")).as("__g"))
         .select($"doc_id",
-          coalesce($"ns", lit(0L)).as("n_shingles"),
-          coalesce($"nd", lit(0L)).as("n_distinct"))
+          size($"__g").cast("long").as("n_shingles"),
+          size(array_distinct($"__g")).cast("long").as("n_distinct"))
     }, Some("""
       WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
       SELECT doc_id,
@@ -186,14 +190,13 @@ object TextQueries extends QueryModule {
     // whose tokens or n-grams repeat heavily is boilerplate/spam and gets
     // filtered before training. dup_token_frac = 1 - distinct/total,
     // top_token_frac = mode count/total, dup_2gram_frac likewise over
-    // bigrams. Both stats run on EXPLODED rows (tokens; posexplode+lead
-    // bigrams via shingleRows) with map-side-combined aggregates — fully
-    // codegen'd. The tempting row-local alternative (transform +
-    // array_distinct over the token array) measured ~11 ms/doc here:
-    // higher-order array functions are interpreted per element and
-    // array_distinct is quadratic per doc — the BASELINE.md shingle-HOF
-    // pathology again. Two column-pruned scans of (doc_id, text) beat
-    // that by ~40x and stay linear at any corpus size.
+    // bigrams. Token stats run on EXPLODED rows with map-side-combined
+    // aggregates (the mode count needs the per-(doc, tok) agg); bigram
+    // stats are row-local size/array_distinct over the gram array —
+    // the "~11 ms/doc HOF pathology" recorded here in round 1 was the
+    // unbound split re-evaluated per element_at (fixed in
+    // TextOps.shingles, round-15 opt); array_distinct itself is
+    // hash-set linear per doc.
     Q("q63_repetition", (s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents")
@@ -202,15 +205,22 @@ object TextQueries extends QueryModule {
         .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
         .groupBy($"doc_id").agg(
           sum($"c").as("n"), count(lit(1)).as("nd"), max($"c").as("topc"))
-      val bgStats = TextOps.shingleRows(docs, "doc_id", "text", n = 2)
-        .groupBy($"doc_id").agg(
-          count(lit(1)).as("ng"), countDistinct($"shingle").as("ndg"))
+      // round-15 opt: the bigram stats are per-doc facts — computed
+      // row-locally from the gram array (size / array_distinct) instead
+      // of a (doc, bigram) explode + countDistinct expand + agg; docs
+      // with < 2 tokens yield ng = 0 (the old agg produced NO row and
+      // the join NULL — both map to dup_2gram_frac 0.0)
+      val bgStats = docs
+        .select($"doc_id",
+          TextOps.shingles(TextOps.tokens($"text"), 2).as("__g"))
+        .select($"doc_id", size($"__g").cast("long").as("ng"),
+          size(array_distinct($"__g")).cast("long").as("ndg"))
       tokStats.join(bgStats, Seq("doc_id"), "left_outer")
         .select($"doc_id",
           $"n".cast("long").as("n_tokens"),
           round(lit(1.0) - $"nd".cast("double") / $"n", 6).as("dup_token_frac"),
           round($"topc".cast("double") / $"n", 6).as("top_token_frac"),
-          round(when($"ng".isNull, lit(0.0))
+          round(when($"ng".isNull || $"ng" === 0L, lit(0.0))
             .otherwise(lit(1.0) - $"ndg".cast("double") / $"ng"), 6)
             .as("dup_2gram_frac"))
     }, Some("""
