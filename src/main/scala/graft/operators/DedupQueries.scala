@@ -2114,7 +2114,13 @@ object DedupQueries extends QueryModule {
         .simhashPairsBanded(sigs, "doc_id", "simhash", maxHamming = 3,
           bits = 60)
         .select($"doc_a", $"doc_b")
-      val dt = tokRows.distinct().persist()
+      // row-local distinct (round-15 opt): the dedup key contains the
+      // doc id, so array_distinct inside the row replaces the corpus
+      // exchange; the sig path keeps the occurrence-weighted tokRows
+      val dt = t(s, d, "documents")
+        .select($"doc_id",
+          explode(array_distinct(TextOps.tokens($"text"))).as("tok"))
+        .persist()
       val dfTab = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
       val shared = pairs
         .join(dt.select($"doc_id".as("doc_a"), $"tok"), "doc_a")

@@ -751,9 +751,10 @@ object TextQueries extends QueryModule {
     // growing, never broadcast); the band rollup is <= 64 rows.
     Q("q206_index_compression", (s, d) => {
       import s.implicits._
+      // row-local distinct (round-15 opt): doc id is in the dedup key
       val post = t(s, d, "documents")
-        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
-        .distinct()
+        .select($"doc_id",
+          explode(array_distinct(TextOps.tokens($"text"))).as("tok"))
       val df = post.groupBy($"tok").agg(count(lit(1)).as("df"))
       val wP = Window.partitionBy($"tok").orderBy($"doc_id".asc)
       post
